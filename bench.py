@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count + collect of the reduced
+result — results are small aggregates by design) after a warm-up of the
+session. Wall-clock per query, sum as the headline value.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from parking_bigdata_spark import queries as Q  # noqa: E402
+from parking_bigdata_spark.session import get_spark  # noqa: E402
+
+#: Headline set: the scale-critical operators (big shuffles, joins,
+#: windows, text/similarity pipelines), not the trivially-small ones.
+HEADLINE = [
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "weighted_avg_price",
+    "topk_orders_per_customer",
+    "customer_value_ratios",
+    "corr_matrix",
+    "rollup_revenue",
+    "impute_group_mean",
+    "events_windowed",
+    "events_sessions",
+    "dedup_exact",
+    "dedup_minhash",
+    "ngram_jaccard",
+    "cosine_topk",
+    "text_quality",
+    "ols_normal_eq",
+    "pca_explained_variance",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    registry = Q.queries()
+
+    # Warm up the JVM / parquet footer cache with a trivial action.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

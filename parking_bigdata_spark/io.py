@@ -1,0 +1,83 @@
+"""Sources: parquet table loading and a cleaned CSV reader.
+
+The reference ingests CSVs with encoding detection and sentinel-value
+cleanup (``/root/reference/20210803_이승하.R:69-97,122-129``). Here the
+equivalent is a schema-driven ``spark.read.csv`` plus a declarative
+sentinel-null cleaning pass that stays entirely inside Catalyst codegen
+(no UDFs), and plain parquet scans for the driver-provided tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+#: Default sentinel strings the reference maps to NULL ("" and "-",
+#: see 20210803_이승하.R:122-129).
+DEFAULT_SENTINELS = ("", "-", "NA", "N/A", "null")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver-generated parquet table.
+
+    Plain ``spark.read.parquet`` so Catalyst gets full pushdown/pruning;
+    never cache here — callers decide lifetimes.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as a long that we
+    convert to a microsecond timestamp (integer ``div`` — nanosecond
+    epochs exceed double's exact-integer range, so no float math).
+    """
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All tables as a dict — the engine's 'catalog' for one scale factor."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def clean_sentinel_numeric(df: DataFrame, cols: list[str],
+                           sentinels: tuple[str, ...] = DEFAULT_SENTINELS,
+                           target_type: str = "double") -> DataFrame:
+    """Sentinel strings → NULL, then cast — the reference's 임대보증금/임대료
+    cleanup (20210803_이승하.R:122-129) as a pure-Catalyst expression.
+
+    `when().otherwise().cast()` compiles into whole-stage codegen; at
+    100 TB this adds zero extra passes over the data.
+    """
+    out = df
+    for c in cols:
+        cleaned = F.when(F.trim(F.col(c)).isin(*sentinels), None) \
+                   .otherwise(F.col(c))
+        out = out.withColumn(c, cleaned.cast(target_type))
+    return out
+
+
+def read_clean_csv(spark: SparkSession, path: str, schema=None,
+                   numeric_sentinel_cols: list[str] | None = None,
+                   renames: dict[str, str] | None = None) -> DataFrame:
+    """CSV source with the reference's full ingest pipeline:
+    header, UTF-8, optional explicit schema (no sampling pass at scale),
+    sentinel-null cleaning, and column renaming (R:133-139).
+    """
+    reader = spark.read.option("header", "true").option("encoding", "UTF-8")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(path)
+    if renames:
+        for old, new in renames.items():
+            df = df.withColumnRenamed(old, new)
+    if numeric_sentinel_cols:
+        df = clean_sentinel_numeric(df, numeric_sentinel_cols)
+    return df

@@ -1,0 +1,65 @@
+"""Cleaning / imputation operators.
+
+Reference parity: NA→0 fills (20210803_이승하.R:352,358), median
+imputation (R:942-943), and the per-complex household-weighted mean
+imputation of 임대보증금/임대료 (R:923-940).
+
+Scale notes: imputation never self-joins the fact table. Group
+statistics ride a window function (same shuffle as the group key) or a
+broadcast of a tiny aggregate; global statistics are computed once and
+injected as literals via crossJoin of a 1-row frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def impute_constant(df: DataFrame, cols: dict[str, float]) -> DataFrame:
+    """NULL → constant (R:352,358 fills 지하철역수/버스정류장수 with 0).
+    Pure ``coalesce`` — codegen, zero extra passes.
+    """
+    out = df
+    for c, v in cols.items():
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    return out
+
+
+def impute_median(df: DataFrame, col: str, out_col: str | None = None,
+                  exact: bool = True) -> DataFrame:
+    """NULL → column median (R:942-943).
+
+    exact=True uses ``median()`` (sort-based, fine into the billions of
+    rows for a single column); at extreme scale flip to
+    ``approx_percentile(col, 0.5)`` — one streaming sketch pass.
+    The single median value is a 1-row aggregate crossJoined back
+    (Spark broadcasts 1-row relations), NOT collected to Python.
+    """
+    out_col = out_col or col
+    med_expr = (F.median(F.col(col)) if exact
+                else F.percentile_approx(F.col(col), 0.5))
+    med = df.agg(med_expr.alias("__med"))
+    return (df.crossJoin(F.broadcast(med))
+              .withColumn(out_col, F.coalesce(F.col(col), F.col("__med")))
+              .drop("__med"))
+
+
+def impute_group_weighted_mean(df: DataFrame, group_col: str, col: str,
+                               weight_col: str,
+                               out_col: str | None = None) -> DataFrame:
+    """NULL → group-level weighted mean, sum(x*w)/sum(w) over the group
+    (the reference's per-단지코드 rent/deposit fill, R:923-940).
+
+    A window over the group key: the weighted mean is computed in the
+    same shuffle that would partition the data anyway — no join at all.
+    Rows where the whole group is NULL stay NULL (caller can chain
+    ``impute_median`` as the reference does at R:941-944).
+    """
+    out_col = out_col or col
+    w = Window.partitionBy(group_col)
+    gw_mean = (F.sum(F.when(F.col(col).isNotNull(),
+                            F.col(col) * F.col(weight_col))).over(w) /
+               F.sum(F.when(F.col(col).isNotNull(),
+                            F.col(weight_col))).over(w))
+    return df.withColumn(out_col, F.coalesce(F.col(col), gw_mean))

@@ -1,0 +1,153 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+LLM-training-data-pipeline additions (SURVEY.md §2 B1-B4). Design rules
+at 100 TB:
+
+- Exact dedup is a hash-groupBy on a fingerprint (uniform shuffle keys,
+  no skew from long texts since only the 16-byte digest shuffles).
+- MinHash/LSH: candidate generation via band-bucket self-join — the
+  cross product is bounded per bucket, never global.
+- SimHash: 64 fused conditional sums per document (one explode +
+  groupBy), signature is a single BIGINT.
+- N-gram Jaccard verifies candidate pairs only (here: bounded within a
+  source partition); intersection via explode + count, not array ops on
+  the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Universal-hash parameters for MinHash permutations: h_i(x) = (a_i*x + b_i) mod p.
+MINHASH_PRIME = (1 << 61) - 1
+
+
+def _norm_text(col) -> F.Column:
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text; keeps the
+    minimum id as the canonical representative (B1)."""
+    h = F.md5(_norm_text(F.col(text_col)).cast("binary"))
+    return (df.withColumn("text_hash", h)
+              .groupBy("text_hash")
+              .agg(F.min(id_col).alias("keep_id"),
+                   F.count(F.lit(1)).alias("n_copies")))
+
+
+def word_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
+                out_col: str = "grams") -> DataFrame:
+    """Distinct word n-gram set per document, as a pure SQL expression
+    (transform over a sequence of start offsets) — no Python UDF."""
+    toks = f"split(trim(regexp_replace(lower({text_col}), '[^a-z0-9 ]', ' ')), '\\\\s+')"
+    expr = (
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))))"
+    )
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_perm: int = 32,
+                       ngram: int = 3) -> DataFrame:
+    """MinHash signatures (B2): shingle → xxhash64 → n_perm universal
+    hashes → min per permutation.
+
+    The permutation table (n_perm rows) is broadcast; the heavy side is
+    ``explode(grams)`` which is map-local. One shuffle: the final
+    groupBy(doc, perm) min — keys are uniform.
+    """
+    spark = df.sparkSession
+    perms = spark.createDataFrame(
+        [(i, 2 * i + 1, 1000003 * (i + 1) + 12345) for i in range(n_perm)],
+        "perm int, a long, b long")
+    grams = word_ngrams(df.select(id_col, text_col), text_col, ngram)
+    # gram hash reduced to 31 bits so a*gh + b stays far inside int64
+    # under ANSI overflow checking (a is O(n_perm), gh < 2^31).
+    exploded = (grams.select(id_col, F.explode("grams").alias("gram"))
+                     .withColumn("gh", F.pmod(F.xxhash64("gram"),
+                                              F.lit(1 << 31))))
+    sigs = (exploded.crossJoin(F.broadcast(perms))
+            .withColumn("hv", (F.col("a") * F.col("gh") + F.col("b"))
+                        % F.lit(MINHASH_PRIME))
+            .groupBy(id_col, "perm")
+            .agg(F.min("hv").alias("minh")))
+    return sigs
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n_perm: int = 32,
+                      band_size: int = 4, ngram: int = 3) -> DataFrame:
+    """LSH candidate pairs (B2): band the signature, hash each band,
+    self-join on (band, band_hash). Documents sharing any band collide.
+    Pair space is bounded per bucket — never a global cross join.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n_perm, ngram)
+    bands = (sigs.withColumn("band", (F.col("perm") / band_size).cast("int"))
+                 .groupBy(id_col, "band")
+                 .agg(F.xxhash64(F.sort_array(
+                     F.collect_list(F.struct("perm", "minh")))).alias("band_hash")))
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (a.join(b, ["band", "band_hash"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = 64) -> DataFrame:
+    """SimHash signature (B3): explode tokens, hash once, then `bits`
+    fused conditional sums (+1/-1 per bit) in a single groupBy; signature
+    reassembled as one BIGINT. Near-dup candidates can then be banded on
+    16-bit chunks (hamming ≤ k ⇒ some chunk equal, pigeonhole)."""
+    toks = (df.select(id_col,
+                      F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                        r"\s+")).alias("tok"))
+              .withColumn("th", F.xxhash64("tok")))
+    aggs = [
+        F.signum(F.sum(F.when(F.shiftright(F.col("th"), b).bitwiseAND(1) == 1,
+                              1).otherwise(-1))).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits - 1):  # skip the sign bit to stay in signed range
+        sig = sig + F.when(F.col(f"b{b}") > 0,
+                           F.lit(1).cast("long") * (1 << b)).otherwise(0)
+    return per_doc.select(id_col, sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", group_col: str | None = None,
+                        ngram: int = 3, threshold: float = 0.05) -> DataFrame:
+    """N-gram Jaccard similarity over candidate pairs (B4).
+
+    Candidates are bounded by ``group_col`` (e.g. same source) — at
+    scale this is where an LSH prefilter plugs in. Intersection counts
+    come from an explode + equi-join on the gram (shuffle on gram, not a
+    cross join); set sizes join back; jaccard = inter/(|A|+|B|-inter).
+    """
+    grams = word_ngrams(df, text_col, ngram)
+    keep = [id_col] + ([group_col] if group_col else [])
+    g = grams.select(*keep, F.explode("grams").alias("gram"))
+    sizes = grams.select(*keep, F.size("grams").alias("sz"))
+    join_keys = ["gram"] + ([group_col] if group_col else [])
+    a = g.select(*[F.col(c).alias(f"{c}_a") if c == id_col else F.col(c)
+                   for c in g.columns])
+    b = g.select(*[F.col(c).alias(f"{c}_b") if c == id_col else F.col(c)
+                   for c in g.columns])
+    inter = (a.join(b, join_keys)
+              .where(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+              .groupBy(f"{id_col}_a", f"{id_col}_b")
+              .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.select(F.col(id_col).alias(f"{id_col}_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias(f"{id_col}_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sa, f"{id_col}_a").join(sb, f"{id_col}_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_inter") /
+                                (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 4))
+            .where(F.col("jaccard") >= threshold)
+            .select(f"{id_col}_a", f"{id_col}_b", "n_inter", "jaccard"))

@@ -1,0 +1,229 @@
+"""Modeling operators: regression, PCA, VIF, evaluation metrics,
+deterministic stratified splits.
+
+Reference parity: simple lm fit 등록차량수 ~ 단지내주차면수
+(20210803_이승하.R:740), multivariate OLS (R:1194), ``prcomp`` PCA
+(R:537), ``rms::vif`` (R:527), RMSE/MAPE/R² evaluation
+(R:1291-1315), and the seeded region-stratified 80/20 split
+(R:962-989).
+
+Scale design: every fit reduces to FIXED-SIZE sufficient statistics —
+the (k+1)x(k+1) Gram matrix XᵀX and Xᵀy — computed in ONE distributed
+``agg`` pass (k² fused sum-of-products expressions, map-side combined).
+Only that k×k matrix reaches the driver; numpy solves it. This is the
+classic scalable formulation of linear least squares: 100 TB of rows
+stream through; driver work is O(k³) independent of row count.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def simple_linreg(df: DataFrame, x: str, y: str, round_to: int = 4) -> DataFrame:
+    """Single-feature OLS slope/intercept/r (R:740) from closed-form
+    covariance aggregates — identical math to SQL's regr_slope/intercept,
+    one pass, one output row.
+    """
+    agg = df.where(F.col(x).isNotNull() & F.col(y).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.covar_pop(x, y).alias("cov"),
+        F.var_pop(x).alias("varx"),
+        F.avg(x).alias("mx"),
+        F.avg(y).alias("my"),
+        F.corr(x, y).alias("r"),
+    )
+    slope = F.col("cov") / F.col("varx")
+    return agg.select(
+        F.col("n"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx"), round_to).alias("intercept"),
+        F.round(F.col("r"), round_to).alias("r"),
+    )
+
+
+def _gram_aggregate(df: DataFrame, xs: list[str], y: str | None):
+    """Sufficient statistics for least squares: upper triangle of
+    [1,x₁..x_k]ᵀ[1,x₁..x_k] plus Xᵀy, fused into one agg. Returns the
+    collected 1-row dict (k² scalars — tiny) and n."""
+    cols = ["__one"] + xs
+    d = df
+    for c in xs + ([y] if y else []):
+        d = d.where(F.col(c).isNotNull())
+    d = d.withColumn("__one", F.lit(1.0))
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"g_{a}__{b}"))
+        if y:
+            aggs.append(F.sum(F.col(a) * F.col(y)).alias(f"xy_{a}"))
+    row = d.agg(*aggs).collect()[0].asDict()
+    k = len(cols)
+    G = np.zeros((k, k))
+    for i, a in enumerate(cols):
+        for j in range(i, k):
+            b = cols[j]
+            G[i, j] = G[j, i] = row[f"g_{a}__{b}"]
+    Xty = np.array([row[f"xy_{a}"] for a in cols]) if y else None
+    return G, Xty
+
+
+def ols_fit(df: DataFrame, xs: list[str], y: str) -> dict[str, float]:
+    """Multivariate OLS via normal equations (R:1194's lm).
+
+    One distributed pass builds XᵀX (with intercept) and Xᵀy; the
+    (k+1)-dim solve happens on the driver. Returns {intercept, coef_*}.
+    """
+    G, Xty = _gram_aggregate(df, xs, y)
+    beta = np.linalg.solve(G, Xty)
+    out = {"intercept": float(beta[0])}
+    out.update({f"coef_{c}": float(b) for c, b in zip(xs, beta[1:])})
+    return out
+
+
+def ols_fit_df(df: DataFrame, xs: list[str], y: str,
+               round_to: int = 4) -> DataFrame:
+    """`ols_fit` as a DataFrame (term, estimate) for the driver contract."""
+    spark = df.sparkSession
+    fit = ols_fit(df, xs, y)
+    rows = [("intercept", round(fit["intercept"], round_to))]
+    rows += [(f"coef_{c}", round(fit[f"coef_{c}"], round_to)) for c in xs]
+    return spark.createDataFrame(rows, "term string, estimate double")
+
+
+def eval_metrics(df: DataFrame, y_true: str, y_pred, round_to: int = 4) -> DataFrame:
+    """RMSE / MAPE / R² in a single fused pass (R:1291-1315).
+    ``y_pred`` may be a column name or Column expression (a model's
+    scoring expression composes straight in — no materialization).
+    """
+    pred = F.col(y_pred) if isinstance(y_pred, str) else y_pred
+    err = F.col(y_true) - pred
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(err * err).alias("mse"),
+        F.avg(F.abs(err / F.col(y_true))).alias("mape"),
+        F.avg(F.col(y_true)).alias("my"),
+        F.sum(err * err).alias("sse"),
+        F.sum(F.col(y_true) * F.col(y_true)).alias("syy"),
+        F.sum(F.col(y_true)).alias("sy"),
+    )
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return agg.select(
+        F.col("n"),
+        F.round(F.sqrt(F.col("mse")), round_to).alias("rmse"),
+        F.round(F.col("mape"), round_to).alias("mape"),
+        F.round(F.lit(1.0) - F.col("sse") / sst, round_to).alias("r2"),
+    )
+
+
+def stratified_split(df: DataFrame, stratum_col: str, key_col: str,
+                     train_frac: float = 0.8) -> DataFrame:
+    """Deterministic stratified train/test tagging (R:962-989's seeded
+    per-region slice_sample).
+
+    Instead of a seeded RNG (non-reproducible across engines), rank keys
+    within each stratum and take the first ceil(frac*n) — deterministic,
+    engine-portable, and expressible in ANSI SQL for the oracle. The
+    window shuffle partitions by stratum only once.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(stratum_col).orderBy(key_col)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .withColumn("__n", F.count(F.lit(1)).over(
+                  Window.partitionBy(stratum_col)))
+              .withColumn("split",
+                          F.when(F.col("__rn") <= F.ceil(F.col("__n") * train_frac),
+                                 F.lit("training")).otherwise(F.lit("test")))
+              .drop("__rn", "__n"))
+
+
+def pca_fit(df: DataFrame, cols: list[str], scale: bool = True):
+    """PCA via covariance/correlation eigen-decomposition (R:537's
+    ``prcomp(scale=TRUE)``).
+
+    One fused agg computes the k×k second-moment matrix + means (+
+    variances when scaling); driver does the k×k ``eigh``. Returns
+    (eigenvalues desc, eigenvectors[:, desc], means, stds).
+    """
+    k = len(cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.avg(c).alias(f"m_{c}") for c in cols]
+    aggs += [F.stddev_samp(c).alias(f"s_{c}") for c in cols]
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.covar_samp(a, b).alias(f"c_{a}__{b}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    C = np.zeros((k, k))
+    for i, a in enumerate(cols):
+        for j in range(i, k):
+            b = cols[j]
+            C[i, j] = C[j, i] = row[f"c_{a}__{b}"]
+    means = np.array([row[f"m_{c}"] for c in cols])
+    stds = np.array([row[f"s_{c}"] for c in cols])
+    if scale:
+        C = C / np.outer(stds, stds)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1]
+    return vals[order], vecs[:, order], means, stds
+
+
+def pca_explained_variance(df: DataFrame, cols: list[str],
+                           round_to: int = 4) -> DataFrame:
+    """Explained-variance ratio per principal component (prcomp summary,
+    R:538). Driver-side eigen on the aggregated correlation matrix."""
+    spark = df.sparkSession
+    vals, _, _, _ = pca_fit(df, cols, scale=True)
+    total = float(vals.sum())
+    rows = [(i + 1, round(float(v), round_to), round(float(v / total), round_to))
+            for i, v in enumerate(vals)]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_ratio double")
+
+
+def pca_project(df: DataFrame, cols: list[str], n_components: int,
+                scale: bool = True, round_to: int = 6) -> DataFrame:
+    """Project rows onto the top principal components (R:569's PC
+    scores). The k×n_components loading matrix is a driver-side literal
+    folded into a codegen'd linear expression — the projection itself is
+    a pure map, no shuffle, streams at full scan speed.
+    """
+    vals, vecs, means, stds = pca_fit(df, cols, scale=scale)
+    out = df
+    for pc in range(n_components):
+        expr = F.lit(0.0)
+        for i, c in enumerate(cols):
+            centered = (F.col(c) - float(means[i]))
+            if scale:
+                centered = centered / float(stds[i])
+            expr = expr + centered * float(vecs[i, pc])
+        out = out.withColumn(f"pc{pc + 1}", F.round(expr, round_to))
+    return out
+
+
+def vif_scores(df: DataFrame, cols: list[str], round_to: int = 4) -> DataFrame:
+    """Variance inflation factors (R:527). VIF_j = 1/(1-R²_j) where R²_j
+    regresses column j on the others. All regressions share ONE Gram
+    matrix: we aggregate XᵀX once, then each R²_j is a driver-side
+    submatrix solve — k solves of a (k)x(k) system, zero extra Spark
+    passes.
+    """
+    spark = df.sparkSession
+    G, _ = _gram_aggregate(df, cols, None)  # includes intercept row/col
+    n = G[0, 0]
+    out = []
+    for j, c in enumerate(cols):
+        yi = j + 1  # offset for intercept
+        others = [0] + [i + 1 for i in range(len(cols)) if i != j]
+        A = G[np.ix_(others, others)]
+        b = G[np.ix_(others, [yi])].ravel()
+        beta = np.linalg.solve(A, b)
+        sse = G[yi, yi] - b @ beta
+        sst = G[yi, yi] - G[0, yi] ** 2 / n
+        r2 = 1.0 - sse / sst
+        vif = 1.0 / (1.0 - r2) if r2 < 1.0 else float("inf")
+        out.append((c, round(float(r2), round_to), round(float(vif), round_to)))
+    return spark.createDataFrame(out, "feature string, r2 double, vif double")

@@ -1,0 +1,86 @@
+"""Profiling operators: describe, frequency tables, histograms,
+distinct-per-group.
+
+Reference parity: the R script's exploratory passes —
+``skimr::skim``/``psych::describe`` (20210803_이승하.R:106-111),
+``table()`` frequency/contingency tables (R:228-238), ``hist`` binning
+(R:377,429), and the per-group distinct-count analysis used to find
+complex-level-unique columns (R:174-187).
+
+Scale notes: every operator here is ONE shuffle (a single fused
+``agg``/``groupBy``), all expressions JVM-side. ``describe_table`` emits
+a fixed small number of rows regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def describe_table(df: DataFrame, cols: list[str], round_to: int = 4) -> DataFrame:
+    """Per-column n / nulls / distinct / mean / stddev / min / max.
+
+    One distributed pass: all per-column aggregates are fused into a
+    single ``agg`` (map-side partial aggregation, no per-column jobs the
+    way naive ``df.describe()`` loops would at 100 TB with many columns).
+    Output is unpivoted to one row per column via ``stack``.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.round(F.avg(F.col(c)), round_to).alias(f"{c}__mean"),
+            F.round(F.stddev_samp(F.col(c)), round_to).alias(f"{c}__stddev"),
+            F.round(F.min(F.col(c)).cast("double"), round_to).alias(f"{c}__min"),
+            F.round(F.max(F.col(c)).cast("double"), round_to).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    # unpivot: one row per source column
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__mean, {c}__stddev, {c}__min, {c}__max"
+        for c in cols
+    )
+    expr = (f"stack({len(cols)}, {stack_args}) as "
+            "(column_name, n, n_nulls, n_distinct, mean, stddev, min_val, max_val)")
+    return wide.selectExpr(expr)
+
+
+def freq_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Combination frequency counts, descending — R's
+    ``table() |> as.data.frame() |> filter(Freq>0) |> arrange(Freq)``
+    (R:232-238). groupBy+count only materializes observed combinations,
+    which is what filter(Freq>0) recovers after R's dense cross-tab.
+    """
+    return (df.groupBy(*cols).agg(F.count(F.lit(1)).alias("freq")))
+
+
+def histogram(df: DataFrame, col: str, lo: float, width: float,
+              n_buckets: int) -> DataFrame:
+    """Fixed-width histogram as a bucket-index aggregation (R:377).
+
+    ``floor((x-lo)/width)`` clamped to [0, n_buckets-1]; single shuffle on
+    the bucket id, output ≤ n_buckets rows. At 100 TB this beats any
+    sort/percentile approach — it's a pure map + tiny reduce.
+    """
+    bucket = F.floor((F.col(col) - F.lit(lo)) / F.lit(width))
+    bucket = F.least(F.greatest(bucket, F.lit(0)), F.lit(n_buckets - 1))
+    return (df.where(F.col(col).isNotNull())
+              .groupBy(bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .withColumn("bucket_lo",
+                          F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 4)))
+
+
+def distinct_per_group(df: DataFrame, group_col: str,
+                       cols: list[str]) -> DataFrame:
+    """Per-group count of distinct non-null values for each column —
+    the reference's unique-column detection (R:174-187).
+
+    Fused ``countDistinct`` per column in one groupBy; Spark plans
+    multi-distinct via expand, still a single logical pass.
+    """
+    aggs = [F.countDistinct(F.col(c)).alias(f"n_distinct_{c}") for c in cols]
+    return df.groupBy(group_col).agg(*aggs)

@@ -1,0 +1,106 @@
+"""Statistical analysis operators: correlation matrix, Welch t-test,
+one-way ANOVA.
+
+Reference parity: Pearson correlation matrix with pairwise-complete
+observations (20210803_이승하.R:386-392), ``t.test`` two-group mean
+comparison (R:756-762), ``anova`` on a one-factor linear model
+(R:765-772).
+
+Scale notes: all three reduce to O(k²) or O(#groups) sufficient
+statistics computed in ONE fused aggregation over the fact table; the
+closed-form statistic is then a tiny projection. Nothing iterates, and
+nothing returns more rows than k² / #groups.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corr_matrix(df: DataFrame, cols: list[str], round_to: int = 4) -> DataFrame:
+    """Pearson correlation for every column pair (R:388-392).
+
+    One ``agg`` containing k*(k-1)/2 ``corr`` expressions — a single
+    distributed pass regardless of k; contrast with calling ``df.corr``
+    per pair, which would launch k²/2 jobs. Output long-form
+    (col_x, col_y, corr), upper triangle + diagonal.
+    """
+    aggs = [
+        F.round(F.corr(F.col(a), F.col(b)), round_to).alias(f"{a}__{b}")
+        for a, b in combinations(cols, 2)
+    ]
+    wide = df.agg(*aggs)
+    pairs = ", ".join(f"'{a}', '{b}', {a}__{b}"
+                      for a, b in combinations(cols, 2))
+    n = len(list(combinations(cols, 2)))
+    return wide.selectExpr(
+        f"stack({n}, {pairs}) as (col_x, col_y, corr)")
+
+
+def welch_ttest(df: DataFrame, group_col: str, value_col: str,
+                group_a, group_b, round_to: int = 4) -> DataFrame:
+    """Welch's unequal-variance t statistic between two groups (R:762).
+
+    Group moments (n, mean, variance) via one groupBy over just the two
+    groups (filter pushed to the scan), then the closed-form t and
+    Welch-Satterthwaite df. Returns one row.
+    """
+    moments = (df.where(F.col(group_col).isin(group_a, group_b))
+                 .groupBy(group_col)
+                 .agg(F.count(value_col).alias("n"),
+                      F.avg(value_col).alias("mean"),
+                      F.var_samp(value_col).alias("var")))
+    a = moments.where(F.col(group_col) == group_a).alias("a")
+    b = moments.where(F.col(group_col) == group_b).alias("b")
+    j = a.crossJoin(b)  # both sides are 1 row
+    se2 = F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
+    t = (F.col("a.mean") - F.col("b.mean")) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (F.col("a.var") / F.col("a.n")) ** 2 / (F.col("a.n") - 1)
+        + (F.col("b.var") / F.col("b.n")) ** 2 / (F.col("b.n") - 1))
+    return j.select(
+        F.lit(str(group_a)).alias("group_a"),
+        F.lit(str(group_b)).alias("group_b"),
+        F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"),
+        F.round(F.col("a.mean"), round_to).alias("mean_a"),
+        F.round(F.col("b.mean"), round_to).alias("mean_b"),
+        F.round(t, round_to).alias("t_stat"),
+        F.round(dof, round_to).alias("df"),
+    )
+
+
+def anova_oneway(df: DataFrame, group_col: str, value_col: str,
+                 round_to: int = 4) -> DataFrame:
+    """One-way ANOVA F statistic (R:768-772) from per-group sufficient
+    statistics: F = (SSB/(k-1)) / (SSW/(n-k)), computed with two tiny
+    aggregations (per-group, then global) — the per-group frame is a few
+    rows, so the second agg is trivial.
+    """
+    g = (df.where(F.col(value_col).isNotNull())
+           .groupBy(group_col)
+           .agg(F.count(value_col).alias("n_g"),
+                F.avg(value_col).alias("mean_g"),
+                F.sum(F.col(value_col) * F.col(value_col)).alias("ss_g"),
+                F.sum(value_col).alias("sum_g")))
+    tot = g.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sum_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        # SSB needs the grand mean; expand sum(n_g * mean_g²) too
+        F.sum(F.col("n_g") * F.col("mean_g") * F.col("mean_g")).alias("nm2"),
+    )
+    grand_mean = F.col("s") / F.col("n")
+    ssb = F.col("nm2") - F.col("n") * grand_mean * grand_mean
+    sst = F.col("ss") - F.col("n") * grand_mean * grand_mean
+    ssw = sst - ssb
+    fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return tot.select(
+        F.col("n").alias("n_obs"), F.col("k").alias("n_groups"),
+        F.round(ssb, round_to).alias("ss_between"),
+        F.round(ssw, round_to).alias("ss_within"),
+        F.round(fstat, round_to).alias("f_stat"),
+    )

@@ -1,0 +1,89 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+These are the LLM-training-data-pipeline additions (SURVEY.md §2 B7-B10).
+Everything is built from JVM-side ``pyspark.sql.functions`` (regexp,
+split, md5) — no Python UDFs — so the hot path stays in whole-stage
+codegen and scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lexicons for the n-gram/stopword heuristic.
+#: Order matters: ties break in this fixed order (deterministic).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "to", "and", "is", "in", "that"],
+    "es": ["el", "la", "de", "que", "los", "una", "por"],
+    "fr": ["le", "la", "les", "des", "une", "est", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "zh": ["de", "shi", "bu", "le", "zai", "you"],
+}
+
+
+def _stop_hits(lang: str):
+    pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(F.lower(F.col("text")), F.lit(pat))
+
+
+def lang_id(df: DataFrame) -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts, argmax
+    with a fixed preference order. A real system would use fastText /
+    CLD3; the Spark-side shape (pure map, no shuffle) is identical.
+    """
+    langs = list(LANG_STOPWORDS)
+    out = df
+    for lang in langs:
+        out = out.withColumn(f"hits_{lang}", _stop_hits(lang))
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("unknown")
+    for lang in reversed(langs):  # earlier langs win ties
+        pred = F.when((F.col(f"hits_{lang}") == best) & (best > 0),
+                      F.lit(lang)).otherwise(pred)
+    return out.withColumn("pred_lang", pred)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document quality features: length, word count, average word
+    length, punctuation ratio, stopword ratio, and a composite score.
+    All regexp/split built-ins — one codegen'd projection.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.size(words)
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    n_stop = F.regexp_count(
+        F.lower(t), F.lit(r"\b(the|a|of|to|and|is|in|that|it|for)\b"))
+    avg_word_len = (n_chars - n_words + 1).cast("double") / n_words
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_words, F.lit(1))
+    score = (F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+             + stop_ratio * 0.4
+             + (1 - punct_ratio) * 0.2)
+    return (df.withColumn("n_chars_txt", n_chars)
+              .withColumn("n_words", n_words)
+              .withColumn("avg_word_len", F.round(avg_word_len, 4))
+              .withColumn("punct_ratio", F.round(punct_ratio, 4))
+              .withColumn("stop_ratio", F.round(stop_ratio, 4))
+              .withColumn("quality_score", F.round(score, 4)))
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish token count (word pieces and
+    isolated punctuation, the classic pre-tokenizer regex)."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    bpe = F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+    return (df.withColumn("ws_tokens", ws)
+              .withColumn("bpe_tokens", bpe))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 over the
+    whitespace-normalized, lowercased text — the canonical-form hash
+    used for exact dedup at scale (hash keys shuffle uniformly)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.withColumn("fingerprint", F.md5(norm.cast("binary")))

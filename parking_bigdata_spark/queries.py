@@ -1,0 +1,886 @@
+"""Query registry: every operator from SURVEY.md §2 as a named query
+over the driver testdata, paired with its ANSI-SQL oracle (DuckDB).
+
+Each Spark function takes ``(spark, sf_dir)`` and returns a DataFrame;
+the oracle SQL computes the same result on the same parquet tables.
+Column names/aliases are kept identical on both sides (the driver's
+compare sorts columns by name before hashing). All floating aggregates
+are explicitly rounded so results are order-insensitive.
+
+Reference parity cites (R script = /root/reference/20210803_이승하.R) are
+in the wrapped operator docstrings under ``operators/``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .io import clean_sentinel_numeric, load_table
+from .operators import clean, features, ml, profile, stats
+from .operators import dedup as dedup_ops
+from .operators import similarity as sim_ops
+from .operators import text as text_ops
+
+# --------------------------------------------------------------------------
+# A1. Group-by aggregation — flagship pricing summary (TPC-H Q1 shape).
+# Reference: group_by + summarise pipelines (R:264-269).
+# Scale: single shuffle, map-side partial agg, filter pushed to parquet.
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+               F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+               F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+               F.round(F.sum(charge), 4).alias("sum_charge"),
+               F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+               F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+               F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+               F.count(F.lit(1)).alias("count_order"))
+    )
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                                            AS sum_qty,
+       round(sum(l_extendedprice), 4)                                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)                    AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)      AS sum_charge,
+       round(avg(l_quantity), 4)                                            AS avg_qty,
+       round(avg(l_extendedprice), 4)                                       AS avg_price,
+       round(avg(l_discount), 4)                                            AS avg_disc,
+       count(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# A2. Sentinel-null cleaning + cast (R:122-129). The dirty column is
+# synthesized deterministically so both engines see identical input.
+# --------------------------------------------------------------------------
+
+def clean_sentinel_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    dirty = (F.when(F.col("p_partkey") % 7 == 0, F.lit("-"))
+              .when(F.col("p_partkey") % 11 == 0, F.lit(""))
+              .otherwise(F.col("p_retailprice").cast("string")))
+    df = clean_sentinel_numeric(part.withColumn("dirty_price", dirty),
+                                ["dirty_price"])
+    return (df.groupBy("p_brand")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.when(F.col("dirty_price").isNull(), 1)
+                          .otherwise(0)).cast("long").alias("n_null"),
+                   F.round(F.avg("dirty_price"), 4).alias("avg_price")))
+
+CLEAN_SENTINEL_SQL = """
+WITH dirty AS (
+  SELECT p_brand,
+         CASE WHEN p_partkey % 7 = 0 THEN '-'
+              WHEN p_partkey % 11 = 0 THEN ''
+              ELSE CAST(p_retailprice AS VARCHAR) END AS raw
+  FROM part
+), cleaned AS (
+  SELECT p_brand,
+         CAST(CASE WHEN trim(raw) IN ('', '-', 'NA', 'N/A', 'null') THEN NULL
+                   ELSE raw END AS DOUBLE) AS dirty_price
+  FROM dirty
+)
+SELECT p_brand, count(*) AS n,
+       CAST(sum(CASE WHEN dirty_price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       round(avg(dirty_price), 4) AS avg_price
+FROM cleaned GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# A3. Distinct rows (R:165).
+# --------------------------------------------------------------------------
+
+def distinct_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load_table(spark, sf_dir, "orders")
+            .select("o_orderstatus", "o_orderpriority")
+            .dropDuplicates())
+
+DISTINCT_SQL = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+# --------------------------------------------------------------------------
+# A4. Count-distinct per group (R:174-187).
+# --------------------------------------------------------------------------
+
+def distinct_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile.distinct_per_group(
+        load_table(spark, sf_dir, "orders"), "o_custkey",
+        ["o_orderstatus", "o_orderpriority"])
+
+DISTINCT_PER_GROUP_SQL = """
+SELECT o_custkey,
+       count(DISTINCT o_orderstatus)   AS n_distinct_o_orderstatus,
+       count(DISTINCT o_orderpriority) AS n_distinct_o_orderpriority
+FROM orders GROUP BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# A5. Frequency / contingency table (R:228-238).
+# --------------------------------------------------------------------------
+
+def freq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile.freq_table(load_table(spark, sf_dir, "orders"),
+                              ["o_orderstatus", "o_orderpriority"])
+
+FREQ_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS freq
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# A6. Histogram (R:377).
+# --------------------------------------------------------------------------
+
+def histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile.histogram(load_table(spark, sf_dir, "lineitem"),
+                             "l_quantity", lo=0.0, width=5.0, n_buckets=11)
+
+HISTOGRAM_SQL = """
+SELECT CAST(least(greatest(floor(l_quantity / 5.0), 0), 10) AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(least(greatest(floor(l_quantity / 5.0), 0), 10) * 5.0, 4) AS bucket_lo
+FROM lineitem WHERE l_quantity IS NOT NULL
+GROUP BY 1, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# A7. Describe / profile (R:106-111).
+# --------------------------------------------------------------------------
+
+_DESCRIBE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+def describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile.describe_table(load_table(spark, sf_dir, "lineitem"),
+                                  _DESCRIBE_COLS)
+
+DESCRIBE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, count({c}) AS n,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       round(avg({c}), 4) AS mean, round(stddev_samp({c}), 4) AS stddev,
+       round(CAST(min({c}) AS DOUBLE), 4) AS min_val,
+       round(CAST(max({c}) AS DOUBLE), 4) AS max_val
+FROM lineitem""" for c in _DESCRIBE_COLS)
+
+
+# --------------------------------------------------------------------------
+# A8. Pivot-wider with zero fill (R:300-310).
+# --------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIO_NAMES = ["prio_urgent", "prio_high", "prio_medium", "prio_notspec", "prio_low"]
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pv = (orders.groupBy("o_orderstatus")
+                .pivot("o_orderpriority", _PRIORITIES)
+                .agg(F.sum("o_totalprice")))
+    out = pv
+    for raw, name in zip(_PRIORITIES, _PRIO_NAMES):
+        out = out.withColumn(name,
+                             F.round(F.coalesce(F.col(f"`{raw}`"), F.lit(0.0)), 4)) \
+                 .drop(raw)
+    return out
+
+PIVOT_SQL = """
+SELECT o_orderstatus,
+       round(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 0), 4)        AS prio_urgent,
+       round(coalesce(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 0), 4)          AS prio_high,
+       round(coalesce(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 0), 4)        AS prio_medium,
+       round(coalesce(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 0), 4) AS prio_notspec,
+       round(coalesce(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 0), 4)           AS prio_low
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# A9. Binning + clamping (R:290-296).
+# --------------------------------------------------------------------------
+
+def binned_part_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    binned = features.bin_clamp(part, "p_size", "size_bin",
+                                scale=-1, lo=10.0, hi=40.0)
+    return (binned.groupBy(F.col("size_bin").cast("double").alias("size_bin"))
+                  .agg(F.count(F.lit(1)).alias("n_parts"),
+                       F.round(F.avg("p_retailprice"), 4).alias("avg_retail")))
+
+BINNED_SQL = """
+SELECT CAST(greatest(least(round(p_size, -1), 40), 10) AS DOUBLE) AS size_bin,
+       count(*) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_retail
+FROM part GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A10. Ratio / derived features (R:421-424) on a join-aggregate.
+# --------------------------------------------------------------------------
+
+def customer_value_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (orders.groupBy("o_custkey")
+                      .agg(F.count(F.lit(1)).alias("n_orders"),
+                           F.sum("o_totalprice").alias("spend")))
+    joined = cust.join(per_cust, cust.c_custkey == per_cust.o_custkey)
+    out = (joined
+           .withColumn("avg_order_value",
+                       F.round(F.col("spend") / F.col("n_orders"), 4))
+           .withColumn("balance_to_spend",
+                       F.when(F.col("spend") != 0,
+                              F.round(F.col("c_acctbal") / F.col("spend"), 6))))
+    return out.select("c_custkey", "n_orders",
+                      F.round("spend", 4).alias("total_spend"),
+                      "avg_order_value", "balance_to_spend")
+
+RATIO_SQL = """
+SELECT c_custkey, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_spend,
+       round(sum(o_totalprice) / count(*), 4) AS avg_order_value,
+       CASE WHEN sum(o_totalprice) <> 0
+            THEN round(any_value(c_acctbal) / sum(o_totalprice), 6) END AS balance_to_spend
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# A11. Star join with broadcast dims (R:272,909).
+# --------------------------------------------------------------------------
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+              .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+              .groupBy("r_name", "n_name")
+              .agg(F.round(F.sum(rev), 4).alias("revenue"),
+                   F.count(F.lit(1)).alias("n_lineitems")))
+
+REVENUE_NATION_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# A12. Weighted mean per group (R:927-928).
+# --------------------------------------------------------------------------
+
+def weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .groupBy("p_brand")
+              .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                           / F.sum("l_quantity"), 4).alias("weighted_avg_price"),
+                   F.round(F.sum("l_quantity"), 4).alias("total_qty")))
+
+WEIGHTED_AVG_SQL = """
+SELECT p_brand,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS weighted_avg_price,
+       round(sum(l_quantity), 4) AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# A13/A14. Imputation: constant fill and median fill (R:352,358,942-943).
+# NULLs are synthesized deterministically (negative balances).
+# --------------------------------------------------------------------------
+
+def _cust_with_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.withColumn(
+        "bal", F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal")))
+
+def impute_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = clean.impute_constant(_cust_with_missing(spark, sf_dir), {"bal": 0.0})
+    return (df.groupBy("c_mktsegment")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.avg("bal"), 4).alias("avg_bal")))
+
+IMPUTE_CONST_SQL = """
+SELECT c_mktsegment, count(*) AS n,
+       round(avg(CASE WHEN c_acctbal >= 0 THEN c_acctbal ELSE 0 END), 4) AS avg_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+def impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = clean.impute_median(_cust_with_missing(spark, sf_dir), "bal")
+    return (df.groupBy("c_mktsegment")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.avg("bal"), 4).alias("avg_bal")))
+
+IMPUTE_MEDIAN_SQL = """
+WITH m AS (
+  SELECT median(CASE WHEN c_acctbal >= 0 THEN c_acctbal END) AS med FROM customer
+)
+SELECT c_mktsegment, count(*) AS n,
+       round(avg(coalesce(CASE WHEN c_acctbal >= 0 THEN c_acctbal END, med)), 4) AS avg_bal
+FROM customer, m GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# A15. Group-weighted-mean imputation (R:923-940).
+# --------------------------------------------------------------------------
+
+def impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "tax_val", F.when(F.col("l_linenumber") != 1, F.col("l_tax")))
+    df = clean.impute_group_weighted_mean(
+        li, "l_returnflag", "tax_val", "l_quantity")
+    return (df.groupBy("l_returnflag")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.avg("tax_val"), 6).alias("avg_tax_imputed")))
+
+IMPUTE_GROUP_SQL = """
+WITH t AS (
+  SELECT l_returnflag, l_quantity,
+         CASE WHEN l_linenumber <> 1 THEN l_tax END AS tax_val
+  FROM lineitem
+), w AS (
+  SELECT l_returnflag,
+         coalesce(tax_val,
+                  sum(CASE WHEN tax_val IS NOT NULL THEN tax_val * l_quantity END)
+                      OVER (PARTITION BY l_returnflag)
+                  / sum(CASE WHEN tax_val IS NOT NULL THEN l_quantity END)
+                      OVER (PARTITION BY l_returnflag)) AS tax_val
+  FROM t
+)
+SELECT l_returnflag, count(*) AS n, round(avg(tax_val), 6) AS avg_tax_imputed
+FROM w GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# A16. Pearson correlation matrix (R:386-392).
+# --------------------------------------------------------------------------
+
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.corr_matrix(load_table(spark, sf_dir, "lineitem"),
+                             _DESCRIBE_COLS)
+
+from itertools import combinations as _combos
+CORR_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS col_x, '{b}' AS col_y, round(corr({a}, {b}), 4) AS corr FROM lineitem"
+    for a, b in _combos(_DESCRIBE_COLS, 2))
+
+
+# --------------------------------------------------------------------------
+# A17. Welch t-test (R:756-762).
+# --------------------------------------------------------------------------
+
+def ttest_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.welch_ttest(load_table(spark, sf_dir, "lineitem"),
+                             "l_returnflag", "l_extendedprice", "R", "A")
+
+TTEST_SQL = """
+WITH g AS (
+  SELECT l_returnflag AS grp, count(*) AS n, avg(l_extendedprice) AS mean,
+         var_samp(l_extendedprice) AS var
+  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1
+), a AS (SELECT * FROM g WHERE grp = 'R'), b AS (SELECT * FROM g WHERE grp = 'A')
+SELECT 'R' AS group_a, 'A' AS group_b, a.n AS n_a, b.n AS n_b,
+       round(a.mean, 4) AS mean_a, round(b.mean, 4) AS mean_b,
+       round((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 4) AS t_stat,
+       round(pow(a.var / a.n + b.var / b.n, 2) /
+             (pow(a.var / a.n, 2) / (a.n - 1) + pow(b.var / b.n, 2) / (b.n - 1)), 4) AS df
+FROM a, b
+"""
+
+
+# --------------------------------------------------------------------------
+# A18. One-way ANOVA (R:765-772).
+# --------------------------------------------------------------------------
+
+def anova_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.anova_oneway(load_table(spark, sf_dir, "customer"),
+                              "c_mktsegment", "c_acctbal")
+
+ANOVA_SQL = """
+WITH g AS (
+  SELECT c_mktsegment, count(c_acctbal) AS n_g, avg(c_acctbal) AS mean_g,
+         sum(c_acctbal * c_acctbal) AS ss_g, sum(c_acctbal) AS sum_g
+  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1
+), t AS (
+  SELECT sum(n_g) AS n, count(*) AS k, sum(sum_g) AS s, sum(ss_g) AS ss,
+         sum(n_g * mean_g * mean_g) AS nm2
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n_obs, k AS n_groups,
+       round(nm2 - n * (s / n) * (s / n), 4) AS ss_between,
+       round((ss - n * (s / n) * (s / n)) - (nm2 - n * (s / n) * (s / n)), 4) AS ss_within,
+       round(((nm2 - n * (s / n) * (s / n)) / (k - 1)) /
+             (((ss - n * (s / n) * (s / n)) - (nm2 - n * (s / n) * (s / n))) / (n - k)), 4) AS f_stat
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# A19. Deterministic stratified split (R:962-989).
+# --------------------------------------------------------------------------
+
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tagged = ml.stratified_split(load_table(spark, sf_dir, "customer"),
+                                 "c_mktsegment", "c_custkey", 0.8)
+    return (tagged.groupBy("c_mktsegment", "split")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.round(F.avg("c_acctbal"), 4).alias("avg_bal")))
+
+SPLIT_SQL = """
+WITH r AS (
+  SELECT c_mktsegment, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n_tot
+  FROM customer
+)
+SELECT c_mktsegment,
+       CASE WHEN rn <= ceil(n_tot * 0.8) THEN 'training' ELSE 'test' END AS split,
+       count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+FROM r GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# A20. Simple linear regression (R:740).
+# --------------------------------------------------------------------------
+
+def simple_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ml.simple_linreg(load_table(spark, sf_dir, "lineitem"),
+                            "l_quantity", "l_extendedprice")
+
+LINREG_SQL = """
+SELECT count(*) AS n,
+       round(covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity), 4) AS slope,
+       round(avg(l_extendedprice)
+             - covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) * avg(l_quantity), 4) AS intercept,
+       round(corr(l_quantity, l_extendedprice), 4) AS r
+FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# A21. Multivariate OLS via normal equations (R:1194) — sufficient
+# statistics in one pass; k×k solve on driver. Non-SQL (rows-only check).
+# --------------------------------------------------------------------------
+
+def ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ml.ols_fit_df(load_table(spark, sf_dir, "lineitem"),
+                         ["l_quantity", "l_discount"], "l_extendedprice")
+
+
+# --------------------------------------------------------------------------
+# A22. PCA explained variance (R:537) — rows-only check.
+# --------------------------------------------------------------------------
+
+def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ml.pca_explained_variance(load_table(spark, sf_dir, "lineitem"),
+                                     _DESCRIBE_COLS)
+
+
+# --------------------------------------------------------------------------
+# A23. Regression evaluation metrics (R:1291-1315).
+# --------------------------------------------------------------------------
+
+def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return ml.eval_metrics(li, "l_extendedprice",
+                           F.col("l_quantity") * F.lit(1000.0))
+
+EVAL_SQL = """
+WITH e AS (
+  SELECT l_extendedprice AS y, l_quantity * 1000.0 AS p FROM lineitem
+)
+SELECT count(*) AS n,
+       round(sqrt(avg((y - p) * (y - p))), 4) AS rmse,
+       round(avg(abs((y - p) / y)), 4) AS mape,
+       round(1.0 - sum((y - p) * (y - p)) / (sum(y * y) - sum(y) * sum(y) / count(*)), 4) AS r2
+FROM e
+"""
+
+
+# --------------------------------------------------------------------------
+# A24. Top-k per group (window).
+# --------------------------------------------------------------------------
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (orders.withColumn("rk", F.row_number().over(w))
+                  .where(F.col("rk") <= 3)
+                  .select("o_custkey", "o_orderkey",
+                          F.round("o_totalprice", 4).alias("o_totalprice"), "rk"))
+
+TOPK_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# A25. Rollup subtotals.
+# --------------------------------------------------------------------------
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum(rev), 4).alias("revenue"),
+                   F.count(F.lit(1)).alias("n")))
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# A27. VIF (R:527) — rows-only check.
+# --------------------------------------------------------------------------
+
+def vif_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ml.vif_scores(load_table(spark, sf_dir, "lineitem"),
+                         _DESCRIBE_COLS)
+
+
+# --------------------------------------------------------------------------
+# B12. Event-time tumbling window aggregation (batch form of the
+# Structured Streaming pipeline in streaming/events.py).
+# --------------------------------------------------------------------------
+
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.round(F.sum("value"), 4).alias("sum_value"))
+              .select(F.col("w.start").alias("wstart"), "event_type",
+                      "n_events", "sum_value"))
+
+EVENTS_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS wstart, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# B13. Gap-based sessionization (30-min inactivity).
+# --------------------------------------------------------------------------
+
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("sess_id",
+                         F.sum(new_sess).over(
+                             w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id")
+                .agg(F.max("sess_id").alias("n_sessions"),
+                     F.count(F.lit(1)).alias("n_events")))
+
+SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+)
+SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# B1. Exact dedup (hash-groupBy on normalized-text digest).
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+DEDUP_EXACT_SQL = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# B2/B3. MinHash-LSH candidate pairs and SimHash signatures — hash
+# pipelines are engine-specific (xxhash64), so these take the driver's
+# rows-only check.
+# --------------------------------------------------------------------------
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.minhash_lsh_pairs(docs, n_perm=32, band_size=4)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.simhash(docs)
+
+
+# --------------------------------------------------------------------------
+# B4. N-gram Jaccard similarity on candidate pairs (bounded per source).
+# --------------------------------------------------------------------------
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.ngram_jaccard_pairs(docs, group_col="source",
+                                         ngram=3, threshold=0.05)
+
+NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+  FROM toks
+), exploded AS (
+  SELECT doc_id, source, unnest(g) AS gram FROM grams
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_inter
+  FROM exploded a JOIN exploded b
+    ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b, n_inter,
+       round(n_inter / (len(ga.g) + len(gb.g) - n_inter), 4) AS jaccard
+FROM inter
+JOIN grams ga ON ga.doc_id = doc_id_a
+JOIN grams gb ON gb.doc_id = doc_id_b
+WHERE n_inter / (len(ga.g) + len(gb.g) - n_inter) >= 0.05
+"""
+
+
+# --------------------------------------------------------------------------
+# B5. Brute-force cosine top-k against a broadcast query set.
+# --------------------------------------------------------------------------
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+COSINE_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         round(list_dot_product(q.qv, c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS score
+  FROM q CROSS JOIN embeddings c
+  WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, cand_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# B6. LSH-bucketed ANN (fixed-seed hyperplanes) — rows-only check.
+# --------------------------------------------------------------------------
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10),
+                                k=3, n_planes=8)
+
+
+# --------------------------------------------------------------------------
+# B7. Language ID heuristic.
+# --------------------------------------------------------------------------
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.lang_id(docs).select("doc_id", "pred_lang")
+
+_LANGID_HITS_SQL = ",\n".join(
+    "len(regexp_extract_all(lower(text), '\\b(" + "|".join(words) + ")\\b')) AS hits_" + lang
+    for lang, words in text_ops.LANG_STOPWORDS.items())
+_LANGID_BEST = "greatest(" + ", ".join(
+    f"hits_{lang}" for lang in text_ops.LANG_STOPWORDS) + ")"
+_LANGID_PRED = "CASE " + " ".join(
+    f"WHEN hits_{lang} = {_LANGID_BEST} AND {_LANGID_BEST} > 0 THEN '{lang}'"
+    for lang in text_ops.LANG_STOPWORDS) + " ELSE 'unknown' END"
+TEXT_LANGID_SQL = f"""
+WITH h AS (
+  SELECT doc_id, {_LANGID_HITS_SQL}
+  FROM documents
+)
+SELECT doc_id, {_LANGID_PRED} AS pred_lang FROM h
+"""
+
+
+# --------------------------------------------------------------------------
+# B8. Text quality scoring.
+# --------------------------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.quality_score(docs).select(
+        "doc_id", "n_chars_txt", "n_words", "avg_word_len",
+        "punct_ratio", "stop_ratio", "quality_score")
+
+TEXT_QUALITY_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars_txt,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_words,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|is|in|that|it|for)\b')) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_chars_txt, n_words,
+       round(CAST(n_chars_txt - n_words + 1 AS DOUBLE) / n_words, 4) AS avg_word_len,
+       round(CAST(n_punct AS DOUBLE) / greatest(n_chars_txt, 1), 4) AS punct_ratio,
+       round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 4) AS stop_ratio,
+       round(least(n_words / 100.0, 1.0) * 0.4
+             + (CAST(n_stop AS DOUBLE) / greatest(n_words, 1)) * 0.4
+             + (1 - CAST(n_punct AS DOUBLE) / greatest(n_chars_txt, 1)) * 0.2, 4) AS quality_score
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
+# B9. Token counting.
+# --------------------------------------------------------------------------
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.token_counts(docs).select("doc_id", "ws_tokens", "bpe_tokens")
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# B10. Document fingerprint.
+# --------------------------------------------------------------------------
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.fingerprint(docs).select("doc_id", "fingerprint")
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "clean_sentinel_cast": (clean_sentinel_cast, CLEAN_SENTINEL_SQL),
+    "distinct_order_status": (distinct_order_status, DISTINCT_SQL),
+    "distinct_per_group": (distinct_per_group, DISTINCT_PER_GROUP_SQL),
+    "freq_table": (freq_table, FREQ_SQL),
+    "histogram_quantity": (histogram_quantity, HISTOGRAM_SQL),
+    "describe_lineitem": (describe_lineitem, DESCRIBE_SQL),
+    "pivot_status_by_priority": (pivot_status_by_priority, PIVOT_SQL),
+    "binned_part_sizes": (binned_part_sizes, BINNED_SQL),
+    "customer_value_ratios": (customer_value_ratios, RATIO_SQL),
+    "revenue_by_nation": (revenue_by_nation, REVENUE_NATION_SQL),
+    "weighted_avg_price": (weighted_avg_price, WEIGHTED_AVG_SQL),
+    "impute_constant": (impute_constant, IMPUTE_CONST_SQL),
+    "impute_median": (impute_median, IMPUTE_MEDIAN_SQL),
+    "impute_group_mean": (impute_group_mean, IMPUTE_GROUP_SQL),
+    "corr_matrix": (corr_matrix, CORR_SQL),
+    "ttest_returnflag": (ttest_returnflag, TTEST_SQL),
+    "anova_mktsegment": (anova_mktsegment, ANOVA_SQL),
+    "stratified_split": (stratified_split, SPLIT_SQL),
+    "simple_linreg": (simple_linreg, LINREG_SQL),
+    "ols_normal_eq": (ols_normal_eq, None),
+    "pca_explained_variance": (pca_explained_variance, None),
+    "eval_metrics": (eval_metrics, EVAL_SQL),
+    "topk_orders_per_customer": (topk_orders_per_customer, TOPK_SQL),
+    "rollup_revenue": (rollup_revenue, ROLLUP_SQL),
+    "vif_scores": (vif_scores, None),
+    "events_windowed": (events_windowed, EVENTS_WINDOW_SQL),
+    "events_sessions": (events_sessions, SESSIONS_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash": (dedup_minhash, None),
+    "dedup_simhash": (dedup_simhash, None),
+    "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
+    "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
+    "ann_lsh": (ann_lsh, None),
+    "text_langid": (text_langid, TEXT_LANGID_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "token_count": (token_count, TOKEN_COUNT_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

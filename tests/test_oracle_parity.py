@@ -1,0 +1,65 @@
+"""Oracle parity: every SQL-expressible query in the registry must match
+its DuckDB oracle on row count, column names, and (sorted) values —
+mirrors the driver's t2 correctness gate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from parking_bigdata_spark import queries as Q
+
+ORACLES = Q.oracle_sql()
+ALL = Q.queries()
+
+
+def _duck(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con.execute(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _assert_frames_match(name: str, a: pd.DataFrame, b: pd.DataFrame):
+    assert sorted(a.columns) == sorted(b.columns), \
+        f"{name}: columns {sorted(a.columns)} != {sorted(b.columns)}"
+    assert len(a) == len(b), f"{name}: rows {len(a)} != {len(b)}"
+    ca, cb = _canon(a), _canon(b)
+    for col in ca.columns:
+        va, vb = ca[col].tolist(), cb[col].tolist()
+        for i, (x, y) in enumerate(zip(va, vb)):
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                assert abs(x - y) <= 1e-9 + 1e-9 * abs(y), \
+                    f"{name}.{col}[{i}]: {x} != {y}"
+            else:
+                assert str(x) == str(y), f"{name}.{col}[{i}]: {x!r} != {y!r}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, sf_dir, name):
+    spark_df = ALL[name](spark, sf_dir).toPandas()
+    duck_df = _duck(sf_dir, ORACLES[name])
+    _assert_frames_match(name, spark_df, duck_df)
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL) - set(ORACLES)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = ALL[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
