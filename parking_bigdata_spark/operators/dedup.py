@@ -41,41 +41,54 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
 def word_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
                 out_col: str = "grams") -> DataFrame:
     """Distinct word n-gram set per document, as a pure SQL expression
-    (transform over a sequence of start offsets) — no Python UDF."""
-    toks = f"split(trim(regexp_replace(lower({text_col}), '[^a-z0-9 ]', ' ')), '\\\\s+')"
+    (transform over a sequence of start offsets) — no Python UDF.
+
+    The tokenization (regexp + split) is materialized as its own column
+    BEFORE the higher-order ``transform``: expressions inside a lambda
+    body are re-evaluated per element, so inlining the split there costs
+    O(words²) regex work per document (measured 20×+ slowdown).
+    """
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " ")),
+        r"\s+")
     expr = (
-        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n}))))"
+        f"array_distinct(transform(sequence(1, greatest(size(__toks) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n}))))"
     )
-    return df.withColumn(out_col, F.expr(expr))
+    return (df.withColumn("__toks", toks)
+              .withColumn(out_col, F.expr(expr))
+              .drop("__toks"))
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_perm: int = 32,
                        ngram: int = 3) -> DataFrame:
     """MinHash signatures (B2): shingle → xxhash64 → n_perm universal
-    hashes → min per permutation.
+    hashes → min per permutation, as n_perm FUSED ``min`` aggregates.
 
-    The permutation table (n_perm rows) is broadcast; the heavy side is
-    ``explode(grams)`` which is map-local. One shuffle: the final
-    groupBy(doc, perm) min — keys are uniform.
+    One wide row per document (columns mh0..mh{n-1}), ONE shuffle whose
+    payload is the partially-aggregated signature — not n_perm× the
+    exploded gram count. At 100 TB this is the difference between
+    shuffling ~32× corpus-grams and shuffling #docs rows.
     """
-    spark = df.sparkSession
-    perms = spark.createDataFrame(
-        [(i, 2 * i + 1, 1000003 * (i + 1) + 12345) for i in range(n_perm)],
-        "perm int, a long, b long")
     grams = word_ngrams(df.select(id_col, text_col), text_col, ngram)
+    # explode_outer + null-filter instead of explode: plain explode makes
+    # InferFiltersFromGenerate push a size(grams)>0 predicate below the
+    # projection with the whole gram expression INLINED — re-running the
+    # regex tokenization per row a second time (measured ~2× cost).
     # gram hash reduced to 31 bits so a*gh + b stays far inside int64
     # under ANSI overflow checking (a is O(n_perm), gh < 2^31).
-    exploded = (grams.select(id_col, F.explode("grams").alias("gram"))
+    exploded = (grams.select(id_col, F.explode_outer("grams").alias("gram"))
+                     .where(F.col("gram").isNotNull())
                      .withColumn("gh", F.pmod(F.xxhash64("gram"),
                                               F.lit(1 << 31))))
-    sigs = (exploded.crossJoin(F.broadcast(perms))
-            .withColumn("hv", (F.col("a") * F.col("gh") + F.col("b"))
-                        % F.lit(MINHASH_PRIME))
-            .groupBy(id_col, "perm")
-            .agg(F.min("hv").alias("minh")))
-    return sigs
+    gh = F.col("gh")
+    mins = [
+        F.min((F.lit(2 * i + 1) * gh + F.lit(1000003 * (i + 1) + 12345))
+              % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+        for i in range(n_perm)
+    ]
+    return exploded.groupBy(id_col).agg(*mins)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -86,10 +99,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     Pair space is bounded per bucket — never a global cross join.
     """
     sigs = minhash_signatures(df, id_col, text_col, n_perm, ngram)
-    bands = (sigs.withColumn("band", (F.col("perm") / band_size).cast("int"))
-                 .groupBy(id_col, "band")
-                 .agg(F.xxhash64(F.sort_array(
-                     F.collect_list(F.struct("perm", "minh")))).alias("band_hash")))
+    n_bands = n_perm // band_size
+    # one (band, band_hash) row per doc per band via stack — a pure
+    # projection over the wide signature row, no per-band aggregation.
+    band_hashes = [
+        F.xxhash64(*[F.col(f"mh{b * band_size + j}") for j in range(band_size)])
+        .alias(f"bh{b}")
+        for b in range(n_bands)
+    ]
+    wide = sigs.select(id_col, *band_hashes)
+    stack = ", ".join(f"{b}, bh{b}" for b in range(n_bands))
+    bands = wide.selectExpr(
+        id_col, f"stack({n_bands}, {stack}) as (band, band_hash)")
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (a.join(b, ["band", "band_hash"])
@@ -132,7 +153,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     grams = word_ngrams(df, text_col, ngram)
     keep = [id_col] + ([group_col] if group_col else [])
-    g = grams.select(*keep, F.explode("grams").alias("gram"))
+    # explode_outer: see minhash_signatures — avoids the inferred
+    # size(grams)>0 filter that would duplicate the tokenization.
+    g = (grams.select(*keep, F.explode_outer("grams").alias("gram"))
+              .where(F.col("gram").isNotNull()))
     sizes = grams.select(*keep, F.size("grams").alias("sz"))
     join_keys = ["gram"] + ([group_col] if group_col else [])
     a = g.select(*[F.col(c).alias(f"{c}_a") if c == id_col else F.col(c)

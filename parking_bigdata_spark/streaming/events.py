@@ -1,0 +1,100 @@
+"""Structured Streaming pipelines over the events stream (SURVEY.md §2
+B12): file-source ingestion, watermarked tumbling-window aggregation,
+and a stateful custom operator example.
+
+The batch-equivalent queries live in ``queries.py`` (``events_windowed``,
+``events_sessions``) and share the same expressions — Structured
+Streaming's incrementalization means the SAME logical plan runs in both
+modes; only source/sink and watermark differ.
+
+Scale notes: the windowed aggregation is keyed by (window, event_type) —
+state size is bounded by (#types × windows-in-watermark). The watermark
+bounds state for late data; at 100 TB/day the same pipeline shards by
+key across executors with no code change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Explicit schema for the events stream — streaming file sources must
+#: not infer schemas (a full listing+sample pass per trigger at scale).
+#: ``ts`` is long nanoseconds in the driver parquet (TIMESTAMP(NANOS)
+#: read under nanosAsLong); converted to a proper timestamp in load.
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), False),
+    T.StructField("ts", T.LongType(), True),
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
+
+def read_events_stream(spark: SparkSession, directory: str,
+                       glob: str = "events*.parquet",
+                       max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream over a directory of events parquet files
+    (Spark's streaming file source requires a directory; ``glob``
+    selects the event files within it).
+
+    ``maxFilesPerTrigger`` bounds per-micro-batch work (backpressure);
+    the nanos→timestamp conversion matches ``io.load_table``.
+    """
+    raw = (spark.readStream
+                .schema(EVENTS_RAW_SCHEMA)
+                .option("pathGlobFilter", glob)
+                .option("maxFilesPerTrigger", str(max_files_per_trigger))
+                .parquet(directory))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming form of
+    the batch ``events_windowed`` query. Late rows beyond the watermark
+    are dropped and state is evicted (bounded memory forever)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("wstart"), "event_type",
+                    "n_events", "sum_value"))
+
+
+def run_windowed_counts_batchlike(spark: SparkSession, path: str,
+                                  query_name: str = "events_windowed_stream"):
+    """Run the streaming pipeline to completion over the existing files
+    (availableNow trigger) into an in-memory sink; returns the finished
+    result as a DataFrame. This is how tests exercise the REAL streaming
+    engine — incremental state, watermarks — without an unbounded source.
+    """
+    stream = windowed_counts(read_events_stream(spark, path))
+    q = (stream.writeStream
+               .format("memory")
+               .queryName(query_name)
+               .outputMode("complete")
+               .trigger(availableNow=True)
+               .start())
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful shape: per-user cumulative value via
+    ``applyInPandasWithState``-style semantics expressed with the
+    supported building block — update-mode agg keyed by user.
+
+    (Kept as a windowless keyed aggregation: state = one row per user,
+    the canonical pattern for running aggregates in Structured
+    Streaming. For arbitrary per-key state machines, swap in
+    ``applyInPandasWithState`` with the same key layout.)
+    """
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value")))

@@ -1,0 +1,153 @@
+"""Hand-computable unit expectations per operator family (the
+reference's own validation style: re-describe after each transform)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parking_bigdata_spark.io import read_clean_csv
+from parking_bigdata_spark.operators import clean, dedup, features, ml, profile
+from parking_bigdata_spark.operators import similarity as sim
+
+
+def test_read_clean_csv_sentinels(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("id,deposit,rent\n1,100,-\n2,,50\n3,-,NA\n4,200,75\n")
+    df = read_clean_csv(spark, str(p),
+                        numeric_sentinel_cols=["deposit", "rent"],
+                        renames={"id": "code"})
+    rows = {r["code"]: r for r in df.collect()}
+    assert rows[1]["deposit"] == 100.0 and rows[1]["rent"] is None
+    assert rows[2]["deposit"] is None and rows[2]["rent"] == 50.0
+    assert rows[3]["deposit"] is None and rows[3]["rent"] is None
+    assert rows[4]["deposit"] == 200.0 and rows[4]["rent"] == 75.0
+
+
+def test_bin_clamp_matches_reference_semantics(spark):
+    # R: round(x, -1) then pmin(100) pmax(10)  (R:292-296)
+    df = spark.createDataFrame([(4.0,), (15.0,), (104.0,), (55.0,)], ["x"])
+    out = [r["b"] for r in
+           features.bin_clamp(df, "x", "b", -1, 10.0, 100.0)
+           .orderBy("x").collect()]
+    assert out == [10.0, 20.0, 60.0, 100.0]
+
+
+def test_ordinal_bucket(spark):
+    # R:431-434 bus bins: <2→0, <4→1, <6→2, <9→3, else 4
+    df = spark.createDataFrame([(0,), (2,), (5,), (8,), (12,)], ["x"])
+    got = [r["b"] for r in
+           features.ordinal_bucket(df, "x", "b", [2, 4, 6, 9])
+           .orderBy("x").collect()]
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_impute_group_weighted_mean(spark):
+    df = spark.createDataFrame(
+        [("g1", None, 1.0), ("g1", 10.0, 2.0), ("g1", 40.0, 1.0),
+         ("g2", None, 5.0)],
+        "g string, x double, w double")
+    out = clean.impute_group_weighted_mean(df, "g", "x", "w")
+    g1 = sorted(r["x"] for r in out.where("g = 'g1'").collect())
+    # g1 weighted mean = (10*2 + 40*1) / 3 = 20 fills the NULL row
+    assert g1 == [10.0, 20.0, 40.0]
+    assert out.where("g = 'g2'").collect()[0]["x"] is None  # all-NULL group stays NULL
+
+
+def test_ols_matches_numpy(spark, sf_dir):
+    from parking_bigdata_spark.io import load_table
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_quantity", "l_discount", "l_extendedprice").toPandas()
+    fit = ml.ols_fit(load_table(spark, sf_dir, "lineitem"),
+                     ["l_quantity", "l_discount"], "l_extendedprice")
+    X = np.column_stack([np.ones(len(li)), li["l_quantity"], li["l_discount"]])
+    beta = np.linalg.lstsq(X, li["l_extendedprice"].to_numpy(), rcond=None)[0]
+    assert math.isclose(fit["intercept"], beta[0], rel_tol=1e-6)
+    assert math.isclose(fit["coef_l_quantity"], beta[1], rel_tol=1e-6)
+    assert math.isclose(fit["coef_l_discount"], beta[2], rel_tol=1e-6)
+
+
+def test_pca_matches_numpy(spark, sf_dir):
+    from parking_bigdata_spark.io import load_table
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = load_table(spark, sf_dir, "lineitem").select(*cols).toPandas()
+    vals, vecs, means, stds = ml.pca_fit(
+        load_table(spark, sf_dir, "lineitem"), cols)
+    C = np.corrcoef(li.to_numpy(), rowvar=False)
+    expect = np.sort(np.linalg.eigvalsh(C))[::-1]
+    assert np.allclose(vals, expect, rtol=1e-8)
+
+
+def test_vif_detects_collinearity(spark):
+    rng = np.random.RandomState(0)
+    x1 = rng.randn(500)
+    x2 = x1 * 2 + rng.randn(500) * 0.01   # nearly collinear with x1
+    x3 = rng.randn(500)
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({"x1": x1, "x2": x2, "x3": x3}))
+    rows = {r["feature"]: r["vif"] for r in
+            ml.vif_scores(df, ["x1", "x2", "x3"]).collect()}
+    assert rows["x1"] > 100 and rows["x2"] > 100
+    assert rows["x3"] < 2
+
+
+def test_minhash_similar_docs_collide(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra tail words here"),
+         (3, "completely different content about spark shuffles and joins "
+             "partitions executors stages tasks " * 8)],
+        "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_lsh_pairs(docs, n_perm=32, band_size=4)
+             .collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_hamming_locality(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " iota"),
+         (3, "totally unrelated words about query optimizers and columnar "
+             "storage engines vectorized execution " * 6)],
+        "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+
+
+def test_cosine_topk_self_similarity(spark):
+    import pandas as pd
+    rng = np.random.RandomState(1)
+    vecs = rng.randn(20, 8).astype("float32")
+    vecs[5] = vecs[0] * 0.9  # near-duplicate of vector 0
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(20), "embedding": [v.tolist() for v in vecs]}))
+    out = sim.cosine_topk(df, df.where(F.col("vec_id") == 0), k=1)
+    top = out.collect()[0]
+    assert top["cand_id"] == 5 and top["score"] >= 0.999
+
+
+def test_ann_lsh_bucket_recall(spark):
+    import pandas as pd
+    rng = np.random.RandomState(2)
+    vecs = rng.randn(50, 64).astype("float32")
+    vecs[7] = vecs[3] + rng.randn(64).astype("float32") * 0.01
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(50), "embedding": [v.tolist() for v in vecs]}))
+    out = sim.ann_lsh_topk(df, df.where(F.col("vec_id") == 3), k=1,
+                           n_planes=4)
+    rows = out.collect()
+    assert rows and rows[0]["cand_id"] == 7  # near-dup lands in same bucket
+
+
+def test_describe_profile_values(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (None,)], "x double")
+    r = profile.describe_table(df, ["x"]).collect()[0]
+    assert r["n"] == 3 and r["n_nulls"] == 1 and r["n_distinct"] == 3
+    assert r["mean"] == 2.0 and r["min_val"] == 1.0 and r["max_val"] == 3.0
