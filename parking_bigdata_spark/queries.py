@@ -513,6 +513,16 @@ def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      _DESCRIBE_COLS)
 
 
+def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PC scores for each row (R:569) — loadings folded into a codegen'd
+    linear map; sign fixed so the projection is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    proj = ml.pca_project(li, _DESCRIBE_COLS, n_components=2)
+    return proj.select("l_orderkey", "l_linenumber",
+                       F.abs("pc1").alias("abs_pc1"),
+                       F.abs("pc2").alias("abs_pc2"))
+
+
 # --------------------------------------------------------------------------
 # A23. Regression evaluation metrics (R:1291-1315).
 # --------------------------------------------------------------------------
@@ -859,6 +869,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simple_linreg": (simple_linreg, LINREG_SQL),
     "ols_normal_eq": (ols_normal_eq, None),
     "pca_explained_variance": (pca_explained_variance, None),
+    "pca_projection": (pca_projection, None),
     "eval_metrics": (eval_metrics, EVAL_SQL),
     "topk_orders_per_customer": (topk_orders_per_customer, TOPK_SQL),
     "rollup_revenue": (rollup_revenue, ROLLUP_SQL),

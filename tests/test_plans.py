@@ -1,0 +1,79 @@
+"""Plan assertions (SURVEY.md §5): the scale-critical physical-plan
+properties must hold — filter pushdown to the parquet scan, column
+pruning, broadcast joins for dims, no stray shuffles.
+
+These guard against regressions that correctness tests can't see: a
+query can return identical rows while silently scanning every column or
+shuffling a broadcastable dim.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parking_bigdata_spark import queries as Q
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = Q.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # shipdate filter reaches the scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: orderkey/partkey/suppkey are never read
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+    # exactly one exchange (the groupBy) — partial agg happens map-side
+    assert plan.count("Exchange") == 1
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "revenue_by_nation")
+    # nation + region are explicitly broadcast; no sort-merge join of a dim
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_weighted_avg_broadcasts_part(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "weighted_avg_price")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_single_shuffle(spark, sf_dir):
+    # window over o_custkey: one exchange, no join
+    plan = _plan(spark, sf_dir, "topk_orders_per_customer")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_impute_group_mean_no_join(spark, sf_dir):
+    # group stats ride a window — imputation must NOT self-join the fact
+    plan = _plan(spark, sf_dir, "impute_group_mean")
+    assert "Join" not in plan
+
+
+def test_describe_single_aggregate_pass(spark, sf_dir):
+    # all per-column stats fused: a single pair of HashAggregates
+    # (partial+final) over one scan — not one job per column
+    plan = _plan(spark, sf_dir, "describe_lineitem")
+    assert plan.count("FileScan") == 1
+
+
+@pytest.mark.parametrize("name", ["text_quality", "token_count",
+                                  "doc_fingerprint", "text_langid"])
+def test_text_ops_are_pure_maps(spark, sf_dir, name):
+    # text analysis must not shuffle — pure projections over the scan
+    plan = _plan(spark, sf_dir, name)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
+    assert "ArrowEvalPython" not in plan  # not even pandas UDFs needed
+
+
+def test_no_python_udfs_in_core_queries(spark, sf_dir):
+    # every registry query stays JVM-side (multimodal stubs excluded by
+    # design — they are the sanctioned mapInPandas path)
+    for name in Q.queries():
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
