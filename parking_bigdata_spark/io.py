@@ -62,6 +62,27 @@ def clean_sentinel_numeric(df: DataFrame, cols: list[str],
     return out
 
 
+def write_partitioned_parquet(df: DataFrame, path: str,
+                              partition_by: list[str],
+                              sort_by: list[str] | None = None,
+                              mode: str = "overwrite") -> None:
+    """Partitioned parquet sink (the engine's durable output format).
+
+    ``partitionBy`` gives downstream readers partition pruning;
+    ``sortWithinPartitions`` keeps row groups clustered so min/max
+    parquet statistics stay selective — both are what make the NEXT
+    100 TB query cheap, which is the real job of a sink.
+    """
+    out = df.sortWithinPartitions(*sort_by) if sort_by else df
+    out.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink with header, UTF-8 — mirrors the reference's
+    ``write.csv(fileEncoding='UTF-8')`` export (R:1005-1010)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
 def read_clean_csv(spark: SparkSession, path: str, schema=None,
                    numeric_sentinel_cols: list[str] | None = None,
                    renames: dict[str, str] | None = None) -> DataFrame:

@@ -204,6 +204,132 @@ def pca_project(df: DataFrame, cols: list[str], n_components: int,
     return out
 
 
+def lasso_fit(df: DataFrame, xs: list[str], y: str, lam: float = 0.1,
+              n_iter: int = 200) -> dict[str, float]:
+    """LASSO via coordinate descent on sufficient statistics (R:1248's
+    ``cv.glmnet(alpha=1)`` capability).
+
+    Exactly ONE distributed pass builds XᵀX / Xᵀy / means / variances;
+    coordinate descent then iterates on the k×k system on the driver —
+    iteration count never touches the data again, so 100 TB costs the
+    same single scan as OLS. Features are standardized (glmnet default)
+    and coefficients returned on the original scale.
+    """
+    k = len(xs)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.avg(c).alias(f"m_{c}") for c in xs + [y]]
+    aggs += [F.stddev_pop(c).alias(f"s_{c}") for c in xs]
+    for i, a in enumerate(xs):
+        for b in xs[i:]:
+            aggs.append(F.covar_pop(a, b).alias(f"c_{a}__{b}"))
+        aggs.append(F.covar_pop(a, y).alias(f"cy_{a}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    n = row["n"]
+    s = np.array([row[f"s_{c}"] for c in xs])
+    C = np.zeros((k, k))
+    for i, a in enumerate(xs):
+        for j in range(i, k):
+            b = xs[j]
+            C[i, j] = C[j, i] = row[f"c_{a}__{b}"]
+    # correlation-scale Gram of standardized X and X'y/n
+    G = C / np.outer(s, s)
+    g = np.array([row[f"cy_{c}"] for c in xs]) / s
+    beta = np.zeros(k)
+    for _ in range(n_iter):
+        for j in range(k):
+            r_j = g[j] - G[j] @ beta + G[j, j] * beta[j]
+            beta[j] = np.sign(r_j) * max(abs(r_j) - lam, 0.0) / G[j, j]
+    coef = beta / s  # back to original scale
+    intercept = row[f"m_{y}"] - sum(
+        coef[i] * row[f"m_{c}"] for i, c in enumerate(xs))
+    out = {"intercept": float(intercept), "n": float(n)}
+    out.update({f"coef_{c}": float(b) for c, b in zip(xs, coef)})
+    return out
+
+
+def lasso_fit_df(df: DataFrame, xs: list[str], y: str, lam: float = 0.1,
+                 round_to: int = 4) -> DataFrame:
+    spark = df.sparkSession
+    fit = lasso_fit(df, xs, y, lam)
+    rows = [("intercept", round(fit["intercept"], round_to))]
+    rows += [(f"coef_{c}", round(fit[f"coef_{c}"], round_to)) for c in xs]
+    return spark.createDataFrame(rows, "term string, estimate double")
+
+
+def stepwise_aic(df: DataFrame, xs: list[str], y: str) -> DataFrame:
+    """Backward stepwise selection by AIC (R:632's ``stepAIC``).
+
+    The trick that makes this scale: EVERY candidate model's SSE is a
+    submatrix solve of the SAME Gram matrix — one distributed pass
+    total, then O(k³) driver algebra per step. AIC = n·ln(SSE/n) + 2p.
+    """
+    spark = df.sparkSession
+    G, Xty = _gram_aggregate(df, xs, y)
+    syy_row = df
+    for c in xs + [y]:
+        syy_row = syy_row.where(F.col(c).isNotNull())
+    syy = syy_row.agg(F.sum(F.col(y) * F.col(y)).alias("syy")).collect()[0][0]
+    n = G[0, 0]
+
+    def sse_of(subset: list[int]) -> float:
+        # indices into [intercept] + xs
+        idx = [0] + [i + 1 for i in subset]
+        A = G[np.ix_(idx, idx)]
+        b = Xty[idx]
+        beta = np.linalg.solve(A, b)
+        return float(syy - b @ beta)
+
+    def aic_of(subset: list[int]) -> float:
+        p = len(subset) + 2  # + intercept + variance
+        return float(n * np.log(sse_of(subset) / n) + 2 * p)
+
+    current = list(range(len(xs)))
+    history = [("<full>", round(aic_of(current), 4), len(current))]
+    improved = True
+    while improved and current:
+        improved = False
+        base = aic_of(current)
+        best_drop, best_aic = None, base
+        for j in current:
+            cand = [i for i in current if i != j]
+            a = aic_of(cand)
+            if a < best_aic:
+                best_drop, best_aic = j, a
+        if best_drop is not None:
+            current = [i for i in current if i != best_drop]
+            history.append((f"-{xs[best_drop]}", round(best_aic, 4),
+                            len(current)))
+            improved = True
+    selected = ",".join(xs[i] for i in current)
+    history.append((f"selected:{selected}", round(aic_of(current), 4),
+                    len(current)))
+    return spark.createDataFrame(
+        history, "step string, aic double, n_features int")
+
+
+def random_forest_importance(df: DataFrame, xs: list[str], y: str,
+                             n_trees: int = 20, max_depth: int = 5,
+                             seed: int = 42, round_to: int = 4) -> DataFrame:
+    """Random-forest regression feature importances (R:1260's
+    ``randomForest``), via Spark MLlib — distributed tree induction with
+    histogram-based splits (the standard scale-out RF formulation).
+    Fixed seed ⇒ deterministic importances.
+    """
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+    spark = df.sparkSession
+    data = df.select(*xs, y).dropna()
+    vec = VectorAssembler(inputCols=xs, outputCol="features")
+    model = RandomForestRegressor(
+        featuresCol="features", labelCol=y, numTrees=n_trees,
+        maxDepth=max_depth, seed=seed, subsamplingRate=0.8,
+    ).fit(vec.transform(data))
+    imps = model.featureImportances.toArray()
+    return spark.createDataFrame(
+        [(c, round(float(v), round_to)) for c, v in zip(xs, imps)],
+        "feature string, importance double")
+
+
 def vif_scores(df: DataFrame, cols: list[str], round_to: int = 4) -> DataFrame:
     """Variance inflation factors (R:527). VIF_j = 1/(1-R²_j) where R²_j
     regresses column j on the others. All regressions share ONE Gram

@@ -495,6 +495,35 @@ FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
 
 
 # --------------------------------------------------------------------------
+# A20b. Correlation significance test (R:739's cor.test):
+# t = r·sqrt((n-2)/(1-r²)).
+# --------------------------------------------------------------------------
+
+def corr_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.where(F.col("l_quantity").isNotNull()
+                   & F.col("l_extendedprice").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.corr("l_quantity", "l_extendedprice").alias("r_raw"))
+    t = F.col("r_raw") * F.sqrt((F.col("n") - 2) /
+                                (1 - F.col("r_raw") * F.col("r_raw")))
+    return agg.select(F.col("n"),
+                      F.round("r_raw", 4).alias("r"),
+                      F.round(t, 4).alias("t_stat"))
+
+CORR_TEST_SQL = """
+WITH a AS (
+  SELECT count(*) AS n, corr(l_quantity, l_extendedprice) AS r_raw
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+)
+SELECT n, round(r_raw, 4) AS r,
+       round(r_raw * sqrt((n - 2) / (1 - r_raw * r_raw)), 4) AS t_stat
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
 # A21. Multivariate OLS via normal equations (R:1194) — sufficient
 # statistics in one pass; k×k solve on driver. Non-SQL (rows-only check).
 # --------------------------------------------------------------------------
@@ -502,6 +531,28 @@ FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
 def ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml.ols_fit_df(load_table(spark, sf_dir, "lineitem"),
                          ["l_quantity", "l_discount"], "l_extendedprice")
+
+
+def lasso_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LASSO coefficients (R:1248's glmnet capability) — one scan for
+    sufficient statistics, coordinate descent on the driver."""
+    return ml.lasso_fit_df(load_table(spark, sf_dir, "lineitem"),
+                           ["l_quantity", "l_discount", "l_tax"],
+                           "l_extendedprice", lam=0.1)
+
+
+def stepwise_aic_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward stepwise-AIC feature selection (R:632) from one Gram pass."""
+    return ml.stepwise_aic(load_table(spark, sf_dir, "lineitem"),
+                           ["l_quantity", "l_discount", "l_tax",
+                            "l_partkey"], "l_extendedprice")
+
+
+def rf_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-forest importances (R:1260) via MLlib distributed trees."""
+    return ml.random_forest_importance(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_discount", "l_tax"], "l_extendedprice")
 
 
 # --------------------------------------------------------------------------
@@ -868,6 +919,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stratified_split": (stratified_split, SPLIT_SQL),
     "simple_linreg": (simple_linreg, LINREG_SQL),
     "ols_normal_eq": (ols_normal_eq, None),
+    "lasso_path": (lasso_path, None),
+    "stepwise_aic_selection": (stepwise_aic_selection, None),
+    "rf_feature_importance": (rf_feature_importance, None),
+    "corr_test": (corr_test, CORR_TEST_SQL),
     "pca_explained_variance": (pca_explained_variance, None),
     "pca_projection": (pca_projection, None),
     "eval_metrics": (eval_metrics, EVAL_SQL),

@@ -1,0 +1,101 @@
+"""LASSO / stepwise-AIC / random forest / salted join / sinks."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from parking_bigdata_spark.io import load_table, write_csv, write_partitioned_parquet
+from parking_bigdata_spark.operators import joins, ml
+
+
+def test_lasso_shrinks_vs_ols(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    xs, y = ["l_quantity", "l_discount", "l_tax"], "l_extendedprice"
+    ols = ml.ols_fit(li, xs, y)
+    las = ml.lasso_fit(li, xs, y, lam=0.1)
+    # L1 shrinks the coefficient l1-norm (standardized scale ⇒ compare raw)
+    assert sum(abs(las[f"coef_{c}"]) for c in xs) <= \
+        sum(abs(ols[f"coef_{c}"]) for c in xs) + 1e-9
+    # lam → 0 recovers OLS
+    las0 = ml.lasso_fit(li, xs, y, lam=0.0, n_iter=500)
+    for c in xs:
+        assert math.isclose(las0[f"coef_{c}"], ols[f"coef_{c}"],
+                            rel_tol=1e-3, abs_tol=1e-3)
+
+
+def test_lasso_kills_noise_feature(spark):
+    rng = np.random.RandomState(3)
+    x1 = rng.randn(2000)
+    noise = rng.randn(2000)
+    yv = 3.0 * x1 + rng.randn(2000) * 0.1
+    df = spark.createDataFrame(pd.DataFrame({"x1": x1, "noise": noise, "y": yv}))
+    fit = ml.lasso_fit(df, ["x1", "noise"], "y", lam=0.2)
+    assert abs(fit["coef_noise"]) < 1e-6
+    assert fit["coef_x1"] > 2.0
+
+
+def test_stepwise_aic_drops_irrelevant(spark):
+    rng = np.random.RandomState(4)
+    x1 = rng.randn(1000)
+    x2 = rng.randn(1000)
+    junk = rng.randn(1000)
+    yv = 2 * x1 - x2 + rng.randn(1000) * 0.5
+    df = spark.createDataFrame(pd.DataFrame(
+        {"x1": x1, "x2": x2, "junk": junk, "y": yv}))
+    hist = ml.stepwise_aic(df, ["x1", "x2", "junk"], "y").collect()
+    final = hist[-1]["step"]
+    assert final.startswith("selected:")
+    kept = final.split(":", 1)[1].split(",")
+    assert "x1" in kept and "x2" in kept and "junk" not in kept
+
+
+def test_rf_importance_ranks_signal(spark):
+    rng = np.random.RandomState(5)
+    x1 = rng.randn(2000)
+    junk = rng.randn(2000)
+    yv = np.where(x1 > 0, 10.0, -10.0) + rng.randn(2000)
+    df = spark.createDataFrame(pd.DataFrame({"x1": x1, "junk": junk, "y": yv}))
+    imps = {r["feature"]: r["importance"] for r in
+            ml.random_forest_importance(df, ["x1", "junk"], "y",
+                                        n_trees=10, max_depth=4).collect()}
+    assert imps["x1"] > 0.8 > imps["junk"]
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders") \
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    plain = li.join(orders, "l_orderkey").groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s")).collect()[0]
+    salted = joins.salted_join(li, orders, "l_orderkey", n_salts=4) \
+        .groupBy().agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("o_totalprice").alias("s")).collect()[0]
+    assert salted["n"] == plain["n"]
+    assert math.isclose(salted["s"], plain["s"], rel_tol=1e-9)
+
+
+def test_write_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_part")
+    write_partitioned_parquet(orders, out, ["o_orderstatus"],
+                              sort_by=["o_orderdate"])
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    # partition pruning: reading one status only touches that directory
+    plan = back.where(F.col("o_orderstatus") == "F") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_write_csv_roundtrip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_csv")
+    write_csv(nation, out)
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
