@@ -894,6 +894,60 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# B14. End-to-end corpus cleaning pipeline: quality filter → exact dedup
+# → canonical survivors. The composition the LLM-data story is about —
+# and still one declarative plan Catalyst optimizes as a whole.
+# --------------------------------------------------------------------------
+
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_ops.quality_score(docs)
+    fp = text_ops.fingerprint(scored)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (fp.where(F.col("n_words") >= 30)
+              .withColumn("rk", F.row_number().over(w))
+              .where(F.col("rk") == 1)
+              .select("doc_id", "n_words", "quality_score"))
+
+PIPELINE_CLEAN_SQL = r"""
+WITH q AS (
+  SELECT doc_id, text,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_words,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|is|in|that|it|for)\b')) AS n_stop,
+         CAST(length(text) AS INT) AS n_chars_txt
+  FROM documents
+), f AS (
+  SELECT doc_id, n_words,
+         round(least(n_words / 100.0, 1.0) * 0.4
+               + (CAST(n_stop AS DOUBLE) / greatest(n_words, 1)) * 0.4
+               + (1 - CAST(n_punct AS DOUBLE) / greatest(n_chars_txt, 1)) * 0.2, 4) AS quality_score,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+  FROM q
+  WHERE n_words >= 30
+), r AS (
+  SELECT doc_id, n_words, quality_score,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rk
+  FROM f
+)
+SELECT doc_id, n_words, quality_score FROM r WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A4b. Sketch-based distinct counting (HyperLogLog) — the 100 TB answer
+# to COUNT(DISTINCT); sketch internals are engine-specific → rows-only.
+# --------------------------------------------------------------------------
+
+def sketch_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.approx_count_distinct("l_partkey", 0.02)
+                    .alias("approx_parts"),
+                   F.count(F.lit(1)).alias("n")))
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -941,6 +995,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "pipeline_clean_corpus": (pipeline_clean_corpus, PIPELINE_CLEAN_SQL),
+    "sketch_distinct_parts": (sketch_distinct_parts, None),
 }
 
 

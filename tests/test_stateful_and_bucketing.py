@@ -1,0 +1,54 @@
+"""Stateful streaming sessionization, bucketed tables, sketches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parking_bigdata_spark import queries as Q
+from parking_bigdata_spark.io import load_table, write_bucketed_table
+from parking_bigdata_spark.streaming import sessions as ss
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir):
+    batch = {(r["user_id"]): (r["n_sessions"], r["n_events"])
+             for r in Q.events_sessions(spark, sf_dir).collect()}
+    got = {(r["user_id"]): (r["n_sessions"], r["n_events"])
+           for r in ss.run_sessionize_batchlike(spark, sf_dir,
+                                                "t_sessions_state").collect()}
+    assert got == batch
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    import shutil
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    for t in ("li_b", "ord_b"):  # stale dirs from aborted runs
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders") \
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    write_bucketed_table(li, "li_b", "l_orderkey", n_buckets=8)
+    write_bucketed_table(orders, "ord_b", "l_orderkey", n_buckets=8)
+    # force the shuffle-join path (at real scale these sides aren't
+    # broadcastable); bucketing must then remove both Exchanges
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_b").join(spark.table("ord_b"), "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == li.join(orders, "l_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sketch_distinct_within_tolerance(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {r["l_returnflag"]: r["e"] for r in
+             li.groupBy("l_returnflag")
+               .agg(F.countDistinct("l_partkey").alias("e")).collect()}
+    approx = {r["l_returnflag"]: r["approx_parts"] for r in
+              Q.sketch_distinct_parts(spark, sf_dir).collect()}
+    for k, e in exact.items():
+        assert abs(approx[k] - e) / e < 0.05
