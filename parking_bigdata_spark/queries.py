@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .io import clean_sentinel_numeric, load_table
-from .operators import clean, features, ml, profile, stats
+from .operators import clean, features, ml, profile, stats, temporal
 from .operators import dedup as dedup_ops
 from .operators import similarity as sim_ops
 from .operators import text as text_ops
@@ -894,6 +894,166 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# C1. As-of join: each event matched to the user's most recent purchase
+# at or before it (union + keyed window — see operators/temporal.py).
+# Oracle: DuckDB's native ASOF LEFT JOIN.
+# --------------------------------------------------------------------------
+
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                   .select("user_id", "ts", F.col("ts").alias("purchase_ts")))
+    joined = temporal.asof_join(ev, purchases, key="user_id", ts="ts",
+                                payload_cols=["purchase_ts"])
+    return (joined.select(
+        "event_id", "user_id", "event_type",
+        F.round((F.unix_micros("ts") - F.unix_micros("purchase_ts"))
+                / 1_000_000.0, 4).alias("secs_since_purchase")))
+
+EVENTS_ASOF_SQL = """
+SELECT e.event_id, e.user_id, e.event_type,
+       round(CAST(epoch_us(e.ts) - epoch_us(p.ts) AS DOUBLE) / 1000000.0, 4)
+         AS secs_since_purchase
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# C2. Quantile summary (R:378's boxplot five-number statistics).
+# Exact interpolated percentiles — swap to approx_percentile at 100 TB.
+# --------------------------------------------------------------------------
+
+def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pct = lambda p: F.round(F.percentile("o_totalprice", F.lit(p)), 4)
+    return (orders.groupBy("o_orderpriority")
+                  .agg(pct(0.25).alias("p25"), pct(0.5).alias("p50"),
+                       pct(0.75).alias("p75"), pct(0.95).alias("p95"),
+                       F.round(F.min("o_totalprice"), 4).alias("lo"),
+                       F.round(F.max("o_totalprice"), 4).alias("hi")))
+
+QUANTILE_SQL = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+       round(min(o_totalprice), 4) AS lo,
+       round(max(o_totalprice), 4) AS hi
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# C3. Cube subtotals (all grouping-set combinations).
+# --------------------------------------------------------------------------
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.cube("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum(rev), 4).alias("revenue"),
+                   F.count(F.lit(1)).alias("n")))
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# C4. Unpivot / melt (R:399,582's gather()).
+# --------------------------------------------------------------------------
+
+def melt_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_mktsegment").agg(
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+        F.count(F.lit(1)).cast("double").alias("n_customers"))
+    return wide.selectExpr(
+        "c_mktsegment",
+        "stack(3, 'avg_bal', avg_bal, 'max_bal', max_bal, "
+        "'n_customers', n_customers) as (metric, value)")
+
+MELT_SQL = """
+WITH w AS (
+  SELECT c_mktsegment,
+         round(avg(c_acctbal), 4) AS avg_bal,
+         round(max(c_acctbal), 4) AS max_bal,
+         CAST(count(*) AS DOUBLE) AS n_customers
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, 'avg_bal' AS metric, avg_bal AS value FROM w
+UNION ALL SELECT c_mktsegment, 'max_bal', max_bal FROM w
+UNION ALL SELECT c_mktsegment, 'n_customers', n_customers FROM w
+"""
+
+
+# --------------------------------------------------------------------------
+# C5. Rolling average per user (trailing 5 events).
+# --------------------------------------------------------------------------
+
+def events_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = temporal.rolling_agg(ev, "user_id", ["ts", "event_id"],
+                               "value", n_rows=5, aggs=("avg",))
+    return out.select("event_id", "user_id", "rolling_avg_value")
+
+ROLLING_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+         AS rolling_avg_value
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# C6. Cumulative spend per customer over order history.
+# --------------------------------------------------------------------------
+
+def customer_cumulative_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = temporal.cumulative_sum(orders, "o_custkey",
+                                  ["o_orderdate", "o_orderkey"],
+                                  "o_totalprice", "cum_spend")
+    return out.select("o_orderkey", "o_custkey", "cum_spend")
+
+CUMSUM_SQL = """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 4) AS cum_spend
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# C7. Semi-structured extraction: JSON props column.
+# --------------------------------------------------------------------------
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (ev.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.avg(k), 4).alias("avg_k"),
+                   F.round(F.max(k), 4).alias("max_k")))
+
+JSON_SQL = """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+       round(max(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # B14. End-to-end corpus cleaning pipeline: quality filter → exact dedup
 # → canonical survivors. The composition the LLM-data story is about —
 # and still one declarative plan Catalyst optimizes as a whole.
@@ -997,6 +1157,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "pipeline_clean_corpus": (pipeline_clean_corpus, PIPELINE_CLEAN_SQL),
     "sketch_distinct_parts": (sketch_distinct_parts, None),
+    "events_asof_purchase": (events_asof_purchase, EVENTS_ASOF_SQL),
+    "quantile_summary": (quantile_summary, QUANTILE_SQL),
+    "cube_revenue": (cube_revenue, CUBE_SQL),
+    "melt_segment_metrics": (melt_segment_metrics, MELT_SQL),
+    "events_rolling_avg": (events_rolling_avg, ROLLING_SQL),
+    "customer_cumulative_spend": (customer_cumulative_spend, CUMSUM_SQL),
+    "events_json_extract": (events_json_extract, JSON_SQL),
 }
 
 
