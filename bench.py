@@ -30,14 +30,22 @@ HEADLINE = [
     "customer_value_ratios",
     "corr_matrix",
     "rollup_revenue",
+    "cube_revenue",
+    "quantile_summary",
     "impute_group_mean",
     "events_windowed",
     "events_sessions",
+    "events_asof_purchase",
+    "events_rolling_avg",
+    "customer_cumulative_spend",
     "dedup_exact",
     "dedup_minhash",
     "ngram_jaccard",
+    "dedup_embedding",
     "cosine_topk",
+    "ann_ivf",
     "text_quality",
+    "pipeline_clean_corpus",
     "ols_normal_eq",
     "pca_explained_variance",
 ]

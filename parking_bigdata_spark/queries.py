@@ -808,6 +808,38 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B6b. IVF ANN (k-means coarse quantizer + nprobe cells) — rows-only.
+# --------------------------------------------------------------------------
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_topk(emb, emb.where(F.col("vec_id") < 10),
+                            k=5, n_cells=8, nprobe=3)
+
+
+# --------------------------------------------------------------------------
+# B5b. Embedding-cosine near-duplicate pairs (exact kernel; LSH/IVF
+# bound candidates at scale).
+# --------------------------------------------------------------------------
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_near_dup_pairs(emb, threshold=0.4)
+
+DEDUP_EMBEDDING_SQL = """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+               4) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
 # B7. Language ID heuristic.
 # --------------------------------------------------------------------------
 
@@ -1151,6 +1183,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "ann_lsh": (ann_lsh, None),
+    "ann_ivf": (ann_ivf, None),
+    "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "text_langid": (text_langid, TEXT_LANGID_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
