@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from itertools import combinations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -69,6 +69,56 @@ def welch_ttest(df: DataFrame, group_col: str, value_col: str,
         F.round(F.col("b.mean"), round_to).alias("mean_b"),
         F.round(t, round_to).alias("t_stat"),
         F.round(dof, round_to).alias("df"),
+    )
+
+
+def residual_diagnostics(df: DataFrame, x: str, y: str,
+                         order_cols: list[str],
+                         round_to: int = 4) -> DataFrame:
+    """Residual diagnostics of a simple OLS fit — the reference's
+    post-model checks (20210803_이승하.R): Jarque-Bera normality
+    (R:601), Durbin-Watson autocorrelation (R:593), Breusch-Pagan
+    heteroscedasticity (R:614).
+
+    All three reduce to moment aggregates of the residual series:
+      JB = n/6·(g1² + g2²/4) from raw residual moments m2,m3,m4
+      DW = Σ(e_t − e_{t−1})² / Σe²   (lag window over ``order_cols``)
+      BP = n·corr(e², x)²            (score test with one regressor)
+    Two fused passes: one for slope/intercept, one for the diagnostics
+    (the residual expression composes into the second scan — residuals
+    are never materialized).
+    """
+    d = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+    fit = d.agg(
+        (F.covar_pop(x, y) / F.var_pop(x)).alias("slope"),
+        F.avg(y).alias("my"), F.avg(x).alias("mx"))
+    d = d.crossJoin(F.broadcast(fit))
+    e = F.col(y) - (F.col("my") + F.col("slope") * (F.col(x) - F.col("mx")))
+    w = Window.orderBy(*order_cols)
+    d = d.withColumn("__e", e).withColumn("__elag", F.lag("__e").over(w))
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__e").alias("m1"),
+        F.avg(F.col("__e") ** 2).alias("m2"),
+        F.avg(F.col("__e") ** 3).alias("m3"),
+        F.avg(F.col("__e") ** 4).alias("m4"),
+        F.sum(F.when(F.col("__elag").isNotNull(),
+                     (F.col("__e") - F.col("__elag")) ** 2)).alias("sdiff"),
+        F.sum(F.col("__e") ** 2).alias("se2"),
+        F.corr(F.col("__e") * F.col("__e"), F.col(x)).alias("r_e2x"),
+    )
+    g1 = F.col("m3") / (F.col("m2") ** F.lit(1.5))
+    g2 = F.col("m4") / (F.col("m2") ** 2) - 3
+    jb = F.col("n") / 6 * (g1 * g1 + g2 * g2 / 4)
+    dw = F.col("sdiff") / F.col("se2")
+    bp = F.col("n") * F.col("r_e2x") * F.col("r_e2x")
+    return agg.select(
+        F.col("n"),
+        F.round(g1, round_to).alias("skewness"),
+        F.round(g2, round_to).alias("ex_kurtosis"),
+        F.round(jb, round_to).alias("jarque_bera"),
+        F.round(dw, round_to).alias("durbin_watson"),
+        F.round(bp, round_to).alias("breusch_pagan"),
     )
 
 

@@ -452,6 +452,71 @@ FROM t
 
 
 # --------------------------------------------------------------------------
+# A18b. Residual diagnostics: Jarque-Bera (R:601), Durbin-Watson
+# (R:593), Breusch-Pagan (R:614) from fused moment aggregates.
+# --------------------------------------------------------------------------
+
+def residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.residual_diagnostics(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity", "l_extendedprice", ["l_orderkey", "l_linenumber"])
+
+RESIDUAL_DIAG_SQL = """
+WITH fit AS (
+  SELECT covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) AS slope,
+         avg(l_extendedprice) AS my, avg(l_quantity) AS mx
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), r AS (
+  SELECT l_extendedprice - (my + slope * (l_quantity - mx)) AS e, l_quantity,
+         lag(l_extendedprice - (my + slope * (l_quantity - mx)))
+           OVER (ORDER BY l_orderkey, l_linenumber) AS elag
+  FROM lineitem, fit
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), m AS (
+  SELECT count(*) AS n, avg(e) AS m1, avg(e*e) AS m2, avg(e*e*e) AS m3,
+         avg(e*e*e*e) AS m4,
+         sum(CASE WHEN elag IS NOT NULL THEN (e - elag) * (e - elag) END) AS sdiff,
+         sum(e*e) AS se2, corr(e*e, l_quantity) AS r_e2x
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(m3 / pow(m2, 1.5), 4) AS skewness,
+       round(m4 / (m2 * m2) - 3, 4) AS ex_kurtosis,
+       round(n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+             + pow(m4 / (m2 * m2) - 3, 2) / 4), 4) AS jarque_bera,
+       round(sdiff / se2, 4) AS durbin_watson,
+       round(n * r_e2x * r_e2x, 4) AS breusch_pagan
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# A15b. Per-group standardization (z-score) — the reference's per-group
+# normalize pattern (R's group_split + map, and the classic grouped-map
+# pandas-UDF example) done Spark-first: a window, no Python. The
+# applyInPandas equivalent is unit-tested against this in
+# tests/test_operators_unit.py for API parity.
+# --------------------------------------------------------------------------
+
+def zscore_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    mu = F.avg("c_acctbal").over(w)
+    sd = F.stddev_samp("c_acctbal").over(w)
+    return cust.select(
+        "c_custkey", "c_mktsegment",
+        F.round((F.col("c_acctbal") - mu) / sd, 4).alias("bal_z"))
+
+ZSCORE_SQL = """
+SELECT c_custkey, c_mktsegment,
+       round((c_acctbal - avg(c_acctbal) OVER w)
+             / stddev_samp(c_acctbal) OVER w, 4) AS bal_z
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment)
+"""
+
+
+# --------------------------------------------------------------------------
 # A19. Deterministic stratified split (R:962-989).
 # --------------------------------------------------------------------------
 
@@ -1162,6 +1227,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "corr_matrix": (corr_matrix, CORR_SQL),
     "ttest_returnflag": (ttest_returnflag, TTEST_SQL),
     "anova_mktsegment": (anova_mktsegment, ANOVA_SQL),
+    "residual_diagnostics": (residual_diagnostics, RESIDUAL_DIAG_SQL),
+    "zscore_by_segment": (zscore_by_segment, ZSCORE_SQL),
     "stratified_split": (stratified_split, SPLIT_SQL),
     "simple_linreg": (simple_linreg, LINREG_SQL),
     "ols_normal_eq": (ols_normal_eq, None),

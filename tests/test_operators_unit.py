@@ -145,6 +145,34 @@ def test_ann_lsh_bucket_recall(spark):
     assert rows and rows[0]["cand_id"] == 7  # near-dup lands in same bucket
 
 
+def test_zscore_window_matches_apply_in_pandas(spark, sf_dir):
+    """The window-based z-score (JVM, shuffle-on-group) must equal the
+    grouped-map pandas formulation — documents that the Spark-first
+    path is a drop-in for the classic applyInPandas normalize."""
+    from parking_bigdata_spark.io import load_table
+    from parking_bigdata_spark.queries import zscore_by_segment
+    import pandas as pd
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["c_acctbal"]
+        return pd.DataFrame({
+            "c_custkey": pdf["c_custkey"],
+            "c_mktsegment": pdf["c_mktsegment"],
+            "bal_z": ((s - s.mean()) / s.std(ddof=1)).round(4),
+        })
+
+    cust = load_table(spark, sf_dir, "customer")
+    via_pandas = {r["c_custkey"]: r["bal_z"] for r in
+                  cust.groupBy("c_mktsegment")
+                      .applyInPandas(normalize,
+                                     "c_custkey long, c_mktsegment string, "
+                                     "bal_z double")
+                      .collect()}
+    via_window = {r["c_custkey"]: r["bal_z"] for r in
+                  zscore_by_segment(spark, sf_dir).collect()}
+    assert via_window == via_pandas
+
+
 def test_describe_profile_values(spark):
     df = spark.createDataFrame(
         [(1.0,), (2.0,), (3.0,), (None,)], "x double")
