@@ -114,7 +114,9 @@ def ivf_fit_centroids(df: DataFrame, n_cells: int = 16, seed: int = 42,
     from pyspark.ml.functions import array_to_vector
     feats = df.select(array_to_vector(_as_double(F.col(vec_col)))
                       .alias("features"))
-    return KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
+    # maxIter=8: the quantizer only needs rough cells (recall comes from
+    # nprobe), and each extra iteration is a full corpus pass at scale.
+    return KMeans(k=n_cells, seed=seed, maxIter=8).fit(feats)
 
 
 def ivf_assign(df: DataFrame, model, id_col: str = "vec_id",

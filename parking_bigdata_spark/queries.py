@@ -296,6 +296,74 @@ GROUP BY r_name, n_name
 
 
 # --------------------------------------------------------------------------
+# A11b. Shipping-priority analytics (TPC-H Q3 shape): filter both fact
+# sides before the join, aggregate to top revenue orders.
+# --------------------------------------------------------------------------
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.where(F.col("l_shipdate") > cutoff)
+              .join(orders.where(F.col("o_orderdate") < cutoff),
+                    li.l_orderkey == orders.o_orderkey)
+              .join(cust.where(F.col("c_mktsegment") == "BUILDING"),
+                    orders.o_custkey == cust.c_custkey)
+              .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+              .agg(F.round(F.sum(rev), 4).alias("revenue")))
+
+SHIPPING_PRIORITY_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1997-06-01'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# A11c. Market-share trend (TPC-H Q8 shape): conditional aggregation
+# over a multi-dim star join, grouped by year.
+# --------------------------------------------------------------------------
+
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("r_name") == "AMERICA", rev).otherwise(F.lit(0.0))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+              .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+              .groupBy(F.year("o_orderdate").alias("order_year"))
+              .agg(F.round(F.sum(target) / F.sum(rev), 6).alias("america_share"),
+                   F.round(F.sum(rev), 4).alias("total_revenue")))
+
+MARKET_SHARE_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       round(sum(CASE WHEN r_name = 'AMERICA'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS america_share,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # A12. Weighted mean per group (R:927-928).
 # --------------------------------------------------------------------------
 
@@ -1220,6 +1288,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "binned_part_sizes": (binned_part_sizes, BINNED_SQL),
     "customer_value_ratios": (customer_value_ratios, RATIO_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_NATION_SQL),
+    "shipping_priority": (shipping_priority, SHIPPING_PRIORITY_SQL),
+    "market_share_by_year": (market_share_by_year, MARKET_SHARE_SQL),
     "weighted_avg_price": (weighted_avg_price, WEIGHTED_AVG_SQL),
     "impute_constant": (impute_constant, IMPUTE_CONST_SQL),
     "impute_median": (impute_median, IMPUTE_MEDIAN_SQL),

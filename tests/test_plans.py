@@ -71,6 +71,20 @@ def test_text_ops_are_pure_maps(spark, sf_dir, name):
     assert "ArrowEvalPython" not in plan  # not even pandas UDFs needed
 
 
+def test_asof_join_single_shuffle(spark, sf_dir):
+    # union + keyed window: exactly one Exchange (on the key), no
+    # range/cross join anywhere in the plan
+    plan = _plan(spark, sf_dir, "events_asof_purchase")
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_rolling_and_cumsum_single_shuffle(spark, sf_dir):
+    for name in ("events_rolling_avg", "customer_cumulative_spend"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange") == 1, name
+
+
 def test_no_python_udfs_in_core_queries(spark, sf_dir):
     # every registry query stays JVM-side (multimodal stubs excluded by
     # design — they are the sanctioned mapInPandas path)
