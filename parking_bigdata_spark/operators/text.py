@@ -81,6 +81,34 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
               .withColumn("bpe_tokens", bpe))
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        k: int = 8, window: int = 4,
+                        out_col: str = "winnow_fps") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.'s algorithm,
+    the classic rolling-hash fingerprint for near-copy detection):
+    hash every character k-gram, then keep the minimum hash of each
+    sliding window of ``window`` consecutive k-gram hashes.
+
+    Pure SQL expressions: the k-gram hash array is built once
+    (materialized column — see word_ngrams note about lambda
+    re-evaluation), the winnow pass is a transform over window offsets
+    with array_min(slice(...)), then array_distinct. Shared substrings
+    of length ≥ k+window-1 are guaranteed to share a fingerprint —
+    the downstream join-on-fingerprint finds partial overlaps exact
+    dedup misses.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    tmp = df.withColumn("__norm", norm)
+    hashes = (f"transform(sequence(1, greatest(length(__norm) - {k - 1}, 1)), "
+              f"i -> xxhash64(substring(__norm, i, {k})))")
+    tmp = tmp.withColumn("__kh", F.expr(hashes))
+    winnow = (f"array_distinct(transform("
+              f"sequence(1, greatest(size(__kh) - {window - 1}, 1)), "
+              f"i -> array_min(slice(__kh, i, {window}))))")
+    return (tmp.withColumn(out_col, F.expr(winnow))
+               .drop("__norm", "__kh"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 over the
     whitespace-normalized, lowercased text — the canonical-form hash

@@ -1219,6 +1219,27 @@ FROM events GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# B10b. Winnowing fingerprint overlap: documents sharing any rolling-hash
+# fingerprint (partial-copy candidates). Hash internals are
+# engine-specific → rows-only.
+# --------------------------------------------------------------------------
+
+def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = text_ops.winnow_fingerprints(docs, k=8, window=4)
+    g = (fps.select("doc_id", "source",
+                    F.explode_outer("winnow_fps").alias("fp"))
+            .where(F.col("fp").isNotNull()))
+    a = g.select(F.col("doc_id").alias("id_a"), "source", "fp")
+    b = g.select(F.col("doc_id").alias("id_b"), "source", "fp")
+    return (a.join(b, ["source", "fp"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("shared_fps"))
+             .where(F.col("shared_fps") >= 20))
+
+
+# --------------------------------------------------------------------------
 # B14. End-to-end corpus cleaning pipeline: quality filter → exact dedup
 # → canonical survivors. The composition the LLM-data story is about —
 # and still one declarative plan Catalyst optimizes as a whole.
@@ -1326,6 +1347,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "winnow_overlap": (winnow_overlap, None),
     "pipeline_clean_corpus": (pipeline_clean_corpus, PIPELINE_CLEAN_SQL),
     "sketch_distinct_parts": (sketch_distinct_parts, None),
     "events_asof_purchase": (events_asof_purchase, EVENTS_ASOF_SQL),

@@ -83,6 +83,16 @@ def run_windowed_counts_batchlike(spark: SparkSession, path: str,
     return spark.table(query_name)
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    `dropDuplicatesWithinWatermark` keeps state bounded (ids older than
+    the watermark are evicted), the standard at-least-once → exactly-once
+    repair for replayed sources."""
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"]))
+
+
 def user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Custom stateful shape: per-user cumulative value via
     ``applyInPandasWithState``-style semantics expressed with the

@@ -173,6 +173,36 @@ def test_zscore_window_matches_apply_in_pandas(spark, sf_dir):
     assert via_window == via_pandas
 
 
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of length ≥
+    k+window-1 share at least one fingerprint; unrelated docs share
+    ~none."""
+    from parking_bigdata_spark.operators import text as text_ops
+    shared = "a long common passage that appears verbatim in both documents"
+    docs = spark.createDataFrame(
+        [(1, f"prefix one {shared} suffix alpha"),
+         (2, f"different opening {shared} other ending"),
+         (3, "entirely unrelated content with no overlap at all here")],
+        "doc_id long, text string")
+    fps = {r["doc_id"]: set(r["winnow_fps"]) for r in
+           text_ops.winnow_fingerprints(docs, k=8, window=4).collect()}
+    assert len(fps[1] & fps[2]) > 0
+    assert len(fps[1] & fps[3]) == 0
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    from parking_bigdata_spark.streaming import events as se
+    ev = se.read_events_stream(spark, sf_dir)
+    union = ev.union(ev)  # simulate a replayed source: every event twice
+    q = (se.dedup_stream(union)
+         .writeStream.format("memory").queryName("t_dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    from parking_bigdata_spark.io import load_table
+    n_unique = load_table(spark, sf_dir, "events").count()
+    assert spark.table("t_dedup_stream").count() == n_unique
+
+
 def test_describe_profile_values(spark):
     df = spark.createDataFrame(
         [(1.0,), (2.0,), (3.0,), (None,)], "x double")
