@@ -72,6 +72,36 @@ def welch_ttest(df: DataFrame, group_col: str, value_col: str,
     )
 
 
+def chisq_independence(df: DataFrame, col_a: str, col_b: str,
+                       round_to: int = 4) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns (the contingency-table analysis behind the reference's
+    categorical EDA, R:228-238): χ² = Σ (obs − exp)²/exp with
+    exp = row_total·col_total/n.
+
+    One groupBy builds the observed contingency table (tiny —
+    |A|×|B| cells); margins ride window sums over it, so the fact table
+    is scanned exactly once.
+    """
+    obs = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("obs"))
+    wa = Window.partitionBy(col_a)
+    wb = Window.partitionBy(col_b)
+    wall = Window.partitionBy()
+    cell = (obs
+            .withColumn("row_tot", F.sum("obs").over(wa))
+            .withColumn("col_tot", F.sum("obs").over(wb))
+            .withColumn("n", F.sum("obs").over(wall))
+            .withColumn("exp", F.col("row_tot") * F.col("col_tot") / F.col("n"))
+            .withColumn("contrib", (F.col("obs") - F.col("exp")) ** 2 / F.col("exp")))
+    return cell.agg(
+        F.max("n").alias("n"),
+        F.countDistinct(col_a).alias("n_a"),
+        F.countDistinct(col_b).alias("n_b"),
+        F.round(F.sum("contrib"), round_to).alias("chi2"),
+        ((F.countDistinct(col_a) - 1) *
+         (F.countDistinct(col_b) - 1)).alias("dof"))
+
+
 def residual_diagnostics(df: DataFrame, x: str, y: str,
                          order_cols: list[str],
                          round_to: int = 4) -> DataFrame:

@@ -520,6 +520,34 @@ FROM t
 
 
 # --------------------------------------------------------------------------
+# A18c. Chi-square independence test (contingency-table EDA, R:228-238).
+# --------------------------------------------------------------------------
+
+def chisq_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.chisq_independence(load_table(spark, sf_dir, "orders"),
+                                    "o_orderstatus", "o_orderpriority")
+
+CHISQ_SQL = """
+WITH obs AS (
+  SELECT o_orderstatus a, o_orderpriority b, count(*) AS obs
+  FROM orders GROUP BY 1, 2
+), cell AS (
+  SELECT obs,
+         sum(obs) OVER (PARTITION BY a) AS row_tot,
+         sum(obs) OVER (PARTITION BY b) AS col_tot,
+         sum(obs) OVER () AS n, a, b
+  FROM obs
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b,
+       round(sum(pow(obs - row_tot * col_tot / n, 2)
+                 / (row_tot * col_tot / n)), 4) AS chi2,
+       (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof
+FROM cell
+"""
+
+
+# --------------------------------------------------------------------------
 # A18b. Residual diagnostics: Jarque-Bera (R:601), Durbin-Watson
 # (R:593), Breusch-Pagan (R:614) from fused moment aggregates.
 # --------------------------------------------------------------------------
@@ -1319,6 +1347,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ttest_returnflag": (ttest_returnflag, TTEST_SQL),
     "anova_mktsegment": (anova_mktsegment, ANOVA_SQL),
     "residual_diagnostics": (residual_diagnostics, RESIDUAL_DIAG_SQL),
+    "chisq_status_priority": (chisq_status_priority, CHISQ_SQL),
     "zscore_by_segment": (zscore_by_segment, ZSCORE_SQL),
     "stratified_split": (stratified_split, SPLIT_SQL),
     "simple_linreg": (simple_linreg, LINREG_SQL),

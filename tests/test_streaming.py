@@ -17,6 +17,48 @@ def test_streaming_windowed_matches_batch(spark, sf_dir):
     assert got == batch
 
 
+def test_out_of_order_batches_converge_to_batch_answer(spark, tmp_path):
+    """Disorder tolerance: event-time windows fed out of order across
+    micro-batches (maxFilesPerTrigger=1) still produce each window
+    EXACTLY ONCE with the complete count — the append-mode watermark
+    contract that makes streaming results equal the batch computation."""
+    import pandas as pd
+    d = tmp_path / "late"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00").value  # ns
+    HOUR = 3_600 * 10**9
+
+    def mk(name, rows):
+        pd.DataFrame({
+            "event_id": range(len(rows)),
+            "ts": [base + r * HOUR for r in rows],
+            "user_id": [1] * len(rows),
+            "event_type": ["click"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }).to_parquet(d / name)
+
+    # micro-batch 1 carries hours {0, 10}; micro-batch 2 delivers an
+    # out-of-order hour-0 row — it must merge into the hour-0 window,
+    # and every window must be emitted exactly once
+    mk("events_b1.parquet", [0, 10])
+    mk("events_b2.parquet", [0])
+    stream = stream_ev.windowed_counts(
+        stream_ev.read_events_stream(spark, str(d), max_files_per_trigger=1),
+        window="1 hour", watermark="2 hours")
+    q = (stream.writeStream.format("memory").queryName("t_late")
+               .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.table("t_late").collect()
+    per_window = {}
+    for r in rows:
+        per_window.setdefault(r["wstart"].hour, []).append(r["n_events"])
+    assert per_window[0] == [2]    # merged across batches, emitted once
+    # the hour-10 window is still OPEN (final watermark 08:00 < its
+    # end): append mode correctly withholds unclosed windows
+    assert 10 not in per_window
+
+
 def test_streaming_running_totals(spark, sf_dir):
     ev = stream_ev.read_events_stream(spark, sf_dir)
     q = (stream_ev.user_running_totals(ev)
