@@ -19,8 +19,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Universal-hash parameters for MinHash permutations: h_i(x) = (a_i*x + b_i) mod p.
-MINHASH_PRIME = (1 << 61) - 1
+#: MinHash permutation modulus: 2^31. Permutations are h_i(x) =
+#: (a_i*x + b_i) mod 2^31 with ODD random 31-bit multipliers a_i —
+#: odd multiplication mod a power of two is a bijection, and the mod
+#: actually WRAPS (a_i*x reaches ~2^62, safely inside int64 for ANSI
+#: mode but far beyond the modulus), so each h_i shuffles the gram
+#: order independently. An affine map that never wraps would be
+#: monotonic — min(h_i) would collapse to h_i(min(x)) and every
+#: "permutation" would rank grams identically.
+MINHASH_MOD = 1 << 31
+
+
+def _minhash_params(n_perm: int, seed: int = 42):
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MINHASH_MOD // 2, size=n_perm) * 2 + 1  # odd, 31-bit
+    b = rng.randint(0, MINHASH_MOD, size=n_perm)
+    return [(int(ai), int(bi)) for ai, bi in zip(a, b)]
 
 
 def _norm_text(col) -> F.Column:
@@ -47,13 +62,19 @@ def word_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
     BEFORE the higher-order ``transform``: expressions inside a lambda
     body are re-evaluated per element, so inlining the split there costs
     O(words²) regex work per document (measured 20×+ slowdown).
+
+    Documents with fewer than ``n`` tokens yield an EMPTY gram set (the
+    CASE guard matters: ``sequence(1, 0)`` is a DESCENDING [1,0] array
+    in Spark and slice(..., 0, n) throws under ANSI mode).
     """
     toks = F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " ")),
         r"\s+")
     expr = (
-        f"array_distinct(transform(sequence(1, greatest(size(__toks) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(__toks, i, {n}))))"
+        f"CASE WHEN size(__toks) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n})))) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
     return (df.withColumn("__toks", toks)
               .withColumn(out_col, F.expr(expr))
@@ -84,9 +105,9 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                                               F.lit(1 << 31))))
     gh = F.col("gh")
     mins = [
-        F.min((F.lit(2 * i + 1) * gh + F.lit(1000003 * (i + 1) + 12345))
-              % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
-        for i in range(n_perm)
+        F.min(F.pmod(F.lit(a) * gh + F.lit(b), F.lit(MINHASH_MOD)))
+         .alias(f"mh{i}")
+        for i, (a, b) in enumerate(_minhash_params(n_perm))
     ]
     return exploded.groupBy(id_col).agg(*mins)
 

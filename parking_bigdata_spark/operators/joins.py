@@ -27,15 +27,24 @@ def salted_join(big: DataFrame, skewed: DataFrame, key: str,
                 n_salts: int = 8, how: str = "inner") -> DataFrame:
     """Skew-resistant equi-join.
 
-    ``big`` (the side with skewed key frequencies) gets a deterministic
-    salt derived from a uniformly-distributed column hash; ``skewed``'s
-    rows are replicated across all salts via a small explode — the
-    replication factor is n_salts × |skewed|, acceptable when the
-    right side is the smaller one. Hot keys now spread over n_salts
-    reducers instead of one.
+    ``big`` (the side with skewed key frequencies) gets a salt from a
+    row-position hash (``monotonically_increasing_id`` — uniform even
+    when a hot key's rows are byte-identical, which a content hash
+    would send to one reducer); ``skewed``'s rows are replicated across
+    all salts via a small explode — the replication factor is
+    n_salts × |skewed|, acceptable when the right side is the smaller
+    one. Hot keys now spread over n_salts reducers instead of one.
+
+    Only inner/left joins are valid: under right/full outer, an
+    unmatched right row would surface once per salt replica.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}: "
+            "right/full outer would duplicate unmatched replicated rows")
     salted_big = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int"))
+        "__salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"))
     replicated = (skewed
                   .withColumn("__salt", F.explode(
                       F.array(*[F.lit(i) for i in range(n_salts)]))))

@@ -48,8 +48,8 @@ def simple_linreg(df: DataFrame, x: str, y: str, round_to: int = 4) -> DataFrame
 
 def _gram_aggregate(df: DataFrame, xs: list[str], y: str | None):
     """Sufficient statistics for least squares: upper triangle of
-    [1,x₁..x_k]ᵀ[1,x₁..x_k] plus Xᵀy, fused into one agg. Returns the
-    collected 1-row dict (k² scalars — tiny) and n."""
+    [1,x₁..x_k]ᵀ[1,x₁..x_k] plus Xᵀy and yᵀy, fused into ONE agg over
+    one scan. Returns (G, Xty, syy) — k² scalars, driver-tiny."""
     cols = ["__one"] + xs
     d = df
     for c in xs + ([y] if y else []):
@@ -61,6 +61,8 @@ def _gram_aggregate(df: DataFrame, xs: list[str], y: str | None):
             aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"g_{a}__{b}"))
         if y:
             aggs.append(F.sum(F.col(a) * F.col(y)).alias(f"xy_{a}"))
+    if y:
+        aggs.append(F.sum(F.col(y) * F.col(y)).alias("yy"))
     row = d.agg(*aggs).collect()[0].asDict()
     k = len(cols)
     G = np.zeros((k, k))
@@ -69,7 +71,8 @@ def _gram_aggregate(df: DataFrame, xs: list[str], y: str | None):
             b = cols[j]
             G[i, j] = G[j, i] = row[f"g_{a}__{b}"]
     Xty = np.array([row[f"xy_{a}"] for a in cols]) if y else None
-    return G, Xty
+    syy = row["yy"] if y else None
+    return G, Xty, syy
 
 
 def ols_fit(df: DataFrame, xs: list[str], y: str) -> dict[str, float]:
@@ -78,7 +81,7 @@ def ols_fit(df: DataFrame, xs: list[str], y: str) -> dict[str, float]:
     One distributed pass builds XᵀX (with intercept) and Xᵀy; the
     (k+1)-dim solve happens on the driver. Returns {intercept, coef_*}.
     """
-    G, Xty = _gram_aggregate(df, xs, y)
+    G, Xty, _ = _gram_aggregate(df, xs, y)
     beta = np.linalg.solve(G, Xty)
     out = {"intercept": float(beta[0])}
     out.update({f"coef_{c}": float(b) for c, b in zip(xs, beta[1:])})
@@ -165,6 +168,11 @@ def pca_fit(df: DataFrame, cols: list[str], scale: bool = True):
     means = np.array([row[f"m_{c}"] for c in cols])
     stds = np.array([row[f"s_{c}"] for c in cols])
     if scale:
+        zero = [c for c, sc in zip(cols, stds) if not sc or sc == 0.0]
+        if zero:
+            raise ValueError(f"pca_fit: zero-variance column(s) {zero} — "
+                             "correlation scaling is undefined; drop them "
+                             "or pass scale=False")
         C = C / np.outer(stds, stds)
     vals, vecs = np.linalg.eigh(C)
     order = np.argsort(vals)[::-1]
@@ -214,7 +222,14 @@ def lasso_fit(df: DataFrame, xs: list[str], y: str, lam: float = 0.1,
     iteration count never touches the data again, so 100 TB costs the
     same single scan as OLS. Features are standardized (glmnet default)
     and coefficients returned on the original scale.
+
+    Rows with a NULL in ANY feature or the target are dropped first
+    (listwise deletion, same as ``ols_fit``) — pairwise-deleted moment
+    matrices can be non-PSD and send coordinate descent to coefficients
+    that solve no actual least-squares problem.
     """
+    for c in xs + [y]:
+        df = df.where(F.col(c).isNotNull())
     k = len(xs)
     aggs = [F.count(F.lit(1)).alias("n")]
     aggs += [F.avg(c).alias(f"m_{c}") for c in xs + [y]]
@@ -226,6 +241,10 @@ def lasso_fit(df: DataFrame, xs: list[str], y: str, lam: float = 0.1,
     row = df.agg(*aggs).collect()[0].asDict()
     n = row["n"]
     s = np.array([row[f"s_{c}"] for c in xs])
+    zero = [c for c, sc in zip(xs, s) if not sc or sc == 0.0]
+    if zero:
+        raise ValueError(f"lasso_fit: zero-variance feature(s) {zero} — "
+                         "drop constant columns before standardizing")
     C = np.zeros((k, k))
     for i, a in enumerate(xs):
         for j in range(i, k):
@@ -264,11 +283,7 @@ def stepwise_aic(df: DataFrame, xs: list[str], y: str) -> DataFrame:
     total, then O(k³) driver algebra per step. AIC = n·ln(SSE/n) + 2p.
     """
     spark = df.sparkSession
-    G, Xty = _gram_aggregate(df, xs, y)
-    syy_row = df
-    for c in xs + [y]:
-        syy_row = syy_row.where(F.col(c).isNotNull())
-    syy = syy_row.agg(F.sum(F.col(y) * F.col(y)).alias("syy")).collect()[0][0]
+    G, Xty, syy = _gram_aggregate(df, xs, y)  # yᵀy rides the same scan
     n = G[0, 0]
 
     def sse_of(subset: list[int]) -> float:
@@ -338,7 +353,7 @@ def vif_scores(df: DataFrame, cols: list[str], round_to: int = 4) -> DataFrame:
     passes.
     """
     spark = df.sparkSession
-    G, _ = _gram_aggregate(df, cols, None)  # includes intercept row/col
+    G, _, _ = _gram_aggregate(df, cols, None)  # includes intercept row/col
     n = G[0, 0]
     out = []
     for j, c in enumerate(cols):

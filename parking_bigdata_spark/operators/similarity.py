@@ -177,14 +177,14 @@ def ivf_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
                           "score", "rank"))
 
 
-def lsh_hyperplane_buckets(df: DataFrame, n_planes: int = 12, dim: int = 64,
-                           seed: int = 42, id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
-    """Random-hyperplane LSH bucketing (B6): sign(v·p_i) bits packed into
-    an int bucket id. The plane matrix is generated once with a fixed
-    seed and folded into the plan as array literals — a pure map, no
-    shuffle; downstream candidate joins are equi-joins on `bucket`.
-    """
+def hyperplane_bucket_expr(n_planes: int = 12, dim: int = 64,
+                           seed: int = 42,
+                           vec_col: str = "embedding") -> F.Column:
+    """Random-hyperplane LSH bucket id as a pure Column expression:
+    sign(v·p_i) bits packed into an int. The plane matrix is generated
+    once with a fixed seed and folded into the plan as array literals —
+    computable in the same projection as any other column (no join, no
+    second scan)."""
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
     v = _as_double(F.col(vec_col))
@@ -193,7 +193,17 @@ def lsh_hyperplane_buckets(df: DataFrame, n_planes: int = 12, dim: int = 64,
         plane = F.array(*[F.lit(float(w)) for w in planes[i]])
         bit = (_dot(v, plane) > 0).cast("int")
         bucket = bucket + bit * (1 << i)
-    return df.select(F.col(id_col), bucket.alias("bucket"))
+    return bucket
+
+
+def lsh_hyperplane_buckets(df: DataFrame, n_planes: int = 12, dim: int = 64,
+                           seed: int = 42, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH bucketing (B6): one projection over the
+    corpus; downstream candidate joins are equi-joins on `bucket`."""
+    return df.select(
+        F.col(id_col),
+        hyperplane_bucket_expr(n_planes, dim, seed, vec_col).alias("bucket"))
 
 
 def ann_lsh_topk(df: DataFrame, query_df: DataFrame, k: int = 3,
@@ -203,19 +213,17 @@ def ann_lsh_topk(df: DataFrame, query_df: DataFrame, k: int = 3,
     """ANN via LSH buckets (B6): candidates = corpus rows sharing the
     query's bucket (equi-join), then exact cosine re-rank inside the
     bucket. Recall trades off with n_planes; the join never blows up
-    because bucket occupancy ~ n/2^planes."""
+    because bucket occupancy ~ n/2^planes. The bucket id is computed in
+    the SAME projection as the vector (one scan per side, no id
+    self-join)."""
     from pyspark.sql import Window
-    cb = lsh_hyperplane_buckets(df, n_planes, dim, id_col=id_col,
-                                vec_col=vec_col)
-    qb = lsh_hyperplane_buckets(query_df, n_planes, dim, id_col=id_col,
-                                vec_col=vec_col)
-    c = (df.select(F.col(id_col).alias("cand_id"),
-                   _as_double(F.col(vec_col)).alias("cv"))
-           .join(cb.select(F.col(id_col).alias("cand_id"), "bucket"), "cand_id"))
-    q = (query_df.select(F.col(id_col).alias("query_id"),
-                         _as_double(F.col(vec_col)).alias("qv"))
-                 .join(qb.select(F.col(id_col).alias("query_id"), "bucket"),
-                       "query_id"))
+    bucket = hyperplane_bucket_expr(n_planes, dim, vec_col=vec_col)
+    c = df.select(F.col(id_col).alias("cand_id"),
+                  _as_double(F.col(vec_col)).alias("cv"),
+                  bucket.alias("bucket"))
+    q = query_df.select(F.col(id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("qv"),
+                        bucket.alias("bucket"))
     scored = (c.join(F.broadcast(q), "bucket")
                .where(F.col("cand_id") != F.col("query_id"))
                .withColumn("score",

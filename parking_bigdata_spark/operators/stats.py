@@ -81,9 +81,12 @@ def chisq_independence(df: DataFrame, col_a: str, col_b: str,
 
     One groupBy builds the observed contingency table (tiny —
     |A|×|B| cells); margins ride window sums over it, so the fact table
-    is scanned exactly once.
+    is scanned exactly once. NULL categories are excluded up front —
+    otherwise their cells would enter χ² while countDistinct-based
+    degrees of freedom ignored them (an inconsistent statistic).
     """
-    obs = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("obs"))
+    obs = (df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+             .groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("obs")))
     wa = Window.partitionBy(col_a)
     wb = Window.partitionBy(col_b)
     wall = Window.partitionBy()
@@ -117,6 +120,12 @@ def residual_diagnostics(df: DataFrame, x: str, y: str,
     Two fused passes: one for slope/intercept, one for the diagnostics
     (the residual expression composes into the second scan — residuals
     are never materialized).
+
+    Scale caveat: Durbin-Watson is a statistic of ONE globally-ordered
+    series, so its lag needs a global sort (single-partition window) —
+    inherent to the statistic, not the implementation. For partitioned
+    series at scale, compute DW per series key (add a partitionBy) or
+    accept the one-reducer sort for a driver-sized sample.
     """
     d = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
     fit = d.agg(

@@ -530,7 +530,9 @@ def chisq_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHISQ_SQL = """
 WITH obs AS (
   SELECT o_orderstatus a, o_orderpriority b, count(*) AS obs
-  FROM orders GROUP BY 1, 2
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
 ), cell AS (
   SELECT obs,
          sum(obs) OVER (PARTITION BY a) AS row_tot,

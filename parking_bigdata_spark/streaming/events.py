@@ -54,8 +54,14 @@ def read_events_stream(spark: SparkSession, directory: str,
 def windowed_counts(events: DataFrame, window: str = "1 hour",
                     watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window aggregation — the streaming form of
-    the batch ``events_windowed`` query. Late rows beyond the watermark
-    are dropped and state is evicted (bounded memory forever)."""
+    the batch ``events_windowed`` query.
+
+    The watermark bounds state ONLY in append/update output modes
+    (windows past the watermark are finalized and evicted). A
+    production sink should use append mode; ``complete`` mode (used by
+    the drain-everything test runner below) retains all windows by
+    definition and ignores watermark eviction.
+    """
     return (events
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -67,10 +73,12 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
 
 def run_windowed_counts_batchlike(spark: SparkSession, path: str,
                                   query_name: str = "events_windowed_stream"):
-    """Run the streaming pipeline to completion over the existing files
-    (availableNow trigger) into an in-memory sink; returns the finished
-    result as a DataFrame. This is how tests exercise the REAL streaming
-    engine — incremental state, watermarks — without an unbounded source.
+    """TEST HARNESS: run the streaming pipeline to completion over the
+    existing files (availableNow trigger) into an in-memory sink and
+    return the finished result. Complete mode + memory sink are chosen
+    so the drained result equals the batch query exactly — this is for
+    bounded test inputs only; a production deployment uses append mode
+    (watermark-evicted state) and a durable sink.
     """
     stream = windowed_counts(read_events_stream(spark, path))
     q = (stream.writeStream
