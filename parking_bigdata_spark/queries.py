@@ -364,6 +364,43 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# A11d. Anti/semi joins (EXISTS / NOT EXISTS): customers who never
+# ordered, and suppliers of recently-shipped parts.
+# --------------------------------------------------------------------------
+
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") == "1-URGENT"))
+    return (cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+                .select("c_custkey", "c_mktsegment",
+                        F.round("c_acctbal", 4).alias("c_acctbal")))
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 4) AS c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+"""
+
+
+def active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    recent = li.where(F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp"))
+    return (sup.join(recent, sup.s_suppkey == recent.l_suppkey, "left_semi")
+               .select("s_suppkey", "s_name"))
+
+SEMI_JOIN_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey
+                AND l_shipdate >= TIMESTAMP '2001-01-01')
+"""
+
+
+# --------------------------------------------------------------------------
 # A12. Weighted mean per group (R:927-928).
 # --------------------------------------------------------------------------
 
@@ -1340,6 +1377,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "customer_value_ratios": (customer_value_ratios, RATIO_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_NATION_SQL),
     "shipping_priority": (shipping_priority, SHIPPING_PRIORITY_SQL),
+    "customers_without_urgent_orders": (customers_without_urgent_orders,
+                                        ANTI_JOIN_SQL),
+    "active_suppliers": (active_suppliers, SEMI_JOIN_SQL),
     "market_share_by_year": (market_share_by_year, MARKET_SHARE_SQL),
     "weighted_avg_price": (weighted_avg_price, WEIGHTED_AVG_SQL),
     "impute_constant": (impute_constant, IMPUTE_CONST_SQL),
