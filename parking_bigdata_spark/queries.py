@@ -238,13 +238,23 @@ FROM part GROUP BY 1
 def customer_value_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    # DECIMAL(18,2) sums are EXACT (prices are 2dp), so the aggregate is
+    # identical regardless of partial-aggregation order; double sums
+    # accumulate in engine-specific order and flip the 4th decimal at
+    # rounding boundaries.
+    spend_dec = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
     per_cust = (orders.groupBy("o_custkey")
                       .agg(F.count(F.lit(1)).alias("n_orders"),
-                           F.sum("o_totalprice").alias("spend")))
+                           spend_dec.cast("double").alias("spend")))
     joined = cust.join(per_cust, cust.c_custkey == per_cust.o_custkey)
+    # floor(x*1e4 + 0.5)/1e4 instead of round(): sum/count lands on
+    # EXACT decimal half-way ties (e.g. ….70375 at n=8) where Spark's
+    # BigDecimal HALF_UP and DuckDB's float rounding disagree; the
+    # floor formulation is identical double arithmetic in both engines.
     out = (joined
            .withColumn("avg_order_value",
-                       F.round(F.col("spend") / F.col("n_orders"), 4))
+                       F.floor(F.col("spend") / F.col("n_orders") * 10000
+                               + 0.5) / 10000)
            .withColumn("balance_to_spend",
                        F.when(F.col("spend") != 0,
                               F.round(F.col("c_acctbal") / F.col("spend"), 6))))
@@ -254,10 +264,11 @@ def customer_value_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RATIO_SQL = """
 SELECT c_custkey, count(*) AS n_orders,
-       round(sum(o_totalprice), 4) AS total_spend,
-       round(sum(o_totalprice) / count(*), 4) AS avg_order_value,
-       CASE WHEN sum(o_totalprice) <> 0
-            THEN round(any_value(c_acctbal) / sum(o_totalprice), 6) END AS balance_to_spend
+       round(CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE), 4) AS total_spend,
+       floor(CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_order_value,
+       CASE WHEN sum(o_totalprice::DECIMAL(18,2)) <> 0
+            THEN round(any_value(c_acctbal) / CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE), 6)
+       END AS balance_to_spend
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey
 """
@@ -1137,15 +1148,16 @@ def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .select("user_id", "ts", F.col("ts").alias("purchase_ts")))
     joined = temporal.asof_join(ev, purchases, key="user_id", ts="ts",
                                 payload_cols=["purchase_ts"])
+    # integer microseconds: bit-exact across engines (a seconds double
+    # rounds differently in Spark vs DuckDB at decimal ties)
     return (joined.select(
         "event_id", "user_id", "event_type",
-        F.round((F.unix_micros("ts") - F.unix_micros("purchase_ts"))
-                / 1_000_000.0, 4).alias("secs_since_purchase")))
+        (F.unix_micros("ts") - F.unix_micros("purchase_ts"))
+        .alias("us_since_purchase")))
 
 EVENTS_ASOF_SQL = """
 SELECT e.event_id, e.user_id, e.event_type,
-       round(CAST(epoch_us(e.ts) - epoch_us(p.ts) AS DOUBLE) / 1000000.0, 4)
-         AS secs_since_purchase
+       epoch_us(e.ts) - epoch_us(p.ts) AS us_since_purchase
 FROM events e
 ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
   ON e.user_id = p.user_id AND e.ts >= p.ts
