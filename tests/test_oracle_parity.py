@@ -45,8 +45,9 @@ def _assert_frames_match(name: str, a: pd.DataFrame, b: pd.DataFrame):
             if isinstance(x, float) and isinstance(y, float):
                 if math.isnan(x) and math.isnan(y):
                     continue
-                assert abs(x - y) <= 1e-9 + 1e-9 * abs(y), \
-                    f"{name}.{col}[{i}]: {x} != {y}"
+                # EXACT: the driver's gate hashes values — a tolerance
+                # here would hide cross-engine rounding divergence
+                assert x == y, f"{name}.{col}[{i}]: {x!r} != {y!r}"
             else:
                 assert str(x) == str(y), f"{name}.{col}[{i}]: {x!r} != {y!r}"
 
