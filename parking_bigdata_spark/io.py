@@ -32,7 +32,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` it scans as a long that we
     convert to a microsecond timestamp (integer ``div`` — nanosecond
     epochs exceed double's exact-integer range, so no float math).
+
+    The two session confs are (re)applied here at runtime because the
+    build driver supplies its OWN SparkSession without our builder
+    configs: without nanosAsLong the events scan throws
+    PARQUET_TYPE_ILLEGAL, and a non-UTC session timezone would shift
+    year()/date_trunc() results away from the naive-timestamp oracle.
+    Both are runtime-settable SQL confs; setting them is idempotent.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":

@@ -167,29 +167,32 @@ def anova_oneway(df: DataFrame, group_col: str, value_col: str,
     statistics: F = (SSB/(k-1)) / (SSW/(n-k)), computed with two tiny
     aggregations (per-group, then global) — the per-group frame is a few
     rows, so the second agg is trivial.
+
+    Numerical form matters: SSB as Σn_g·mean_g² − n·grand_mean² cancels
+    two ~Σy² magnitudes down to a tiny difference, amplifying engine
+    sum-order noise ~1e9× (observed 1e-4 divergence vs the oracle at
+    600k rows). The deviation forms used here — SSW from the stable
+    ``var_samp`` aggregate, SSB from (mean_g − grand_mean)² — keep both
+    engines bit-identical after rounding.
     """
     g = (df.where(F.col(value_col).isNotNull())
            .groupBy(group_col)
            .agg(F.count(value_col).alias("n_g"),
                 F.avg(value_col).alias("mean_g"),
-                F.sum(F.col(value_col) * F.col(value_col)).alias("ss_g"),
-                F.sum(value_col).alias("sum_g")))
-    tot = g.agg(
-        F.sum("n_g").alias("n"),
-        F.count(F.lit(1)).alias("k"),
-        F.sum("sum_g").alias("s"),
-        F.sum("ss_g").alias("ss"),
-        # SSB needs the grand mean; expand sum(n_g * mean_g²) too
-        F.sum(F.col("n_g") * F.col("mean_g") * F.col("mean_g")).alias("nm2"),
-    )
-    grand_mean = F.col("s") / F.col("n")
-    ssb = F.col("nm2") - F.col("n") * grand_mean * grand_mean
-    sst = F.col("ss") - F.col("n") * grand_mean * grand_mean
-    ssw = sst - ssb
-    fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+                F.var_samp(value_col).alias("var_g")))
+    gm = g.agg((F.sum(F.col("n_g") * F.col("mean_g")) / F.sum("n_g"))
+               .alias("grand_mean"))
+    dev = F.col("mean_g") - F.col("grand_mean")
+    tot = (g.crossJoin(F.broadcast(gm))  # per-group frame is k rows
+            .agg(F.sum("n_g").alias("n"),
+                 F.count(F.lit(1)).alias("k"),
+                 F.sum(F.col("n_g") * dev * dev).alias("ssb"),
+                 F.sum((F.col("n_g") - 1) * F.col("var_g")).alias("ssw")))
+    fstat = ((F.col("ssb") / (F.col("k") - 1))
+             / (F.col("ssw") / (F.col("n") - F.col("k"))))
     return tot.select(
         F.col("n").alias("n_obs"), F.col("k").alias("n_groups"),
-        F.round(ssb, round_to).alias("ss_between"),
-        F.round(ssw, round_to).alias("ss_within"),
+        F.round(F.col("ssb"), round_to).alias("ss_between"),
+        F.round(F.col("ssw"), round_to).alias("ss_within"),
         F.round(fstat, round_to).alias("f_stat"),
     )

@@ -551,18 +551,20 @@ def anova_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANOVA_SQL = """
 WITH g AS (
   SELECT c_mktsegment, count(c_acctbal) AS n_g, avg(c_acctbal) AS mean_g,
-         sum(c_acctbal * c_acctbal) AS ss_g, sum(c_acctbal) AS sum_g
+         var_samp(c_acctbal) AS var_g
   FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1
+), gm AS (
+  SELECT sum(n_g * mean_g) / sum(n_g) AS grand_mean FROM g
 ), t AS (
-  SELECT sum(n_g) AS n, count(*) AS k, sum(sum_g) AS s, sum(ss_g) AS ss,
-         sum(n_g * mean_g * mean_g) AS nm2
-  FROM g
+  SELECT sum(n_g) AS n, count(*) AS k,
+         sum(n_g * (mean_g - grand_mean) * (mean_g - grand_mean)) AS ssb,
+         sum((n_g - 1) * var_g) AS ssw
+  FROM g, gm
 )
 SELECT CAST(n AS BIGINT) AS n_obs, k AS n_groups,
-       round(nm2 - n * (s / n) * (s / n), 4) AS ss_between,
-       round((ss - n * (s / n) * (s / n)) - (nm2 - n * (s / n) * (s / n)), 4) AS ss_within,
-       round(((nm2 - n * (s / n) * (s / n)) / (k - 1)) /
-             (((ss - n * (s / n) * (s / n)) - (nm2 - n * (s / n) * (s / n))) / (n - k)), 4) AS f_stat
+       round(ssb, 4) AS ss_between,
+       round(ssw, 4) AS ss_within,
+       round((ssb / (k - 1)) / (ssw / (n - k)), 4) AS f_stat
 FROM t
 """
 
