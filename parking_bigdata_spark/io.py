@@ -108,6 +108,20 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. An explicit schema skips the whole-file
+    inference pass — mandatory at scale; inference is for exploration."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per row, splittable downstream)."""
+    df.write.mode(mode).json(path)
+
+
 def read_clean_csv(spark: SparkSession, path: str, schema=None,
                    numeric_sentinel_cols: list[str] | None = None,
                    renames: dict[str, str] | None = None) -> DataFrame:

@@ -412,6 +412,30 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 
 
 # --------------------------------------------------------------------------
+# A11f. Date arithmetic: ship latency (days between order and ship
+# date) per priority — datediff/date_part function coverage.
+# --------------------------------------------------------------------------
+
+def ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .groupBy("o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.avg(days), 4).alias("avg_latency_days"),
+                   F.max(days).alias("max_latency_days")))
+
+SHIP_LATENCY_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_latency_days,
+       CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS INT) AS max_latency_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
 # A12. Weighted mean per group (R:927-928).
 # --------------------------------------------------------------------------
 
@@ -1394,6 +1418,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "customers_without_urgent_orders": (customers_without_urgent_orders,
                                         ANTI_JOIN_SQL),
     "active_suppliers": (active_suppliers, SEMI_JOIN_SQL),
+    "ship_latency_by_priority": (ship_latency_by_priority, SHIP_LATENCY_SQL),
     "market_share_by_year": (market_share_by_year, MARKET_SHARE_SQL),
     "weighted_avg_price": (weighted_avg_price, WEIGHTED_AVG_SQL),
     "impute_constant": (impute_constant, IMPUTE_CONST_SQL),

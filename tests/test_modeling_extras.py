@@ -92,6 +92,17 @@ def test_write_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
 
 
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    from parking_bigdata_spark.io import read_json, write_json
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_json")
+    write_json(nation, out)
+    back = read_json(spark, out, schema=nation.schema)
+    assert back.count() == nation.count()
+    assert sorted(r["n_name"] for r in back.collect()) == \
+        sorted(r["n_name"] for r in nation.collect())
+
+
 def test_write_csv_roundtrip(spark, sf_dir, tmp_path):
     nation = load_table(spark, sf_dir, "nation")
     out = str(tmp_path / "nation_csv")
