@@ -79,17 +79,23 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.4,
     spark = df.sparkSession
     src = df.select(F.col(id_col).alias("__id"),
                     _as_double(F.col(vec_col)).alias("__v"))
+    id_type = dict(df.dtypes)[id_col]
     pdf = src.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, cosine double")
     B = np.stack(pdf["__v"].to_numpy())
     B = B / np.linalg.norm(B, axis=1, keepdims=True)
     b_ids = pdf["__id"].to_numpy()
     bc = spark.sparkContext.broadcast((b_ids, B))
 
-    out_schema = f"id_a long, id_b long, cosine double"
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
 
     def gemm(batches):
         ids_b, M = bc.value
         for batch in batches:
+            if len(batch) == 0:
+                continue
             A = np.stack(batch["__v"].to_numpy())
             A = A / np.linalg.norm(A, axis=1, keepdims=True)
             S = A @ M.T
@@ -177,6 +183,19 @@ def ivf_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
                           "score", "rank"))
 
 
+def _check_dim(df: DataFrame, vec_col: str, dim: int) -> None:
+    """Fail loudly when the configured plane dimension doesn't match the
+    data: `zip_with` null-pads a mismatch, every bucket becomes NULL,
+    and the ANN join silently returns zero rows — indistinguishable
+    from 'no neighbors'. One `first()` probe at build time is cheap
+    insurance against that silent failure."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is not None and row["d"] != dim:
+        raise ValueError(
+            f"hyperplane dim={dim} but {vec_col!r} vectors have "
+            f"{row['d']} elements — buckets would be NULL and joins empty")
+
+
 def hyperplane_bucket_expr(n_planes: int = 12, dim: int = 64,
                            seed: int = 42,
                            vec_col: str = "embedding") -> F.Column:
@@ -201,6 +220,7 @@ def lsh_hyperplane_buckets(df: DataFrame, n_planes: int = 12, dim: int = 64,
                            vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane LSH bucketing (B6): one projection over the
     corpus; downstream candidate joins are equi-joins on `bucket`."""
+    _check_dim(df, vec_col, dim)
     return df.select(
         F.col(id_col),
         hyperplane_bucket_expr(n_planes, dim, seed, vec_col).alias("bucket"))
@@ -217,6 +237,7 @@ def ann_lsh_topk(df: DataFrame, query_df: DataFrame, k: int = 3,
     the SAME projection as the vector (one scan per side, no id
     self-join)."""
     from pyspark.sql import Window
+    _check_dim(df, vec_col, dim)
     bucket = hyperplane_bucket_expr(n_planes, dim, vec_col=vec_col)
     c = df.select(F.col(id_col).alias("cand_id"),
                   _as_double(F.col(vec_col)).alias("cv"),

@@ -29,27 +29,33 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     payload with ``right.ts <= left.ts`` for the same key (NULL when no
     prior right row exists)."""
     left_cols = left.columns
+    rtypes = dict(right.dtypes)
+    # the payload travels as ONE struct: last(struct, ignoreNulls) then
+    # picks the most recent right ROW as a unit. Carrying each payload
+    # column separately would (a) skip a genuinely-NULL field of the
+    # newest row and surface a stale older value, and (b) stitch fields
+    # from different right rows into a row that never existed.
+    payload_struct_type = ("struct<" + ",".join(
+        f"{c}:{rtypes[c]}" for c in payload_cols) + ">")
     l = left.select(
         F.col(key), F.col(ts).alias("__ts"), F.lit(1).alias("__tag"),
         F.struct(*[F.col(c) for c in left_cols]).alias("__lrow"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__p_{c}")
-          for c in payload_cols])
+        F.lit(None).cast(payload_struct_type).alias("__p"))
     r = right.select(
         F.col(key), F.col(ts).alias("__ts"), F.lit(0).alias("__tag"),
         F.lit(None).cast(
             "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
         ).alias("__lrow"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload_cols])
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__p"))
     u = l.unionByName(r)
     w = (Window.partitionBy(key).orderBy("__ts", "__tag")
                .rowsBetween(Window.unboundedPreceding, 0))
     filled = u.select(
         "__tag", "__lrow",
-        *[F.last(F.col(f"__p_{c}"), ignorenulls=True).over(w)
-          .alias(f"__f_{c}") for c in payload_cols])
+        F.last(F.col("__p"), ignorenulls=True).over(w).alias("__f"))
     out = filled.where(F.col("__tag") == 1)
     sel = [F.col(f"__lrow.{c}").alias(c) for c in left_cols]
-    sel += [F.col(f"__f_{c}").alias(f"{c}{suffix}" if c in left_cols else c)
+    sel += [F.col(f"__f.{c}").alias(f"{c}{suffix}" if c in left_cols else c)
             for c in payload_cols]
     return out.select(*sel)
 

@@ -1332,6 +1332,10 @@ FROM events GROUP BY event_type
 def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fps = text_ops.winnow_fingerprints(docs, k=8, window=4)
+    # explode_outer + null-filter is deliberate (NOT equivalent to plain
+    # explode here): explode would trigger InferFiltersFromGenerate,
+    # which clones the whole winnow expression into a pushed-down
+    # size()>0 filter — re-hashing every k-gram a second time per row.
     g = (fps.select("doc_id", "source",
                     F.explode_outer("winnow_fps").alias("fp"))
             .where(F.col("fp").isNotNull()))

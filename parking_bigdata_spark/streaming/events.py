@@ -32,17 +32,45 @@ EVENTS_RAW_SCHEMA = T.StructType([
     T.StructField("props", T.StringType(), True),
 ])
 
+#: Engine-written events (e.g. scripts/make_stress.py output) already
+#: carry a proper microsecond timestamp.
+EVENTS_TS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), False),
+    T.StructField("ts", T.TimestampType(), True),
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
 
 def read_events_stream(spark: SparkSession, directory: str,
                        glob: str = "events*.parquet",
                        max_files_per_trigger: int = 4) -> DataFrame:
-    """File-source stream over a directory of events parquet files
-    (Spark's streaming file source requires a directory; ``glob``
-    selects the event files within it).
+    """File-source stream over the events parquet data under
+    ``directory`` (Spark's streaming file source requires a directory).
+
+    Handles both layouts: a single ``events.parquet`` FILE in a mixed
+    directory (driver testdata — ``glob`` selects it among the other
+    tables) and an ``events.parquet`` DIRECTORY of part-files (any
+    Spark-written dataset — ``pathGlobFilter`` matches leaf file names,
+    so the part-dir must be streamed directly or it silently yields
+    zero rows).
 
     ``maxFilesPerTrigger`` bounds per-micro-batch work (backpressure);
-    the nanos→timestamp conversion matches ``io.load_table``.
+    the nanos→timestamp conversion and session-conf hardening match
+    ``io.load_table`` (the build driver supplies its own session).
     """
+    import os
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    part_dir = os.path.join(directory, "events.parquet")
+    if os.path.isdir(part_dir):
+        # engine-written part-file dataset: real timestamps already
+        return (spark.readStream
+                     .schema(EVENTS_TS_SCHEMA)
+                     .option("maxFilesPerTrigger", str(max_files_per_trigger))
+                     .parquet(part_dir))
     raw = (spark.readStream
                 .schema(EVENTS_RAW_SCHEMA)
                 .option("pathGlobFilter", glob)

@@ -40,12 +40,20 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
         last_us, n_sessions, n_events = (
             state.get if state.exists else (None, 0, 0))
         batch = pd.concat(list(pdfs), ignore_index=True)
+        # NULL ts → NaT → INT64_MIN under astype; drop them (they carry
+        # no event time and would poison last_us)
+        batch = batch[batch["ts"].notna()]
         # micro-batches are not ordered per key — sort the batch slice
         ts_us = (batch["ts"].astype("int64") // 1000).sort_values()
         for t in ts_us:
+            t = int(t)
             if last_us is None or t - last_us > gap_us:
                 n_sessions += 1
-            last_us = int(t)
+            # never REGRESS last_us: an event older than state's high
+            # water mark (out-of-order across micro-batches) joins the
+            # current session instead of rewinding it — rewinding would
+            # make the next on-time event spuriously open a session.
+            last_us = t if last_us is None else max(last_us, t)
             n_events += 1
         state.update((last_us, n_sessions, n_events))
         yield pd.DataFrame([{

@@ -18,6 +18,51 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir):
     assert got == batch
 
 
+def test_stateful_sessionize_out_of_order_batches(spark, tmp_path):
+    """An event arriving out of order in a LATER micro-batch must not
+    rewind the session high-water mark and spuriously open sessions."""
+    import pandas as pd
+    d = tmp_path / "ooo"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00").value
+    MIN = 60 * 10**9
+
+    def mk(name, minutes, start):
+        pd.DataFrame({
+            "event_id": range(start, start + len(minutes)),
+            "ts": [base + m * MIN for m in minutes],
+            "user_id": [1] * len(minutes),
+            "event_type": ["click"] * len(minutes),
+            "value": [1.0] * len(minutes),
+            "props": ["{}"] * len(minutes),
+        }).to_parquet(d / name)
+
+    # batch 1: 08:00 and 09:00 (gap 60min > 30min -> 2 sessions);
+    # batch 2: stragglers 08:10, 08:50 — within known history, must
+    # NOT create new sessions
+    mk("events_b1.parquet", [480, 540], 0)
+    mk("events_b2.parquet", [490, 530], 10)
+    from parking_bigdata_spark.streaming import sessions as ss2
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"])
+           for r in ss2.run_sessionize_batchlike(
+               spark, str(d), "t_ooo_sessions").collect()}
+    assert got[1] == (2, 4)
+
+
+def test_streaming_reads_partfile_events_dir(spark, sf_dir, tmp_path):
+    """Engine-written events datasets are DIRECTORIES of part-files;
+    the stream reader must not silently yield zero rows on them."""
+    from parking_bigdata_spark.io import load_table
+    from parking_bigdata_spark.streaming import events as se
+    ev = load_table(spark, sf_dir, "events")
+    out = tmp_path / "engine_out"
+    ev.repartition(4).write.parquet(str(out / "events.parquet"))
+    streamed = se.run_windowed_counts_batchlike(
+        spark, str(out), "t_partdir_stream")
+    total = sum(r["n_events"] for r in streamed.collect())
+    assert total == ev.count()
+
+
 def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     import shutil
     spark.sql("DROP TABLE IF EXISTS li_b")

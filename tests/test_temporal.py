@@ -27,6 +27,19 @@ def test_asof_join_semantics(spark):
     assert out["e3"] is None          # key with no right rows at all
 
 
+def test_asof_join_null_payload_of_newest_row_wins(spark):
+    """The most recent right ROW is taken as a unit: a NULL field in it
+    must surface as NULL (not fall back to an older non-null value),
+    and multiple payload columns must come from the same row."""
+    left = spark.createDataFrame([(1, _ts(30), "e")], "k int, ts timestamp, name string")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 5.0, "old"), (1, _ts(20), None, "new")],
+        "k int, ts timestamp, px double, tag string")
+    row = temporal.asof_join(left, right, "k", "ts", ["px", "tag"]).collect()[0]
+    assert row["px"] is None          # newest row's NULL, not stale 5.0
+    assert row["tag"] == "new"        # both fields from the same row
+
+
 def test_asof_join_keeps_all_left_rows(spark, sf_dir):
     from parking_bigdata_spark.io import load_table
     from pyspark.sql import functions as F
