@@ -1403,6 +1403,304 @@ def sketch_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A34. Order-count distribution (TPC-H Q13 shape): left outer join with a
+# compound join condition, two-level aggregation. The second groupBy is
+# over a tiny domain (distinct counts), so the second shuffle is cheap.
+# Reference parity: frequency-of-frequencies EDA (`table(table(x))`).
+# --------------------------------------------------------------------------
+
+def custdist_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != F.lit("1-URGENT")),
+            "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+CUSTDIST_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------------------
+# A35. Large-volume customers (TPC-H Q18 shape): HAVING-filtered
+# aggregation joined back to the fact tables. The filtered aggregate is
+# tiny, so AQE turns the join into a broadcast at runtime.
+# --------------------------------------------------------------------------
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+             .where(F.col("sum_qty") > 300))
+    return (orders.join(big, orders.o_orderkey == big.l_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                    F.round("o_totalprice", 4).alias("o_total"),
+                    "sum_qty"))
+
+LARGE_VOLUME_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       round(o_totalprice, 4) AS o_total, sum_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 4) > 300
+) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# A36. Week-over-week revenue deltas: time-bucketed aggregation followed
+# by a lag window. The window is over the *aggregated* series (one row
+# per week), so the unpartitioned sort is over a few hundred rows, not
+# the fact table — the scale-safe way to do global time-series windows.
+# --------------------------------------------------------------------------
+
+def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = (orders.groupBy(
+                  F.date_trunc("week", F.col("o_orderdate")).alias("wk"))
+              .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue")))
+    prev = F.lag("revenue").over(Window.orderBy("wk"))
+    return weekly.select(
+        "wk", "revenue",
+        F.round(F.col("revenue") - prev, 4).alias("wow_delta"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("wow_pct"))
+
+WEEKLY_WOW_SQL = """
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS wk,
+         round(sum(o_totalprice), 4) AS revenue
+  FROM orders
+  GROUP BY 1
+)
+SELECT wk, revenue,
+       round(revenue - lag(revenue) OVER (ORDER BY wk), 4) AS wow_delta,
+       round((revenue - lag(revenue) OVER (ORDER BY wk))
+             / lag(revenue) OVER (ORDER BY wk) * 100, 4)   AS wow_pct
+FROM weekly
+"""
+
+
+# --------------------------------------------------------------------------
+# A37. Set operations: INTERSECT (customers active in both years) and
+# EXCEPT (customers active in 1995 but lapsed in 1996). Both are
+# hash-distinct set ops — one shuffle each side on the set key.
+# --------------------------------------------------------------------------
+
+def setop_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = (orders.where(F.year("o_orderdate") == 1995)
+                 .select("o_custkey"))
+    y96 = (orders.where(F.year("o_orderdate") == 1996)
+                 .select("o_custkey"))
+    return y95.intersect(y96)
+
+SETOP_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+def setop_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = (orders.where(F.year("o_orderdate") == 1995)
+                 .select("o_custkey"))
+    y96 = (orders.where(F.year("o_orderdate") == 1996)
+                 .select("o_custkey"))
+    return y95.subtract(y96)
+
+SETOP_EXCEPT_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+# --------------------------------------------------------------------------
+# C8. Point-in-interval range join: each event lands in the bin whose
+# [lo, hi) interval contains its value. The bin table is tiny and
+# broadcast, so the non-equi join is a broadcast nested-loop over a
+# 10-row build side — no shuffle of the fact table. (For *monotone*
+# fixed-width bins `floor(x/w)` is cheaper — see histogram_quantity;
+# this operator is the general form for arbitrary intervals.)
+# --------------------------------------------------------------------------
+
+def range_join_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bins = spark.range(10).select(
+        F.col("id").alias("bin_id"),
+        (F.col("id") * F.lit(50.0)).alias("lo"),
+        ((F.col("id") + 1) * F.lit(50.0)).alias("hi"))
+    return (ev.join(F.broadcast(bins),
+                    (ev.value >= bins.lo) & (ev.value < bins.hi))
+            .groupBy("bin_id", "lo", "hi")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+RANGE_JOIN_SQL = """
+SELECT bin_id, lo, hi, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+JOIN (
+  SELECT range AS bin_id, range * 50.0 AS lo, (range + 1) * 50.0 AS hi
+  FROM range(10)
+) bins ON value >= lo AND value < hi
+GROUP BY bin_id, lo, hi
+"""
+
+
+# --------------------------------------------------------------------------
+# C9. Gap-filled daily series: aggregate per (day, type), then left-join
+# against the full day x type grid so missing days appear with n = 0.
+# The grid is generated from the *aggregated* bounds (a 1-row agg), so
+# the sequence/cross-join work is O(days x types), never O(events).
+# --------------------------------------------------------------------------
+
+def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"),
+                        "event_type")
+               .agg(F.count(F.lit(1)).alias("n")))
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day")))
+         .alias("day"))
+    types = daily.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    return (grid.join(daily, ["day", "event_type"], "left")
+            .select("day", "event_type",
+                    F.coalesce("n", F.lit(0)).alias("n")))
+
+GAPFILL_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), days AS (
+  SELECT unnest(generate_series((SELECT min(day) FROM daily),
+                                (SELECT max(day) FROM daily),
+                                INTERVAL 1 DAY)) AS day
+), grid AS (
+  SELECT day, event_type
+  FROM days CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT g.day, g.event_type, coalesce(n, 0) AS n
+FROM grid g LEFT JOIN daily USING (day, event_type)
+"""
+
+
+# --------------------------------------------------------------------------
+# B16. TF-IDF top terms over the corpus: tokenize once (materialized
+# before the generator so the regex runs once per doc — see
+# InferFiltersFromGenerate note in dedup), explode, then a single
+# groupBy computes tf and df together. N (total docs) comes from a
+# 1-row broadcast agg, not a driver collect. Selection is by the
+# integer (tf, term) total order, so top-k is engine-deterministic;
+# the transcendental idf score is carried as a rounded output column.
+# --------------------------------------------------------------------------
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")),
+            r"\s+").alias("toks"))
+    terms = (toks.select("doc_id", F.explode_outer("toks").alias("term"))
+                 .where(F.col("term").isNotNull()
+                        & (F.length("term") >= 2)))
+    stats = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (stats.crossJoin(F.broadcast(total))
+              .select(
+                  "term", "tf", "df",
+                  (F.floor(F.col("tf")
+                           * F.log(F.col("n_docs") / F.col("df"))
+                           * 1e4 + F.lit(0.5)) / 1e4).alias("tfidf")))
+    return scored.orderBy(F.col("tf").desc(), F.col("term")).limit(50)
+
+TFIDF_SQL = """
+WITH terms AS (
+  SELECT doc_id, term
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(
+             trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+             '\\s+')) AS term
+    FROM documents
+  )
+  WHERE term IS NOT NULL AND length(term) >= 2
+), stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM terms GROUP BY term
+)
+SELECT term, tf, df,
+       floor(tf * ln((SELECT count(*) FROM documents) / df)
+             * 1e4 + 0.5) / 1e4 AS tfidf
+FROM stats
+ORDER BY tf DESC, term
+LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
+# B17. Per-label embedding centroids: posexplode the vector to
+# (label, dim, val) rows and average per cell. One shuffle on
+# (label, dim) — the map side partial-aggregates, so shuffle volume is
+# labels x dims regardless of row count. The array->rows->array trip
+# stays entirely in codegen (no Python).
+# --------------------------------------------------------------------------
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = (emb.select(
+                 "label",
+                 F.posexplode_outer("embedding").alias("dim", "val"))
+             .where(F.col("val").isNotNull()))
+    return (cells.groupBy("label", "dim")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg(F.col("val").cast("double")), 4)
+                  .alias("centroid")))
+
+EMB_CENTROID_SQL = """
+SELECT label, dim, count(*) AS n, round(avg(val), 4) AS centroid
+FROM (
+  SELECT label,
+         CAST(unnest(embedding) AS DOUBLE) AS val,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+)
+WHERE val IS NOT NULL
+GROUP BY label, dim
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1471,6 +1769,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_rolling_avg": (events_rolling_avg, ROLLING_SQL),
     "customer_cumulative_spend": (customer_cumulative_spend, CUMSUM_SQL),
     "events_json_extract": (events_json_extract, JSON_SQL),
+    "custdist_order_counts": (custdist_order_counts, CUSTDIST_SQL),
+    "large_volume_customers": (large_volume_customers, LARGE_VOLUME_SQL),
+    "weekly_revenue_wow": (weekly_revenue_wow, WEEKLY_WOW_SQL),
+    "setop_repeat_customers": (setop_repeat_customers, SETOP_INTERSECT_SQL),
+    "setop_lapsed_customers": (setop_lapsed_customers, SETOP_EXCEPT_SQL),
+    "range_join_value_bins": (range_join_value_bins, RANGE_JOIN_SQL),
+    "events_gapfill_daily": (events_gapfill_daily, GAPFILL_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
+    "embedding_centroids": (embedding_centroids, EMB_CENTROID_SQL),
 }
 
 
