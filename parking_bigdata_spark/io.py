@@ -122,6 +122,24 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source. ORC carries its schema and per-stripe min/max
+    statistics, so scans get the same pushdown/pruning treatment as
+    parquet (predicate pushdown is on by default via
+    ``spark.sql.orc.filterPushdown``)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None,
+              mode: str = "overwrite") -> None:
+    """ORC sink — the columnar alternative for Hive-ecosystem consumers;
+    supports the same partition layout as the parquet sink."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def read_clean_csv(spark: SparkSession, path: str, schema=None,
                    numeric_sentinel_cols: list[str] | None = None,
                    renames: dict[str, str] | None = None) -> DataFrame:

@@ -113,26 +113,69 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.4,
 
 
 def ivf_fit_centroids(df: DataFrame, n_cells: int = 16, seed: int = 42,
-                      vec_col: str = "embedding"):
-    """Coarse quantizer for IVF: distributed k-means (MLlib) over the
-    corpus. Returns the fitted model; centroids are k×dim — driver-tiny."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-    feats = df.select(array_to_vector(_as_double(F.col(vec_col)))
-                      .alias("features"))
-    # maxIter=8: the quantizer only needs rough cells (recall comes from
-    # nprobe), and each extra iteration is a full corpus pass at scale.
-    return KMeans(k=n_cells, seed=seed, maxIter=8).fit(feats)
+                      vec_col: str = "embedding",
+                      sample_cap: int = 100_000,
+                      max_iter: int = 8) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means trained on a bounded sample.
+
+    The quantizer never needs the full corpus — IVF systems train on a
+    capped sample (recall comes from nprobe, not quantizer precision).
+    So instead of an iterative distributed k-means (one full corpus
+    pass *per iteration* at 100 TB), we pull ``sample_cap`` vectors to
+    the driver once and run seeded Lloyd's with k-means++ init in
+    numpy. Returns the (n_cells, dim) centroid matrix — broadcast-tiny.
+    """
+    rows = (df.select(_as_double(F.col(vec_col)).alias("v"))
+              .limit(sample_cap).collect())
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding with incremental min-distance updates
+    C = [X[rng.integers(len(X))]]
+    d2 = ((X - C[0]) ** 2).sum(axis=1)
+    for _ in range(1, n_cells):
+        tot = d2.sum()
+        i = (rng.integers(len(X)) if tot <= 0
+             else rng.choice(len(X), p=d2 / tot))
+        C.append(X[i])
+        d2 = np.minimum(d2, ((X - X[i]) ** 2).sum(axis=1))
+    C = np.asarray(C)
+    x2 = (X ** 2).sum(axis=1)[:, None]
+    for _ in range(max_iter):
+        # squared distances via the expanded form — one GEMM, no n×k×dim
+        d = x2 + (C ** 2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        a = d.argmin(axis=1)
+        for j in range(n_cells):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
 
 
-def ivf_assign(df: DataFrame, model, id_col: str = "vec_id",
+def ivf_assign(df: DataFrame, centroids: np.ndarray, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
-    """Cell assignment — a pure map via the model's transform."""
-    from pyspark.ml.functions import array_to_vector
-    feats = df.withColumn("features",
-                          array_to_vector(_as_double(F.col(vec_col))))
-    return (model.transform(feats)
-                 .select(id_col, vec_col, F.col("prediction").alias("cell")))
+    """Cell assignment: argmin distance against the broadcast centroid
+    matrix, computed as one numpy GEMM per Arrow batch (mapInPandas).
+    A pure map — no shuffle, no per-row Python."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    c2 = (C ** 2).sum(axis=1)
+    src = df.select(id_col, vec_col)
+    out_schema = StructType(
+        list(src.schema.fields) + [StructField("cell", IntegerType())])
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            # x² term is constant per row for the argmin — skip it
+            cells = (c2[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
+            yield pdf.assign(cell=pd.Series(cells, index=pdf.index,
+                                            dtype="int32"))
+
+    return src.mapInPandas(assign, out_schema)
 
 
 def ivf_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
@@ -149,12 +192,12 @@ def ivf_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
     n_cells-row frame — never collected per-row.
     """
     from pyspark.sql import Window
-    model = ivf_fit_centroids(df, n_cells, seed, vec_col)
+    centroids = ivf_fit_centroids(df, n_cells, seed, vec_col)
     spark = df.sparkSession
     cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        f"cell int, centroid array<double>")
-    corpus = ivf_assign(df, model, id_col, vec_col)
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>")
+    corpus = ivf_assign(df, centroids, id_col, vec_col)
 
     q = query_df.select(F.col(id_col).alias("query_id"),
                         _as_double(F.col(vec_col)).alias("qv"))

@@ -92,6 +92,23 @@ def test_write_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
 
 
+def test_orc_roundtrip_pruning_and_pushdown(spark, sf_dir, tmp_path):
+    from parking_bigdata_spark.io import read_orc, write_orc
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(orders, out, partition_by=["o_orderstatus"])
+    back = read_orc(spark, out)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
+    plan = (back.where((F.col("o_orderstatus") == "F")
+                       & (F.col("o_totalprice") > 1000.0))
+            ._jdf.queryExecution().executedPlan().toString())
+    # directory-level pruning on the partition column...
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    # ...and predicate pushdown into the ORC stripe reader
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+
+
 def test_json_roundtrip(spark, sf_dir, tmp_path):
     from parking_bigdata_spark.io import read_json, write_json
     nation = load_table(spark, sf_dir, "nation")
