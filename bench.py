@@ -48,6 +48,16 @@ HEADLINE = [
     "pipeline_clean_corpus",
     "ols_normal_eq",
     "pca_explained_variance",
+    "custdist_order_counts",
+    "large_volume_customers",
+    "weekly_revenue_wow",
+    "range_join_value_bins",
+    "events_gapfill_daily",
+    "events_hopping_windows",
+    "grouping_sets_revenue",
+    "tfidf_top_terms",
+    "embedding_centroids",
+    "multimodal_features",
 ]
 
 

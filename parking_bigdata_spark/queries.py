@@ -1701,6 +1701,91 @@ GROUP BY label, dim
 
 
 # --------------------------------------------------------------------------
+# C10. Hopping (sliding) windows: 1-day windows every 12 hours — each
+# event lands in exactly window_len/slide = 2 windows. Spark's
+# F.window generates the copies inside codegen; the oracle replays the
+# same epoch-aligned arithmetic. Streaming form: identical expression
+# under readStream (see streaming/events.py).
+# --------------------------------------------------------------------------
+
+def events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 day", "12 hours")
+    return (ev.groupBy(w.alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("win_start"),
+                    F.col("w.end").alias("win_end"),
+                    "event_type", "n", "sum_value"))
+
+HOPPING_SQL = """
+WITH x AS (
+  SELECT event_type, value, epoch_us(ts) // 43200000000 AS k
+  FROM events
+), ex AS (
+  SELECT event_type, value,
+         make_timestamp((k - i) * 43200000000)       AS win_start,
+         make_timestamp((k - i + 2) * 43200000000)   AS win_end
+  FROM x CROSS JOIN (SELECT unnest([0, 1]) AS i)
+)
+SELECT win_start, win_end, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM ex
+GROUP BY win_start, win_end, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# C11. GROUPING SETS: heterogeneous subtotal groups in a single pass
+# (Spark expands them through one Expand + one shuffle, not one job
+# per set — the same trick cube/rollup use, but with arbitrary sets).
+# --------------------------------------------------------------------------
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders") \
+        .createOrReplaceTempView("pbs_orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 4) AS revenue
+        FROM pbs_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 4) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# B11. Multimodal pipeline end-to-end (rows-only): synthesize a binary
+# asset table from documents (payload = utf-8 bytes), run the Arrow-
+# batched feature-extraction kernel (decode step is a deterministic
+# STUB — see operators/multimodal.py), aggregate per modality. The
+# Spark-side plumbing (binary column, mapInPandas batch shape, schema)
+# is the real production path; only the codec is fake.
+# --------------------------------------------------------------------------
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as mm
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+         .when(F.col("doc_id") % 3 == 1, "audio")
+         .otherwise("video").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"))
+    feats = mm.extract_features(assets)
+    return (feats.groupBy("modality")
+            .agg(F.count(F.lit(1)).alias("n_assets"),
+                 F.sum("n_bytes").alias("total_bytes"),
+                 F.round(F.avg(F.element_at("feature", 2)), 4)
+                  .alias("avg_mean_byte")))
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1778,6 +1863,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_gapfill_daily": (events_gapfill_daily, GAPFILL_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "embedding_centroids": (embedding_centroids, EMB_CENTROID_SQL),
+    "events_hopping_windows": (events_hopping_windows, HOPPING_SQL),
+    "grouping_sets_revenue": (grouping_sets_revenue, GROUPING_SETS_SQL),
+    "multimodal_features": (multimodal_features, None),
 }
 
 
