@@ -132,11 +132,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     stack = ", ".join(f"{b}, bh{b}" for b in range(n_bands))
     bands = wide.selectExpr(
         id_col, f"stack({n_bands}, {stack}) as (band, band_hash)")
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
-    return (a.join(b, ["band", "band_hash"])
-             .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b").distinct())
+    # Pair generation WITHOUT a self-join: group each bucket, collect the
+    # (bounded, sorted) id list, and expand i<j pairs with array
+    # expressions. A self-join would evaluate the entire signature
+    # pipeline twice (Catalyst does not share common subplans across
+    # join sides) and add a third shuffle; this form computes signatures
+    # once and shuffles only (band, band_hash) -> tiny id lists. Bucket
+    # sizes are bounded by LSH construction, so the m*(m-1)/2 expansion
+    # per bucket stays small; a pathological hot bucket would need a
+    # bucket-size cap upstream, not a different join strategy.
+    buckets = (bands.groupBy("band", "band_hash")
+               .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+               .where(F.size("ids") >= 2))
+    pairs = buckets.select(F.explode(F.expr(
+        "flatten(transform(sequence(1, size(ids) - 1), "
+        "i -> transform(slice(ids, i + 1, size(ids) - i), "
+        "x -> struct(element_at(ids, i) AS id_a, x AS id_b))))"
+    )).alias("p"))
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
@@ -172,13 +185,22 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     come from an explode + equi-join on the gram (shuffle on gram, not a
     cross join); set sizes join back; jaccard = inter/(|A|+|B|-inter).
     """
+    from pyspark import StorageLevel
+
     grams = word_ngrams(df, text_col, ngram)
     keep = [id_col] + ([group_col] if group_col else [])
     # explode_outer: see minhash_signatures — avoids the inferred
     # size(grams)>0 filter that would duplicate the tokenization.
+    # Persisted because the plan consumes it THREE times (both pair
+    # sides + set sizes) and Catalyst recomputes unshared subplans —
+    # without the persist the regex tokenization runs 3x over the
+    # corpus. MEMORY_AND_DISK: at 100 TB the gram table spills rather
+    # than OOMing; materializing it once is exactly what a production
+    # near-dup pipeline does (it is the reusable intermediate).
     g = (grams.select(*keep, F.explode_outer("grams").alias("gram"))
-              .where(F.col("gram").isNotNull()))
-    sizes = grams.select(*keep, F.size("grams").alias("sz"))
+              .where(F.col("gram").isNotNull())
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    sizes = g.groupBy(*keep).agg(F.count(F.lit(1)).alias("sz"))
     join_keys = ["gram"] + ([group_col] if group_col else [])
     a = g.select(*[F.col(c).alias(f"{c}_a") if c == id_col else F.col(c)
                    for c in g.columns])
