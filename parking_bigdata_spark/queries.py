@@ -1786,6 +1786,164 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A38. Correlated-subquery pattern: orders above their own customer's
+# average. Decorrelated into a partition window (one shuffle on
+# o_custkey) rather than a self-join — the classic rewrite Catalyst
+# would also pick for a correlated scalar subquery.
+# --------------------------------------------------------------------------
+
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    enriched = orders.withColumn(
+        "cust_avg", F.avg("o_totalprice").over(w))
+    return (enriched.where(F.col("o_totalprice") > F.col("cust_avg"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_above"),
+                 F.round(F.avg("o_totalprice"), 4).alias("avg_price_above")))
+
+ABOVE_AVG_SQL = """
+SELECT o_orderpriority, count(*) AS n_above,
+       round(avg(o_totalprice), 4) AS avg_price_above
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+)
+WHERE o_totalprice > cust_avg
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# A39. NTILE decile profile of customer balances. The global ntile is
+# an intentionally single-partition sort (deterministic total order via
+# the custkey tiebreak); the scale path swaps it for approx_percentile
+# cut points + a broadcast bin join — same output contract.
+# --------------------------------------------------------------------------
+
+def acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (cust.withColumn("decile", F.ntile(10).over(w))
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("c_acctbal"), 4).alias("lo"),
+                 F.round(F.max("c_acctbal"), 4).alias("hi"),
+                 F.round(F.avg("c_acctbal"), 4).alias("avg_bal")))
+
+DECILES_SQL = """
+SELECT decile, count(*) AS n,
+       round(min(c_acctbal), 4) AS lo,
+       round(max(c_acctbal), 4) AS hi,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM (
+  SELECT c_acctbal,
+         ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer
+)
+GROUP BY decile
+"""
+
+
+# --------------------------------------------------------------------------
+# A40. Array aggregation: collect each customer's order priorities into
+# a sorted list, serialized with array_join so the output is a scalar
+# column (engine-portable). collect_list alone is order-nondeterministic
+# — the sort_array is what makes the result well-defined.
+# --------------------------------------------------------------------------
+
+def customer_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.array_join(
+                     F.sort_array(F.collect_list("o_orderpriority")), ",")
+                  .alias("priorities")))
+
+PRIORITY_HISTORY_SQL = """
+SELECT o_custkey, count(*) AS n_orders,
+       array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# A18d. Kruskal-Wallis rank test (nonparametric ANOVA) — rank-based
+# group comparison without normality assumptions, complementing A17/A18.
+#
+# Scale design: ranks are NEVER assigned per row. Tie-averaged ranks
+# are computed on the DISTINCT-value table (groupBy value → cumulative
+# count window), then joined back to per-(group, value) counts. The
+# only sort is over distinct values — typically orders of magnitude
+# smaller than the fact table. All rank sums are half-integers, so the
+# double arithmetic is exact and engine-order-independent until the
+# final division.
+# --------------------------------------------------------------------------
+
+def kruskal_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_mktsegment", "c_acctbal")
+            .where(F.col("c_acctbal").isNotNull()))
+    vals = cust.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("t"))
+    w = (Window.orderBy("c_acctbal")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = (vals.withColumn("cum", F.sum("t").over(w))
+              .withColumn("avg_rank",
+                          F.col("cum") - F.col("t")
+                          + (F.col("t") + 1) / F.lit(2.0)))
+    per = (cust.groupBy("c_mktsegment", "c_acctbal")
+           .agg(F.count(F.lit(1)).alias("n_vg")))
+    grp = (per.join(ranked.select("c_acctbal", "avg_rank"), "c_acctbal")
+           .groupBy("c_mktsegment")
+           .agg(F.sum(F.col("avg_rank") * F.col("n_vg")).alias("rg"),
+                F.sum("n_vg").alias("ng")))
+    tot = grp.agg(F.sum("ng").alias("n"),
+                  F.count(F.lit(1)).alias("k"),
+                  F.sum(F.col("rg") * F.col("rg") / F.col("ng")).alias("s"))
+    ties = vals.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+         .alias("tie3"))
+    n, k, s, tie3 = F.col("n"), F.col("k"), F.col("s"), F.col("tie3")
+    h = ((F.lit(12.0) * s / (n * (n + 1)) - 3 * (n + 1))
+         / (1 - tie3 / (n * n * n - n).cast("double")))
+    return tot.crossJoin(ties).select(n, k, F.round(h, 4).alias("h_stat"))
+
+KRUSKAL_SQL = """
+WITH c AS (
+  SELECT c_mktsegment, c_acctbal FROM customer WHERE c_acctbal IS NOT NULL
+), vals AS (
+  SELECT c_acctbal, count(*) AS t FROM c GROUP BY c_acctbal
+), ranked AS (
+  SELECT c_acctbal, t,
+         sum(t) OVER (ORDER BY c_acctbal
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM vals
+), r2 AS (
+  SELECT c_acctbal, cum - t + (t + 1) / 2.0 AS avg_rank FROM ranked
+), per AS (
+  SELECT c_mktsegment, c_acctbal, count(*) AS n_vg FROM c GROUP BY 1, 2
+), grp AS (
+  SELECT c_mktsegment, sum(avg_rank * n_vg) AS rg,
+         CAST(sum(n_vg) AS BIGINT) AS ng
+  FROM per JOIN r2 USING (c_acctbal) GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(ng) AS BIGINT) AS n, count(*) AS k,
+         sum(rg * rg / ng) AS s
+  FROM grp
+), ties AS (
+  SELECT CAST(sum(t*t*t - t) AS BIGINT) AS tie3 FROM vals
+)
+SELECT n, k,
+       round((12.0 * s / (n * (n + 1)) - 3 * (n + 1))
+             / (1 - tie3 / CAST(n*n*n - n AS DOUBLE)), 4) AS h_stat
+FROM tot, ties
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1866,6 +2024,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_hopping_windows": (events_hopping_windows, HOPPING_SQL),
     "grouping_sets_revenue": (grouping_sets_revenue, GROUPING_SETS_SQL),
     "multimodal_features": (multimodal_features, None),
+    "orders_above_customer_avg": (orders_above_customer_avg, ABOVE_AVG_SQL),
+    "acctbal_deciles": (acctbal_deciles, DECILES_SQL),
+    "customer_priority_history": (customer_priority_history,
+                                  PRIORITY_HISTORY_SQL),
+    "kruskal_acctbal_by_segment": (kruskal_acctbal_by_segment, KRUSKAL_SQL),
 }
 
 
