@@ -80,7 +80,8 @@ def read_events_stream(spark: SparkSession, directory: str,
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour",
-                    watermark: str = "2 hours") -> DataFrame:
+                    watermark: str = "2 hours",
+                    slide: str | None = None) -> DataFrame:
     """Watermarked tumbling-window aggregation — the streaming form of
     the batch ``events_windowed`` query.
 
@@ -90,9 +91,11 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
     the drain-everything test runner below) retains all windows by
     definition and ignores watermark eviction.
     """
+    w = (F.window("ts", window, slide) if slide
+         else F.window("ts", window))
     return (events
             .withWatermark("ts", watermark)
-            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .groupBy(w.alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 4).alias("sum_value"))
             .select(F.col("w.start").alias("wstart"), "event_type",
@@ -127,6 +130,42 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return (events
             .withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["event_id"]))
+
+
+def enrich_with_static(events: DataFrame, dim: DataFrame,
+                       on: str = "event_type") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (small) static dimension, which Spark broadcasts — per-batch map-side
+    hash join, no stream-side shuffle and no state. The standard pattern
+    for attaching slowly-changing reference data to a stream; for
+    stream-stream joins use watermarks on both sides instead."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def run_foreach_batch_sink(spark: SparkSession, path: str, out_dir: str,
+                           window: str = "1 hour") -> None:
+    """Production sink shape: ``foreachBatch`` hands each micro-batch to
+    arbitrary batch-writer logic with its batch id — the hook for
+    idempotent upserts/merges into stores without a native streaming
+    sink. Here each batch overwrites its own subdirectory keyed by
+    batch id, so replays of a failed batch are idempotent (same id →
+    same directory → overwrite, not duplicate).
+
+    Uses update output mode: only windows changed by the batch are
+    re-emitted, so the per-batch write volume tracks the batch, not the
+    full history (complete mode would rewrite everything every batch).
+    """
+    stream = windowed_counts(read_events_stream(spark, path), window)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (stream.writeStream
+               .foreachBatch(write_batch)
+               .outputMode("update")
+               .trigger(availableNow=True)
+               .start())
+    q.awaitTermination()
 
 
 def user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

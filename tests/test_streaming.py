@@ -68,3 +68,57 @@ def test_streaming_running_totals(spark, sf_dir):
     rows = spark.table("t_user_totals").collect()
     assert len(rows) > 0
     assert all(r["n_events"] > 0 for r in rows)
+
+
+def test_streaming_hopping_matches_batch(spark, sf_dir):
+    """Sliding windows in the stream: 1d/12h hopping counts drained via
+    availableNow equal the batch hopping-window query."""
+    from pyspark.sql import functions as F
+
+    batch = {(r["win_start"], r["event_type"]): r["n"]
+             for r in Q.events_hopping_windows(spark, sf_dir).collect()}
+    stream = stream_ev.windowed_counts(
+        stream_ev.read_events_stream(spark, sf_dir),
+        window="1 day", slide="12 hours")
+    q = (stream.writeStream.format("memory").queryName("t_stream_hop")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["wstart"], r["event_type"]): r["n_events"]
+           for r in spark.table("t_stream_hop").collect()}
+    assert got == batch
+
+
+def test_stream_static_enrichment_broadcasts(spark, sf_dir):
+    ev = stream_ev.read_events_stream(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [("purchase", 1.0), ("click", 0.1)], "event_type string, weight double")
+    enriched = stream_ev.enrich_with_static(ev, dim)
+    q = (enriched.writeStream.format("memory").queryName("t_stream_enrich")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table("t_stream_enrich")
+    total = out.count()
+    assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # joined rows carry the weight; unmatched types stay (left join)
+    from pyspark.sql import functions as F
+    matched = out.where(F.col("weight").isNotNull()).count()
+    assert 0 < matched < total
+
+
+def test_foreach_batch_sink_idempotent_layout(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "fb_out")
+    stream_ev.run_foreach_batch_sink(spark, sf_dir, out)
+    back = spark.read.option("basePath", out).parquet(out + "/batch=*")
+    # update-mode deltas across batches must reassemble to the batch
+    # answer: latest emission per (window, type) wins
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    latest = (back.withColumn(
+        "rk", F.row_number().over(
+            W.partitionBy("wstart", "event_type").orderBy(F.col("batch").desc())))
+        .where(F.col("rk") == 1))
+    batch = {(r["wstart"], r["event_type"]): (r["n_events"], r["sum_value"])
+             for r in Q.events_windowed(spark, sf_dir).collect()}
+    got = {(r["wstart"], r["event_type"]): (r["n_events"], r["sum_value"])
+           for r in latest.collect()}
+    assert got == batch
