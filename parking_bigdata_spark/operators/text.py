@@ -109,6 +109,57 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                .drop("__norm", "__kh"))
 
 
+#: PII patterns shared by the Spark operator and the DuckDB oracle.
+#: Kept to the RE2 ∩ java.util.regex common subset (no lookaround) so
+#: the exact same string compiles identically in both engines.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask emails/phone numbers with typed placeholder tokens and count
+    the hits — the standard pre-training scrub pass.
+
+    Pure ``regexp_count``/``regexp_replace`` built-ins: one codegen'd
+    projection, no shuffle, scales with input splits. Phones are counted
+    AFTER email masking so an address like ``555-123-4567@x.com`` is
+    attributed to exactly one category (replacement order is part of the
+    operator contract).
+    """
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(EMAIL_RE))
+    masked = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_phones = F.regexp_count(masked, F.lit(PHONE_RE))
+    masked = F.regexp_replace(masked, PHONE_RE, "<PHONE>")
+    return (df.withColumn("n_emails", n_emails)
+              .withColumn("n_phones", n_phones)
+              .withColumn("redacted", masked))
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals, step 1 of 2: normalized word
+    array + duplicate-word ratio (1 - distinct/total), plus the bigram
+    array for the top-bigram-fraction aggregation downstream.
+
+    The word array is materialized as a real column before any lambda
+    touches it (expressions inside higher-order-function lambdas
+    re-evaluate per element), and the bigram builder is guarded with
+    ``when(n >= 2)`` because ``sequence(1, 0)`` is DESCENDING in Spark
+    and would make ``slice``/index math throw under ANSI mode.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    out = df.withColumn("__words", F.split(norm, " "))
+    n = F.size("__words")
+    dup = (F.lit(1.0)
+           - F.size(F.array_distinct("__words")).cast("double") / n)
+    bigrams = F.when(n >= 2, F.expr(
+        "transform(sequence(1, size(__words) - 1), "
+        "i -> concat(__words[i-1], ' ', __words[i]))"
+    )).otherwise(F.array().cast("array<string>"))
+    return (out.withColumn("dup_word_ratio", dup)
+               .withColumn("__bigrams", bigrams))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 over the
     whitespace-normalized, lowercased text — the canonical-form hash

@@ -1163,6 +1163,226 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# B18. Repetition signals (Gopher quality filters): duplicate-word ratio
+# and top-bigram fraction per document. The bigram mode is computed by
+# explode → two-level agg (linear, distributed) — never a per-doc O(n²)
+# array scan, which would blow up on long documents at 100 TB.
+# --------------------------------------------------------------------------
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = (text_ops.repetition_signals(docs)
+            .select("doc_id", "dup_word_ratio", "__bigrams"))
+    grams = (base.select("doc_id", "dup_word_ratio",
+                         F.explode_outer("__bigrams").alias("bigram"))
+                 .where(F.col("bigram").isNotNull()))
+    counts = grams.groupBy("doc_id", "dup_word_ratio", "bigram").count()
+    # dup_word_ratio is functionally dependent on doc_id — carrying it
+    # as a grouping key avoids a join back to the base table.
+    return (counts.groupBy("doc_id", "dup_word_ratio")
+            .agg((F.max("count").cast("double")
+                  / F.sum("count").cast("double")).alias("__r"))
+            .select("doc_id",
+                    F.round("dup_word_ratio", 4).alias("dup_word_ratio"),
+                    F.round("__r", 4).alias("top_bigram_ratio")))
+
+TEXT_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+  FROM documents
+), sig AS (
+  SELECT doc_id, words,
+         1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS dup_word_ratio
+  FROM base
+), grams AS (
+  SELECT doc_id, dup_word_ratio,
+         unnest(CASE WHEN len(words) >= 2
+                THEN list_transform(range(1, len(words)),
+                                    i -> words[i] || ' ' || words[i + 1])
+                ELSE CAST([] AS VARCHAR[]) END) AS bigram
+  FROM sig
+), counts AS (
+  SELECT doc_id, dup_word_ratio, bigram, count(*) AS c
+  FROM grams GROUP BY doc_id, dup_word_ratio, bigram
+)
+SELECT doc_id,
+       round(dup_word_ratio, 4) AS dup_word_ratio,
+       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_ratio
+FROM counts GROUP BY doc_id, dup_word_ratio
+"""
+
+
+# --------------------------------------------------------------------------
+# B19. PII redaction: mask emails/phones, count hits, fingerprint the
+# scrubbed text. Counts are 0 on the synthetic corpus (no PII in the
+# generator) — the redaction semantics themselves are unit-tested on
+# adversarial synthetic strings in tests/test_text_ops.py.
+# --------------------------------------------------------------------------
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    red = text_ops.pii_redact(docs)
+    return red.select(
+        "doc_id", "n_emails", "n_phones",
+        F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"))
+
+PII_REDACTION_SQL = rf"""
+WITH r AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{text_ops.EMAIL_RE}')) AS n_emails,
+         regexp_replace(text, '{text_ops.EMAIL_RE}', '<EMAIL>', 'g') AS masked
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_emails AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(masked, '{text_ops.PHONE_RE}')) AS INT) AS n_phones,
+       md5(regexp_replace(masked, '{text_ops.PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# B20. Corpus quality funnel per source: how many documents survive each
+# filter gate (length band, stopword floor, repetition ceiling) — the
+# per-shard acceptance report every cleaning pipeline emits. Gates
+# compare UNROUNDED doubles (identical IEEE arithmetic both engines);
+# outputs are integer counts, bit-exact by construction. Single shuffle.
+# --------------------------------------------------------------------------
+
+def quality_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_words = F.size(F.split(F.trim(t), r"\s+"))
+    n_stop = F.regexp_count(
+        F.lower(t), F.lit(r"\b(the|a|of|to|and|is|in|that|it|for)\b"))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_words, F.lit(1))
+    words = F.split(F.lower(F.trim(F.regexp_replace(t, r"\s+", " "))), " ")
+    dup_ratio = (F.lit(1.0) - F.size(F.array_distinct(words)).cast("double")
+                 / F.size(words))
+    p_len = n_chars.between(100, 10000)
+    p_stop = stop_ratio >= 0.01
+    p_dup = dup_ratio <= 0.6
+    flags = docs.select(
+        "source",
+        p_len.cast("long").alias("f_len"),
+        p_stop.cast("long").alias("f_stop"),
+        p_dup.cast("long").alias("f_dup"),
+        (p_len & p_stop & p_dup).cast("long").alias("f_all"))
+    return (flags.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("f_len").alias("pass_len"),
+                 F.sum("f_stop").alias("pass_stop"),
+                 F.sum("f_dup").alias("pass_dup"),
+                 F.sum("f_all").alias("pass_all")))
+
+QUALITY_FUNNEL_SQL = r"""
+WITH f AS (
+  SELECT source,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_words,
+         len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|is|in|that|it|for)\b')) AS n_stop,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS words
+  FROM documents
+), g AS (
+  SELECT source,
+         (n_chars BETWEEN 100 AND 10000) AS p_len,
+         (CAST(n_stop AS DOUBLE) / greatest(n_words, 1) >= 0.01) AS p_stop,
+         (1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words) <= 0.6) AS p_dup
+  FROM f
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN p_len THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+       CAST(sum(CASE WHEN p_stop THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop,
+       CAST(sum(CASE WHEN p_dup THEN 1 ELSE 0 END) AS BIGINT) AS pass_dup,
+       CAST(sum(CASE WHEN p_len AND p_stop AND p_dup THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+FROM g GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# B21. Percentile length filter per language: p05/p95 length bounds per
+# lang, then count the surviving documents. Exact percentile here (sorts
+# within group); at 100 TB swap `percentile` → `approx_percentile` —
+# the query shape (tiny bounds agg, broadcast join back so the corpus
+# side never shuffles) is the scale design.
+# --------------------------------------------------------------------------
+
+def length_filter_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.expr("percentile(CAST(n_chars AS DOUBLE), 0.05)").alias("p05"),
+        F.expr("percentile(CAST(n_chars AS DOUBLE), 0.95)").alias("p95"),
+        F.count("*").alias("n_docs"))
+    kept = (docs.join(F.broadcast(bounds.select("lang", "p05", "p95")), "lang")
+                .where((F.col("n_chars") >= F.col("p05"))
+                       & (F.col("n_chars") <= F.col("p95")))
+                .groupBy("lang").agg(F.count("*").alias("n_kept")))
+    return (bounds.join(kept, "lang")
+            .select("lang",
+                    F.round("p05", 4).alias("p05"),
+                    F.round("p95", 4).alias("p95"),
+                    "n_docs", "n_kept"))
+
+LENGTH_FILTER_SQL = """
+WITH b AS (
+  SELECT lang,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS p05,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p95,
+         count(*) AS n_docs
+  FROM documents GROUP BY lang
+), s AS (
+  SELECT d.lang, count(*) AS n_kept
+  FROM documents d JOIN b ON d.lang = b.lang
+  WHERE d.n_chars >= b.p05 AND d.n_chars <= b.p95
+  GROUP BY d.lang
+)
+SELECT b.lang, round(p05, 4) AS p05, round(p95, 4) AS p95, n_docs, n_kept
+FROM b JOIN s ON b.lang = s.lang
+"""
+
+
+# --------------------------------------------------------------------------
+# B1b. Exact dedup, keep-BEST variant: retain the longest replica per
+# fingerprint group (ties → lowest doc_id) instead of the minimum id —
+# the retention policy real pipelines use ("keep the highest-quality
+# copy"). One shuffle on the fingerprint hash; exact-dup groups are
+# small so the window partition never skews.
+# --------------------------------------------------------------------------
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = text_ops.fingerprint(docs).select("doc_id", "n_chars", "fingerprint")
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    return (fp.withColumn("rn", F.row_number().over(w))
+              .withColumn("group_size",
+                          F.count("*").over(Window.partitionBy("fingerprint")))
+              .where(F.col("rn") == 1)
+              .select("fingerprint",
+                      F.col("doc_id").alias("kept_doc_id"),
+                      "group_size"))
+
+DEDUP_KEEP_BEST_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, n_chars,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+  FROM documents
+), r AS (
+  SELECT fingerprint, doc_id, n_chars,
+         row_number() OVER (PARTITION BY fingerprint
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY fingerprint) AS group_size
+  FROM fp
+)
+SELECT fingerprint, doc_id AS kept_doc_id, CAST(group_size AS BIGINT) AS group_size
+FROM r WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # C1. As-of join: each event matched to the user's most recent purchase
 # at or before it (union + keyed window — see operators/temporal.py).
 # Oracle: DuckDB's native ASOF LEFT JOIN.
@@ -2002,6 +2222,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
+    "pii_redaction": (pii_redaction, PII_REDACTION_SQL),
+    "quality_funnel_by_source": (quality_funnel_by_source, QUALITY_FUNNEL_SQL),
+    "length_filter_by_lang": (length_filter_by_lang, LENGTH_FILTER_SQL),
+    "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "winnow_overlap": (winnow_overlap, None),
     "pipeline_clean_corpus": (pipeline_clean_corpus, PIPELINE_CLEAN_SQL),
     "sketch_distinct_parts": (sketch_distinct_parts, None),

@@ -209,3 +209,37 @@ def test_describe_profile_values(spark):
     r = profile.describe_table(df, ["x"]).collect()[0]
     assert r["n"] == 3 and r["n_nulls"] == 1 and r["n_distinct"] == 3
     assert r["mean"] == 2.0 and r["min_val"] == 1.0 and r["max_val"] == 3.0
+
+
+def test_pii_redact_masks_and_counts(spark):
+    from parking_bigdata_spark.operators import text as text_ops
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@example.co.uk or call 555-123-4567 now"),
+         (2, "двa emails: x@y.io and snake_case%ok@sub.domain.org"),
+         (3, "no pii here, just 12345 and a-b-c"),
+         (4, "edge 555-1234-4567@host.com stays one email")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text_ops.pii_redact(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert "<EMAIL>" in out[1]["redacted"] and "<PHONE>" in out[1]["redacted"]
+    assert "555-123-4567" not in out[1]["redacted"]
+    assert out[2]["n_emails"] == 2 and out[2]["n_phones"] == 0
+    assert out[3]["n_emails"] == 0 and out[3]["n_phones"] == 0
+    # email is masked first, so the embedded phone-shaped prefix is
+    # consumed by the email match — attributed to exactly one category
+    assert out[4]["n_emails"] == 1 and out[4]["n_phones"] == 0
+
+
+def test_repetition_signals_values(spark):
+    from parking_bigdata_spark.operators import text as text_ops
+    df = spark.createDataFrame(
+        [(1, "a a a a"),            # 1 distinct of 4 words -> 0.75
+         (2, "w x y z"),            # all distinct -> 0.0
+         (3, "solo")],              # single word: no bigrams
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text_ops.repetition_signals(df).collect()}
+    assert abs(out[1]["dup_word_ratio"] - 0.75) < 1e-12
+    assert out[1]["__bigrams"] == ["a a", "a a", "a a"]
+    assert out[2]["dup_word_ratio"] == 0.0
+    assert out[3]["__bigrams"] == []
