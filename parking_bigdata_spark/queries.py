@@ -1383,6 +1383,103 @@ FROM r WHERE rn = 1
 
 
 # --------------------------------------------------------------------------
+# C12. Strict conversion funnel (view → click → purchase, in order):
+# each stage's timestamp must be at or after the previous stage's first
+# qualifying timestamp. Three window passes over the SAME partitioning
+# (user_id) — Spark shuffles once and reuses the sort for the two
+# subsequent windows — then a per-user collapse and a global count.
+# --------------------------------------------------------------------------
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t, ty = F.col("ts"), F.col("event_type")
+    d = ev.withColumn(
+        "t_view", F.min(F.when(ty == "view", t)).over(w))
+    d = d.withColumn(
+        "t_click", F.min(F.when((ty == "click")
+                                & (t >= F.col("t_view")), t)).over(w))
+    d = d.withColumn(
+        "t_purchase", F.min(F.when((ty == "purchase")
+                                   & (t >= F.col("t_click")), t)).over(w))
+    per_user = d.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"))
+    return per_user.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("t_click").isNotNull(), 1)).alias("n_click_after_view"),
+        F.count(F.when(F.col("t_purchase").isNotNull(), 1)).alias("n_purchase_after_click"))
+
+FUNNEL_SQL = """
+WITH d1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM events
+), d2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
+              OVER (PARTITION BY user_id) AS t_click
+  FROM d1
+), d3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
+              OVER (PARTITION BY user_id) AS t_purchase
+  FROM d2
+), per_user AS (
+  SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+         max(t_purchase) AS t_purchase
+  FROM d3 GROUP BY user_id
+)
+SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+       count(CASE WHEN t_click IS NOT NULL THEN 1 END) AS n_click_after_view,
+       count(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS n_purchase_after_click
+FROM per_user
+"""
+
+
+# --------------------------------------------------------------------------
+# C13. Weekly cohort retention: users grouped by the week of their first
+# event; for each (cohort week, weeks-since-cohort) cell, the count of
+# distinct active users. One window over user_id (first-event ts), then
+# a single distinct-agg shuffle on the (cohort, offset) grid — the
+# output is weeks × weeks, tiny regardless of input scale.
+# --------------------------------------------------------------------------
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    d = ev.withColumn("first_ts", F.min("ts").over(w))
+    d = d.select(
+        "user_id",
+        # ISO string, not DATE: pandas renders Spark DATE and DuckDB DATE
+        # differently (date vs Timestamp) and the driver hashes the repr
+        F.date_format(F.date_trunc("week", "first_ts"),
+                      "yyyy-MM-dd").alias("cohort_week"),
+        ((F.datediff(F.date_trunc("week", "ts").cast("date"),
+                     F.date_trunc("week", "first_ts").cast("date")) / 7)
+         .cast("long").alias("week_offset")))
+    return (d.groupBy("cohort_week", "week_offset")
+             .agg(F.countDistinct("user_id").alias("n_users")))
+
+COHORT_SQL = """
+WITH d AS (
+  SELECT user_id, ts,
+         min(ts) OVER (PARTITION BY user_id) AS first_ts
+  FROM events
+), g AS (
+  SELECT user_id,
+         strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cohort_week,
+         CAST(datediff('day', CAST(date_trunc('week', first_ts) AS DATE),
+                       CAST(date_trunc('week', ts) AS DATE)) / 7 AS BIGINT)
+           AS week_offset
+  FROM d
+)
+SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
+FROM g GROUP BY cohort_week, week_offset
+"""
+
+
+# --------------------------------------------------------------------------
 # C1. As-of join: each event matched to the user's most recent purchase
 # at or before it (union + keyed window — see operators/temporal.py).
 # Oracle: DuckDB's native ASOF LEFT JOIN.
@@ -2227,6 +2324,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_funnel_by_source": (quality_funnel_by_source, QUALITY_FUNNEL_SQL),
     "length_filter_by_lang": (length_filter_by_lang, LENGTH_FILTER_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
+    "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
+    "cohort_retention": (cohort_retention, COHORT_SQL),
     "winnow_overlap": (winnow_overlap, None),
     "pipeline_clean_corpus": (pipeline_clean_corpus, PIPELINE_CLEAN_SQL),
     "sketch_distinct_parts": (sketch_distinct_parts, None),
