@@ -197,8 +197,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # corpus. MEMORY_AND_DISK: at 100 TB the gram table spills rather
     # than OOMing; materializing it once is exactly what a production
     # near-dup pipeline does (it is the reusable intermediate).
+    # Join on xxhash64(gram), not the gram string: the pair-join
+    # shuffles this table twice, and an 8-byte long key both halves the
+    # shuffle width and compares faster than a ~20-byte UTF8 string.
+    # Collisions only matter past ~10^9 distinct grams (birthday bound);
+    # at that corpus size swap in a 128-bit hash or accept the ε
+    # intersection overcount — every production near-dup pipeline does.
     g = (grams.select(*keep, F.explode_outer("grams").alias("gram"))
               .where(F.col("gram").isNotNull())
+              .withColumn("gram", F.xxhash64("gram"))
               .persist(StorageLevel.MEMORY_AND_DISK))
     sizes = g.groupBy(*keep).agg(F.count(F.lit(1)).alias("sz"))
     join_keys = ["gram"] + ([group_col] if group_col else [])
