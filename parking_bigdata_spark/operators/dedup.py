@@ -225,3 +225,85 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                                 (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 4))
             .where(F.col("jaccard") >= threshold)
             .select(f"{id_col}_a", f"{id_col}_b", "n_inter", "jaccard"))
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst",
+                         max_iter: int = 25) -> DataFrame:
+    """Duplicate-cluster formation (B22): connected components over a
+    near-dup pair list by min-label propagation.
+
+    Pair generation (LSH / Jaccard) yields EDGES; retention policy needs
+    CLUSTERS — the transitive closure. Each round is one equi-join of
+    the symmetrized edge list against the current labels plus one
+    min-aggregate: label(v) <- min(label(v), min over neighbors). That
+    converges in O(graph diameter) rounds, and near-dup graphs are
+    shallow (replicas cluster around a canonical text), so a handful of
+    rounds suffices in practice. Convergence is detected from sum(lbl),
+    which strictly decreases while any label changes (labels only move
+    down) — one scalar action per round, no change-count join.
+
+    Scale notes: the edge list is persisted and reused every round; each
+    round's result is localCheckpoint()ed to truncate lineage (without
+    it round k replans k stacked joins and the plan grows
+    quadratically). For adversarial long-chain graphs switch the round
+    body to large-star/small-star (Kiveris et al., MapReduce CC), which
+    is O(log n) rounds built from the same join+min primitive.
+    """
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    labels = (e.select(F.col("u").alias("node")).distinct()
+               .withColumn("lbl", F.col("node"))
+               .localCheckpoint())
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (e.join(labels.withColumnRenamed("node", "u"), "u")
+                .select(F.col("v").alias("node"), "lbl")
+                .groupBy("node").agg(F.min("lbl").alias("nlbl")))
+        labels = (labels.join(nbr, "node", "left")
+                        .select("node",
+                                F.least(F.col("lbl"),
+                                        F.coalesce("nlbl", "lbl")).alias("lbl"))
+                        .localCheckpoint())
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    e.unpersist()
+    return labels
+
+
+def decontaminate(corpus: DataFrame, eval_df: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  ngram: int = 3) -> DataFrame:
+    """Benchmark decontamination (B23): flag corpus documents sharing
+    word n-grams with an evaluation set.
+
+    The eval set is tiny next to the corpus (benchmarks are MBs, the
+    corpus is TBs), so its distinct gram table is BROADCAST — the
+    corpus-side gram stream is filtered map-side and never shuffles for
+    the probe; the only shuffle is the per-doc overlap aggregate over
+    the (rare) matching rows. Grams join on xxhash64: 8-byte keys, and
+    the broadcast hash table stores longs instead of strings.
+
+    Returns one row per contaminated corpus document: ``n_shared_grams``
+    (distinct grams also present in the eval set) and ``n_eval_docs``
+    (distinct eval documents sharing at least one gram).
+    """
+    c = (word_ngrams(corpus.select(id_col, text_col), text_col, ngram)
+         .select(id_col, F.explode_outer("grams").alias("gram"))
+         .where(F.col("gram").isNotNull())
+         .withColumn("gh", F.xxhash64("gram")).drop("gram"))
+    ev = (word_ngrams(eval_df.select(id_col, text_col), text_col, ngram)
+          .select(F.col(id_col).alias("eval_id"),
+                  F.explode_outer("grams").alias("gram"))
+          .where(F.col("gram").isNotNull())
+          .withColumn("gh", F.xxhash64("gram")).drop("gram"))
+    return (c.join(F.broadcast(ev), "gh")
+             .groupBy(id_col)
+             .agg(F.countDistinct("gh").alias("n_shared_grams"),
+                  F.countDistinct("eval_id").alias("n_eval_docs")))

@@ -166,3 +166,53 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     used for exact dedup at scale (hash keys shuffle uniformly)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.withColumn("fingerprint", F.md5(norm.cast("binary")))
+
+
+def bigram_pmi(df: DataFrame, text_col: str = "text",
+               min_count: int = 5, top_k: int = 30) -> DataFrame:
+    """Collocation mining (B24): top adjacent-word bigrams by pointwise
+    mutual information, PMI = ln(N * c(ab) / (c(a) * c(b))).
+
+    One tokenize pass feeds BOTH count tables: bigrams explode to
+    (w1, w2) pairs, unigrams to tokens; each aggregates with map-side
+    partial combine (shuffle width = vocabulary, not corpus). The bigram
+    table then picks up c(a) and c(b) via two equi-joins on the
+    vocabulary-sized unigram table — at web scale a ~10M-row vocab is
+    borderline broadcastable, but the shuffle join is uniform (token
+    frequency skew lives in the COUNTS, already aggregated, not the join
+    keys). N arrives as a broadcast one-row cross join.
+
+    Ranking is by (count desc, w1, w2) — integer-deterministic, so the
+    top-k frontier never depends on floating-point PMI ties; PMI itself
+    is reported rounded.
+    """
+    toks_arr = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " ")),
+        r"\s+")
+    base = df.select(toks_arr.alias("__toks")).where(F.size("__toks") >= 2)
+    pairs_expr = (
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> struct(element_at(__toks, i) AS w1, "
+        "element_at(__toks, i + 1) AS w2))"
+    )
+    bg = (base.select(F.explode(F.expr(pairs_expr)).alias("p"))
+              .select("p.w1", "p.w2")
+              .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair")))
+    uni = (df.select(F.explode_outer(toks_arr).alias("tok"))
+             .where(F.col("tok").isNotNull())
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+             .persist())
+    total = uni.agg(F.sum("n_tok").alias("n_total"))
+    scored = (bg.where(F.col("n_pair") >= min_count)
+                .join(uni.select(F.col("tok").alias("w1"),
+                                 F.col("n_tok").alias("n_w1")), "w1")
+                .join(uni.select(F.col("tok").alias("w2"),
+                                 F.col("n_tok").alias("n_w2")), "w2")
+                .crossJoin(F.broadcast(total))
+                .withColumn("pmi", F.round(
+                    F.log(F.col("n_pair") * F.col("n_total") /
+                          (F.col("n_w1") * F.col("n_w2"))), 4)))
+    return (scored
+            .orderBy(F.col("n_pair").desc(), "w1", "w2")
+            .limit(top_k)
+            .select("w1", "w2", "n_pair", "pmi"))

@@ -2261,6 +2261,123 @@ FROM tot, ties
 
 
 # --------------------------------------------------------------------------
+# B22. Duplicate-cluster formation: connected components over the
+# near-dup pair list (iterative min-label propagation on Spark; the
+# oracle reaches the same fixpoint via a recursive CTE).
+# --------------------------------------------------------------------------
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, group_col="source",
+                                          ngram=3, threshold=0.05)
+    return dedup_ops.connected_components(pairs, src="doc_id_a",
+                                          dst="doc_id_b")
+
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+  FROM toks
+), exploded AS (
+  SELECT doc_id, source, unnest(g) AS gram FROM grams
+), inter AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS n_inter
+  FROM exploded a JOIN exploded b
+    ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT u, v FROM inter
+  JOIN grams ga ON ga.doc_id = u
+  JOIN grams gb ON gb.doc_id = v
+  WHERE n_inter / (len(ga.g) + len(gb.g) - n_inter) >= 0.05
+), edges AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node, min(lbl) AS lbl FROM reach GROUP BY node
+"""
+
+
+# --------------------------------------------------------------------------
+# B23. Benchmark decontamination: corpus docs sharing word 3-grams with
+# a (deterministically sampled) eval split. The eval side is broadcast.
+# --------------------------------------------------------------------------
+
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return dedup_ops.decontaminate(corpus, eval_df, ngram=3)
+
+DECONTAM_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram
+  FROM toks
+)
+SELECT c.doc_id AS doc_id,
+       count(DISTINCT c.gram) AS n_shared_grams,
+       count(DISTINCT e.doc_id) AS n_eval_docs
+FROM (SELECT * FROM grams WHERE doc_id % 20 <> 0) c
+JOIN (SELECT * FROM grams WHERE doc_id % 20 = 0) e USING (gram)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# B24. Collocation mining: top adjacent-word bigrams by PMI with an
+# integer-deterministic (count desc, w1, w2) top-k frontier.
+# --------------------------------------------------------------------------
+
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bigram_pmi(docs, min_count=5, top_k=30)
+
+COLLOCATION_SQL = """
+WITH toks AS (
+  SELECT string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+') AS t
+  FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+  FROM toks WHERE len(t) >= 2
+), bg AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair FROM pairs GROUP BY 1, 2
+), unic AS (
+  SELECT unnest(t) AS tok FROM toks
+), uni AS (
+  SELECT tok, count(*) AS n_tok FROM unic GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM uni
+)
+SELECT w1, w2, n_pair,
+       round(ln(n_pair * n_total / (n_w1 * n_w2)), 4) AS pmi
+FROM bg
+JOIN (SELECT tok AS w1, n_tok AS n_w1 FROM uni) USING (w1)
+JOIN (SELECT tok AS w2, n_tok AS n_w2 FROM uni) USING (w2)
+CROSS JOIN tot
+WHERE n_pair >= 5
+ORDER BY n_pair DESC, w1, w2
+LIMIT 30
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2353,6 +2470,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "customer_priority_history": (customer_priority_history,
                                   PRIORITY_HISTORY_SQL),
     "kruskal_acctbal_by_segment": (kruskal_acctbal_by_segment, KRUSKAL_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "decontam_overlap": (decontam_overlap, DECONTAM_SQL),
+    "collocation_pmi": (collocation_pmi, COLLOCATION_SQL),
 }
 
 

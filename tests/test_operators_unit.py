@@ -243,3 +243,45 @@ def test_repetition_signals_values(spark):
     assert out[1]["__bigrams"] == ["a a", "a a", "a a"]
     assert out[2]["dup_word_ratio"] == 0.0
     assert out[3]["__bigrams"] == []
+
+
+def test_connected_components_min_label(spark):
+    # two components {1,2,3,4} (chain) and {10, 11}; 4-3-2-1 forces
+    # multi-round propagation
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (10, 11)], "src long, dst long")
+    out = {r["node"]: r["lbl"]
+           for r in dedup.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_decontaminate_flags_shared_grams(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "totally unrelated content words here"),
+         (3, "quick brown fox ran off")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "a quick brown fox story")], "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in dedup.decontaminate(corpus, ev, ngram=3).collect()}
+    # doc 1 shares "quick brown fox"; doc 3 shares "quick brown fox";
+    # doc 2 shares nothing and is absent
+    assert set(out) == {1, 3}
+    assert out[1]["n_shared_grams"] == 1 and out[1]["n_eval_docs"] == 1
+
+
+def test_bigram_pmi_counts(spark):
+    from parking_bigdata_spark.operators import text as text_ops
+    df = spark.createDataFrame(
+        [(1, "new york new york new york"),
+         (2, "new york city"),
+         (3, "old york town")],
+        "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): r for r in
+           text_ops.bigram_pmi(df, min_count=2, top_k=10).collect()}
+    # "new york": pair count 4 (3 in doc1 + 1 in doc2)
+    assert out[("new", "york")]["n_pair"] == 4
+    # c(new)=4, c(york)=5, N=12 -> pmi = ln(4*12/(4*5))
+    assert abs(out[("new", "york")]["pmi"]
+               - round(math.log(4 * 12 / 20), 4)) < 1e-9
