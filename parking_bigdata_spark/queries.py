@@ -2378,6 +2378,274 @@ LIMIT 30
 
 
 # --------------------------------------------------------------------------
+# A41. Cheapest supplier per part (TPC-H Q2 shape, adapted: no partsupp
+# table, so the supply price comes from observed lineitem unit prices).
+# The correlated "min cost per part" subquery is decorrelated into a
+# row_number window over the (part, supplier) aggregate — one shuffle,
+# no self-join; ties break on suppkey so the argmin is deterministic.
+# --------------------------------------------------------------------------
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    per = (li.select("l_partkey", "l_suppkey",
+                     (F.col("l_extendedprice") / F.col("l_quantity")).alias("up"))
+             .groupBy("l_partkey", "l_suppkey")
+             .agg(F.min("up").alias("bp")))
+    w = Window.partitionBy("l_partkey").orderBy("bp", "l_suppkey")
+    best = (per.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") == 1).drop("rn"))
+    return (best.join(part.where(F.col("p_size") <= 15),
+                      F.col("l_partkey") == F.col("p_partkey"))
+                .join(F.broadcast(supp),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+                # floor(x*1e4+0.5): round() half-way ties diverge between
+                # engines on unit-price quotients that land exactly on 5
+                .select("p_partkey", "p_name", "s_name",
+                        (F.floor(F.col("bp") * 1e4 + 0.5) / 1e4)
+                        .alias("best_price")))
+
+CHEAPEST_SUPPLIER_SQL = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS bp
+  FROM lineitem GROUP BY 1, 2
+), best AS (
+  SELECT l_partkey, l_suppkey, bp,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY bp, l_suppkey) AS rn
+  FROM per
+)
+SELECT p_partkey, p_name, s_name, floor(bp * 1e4 + 0.5) / 1e4 AS best_price
+FROM best
+JOIN part ON p_partkey = l_partkey AND p_size <= 15
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A42. Sole-late-supplier blame (TPC-H Q21 shape, adapted: lateness is
+# shipdate > orderdate + 90 days since the schema has no commit/receipt
+# dates). The EXISTS / NOT-EXISTS pair is decorrelated into two window
+# aggregates over ONE l_orderkey shuffle instead of two self-joins.
+# --------------------------------------------------------------------------
+
+def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = (F.col("l_shipdate") >
+            F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast("int")
+    per = (li.join(orders.where(F.col("o_orderstatus") == "F"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("l_orderkey", "l_suppkey")
+             .agg(F.max(late).alias("late")))
+    w = Window.partitionBy("l_orderkey")
+    flagged = (per.withColumn("n_supp", F.count("*").over(w))
+                  .withColumn("n_late", F.sum("late").over(w)))
+    return (flagged.where((F.col("late") == 1) & (F.col("n_supp") > 1)
+                          & (F.col("n_late") == 1))
+                   .groupBy("l_suppkey")
+                   .agg(F.count("*").alias("numwait"))
+                   .join(F.broadcast(supp),
+                         F.col("l_suppkey") == F.col("s_suppkey"))
+                   .select("s_name", "numwait")
+                   .orderBy(F.col("numwait").desc(), "s_name")
+                   .limit(10))
+
+SOLE_LATE_SQL = """
+WITH per AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+), flagged AS (
+  SELECT *,
+         count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+  FROM per
+)
+SELECT s_name, count(*) AS numwait
+FROM flagged JOIN supplier ON s_suppkey = l_suppkey
+WHERE late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# A43. Idle high-balance customers (TPC-H Q22 shape, adapted: grouped by
+# market segment since the schema has no phone column; "idle" = no order
+# since 2000, mirroring Q22's recent-order window). Scalar-subquery
+# threshold (avg positive balance) arrives as a broadcast one-row cross
+# join; the NOT EXISTS is a left_anti join whose date filter pushes to
+# the orders scan. The threshold divides an EXACT decimal sum so the
+# comparison is bit-identical across engines.
+# --------------------------------------------------------------------------
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    thr = (cust.where(F.col("c_acctbal") > 0)
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                      .cast("double") / F.count("*")).alias("ab")))
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return (cust.crossJoin(F.broadcast(thr))
+                .where(F.col("c_acctbal") > F.col("ab"))
+                .join(recent, F.col("c_custkey") == F.col("o_custkey"),
+                      "left_anti")
+                .groupBy("c_mktsegment")
+                .agg(F.count("*").alias("numcust"),
+                     F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                              .cast("double"), 2).alias("totacctbal")))
+
+IDLE_RICH_SQL = """
+WITH thr AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         / count(*) AS ab
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS totacctbal
+FROM customer CROSS JOIN thr
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# C14. Trailing 7-day spend per customer — a RANGE window over event-time
+# (value-based frame, peers included), unlike the ROWS frames elsewhere.
+# Day numbers are integers so the frame is engine-portable; the windowed
+# money sum is an exact decimal sum cast to double afterwards.
+# --------------------------------------------------------------------------
+
+def orders_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lit("1970-01-01").cast("date"))
+    w = (Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0))
+    return (o.withColumn("day", day)
+             .select("o_custkey", "o_orderdate",
+                     F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                              .over(w).cast("double"), 2)
+                      .alias("trailing_7d_spend"),
+                     F.count("*").over(w).alias("trailing_7d_orders")))
+
+TRAILING_7D_SQL = """
+WITH d AS (
+  SELECT o_custkey, o_orderdate,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders
+)
+SELECT o_custkey, o_orderdate,
+       round(CAST(sum(p) OVER w AS DOUBLE), 2) AS trailing_7d_spend,
+       count(*) OVER w AS trailing_7d_orders
+FROM d
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# A44. Box-plot outlier fences per segment (reference draws boxplots,
+# R:377): Tukey 1.5*IQR fences and whiskers. Two passes: a tiny exact-
+# percentile aggregate broadcast back onto the table, then one
+# conditional aggregate — the big side shuffles once, for the group agg.
+# At 100 TB swap percentile() for approx_percentile and the plan is
+# unchanged.
+# --------------------------------------------------------------------------
+
+def outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.25)").alias("q1"),
+        F.expr("percentile(c_acctbal, 0.75)").alias("q3"))
+    fences = q.select(
+        "c_mktsegment",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"))
+    x = F.col("c_acctbal")
+    return (cust.join(F.broadcast(fences), "c_mktsegment")
+                .groupBy("c_mktsegment")
+                .agg(F.round(F.min("lo"), 4).alias("fence_lo"),
+                     F.round(F.min("hi"), 4).alias("fence_hi"),
+                     F.sum(((x < F.col("lo")) | (x > F.col("hi")))
+                           .cast("int")).cast("long").alias("n_outliers"),
+                     F.round(F.min(F.when(x >= F.col("lo"), x)), 4)
+                      .alias("whisker_lo"),
+                     F.round(F.max(F.when(x <= F.col("hi"), x)), 4)
+                      .alias("whisker_hi")))
+
+OUTLIER_FENCES_SQL = """
+WITH q AS (
+  SELECT c_mktsegment,
+         quantile_cont(c_acctbal, 0.25) AS q1,
+         quantile_cont(c_acctbal, 0.75) AS q3
+  FROM customer GROUP BY 1
+), f AS (
+  SELECT c_mktsegment, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+  FROM q
+)
+SELECT c_mktsegment,
+       round(min(lo), 4) AS fence_lo, round(min(hi), 4) AS fence_hi,
+       CAST(sum(CASE WHEN c_acctbal < lo OR c_acctbal > hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(min(CASE WHEN c_acctbal >= lo THEN c_acctbal END), 4)
+         AS whisker_lo,
+       round(max(CASE WHEN c_acctbal <= hi THEN c_acctbal END), 4)
+         AS whisker_hi
+FROM customer JOIN f USING (c_mktsegment)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A45. Fuzzy name matching via Levenshtein distance, blocked by brand.
+# The self-join key (p_brand) is the blocking strategy: candidate pairs
+# are generated per block, never all-pairs over the table; a length-band
+# predicate (|len a - len b| <= max dist, implied by the distance bound)
+# prunes pairs before the O(len^2) distance kernel runs. At scale,
+# tighten blocks with a length-bucket compound key.
+# --------------------------------------------------------------------------
+
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand",
+                                                 "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
+                    & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+                    & (F.abs(F.length(F.col("a.p_name"))
+                             - F.length(F.col("b.p_name"))) <= 4))
+              .withColumn("dist",
+                          F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+              .where((F.col("dist") >= 1) & (F.col("dist") <= 4)))
+    return (pairs.groupBy(F.col("a.p_brand").alias("p_brand"))
+                 .agg(F.count("*").alias("n_pairs"),
+                      F.round(F.avg("dist"), 4).alias("avg_dist")))
+
+FUZZY_NAMES_SQL = """
+SELECT p_brand, count(*) AS n_pairs, round(avg(d), 4) AS avg_dist
+FROM (
+  SELECT a.p_brand AS p_brand, levenshtein(a.p_name, b.p_name) AS d
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+) WHERE d BETWEEN 1 AND 4
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2473,6 +2741,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "decontam_overlap": (decontam_overlap, DECONTAM_SQL),
     "collocation_pmi": (collocation_pmi, COLLOCATION_SQL),
+    "cheapest_supplier_per_part": (cheapest_supplier_per_part,
+                                   CHEAPEST_SUPPLIER_SQL),
+    "sole_late_supplier": (sole_late_supplier, SOLE_LATE_SQL),
+    "idle_rich_customers": (idle_rich_customers, IDLE_RICH_SQL),
+    "orders_trailing_7d": (orders_trailing_7d, TRAILING_7D_SQL),
+    "outlier_fences": (outlier_fences, OUTLIER_FENCES_SQL),
+    "fuzzy_part_names": (fuzzy_part_names, FUZZY_NAMES_SQL),
 }
 
 

@@ -91,3 +91,33 @@ def test_no_python_udfs_in_core_queries(spark, sf_dir):
     for name in Q.queries():
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
+
+
+def test_sole_late_single_fact_shuffle(spark, sf_dir):
+    # EXISTS/NOT-EXISTS decorrelated into windows: the fact side shuffles
+    # once on l_orderkey (agg + both windows reuse it); orders joins in
+    # without a second lineitem pass, supplier joins broadcast
+    plan = _plan(spark, sf_dir, "sole_late_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("FileScan parquet") == 3  # lineitem, orders, supplier
+
+
+def test_idle_rich_broadcast_threshold_and_anti(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "idle_rich_customers")
+    # scalar threshold arrives broadcast; anti join on orders
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_trailing_7d_single_shuffle(spark, sf_dir):
+    # RANGE window rides one o_custkey exchange, no join
+    plan = _plan(spark, sf_dir, "orders_trailing_7d")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_outlier_fences_broadcasts_tiny_agg(spark, sf_dir):
+    # percentile fences are a tiny agg broadcast back; the big side only
+    # shuffles for its own group agg
+    plan = _plan(spark, sf_dir, "outlier_fences")
+    assert "BroadcastHashJoin" in plan
