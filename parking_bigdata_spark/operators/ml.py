@@ -368,3 +368,131 @@ def vif_scores(df: DataFrame, cols: list[str], round_to: int = 4) -> DataFrame:
         vif = 1.0 / (1.0 - r2) if r2 < 1.0 else float("inf")
         out.append((c, round(float(r2), round_to), round(float(vif), round_to)))
     return spark.createDataFrame(out, "feature string, r2 double, vif double")
+
+
+def logreg_irls(df: DataFrame, xs: list[str], y: str,
+                n_iter: int = 8, round_to: int = 4) -> DataFrame:
+    """Logistic regression via iteratively reweighted least squares
+    (Newton-Raphson) — the GLM companion to `ols_fit` (R:740's lm
+    family, extended to classification).
+
+    Each iteration is ONE distributed aggregate: with the current beta
+    folded into a column expression, p = sigmoid(xb) and w = p(1-p) are
+    plain codegen arithmetic, and the pass collects the gradient
+    Xt(y - p) plus the upper triangle of the Hessian XtWX —
+    (k+1)(k+4)/2 scalars regardless of row count. The (k+1)-dim solve
+    happens on the driver. 100 TB cost = n_iter scans, no shuffles.
+    """
+    spark = df.sparkSession
+    cols = ["__one"] + xs
+    d = df
+    for c in xs + [y]:
+        d = d.where(F.col(c).isNotNull())
+    d = d.withColumn("__one", F.lit(1.0)).persist()
+    k = len(cols)
+    beta = np.zeros(k)
+    for _ in range(n_iter):
+        eta = sum((F.col(c) * float(b) for c, b in zip(cols, beta)),
+                  F.lit(0.0))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = p * (F.lit(1.0) - p)
+        aggs = [F.sum((F.col(y) - p) * F.col(c)).alias(f"g_{i}")
+                for i, c in enumerate(cols)]
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(F.sum(w * F.col(cols[i]) * F.col(cols[j]))
+                             .alias(f"h_{i}_{j}"))
+        row = d.agg(*aggs).collect()[0].asDict()
+        g = np.array([row[f"g_{i}"] for i in range(k)])
+        H = np.zeros((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                H[i, j] = H[j, i] = row[f"h_{i}_{j}"]
+        beta = beta + np.linalg.solve(H, g)
+    d.unpersist()
+    rows = [("intercept", round(float(beta[0]), round_to))]
+    rows += [(f"coef_{c}", round(float(b), round_to))
+             for c, b in zip(xs, beta[1:])]
+    return spark.createDataFrame(rows, "term string, estimate double")
+
+
+def kmeans_lloyd(df: DataFrame, vec_col: str = "embedding",
+                 id_col: str = "vec_id", k: int = 8, n_iter: int = 5,
+                 round_to: int = 2) -> DataFrame:
+    """Full-corpus distributed Lloyd's k-means — the scale path when the
+    clustering itself is the product (contrast `ivf_fit_centroids`,
+    which trains a coarse quantizer on a bounded sample).
+
+    Init is deterministic: the k lowest-id vectors. Each iteration is
+    one mapInPandas pass that (a) assigns every vector to its nearest
+    centroid with a single numpy GEMM per Arrow batch against the
+    BROADCAST (k x dim) centroid matrix, and (b) pre-reduces within the
+    batch, emitting (cell, dim-position, partial sum) rows — so the
+    shuffle carries k*dim*n_batches scalars, never the corpus. Final
+    pass reports per-cluster size and inertia the same way.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("v"))
+    init = src.orderBy("id").limit(k).collect()
+    C = np.asarray([r["v"] for r in init], dtype=np.float64)
+    dim = C.shape[1]
+
+    def round_pass(Cb, with_sse):
+        c2 = (Cb ** 2).sum(axis=1)
+
+        def part(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+                d2 = c2[None, :] - 2.0 * (X @ Cb.T)
+                a = d2.argmin(axis=1)
+                out = {"cell": [], "pos": [], "s": []}
+                for j in np.unique(a):
+                    m = X[a == j]
+                    out["cell"] += [int(j)] * (dim + 1)
+                    out["pos"] += [-1] + list(range(dim))
+                    sse = 0.0
+                    if with_sse:
+                        sse = float((d2[a == j, j] + (X[a == j] ** 2)
+                                     .sum(axis=1)).sum())
+                    out["s"] += [sse if with_sse else float(len(m))]
+                    out["s"] += list(m.sum(axis=0))
+                    if with_sse:
+                        out["cell"] += [int(j)]
+                        out["pos"] += [-2]
+                        out["s"] += [float(len(m))]
+                yield pd.DataFrame(out).astype(
+                    {"cell": "int32", "pos": "int32", "s": "float64"})
+
+        return (src.mapInPandas(part, "cell int, pos int, s double")
+                   .groupBy("cell", "pos").agg(F.sum("s").alias("s"))
+                   .collect())
+
+    for _ in range(n_iter):
+        parts = round_pass(C, with_sse=False)
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k)
+        for r in parts:
+            if r["pos"] == -1:
+                counts[r["cell"]] = r["s"]
+            else:
+                sums[r["cell"], r["pos"]] = r["s"]
+        nz = counts > 0
+        C[nz] = sums[nz] / counts[nz][:, None]
+
+    final = round_pass(C, with_sse=True)
+    sse = np.zeros(k)
+    counts = np.zeros(k)
+    for r in final:
+        if r["pos"] == -1:
+            sse[r["cell"]] = r["s"]
+        elif r["pos"] == -2:
+            counts[r["cell"]] = r["s"]
+    rows = [(int(c), int(n), round(float(s), round_to))
+            for c, n, s in zip(range(k), counts, sse)]
+    return spark.createDataFrame(rows,
+                                 "cluster int, n_points long, inertia double")

@@ -2646,6 +2646,32 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# A46. Logistic regression (IRLS / Newton): one fused aggregate per
+# iteration (gradient + Hessian upper triangle), driver-side k-dim
+# solve. Iterative floating math — rows-only check, like OLS/LASSO.
+# --------------------------------------------------------------------------
+
+def logreg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .withColumn("is_return",
+                      (F.col("l_returnflag") == "R").cast("double"))
+          .withColumn("price_k", F.col("l_extendedprice") / 1000.0))
+    return ml.logreg_irls(li, ["l_quantity", "l_discount", "price_k"],
+                          "is_return", n_iter=8)
+
+
+# --------------------------------------------------------------------------
+# A47. Distributed full-corpus k-means (Lloyd): mapInPandas GEMM assign
+# against broadcast centroids with in-batch partial reduction — the
+# shuffle carries k*dim partials, never the corpus. Rows-only check.
+# --------------------------------------------------------------------------
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ml.kmeans_lloyd(emb, k=8, n_iter=5)
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2748,6 +2774,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "orders_trailing_7d": (orders_trailing_7d, TRAILING_7D_SQL),
     "outlier_fences": (outlier_fences, OUTLIER_FENCES_SQL),
     "fuzzy_part_names": (fuzzy_part_names, FUZZY_NAMES_SQL),
+    "logreg_returnflag": (logreg_returnflag, None),
+    "kmeans_embeddings": (kmeans_embeddings, None),
 }
 
 

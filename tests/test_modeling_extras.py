@@ -127,3 +127,48 @@ def test_write_csv_roundtrip(spark, sf_dir, tmp_path):
     back = spark.read.option("header", "true").csv(out)
     assert back.count() == nation.count()
     assert set(back.columns) == set(nation.columns)
+
+
+def test_logreg_irls_matches_numpy_newton(spark):
+    import numpy as np
+    from parking_bigdata_spark.operators import ml
+
+    rng = np.random.default_rng(7)
+    n = 400
+    x1 = rng.normal(size=n)
+    x2 = rng.normal(size=n)
+    eta = 0.5 + 1.5 * x1 - 2.0 * x2
+    y = (rng.random(n) < 1 / (1 + np.exp(-eta))).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 double, x2 double, y double")
+    got = {r["term"]: r["estimate"]
+           for r in ml.logreg_irls(df, ["x1", "x2"], "y", n_iter=8).collect()}
+
+    # same Newton iterations, dense numpy
+    X = np.column_stack([np.ones(n), x1, x2])
+    beta = np.zeros(3)
+    for _ in range(8):
+        p = 1 / (1 + np.exp(-X @ beta))
+        W = p * (1 - p)
+        H = X.T @ (X * W[:, None])
+        g = X.T @ (y - p)
+        beta = beta + np.linalg.solve(H, g)
+    assert abs(got["intercept"] - round(beta[0], 4)) <= 1e-4
+    assert abs(got["coef_x1"] - round(beta[1], 4)) <= 1e-4
+    assert abs(got["coef_x2"] - round(beta[2], 4)) <= 1e-4
+
+
+def test_kmeans_lloyd_two_blobs(spark):
+    from parking_bigdata_spark.operators import ml
+
+    pts = [(1, [0.0, 0.0]), (2, [0.0, 1.0]),
+           (3, [10.0, 10.0]), (4, [10.0, 11.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    out = ml.kmeans_lloyd(df, k=2, n_iter=4).collect()
+    sizes = sorted(r["n_points"] for r in out)
+    # deterministic lowest-id init (both seeds in the origin blob) must
+    # still split the blobs after reassignment rounds
+    assert sizes == [2, 2]
+    # each blob's inertia: two points 1.0 apart -> 2 * 0.5^2 = 0.5
+    assert sorted(round(r["inertia"], 2) for r in out) == [0.5, 0.5]
