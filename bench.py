@@ -58,6 +58,14 @@ HEADLINE = [
     "tfidf_top_terms",
     "embedding_centroids",
     "multimodal_features",
+    "dedup_clusters",
+    "decontam_overlap",
+    "collocation_pmi",
+    "cheapest_supplier_per_part",
+    "sole_late_supplier",
+    "orders_trailing_7d",
+    "outlier_fences",
+    "kmeans_embeddings",
 ]
 
 

@@ -189,19 +189,32 @@ def bigram_pmi(df: DataFrame, text_col: str = "text",
     toks_arr = F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " ")),
         r"\s+")
-    base = df.select(toks_arr.alias("__toks")).where(F.size("__toks") >= 2)
-    pairs_expr = (
+    # ONE tokenize scan feeds both count tables: unigram structs
+    # (w2=NULL) and bigram structs ride a single concat'd explode into a
+    # single (w1, w2) aggregate, then split by w2 nullness — the corpus
+    # is read and regex-tokenized once, not once per table. explode_outer
+    # (not explode) so InferFiltersFromGenerate can't clone the generator
+    # into a pushed-down size() filter that re-tokenizes per row; the
+    # CASE guards sequence(1, 0), which is DESCENDING in Spark.
+    combined = (
+        "concat("
+        "transform(__toks, t -> struct(t AS w1, CAST(NULL AS STRING) AS w2)),"
+        "CASE WHEN size(__toks) >= 2 THEN "
         "transform(sequence(1, size(__toks) - 1), "
         "i -> struct(element_at(__toks, i) AS w1, "
-        "element_at(__toks, i + 1) AS w2))"
+        "element_at(__toks, i + 1) AS w2)) "
+        "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END)"
     )
-    bg = (base.select(F.explode(F.expr(pairs_expr)).alias("p"))
-              .select("p.w1", "p.w2")
-              .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair")))
-    uni = (df.select(F.explode_outer(toks_arr).alias("tok"))
-             .where(F.col("tok").isNotNull())
-             .groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
-             .persist())
+    counts = (df.select(toks_arr.alias("__toks"))
+                .select(F.explode_outer(F.expr(combined)).alias("p"))
+                .where(F.col("p").isNotNull())
+                .groupBy("p.w1", "p.w2")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .persist())
+    bg = (counts.where(F.col("w2").isNotNull())
+                .select("w1", "w2", F.col("n").alias("n_pair")))
+    uni = (counts.where(F.col("w2").isNull())
+                 .select(F.col("w1").alias("tok"), F.col("n").alias("n_tok")))
     total = uni.agg(F.sum("n_tok").alias("n_total"))
     scored = (bg.where(F.col("n_pair") >= min_count)
                 .join(uni.select(F.col("tok").alias("w1"),

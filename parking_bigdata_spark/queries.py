@@ -2110,24 +2110,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "above own average" is evaluated EXACTLY: p*n > sum over decimals.
+    # A float window-avg threshold is summation-order-dependent, so a row
+    # sitting on the boundary can flip with the partitioning (observed as
+    # a flaky oracle mismatch); decimal arithmetic has no boundary fuzz.
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
-    enriched = orders.withColumn(
-        "cust_avg", F.avg("o_totalprice").over(w))
-    return (enriched.where(F.col("o_totalprice") > F.col("cust_avg"))
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    enriched = (orders.withColumn("cust_sum", F.sum(p).over(w))
+                      .withColumn("cust_n", F.count(F.lit(1)).over(w)))
+    return (enriched.where(p * F.col("cust_n") > F.col("cust_sum"))
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_above"),
-                 F.round(F.avg("o_totalprice"), 4).alias("avg_price_above")))
+                 F.round(F.sum(p).cast("double") / F.count(F.lit(1)), 4)
+                  .alias("avg_price_above")))
 
 ABOVE_AVG_SQL = """
 SELECT o_orderpriority, count(*) AS n_above,
-       round(avg(o_totalprice), 4) AS avg_price_above
+       round(CAST(sum(p) AS DOUBLE) / count(*), 4) AS avg_price_above
 FROM (
-  SELECT o_orderpriority, o_totalprice,
-         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY o_custkey) AS s,
+         count(*) OVER (PARTITION BY o_custkey) AS n
   FROM orders
 )
-WHERE o_totalprice > cust_avg
+WHERE p * n > s
 GROUP BY o_orderpriority
 """
 
@@ -2389,13 +2397,16 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
-    per = (li.select("l_partkey", "l_suppkey",
-                     (F.col("l_extendedprice") / F.col("l_quantity")).alias("up"))
-             .groupBy("l_partkey", "l_suppkey")
-             .agg(F.min("up").alias("bp")))
-    w = Window.partitionBy("l_partkey").orderBy("bp", "l_suppkey")
-    best = (per.withColumn("rn", F.row_number().over(w))
-               .where(F.col("rn") == 1).drop("rn"))
+    # argmin as min(struct(price, suppkey)): lexicographic struct-min is
+    # the (min price, then min suppkey) frontier in ONE shuffle — no
+    # second exchange + sort for a row_number window
+    per = (li.select("l_partkey",
+                     F.struct((F.col("l_extendedprice") / F.col("l_quantity"))
+                              .alias("bp"),
+                              F.col("l_suppkey").alias("sk")).alias("m"))
+             .groupBy("l_partkey").agg(F.min("m").alias("m")))
+    best = per.select("l_partkey", F.col("m.bp").alias("bp"),
+                      F.col("m.sk").alias("l_suppkey"))
     return (best.join(part.where(F.col("p_size") <= 15),
                       F.col("l_partkey") == F.col("p_partkey"))
                 .join(F.broadcast(supp),
