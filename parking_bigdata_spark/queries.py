@@ -2657,6 +2657,45 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# C15. Event-to-event interval join: attribute purchases to same-user
+# views in the preceding hour. Equi-key (user_id) + time-range
+# condition — the planner runs the equi-join hash exchange and applies
+# the range as a post-join filter, so the fact stream shuffles once on
+# user_id. The streaming twin (stream-stream join with watermark-derived
+# state eviction) is `streaming.events.view_purchase_attribution`.
+# --------------------------------------------------------------------------
+
+def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.where(F.col("event_type") == "view")
+           .select(F.col("user_id").alias("v_user"),
+                   F.col("event_id").alias("view_id"),
+                   F.col("ts").alias("view_ts")))
+    p = (ev.where(F.col("event_type") == "purchase")
+           .select(F.col("user_id").alias("p_user"),
+                   F.col("event_id").alias("purchase_id"),
+                   F.col("ts").alias("purchase_ts"),
+                   F.col("value").alias("purchase_value")))
+    return (v.join(p, (F.col("v_user") == F.col("p_user"))
+                   & (F.col("purchase_ts") >= F.col("view_ts"))
+                   & (F.col("purchase_ts")
+                      <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")))
+             .select(F.col("p_user").alias("user_id"), "view_id",
+                     "purchase_id", "view_ts", "purchase_ts",
+                     F.round("purchase_value", 4).alias("purchase_value")))
+
+ATTRIBUTION_SQL = """
+SELECT p.user_id AS user_id, v.event_id AS view_id,
+       p.event_id AS purchase_id, v.ts AS view_ts, p.ts AS purchase_ts,
+       round(p.value, 4) AS purchase_value
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+# --------------------------------------------------------------------------
 # A46. Logistic regression (IRLS / Newton): one fused aggregate per
 # iteration (gradient + Hessian upper triangle), driver-side k-dim
 # solve. Iterative floating math — rows-only check, like OLS/LASSO.
@@ -2787,6 +2826,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "fuzzy_part_names": (fuzzy_part_names, FUZZY_NAMES_SQL),
     "logreg_returnflag": (logreg_returnflag, None),
     "kmeans_embeddings": (kmeans_embeddings, None),
+    "events_attribution_join": (events_attribution_join, ATTRIBUTION_SQL),
 }
 
 

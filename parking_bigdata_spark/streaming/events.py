@@ -183,3 +183,55 @@ def user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
             .groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 4).alias("total_value")))
+
+
+def view_purchase_attribution(views: DataFrame, purchases: DataFrame,
+                              attribution_window: str = "1 hour",
+                              watermark: str = "2 hours") -> DataFrame:
+    """Stream-STREAM inner join with an event-time range condition:
+    attribute each purchase to same-user views in the preceding
+    ``attribution_window``.
+
+    Both sides are watermarked and the join condition bounds purchase.ts
+    to [view.ts, view.ts + window], so Spark can derive state-eviction
+    watermarks for BOTH join-state stores — without the time bound the
+    state grows forever. The equi-key (user_id) routes both streams
+    through one hash partitioning; matches stream out incrementally.
+    Cite: reference joins are static inner_joins (R:272); this is the
+    streaming counterpart over the events table.
+    """
+    v = (views.withWatermark("ts", watermark)
+              .select(F.col("user_id").alias("v_user"),
+                      F.col("event_id").alias("view_id"),
+                      F.col("ts").alias("view_ts")))
+    p = (purchases.withWatermark("ts", watermark)
+                  .select(F.col("user_id").alias("p_user"),
+                          F.col("event_id").alias("purchase_id"),
+                          F.col("ts").alias("purchase_ts"),
+                          F.col("value").alias("purchase_value")))
+    cond = ((F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("view_ts") + F.expr(f"INTERVAL {attribution_window}")))
+    return (v.join(p, cond)
+             .select(F.col("p_user").alias("user_id"), "view_id",
+                     "purchase_id", "view_ts", "purchase_ts",
+                     "purchase_value"))
+
+
+def run_view_purchase_attribution_batchlike(spark: SparkSession, path: str,
+                                            attribution_window: str = "1 hour"
+                                            ) -> DataFrame:
+    """Drain the stream-stream attribution join over the events data to
+    a memory sink (append mode — stream-stream inner joins emit
+    incrementally) and return the result as a static DataFrame."""
+    ev = read_events_stream(spark, path)
+    out = view_purchase_attribution(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+        attribution_window)
+    q = (out.writeStream.format("memory")
+            .queryName("vp_attr").outputMode("append")
+            .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table("vp_attr")

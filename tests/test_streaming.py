@@ -3,6 +3,8 @@ exactly the batch query's result once the availableNow run drains."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from parking_bigdata_spark import queries as Q
 from parking_bigdata_spark.streaming import events as stream_ev
 
@@ -122,3 +124,34 @@ def test_foreach_batch_sink_idempotent_layout(spark, sf_dir, tmp_path):
     got = {(r["wstart"], r["event_type"]): (r["n_events"], r["sum_value"])
            for r in latest.collect()}
     assert got == batch
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    # the stream-stream interval join must converge to the static
+    # interval join over the same data
+    from parking_bigdata_spark.streaming.events import (
+        run_view_purchase_attribution_batchlike)
+    from parking_bigdata_spark.io import load_table
+
+    got = run_view_purchase_attribution_batchlike(spark, sf_dir, "1 hour")
+
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.where(F.col("event_type") == "view")
+           .select(F.col("user_id").alias("v_user"),
+                   F.col("event_id").alias("view_id"),
+                   F.col("ts").alias("view_ts")))
+    p = (ev.where(F.col("event_type") == "purchase")
+           .select(F.col("user_id").alias("p_user"),
+                   F.col("event_id").alias("purchase_id"),
+                   F.col("ts").alias("purchase_ts"),
+                   F.col("value").alias("purchase_value")))
+    want = (v.join(p, (F.col("v_user") == F.col("p_user"))
+                   & (F.col("purchase_ts") >= F.col("view_ts"))
+                   & (F.col("purchase_ts")
+                      <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")))
+             .select(F.col("p_user").alias("user_id"), "view_id",
+                     "purchase_id", "view_ts", "purchase_ts",
+                     "purchase_value"))
+    key = lambda r: (r["view_id"], r["purchase_id"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    assert got.count() > 0
