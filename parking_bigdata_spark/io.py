@@ -159,3 +159,26 @@ def read_clean_csv(spark: SparkSession, path: str, schema=None,
     if numeric_sentinel_cols:
         df = clean_sentinel_numeric(df, numeric_sentinel_cols)
     return df
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source — gated: spark-avro is an external module (not on the
+    classpath in this container). Fails with a clear message instead of
+    Spark's generic ClassNotFound."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as ex:  # pragma: no cover - depends on deployment
+        raise NotImplementedError(
+            "Avro requires the spark-avro package on the classpath "
+            "(--packages org.apache.spark:spark-avro_2.13:<version>); "
+            f"not available in this deployment: {ex}") from ex
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro sink — same classpath gate as `read_avro`."""
+    try:
+        df.write.format("avro").mode(mode).save(path)
+    except Exception as ex:  # pragma: no cover - depends on deployment
+        raise NotImplementedError(
+            "Avro requires the spark-avro package on the classpath; "
+            f"not available in this deployment: {ex}") from ex

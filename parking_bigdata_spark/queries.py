@@ -2696,6 +2696,37 @@ FROM events v JOIN events p
 
 
 # --------------------------------------------------------------------------
+# A48. Null-safe join semantics (<=> / IS NOT DISTINCT FROM): group
+# counts joined across two derivations where the key can be NULL —
+# an equi-join drops the NULL-key groups silently; the null-safe
+# comparator keeps them matched. Still hash-partitionable (NULL is one
+# key), so the plan is a normal shuffled hash join, not a BNLJ.
+# --------------------------------------------------------------------------
+
+def nullsafe_segment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))
+    pos = (cust.where(F.col("c_acctbal") > 0).groupBy(key.alias("seg"))
+               .agg(F.count(F.lit(1)).alias("n_pos")))
+    neg = (cust.where(F.col("c_acctbal") <= 0).groupBy(key.alias("seg"))
+               .agg(F.count(F.lit(1)).alias("n_neg")))
+    return (pos.join(neg, pos["seg"].eqNullSafe(neg["seg"]))
+               .select(pos["seg"].alias("seg"), "n_pos", "n_neg"))
+
+NULLSAFE_SQL = """
+WITH pos AS (
+  SELECT nullif(c_mktsegment, 'MACHINERY') AS seg, count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0 GROUP BY 1
+), neg AS (
+  SELECT nullif(c_mktsegment, 'MACHINERY') AS seg, count(*) AS n_neg
+  FROM customer WHERE c_acctbal <= 0 GROUP BY 1
+)
+SELECT pos.seg AS seg, n_pos, n_neg
+FROM pos JOIN neg ON pos.seg IS NOT DISTINCT FROM neg.seg
+"""
+
+
+# --------------------------------------------------------------------------
 # A46. Logistic regression (IRLS / Newton): one fused aggregate per
 # iteration (gradient + Hessian upper triangle), driver-side k-dim
 # solve. Iterative floating math — rows-only check, like OLS/LASSO.
@@ -2827,6 +2858,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "logreg_returnflag": (logreg_returnflag, None),
     "kmeans_embeddings": (kmeans_embeddings, None),
     "events_attribution_join": (events_attribution_join, ATTRIBUTION_SQL),
+    "nullsafe_segment_match": (nullsafe_segment_match, NULLSAFE_SQL),
 }
 
 

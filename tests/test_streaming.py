@@ -155,3 +155,50 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     key = lambda r: (r["view_id"], r["purchase_id"])
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
     assert got.count() > 0
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill-and-restart: a checkpointed file-source stream restarted
+    over the same directory must process each input file exactly once —
+    the second run resumes from the source offsets in the checkpoint
+    instead of re-reading (and re-counting) run 1's files."""
+    import pandas as pd
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = tmp_path / "out"
+    base = pd.Timestamp("2024-01-01 00:00:00").value  # ns
+    HOUR = 3_600 * 10**9
+
+    def mk(name, n, hour):
+        pd.DataFrame({
+            "event_id": range(n),
+            "ts": [base + hour * HOUR] * n,
+            "user_id": [1] * n,
+            "event_type": ["click"] * n,
+            "value": [1.0] * n,
+            "props": ["{}"] * n,
+        }).to_parquet(src / name)
+
+    def run_once():
+        ev = stream_ev.read_events_stream(spark, str(src),
+                                          max_files_per_trigger=1)
+        counts = (ev.groupBy("event_type")
+                    .agg(F.count(F.lit(1)).alias("n")))
+        q = (counts.writeStream
+                   .foreachBatch(lambda df, bid: df.write.mode("overwrite")
+                                 .parquet(str(out)))
+                   .option("checkpointLocation", ckpt)
+                   .outputMode("complete")
+                   .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    mk("events_a.parquet", 3, 0)
+    run_once()
+    assert spark.read.parquet(str(out)).collect()[0]["n"] == 3
+
+    # "restart": new query, same checkpoint; only the new file may count
+    # once more on top of the recovered state
+    mk("events_b.parquet", 5, 1)
+    run_once()
+    assert spark.read.parquet(str(out)).collect()[0]["n"] == 8
