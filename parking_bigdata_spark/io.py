@@ -182,3 +182,41 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         raise NotImplementedError(
             "Avro requires the spark-avro package on the classpath; "
             f"not available in this deployment: {ex}") from ex
+
+
+def write_sorted_parquet(df: DataFrame, path: str, sort_cols: list[str],
+                         num_files: int | None = None) -> None:
+    """Cluster-the-data layout: range-partition on ``sort_cols`` then
+    sort within each partition before writing.
+
+    Every output file then covers a NARROW, non-overlapping range of the
+    sort key, so parquet row-group min/max statistics let point/range
+    scans skip whole files (the poor man's Z-order for one dimension —
+    the layout lever that turns a 100 TB full scan into a handful of
+    row groups). ``repartitionByRange`` samples the key distribution, so
+    skew in the sort key yields balanced files anyway.
+    """
+    d = df.repartitionByRange(*( [num_files] if num_files else [] ),
+                              *[F.col(c) for c in sort_cols])
+    (d.sortWithinPartitions(*sort_cols)
+      .write.mode("overwrite").parquet(path))
+
+
+def compact_parquet(spark: SparkSession, path: str, out_path: str,
+                    target_file_mb: int = 128) -> int:
+    """Small-file compaction: rewrite a dataset into ~``target_file_mb``
+    files. Streaming sinks and per-batch writers fragment datasets into
+    thousands of tiny files; scan throughput at scale is gated on file
+    count (driver listing + per-file open cost), so periodic compaction
+    is part of any production pipeline. Returns the file count written.
+    """
+    import glob
+    import os
+    src_bytes = sum(os.path.getsize(p)
+                    for p in glob.glob(os.path.join(path, "**", "*.parquet"),
+                                       recursive=True))
+    n_files = max(1, round(src_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    # coalesce, not repartition: merging files needs no shuffle
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

@@ -84,3 +84,34 @@ def distinct_per_group(df: DataFrame, group_col: str,
     """
     aggs = [F.countDistinct(F.col(c)).alias(f"n_distinct_{c}") for c in cols]
     return df.groupBy(group_col).agg(*aggs)
+
+
+def validate(df: DataFrame, rules: list[tuple[str, "F.Column"]],
+             unique_keys: list[list[str]] | None = None) -> DataFrame:
+    """Data-quality gate: evaluate expectation rules in ONE fused
+    aggregate pass (plus one count-distinct pass per uniqueness key).
+
+    ``rules`` are (name, boolean Column) pairs — a row FAILS a rule when
+    the predicate is false OR null (SQL three-valued logic: an
+    expectation that evaluates to NULL is not satisfied). All rule
+    violation counts are collected in a single scan regardless of rule
+    count; uniqueness checks need their own shuffle each (distinct on
+    the key), so keep those to the keys that matter.
+
+    Returns one row per rule: (rule, n_violations, n_rows) — the ETL
+    contract artifact a 100 TB pipeline gates a load on.
+    """
+    n = F.count(F.lit(1))
+    aggs = [n.alias("__n")]
+    for name, cond in rules:
+        aggs.append(F.sum(F.when(cond, 0).otherwise(1)).alias(f"v_{name}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    out = [(name, int(row[f"v_{name}"]), int(row["__n"]))
+           for name, _ in rules]
+    for keys in (unique_keys or []):
+        dup = (int(row["__n"])
+               - df.select(*keys).distinct().count())
+        out.append(("unique_" + "_".join(keys), dup, int(row["__n"])))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "rule string, n_violations long, n_rows long")

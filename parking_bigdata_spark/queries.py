@@ -2727,6 +2727,109 @@ FROM pos JOIN neg ON pos.seg IS NOT DISTINCT FROM neg.seg
 
 
 # --------------------------------------------------------------------------
+# A49. Data-quality gate: expectation rules over lineitem evaluated in
+# one fused aggregate (violations = predicate false OR null), plus a
+# key-uniqueness check. The load-gating artifact of an ETL pipeline.
+# --------------------------------------------------------------------------
+
+def dq_lineitem_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = [
+        ("qty_in_range", F.col("l_quantity").between(1, 50)),
+        ("price_positive", F.col("l_extendedprice") > 0),
+        ("discount_unit_interval", F.col("l_discount").between(0, 1)),
+        ("shipdate_not_null", F.col("l_shipdate").isNotNull()),
+        ("returnflag_domain", F.col("l_returnflag").isin("A", "N", "R")),
+    ]
+    return profile.validate(li, rules,
+                            unique_keys=[["l_orderkey", "l_linenumber"]])
+
+DQ_LINEITEM_SQL = """
+WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
+SELECT 'qty_in_range' AS rule,
+       CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_violations, min(n_rows) AS n_rows
+FROM lineitem, n
+UNION ALL
+SELECT 'price_positive',
+       CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT),
+       min(n_rows)
+FROM lineitem, n
+UNION ALL
+SELECT 'discount_unit_interval',
+       CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END)
+            AS BIGINT), min(n_rows)
+FROM lineitem, n
+UNION ALL
+SELECT 'shipdate_not_null',
+       CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END)
+            AS BIGINT), min(n_rows)
+FROM lineitem, n
+UNION ALL
+SELECT 'returnflag_domain',
+       CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END)
+            AS BIGINT), min(n_rows)
+FROM lineitem, n
+UNION ALL
+SELECT 'unique_l_orderkey_l_linenumber',
+       (SELECT count(*) FROM lineitem)
+         - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+                                  FROM lineitem)),
+       min(n_rows)
+FROM n
+"""
+
+
+# --------------------------------------------------------------------------
+# A50. Referential-integrity audit: orphan counts across every foreign
+# key in the star schema, each an anti-join count. Fact-side anti joins
+# shuffle on the key; dim-side ones broadcast the dim. One tiny row per
+# edge — the other half of the ETL load gate.
+# --------------------------------------------------------------------------
+
+def fk_orphan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def orphans(name, child, key, parent, pkey, bcast=False):
+        p = parent.select(pkey)
+        p = F.broadcast(p) if bcast else p
+        n = (child.join(p, F.col(key) == F.col(pkey), "left_anti")
+                  .agg(F.count(F.lit(1)).alias("n_orphans")))
+        return n.select(F.lit(name).alias("fk"), "n_orphans")
+
+    return (orphans("lineitem_orderkey", li, "l_orderkey", orders,
+                    "o_orderkey")
+            .unionAll(orphans("lineitem_partkey", li, "l_partkey", part,
+                              "p_partkey", bcast=True))
+            .unionAll(orphans("lineitem_suppkey", li, "l_suppkey", supp,
+                              "s_suppkey", bcast=True))
+            .unionAll(orphans("orders_custkey", orders, "o_custkey", cust,
+                              "c_custkey")))
+
+FK_ORPHANS_SQL = """
+SELECT 'lineitem_orderkey' AS fk, count(*) AS n_orphans
+FROM lineitem WHERE NOT EXISTS
+  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'lineitem_partkey', count(*)
+FROM lineitem WHERE NOT EXISTS
+  (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+UNION ALL
+SELECT 'lineitem_suppkey', count(*)
+FROM lineitem WHERE NOT EXISTS
+  (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+UNION ALL
+SELECT 'orders_custkey', count(*)
+FROM orders WHERE NOT EXISTS
+  (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
 # A46. Logistic regression (IRLS / Newton): one fused aggregate per
 # iteration (gradient + Hessian upper triangle), driver-side k-dim
 # solve. Iterative floating math — rows-only check, like OLS/LASSO.
@@ -2859,6 +2962,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "kmeans_embeddings": (kmeans_embeddings, None),
     "events_attribution_join": (events_attribution_join, ATTRIBUTION_SQL),
     "nullsafe_segment_match": (nullsafe_segment_match, NULLSAFE_SQL),
+    "dq_lineitem_checks": (dq_lineitem_checks, DQ_LINEITEM_SQL),
+    "fk_orphan_counts": (fk_orphan_counts, FK_ORPHANS_SQL),
 }
 
 

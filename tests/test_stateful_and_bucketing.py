@@ -97,3 +97,50 @@ def test_sketch_distinct_within_tolerance(spark, sf_dir):
               Q.sketch_distinct_parts(spark, sf_dir).collect()}
     for k, e in exact.items():
         assert abs(approx[k] - e) / e < 0.05
+
+
+def test_sorted_parquet_rowgroups_are_narrow(spark, sf_dir, tmp_path):
+    """write_sorted_parquet: each output file must cover a narrow,
+    non-overlapping slice of the sort key — that's what lets parquet
+    min/max stats skip row groups for range scans at 100 TB."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from parking_bigdata_spark.io import load_table, write_sorted_parquet
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "li_sorted")
+    write_sorted_parquet(li.select("l_shipdate", "l_quantity"), out,
+                         ["l_shipdate"], num_files=8)
+
+    spans = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name
+                   for i in range(md.num_columns)].index("l_shipdate")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            spans.append((st.min, st.max))
+    spans.sort()
+    assert len(spans) >= 4
+    # non-overlapping: every row group's max <= next row group's min
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping row groups: {hi1} > {lo2}"
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    import glob
+
+    from parking_bigdata_spark.io import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    # simulate a streaming sink: 64 tiny files
+    spark.range(0, 100_000).repartition(64).write.parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) == 64
+
+    out = str(tmp_path / "compacted")
+    compact_parquet(spark, src, out, target_file_mb=128)
+    n_out = len(glob.glob(out + "/*.parquet"))
+    assert n_out < 8
+    assert (spark.read.parquet(out).count() == 100_000)
