@@ -2830,6 +2830,54 @@ FROM orders WHERE NOT EXISTS
 
 
 # --------------------------------------------------------------------------
+# A52. SQL API surface: the same engine driven through spark.sql() with
+# temp views, a CTE, and a ranked window — proving the registry is not
+# DataFrame-only. Catalyst compiles this to the identical physical plan
+# a DataFrame formulation gets (one agg shuffle + one tiny window sort).
+# --------------------------------------------------------------------------
+
+def sql_top_nations_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_v")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nat_v")
+    return spark.sql("""
+        WITH rev AS (
+          SELECT n_name, year(o_orderdate) AS yr,
+                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+          FROM li_v
+          JOIN ord_v ON l_orderkey = o_orderkey
+          JOIN cust_v ON o_custkey = c_custkey
+          JOIN nat_v ON c_nationkey = n_nationkey
+          GROUP BY n_name, year(o_orderdate)
+        ), ranked AS (
+          SELECT n_name, yr, revenue,
+                 rank() OVER (PARTITION BY yr
+                              ORDER BY revenue DESC, n_name) AS rnk
+          FROM rev
+        )
+        SELECT yr, rnk, n_name, revenue FROM ranked WHERE rnk <= 3
+    """)
+
+SQL_TOP_NATIONS_SQL = """
+WITH rev AS (
+  SELECT n_name, year(o_orderdate) AS yr,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, year(o_orderdate)
+), ranked AS (
+  SELECT n_name, yr, revenue,
+         rank() OVER (PARTITION BY yr ORDER BY revenue DESC, n_name) AS rnk
+  FROM rev
+)
+SELECT yr, rnk, n_name, revenue FROM ranked WHERE rnk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # A46. Logistic regression (IRLS / Newton): one fused aggregate per
 # iteration (gradient + Hessian upper triangle), driver-side k-dim
 # solve. Iterative floating math — rows-only check, like OLS/LASSO.
@@ -2964,6 +3012,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "nullsafe_segment_match": (nullsafe_segment_match, NULLSAFE_SQL),
     "dq_lineitem_checks": (dq_lineitem_checks, DQ_LINEITEM_SQL),
     "fk_orphan_counts": (fk_orphan_counts, FK_ORPHANS_SQL),
+    "sql_top_nations_by_year": (sql_top_nations_by_year, SQL_TOP_NATIONS_SQL),
 }
 
 
