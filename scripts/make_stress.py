@@ -48,11 +48,27 @@ def main() -> None:
        .drop("rep").repartition(16)
        .write.mode("overwrite").parquet(f"{out}/events.parquet"))
 
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "documents", "embeddings"):
+    # text/vector corpora scale at factor/4 (their operators are
+    # explode-heavy: grams/tokens per doc multiply the row factor)
+    corpus_factor = max(2, factor // 4)
+    creps = spark.range(corpus_factor).withColumnRenamed("id", "rep")
+
+    docs = load_table(spark, sf, "documents")
+    (docs.crossJoin(creps)
+         .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+         .drop("rep").repartition(16)
+         .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
+
+    emb = load_table(spark, sf, "embeddings")
+    (emb.crossJoin(creps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 10_000_000)
+        .drop("rep").repartition(8)
+        .write.mode("overwrite").parquet(f"{out}/embeddings.parquet"))
+
+    for t in ("region", "nation", "customer", "supplier", "part"):
         load_table(spark, sf, t).write.mode("overwrite") \
             .parquet(f"{out}/{t}.parquet")
-    print(f"stress data at {out} (factor {factor})")
+    print(f"stress data at {out} (factor {factor}, corpus {corpus_factor})")
 
 
 if __name__ == "__main__":
