@@ -229,3 +229,35 @@ def bigram_pmi(df: DataFrame, text_col: str = "text",
             .orderBy(F.col("n_pair").desc(), "w1", "w2")
             .limit(top_k)
             .select("w1", "w2", "n_pair", "pmi"))
+
+
+def token_entropy(df: DataFrame, text_col: str = "text",
+                  group_col: str = "source") -> DataFrame:
+    """Corpus diversity (B25): Shannon entropy of the token distribution
+    per group, H = ln(N) - sum(n·ln n)/N over token counts n.
+
+    That algebraic form needs only per-token counts (exact integers) —
+    no per-row probabilities, so the only floating work is one ln per
+    DISTINCT token. Two shuffles: token counts (vocabulary-wide,
+    map-side combined) then the per-group reduction (group-wide, tiny).
+    Low entropy flags templated/boilerplate sources — the corpus-
+    curation signal complementing `quality_score` and
+    `repetition_signals`.
+    """
+    toks_arr = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " ")),
+        r"\s+")
+    counts = (df.select(F.col(group_col).alias("grp"),
+                        F.explode_outer(toks_arr).alias("tok"))
+                .where(F.col("tok").isNotNull())
+                .groupBy("grp", "tok")
+                .agg(F.count(F.lit(1)).alias("n")))
+    return (counts.groupBy("grp")
+                  .agg(F.sum("n").alias("n_tokens"),
+                       F.count(F.lit(1)).alias("n_vocab"),
+                       F.sum(F.col("n") * F.log("n")).alias("__s"))
+                  .select(F.col("grp").alias(group_col), "n_tokens",
+                          "n_vocab",
+                          F.round(F.log("n_tokens")
+                                  - F.col("__s") / F.col("n_tokens"), 4)
+                           .alias("entropy")))

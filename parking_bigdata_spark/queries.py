@@ -2878,6 +2878,33 @@ SELECT yr, rnk, n_name, revenue FROM ranked WHERE rnk <= 3
 
 
 # --------------------------------------------------------------------------
+# B25. Token-distribution entropy per source: H = ln N - sum(n ln n)/N
+# from exact integer token counts — one ln per DISTINCT token, two
+# shuffles (vocab-wide then group-wide).
+# --------------------------------------------------------------------------
+
+def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.token_entropy(docs, group_col="source")
+
+TOKEN_ENTROPY_SQL = """
+WITH toks AS (
+  SELECT source,
+         unnest(string_split_regex(trim(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g')), '\\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT source, tok, count(*) AS n FROM toks GROUP BY 1, 2
+)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+       count(*) AS n_vocab,
+       round(ln(CAST(sum(n) AS BIGINT))
+             - sum(n * ln(n)) / CAST(sum(n) AS BIGINT), 4) AS entropy
+FROM counts GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # A46. Logistic regression (IRLS / Newton): one fused aggregate per
 # iteration (gradient + Hessian upper triangle), driver-side k-dim
 # solve. Iterative floating math — rows-only check, like OLS/LASSO.
@@ -3013,6 +3040,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dq_lineitem_checks": (dq_lineitem_checks, DQ_LINEITEM_SQL),
     "fk_orphan_counts": (fk_orphan_counts, FK_ORPHANS_SQL),
     "sql_top_nations_by_year": (sql_top_nations_by_year, SQL_TOP_NATIONS_SQL),
+    "token_entropy_by_source": (token_entropy_by_source, TOKEN_ENTROPY_SQL),
 }
 
 
