@@ -49,3 +49,52 @@ def test_bin_clamp_bounds(spark, vals, lo, hi):
     df = spark.createDataFrame(pd.DataFrame({"x": vals}))
     out = features.bin_clamp(df, "x", "b", scale=0, lo=lo, hi=hi).collect()
     assert all(lo <= r["b"] <= hi for r in out)
+
+
+@given(base=st.text(alphabet="abcdef ", min_size=30, max_size=60),
+       prefix=st.text(alphabet="xyz ", min_size=0, max_size=20),
+       suffix=st.text(alphabet="uvw ", min_size=0, max_size=20))
+@settings(deadline=None, max_examples=8,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_winnowing_guarantee_shared_substring(spark, base, prefix, suffix):
+    """Schleimer's winnowing guarantee: two documents sharing a
+    substring of length >= k + window - 1 MUST share at least one
+    fingerprint (here the shared block is far longer than k+w-1)."""
+    from parking_bigdata_spark.operators import text as text_ops
+    d1, d2 = base, prefix + base + suffix
+    df = spark.createDataFrame([(1, d1), (2, d2)],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: set(r["winnow_fps"]) for r in
+           text_ops.winnow_fingerprints(df, k=8, window=4).collect()}
+    assert out[1] & out[2], "shared block produced no common fingerprint"
+
+
+@given(n_shared=st.integers(min_value=0, max_value=20))
+@settings(deadline=None, max_examples=6,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_minhash_estimate_tracks_jaccard(spark, n_shared):
+    """MinHash property: the banded-signature estimate of Jaccard
+    similarity must track the exact value — identical sets agree on
+    every permutation; disjoint sets agree on (almost) none; partial
+    overlap lands in between, monotonically."""
+    from parking_bigdata_spark.operators import dedup
+
+    words_a = [f"tok{i}" for i in range(20)]
+    words_b = [f"tok{i}" for i in range(20 - n_shared, 40 - n_shared)]
+    # build texts whose 3-gram sets overlap in proportion to n_shared
+    df = spark.createDataFrame(
+        [(1, " ".join(words_a)), (2, " ".join(words_b))],
+        "doc_id long, text string")
+    sig = dedup.minhash_signatures(df, n_perm=32, ngram=3)
+    rows = {r["doc_id"]: [r[f"mh{i}"] for i in range(32)]
+            for r in sig.collect()}
+    agree = sum(a == b for a, b in zip(rows[1], rows[2])) / 32.0
+
+    g = dedup.word_ngrams(df, n=3)
+    gs = {r["doc_id"]: set(r["grams"]) for r in g.collect()}
+    inter = len(gs[1] & gs[2])
+    union = len(gs[1] | gs[2])
+    exact = inter / union if union else 1.0
+    assert abs(agree - exact) <= 0.35  # 32 perms: ±1.96/sqrt(32) ≈ 0.35
