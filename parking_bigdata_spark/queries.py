@@ -2905,6 +2905,30 @@ FROM counts GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# A53. Relative-rank windows (percent_rank / cume_dist): exact-integer
+# rank arithmetic, so the doubles are engine-portable without rounding
+# fuzz. One shuffle on the partition key.
+# --------------------------------------------------------------------------
+
+def acctbal_relative_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = (Window.partitionBy("c_mktsegment")
+               .orderBy("c_acctbal", "c_custkey"))
+    return (cust.select("c_mktsegment", "c_custkey",
+                        F.round("c_acctbal", 4).alias("c_acctbal"),
+                        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+                        F.round(F.cume_dist().over(w), 6).alias("cume")))
+
+RELATIVE_RANK_SQL = """
+SELECT c_mktsegment, c_custkey, round(c_acctbal, 4) AS c_acctbal,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
 # A46. Logistic regression (IRLS / Newton): one fused aggregate per
 # iteration (gradient + Hessian upper triangle), driver-side k-dim
 # solve. Iterative floating math — rows-only check, like OLS/LASSO.
@@ -3041,6 +3065,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "fk_orphan_counts": (fk_orphan_counts, FK_ORPHANS_SQL),
     "sql_top_nations_by_year": (sql_top_nations_by_year, SQL_TOP_NATIONS_SQL),
     "token_entropy_by_source": (token_entropy_by_source, TOKEN_ENTROPY_SQL),
+    "acctbal_relative_rank": (acctbal_relative_rank, RELATIVE_RANK_SQL),
 }
 
 

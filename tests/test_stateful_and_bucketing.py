@@ -144,3 +144,18 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     n_out = len(glob.glob(out + "/*.parquet"))
     assert n_out < 8
     assert (spark.read.parquet(out).count() == 100_000)
+
+
+def test_merge_schema_reads_evolved_dataset(spark, tmp_path):
+    """Schema evolution: a dataset whose later files carry an extra
+    column must read with the UNION schema under mergeSchema, with
+    NULLs for the early files."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string") \
+        .write.parquet(p + "/batch=1")
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double") \
+        .write.parquet(p + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "v", "score", "batch"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
