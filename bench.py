@@ -66,6 +66,10 @@ HEADLINE = [
     "orders_trailing_7d",
     "outlier_fences",
     "kmeans_embeddings",
+    "snapshot_diff_orders",
+    "spearman_qty_price",
+    "scd2_user_event_state",
+    "psi_drift_by_source",
 ]
 
 

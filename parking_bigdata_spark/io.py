@@ -220,3 +220,40 @@ def compact_parquet(spark: SparkSession, path: str, out_path: str,
     # coalesce, not repartition: merging files needs no shuffle
     df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def write_zorder_parquet(df: DataFrame, path: str, col_a: str, col_b: str,
+                         bits: int = 16, num_files: int | None = None) -> None:
+    """Z-order (Morton curve) layout for TWO pruning dimensions.
+
+    ``write_sorted_parquet`` clusters one key; filters on any other
+    column still scan every file. Here both columns are rescaled to
+    ``bits``-bit integer ranks (min/max from one tiny agg) and their
+    bits interleaved into a single Morton key; range-partitioning +
+    sorting on that key makes every output file cover a small RECTANGLE
+    in (a, b) space, so parquet row-group min/max statistics prune
+    scans filtered on EITHER column. This is the layout trick behind
+    Delta/Iceberg Z-ordering, expressed in pure Spark bit arithmetic
+    (stays in whole-stage codegen — no UDF).
+    """
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)).first()
+    scale = (1 << bits) - 1
+
+    def to_rank(c: str, lo, hi):
+        span = float(hi - lo) or 1.0
+        r = F.floor((F.col(c) - F.lit(lo)) / F.lit(span) * scale)
+        return F.least(F.greatest(r, F.lit(0)), F.lit(scale)).cast("long")
+
+    ra, rb = to_rank(col_a, lo_a, hi_a), to_rank(col_b, lo_b, hi_b)
+    morton = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(ra, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(rb, i).bitwiseAND(F.lit(1))
+        morton = morton.bitwiseOR(F.shiftleft(bit_a, 2 * i + 1)) \
+                       .bitwiseOR(F.shiftleft(bit_b, 2 * i))
+    d = df.withColumn("__zkey", morton)
+    d = d.repartitionByRange(*([num_files] if num_files else []),
+                             F.col("__zkey"))
+    (d.sortWithinPartitions("__zkey").drop("__zkey")
+      .write.mode("overwrite").parquet(path))

@@ -98,6 +98,29 @@ def ols_fit_df(df: DataFrame, xs: list[str], y: str,
     return spark.createDataFrame(rows, "term string, estimate double")
 
 
+def ridge_fit_df(df: DataFrame, xs: list[str], y: str, lam: float = 1.0,
+                 round_to: int = 4) -> DataFrame:
+    """Ridge regression (L2-penalized least squares), the closed-form
+    companion to LASSO (R:1248's glmnet at alpha=0).
+
+    Same one-pass sufficient statistics as OLS — the ONLY distributed
+    work is the fused XᵀX / Xᵀy aggregate over one scan — then the
+    driver solves (XᵀX + λI)β = Xᵀy with the intercept row/column
+    unpenalized. At 100 TB the cost is identical to a single agg query;
+    the k×k solve is microseconds.
+    """
+    G, Xty, _ = _gram_aggregate(df, xs, y)
+    k = G.shape[0]
+    P = np.eye(k) * lam
+    P[0, 0] = 0.0  # never shrink the intercept
+    beta = np.linalg.solve(G + P, Xty)
+    spark = df.sparkSession
+    rows = [("intercept", round(float(beta[0]), round_to))]
+    rows += [(f"coef_{c}", round(float(b), round_to))
+             for c, b in zip(xs, beta[1:])]
+    return spark.createDataFrame(rows, "term string, estimate double")
+
+
 def eval_metrics(df: DataFrame, y_true: str, y_pred, round_to: int = 4) -> DataFrame:
     """RMSE / MAPE / R² in a single fused pass (R:1291-1315).
     ``y_pred`` may be a column name or Column expression (a model's

@@ -2955,6 +2955,254 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A55. Heavy-hitter / skew audit: per-key counts with share-of-total in
+# basis points, top 20. The counts table is |customers|-sized (already
+# reduced); the 1-row total broadcasts back, and the top-k is a
+# TakeOrdered — no second full shuffle. This is the audit you run BEFORE
+# picking join/salting strategy at 100 TB.
+# --------------------------------------------------------------------------
+
+def heavy_hitter_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = counts.agg(F.sum("n_orders").alias("__total"))
+    return (counts.join(F.broadcast(total))
+                  .select("o_custkey", "n_orders",
+                          F.round(F.col("n_orders") * 10000.0 / F.col("__total"),
+                                  4).alias("share_bp"))
+                  .orderBy(F.desc("n_orders"), "o_custkey")
+                  .limit(20))
+
+HEAVY_HITTERS_SQL = """
+WITH c AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+SELECT o_custkey, n_orders,
+       round(n_orders * 10000.0 / (SELECT sum(n_orders) FROM c), 4) AS share_bp
+FROM c ORDER BY n_orders DESC, o_custkey LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# B26. Distribution drift per source (Population Stability Index):
+# Laplace-smoothed PSI of each source's n_chars histogram against the
+# corpus. One shuffle builds the (source x bucket) counts; everything
+# after runs on that tiny grid (zero-filled via a cross join so absent
+# buckets still contribute their smoothed term). The standard drift
+# gate between two crawl snapshots of a training corpus.
+# --------------------------------------------------------------------------
+
+def psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (docs.select("source", F.floor(F.col("n_chars") / 50).alias("bucket"))
+               .groupBy("source", "bucket")
+               .agg(F.count(F.lit(1)).alias("n")))
+    grid = (cnt.select("source").distinct()
+               .crossJoin(cnt.select("bucket").distinct()))
+    full = (grid.join(cnt, ["source", "bucket"], "left")
+                .select("source", "bucket",
+                        F.coalesce("n", F.lit(0)).alias("n")))
+    w_src = Window.partitionBy("source")
+    w_bkt = Window.partitionBy("bucket")
+    w_all = Window.partitionBy()
+    nb = F.count(F.lit(1)).over(w_src)            # number of buckets
+    p = (F.col("n") + 1) / (F.sum("n").over(w_src) + nb)
+    q = (F.sum("n").over(w_bkt) + 1) / (F.sum("n").over(w_all) + nb)
+    term = (p - q) * F.log(p / q)
+    return (full.select("source", F.col("n").alias("n"), term.alias("t"))
+                .groupBy("source")
+                .agg(F.sum("n").alias("n_docs"),
+                     F.round(F.sum("t"), 4).alias("psi")))
+
+PSI_DRIFT_SQL = """
+WITH cnt AS (
+  SELECT source, CAST(floor(n_chars / 50) AS BIGINT) AS bucket, count(*) AS n
+  FROM documents GROUP BY 1, 2
+), grid AS (
+  SELECT s.source, b.bucket
+  FROM (SELECT DISTINCT source FROM cnt) s
+  CROSS JOIN (SELECT DISTINCT bucket FROM cnt) b
+), full_grid AS (
+  SELECT g.source, g.bucket, coalesce(c.n, 0) AS n
+  FROM grid g LEFT JOIN cnt c ON g.source = c.source AND g.bucket = c.bucket
+), terms AS (
+  SELECT source, n,
+         ((n + 1.0) / (sum(n) OVER (PARTITION BY source)
+                       + count(*) OVER (PARTITION BY source))) AS p,
+         ((sum(n) OVER (PARTITION BY bucket) + 1.0)
+          / (sum(n) OVER () + count(*) OVER (PARTITION BY source))) AS q
+  FROM full_grid
+)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+       round(sum((p - q) * ln(p / q)), 4) AS psi
+FROM terms GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# A56. Spearman rank correlation: tie-averaged ranks computed on the
+# DISTINCT-value tables (never a per-row global sort — the Kruskal
+# trick), broadcast-joined back, then one Pearson corr aggregate.
+# At extreme key cardinality the rank tables switch to quantile-binned
+# approximate ranks; at these scales they are vocab-sized.
+# --------------------------------------------------------------------------
+
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def rank_tab(col: str, alias: str) -> DataFrame:
+        c = li.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        # tie-averaged rank = inclusive cumulative count - (n-1)/2
+        return c.select(col, (F.sum("n").over(w)
+                              - (F.col("n") - 1) / 2.0).alias(alias))
+
+    ranked = (li.select("l_quantity", "l_extendedprice")
+                .join(F.broadcast(rank_tab("l_quantity", "r_q")), "l_quantity")
+                .join(F.broadcast(rank_tab("l_extendedprice", "r_p")),
+                      "l_extendedprice"))
+    return ranked.agg(F.round(F.corr("r_q", "r_p"), 4).alias("spearman_rho"),
+                      F.count(F.lit(1)).alias("n_rows"))
+
+SPEARMAN_SQL = """
+WITH rq AS (
+  SELECT l_quantity,
+         sum(n) OVER (ORDER BY l_quantity ROWS UNBOUNDED PRECEDING)
+           - (n - 1) / 2.0 AS r_q
+  FROM (SELECT l_quantity, count(*) AS n FROM lineitem GROUP BY 1)
+), rp AS (
+  SELECT l_extendedprice,
+         sum(n) OVER (ORDER BY l_extendedprice ROWS UNBOUNDED PRECEDING)
+           - (n - 1) / 2.0 AS r_p
+  FROM (SELECT l_extendedprice, count(*) AS n FROM lineitem GROUP BY 1)
+)
+SELECT round(corr(r_q, r_p), 4) AS spearman_rho, count(*) AS n_rows
+FROM lineitem JOIN rq USING (l_quantity) JOIN rp USING (l_extendedprice)
+"""
+
+
+# --------------------------------------------------------------------------
+# A57. Deterministic hash sampling: keep rows whose md5(key) prefix
+# falls below a hex threshold ('1a' ~ 10.2%). Engine-portable (md5 is
+# md5 everywhere), seedless, reproducible across runs AND across
+# engines — unlike rand()-based sampling. The filter is a pure
+# row-local predicate: no shuffle, scales embarrassingly.
+# --------------------------------------------------------------------------
+
+def deterministic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    keep = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a"
+    return (o.where(keep)
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_sampled"),
+                  F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                           .cast("double"), 4).alias("sampled_spend")))
+
+DET_SAMPLE_SQL = """
+SELECT o_orderpriority, count(*) AS n_sampled,
+       round(CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE), 4) AS sampled_spend
+FROM orders
+WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A58. Snapshot reconciliation (data diff): classify every key across
+# two table versions as added / removed / changed / unchanged. One
+# full-outer sort-merge join on the key — the canonical CDC audit
+# between two loads. Versions are derived deterministically from
+# `orders` (modulo drops + a simulated price update) so the oracle sees
+# the identical inputs.
+# --------------------------------------------------------------------------
+
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    old = (o.where(F.col("o_orderkey") % 97 != 0)
+             .select("o_orderkey", F.col("o_totalprice").alias("price_old")))
+    new = (o.where(F.col("o_orderkey") % 89 != 0)
+             .select("o_orderkey",
+                     F.when(F.col("o_orderkey") % 101 == 0,
+                            F.col("o_totalprice") * 1.1)
+                      .otherwise(F.col("o_totalprice")).alias("price_new")))
+    j = old.join(new, "o_orderkey", "full_outer")
+    cls = (F.when(F.col("price_old").isNull(), "added")
+            .when(F.col("price_new").isNull(), "removed")
+            .when(F.col("price_old") != F.col("price_new"), "changed")
+            .otherwise("unchanged"))
+    return (j.groupBy(cls.alias("change_type"))
+             .agg(F.count(F.lit(1)).alias("n")))
+
+SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice AS price_old
+  FROM orders WHERE o_orderkey % 97 <> 0
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS price_new
+  FROM orders WHERE o_orderkey % 89 <> 0
+)
+SELECT CASE WHEN price_old IS NULL THEN 'added'
+            WHEN price_new IS NULL THEN 'removed'
+            WHEN price_old <> price_new THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       count(*) AS n
+FROM old FULL OUTER JOIN new USING (o_orderkey)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A59. SCD Type-2 dimension build: collapse each user's event stream
+# into validity intervals [valid_from, valid_to) of their event_type
+# "state", open-ended for the current state. Both windows ride ONE
+# user_id shuffle; timestamps surface as integer microseconds (exact
+# cross-engine). Sampled users keep the output review-sized.
+# --------------------------------------------------------------------------
+
+def scd2_user_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("user_id") % 50 == 0))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (ev.withColumn("prev", F.lag("event_type").over(w))
+                 .where(F.col("prev").isNull()
+                        | (F.col("prev") != F.col("event_type"))))
+    nxt = F.lead("ts").over(w)
+    return changed.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        nxt.isNull().cast("int").alias("is_current"))
+
+SCD2_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE user_id % 50 = 0
+), ch AS (
+  SELECT user_id, event_type, ts, event_id FROM c
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type AS state,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w) AS valid_to_us,
+       CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
+FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# A60. Ridge regression (closed form): one fused Gram-matrix aggregate,
+# driver-side (XᵀX + λI) solve. Iterative-free L2 companion to LASSO.
+# --------------------------------------------------------------------------
+
+def ridge_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return ml.ridge_fit_df(li, ["l_quantity", "l_discount", "l_tax"],
+                           "l_extendedprice", lam=10.0)
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3066,6 +3314,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sql_top_nations_by_year": (sql_top_nations_by_year, SQL_TOP_NATIONS_SQL),
     "token_entropy_by_source": (token_entropy_by_source, TOKEN_ENTROPY_SQL),
     "acctbal_relative_rank": (acctbal_relative_rank, RELATIVE_RANK_SQL),
+    "heavy_hitter_custkeys": (heavy_hitter_custkeys, HEAVY_HITTERS_SQL),
+    "psi_drift_by_source": (psi_drift_by_source, PSI_DRIFT_SQL),
+    "spearman_qty_price": (spearman_qty_price, SPEARMAN_SQL),
+    "deterministic_sample_orders": (deterministic_sample_orders, DET_SAMPLE_SQL),
+    "snapshot_diff_orders": (snapshot_diff_orders, SNAPSHOT_DIFF_SQL),
+    "scd2_user_event_state": (scd2_user_event_state, SCD2_SQL),
+    "ridge_lineitem": (ridge_lineitem, None),
 }
 
 

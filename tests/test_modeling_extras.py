@@ -172,3 +172,21 @@ def test_kmeans_lloyd_two_blobs(spark):
     assert sizes == [2, 2]
     # each blob's inertia: two points 1.0 apart -> 2 * 0.5^2 = 0.5
     assert sorted(round(r["inertia"], 2) for r in out) == [0.5, 0.5]
+
+
+def test_ridge_interpolates_ols_and_shrinks(spark, sf_dir):
+    """lambda->0 recovers OLS; large lambda shrinks slope coefficients
+    toward zero (intercept stays unpenalized, so the fit degenerates
+    toward the mean, not toward zero predictions)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xs, y = ["l_quantity", "l_discount", "l_tax"], "l_extendedprice"
+    ols = {r["term"]: r["estimate"]
+           for r in ml.ols_fit_df(li, xs, y, round_to=6).collect()}
+    tiny = {r["term"]: r["estimate"]
+            for r in ml.ridge_fit_df(li, xs, y, lam=1e-9, round_to=6).collect()}
+    big = {r["term"]: r["estimate"]
+           for r in ml.ridge_fit_df(li, xs, y, lam=1e12, round_to=6).collect()}
+    for t in ols:
+        assert abs(tiny[t] - ols[t]) < 1e-3 * (1 + abs(ols[t]))
+    for c in xs:
+        assert abs(big[f"coef_{c}"]) < 0.01 * (1 + abs(ols[f"coef_{c}"]))

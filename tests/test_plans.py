@@ -121,3 +121,33 @@ def test_outlier_fences_broadcasts_tiny_agg(spark, sf_dir):
     # shuffles for its own group agg
     plan = _plan(spark, sf_dir, "outlier_fences")
     assert "BroadcastHashJoin" in plan
+
+
+def test_heavy_hitter_takeordered_and_broadcast_total(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "heavy_hitter_custkeys")
+    # top-k is a TakeOrdered (no global sort), total joins as broadcast
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_deterministic_sample_single_shuffle(spark, sf_dir):
+    # md5 predicate is a pure row-local map: only the groupBy shuffles
+    plan = _plan(spark, sf_dir, "deterministic_sample_orders")
+    assert plan.count("Exchange") == 1
+
+
+def test_snapshot_diff_full_outer_sort_merge(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "snapshot_diff_orders")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+
+
+def test_spearman_fact_never_shuffles(spark, sf_dir):
+    # ranks join back as broadcasts; the lineitem side stays map-only
+    plan = _plan(spark, sf_dir, "spearman_qty_price")
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_scd2_windows_share_one_shuffle(spark, sf_dir):
+    # lag-filter-lead all ride a single user_id exchange
+    plan = _plan(spark, sf_dir, "scd2_user_event_state")
+    assert plan.count("Exchange") == 1

@@ -159,3 +159,36 @@ def test_merge_schema_reads_evolved_dataset(spark, tmp_path):
     assert set(df.columns) == {"id", "v", "score", "batch"}
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustered writes: every output file covers a small
+    RECTANGLE in (x, y), so file-level min/max spans shrink on BOTH
+    columns; a single-column sort clusters one dim and leaves the
+    other spanning its full range (unprunable)."""
+    import glob
+    from parking_bigdata_spark.io import (write_sorted_parquet,
+                                          write_zorder_parquet)
+    df = spark.range(1 << 16).select(
+        (F.col("id") % 256).alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(256)).alias("y"),
+        F.col("id").alias("payload"))
+
+    def avg_spans(path):
+        sx, sy = [], []
+        for f in glob.glob(path + "/*.parquet"):
+            r = (spark.read.parquet(f)
+                 .agg(F.min("x"), F.max("x"), F.min("y"), F.max("y")).first())
+            sx.append(r[1] - r[0])
+            sy.append(r[3] - r[2])
+        return sum(sx) / len(sx), sum(sy) / len(sy)
+
+    zp, xp = str(tmp_path / "zorder"), str(tmp_path / "xsort")
+    write_zorder_parquet(df, zp, "x", "y", bits=8, num_files=16)
+    write_sorted_parquet(df, xp, ["x"], num_files=16)
+    zx, zy = avg_spans(zp)
+    xx, xy = avg_spans(xp)
+    assert zx < 128 and zy < 128          # both dims clustered
+    assert xx < 32 and xy > 200           # x-sort: other dim unprunable
+    # same rows either way
+    assert spark.read.parquet(zp).count() == 1 << 16
