@@ -70,6 +70,9 @@ HEADLINE = [
     "spearman_qty_price",
     "scd2_user_event_state",
     "psi_drift_by_source",
+    "pagerank_suppliers",
+    "mad_price_by_flag",
+    "decayed_engagement",
 ]
 
 

@@ -1,0 +1,75 @@
+"""Distributed graph analytics on relational edge lists.
+
+The reference has no graph code; this generalizes its join-based
+enrichment (R:272, R:909) to iterative graph algorithms — the shape a
+lakehouse needs for entity-resolution graphs, citation ranks over a
+training corpus, or influence scoring. Companion to the min-label
+connected-components propagation in `dedup.py` (B22).
+
+Scale design: the edge list is the ONLY large dataset; it is persisted
+once, pre-shuffled on src, and every power iteration is one
+shuffle-reuse join + one groupBy on dst. Rank state is nodes-sized.
+A fixed iteration count keeps the whole computation a deterministic,
+finite Catalyst plan (no driver-side convergence collect needed at
+scale; `dedup.py` shows the converge-probe variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, n_iter: int = 3,
+             damping: float = 0.85) -> DataFrame:
+    """Weighted PageRank over a directed edge list.
+
+    ``edges`` columns: ``src``, ``dst``, ``w`` (positive weight). Every
+    node must appear as a src (symmetrize the edge list for undirected
+    graphs — that also removes dangling-node mass loss). Returns
+    (node, rank) with ranks scaled so the mean is 1.0.
+
+    Per iteration: contributions = edges ⋈ ranks on src (both sides
+    hash-partitioned on the same key; the edge side's partitioning is
+    reused every round), then one groupBy(dst) sum. The shuffled bytes
+    per round are O(edges), the state O(nodes) — the textbook
+    scale-out PageRank dataflow.
+    """
+    edges = edges.select("src", "dst", F.col("w").cast("double").alias("w"))
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # transition fraction per edge; persisted + pre-shuffled ONCE
+    trans = (edges.join(out_w, "src")
+                  .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+                  .repartition("src")
+                  .persist())
+    nodes = trans.select(F.col("src").alias("node")).distinct().persist()
+    n = nodes.count()  # also materializes trans/nodes
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (trans.join(ranks, trans["src"] == ranks["node"])
+                        .groupBy(F.col("dst").alias("node"))
+                        .agg(F.sum(F.col("rank") * F.col("p")).alias("in_rank")))
+        ranks = (nodes.join(contrib, "node", "left")
+                      .select("node",
+                              (F.lit(1 - damping)
+                               + F.lit(damping)
+                               * F.coalesce("in_rank", F.lit(0.0))).alias("rank")))
+    return ranks
+
+
+def bipartite_pagerank_suppliers(customer_supplier_edges: DataFrame,
+                                 n_iter: int = 3) -> DataFrame:
+    """PageRank on the symmetrized customer↔supplier purchase graph,
+    returning supplier ranks. Node ids are prefixed ('c:', 's:') so the
+    two key spaces cannot collide."""
+    e = customer_supplier_edges.select(
+        F.concat(F.lit("c:"), F.col("custkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("suppkey")).alias("dst"),
+        F.col("w"))
+    sym = e.unionAll(e.select(F.col("dst").alias("src"),
+                              F.col("src").alias("dst"), "w"))
+    pr = pagerank(sym, n_iter=n_iter)
+    return (pr.where(F.col("node").startswith("s:"))
+              .select(F.expr("CAST(substring(node, 3) AS BIGINT)")
+                       .alias("suppkey"),
+                      F.round("rank", 4).alias("rank")))

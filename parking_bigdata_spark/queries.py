@@ -3192,6 +3192,98 @@ FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 
 # --------------------------------------------------------------------------
+# C16. Exponentially-decayed engagement score: recency-weighted value
+# sum per user with a 30-day half-life-ish decay against a FIXED
+# reference instant (deterministic and engine-portable, unlike now()).
+# Pure row-local math + one shuffle — the standard recency feature for
+# ranking/retention models.
+# --------------------------------------------------------------------------
+
+def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ref = F.lit("2024-02-01").cast("timestamp")
+    age_days = (F.unix_micros(ref) - F.unix_micros(F.col("ts"))) / 86400e6
+    score = F.col("value") * F.exp(-age_days / 30.0)
+    return (ev.groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.round(F.sum(score), 4).alias("decayed_score")))
+
+DECAYED_SQL = """
+SELECT user_id, count(*) AS n_events,
+       round(sum(value * exp(-((epoch_us(TIMESTAMP '2024-02-01') - epoch_us(ts))
+                               / 86400000000.0) / 30.0)), 4) AS decayed_score
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# A62. Mode (most frequent value) per group with DETERMINISTIC ties
+# (highest count, then smallest value — engines' native mode() leaves
+# ties unspecified, so both sides spell the tie-break out). Shuffle 1
+# is the (group, value) count; the ranking window runs on that already
+# tiny table.
+# --------------------------------------------------------------------------
+
+def mode_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = (li.groupBy("l_returnflag", "l_quantity")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.partitionBy("l_returnflag")
+               .orderBy(F.desc("cnt"), "l_quantity"))
+    return (cnt.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") == 1)
+               .select("l_returnflag",
+                       F.col("l_quantity").alias("mode_quantity"),
+                       F.col("cnt").alias("n_occurrences")))
+
+MODE_SQL = """
+WITH c AS (
+  SELECT l_returnflag, l_quantity, count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), r AS (
+  SELECT l_returnflag, l_quantity, cnt,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, l_quantity) AS rn
+  FROM c
+)
+SELECT l_returnflag, l_quantity AS mode_quantity, cnt AS n_occurrences
+FROM r WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A63. Median absolute deviation (robust dispersion) per group: the
+# outlier-resistant companion to stddev for quality gating. Per-group
+# medians are a TINY aggregate broadcast back to the fact (which never
+# shuffles for the join); at 100 TB both medians switch to
+# approx_percentile. Exact `median` matches DuckDB on doubles.
+# --------------------------------------------------------------------------
+
+def mad_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+    med = (li.groupBy("l_returnflag")
+             .agg(F.median("l_extendedprice").alias("med")))
+    return (li.join(F.broadcast(med), "l_returnflag")
+              .groupBy("l_returnflag")
+              .agg(F.round(F.max("med"), 4).alias("median_price"),
+                   F.round(F.median(F.abs(F.col("l_extendedprice")
+                                          - F.col("med"))), 4).alias("mad")))
+
+MAD_SQL = """
+WITH med AS (
+  SELECT l_returnflag, median(l_extendedprice) AS med
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag,
+       round(max(med), 4) AS median_price,
+       round(median(abs(l.l_extendedprice - med)), 4) AS mad
+FROM lineitem l JOIN med USING (l_returnflag)
+GROUP BY l.l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
 # A60. Ridge regression (closed form): one fused Gram-matrix aggregate,
 # driver-side (XᵀX + λI) solve. Iterative-free L2 companion to LASSO.
 # --------------------------------------------------------------------------
@@ -3200,6 +3292,60 @@ def ridge_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return ml.ridge_fit_df(li, ["l_quantity", "l_discount", "l_tax"],
                            "l_extendedprice", lam=10.0)
+
+
+# --------------------------------------------------------------------------
+# B27. Distributed PageRank on the symmetrized customer↔supplier
+# purchase graph (weighted power iteration, fixed 3 rounds). The edge
+# list persists pre-shuffled on src; every round is one shuffle-reuse
+# join + one groupBy(dst) — O(edges) shuffled bytes per round,
+# O(nodes) state. Oracle = the same 3 iterations unrolled as chained
+# CTEs (both engines evaluate 1.0-0.85 as the identical IEEE double).
+# --------------------------------------------------------------------------
+
+def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as graph_ops
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+               .groupBy(F.col("o_custkey").alias("custkey"),
+                        F.col("l_suppkey").alias("suppkey"))
+               .agg(F.count(F.lit(1)).cast("double").alias("w")))
+    return graph_ops.bipartite_pagerank_suppliers(edges, n_iter=3)
+
+_PR_STEP = """
+SELECT n.node, (1.0 - 0.85) + 0.85 * coalesce(c.in_rank, 0) AS rank
+FROM nodes n LEFT JOIN (
+  SELECT t.dst AS node, sum(r.rank * t.p) AS in_rank
+  FROM trans t JOIN {prev} r ON t.src = r.node GROUP BY 1
+) c ON n.node = c.node
+"""
+
+PAGERANK_SQL = f"""
+WITH raw AS (
+  SELECT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), sym AS (
+  SELECT src, dst, w FROM raw
+  UNION ALL
+  SELECT dst AS src, src AS dst, w FROM raw
+), outw AS (
+  SELECT src, sum(w) AS out_w FROM sym GROUP BY 1
+), trans AS (
+  SELECT s.src, s.dst, s.w / o.out_w AS p
+  FROM sym s JOIN outw o ON s.src = o.src
+), nodes AS (
+  SELECT DISTINCT src AS node FROM sym
+), r0 AS (
+  SELECT node, 1.0 AS rank FROM nodes
+), r1 AS ({_PR_STEP.format(prev="r0")}
+), r2 AS ({_PR_STEP.format(prev="r1")}
+), r3 AS ({_PR_STEP.format(prev="r2")})
+SELECT CAST(substring(node, 3) AS BIGINT) AS suppkey, round(rank, 4) AS rank
+FROM r3 WHERE node LIKE 's:%'
+"""
 
 
 # --------------------------------------------------------------------------
@@ -3321,6 +3467,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "snapshot_diff_orders": (snapshot_diff_orders, SNAPSHOT_DIFF_SQL),
     "scd2_user_event_state": (scd2_user_event_state, SCD2_SQL),
     "ridge_lineitem": (ridge_lineitem, None),
+    "decayed_engagement": (decayed_engagement, DECAYED_SQL),
+    "mode_quantity_by_flag": (mode_quantity_by_flag, MODE_SQL),
+    "mad_price_by_flag": (mad_price_by_flag, MAD_SQL),
+    "pagerank_suppliers": (pagerank_suppliers, PAGERANK_SQL),
 }
 
 

@@ -122,6 +122,47 @@ def run_windowed_counts_batchlike(spark: SparkSession, path: str,
     return spark.table(query_name)
 
 
+def session_window_counts(events: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Native engine-managed session windows: ``F.session_window``
+    merges a user's events within ``gap`` of each other into one
+    dynamically-sized window — the built-in counterpart of the
+    `applyInPandasWithState` sessionizer in sessions.py (B13), and the
+    streaming twin of the batch `events_sessions` query.
+
+    State per (user, open session) is merged across micro-batches by
+    the engine; the watermark closes and evicts sessions whose end
+    precedes it. A new event splits a session iff its gap from the
+    previous event is >= `gap` (end-exclusive window), matching the
+    strict `>` custom sessionizer on any real (non-boundary) data.
+    """
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("user_id",
+                    F.unix_micros("w.start").alias("sess_start_us"),
+                    F.unix_micros("w.end").alias("sess_end_us"),
+                    "n_events", "sum_value"))
+
+
+def run_session_window_batchlike(spark: SparkSession, path: str,
+                                 query_name: str = "events_session_windows"):
+    """TEST HARNESS: drain the session-window stream over existing
+    files (availableNow, complete mode, memory sink) — bounded-input
+    testing only, mirroring `run_windowed_counts_batchlike`."""
+    stream = session_window_counts(read_events_stream(spark, path))
+    q = (stream.writeStream
+               .format("memory")
+               .queryName(query_name)
+               .outputMode("complete")
+               .trigger(availableNow=True)
+               .start())
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon —
     `dropDuplicatesWithinWatermark` keeps state bounded (ids older than

@@ -190,3 +190,17 @@ def test_ridge_interpolates_ols_and_shrinks(spark, sf_dir):
         assert abs(tiny[t] - ols[t]) < 1e-3 * (1 + abs(ols[t]))
     for c in xs:
         assert abs(big[f"coef_{c}"]) < 0.01 * (1 + abs(ols[f"coef_{c}"]))
+
+
+def test_pagerank_star_graph_and_mass_conservation(spark):
+    """On a symmetrized star the hub outranks the spokes; with every
+    node having out-edges, total rank mass stays N each iteration."""
+    from parking_bigdata_spark.operators import graph
+    spokes = ["b", "c", "d", "e"]
+    edges = ([("a", s, 1.0) for s in spokes]
+             + [(s, "a", 1.0) for s in spokes])
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    pr = {r["node"]: r["rank"] for r in graph.pagerank(df, n_iter=10).collect()}
+    assert pr["a"] > pr["b"] > 0
+    assert all(abs(pr[s] - pr["b"]) < 1e-12 for s in spokes)  # symmetry
+    assert abs(sum(pr.values()) - 5.0) < 1e-9                 # mass

@@ -202,3 +202,28 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     mk("events_b.parquet", 5, 1)
     run_once()
     assert spark.read.parquet(str(out)).collect()[0]["n"] == 8
+
+
+def test_session_window_stream_matches_custom_sessionizer(spark, sf_dir):
+    """Native F.session_window (engine-managed merging state) must
+    agree with the batch gap-sessionizer on sessions-per-user and
+    events-per-user, and with a batch session_window plan row-for-row."""
+    from parking_bigdata_spark import queries as Q
+    from parking_bigdata_spark.io import load_table
+    from parking_bigdata_spark.streaming.events import (
+        run_session_window_batchlike, session_window_counts)
+
+    streamed = run_session_window_batchlike(spark, sf_dir).collect()
+    per_user = {}
+    for r in streamed:
+        n_sess, n_ev = per_user.get(r["user_id"], (0, 0))
+        per_user[r["user_id"]] = (n_sess + 1, n_ev + r["n_events"])
+    batch = {r["user_id"]: (r["n_sessions"], r["n_events"])
+             for r in Q.events_sessions(spark, sf_dir).collect()}
+    assert per_user == batch
+
+    # the same session_window expression runs as a plain batch groupBy
+    batch_native = session_window_counts(load_table(spark, sf_dir, "events"))
+    a = {tuple(r) for r in batch_native.collect()}
+    b = {tuple(r) for r in streamed}
+    assert a == b
