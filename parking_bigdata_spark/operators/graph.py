@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 
 def pagerank(edges: DataFrame, n_iter: int = 3,
-             damping: float = 0.85) -> DataFrame:
+             damping: float = 0.85,
+             broadcast_state: bool = True) -> DataFrame:
     """Weighted PageRank over a directed edge list.
 
     ``edges`` columns: ``src``, ``dst``, ``w`` (positive weight). Every
@@ -29,11 +30,13 @@ def pagerank(edges: DataFrame, n_iter: int = 3,
     graphs — that also removes dangling-node mass loss). Returns
     (node, rank) with ranks scaled so the mean is 1.0.
 
-    Per iteration: contributions = edges ⋈ ranks on src (both sides
-    hash-partitioned on the same key; the edge side's partitioning is
-    reused every round), then one groupBy(dst) sum. The shuffled bytes
-    per round are O(edges), the state O(nodes) — the textbook
-    scale-out PageRank dataflow.
+    Per iteration: contributions = edges ⋈ ranks on src, then one
+    groupBy(dst) sum. With ``broadcast_state`` (default) the
+    nodes-sized rank vector broadcasts to the persisted edge
+    partitions, so the ONLY per-round shuffle is the dst aggregation —
+    O(edges) bytes. Rank state broadcasts comfortably up to ~10M nodes;
+    beyond that set ``broadcast_state=False`` and the join rides the
+    pre-shuffled src partitioning of the persisted edge list instead.
     """
     edges = edges.select("src", "dst", F.col("w").cast("double").alias("w"))
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
@@ -45,11 +48,12 @@ def pagerank(edges: DataFrame, n_iter: int = 3,
     nodes = trans.select(F.col("src").alias("node")).distinct().persist()
     n = nodes.count()  # also materializes trans/nodes
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    hint = F.broadcast if broadcast_state else (lambda df: df)
     for _ in range(n_iter):
-        contrib = (trans.join(ranks, trans["src"] == ranks["node"])
+        contrib = (trans.join(hint(ranks), trans["src"] == ranks["node"])
                         .groupBy(F.col("dst").alias("node"))
                         .agg(F.sum(F.col("rank") * F.col("p")).alias("in_rank")))
-        ranks = (nodes.join(contrib, "node", "left")
+        ranks = (nodes.join(hint(contrib), "node", "left")
                       .select("node",
                               (F.lit(1 - damping)
                                + F.lit(damping)

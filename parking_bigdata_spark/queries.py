@@ -15,6 +15,9 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — resolves pandas-UDF type hints under
+                     # postponed annotation evaluation
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3349,6 +3352,52 @@ FROM r3 WHERE node LIKE 's:%'
 
 
 # --------------------------------------------------------------------------
+# A64. Trimmed mean per group via a GROUPED_AGG pandas UDF — the
+# Arrow-batched aggregate API surface (series in, scalar out, partial
+# results combined per group). Rank-based trimming (drop the lowest
+# and highest floor(10%) BY COUNT) so the slice boundaries are exact
+# integers on both engines. Built-ins can't express this without a
+# per-group sort window; the vectorized UDF keeps it one shuffle.
+# --------------------------------------------------------------------------
+
+def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def tmean(v: pd.Series) -> float:
+        import numpy as np
+        a = np.sort(v.to_numpy())
+        k = int(len(a) * 0.1)
+        return float(a[k: len(a) - k].mean())
+
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one agg
+    return (li.groupBy("l_returnflag")
+              .agg(F.round(tmean("l_extendedprice"), 4)
+                    .alias("trimmed_mean_price"),
+                   n_rows("l_extendedprice").alias("n")))
+
+TRIMMED_MEAN_SQL = """
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(avg(l_extendedprice), 4) AS trimmed_mean_price,
+       max(n) AS n
+FROM r
+WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
+  AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3471,6 +3520,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mode_quantity_by_flag": (mode_quantity_by_flag, MODE_SQL),
     "mad_price_by_flag": (mad_price_by_flag, MAD_SQL),
     "pagerank_suppliers": (pagerank_suppliers, PAGERANK_SQL),
+    "trimmed_mean_price": (trimmed_mean_price, TRIMMED_MEAN_SQL),
 }
 
 
