@@ -42,6 +42,21 @@ def _norm_text(col) -> F.Column:
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
+def spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Parallelism guard for CPU-heavy per-row work (tokenization,
+    shingling, hashing): a small/compact parquet file plans to fewer
+    scan tasks than cores, serializing work that costs ~100× the scan.
+    Shuffling the raw rows once to `defaultParallelism` partitions is
+    cheap by comparison. No-op whenever the scan already has enough
+    splits — i.e. always at real scale; this only triggers on small,
+    few-row-group inputs."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by md5 of normalized text; keeps the
@@ -76,7 +91,8 @@ def word_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
         f"i -> concat_ws(' ', slice(__toks, i, {n})))) "
         f"ELSE CAST(array() AS array<string>) END"
     )
-    return (df.withColumn("__toks", toks)
+    return (spread_for_cpu(df)
+              .withColumn("__toks", toks)
               .withColumn(out_col, F.expr(expr))
               .drop("__toks"))
 
@@ -158,6 +174,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     fused conditional sums (+1/-1 per bit) in a single groupBy; signature
     reassembled as one BIGINT. Near-dup candidates can then be banded on
     16-bit chunks (hamming ≤ k ⇒ some chunk equal, pigeonhole)."""
+    df = spread_for_cpu(df)
     toks = (df.select(id_col,
                       F.explode(F.split(F.lower(F.trim(F.col(text_col))),
                                         r"\s+")).alias("tok"))

@@ -58,7 +58,14 @@ def pagerank(edges: DataFrame, n_iter: int = 3,
                               (F.lit(1 - damping)
                                + F.lit(damping)
                                * F.coalesce("in_rank", F.lit(0.0))).alias("rank")))
-    return ranks
+    # materialize the nodes-sized result, then release the edge cache —
+    # otherwise every pagerank call leaks a persisted edge list for the
+    # session's lifetime (and re-collecting the result would re-run all
+    # n_iter joins)
+    out = ranks.localCheckpoint(eager=True)
+    trans.unpersist()
+    nodes.unpersist()
+    return out
 
 
 def bipartite_pagerank_suppliers(customer_supplier_edges: DataFrame,

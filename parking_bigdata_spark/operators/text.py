@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import spread_for_cpu
+
 #: Tiny per-language stopword lexicons for the n-gram/stopword heuristic.
 #: Order matters: ties break in this fixed order (deterministic).
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -97,6 +99,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     the downstream join-on-fingerprint finds partial overlaps exact
     dedup misses.
     """
+    df = spread_for_cpu(df)
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     tmp = df.withColumn("__norm", norm)
     hashes = (f"transform(sequence(1, greatest(length(__norm) - {k - 1}, 1)), "
@@ -186,6 +189,7 @@ def bigram_pmi(df: DataFrame, text_col: str = "text",
     top-k frontier never depends on floating-point PMI ties; PMI itself
     is reported rounded.
     """
+    df = spread_for_cpu(df)
     toks_arr = F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " ")),
         r"\s+")
@@ -244,6 +248,7 @@ def token_entropy(df: DataFrame, text_col: str = "text",
     curation signal complementing `quality_score` and
     `repetition_signals`.
     """
+    df = spread_for_cpu(df)
     toks_arr = F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " ")),
         r"\s+")
