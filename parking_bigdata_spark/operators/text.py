@@ -266,3 +266,91 @@ def token_entropy(df: DataFrame, text_col: str = "text",
                           F.round(F.log("n_tokens")
                                   - F.col("__s") / F.col("n_tokens"), 4)
                            .alias("entropy")))
+
+
+def chunk_tokens(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", size: int = 32,
+                 stride: int = 16) -> DataFrame:
+    """Document chunking (B28): split each document into overlapping
+    fixed-size token windows — the unit-of-work transform in front of
+    every tokenize-and-train pipeline (context windows, embedding
+    inputs, dedup shingling at chunk granularity).
+
+    Token offsets come from ``sequence(1, greatest(n-size+1, 1),
+    stride)`` — ``greatest(..., 1)`` both guards Spark's DESCENDING
+    ``sequence(1, 0)`` trap and guarantees short documents still emit
+    exactly one (possibly partial) chunk. The tokens array is
+    materialized as a column BEFORE the explode so the generator never
+    re-runs the regex per element, and ``explode_outer`` (not
+    ``explode``) prevents InferFiltersFromGenerate from cloning the
+    tokenizer into a pushed-down ``size() > 0`` filter.
+
+    Scale: embarrassingly parallel — one projection pass, no shuffle;
+    output partitioning inherits the input's, so a downstream
+    ``repartition`` on chunk hash is the only shuffle a full
+    chunk-then-dedup pipeline ever pays. Row expansion is bounded by
+    ceil(n_tokens / stride) per document.
+    """
+    df = spread_for_cpu(df)
+    words = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
+        " ")
+    base = df.select(F.col(id_col), words.alias("__w"),
+                     F.size(words).alias("__n"))
+    starts = F.expr(
+        f"sequence(1, greatest(__n - {size} + 1, 1), {stride})")
+    return (base
+            .select(id_col, "__w", "__n",
+                    F.explode_outer(starts).alias("chunk_start"))
+            .where(F.col("chunk_start").isNotNull())
+            .select(
+                id_col,
+                "chunk_start",
+                F.least(F.lit(size),
+                        F.col("__n") - F.col("chunk_start") + 1)
+                 .cast("int").alias("n_tokens"),
+                F.md5(F.array_join(
+                    F.slice("__w", F.col("chunk_start"), F.lit(size)),
+                    " ").cast("binary")).alias("chunk_md5")))
+
+
+def unigram_surprisal(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      group_col: str = "source") -> DataFrame:
+    """Unigram-LM surprisal scoring (B29): per-document mean negative
+    log-probability under the corpus's own unigram distribution — the
+    cheap perplexity proxy used to rank documents for quality filtering
+    (high surprisal = rare-token soup, low = boilerplate).
+
+    Two corpus passes by design: pass 1 builds the token-frequency
+    table (vocabulary-wide shuffle, map-side combined), pass 2 re-reads
+    and joins each token against it. Re-tokenizing beats caching — a
+    persisted exploded-token stream is corpus-sized state that evicts
+    everything else at 100 TB, while the regex pass is linear CPU on
+    stateless scans. The frequency table is vocabulary-sized (~10M rows
+    web-scale) so Spark broadcasts it at test scale and AQE picks a
+    shuffled hash join beyond the threshold; either way the fact stream
+    shuffles at most once (doc_id) after the map-side lookup.
+
+    Outputs are per-group aggregates of doc-level means, rounded only
+    at the boundary; ln parity between JVM libm and DuckDB holds to the
+    last ulp and washes out under round(,4).
+    """
+    df = spread_for_cpu(df)
+    toks_arr = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " ")),
+        r"\s+")
+    toks = (df.select(F.col(id_col), F.col(group_col),
+                      F.explode_outer(toks_arr).alias("tok"))
+              .where(F.col("tok").isNotNull()))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = freq.agg(F.sum("n_tok").alias("n_total"))
+    doc_nll = (toks.join(freq, "tok")
+                   .crossJoin(F.broadcast(total))
+                   .groupBy(id_col, group_col)
+                   .agg(F.avg(-F.log(F.col("n_tok").cast("double")
+                                     / F.col("n_total"))).alias("__nll")))
+    return (doc_nll.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("__nll"), 4).alias("avg_surprisal"),
+                 F.round(F.max("__nll"), 4).alias("max_surprisal")))

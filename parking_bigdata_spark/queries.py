@@ -3398,6 +3398,108 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# B28. Document chunking: overlapping fixed-size token windows (the
+# context-window / embedding-input transform). Zero shuffles — pure
+# projection + bounded generator; see operators/text.py:chunk_tokens
+# for the sequence()/explode_outer scale notes.
+# --------------------------------------------------------------------------
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.chunk_tokens(docs, size=32, stride=16)
+
+CHUNK_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                      ' ') AS w
+  FROM documents
+), st AS (
+  SELECT doc_id, w, len(w) AS n,
+         unnest(generate_series(1, greatest(len(w) - 32 + 1, 1), 16)) AS s
+  FROM base
+)
+SELECT doc_id,
+       CAST(s AS INT) AS chunk_start,
+       CAST(least(32, n - s + 1) AS INT) AS n_tokens,
+       md5(array_to_string(list_slice(w, s, s + 31), ' ')) AS chunk_md5
+FROM st
+"""
+
+
+# --------------------------------------------------------------------------
+# B29. Unigram-LM surprisal per source: mean -ln p(token) of each doc
+# under the corpus unigram distribution — the cheap perplexity-proxy
+# quality score. Two tokenize passes by design (recompute beats caching
+# corpus-sized token state); see operators/text.py:unigram_surprisal.
+# --------------------------------------------------------------------------
+
+def surprisal_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.unigram_surprisal(docs)
+
+SURPRISAL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(
+             trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+             '\s+')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, count(*) AS n_tok FROM toks GROUP BY 1
+), total AS (
+  SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM freq
+), doc AS (
+  SELECT t.doc_id, t.source,
+         avg(-ln(CAST(f.n_tok AS DOUBLE) / n_total)) AS nll
+  FROM toks t JOIN freq f USING (tok), total
+  GROUP BY 1, 2
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(nll), 4) AS avg_surprisal,
+       round(max(nll), 4) AS max_surprisal
+FROM doc GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# B30. Per-source document cap (deterministic): keep at most K docs per
+# source, chosen by md5(doc_id) rank — the per-domain cap every web
+# corpus applies (C4/RefinedWeb style) so one giant source can't
+# dominate the training mix. One shuffle on source; the md5 order is
+# engine-portable (hex compares identically) and seedless-deterministic.
+# Scale: a single mega-source funnels its rows to one reducer — the
+# remedy is a two-phase pre-filter (approx per-source counts → md5
+# threshold applied map-side) so only ~K rows per source ever shuffle;
+# the rank here is the exact final arbiter either way.
+# --------------------------------------------------------------------------
+
+def capped_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (docs.select("source", "doc_id", "n_chars")
+                .withColumn("sample_rank", F.row_number().over(w))
+                .where(F.col("sample_rank") <= 100)
+                .select("source", "doc_id", "n_chars",
+                        F.col("sample_rank").cast("int")
+                         .alias("sample_rank")))
+
+CAPPED_DOCS_SQL = """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS sample_rank
+  FROM documents
+)
+SELECT source, doc_id, n_chars, CAST(sample_rank AS INT) AS sample_rank
+FROM r WHERE sample_rank <= 100
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3521,6 +3623,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mad_price_by_flag": (mad_price_by_flag, MAD_SQL),
     "pagerank_suppliers": (pagerank_suppliers, PAGERANK_SQL),
     "trimmed_mean_price": (trimmed_mean_price, TRIMMED_MEAN_SQL),
+    "chunk_documents": (chunk_documents, CHUNK_SQL),
+    "surprisal_by_source": (surprisal_by_source, SURPRISAL_SQL),
+    "capped_docs_per_source": (capped_docs_per_source, CAPPED_DOCS_SQL),
 }
 
 

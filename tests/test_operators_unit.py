@@ -285,3 +285,39 @@ def test_bigram_pmi_counts(spark):
     # c(new)=4, c(york)=5, N=12 -> pmi = ln(4*12/(4*5))
     assert abs(out[("new", "york")]["pmi"]
                - round(math.log(4 * 12 / 20), 4)) < 1e-9
+
+
+def test_chunk_tokens_windows_and_short_docs(spark):
+    from parking_bigdata_spark.operators import text as text_ops
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"),   # 7 tokens
+         (2, "x y"),             # shorter than one window
+         (3, "")],               # degenerate: split('') -> ['']
+        "doc_id long, text string")
+    out = text_ops.chunk_tokens(docs, size=4, stride=2)
+    rows = sorted((r["doc_id"], r["chunk_start"], r["n_tokens"])
+                  for r in out.collect())
+    # doc 1: starts at 1 and 3 (full windows) — sequence caps at n-size+1=4,
+    # stride 2 gives [1, 3]; each window is the full 4 tokens
+    assert rows == [(1, 1, 4), (1, 3, 4), (2, 1, 2), (3, 1, 1)]
+    # content check: window at start 3 of doc 1 is "c d e f"
+    import hashlib
+    md5s = {(r["doc_id"], r["chunk_start"]): r["chunk_md5"]
+            for r in out.collect()}
+    assert md5s[(1, 3)] == hashlib.md5(b"c d e f").hexdigest()
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    import math
+    from parking_bigdata_spark.operators import text as text_ops
+    # corpus: tokens a(3), b(1); N=4 -> p(a)=0.75, p(b)=0.25
+    docs = spark.createDataFrame(
+        [(1, "a a", "s1"), (2, "a b", "s1")],
+        "doc_id long, text string, source string")
+    out = {r["source"]: r for r in
+           text_ops.unigram_surprisal(docs).collect()}
+    nll1 = -math.log(0.75)                       # doc 1: mean(-ln .75)
+    nll2 = (-math.log(0.75) - math.log(0.25)) / 2
+    assert out["s1"]["n_docs"] == 2
+    assert out["s1"]["avg_surprisal"] == round((nll1 + nll2) / 2, 4)
+    assert out["s1"]["max_surprisal"] == round(nll2, 4)
