@@ -3500,6 +3500,35 @@ FROM r WHERE sample_rank <= 100
 
 
 # --------------------------------------------------------------------------
+# C17. VARIANT semi-structured extraction (Spark 4): parse the JSON
+# props column ONCE into the binary VARIANT encoding, then typed-path
+# extraction — at scale this beats repeated get_json_object calls
+# (each re-parses the string) and is the open-format answer to
+# schema-on-read event payloads. All outputs integer-exact.
+# --------------------------------------------------------------------------
+
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (ev.select("event_type", k.alias("k"))
+              .groupBy("event_type")
+              .agg(F.count("k").alias("n_with_k"),
+                   F.sum("k").alias("sum_k"),
+                   F.max("k").alias("max_k")))
+
+VARIANT_SQL = """
+SELECT event_type,
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       max(k) AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3626,6 +3655,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "chunk_documents": (chunk_documents, CHUNK_SQL),
     "surprisal_by_source": (surprisal_by_source, SURPRISAL_SQL),
     "capped_docs_per_source": (capped_docs_per_source, CAPPED_DOCS_SQL),
+    "events_variant_extract": (events_variant_extract, VARIANT_SQL),
 }
 
 
