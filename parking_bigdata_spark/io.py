@@ -42,6 +42,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Parquet TIMESTAMP(MICROS) without isAdjustedToUTC would otherwise
+    # infer as TIMESTAMP_NTZ (Spark 3.4+), which unix_micros()/window()
+    # reject. With the UTC session timezone above, reading it as plain
+    # TIMESTAMP yields identical instants to the naive-timestamp oracle.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
@@ -196,6 +201,11 @@ def write_sorted_parquet(df: DataFrame, path: str, sort_cols: list[str],
     row groups). ``repartitionByRange`` samples the key distribution, so
     skew in the sort key yields balanced files anyway.
     """
+    # INT96 timestamps carry no min/max statistics — force MICROS so the
+    # layout actually prunes (runtime conf: the driver's own session may
+    # not have our builder configs).
+    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType",
+                             "TIMESTAMP_MICROS")
     d = df.repartitionByRange(*( [num_files] if num_files else [] ),
                               *[F.col(c) for c in sort_cols])
     (d.sortWithinPartitions(*sort_cols)

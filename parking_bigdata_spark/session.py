@@ -38,6 +38,13 @@ def get_spark(app_name: str = "parking_bigdata_spark",
         # driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
         # which Spark rejects by default; read as long and convert in io.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamps without the UTC flag must scan as TIMESTAMP, not NTZ
+        # (time functions + streaming windows take TIMESTAMP; UTC session
+        # tz keeps the instants identical to the naive oracle values)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # INT96 (the legacy default) writes NO column statistics, killing
+        # min/max row-group pruning on timestamp sort keys at scale
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

@@ -64,6 +64,7 @@ def read_events_stream(spark: SparkSession, directory: str,
     import os
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     part_dir = os.path.join(directory, "events.parquet")
     if os.path.isdir(part_dir):
         # engine-written part-file dataset: real timestamps already
@@ -71,6 +72,18 @@ def read_events_stream(spark: SparkSession, directory: str,
                      .schema(EVENTS_TS_SCHEMA)
                      .option("maxFilesPerTrigger", str(max_files_per_trigger))
                      .parquet(part_dir))
+    # One batch footer probe decides the physical ts type: TIMESTAMP(NANOS)
+    # testdata scans as long under nanosAsLong (convert below), while
+    # TIMESTAMP(MICROS) testdata is already a proper timestamp — forcing
+    # the long schema there would misread micros as nanos.
+    probe = (spark.read.option("pathGlobFilter", glob)
+                  .parquet(directory).schema["ts"].dataType)
+    if not isinstance(probe, T.LongType):
+        return (spark.readStream
+                     .schema(EVENTS_TS_SCHEMA)
+                     .option("pathGlobFilter", glob)
+                     .option("maxFilesPerTrigger", str(max_files_per_trigger))
+                     .parquet(directory))
     raw = (spark.readStream
                 .schema(EVENTS_RAW_SCHEMA)
                 .option("pathGlobFilter", glob)
