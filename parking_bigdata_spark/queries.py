@@ -3529,6 +3529,379 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# A66. Forecast revenue change (TPC-H Q6 shape): pure scan-filter-agg —
+# every predicate (shipdate year, discount band, quantity cap) reaches
+# the parquet scan as a pushed filter; zero joins, one partial-agg
+# reduce to a single row. The canonical "is pushdown working" probe:
+# at 100 TB this reads only row groups whose min/max overlap the band.
+# --------------------------------------------------------------------------
+
+def forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+                     & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+                     & (F.col("l_discount") >= 0.04)
+                     & (F.col("l_discount") <= 0.06)
+                     & (F.col("l_quantity") < 24))
+              .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                           4).alias("revenue_delta"),
+                   F.count(F.lit(1)).alias("n_rows")))
+
+FORECAST_DELTA_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue_delta,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate <  TIMESTAMP '1999-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# A67. Bilateral trade volume (TPC-H Q7 shape): revenue shipped between
+# two specific nations, by supplier-nation x customer-nation x year.
+# Both nation dims broadcast (two aliased copies); the only shuffle is
+# lineitem<->orders on orderkey. The nation-pair filter applies right
+# after the broadcast joins, before the wide shuffle.
+# --------------------------------------------------------------------------
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    return (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+              .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                    orders.o_custkey == F.col("c_custkey"))
+              .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+              .where(pair)
+              .groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").alias("ship_year"))
+              .agg(F.round(F.sum(rev), 4).alias("volume"),
+                   F.count(F.lit(1)).alias("n_lineitems")))
+
+NATION_TRADE_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS volume,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# A68. Product-line profit (TPC-H Q9 shape): profit per supplier nation
+# per year over a name-filtered part subset. The slim schema has no
+# partsupp, so supply cost is modeled as 60% of retail price — the join
+# topology (part+supplier broadcast into lineitem, one orders shuffle)
+# is the Q9 plan. The part filter prunes the broadcast list BEFORE the
+# fact join, so non-matching lineitem rows die at the join, not after.
+# --------------------------------------------------------------------------
+
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = (load_table(spark, sf_dir, "part")
+            .where(F.col("p_name").like("%red%"))
+            .select("p_partkey", "p_retailprice"))
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+              .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .groupBy(F.col("n_name").alias("nation"),
+                       F.year("o_orderdate").alias("order_year"))
+              .agg(F.round(F.sum(profit), 4).alias("profit"),
+                   F.count(F.lit(1)).alias("n_lineitems")))
+
+PROFIT_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS order_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 4) AS profit,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# A69. Returned-item reporting (TPC-H Q10 shape): revenue lost to
+# returns per customer in one quarter. The orderdate filter is pushed
+# to the orders scan and the returnflag filter to the lineitem scan —
+# both facts shrink before their orderkey shuffle; customer+nation
+# broadcast into the aggregated result.
+# --------------------------------------------------------------------------
+
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    q = (orders.where((F.col("o_orderdate") >= F.lit("1999-10-01").cast("timestamp"))
+                      & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))))
+    return (li.where(F.col("l_returnflag") == "R")
+              .join(q, li.l_orderkey == q.o_orderkey)
+              .groupBy("o_custkey")
+              .agg(F.round(F.sum(rev), 4).alias("lost_revenue"),
+                   F.count(F.lit(1)).alias("n_returned"))
+              .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+              .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+              .select(F.col("c_custkey"), F.col("c_mktsegment"),
+                      F.col("n_name").alias("nation"),
+                      F.round("c_acctbal", 4).alias("c_acctbal"),
+                      "lost_revenue", "n_returned"))
+
+RETURNED_ITEMS_SQL = """
+SELECT c_custkey, c_mktsegment, n_name AS nation,
+       round(c_acctbal, 4) AS c_acctbal,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS lost_revenue,
+       count(*) AS n_returned
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1999-10-01'
+  AND o_orderdate <  TIMESTAMP '2000-01-01'
+GROUP BY 1, 2, 3, 4
+"""
+
+
+# --------------------------------------------------------------------------
+# A70. Important-stock share (TPC-H Q11 shape): nations whose suppliers
+# carry an above-threshold share of total shipped value. The global
+# total (the scalar subquery) is a 1-row aggregate broadcast back via
+# cross join — the fact is scanned twice but never self-joined; both
+# money sums are exact decimals so the share threshold is
+# engine-portable.
+# --------------------------------------------------------------------------
+
+def nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    val = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    per_nation = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+                    .join(F.broadcast(nation),
+                          F.col("s_nationkey") == nation.n_nationkey)
+                    .groupBy("n_name")
+                    .agg(val.alias("value_dec")))
+    total = li.agg(val.alias("total_dec"))
+    return (per_nation.crossJoin(F.broadcast(total))
+            .where(F.col("value_dec") > F.lit(0.02) * F.col("total_dec"))
+            .select(F.col("n_name").alias("nation"),
+                    F.round(F.col("value_dec").cast("double"), 2).alias("value"),
+                    F.round((F.col("value_dec") / F.col("total_dec"))
+                             .cast("double"), 6).alias("share")))
+
+NATION_VALUE_SHARE_SQL = """
+WITH per_nation AS (
+  SELECT n_name, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name
+), total AS (
+  SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_dec FROM lineitem
+)
+SELECT n_name AS nation,
+       round(CAST(value_dec AS DOUBLE), 2) AS value,
+       round(CAST(value_dec / total_dec AS DOUBLE), 6) AS share
+FROM per_nation CROSS JOIN total
+WHERE value_dec > 0.02 * total_dec
+"""
+
+
+# --------------------------------------------------------------------------
+# A71. Promotion revenue share (TPC-H Q14 shape): CASE-sum ratio over a
+# month of shipments joined to the part dim. Part broadcast; the month
+# filter is pushed to the lineitem scan; single partial-agg reduce to
+# one row.
+# --------------------------------------------------------------------------
+
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (li.where((F.col("l_shipdate") >= F.lit("1999-09-01").cast("timestamp"))
+                     & (F.col("l_shipdate") < F.lit("1999-10-01").cast("timestamp")))
+              .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6)
+                    .alias("promo_pct"),
+                   F.round(F.sum(rev), 4).alias("total_revenue")))
+
+PROMO_PCT_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1999-09-01'
+  AND l_shipdate <  TIMESTAMP '1999-10-01'
+"""
+
+
+# --------------------------------------------------------------------------
+# A72. Small-quantity-order revenue (TPC-H Q17 shape): revenue from
+# orders below half the part's average quantity. The correlated
+# per-part average is decorrelated into a tiny aggregate over the
+# brand-filtered fact subset, broadcast back — no self-join of the full
+# fact. Quantities are integers stored as doubles, so the decimal
+# average makes the 0.5x threshold exact in both engines.
+# --------------------------------------------------------------------------
+
+def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (load_table(spark, sf_dir, "part")
+            .where(F.col("p_brand") == "Brand#1").select("p_partkey"))
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = (brand_li.groupBy(F.col("l_partkey").alias("ap_partkey"))
+               .agg((F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                      / F.count(F.lit(1))).alias("avg_qty_dec")))
+    return (brand_li.join(F.broadcast(avg_qty),
+                          F.col("l_partkey") == F.col("ap_partkey"))
+            .where(F.col("l_quantity").cast("decimal(18,2)")
+                   < F.lit(0.5) * F.col("avg_qty_dec"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 4)
+                  .alias("avg_yearly_loss"),
+                 F.count(F.lit(1)).alias("n_small_orders")))
+
+SMALL_QTY_SQL = """
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+), avg_qty AS (
+  SELECT l_partkey AS ap_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) / count(*) AS avg_qty_dec
+  FROM brand_li GROUP BY 1
+)
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly_loss,
+       count(*) AS n_small_orders
+FROM brand_li JOIN avg_qty ON l_partkey = ap_partkey
+WHERE CAST(l_quantity AS DECIMAL(18,2)) < 0.5 * avg_qty_dec
+"""
+
+
+# --------------------------------------------------------------------------
+# A73. Disjunctive predicate revenue (TPC-H Q19 shape): three OR'd
+# (brand x size-band x quantity-band) bundles evaluated in one pass
+# after a broadcast part join. Catalyst extracts the common
+# l_quantity <= 40 conjunct as a pushed scan filter; the rest of the
+# disjunction runs in codegen above the join.
+# --------------------------------------------------------------------------
+
+def discounted_revenue_bundles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    b1 = ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+          & F.col("l_quantity").between(1, 11))
+    b2 = ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+          & F.col("l_quantity").between(10, 20))
+    b3 = ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+          & F.col("l_quantity").between(20, 40))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .where(b1 | b2 | b3)
+              .agg(F.round(F.sum(rev), 4).alias("revenue"),
+                   F.count(F.lit(1)).alias("n_rows")))
+
+DISCOUNTED_BUNDLES_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+# --------------------------------------------------------------------------
+# A74. Excess-shipment suppliers (TPC-H Q20 shape): suppliers who moved
+# more than a threshold quantity of PROMO parts in one year, restricted
+# to one region's nations. The nested IN chain decorrelates to: tiny
+# part list broadcast into the year-filtered fact -> per-supplier
+# quantity agg (100 groups) -> HAVING -> semi-join target via broadcast.
+# The fact shuffles once, on suppkey, already pre-aggregated map-side.
+# --------------------------------------------------------------------------
+
+def excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    promo = (load_table(spark, sf_dir, "part")
+             .where(F.col("p_type") == "PROMO").select("p_partkey"))
+    shipped = (li.where((F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+                        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp")))
+                 .join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+                 .groupBy("l_suppkey")
+                 .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                       .alias("qty_dec"))
+                 .where(F.col("qty_dec") > 400))
+    target = (nation.join(F.broadcast(region),
+                          nation.n_regionkey == region.r_regionkey)
+                    .where(F.col("r_name") == "AMERICA"))
+    return (sup.join(F.broadcast(shipped), sup.s_suppkey == F.col("l_suppkey"))
+               .join(F.broadcast(target),
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+               .select("s_suppkey", "s_name", F.col("n_name").alias("nation"),
+                       F.col("qty_dec").cast("double").alias("promo_qty")))
+
+EXCESS_SHIP_SQL = """
+WITH shipped AS (
+  SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate <  TIMESTAMP '1999-01-01'
+  GROUP BY 1
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 400
+)
+SELECT s_suppkey, s_name, n_name AS nation,
+       CAST(qty_dec AS DOUBLE) AS promo_qty
+FROM supplier
+JOIN shipped ON s_suppkey = l_suppkey
+JOIN nation  ON s_nationkey = n_nationkey
+JOIN region  ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3656,6 +4029,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "surprisal_by_source": (surprisal_by_source, SURPRISAL_SQL),
     "capped_docs_per_source": (capped_docs_per_source, CAPPED_DOCS_SQL),
     "events_variant_extract": (events_variant_extract, VARIANT_SQL),
+    "forecast_revenue_delta": (forecast_revenue_delta, FORECAST_DELTA_SQL),
+    "nation_trade_volume": (nation_trade_volume, NATION_TRADE_SQL),
+    "profit_by_nation_year": (profit_by_nation_year, PROFIT_SQL),
+    "returned_item_customers": (returned_item_customers, RETURNED_ITEMS_SQL),
+    "nation_value_share": (nation_value_share, NATION_VALUE_SHARE_SQL),
+    "promo_revenue_pct": (promo_revenue_pct, PROMO_PCT_SQL),
+    "small_qty_order_revenue": (small_qty_order_revenue, SMALL_QTY_SQL),
+    "discounted_revenue_bundles": (discounted_revenue_bundles,
+                                   DISCOUNTED_BUNDLES_SQL),
+    "excess_shipment_suppliers": (excess_shipment_suppliers, EXCESS_SHIP_SQL),
 }
 
 
