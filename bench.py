@@ -73,6 +73,15 @@ HEADLINE = [
     "pagerank_suppliers",
     "mad_price_by_flag",
     "decayed_engagement",
+    "forecast_revenue_delta",
+    "nation_trade_volume",
+    "profit_by_nation_year",
+    "returned_item_customers",
+    "nation_value_share",
+    "promo_revenue_pct",
+    "small_qty_order_revenue",
+    "discounted_revenue_bundles",
+    "excess_shipment_suppliers",
 ]
 
 

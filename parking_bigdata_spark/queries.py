@@ -3902,6 +3902,108 @@ WHERE r_name = 'AMERICA'
 
 
 # --------------------------------------------------------------------------
+# B31. Mergeable HLL sketches (Apache DataSketches via Spark 3.5+
+# hll_sketch_agg): per-source distinct-document sketches that UNION to
+# the corpus-wide sketch without a rescan — the canonical 100 TB
+# distinct-counting pattern (sketches are tiny, associative, and
+# shuffle as bytes; the exact answer would shuffle every fingerprint).
+# The union row is exactly what a 1000-executor rollup would ship to a
+# dashboard. No SQL oracle: DuckDB's HLL implementation differs —
+# accuracy is asserted against exact counts in unit tests instead.
+# --------------------------------------------------------------------------
+
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.col("text"), r"\s+", " "))
+    per_source = (docs.select("source", fp.alias("fp"))
+                      .groupBy("source")
+                      .agg(F.hll_sketch_agg("fp").alias("sk")))
+    union_all = (per_source
+                 .agg(F.hll_union_agg("sk").alias("sk"))
+                 .select(F.lit("__all__").alias("source"),
+                         F.hll_sketch_estimate("sk").alias("est_distinct")))
+    return (per_source.select("source",
+                              F.hll_sketch_estimate("sk").alias("est_distinct"))
+                      .unionByName(union_all))
+
+
+# --------------------------------------------------------------------------
+# C19. Gaps-and-islands activity streaks: longest run of consecutive
+# active days per user via the day_number - row_number island key — one
+# shuffle on user_id (distinct + both windows + final agg all share
+# it). Day numbers are integers from a fixed epoch so the island
+# arithmetic is engine-portable.
+# --------------------------------------------------------------------------
+
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    active = (ev.select("user_id", day.alias("day_num")).distinct())
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    islands = active.withColumn(
+        "island", F.col("day_num") - F.row_number().over(w))
+    streaks = (islands.groupBy("user_id", "island")
+                      .agg(F.count(F.lit(1)).alias("streak_len")))
+    return (streaks.groupBy("user_id")
+                   .agg(F.max("streak_len").alias("longest_streak"),
+                        F.sum("streak_len").alias("n_active_days"),
+                        F.count(F.lit(1)).alias("n_streaks")))
+
+STREAKS_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS day_num
+  FROM events
+), islands AS (
+  SELECT user_id, day_num,
+         day_num - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day_num) AS island
+  FROM active
+), streaks AS (
+  SELECT user_id, island, count(*) AS streak_len
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(max(streak_len) AS BIGINT) AS longest_streak,
+       CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+       count(*) AS n_streaks
+FROM streaks GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# C20. First/last-touch attribution via min_by/max_by: the first and
+# last event type per user in ONE aggregate pass — no window, no sort,
+# one shuffle with map-side partial min_by combine. Ties on timestamp
+# are broken by event_id through a fixed-width sortable string key
+# (identical lexicographic order in both engines).
+# --------------------------------------------------------------------------
+
+def first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat(F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+                   F.lit("-"),
+                   F.lpad(F.col("event_id").cast("string"), 20, "0"))
+    return (ev.select("user_id", "event_type", key.alias("k"))
+              .groupBy("user_id")
+              .agg(F.min_by("event_type", "k").alias("first_touch"),
+                   F.max_by("event_type", "k").alias("last_touch"),
+                   F.count(F.lit(1)).alias("n_events")))
+
+FIRST_LAST_SQL = """
+SELECT user_id,
+       arg_min(event_type, k) AS first_touch,
+       arg_max(event_type, k) AS last_touch,
+       count(*) AS n_events
+FROM (SELECT user_id, event_type,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
+             lpad(CAST(event_id AS VARCHAR), 20, '0') AS k
+      FROM events)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4039,6 +4141,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "discounted_revenue_bundles": (discounted_revenue_bundles,
                                    DISCOUNTED_BUNDLES_SQL),
     "excess_shipment_suppliers": (excess_shipment_suppliers, EXCESS_SHIP_SQL),
+    "sketch_hll_union": (sketch_hll_union, None),
+    "user_activity_streaks": (user_activity_streaks, STREAKS_SQL),
+    "first_last_touch": (first_last_touch, FIRST_LAST_SQL),
 }
 
 

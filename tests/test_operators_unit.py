@@ -321,3 +321,25 @@ def test_unigram_surprisal_hand_computed(spark):
     assert out["s1"]["n_docs"] == 2
     assert out["s1"]["avg_surprisal"] == round((nll1 + nll2) / 2, 4)
     assert out["s1"]["max_surprisal"] == round(nll2, 4)
+
+
+def test_hll_sketch_union_accuracy(spark, sf_dir):
+    # per-source HLL estimates and their union must land within 5% of
+    # the exact distinct counts (lgConfigK=12 keeps error ~1.6% rse)
+    from parking_bigdata_spark import queries as Q
+    import pyspark.sql.functions as F
+
+    est = {r["source"]: r["est_distinct"]
+           for r in Q.sketch_hll_union(spark, sf_dir).collect()}
+    docs = Q.load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.col("text"), r"\s+", " "))
+    exact = {r["source"]: r["n"]
+             for r in (docs.select("source", fp.alias("fp"))
+                           .groupBy("source")
+                           .agg(F.countDistinct("fp").alias("n")).collect())}
+    exact["__all__"] = (docs.select(fp.alias("fp"))
+                            .agg(F.countDistinct("fp").alias("n"))
+                            .collect()[0]["n"])
+    assert set(est) == set(exact)
+    for src, n in exact.items():
+        assert abs(est[src] - n) <= max(2, 0.05 * n), (src, est[src], n)
