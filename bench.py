@@ -109,9 +109,15 @@ def main() -> None:
         print(f"# warmup pass ({warm_dir}): "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    # Drop caches persisted by warmup queries (several operators persist
+    # intermediates; leaked blocks from 59 queries distort later timings
+    # via heap pressure) and let each timed query pay for its own cache.
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         # noop sink, not count(): count() lets Catalyst elide windows

@@ -4004,6 +4004,69 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# A75. MERGE-style upsert (CDC apply): base table + change set →
+# updated rows overwrite, new keys append — the batch form of MERGE
+# INTO for engines without ACID tables. One full-outer sort-merge join
+# on the key applies updates AND detects inserts in a single pass
+# (coalesce picks the change-set version when present); at scale both
+# sides shuffle once on the key, exactly like the snapshot-diff audit.
+# The change set is synthesized deterministically from orders itself:
+# keys %7==0 get a status/price update, negated keys %13==0 are inserts.
+# Output is the post-merge status distribution (small, hashable).
+# --------------------------------------------------------------------------
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    # exact-decimal price bump: a float multiply here would make the
+    # double->decimal cast diverge between engines at half-cent ties
+    upd = (orders.where(F.col("o_orderkey") % 7 == 0)
+                 .select("o_orderkey", F.lit("U").alias("o_orderstatus"),
+                         (F.col("o_totalprice").cast("decimal(18,2)")
+                          + F.lit(100).cast("decimal(18,2)"))
+                          .cast("double").alias("o_totalprice")))
+    ins = (orders.where(F.col("o_orderkey") % 13 == 0)
+                 .select((-F.col("o_orderkey") - 1).alias("o_orderkey"),
+                         F.lit("N").alias("o_orderstatus"),
+                         F.col("o_totalprice")))
+    chg = upd.unionByName(ins)
+    b = base.alias("b")
+    c = chg.alias("c")
+    merged = (b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"),
+                     "full_outer")
+               .select(F.coalesce(F.col("c.o_orderstatus"),
+                                  F.col("b.o_orderstatus")).alias("status"),
+                       F.coalesce(F.col("c.o_totalprice"),
+                                  F.col("b.o_totalprice")).alias("price")))
+    return (merged.groupBy("status")
+                  .agg(F.count(F.lit(1)).alias("n_rows"),
+                       F.round(F.sum(F.col("price").cast("decimal(18,2)"))
+                                .cast("double"), 2).alias("total_price")))
+
+MERGE_UPSERT_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), chg AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2))
+              + CAST(100 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT -o_orderkey - 1, 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 0
+), merged AS (
+  SELECT coalesce(c.o_orderstatus, b.o_orderstatus) AS status,
+         coalesce(c.o_totalprice, b.o_totalprice) AS price
+  FROM base b FULL OUTER JOIN chg c ON b.o_orderkey = c.o_orderkey
+)
+SELECT status, count(*) AS n_rows,
+       round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_price
+FROM merged GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4144,6 +4207,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sketch_hll_union": (sketch_hll_union, None),
     "user_activity_streaks": (user_activity_streaks, STREAKS_SQL),
     "first_last_touch": (first_last_touch, FIRST_LAST_SQL),
+    "merge_upsert_orders": (merge_upsert_orders, MERGE_UPSERT_SQL),
 }
 
 
