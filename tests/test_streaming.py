@@ -3,6 +3,8 @@ exactly the batch query's result once the availableNow run drains."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from parking_bigdata_spark import queries as Q
@@ -227,3 +229,44 @@ def test_session_window_stream_matches_custom_sessionizer(spark, sf_dir):
     a = {tuple(r) for r in batch_native.collect()}
     b = {tuple(r) for r in streamed}
     assert a == b
+
+
+def test_transform_with_state_decay_matches_closed_form(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 typed-state API): the
+    incremental per-user decay recurrence must converge to the batch
+    closed form sum(v_i * exp(-lam*(t_max - t_i))) — float-tolerance
+    equality (addition order differs), exact on n_events."""
+    # the transformWithState protocol speaks protobuf between the JVM
+    # and the Python state server; not installed in every environment
+    pytest.importorskip("google.protobuf.descriptor")
+    import math
+
+    import pyspark.sql.functions as F
+
+    from parking_bigdata_spark.io import load_table
+    from parking_bigdata_spark.streaming.decay import (
+        LAMBDA_PER_US, run_decayed_engagement_batchlike)
+
+    streamed = {r["user_id"]: (r["score"], r["n_events"])
+                for r in run_decayed_engagement_batchlike(
+                    spark, sf_dir).collect()}
+
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull())
+          .select("user_id", F.unix_micros("ts").alias("us"),
+                  F.coalesce("value", F.lit(0.0)).alias("v")))
+    w_max = (ev.groupBy("user_id").agg(F.max("us").alias("max_us")))
+    closed = (ev.join(w_max, "user_id")
+                .groupBy("user_id")
+                .agg(F.sum(F.col("v") * F.exp(F.lit(-LAMBDA_PER_US)
+                                              * (F.col("max_us") - F.col("us"))))
+                      .alias("score"),
+                     F.count(F.lit(1)).alias("n_events")))
+    batch = {r["user_id"]: (r["score"], r["n_events"])
+             for r in closed.collect()}
+
+    assert set(streamed) == set(batch)
+    for uid, (s, n) in batch.items():
+        ss, sn = streamed[uid]
+        assert sn == n, (uid, sn, n)
+        assert math.isclose(ss, s, rel_tol=1e-9, abs_tol=1e-9), (uid, ss, s)
