@@ -3326,7 +3326,7 @@ FROM nodes n LEFT JOIN (
 
 PAGERANK_SQL = f"""
 WITH raw AS (
-  SELECT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst,
+  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
          CAST(count(*) AS DOUBLE) AS w
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY 1, 2
@@ -3346,8 +3346,8 @@ WITH raw AS (
 ), r1 AS ({_PR_STEP.format(prev="r0")}
 ), r2 AS ({_PR_STEP.format(prev="r1")}
 ), r3 AS ({_PR_STEP.format(prev="r2")})
-SELECT CAST(substring(node, 3) AS BIGINT) AS suppkey, round(rank, 4) AS rank
-FROM r3 WHERE node LIKE 's:%'
+SELECT CAST((node - 1) // 2 AS BIGINT) AS suppkey, round(rank, 4) AS rank
+FROM r3 WHERE node % 2 = 1
 """
 
 
