@@ -270,11 +270,15 @@ def connected_components(edges: DataFrame, src: str = "src",
     from pyspark import StorageLevel
 
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # no distinct() on the symmetrized list: min-aggregation is
+    # idempotent to duplicate edges, so deduping would spend a full
+    # edge-list shuffle to save only join fan-out
     e = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-          .distinct()
           .persist(StorageLevel.MEMORY_AND_DISK))
-    labels = (e.select(F.col("u").alias("node")).distinct()
-               .withColumn("lbl", F.col("node"))
+    # seed with label(v) = min(v, min neighbor) — one join-free
+    # aggregate that absorbs what would otherwise be round 1
+    labels = (e.groupBy(F.col("u").alias("node"))
+               .agg(F.least(F.first("u"), F.min("v")).alias("lbl"))
                .localCheckpoint())
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iter):
