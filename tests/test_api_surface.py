@@ -104,3 +104,34 @@ def test_xml_roundtrip(spark, tmp_path):
     back = (spark.read.format("xml").option("rowTag", "row").load(p)
             .select("id", "name"))
     assert sorted(map(tuple, back.collect())) == [(1, "alpha"), (2, "beta")]
+
+
+def test_pandas_on_spark_api(spark, sf_dir):
+    """pandas-API-on-Spark surface: the same engine serves dataframe
+    users via the pandas idiom — a groupby agg must match the SQL
+    DataFrame result exactly."""
+    import pyspark.pandas as ps
+
+    psdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+    got = (psdf.groupby("o_orderstatus")["o_totalprice"]
+               .sum().round(2).sort_index())
+    exp = {r["o_orderstatus"]: r["t"]
+           for r in (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                     .groupBy("o_orderstatus")
+                     .agg(F.round(F.sum("o_totalprice"), 2).alias("t"))
+                     .collect())}
+    assert got.to_dict() == exp
+
+
+def test_native_unpivot_matches_stack(spark, sf_dir):
+    """df.unpivot (Spark 3.4+) and the stack() expression plan to the
+    same Expand-based shape and identical rows."""
+    df = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+          .select("c_custkey",
+                  F.col("c_acctbal").alias("bal"),
+                  (F.col("c_acctbal") * 2).alias("bal2")))
+    a = df.unpivot("c_custkey", ["bal", "bal2"], "metric", "value")
+    b = df.select("c_custkey", F.expr(
+        "stack(2, 'bal', bal, 'bal2', bal2) AS (metric, value)"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert "Expand" in a._jdf.queryExecution().executedPlan().toString()
