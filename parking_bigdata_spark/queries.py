@@ -4067,6 +4067,152 @@ FROM merged GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# A18e. Levene's test, Brown-Forsythe variant (variance homogeneity —
+# the assumption check behind ANOVA, R:768). Median-centered absolute
+# deviations, then a one-way F on them. The per-group medians are a
+# tiny aggregate broadcast back (the fact never shuffles for the join,
+# same pattern as the MAD operator); the F statistic reduces to fused
+# group moments. Exact medians are fine per group; approx_percentile
+# is the documented 100 TB swap.
+# --------------------------------------------------------------------------
+
+def levene_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_mktsegment", "c_acctbal")
+            .where(F.col("c_acctbal").isNotNull()))
+    med = (cust.groupBy("c_mktsegment")
+               .agg(F.median("c_acctbal").alias("med")))
+    z = (cust.join(F.broadcast(med), "c_mktsegment")
+             .select("c_mktsegment",
+                     F.abs(F.col("c_acctbal") - F.col("med")).alias("z")))
+    g = (z.groupBy("c_mktsegment")
+          .agg(F.count(F.lit(1)).alias("n_g"),
+               F.avg("z").alias("mean_g"),
+               F.var_samp("z").alias("var_g")))
+    gm = g.agg((F.sum(F.col("n_g") * F.col("mean_g"))
+                / F.sum("n_g")).alias("grand_mean"))
+    t = (g.crossJoin(F.broadcast(gm))
+          .agg(F.sum("n_g").alias("n"), F.count(F.lit(1)).alias("k"),
+               F.sum(F.col("n_g")
+                     * (F.col("mean_g") - F.col("grand_mean"))
+                     * (F.col("mean_g") - F.col("grand_mean"))).alias("ssb"),
+               F.sum((F.col("n_g") - 1) * F.col("var_g")).alias("ssw")))
+    n, k = F.col("n"), F.col("k")
+    return t.select(
+        n.cast("long").alias("n_obs"), k.alias("n_groups"),
+        F.round((F.col("ssb") / (k - 1)) / (F.col("ssw") / (n - k)), 4)
+         .alias("w_stat"))
+
+LEVENE_SQL = """
+WITH c AS (
+  SELECT c_mktsegment, c_acctbal FROM customer WHERE c_acctbal IS NOT NULL
+), med AS (
+  SELECT c_mktsegment, median(c_acctbal) AS med FROM c GROUP BY 1
+), z AS (
+  SELECT c.c_mktsegment, abs(c_acctbal - med) AS z
+  FROM c JOIN med USING (c_mktsegment)
+), g AS (
+  SELECT c_mktsegment, count(*) AS n_g, avg(z) AS mean_g,
+         var_samp(z) AS var_g
+  FROM z GROUP BY 1
+), gm AS (
+  SELECT sum(n_g * mean_g) / sum(n_g) AS grand_mean FROM g
+), t AS (
+  SELECT sum(n_g) AS n, count(*) AS k,
+         sum(n_g * (mean_g - grand_mean) * (mean_g - grand_mean)) AS ssb,
+         sum((n_g - 1) * var_g) AS ssw
+  FROM g, gm
+)
+SELECT CAST(n AS BIGINT) AS n_obs, k AS n_groups,
+       round((ssb / (k - 1)) / (ssw / (n - k)), 4) AS w_stat
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# A18f. Mann-Whitney U test (2-sample rank test, the nonparametric
+# companion to the Welch t-test A17): urgent- vs low-priority order
+# values. Tie-averaged ranks are computed on the DISTINCT-value table
+# (never a per-row sort — the rank window runs over |unique values|
+# rows), exactly the Kruskal-Wallis machinery restricted to two
+# groups, plus the normal approximation with tie correction.
+# --------------------------------------------------------------------------
+
+def mannwhitney_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (load_table(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+         .select("o_orderpriority", "o_totalprice"))
+    vals = o.groupBy("o_totalprice").agg(F.count(F.lit(1)).alias("t"))
+    w = (Window.orderBy("o_totalprice")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = (vals.withColumn("cum", F.sum("t").over(w))
+                  .withColumn("avg_rank",
+                              F.col("cum") - F.col("t")
+                              + (F.col("t") + 1) / F.lit(2.0)))
+    per = (o.groupBy("o_orderpriority", "o_totalprice")
+            .agg(F.count(F.lit(1)).alias("n_vg")))
+    grp = (per.join(ranked.select("o_totalprice", "avg_rank"), "o_totalprice")
+              .groupBy("o_orderpriority")
+              .agg(F.sum(F.col("avg_rank") * F.col("n_vg")).alias("rg"),
+                   F.sum("n_vg").alias("ng")))
+    g1 = grp.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("rg").alias("r1"), F.col("ng").alias("n1"))
+    g2 = grp.where(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("ng").alias("n2"))
+    ties = vals.agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+                     .alias("tie3"))
+    n1, n2, tie3 = F.col("n1"), F.col("n2"), F.col("tie3")
+    n = n1 + n2
+    u1 = F.col("r1") - (n1 * (n1 + 1)) / F.lit(2.0)
+    mu = n1 * n2 / F.lit(2.0)
+    sig2 = (n1 * n2 / F.lit(12.0)) * ((n + 1)
+            - tie3 / ((n * (n - 1)).cast("double")))
+    zed = (u1 - mu) / F.sqrt(sig2)
+    return (g1.crossJoin(g2).crossJoin(ties)
+              .select(n1.cast("long").alias("n_urgent"),
+                      n2.cast("long").alias("n_low"),
+                      F.round(u1, 4).alias("u_stat"),
+                      F.round(zed, 4).alias("z_stat")))
+
+MANNWHITNEY_SQL = """
+WITH o AS (
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), vals AS (
+  SELECT o_totalprice, count(*) AS t FROM o GROUP BY 1
+), ranked AS (
+  SELECT o_totalprice, t,
+         sum(t) OVER (ORDER BY o_totalprice
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM vals
+), r2 AS (
+  SELECT o_totalprice, cum - t + (t + 1) / 2.0 AS avg_rank FROM ranked
+), per AS (
+  SELECT o_orderpriority, o_totalprice, count(*) AS n_vg FROM o GROUP BY 1, 2
+), grp AS (
+  SELECT o_orderpriority, sum(avg_rank * n_vg) AS rg,
+         CAST(sum(n_vg) AS BIGINT) AS ng
+  FROM per JOIN r2 USING (o_totalprice) GROUP BY 1
+), ties AS (
+  SELECT sum(t * t * t - t) AS tie3 FROM vals
+), g1 AS (
+  SELECT rg AS r1, ng AS n1 FROM grp WHERE o_orderpriority = '1-URGENT'
+), g2 AS (
+  SELECT ng AS n2 FROM grp WHERE o_orderpriority = '5-LOW'
+)
+SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_low,
+       round(r1 - (n1 * (n1 + 1)) / 2.0, 4) AS u_stat,
+       round((r1 - (n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
+             / sqrt((n1 * n2 / 12.0)
+                    * ((n1 + n2 + 1)
+                       - tie3 / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))),
+             4) AS z_stat
+FROM g1, g2, ties
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4208,6 +4354,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "user_activity_streaks": (user_activity_streaks, STREAKS_SQL),
     "first_last_touch": (first_last_touch, FIRST_LAST_SQL),
     "merge_upsert_orders": (merge_upsert_orders, MERGE_UPSERT_SQL),
+    "levene_acctbal_by_segment": (levene_acctbal_by_segment, LEVENE_SQL),
+    "mannwhitney_order_value": (mannwhitney_order_value, MANNWHITNEY_SQL),
 }
 
 
