@@ -82,6 +82,11 @@ HEADLINE = [
     "small_qty_order_revenue",
     "discounted_revenue_bundles",
     "excess_shipment_suppliers",
+    "merge_upsert_orders",
+    "user_activity_streaks",
+    "first_last_touch",
+    "sketch_hll_union",
+    "mannwhitney_order_value",
 ]
 
 

@@ -196,3 +196,35 @@ def anova_oneway(df: DataFrame, group_col: str, value_col: str,
         F.round(F.col("ssw"), round_to).alias("ss_within"),
         F.round(fstat, round_to).alias("f_stat"),
     )
+
+
+def tie_avg_ranks(counts: DataFrame, value_col: str,
+                  count_col: str = "t",
+                  alias: str = "avg_rank") -> DataFrame:
+    """Tie-averaged ranks over a (value, count) table WITHOUT a
+    single-partition global window.
+
+    A near-unique numeric column (prices, balances) has a rows-sized
+    distinct table; ``Window.orderBy(value)`` would sort it on ONE
+    task. Instead the cumulative count is range-partitioned: equal
+    values land in one partition by construction (no tie spans a
+    boundary), the per-partition window runs in parallel, and the
+    partition offsets — one row per partition, bounded by the shuffle
+    partition count, never by data — are added back via a tiny
+    broadcast prefix-sum.
+
+    Returns (value_col, count_col, alias) with
+    ``alias = global inclusive cum - (count-1)/2``.
+    """
+    d = (counts.repartitionByRange(F.col(value_col))
+               .withColumn("__pid", F.spark_partition_id()))
+    wl = (Window.partitionBy("__pid").orderBy(value_col)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    local = d.withColumn("__cum", F.sum(count_col).over(wl))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = (local.groupBy("__pid").agg(F.max("__cum").alias("__t"))
+           .withColumn("__off", F.coalesce(F.sum("__t").over(wo), F.lit(0))))
+    return (local.join(F.broadcast(off.select("__pid", "__off")), "__pid")
+            .select(value_col, count_col,
+                    (F.col("__off") + F.col("__cum")
+                     - (F.col(count_col) - 1) / 2.0).alias(alias)))

@@ -2215,12 +2215,9 @@ def kruskal_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_mktsegment", "c_acctbal")
             .where(F.col("c_acctbal").isNotNull()))
     vals = cust.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("t"))
-    w = (Window.orderBy("c_acctbal")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    ranked = (vals.withColumn("cum", F.sum("t").over(w))
-              .withColumn("avg_rank",
-                          F.col("cum") - F.col("t")
-                          + (F.col("t") + 1) / F.lit(2.0)))
+    # range-partitioned ranks: acctbal is near-unique, so the distinct
+    # table is customer-sized — a global window would be one task
+    ranked = stats.tie_avg_ranks(vals, "c_acctbal", "t")
     per = (cust.groupBy("c_mktsegment", "c_acctbal")
            .agg(F.count(F.lit(1)).alias("n_vg")))
     grp = (per.join(ranked.select("c_acctbal", "avg_rank"), "c_acctbal")
@@ -3052,15 +3049,18 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
     def rank_tab(col: str, alias: str) -> DataFrame:
+        # range-partitioned tie-averaged ranks — a near-unique double
+        # column has a rows-sized distinct table, so no global window
         c = li.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
-        # tie-averaged rank = inclusive cumulative count - (n-1)/2
-        return c.select(col, (F.sum("n").over(w)
-                              - (F.col("n") - 1) / 2.0).alias(alias))
+        return (stats.tie_avg_ranks(c, col, "n", alias)
+                .select(col, alias))
 
+    # no broadcast hint on the rank tables: the price table is
+    # rows-sized for near-unique values — AQE broadcasts when small and
+    # shuffle-joins when not
     ranked = (li.select("l_quantity", "l_extendedprice")
-                .join(F.broadcast(rank_tab("l_quantity", "r_q")), "l_quantity")
-                .join(F.broadcast(rank_tab("l_extendedprice", "r_p")),
+                .join(rank_tab("l_quantity", "r_q"), "l_quantity")
+                .join(rank_tab("l_extendedprice", "r_p"),
                       "l_extendedprice"))
     return ranked.agg(F.round(F.corr("r_q", "r_p"), 4).alias("spearman_rho"),
                       F.count(F.lit(1)).alias("n_rows"))
@@ -4143,12 +4143,9 @@ def mannwhitney_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
          .where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
          .select("o_orderpriority", "o_totalprice"))
     vals = o.groupBy("o_totalprice").agg(F.count(F.lit(1)).alias("t"))
-    w = (Window.orderBy("o_totalprice")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    ranked = (vals.withColumn("cum", F.sum("t").over(w))
-                  .withColumn("avg_rank",
-                              F.col("cum") - F.col("t")
-                              + (F.col("t") + 1) / F.lit(2.0)))
+    # range-partitioned ranks: near-unique prices make the distinct
+    # table orders-sized — never a single-task global window
+    ranked = stats.tie_avg_ranks(vals, "o_totalprice", "t")
     per = (o.groupBy("o_orderpriority", "o_totalprice")
             .agg(F.count(F.lit(1)).alias("n_vg")))
     grp = (per.join(ranked.select("o_totalprice", "avg_rank"), "o_totalprice")

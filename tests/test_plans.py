@@ -141,10 +141,18 @@ def test_snapshot_diff_full_outer_sort_merge(spark, sf_dir):
     assert "SortMergeJoin" in plan and "FullOuter" in plan
 
 
-def test_spearman_fact_never_shuffles(spark, sf_dir):
-    # ranks join back as broadcasts; the lineitem side stays map-only
+def test_spearman_rank_windows_are_partitioned(spark, sf_dir):
+    # the distinct-value cumulative windows must be range-partitioned
+    # (a near-unique double column has a rows-sized distinct table — a
+    # global no-partition window would sort it on ONE task); only the
+    # partition-offset windows (~#partitions rows) may be global
+    import re
     plan = _plan(spark, sf_dir, "spearman_qty_price")
-    assert plan.count("BroadcastHashJoin") == 2
+    assert re.search(r"windowspecdefinition\(__pid#\d+, l_quantity", plan)
+    assert re.search(r"windowspecdefinition\(__pid#\d+, l_extendedprice", plan)
+    # single-partition exchanges: the two tiny offset windows + the
+    # final 1-row corr aggregate — never a data-sized window
+    assert plan.count("Exchange SinglePartition") <= 3
 
 
 def test_scd2_windows_share_one_shuffle(spark, sf_dir):
