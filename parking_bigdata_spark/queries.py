@@ -2151,9 +2151,33 @@ GROUP BY o_orderpriority
 # --------------------------------------------------------------------------
 
 def acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) semantics without the single-task global window: a
+    global row number assembled from range-partitioned per-partition
+    row numbers + broadcast partition offsets (the deterministic
+    (acctbal, custkey) order makes every row unique), then NTILE's
+    exact bucket arithmetic — first n%10 buckets get one extra row —
+    in integer math. Bucket boundaries match the window ntile
+    row-for-row at any parallelism."""
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (cust.withColumn("decile", F.ntile(10).over(w))
+    d = (cust.select("c_acctbal", "c_custkey")
+             .repartitionByRange(F.col("c_acctbal"), F.col("c_custkey"))
+             .withColumn("__pid", F.spark_partition_id()))
+    wl = Window.partitionBy("__pid").orderBy("c_acctbal", "c_custkey")
+    local = d.withColumn("__rn", F.row_number().over(wl))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = (local.groupBy("__pid").agg(F.max("__rn").alias("__t"))
+           .withColumn("__off", F.coalesce(F.sum("__t").over(wo), F.lit(0))))
+    tot = off.agg(F.sum("__t").alias("__n"))
+    r = F.col("__off") + F.col("__rn")
+    q, rem = F.col("__n") / 10, F.col("__n") % 10  # integer div (longs)
+    q = F.floor(q)
+    cutoff = rem * (q + 1)
+    decile = (F.when(F.col("__n") < 10, r)
+               .when(r <= cutoff, F.floor((r + q) / (q + 1)))
+               .otherwise(rem + F.floor((r - cutoff + q - 1) / q)))
+    return (local.join(F.broadcast(off.select("__pid", "__off")), "__pid")
+            .crossJoin(F.broadcast(tot))
+            .withColumn("decile", decile.cast("int"))
             .groupBy("decile")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.min("c_acctbal"), 4).alias("lo"),

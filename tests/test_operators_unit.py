@@ -343,3 +343,44 @@ def test_hll_sketch_union_accuracy(spark, sf_dir):
     assert set(est) == set(exact)
     for src, n in exact.items():
         assert abs(est[src] - n) <= max(2, 0.05 * n), (src, est[src], n)
+
+
+def test_decile_formula_matches_ntile_on_uneven_n(spark, sf_dir):
+    # the distributed NTILE arithmetic must agree with the window ntile
+    # when n % 10 != 0 (first rem buckets take one extra row) — the
+    # testdata row counts divide evenly, so force an uneven subset
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from parking_bigdata_spark.io import load_table
+
+    cust = (load_table(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") % 7 == 0)
+            .select("c_acctbal", "c_custkey"))
+    n = cust.count()
+    assert n % 10 != 0, "subset must exercise the uneven branch"
+
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    expected = {r["c_custkey"]: r["d"]
+                for r in cust.withColumn("d", F.ntile(10).over(w)).collect()}
+
+    d = (cust.repartitionByRange(4, F.col("c_acctbal"), F.col("c_custkey"))
+             .withColumn("__pid", F.spark_partition_id()))
+    wl = Window.partitionBy("__pid").orderBy("c_acctbal", "c_custkey")
+    local = d.withColumn("__rn", F.row_number().over(wl))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = (local.groupBy("__pid").agg(F.max("__rn").alias("__t"))
+           .withColumn("__off", F.coalesce(F.sum("__t").over(wo), F.lit(0))))
+    tot = off.agg(F.sum("__t").alias("__n"))
+    r = F.col("__off") + F.col("__rn")
+    q = F.floor(F.col("__n") / 10)
+    rem = F.col("__n") % 10
+    cutoff = rem * (q + 1)
+    decile = (F.when(F.col("__n") < 10, r)
+               .when(r <= cutoff, F.floor((r + q) / (q + 1)))
+               .otherwise(rem + F.floor((r - cutoff + q - 1) / q)))
+    got = {row["c_custkey"]: row["d"] for row in
+           (local.join(F.broadcast(off.select("__pid", "__off")), "__pid")
+                 .crossJoin(F.broadcast(tot))
+                 .withColumn("d", decile.cast("int")).collect())}
+    assert got == expected
