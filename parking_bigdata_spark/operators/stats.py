@@ -228,3 +228,53 @@ def tie_avg_ranks(counts: DataFrame, value_col: str,
             .select(value_col, count_col,
                     (F.col("__off") + F.col("__cum")
                      - (F.col(count_col) - 1) / 2.0).alias(alias)))
+
+
+def grouped_median(df: DataFrame, group_col: str, value_col: str,
+                   alias: str = "med", accuracy: int = 10000) -> DataFrame:
+    """Exact per-group median that stays parallel at any scale.
+
+    ``F.median``/``percentile`` sorts each group's rows inside ONE
+    aggregation buffer — with few, huge groups (3 return flags x 4M
+    rows) that is a handful of single-task sorts. Here the median is
+    found by approximate-bracket + exact refinement instead:
+
+    1. ``percentile_approx`` (Greenwald-Khanna, rank error <= n/accuracy)
+       brackets the median with [0.5-eps, 0.5+eps] quantile VALUES,
+       eps = 4/accuracy (4x the guaranteed error, so the bracket
+       provably contains the true median);
+    2. one fused pass counts rows below the bracket and keeps the
+       ~8n/accuracy candidate rows inside it;
+    3. the true median position (n+1)/2 minus the below-count selects
+       the middle value(s) from the per-group candidate window — tiny
+       per group, parallel across groups.
+
+    Even n averages the two middle values ((a+b)/2), odd n is exact —
+    percentile_cont(0.5) semantics. The bracket may jitter with
+    partition merge order, but the refined answer cannot: any bracket
+    containing the true median yields the same selection. Three scans
+    of the fact, zero data-sized windows, no eager actions.
+    """
+    eps = 4.0 / accuracy
+    br = (df.groupBy(group_col)
+            .agg(F.percentile_approx(value_col, [0.5 - eps, 0.5 + eps],
+                                     accuracy).alias("__q"),
+                 F.count(value_col).alias("__n"))
+            .select(group_col, F.col("__q")[0].alias("__qlo"),
+                    F.col("__q")[1].alias("__qhi"), "__n"))
+    j = df.select(group_col, value_col).join(F.broadcast(br), group_col)
+    below = (j.groupBy(group_col)
+              .agg(F.sum((F.col(value_col) < F.col("__qlo")).cast("long"))
+                    .alias("__below")))
+    cand = j.where((F.col(value_col) >= F.col("__qlo"))
+                   & (F.col(value_col) <= F.col("__qhi")))
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    ranked = (cand.withColumn("__r", F.row_number().over(w))
+                  .join(F.broadcast(below), group_col))
+    lo = F.floor((F.col("__n") + 1) / 2) - F.col("__below")
+    hi = F.floor((F.col("__n") + 2) / 2) - F.col("__below")
+    weight = ((F.col("__r") == lo).cast("int")
+              + (F.col("__r") == hi).cast("int"))
+    return (ranked.where(weight > 0)
+                  .groupBy(group_col)
+                  .agg((F.sum(F.col(value_col) * weight) / 2.0).alias(alias)))

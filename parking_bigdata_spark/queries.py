@@ -3287,15 +3287,26 @@ FROM r WHERE rn = 1
 # --------------------------------------------------------------------------
 
 def mad_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both medians go through stats.grouped_median — position-based
+    selection on range-partitioned counts — because F.median sorts each
+    group inside one aggregation buffer: with 3 giant groups that is 3
+    single-task sorts of the whole fact."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice")
-    med = (li.groupBy("l_returnflag")
-             .agg(F.median("l_extendedprice").alias("med")))
-    return (li.join(F.broadcast(med), "l_returnflag")
-              .groupBy("l_returnflag")
-              .agg(F.round(F.max("med"), 4).alias("median_price"),
-                   F.round(F.median(F.abs(F.col("l_extendedprice")
-                                          - F.col("med"))), 4).alias("mad")))
+    # materialize the 3-row median table: without it every scan of the
+    # deviation pass replays the whole first-median lineage
+    med = stats.grouped_median(li, "l_returnflag", "l_extendedprice") \
+               .localCheckpoint(eager=True)
+    dev = (li.join(F.broadcast(med), "l_returnflag")
+             .select("l_returnflag",
+                     F.abs(F.col("l_extendedprice") - F.col("med"))
+                      .alias("adev"),
+                     "med"))
+    mad = stats.grouped_median(dev, "l_returnflag", "adev", alias="mad")
+    return (med.join(F.broadcast(mad), "l_returnflag")
+               .select("l_returnflag",
+                       F.round("med", 4).alias("median_price"),
+                       F.round("mad", 4).alias("mad")))
 
 MAD_SQL = """
 WITH med AS (
