@@ -4245,6 +4245,51 @@ FROM g1, g2, ties
 
 
 # --------------------------------------------------------------------------
+# C21. Seasonal-trend decomposition of the daily event series — the
+# classic demand-forecasting shape behind the reference's prediction
+# task (R:1194 lm): aggregate to days, fit the linear trend from one
+# covar/var aggregate (broadcast back as a 1-row table), then average
+# the detrended residuals per weekday. Weekday = day_num % 7 (integer,
+# engine-identical — no locale-dependent dayofweek). Input scale drops
+# to #days after the first aggregate; everything later is tiny.
+# --------------------------------------------------------------------------
+
+def seasonal_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    daily = (ev.groupBy(day.alias("day_num"))
+               .agg(F.count(F.lit(1)).alias("n")))
+    fit = daily.agg(
+        (F.covar_pop("day_num", "n") / F.var_pop("day_num")).alias("slope"),
+        F.avg("n").alias("nbar"), F.avg("day_num").alias("dbar"))
+    resid = (daily.crossJoin(F.broadcast(fit))
+             .select((F.col("day_num") % 7).alias("weekday"),
+                     (F.col("n") - (F.col("nbar")
+                      + F.col("slope") * (F.col("day_num") - F.col("dbar"))))
+                     .alias("r")))
+    return (resid.groupBy("weekday")
+                 .agg(F.count(F.lit(1)).alias("n_days"),
+                      F.round(F.avg("r"), 4).alias("seasonal_effect")))
+
+SEASONAL_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS day_num,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), fit AS (
+  SELECT covar_pop(day_num, n) / var_pop(day_num) AS slope,
+         avg(n) AS nbar, avg(day_num) AS dbar
+  FROM daily
+)
+SELECT day_num % 7 AS weekday, count(*) AS n_days,
+       round(avg(n - (nbar + slope * (day_num - dbar))), 4)
+         AS seasonal_effect
+FROM daily CROSS JOIN fit
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4388,6 +4433,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "merge_upsert_orders": (merge_upsert_orders, MERGE_UPSERT_SQL),
     "levene_acctbal_by_segment": (levene_acctbal_by_segment, LEVENE_SQL),
     "mannwhitney_order_value": (mannwhitney_order_value, MANNWHITNEY_SQL),
+    "seasonal_trend_events": (seasonal_trend_events, SEASONAL_SQL),
 }
 
 
