@@ -87,6 +87,7 @@ HEADLINE = [
     "first_last_touch",
     "sketch_hll_union",
     "mannwhitney_order_value",
+    "seasonal_trend_events",
 ]
 
 
