@@ -114,6 +114,16 @@ def main() -> None:
              .write.format("noop").mode("overwrite").save())
         print(f"# warmup pass ({warm_dir}): "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        # iterative queries plan differently at the target SF (AQE picks
+        # other join strategies), so their whole-stage codegen would
+        # otherwise compile inside the timed run (~1.5x first-run skew)
+        for name in ("pagerank_suppliers", "dedup_clusters",
+                     "kmeans_embeddings"):
+            if name in HEADLINE:
+                (registry[name](spark, sf_dir)
+                 .write.format("noop").mode("overwrite").save())
+        print(f"# warmup incl. target-SF iteratives: "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # Drop caches persisted by warmup queries (several operators persist
     # intermediates; leaked blocks from 59 queries distort later timings

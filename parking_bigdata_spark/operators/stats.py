@@ -263,11 +263,16 @@ def grouped_median(df: DataFrame, group_col: str, value_col: str,
             .select(group_col, F.col("__q")[0].alias("__qlo"),
                     F.col("__q")[1].alias("__qhi"), "__n"))
     j = df.select(group_col, value_col).join(F.broadcast(br), group_col)
+    # groups smaller than `accuracy` get a sub-row rank cushion — the
+    # bracket can then exclude the ceil-position interpolation partner.
+    # For them every row is a candidate (still bounded by `accuracy`
+    # rows per group) and the below-count is zero by construction.
+    small = F.col("__n") <= accuracy
     below = (j.groupBy(group_col)
-              .agg(F.sum((F.col(value_col) < F.col("__qlo")).cast("long"))
-                    .alias("__below")))
-    cand = j.where((F.col(value_col) >= F.col("__qlo"))
-                   & (F.col(value_col) <= F.col("__qhi")))
+              .agg(F.sum((~small & (F.col(value_col) < F.col("__qlo")))
+                         .cast("long")).alias("__below")))
+    cand = j.where(small | ((F.col(value_col) >= F.col("__qlo"))
+                            & (F.col(value_col) <= F.col("__qhi"))))
     w = Window.partitionBy(group_col).orderBy(value_col)
     ranked = (cand.withColumn("__r", F.row_number().over(w))
                   .join(F.broadcast(below), group_col))
@@ -278,3 +283,69 @@ def grouped_median(df: DataFrame, group_col: str, value_col: str,
     return (ranked.where(weight > 0)
                   .groupBy(group_col)
                   .agg((F.sum(F.col(value_col) * weight) / 2.0).alias(alias)))
+
+
+def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
+                      fractions: list[float], aliases: list[str],
+                      accuracy: int = 10000) -> DataFrame:
+    """Exact percentile_cont for several fractions per group, without
+    per-group sort buffers — ``grouped_median`` generalized.
+
+    One ``percentile_approx`` pass brackets every fraction (rank error
+    4x-cushioned); one fused pass counts rows below each bracket and
+    explodes the in-bracket candidate rows tagged by fraction index;
+    tiny per-(group, fraction) windows then select the floor/ceil
+    positions and interpolate ``lo + (hi-lo)*frac`` — the
+    percentile_cont formula. Returns one row per group, one column per
+    alias.
+    """
+    k = len(fractions)
+    eps = 4.0 / accuracy
+    probes = []
+    for p in fractions:
+        probes += [max(0.0, p - eps), min(1.0, p + eps)]
+    br = (df.groupBy(group_col)
+            .agg(F.percentile_approx(value_col, probes, accuracy)
+                  .alias("__q"),
+                 F.count(value_col).alias("__n")))
+    j = df.select(group_col, value_col).join(F.broadcast(br), group_col)
+    # sub-row cushion guard: small groups take every row as candidate
+    # (bounded by `accuracy` rows) with a zero below-count
+    small = F.col("__n") <= accuracy
+    below = (j.groupBy(group_col)
+              .agg(*[F.sum((~small
+                            & (F.col(value_col)
+                               < F.element_at("__q", 2 * i + 1)))
+                           .cast("long"))
+                      .alias(f"__b{i}") for i in range(k)]))
+    cand = (j.select(group_col, value_col, "__n", "__q",
+                     F.explode(F.array(*[F.lit(i) for i in range(k)]))
+                      .alias("__i"))
+             .where(small
+                    | ((F.col(value_col)
+                        >= F.element_at("__q", F.col("__i") * 2 + 1))
+                       & (F.col(value_col)
+                          <= F.element_at("__q", F.col("__i") * 2 + 2)))))
+    w = Window.partitionBy(group_col, "__i").orderBy(value_col)
+    ranked = (cand.withColumn("__r", F.row_number().over(w))
+                  .join(F.broadcast(below), group_col))
+    nb = F.element_at(F.array(*[F.col(f"__b{i}") for i in range(k)]),
+                      F.col("__i") + 1)
+    p_i = F.element_at(F.array(*[F.lit(float(p)) for p in fractions]),
+                       F.col("__i") + 1)
+    pos = F.lit(1.0) + p_i * (F.col("__n") - 1)
+    fl = F.floor(pos)
+    frac = pos - fl
+    local = fl - nb
+    contrib = (F.when(F.col("__r") == local, (1 - frac) * F.col(value_col))
+                .when((F.col("__r") == local + 1) & (frac > 0),
+                      frac * F.col(value_col))
+                .otherwise(F.lit(0.0)))
+    hit = ((F.col("__r") == local)
+           | ((F.col("__r") == local + 1) & (frac > 0)))
+    piv = (ranked.where(hit)
+                 .groupBy(group_col)
+                 .pivot("__i", list(range(k)))
+                 .agg(F.sum(contrib)))
+    return piv.select(group_col,
+                      *[F.col(str(i)).alias(aliases[i]) for i in range(k)])

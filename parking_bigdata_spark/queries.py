@@ -1516,13 +1516,24 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
 # --------------------------------------------------------------------------
 
 def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boxplot stats via stats.grouped_quantiles (approx-bracket +
+    exact positional interpolation) — F.percentile would sort each
+    priority group inside one aggregation buffer, a per-group
+    single-task sort at scale. min/max stay a plain codegen agg."""
     orders = load_table(spark, sf_dir, "orders")
-    pct = lambda p: F.round(F.percentile("o_totalprice", F.lit(p)), 4)
-    return (orders.groupBy("o_orderpriority")
-                  .agg(pct(0.25).alias("p25"), pct(0.5).alias("p50"),
-                       pct(0.75).alias("p75"), pct(0.95).alias("p95"),
-                       F.round(F.min("o_totalprice"), 4).alias("lo"),
-                       F.round(F.max("o_totalprice"), 4).alias("hi")))
+    q = stats.grouped_quantiles(orders, "o_orderpriority", "o_totalprice",
+                                [0.25, 0.5, 0.75, 0.95],
+                                ["q25", "q50", "q75", "q95"])
+    mm = (orders.groupBy("o_orderpriority")
+                .agg(F.round(F.min("o_totalprice"), 4).alias("lo"),
+                     F.round(F.max("o_totalprice"), 4).alias("hi")))
+    return (q.join(F.broadcast(mm), "o_orderpriority")
+             .select("o_orderpriority",
+                     F.round("q25", 4).alias("p25"),
+                     F.round("q50", 4).alias("p50"),
+                     F.round("q75", 4).alias("p75"),
+                     F.round("q95", 4).alias("p95"),
+                     "lo", "hi"))
 
 QUANTILE_SQL = """
 SELECT o_orderpriority,
