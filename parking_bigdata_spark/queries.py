@@ -1315,10 +1315,13 @@ FROM g GROUP BY source
 
 def length_filter_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bounds = docs.groupBy("lang").agg(
-        F.expr("percentile(CAST(n_chars AS DOUBLE), 0.05)").alias("p05"),
-        F.expr("percentile(CAST(n_chars AS DOUBLE), 0.95)").alias("p95"),
-        F.count("*").alias("n_docs"))
+    # exact length percentiles via bracket-refine (per-lang doc counts
+    # are corpus-scale; a per-group sort buffer would not be)
+    qb = stats.grouped_quantiles(
+        docs.select("lang", F.col("n_chars").cast("double").alias("ncd")),
+        "lang", "ncd", [0.05, 0.95], ["p05", "p95"])
+    bounds = (docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+                  .join(F.broadcast(qb), "lang"))
     kept = (docs.join(F.broadcast(bounds.select("lang", "p05", "p95")), "lang")
                 .where((F.col("n_chars") >= F.col("p05"))
                        & (F.col("n_chars") <= F.col("p95")))
@@ -2614,9 +2617,9 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY day
 
 def outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    q = cust.groupBy("c_mktsegment").agg(
-        F.expr("percentile(c_acctbal, 0.25)").alias("q1"),
-        F.expr("percentile(c_acctbal, 0.75)").alias("q3"))
+    # exact quartiles via bracket-refine — no per-group sort buffers
+    q = stats.grouped_quantiles(cust, "c_mktsegment", "c_acctbal",
+                                [0.25, 0.75], ["q1", "q3"])
     fences = q.select(
         "c_mktsegment",
         (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
