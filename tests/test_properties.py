@@ -98,3 +98,38 @@ def test_minhash_estimate_tracks_jaccard(spark, n_shared):
     union = len(gs[1] | gs[2])
     exact = inter / union if union else 1.0
     assert abs(agree - exact) <= 0.35  # 32 perms: ±1.96/sqrt(32) ≈ 0.35
+
+
+def test_grouped_quantiles_matches_exact_percentile(spark):
+    """Adversarial check of the bracket-refine quantile machinery:
+    heavy ties, skewed group sizes, and both code paths — accuracy=16
+    forces wide brackets (real refinement work), accuracy=10000 forces
+    the small-group all-candidates path."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from parking_bigdata_spark.operators.stats import grouped_quantiles
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g, n in [("a", 7), ("b", 50), ("c", 333), ("d", 1000)]:
+        # half the values drawn from a tiny tie-heavy set, half continuous
+        ties = rng.choice([1.0, 2.5, 2.5, 99.0], size=n // 2)
+        cont = rng.uniform(-50, 50, size=n - n // 2).round(2)
+        rows += [(g, float(v)) for v in np.concatenate([ties, cont])]
+    df = spark.createDataFrame(rows, ["g", "v"])
+
+    fr = [0.05, 0.25, 0.5, 0.75, 0.95]
+    names = [f"q{int(p*100)}" for p in fr]
+    exact = {r["g"]: [r[n] for n in names]
+             for r in df.groupBy("g").agg(
+                 *[F.percentile("v", F.lit(p)).alias(n)
+                   for p, n in zip(fr, names)]).collect()}
+    for accuracy in (16, 10000):
+        got = {r["g"]: [r[n] for n in names]
+               for r in grouped_quantiles(df, "g", "v", fr, names,
+                                          accuracy=accuracy).collect()}
+        assert set(got) == set(exact)
+        for g in exact:
+            for a, b in zip(got[g], exact[g]):
+                assert abs(a - b) < 1e-9, (accuracy, g, a, b)
