@@ -88,6 +88,7 @@ HEADLINE = [
     "sketch_hll_union",
     "mannwhitney_order_value",
     "seasonal_trend_events",
+    "rolling_active_users",
 ]
 
 

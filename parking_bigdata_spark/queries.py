@@ -4304,6 +4304,53 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# C22. Rolling active users (DAU / trailing-7-day WAU / stickiness):
+# COUNT(DISTINCT) over a sliding window can't ride an ordinary window
+# frame — instead the distinct (day, user) table (map-side combined,
+# tiny relative to events) replicates each activity row to the 7
+# report days it supports via an explode, and one distinct-agg per
+# report day does the rest. Shuffle = 7 x |active-user-days|, exact at
+# any scale, no per-day state. Stickiness = DAU/WAU, the engagement
+# ratio product teams actually track.
+# --------------------------------------------------------------------------
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    au = ev.select(day.alias("day_num"), "user_id").distinct()
+    dau = au.groupBy("day_num").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (au.select(F.explode(F.sequence(F.col("day_num"),
+                                          F.col("day_num") + 6))
+                      .alias("report_day"), "user_id")
+             .groupBy("report_day")
+             .agg(F.countDistinct("user_id").alias("wau")))
+    return (dau.join(wau, dau.day_num == wau.report_day)
+               .select(F.col("day_num").cast("int").alias("day_num"),
+                       "dau", "wau",
+                       F.round(F.col("dau") / F.col("wau"), 4)
+                        .alias("stickiness")))
+
+ROLLING_ACTIVE_SQL = """
+WITH au AS (
+  SELECT DISTINCT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE))
+           AS day_num, user_id
+  FROM events WHERE ts IS NOT NULL
+), dau AS (
+  SELECT day_num, count(*) AS dau FROM au GROUP BY 1
+), wau AS (
+  SELECT report_day, count(DISTINCT user_id) AS wau
+  FROM (SELECT unnest(generate_series(day_num, day_num + 6)) AS report_day,
+               user_id
+        FROM au)
+  GROUP BY 1
+)
+SELECT CAST(day_num AS INT) AS day_num, dau, wau,
+       round(CAST(dau AS DOUBLE) / wau, 4) AS stickiness
+FROM dau JOIN wau ON day_num = report_day
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4448,6 +4495,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "levene_acctbal_by_segment": (levene_acctbal_by_segment, LEVENE_SQL),
     "mannwhitney_order_value": (mannwhitney_order_value, MANNWHITNEY_SQL),
     "seasonal_trend_events": (seasonal_trend_events, SEASONAL_SQL),
+    "rolling_active_users": (rolling_active_users, ROLLING_ACTIVE_SQL),
 }
 
 
