@@ -4351,6 +4351,71 @@ FROM dau JOIN wau ON day_num = report_day
 
 
 # --------------------------------------------------------------------------
+# C23. CUPED experiment readout (controlled-experiment variance
+# reduction): adjusted = post − θ·(pre − mean(pre)), θ = cov(pre,
+# post)/var(pre) from the pre-period covariate. Deterministic
+# assignment (user_id parity) stands in for the treatment flag. One
+# user-keyed aggregate builds the per-user pre/post table; θ and the
+# pre-mean are a 1-row broadcast; group means + variance reduction are
+# a final tiny agg. The standard big-experimentation pattern, all in
+# fused aggregates.
+# --------------------------------------------------------------------------
+
+def cuped_experiment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    mid = ev.agg(F.floor(F.avg(day)).alias("mid"))
+    per_user = (ev.crossJoin(F.broadcast(mid))
+                .groupBy("user_id")
+                .agg(F.sum(F.when(day < F.col("mid"), F.col("value"))
+                            .otherwise(0.0)).alias("pre"),
+                     F.sum(F.when(day >= F.col("mid"), F.col("value"))
+                            .otherwise(0.0)).alias("post")))
+    st = per_user.agg(
+        (F.covar_pop("pre", "post") / F.var_pop("pre")).alias("theta"),
+        F.avg("pre").alias("pre_bar"))
+    adj = (per_user.crossJoin(F.broadcast(st))
+           .select((F.col("user_id") % 2).cast("int").alias("grp"), "post",
+                   (F.col("post") - F.col("theta")
+                    * (F.col("pre") - F.col("pre_bar"))).alias("adj")))
+    return (adj.groupBy("grp")
+               .agg(F.count(F.lit(1)).alias("n_users"),
+                    F.round(F.avg("post"), 4).alias("mean_post"),
+                    F.round(F.avg("adj"), 4).alias("mean_adj"),
+                    F.round(F.var_pop("adj") / F.var_pop("post"), 4)
+                     .alias("var_ratio")))
+
+CUPED_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS day_num,
+         value
+  FROM events WHERE ts IS NOT NULL
+), mid AS (
+  SELECT floor(avg(day_num)) AS mid FROM ev
+), per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN day_num < mid THEN value ELSE 0 END) AS pre,
+         sum(CASE WHEN day_num >= mid THEN value ELSE 0 END) AS post
+  FROM ev CROSS JOIN mid GROUP BY 1
+), st AS (
+  SELECT covar_pop(pre, post) / var_pop(pre) AS theta,
+         avg(pre) AS pre_bar
+  FROM per_user
+), adj AS (
+  SELECT CAST(user_id % 2 AS INT) AS grp, post,
+         post - theta * (pre - pre_bar) AS adj
+  FROM per_user CROSS JOIN st
+)
+SELECT grp, count(*) AS n_users,
+       round(avg(post), 4) AS mean_post,
+       round(avg(adj), 4) AS mean_adj,
+       round(var_pop(adj) / var_pop(post), 4) AS var_ratio
+FROM adj GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4496,6 +4561,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mannwhitney_order_value": (mannwhitney_order_value, MANNWHITNEY_SQL),
     "seasonal_trend_events": (seasonal_trend_events, SEASONAL_SQL),
     "rolling_active_users": (rolling_active_users, ROLLING_ACTIVE_SQL),
+    "cuped_experiment_events": (cuped_experiment_events, CUPED_SQL),
 }
 
 
