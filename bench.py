@@ -89,6 +89,7 @@ HEADLINE = [
     "mannwhitney_order_value",
     "seasonal_trend_events",
     "rolling_active_users",
+    "cuped_experiment_events",
 ]
 
 
