@@ -51,15 +51,19 @@ def impute_group_weighted_mean(df: DataFrame, group_col: str, col: str,
     """NULL → group-level weighted mean, sum(x*w)/sum(w) over the group
     (the reference's per-단지코드 rent/deposit fill, R:923-940).
 
-    A window over the group key: the weighted mean is computed in the
-    same shuffle that would partition the data anyway — no join at all.
-    Rows where the whole group is NULL stay NULL (caller can chain
-    ``impute_median`` as the reference does at R:941-944).
+    The group stats come from a map-side-combined aggregate (groups-
+    sized output) broadcast back onto the fact — NOT an unordered
+    window over the group key: a window still routes every row of a
+    group through ONE WindowExec task, which serializes low-cardinality
+    groups at scale. The fact is never self-joined and never shuffles
+    for the fill. Rows where the whole group is NULL stay NULL (caller
+    can chain ``impute_median`` as the reference does at R:941-944).
     """
     out_col = out_col or col
-    w = Window.partitionBy(group_col)
-    gw_mean = (F.sum(F.when(F.col(col).isNotNull(),
-                            F.col(col) * F.col(weight_col))).over(w) /
-               F.sum(F.when(F.col(col).isNotNull(),
-                            F.col(weight_col))).over(w))
-    return df.withColumn(out_col, F.coalesce(F.col(col), gw_mean))
+    stats = (df.where(F.col(col).isNotNull())
+               .groupBy(group_col)
+               .agg((F.sum(F.col(col) * F.col(weight_col))
+                     / F.sum(weight_col)).alias("__gwm")))
+    return (df.join(F.broadcast(stats), group_col, "left")
+              .withColumn(out_col, F.coalesce(F.col(col), F.col("__gwm")))
+              .drop("__gwm"))

@@ -674,13 +674,18 @@ FROM m
 # --------------------------------------------------------------------------
 
 def zscore_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standardization via a tiny stats aggregate broadcast
+    back — an unordered window PARTITION BY segment would route every
+    row of a segment through one WindowExec task (5 segments = 5 tasks
+    regardless of cluster size)."""
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment")
-    mu = F.avg("c_acctbal").over(w)
-    sd = F.stddev_samp("c_acctbal").over(w)
-    return cust.select(
-        "c_custkey", "c_mktsegment",
-        F.round((F.col("c_acctbal") - mu) / sd, 4).alias("bal_z"))
+    st = (cust.groupBy("c_mktsegment")
+              .agg(F.avg("c_acctbal").alias("__mu"),
+                   F.stddev_samp("c_acctbal").alias("__sd")))
+    return (cust.join(F.broadcast(st), "c_mktsegment")
+                .select("c_custkey", "c_mktsegment",
+                        F.round((F.col("c_acctbal") - F.col("__mu"))
+                                / F.col("__sd"), 4).alias("bal_z")))
 
 ZSCORE_SQL = """
 SELECT c_custkey, c_mktsegment,
@@ -2949,13 +2954,37 @@ FROM counts GROUP BY 1
 # --------------------------------------------------------------------------
 
 def acctbal_relative_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist without per-segment single-task windows:
+    the (acctbal, custkey) tiebreak makes every row a unique position,
+    so both statistics are pure arithmetic on a distributed row number
+    — range partitions + per-(partition, segment) windows + broadcast
+    offsets, the deciles machinery applied per segment. A plain
+    PARTITION BY segment window would funnel each segment (5 total)
+    through one WindowExec task regardless of cluster size."""
     cust = load_table(spark, sf_dir, "customer")
-    w = (Window.partitionBy("c_mktsegment")
-               .orderBy("c_acctbal", "c_custkey"))
-    return (cust.select("c_mktsegment", "c_custkey",
-                        F.round("c_acctbal", 4).alias("c_acctbal"),
-                        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-                        F.round(F.cume_dist().over(w), 6).alias("cume")))
+    d = (cust.select("c_mktsegment", "c_custkey", "c_acctbal")
+             .repartitionByRange(F.col("c_mktsegment"), F.col("c_acctbal"),
+                                 F.col("c_custkey"))
+             .withColumn("__pid", F.spark_partition_id()))
+    wl = (Window.partitionBy("__pid", "c_mktsegment")
+                .orderBy("c_acctbal", "c_custkey"))
+    local = d.withColumn("__rn", F.row_number().over(wl))
+    wo = (Window.partitionBy("c_mktsegment").orderBy("__pid")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    off = (local.groupBy("__pid", "c_mktsegment")
+           .agg(F.max("__rn").alias("__t"))
+           .withColumn("__off", F.coalesce(F.sum("__t").over(wo), F.lit(0))))
+    n = off.groupBy("c_mktsegment").agg(F.sum("__t").alias("__n"))
+    pos = F.col("__off") + F.col("__rn")
+    return (local
+            .join(F.broadcast(off.select("__pid", "c_mktsegment", "__off")),
+                  ["__pid", "c_mktsegment"])
+            .join(F.broadcast(n), "c_mktsegment")
+            .select("c_mktsegment", "c_custkey",
+                    F.round("c_acctbal", 4).alias("c_acctbal"),
+                    F.round((pos - 1) / (F.col("__n") - 1), 6)
+                     .alias("pct_rank"),
+                    F.round(pos / F.col("__n"), 6).alias("cume")))
 
 RELATIVE_RANK_SQL = """
 SELECT c_mktsegment, c_custkey, round(c_acctbal, 4) AS c_acctbal,

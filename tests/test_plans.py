@@ -48,10 +48,14 @@ def test_topk_single_shuffle(spark, sf_dir):
     assert "Join" not in plan
 
 
-def test_impute_group_mean_no_join(spark, sf_dir):
-    # group stats ride a window — imputation must NOT self-join the fact
+def test_impute_group_mean_broadcast_stats(spark, sf_dir):
+    # group stats are a tiny aggregate broadcast back — never an
+    # unordered window (one WindowExec task per group) and never a
+    # fact-to-fact sort-merge self-join
     plan = _plan(spark, sf_dir, "impute_group_mean")
-    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_describe_single_aggregate_pass(spark, sf_dir):
