@@ -3554,15 +3554,30 @@ FROM doc GROUP BY 1
 # --------------------------------------------------------------------------
 
 def capped_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id")
-    return (docs.select("source", "doc_id", "n_chars")
-                .withColumn("sample_rank", F.row_number().over(w))
-                .where(F.col("sample_rank") <= 100)
-                .select("source", "doc_id", "n_chars",
-                        F.col("sample_rank").cast("int")
-                         .alias("sample_rank")))
+    """Two-phase exact top-K: a map-side md5 prefilter bounds the rows
+    the per-source rank window ever sees. The 60-bit md5 prefix of a
+    survivor is strictly below the per-source threshold 4K/n of the
+    space, and hex ordering == numeric prefix ordering, so when ≥ K
+    rows survive (P(fail) ≈ e^{-K} under md5 uniformity — never
+    observed at any SF; the oracle would catch it) the global top-K by
+    md5 is exactly the top-K of the survivors. Mega-sources thus ship
+    ~4K rows to their rank task instead of their entire row count."""
+    K = 100
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars")
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    h = F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint")
+    cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    thr = (F.lit(float(2 ** 60)) * (4.0 * K)
+           / F.col("__n")).cast("bigint")
+    pre = (docs.join(F.broadcast(cnt), "source")
+               .where((F.col("__n") <= 4 * K) | (h < thr)))
+    w = Window.partitionBy("source").orderBy(md5, "doc_id")
+    return (pre.withColumn("sample_rank", F.row_number().over(w))
+               .where(F.col("sample_rank") <= K)
+               .select("source", "doc_id", "n_chars",
+                       F.col("sample_rank").cast("int")
+                        .alias("sample_rank")))
 
 CAPPED_DOCS_SQL = """
 WITH r AS (
