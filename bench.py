@@ -90,6 +90,11 @@ HEADLINE = [
     "seasonal_trend_events",
     "rolling_active_users",
     "cuped_experiment_events",
+    "hhi_supplier_concentration",
+    "basket_brand_lift",
+    "gini_acctbal_by_segment",
+    "event_transitions",
+    "zipf_token_slope",
 ]
 
 

@@ -230,6 +230,41 @@ def tie_avg_ranks(counts: DataFrame, value_col: str,
                      - (F.col(count_col) - 1) / 2.0).alias(alias)))
 
 
+def tie_avg_ranks_by_group(counts: DataFrame, group_col: str,
+                           value_col: str, count_col: str = "t",
+                           alias: str = "avg_rank") -> DataFrame:
+    """Per-group tie-averaged ranks over a (group, value, count) table,
+    range-partitioned on value so no single group's rank window ever
+    lands on one task.
+
+    The low-cardinality-group trap (README perf notes): with a handful
+    of groups, ``Window.partitionBy(group).orderBy(value)`` sorts each
+    group's entire distinct-value table on ONE task. Here the table is
+    range-partitioned by VALUE (ties can't span a boundary), the
+    cumulative count runs per (partition, group) in parallel, and the
+    per-(partition, group) totals — bounded by #partitions x #groups,
+    never by data — are prefix-summed into offsets and broadcast back.
+
+    Returns (group_col, value_col, count_col, alias) with
+    ``alias`` = within-group tie-averaged rank (1-based).
+    """
+    d = (counts.repartitionByRange(F.col(value_col))
+               .withColumn("__pid", F.spark_partition_id()))
+    wl = (Window.partitionBy("__pid", group_col).orderBy(value_col)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    local = d.withColumn("__cum", F.sum(count_col).over(wl))
+    wo = (Window.partitionBy(group_col).orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = (local.groupBy("__pid", group_col)
+           .agg(F.max("__cum").alias("__t"))
+           .withColumn("__off", F.coalesce(F.sum("__t").over(wo), F.lit(0))))
+    return (local.join(F.broadcast(off.select("__pid", group_col, "__off")),
+                       ["__pid", group_col])
+            .select(group_col, value_col, count_col,
+                    (F.col("__off") + F.col("__cum")
+                     - (F.col(count_col) - 1) / 2.0).alias(alias)))
+
+
 def grouped_median(df: DataFrame, group_col: str, value_col: str,
                    alias: str = "med", accuracy: int = 10000) -> DataFrame:
     """Exact per-group median that stays parallel at any scale.

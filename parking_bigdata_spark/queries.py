@@ -4460,6 +4460,403 @@ FROM adj GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# A76. HHI market-concentration audit: squared revenue shares of each
+# supplier within its nation (the antitrust concentration index — the
+# reference's share-of-total EDA generalized). Per-supplier revenues
+# are one fact shuffle on (nationkey, suppkey); the nation-level HHI is
+# computed on the supplier-sized table. Intermediate revenues are NOT
+# rounded — only the final 0..1 ratio is (rounding near-half
+# intermediates is the cross-engine divergence trap).
+# --------------------------------------------------------------------------
+
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    srev = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+              .groupBy("s_nationkey", "s_suppkey")
+              .agg(F.sum(rev).alias("rev")))
+    return (srev.join(F.broadcast(nation),
+                      srev.s_nationkey == nation.n_nationkey)
+                .groupBy("n_name")
+                .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                     F.round(F.sum(F.col("rev") * F.col("rev"))
+                             / (F.sum("rev") * F.sum("rev")), 4)
+                      .alias("hhi")))
+
+HHI_SQL = """
+WITH srev AS (
+  SELECT s_nationkey, s_suppkey,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(sum(rev * rev) / (sum(rev) * sum(rev)), 4) AS hhi
+FROM srev JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A77. Benford first-digit audit (fraud/anomaly screening on amount
+# columns). The leading digit comes from the STRING form — identical
+# across engines, immune to log10 ulp effects at power-of-ten
+# boundaries. One shuffle over 9 digit groups; expected Benford mass
+# is ln(1+1/d)/ln(10); chi-square contribution per digit.
+# --------------------------------------------------------------------------
+
+def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.regexp_extract(F.col("o_totalprice").cast("string"),
+                             "^([1-9])", 1)
+    counts = (orders.where(F.col("o_totalprice") > 0)
+              .select(digit.cast("int").alias("digit"))
+              .where(F.col("digit").isNotNull())
+              .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    total = counts.agg(F.sum("n").alias("n_total"))
+    exp_frac = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("digit", "n",
+                    F.round(F.col("n") / F.col("n_total"), 4)
+                     .alias("obs_frac"),
+                    F.round(exp_frac, 4).alias("exp_frac"),
+                    F.round(F.pow(F.col("n") - F.col("n_total") * exp_frac, 2)
+                            / (F.col("n_total") * exp_frac), 4)
+                     .alias("chi2_term")))
+
+BENFORD_SQL = """
+WITH counts AS (
+  SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR),
+                             '^([1-9])', 1) AS INT) AS digit,
+         count(*) AS n
+  FROM orders
+  WHERE o_totalprice > 0
+    AND regexp_extract(CAST(o_totalprice AS VARCHAR), '^([1-9])', 1) <> ''
+  GROUP BY 1
+), total AS (SELECT sum(n) AS n_total FROM counts)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(n / n_total, 4) AS obs_frac,
+       round(ln(1.0 + 1.0 / digit) / ln(10.0), 4) AS exp_frac,
+       round(pow(n - n_total * (ln(1.0 + 1.0 / digit) / ln(10.0)), 2)
+             / (n_total * (ln(1.0 + 1.0 / digit) / ln(10.0))), 4)
+         AS chi2_term
+FROM counts CROSS JOIN total
+"""
+
+
+# --------------------------------------------------------------------------
+# C24. Autocorrelation function of the daily event series (lags 1-7) —
+# the seasonality probe behind the reference's time-trend EDA. After
+# the first aggregate the series is #days-sized; lagged pairs come
+# from an exact self-join on day offset (robust to calendar gaps,
+# where a window lag() would silently pair non-adjacent days), and
+# every lag's Pearson r is one fused corr() aggregate.
+# --------------------------------------------------------------------------
+
+def acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    daily = (ev.groupBy(day.alias("d"))
+               .agg(F.count(F.lit(1)).alias("n")))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    lagged = (a.select("d", "n",
+                       F.explode(F.sequence(F.lit(1), F.lit(7)))
+                        .alias("lag_k"))
+               .join(b, F.col("b.d") == F.col("a.d") + F.col("lag_k")))
+    return (lagged.groupBy("lag_k")
+                  .agg(F.count(F.lit(1)).alias("n_pairs"),
+                       F.round(F.corr(F.col("a.n").cast("double"),
+                                      F.col("b.n").cast("double")), 4)
+                        .alias("acf")))
+
+ACF_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), ks AS (SELECT CAST(unnest(generate_series(1, 7)) AS INT) AS lag_k)
+SELECT lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(corr(a.n, b.n), 4) AS acf
+FROM daily a CROSS JOIN ks JOIN daily b ON b.d = a.d + lag_k
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# C25. Markov next-event transition matrix: P(next | current) from
+# per-user ordered event sequences. ONE user_id shuffle carries the
+# lag window (ordered by ts with event_id tie-break — deterministic);
+# the transition table is event-types², so the normalizing window
+# runs on a dozens-row aggregate, never on the fact.
+# --------------------------------------------------------------------------
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lag("event_type").over(w).alias("prev"))
+    pairs = (seq.where(F.col("prev").isNotNull())
+                .groupBy(F.col("prev").alias("prev_event"),
+                         F.col("event_type").alias("next_event"))
+                .agg(F.count(F.lit(1)).alias("n_transitions")))
+    wnorm = Window.partitionBy("prev_event")
+    return pairs.select(
+        "prev_event", "next_event", "n_transitions",
+        F.round(F.col("n_transitions")
+                / F.sum("n_transitions").over(wnorm), 4).alias("p_next"))
+
+TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events WHERE ts IS NOT NULL
+), pairs AS (
+  SELECT prev AS prev_event, event_type AS next_event,
+         count(*) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_event, next_event, CAST(n AS BIGINT) AS n_transitions,
+       round(n / sum(n) OVER (PARTITION BY prev_event), 4) AS p_next
+FROM pairs
+"""
+
+
+# --------------------------------------------------------------------------
+# A78. Market-basket brand affinity (support + lift): which part
+# brands co-occur in the same order beyond chance. The distinct
+# (order, brand) table shuffles once on orderkey; the self-join's
+# fan-out is bounded by items-per-order (≤7 in TPC-H shape), so pair
+# counts stay O(orders), never a cross join. Brand marginals and the
+# order total are broadcast back onto the brands²-sized pair table.
+# --------------------------------------------------------------------------
+
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .select(F.col("l_orderkey").alias("ok"),
+                    F.col("p_brand").alias("brand"))
+            .distinct())
+    n_ord = ob.agg(F.countDistinct("ok").alias("n_ord"))
+    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n_b"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                       & (F.col("a.brand") < F.col("b.brand")))
+              .groupBy(F.col("a.brand").alias("brand_a"),
+                       F.col("b.brand").alias("brand_b"))
+              .agg(F.count(F.lit(1)).alias("n_ab")))
+    ca = bc.select(F.col("brand").alias("brand_a"),
+                   F.col("n_b").alias("n_a_orders"))
+    cb = bc.select(F.col("brand").alias("brand_b"),
+                   F.col("n_b").alias("n_b_orders"))
+    return (pairs.join(F.broadcast(ca), "brand_a")
+                 .join(F.broadcast(cb), "brand_b")
+                 .crossJoin(F.broadcast(n_ord))
+                 .select("brand_a", "brand_b", "n_ab",
+                         F.round(F.col("n_ab") / F.col("n_ord"), 4)
+                          .alias("support"),
+                         F.round((F.col("n_ab") * F.col("n_ord"))
+                                 / (F.col("n_a_orders")
+                                    * F.col("n_b_orders")), 4)
+                          .alias("lift")))
+
+BASKET_LIFT_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n_orders AS (SELECT count(DISTINCT ok) AS n_ord FROM ob),
+bc AS (SELECT brand, count(*) AS n_b FROM ob GROUP BY 1),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+       round(n_ab / n_ord, 4) AS support,
+       round((n_ab * n_ord) / (ca.n_b * cb.n_b), 4) AS lift
+FROM pairs CROSS JOIN n_orders
+JOIN bc ca ON ca.brand = brand_a
+JOIN bc cb ON cb.brand = brand_b
+"""
+
+
+# --------------------------------------------------------------------------
+# A79. Gini concentration coefficient per customer segment — the
+# inequality measure of account balances, via the rank formula
+# G = 2·Σ rᵢxᵢ / (n·Σx) − (n+1)/n with tie-AVERAGED ranks (making the
+# result permutation-invariant under ties). Ranks come from
+# stats.tie_avg_ranks_by_group: range-partitioned on VALUE, so no
+# segment's window ever collapses to one task (the low-cardinality
+# partition trap). Everything after the distinct-value aggregate is
+# value-cardinality-sized.
+# --------------------------------------------------------------------------
+
+def gini_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    counts = (cust.where(F.col("c_acctbal") > 0)
+                  .groupBy("c_mktsegment",
+                           F.col("c_acctbal").alias("v"))
+                  .agg(F.count(F.lit(1)).alias("t")))
+    ranked = stats.tie_avg_ranks_by_group(
+        counts, "c_mktsegment", "v", "t", alias="r")
+    per = (ranked.groupBy("c_mktsegment")
+           .agg(F.sum("t").alias("n"),
+                F.sum(F.col("v") * F.col("t")).alias("sx"),
+                F.sum(F.col("r") * F.col("v") * F.col("t")).alias("srx")))
+    return per.select(
+        "c_mktsegment", F.col("n").alias("n_customers"),
+        F.round(2.0 * F.col("srx") / (F.col("n") * F.col("sx"))
+                - (F.col("n") + 1.0) / F.col("n"), 4).alias("gini"))
+
+GINI_SQL = """
+WITH counts AS (
+  SELECT c_mktsegment, c_acctbal AS v, count(*) AS t
+  FROM customer WHERE c_acctbal > 0 GROUP BY 1, 2
+), ranked AS (
+  SELECT c_mktsegment, v, t,
+         sum(t) OVER (PARTITION BY c_mktsegment ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (t - 1) / 2.0 AS r
+  FROM counts
+)
+SELECT c_mktsegment, CAST(sum(t) AS BIGINT) AS n_customers,
+       round(2.0 * sum(r * v * t) / (sum(t) * sum(v * t))
+             - (sum(t) + 1.0) / sum(t), 4) AS gini
+FROM ranked GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# C26. CUSUM changepoint scan on daily revenue: cumulative sum of
+# deviations from the series mean; the day where |CUSUM| peaks is the
+# most likely level-shift point (Page's test statistic). Daily sums
+# are exact decimals (event values are 2dp); the cumulative window
+# runs over the #days-sized AGGREGATED series (the single ordered
+# task holds hundreds of rows, not the fact). Peak day is
+# deterministic: min day among rounded-|CUSUM| maxima via min/min_by.
+# --------------------------------------------------------------------------
+
+def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import money
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    daily = (ev.groupBy(day.alias("d"))
+               .agg(F.sum(money("value")).cast("double").alias("rev")))
+    m = daily.agg(F.avg("rev").alias("mean_rev"),
+                  F.count(F.lit(1)).alias("n_days"))
+    wc = (Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cusum = (daily.crossJoin(F.broadcast(m))
+             .withColumn("s", F.sum(F.col("rev") - F.col("mean_rev"))
+                              .over(wc))
+             .select("d", "n_days",
+                     F.round("s", 4).alias("s_r"),
+                     F.round(F.abs("s"), 4).alias("a_r")))
+    peak = cusum.agg(F.max("a_r").alias("a_max"))
+    return (cusum.crossJoin(F.broadcast(peak))
+            .where(F.col("a_r") == F.col("a_max"))
+            .agg(F.min("d").cast("int").alias("peak_day"),
+                 F.min_by("s_r", "d").alias("peak_cusum"),
+                 F.any_value("n_days").alias("n_days")))
+
+CUSUM_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), m AS (SELECT avg(rev) AS mean_rev, count(*) AS n_days FROM daily),
+cusum AS (
+  SELECT d, n_days,
+         round(sum(rev - mean_rev)
+               OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW), 4) AS s_r,
+         round(abs(sum(rev - mean_rev)
+               OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)), 4) AS a_r
+  FROM daily CROSS JOIN m
+), peak AS (SELECT max(a_r) AS a_max FROM cusum)
+SELECT CAST(min(d) AS INT) AS peak_day,
+       arg_min(s_r, d) AS peak_cusum,
+       CAST(any_value(n_days) AS BIGINT) AS n_days
+FROM cusum CROSS JOIN peak
+WHERE a_r = a_max
+"""
+
+
+# --------------------------------------------------------------------------
+# B33. Zipf's-law fit over the token frequency distribution:
+# weighted log-log regression of frequency on tie-averaged rank. The
+# regression runs on the frequency-OF-frequency table (|distinct
+# counts| rows — thousands at most even at corpus scale), with ranks
+# from the range-partitioned tie_avg_ranks helper (value = −freq so
+# ascending range order = descending frequency), weights = #tokens at
+# that frequency. One tokenize pass; no per-token rank window.
+# --------------------------------------------------------------------------
+
+def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")),
+            r"\s+").alias("toks"))
+    terms = (toks.select(F.explode_outer("toks").alias("term"))
+                 .where(F.col("term").isNotNull()
+                        & (F.length("term") >= 2)))
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    fof = (tf.groupBy(F.col("f")).agg(F.count(F.lit(1)).alias("t"))
+             .select((-F.col("f")).alias("neg_f"), "t"))
+    ranked = (stats.tie_avg_ranks(fof, "neg_f", "t", alias="r")
+              .select((-F.col("neg_f")).alias("f"), "t", "r"))
+    x, y = F.log("r"), F.log("f")
+    s = ranked.agg(F.sum("t").alias("sw"),
+                   F.sum(F.col("t") * x).alias("swx"),
+                   F.sum(F.col("t") * y).alias("swy"),
+                   F.sum(F.col("t") * x * y).alias("swxy"),
+                   F.sum(F.col("t") * x * x).alias("swxx"))
+    slope = ((F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy"))
+             / (F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")))
+    return s.select(F.col("sw").alias("n_vocab"),
+                    F.round(slope, 4).alias("slope"),
+                    F.round((F.col("swy") - slope * F.col("swx"))
+                            / F.col("sw"), 4).alias("intercept"))
+
+ZIPF_SQL = """
+WITH terms AS (
+  SELECT term
+  FROM (
+    SELECT unnest(string_split_regex(
+             trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+             '\\s+')) AS term
+    FROM documents
+  )
+  WHERE term IS NOT NULL AND length(term) >= 2
+), tf AS (SELECT term, count(*) AS f FROM terms GROUP BY 1),
+fof AS (SELECT f, count(*) AS t FROM tf GROUP BY 1),
+ranked AS (
+  SELECT f, t,
+         sum(t) OVER (ORDER BY f DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) - (t - 1) / 2.0 AS r
+  FROM fof
+), s AS (
+  SELECT sum(t) AS sw, sum(t * ln(r)) AS swx, sum(t * ln(f)) AS swy,
+         sum(t * ln(r) * ln(f)) AS swxy, sum(t * ln(r) * ln(r)) AS swxx
+  FROM ranked
+)
+SELECT CAST(sw AS BIGINT) AS n_vocab,
+       round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 4)
+         AS slope,
+       round((swy - ((sw * swxy - swx * swy)
+                     / (sw * swxx - swx * swx)) * swx) / sw, 4)
+         AS intercept
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4606,6 +5003,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "seasonal_trend_events": (seasonal_trend_events, SEASONAL_SQL),
     "rolling_active_users": (rolling_active_users, ROLLING_ACTIVE_SQL),
     "cuped_experiment_events": (cuped_experiment_events, CUPED_SQL),
+    "hhi_supplier_concentration": (hhi_supplier_concentration, HHI_SQL),
+    "benford_order_totals": (benford_order_totals, BENFORD_SQL),
+    "acf_daily_events": (acf_daily_events, ACF_SQL),
+    "event_transitions": (event_transitions, TRANSITIONS_SQL),
+    "basket_brand_lift": (basket_brand_lift, BASKET_LIFT_SQL),
+    "gini_acctbal_by_segment": (gini_acctbal_by_segment, GINI_SQL),
+    "cusum_changepoint_events": (cusum_changepoint_events, CUSUM_SQL),
+    "zipf_token_slope": (zipf_token_slope, ZIPF_SQL),
 }
 
 

@@ -384,3 +384,38 @@ def test_decile_formula_matches_ntile_on_uneven_n(spark, sf_dir):
                  .crossJoin(F.broadcast(tot))
                  .withColumn("d", decile.cast("int")).collect())}
     assert got == expected
+
+
+def test_tie_avg_ranks_by_group_matches_naive_window(spark):
+    """Range-partitioned per-group tie ranks must equal the naive
+    Window.partitionBy(group).orderBy(value) construction, including
+    ties and groups that span range-partition boundaries."""
+    from pyspark.sql import Window
+    from parking_bigdata_spark.operators import stats
+
+    rows = []
+    # two groups, shared values (ties within group), interleaved so
+    # range partitioning by value splits each group across partitions
+    for g in ("a", "b"):
+        for v, t in [(1.0, 3), (2.0, 1), (5.0, 2), (9.0, 1)]:
+            if not (g == "b" and v == 2.0):  # asymmetric groups
+                rows.append((g, v, t))
+    counts = spark.createDataFrame(rows, ["g", "v", "t"]) \
+                  .repartition(8)
+    got = {(r["g"], r["v"]): r["r"]
+           for r in stats.tie_avg_ranks_by_group(
+               counts, "g", "v", "t", alias="r").collect()}
+    # naive: explode counts to rows, average rank of tied rows
+    w = Window.partitionBy("g").orderBy("v") \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    naive = {(r["g"], r["v"]): r["r"]
+             for r in counts.withColumn("cum", F.sum("t").over(w))
+                            .select("g", "v",
+                                    (F.col("cum") - (F.col("t") - 1) / 2.0)
+                                    .alias("r")).collect()}
+    assert got == naive
+    # hand-check one group: a has rows [1,1,1,2,5,5,9]
+    assert got[("a", 1.0)] == 2.0   # ranks 1,2,3 -> avg 2
+    assert got[("a", 2.0)] == 4.0
+    assert got[("a", 5.0)] == 5.5   # ranks 5,6
+    assert got[("a", 9.0)] == 7.0
