@@ -95,6 +95,9 @@ HEADLINE = [
     "gini_acctbal_by_segment",
     "event_transitions",
     "zipf_token_slope",
+    "ks_order_value_priority",
+    "rfm_customer_segments",
+    "text_readability",
 ]
 
 

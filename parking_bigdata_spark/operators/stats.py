@@ -265,6 +265,43 @@ def tie_avg_ranks_by_group(counts: DataFrame, group_col: str,
                      - (F.col(count_col) - 1) / 2.0).alias(alias)))
 
 
+def range_cumsum(df: DataFrame, order_col: str,
+                 sum_cols: list[str]) -> DataFrame:
+    """Global cumulative sums of NON-NEGATIVE columns in ``order_col``
+    order without a single-partition window — the ECDF building block.
+
+    Same construction as :func:`tie_avg_ranks`: range-partition on the
+    order column, per-partition cumulative windows in parallel, then a
+    broadcast prefix-sum of the per-partition totals (one row per
+    shuffle partition). Non-negativity matters: the per-partition TOTAL
+    is read off as ``max(cum)``, which only equals the total when the
+    running sum is monotone.
+
+    Returns the input columns plus ``cum_<col>`` for each sum column.
+    """
+    d = (df.repartitionByRange(F.col(order_col))
+           .withColumn("__pid", F.spark_partition_id()))
+    wl = (Window.partitionBy("__pid").orderBy(order_col)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    local = d
+    for c in sum_cols:
+        local = local.withColumn(f"__cum_{c}", F.sum(c).over(wl))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = local.groupBy("__pid").agg(
+        *[F.max(f"__cum_{c}").alias(f"__t_{c}") for c in sum_cols])
+    for c in sum_cols:
+        off = off.withColumn(
+            f"__off_{c}", F.coalesce(F.sum(f"__t_{c}").over(wo), F.lit(0)))
+    res = local.join(
+        F.broadcast(off.select("__pid",
+                               *[f"__off_{c}" for c in sum_cols])), "__pid")
+    for c in sum_cols:
+        res = res.withColumn(f"cum_{c}",
+                             F.col(f"__off_{c}") + F.col(f"__cum_{c}"))
+    return res.drop("__pid", *[f"__cum_{c}" for c in sum_cols],
+                    *[f"__off_{c}" for c in sum_cols])
+
+
 def grouped_median(df: DataFrame, group_col: str, value_col: str,
                    alias: str = "med", accuracy: int = 10000) -> DataFrame:
     """Exact per-group median that stays parallel at any scale.

@@ -4857,6 +4857,195 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# A18g. Two-sample Kolmogorov-Smirnov test (URGENT vs LOW order
+# values): D = max |ECDF₁ − ECDF₂| over the DISTINCT-value table. Both
+# ECDFs come from ONE range-partitioned cumulative pass
+# (stats.range_cumsum — no single-task global window over the
+# near-unique price column); the scaled statistic √(n₁n₂/(n₁+n₂))·D
+# is the classic large-sample form. Distinct-value agg first, so the
+# window input is value-cardinality-sized, not row-sized.
+# --------------------------------------------------------------------------
+
+def ks_order_value_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g1, g2 = "1-URGENT", "5-LOW"
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (orders.where(F.col("o_orderpriority").isin(g1, g2))
+              .groupBy(F.col("o_totalprice").alias("v"))
+              .agg(F.sum(F.when(F.col("o_orderpriority") == g1, 1)
+                          .otherwise(0)).alias("n1"),
+                   F.sum(F.when(F.col("o_orderpriority") == g2, 1)
+                          .otherwise(0)).alias("n2")))
+    cum = stats.range_cumsum(counts, "v", ["n1", "n2"])
+    tot = counts.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    d = (cum.crossJoin(F.broadcast(tot))
+            .agg(F.max(F.abs(F.col("cum_n1") / F.col("t1")
+                             - F.col("cum_n2") / F.col("t2"))).alias("d"),
+                 F.any_value("t1").alias("t1"),
+                 F.any_value("t2").alias("t2")))
+    return d.select(
+        F.col("t1").alias("n_urgent"), F.col("t2").alias("n_low"),
+        F.round("d", 4).alias("ks_d"),
+        F.round(F.sqrt(F.col("t1") * F.col("t2")
+                       / (F.col("t1") + F.col("t2"))) * F.col("d"), 4)
+         .alias("ks_stat"))
+
+KS_SQL = """
+WITH counts AS (
+  SELECT o_totalprice AS v,
+         sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n2
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY 1
+), cum AS (
+  SELECT sum(n1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS c1,
+         sum(n2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS c2
+  FROM counts
+), tot AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM counts),
+d AS (
+  SELECT max(abs(c1 / t1 - c2 / t2)) AS d,
+         any_value(t1) AS t1, any_value(t2) AS t2
+  FROM cum CROSS JOIN tot
+)
+SELECT CAST(t1 AS BIGINT) AS n_urgent, CAST(t2 AS BIGINT) AS n_low,
+       round(d, 4) AS ks_d,
+       round(sqrt(t1 * t2 / (t1 + t2)) * d, 4) AS ks_stat
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
+# A80. RFM customer segmentation (recency / frequency / monetary
+# quartile scores — the classic CRM cohorting). One orders shuffle
+# builds the per-customer metric table; each metric's quartile bounds
+# come from the exact bracket-refine grouped_quantiles (customer-sized
+# input, broadcast back as 1-row tables); scores are strict-threshold
+# counts so both engines bucket boundary ties identically. Output is
+# the 4³-ish segment grid.
+# --------------------------------------------------------------------------
+
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import money
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("rd"))
+    pc = (orders.groupBy("o_custkey")
+          .agg(F.max("o_orderdate").alias("last_o"),
+               F.count(F.lit(1)).alias("freq"),
+               F.sum(money("o_totalprice")).alias("mon_dec"))
+          .crossJoin(F.broadcast(ref))
+          .select("o_custkey", "freq", "mon_dec",
+                  F.col("mon_dec").cast("double").alias("mon"),
+                  F.datediff(F.to_date("rd"), F.to_date("last_o"))
+                   .cast("double").alias("rec")))
+    pc = pc.withColumn("__g", F.lit(1))
+    bounds = {}
+    for m in ("rec", "freq", "mon"):
+        bounds[m] = stats.grouped_quantiles(
+            pc.withColumn(m, F.col(m).cast("double")), "__g", m,
+            [0.25, 0.5, 0.75], [f"{m}_q1", f"{m}_q2", f"{m}_q3"]
+        ).drop("__g")
+    scored = pc
+    for m in ("rec", "freq", "mon"):
+        scored = scored.crossJoin(F.broadcast(bounds[m]))
+    up = lambda m: ((F.col(m) > F.col(f"{m}_q1")).cast("int")
+                    + (F.col(m) > F.col(f"{m}_q2")).cast("int")
+                    + (F.col(m) > F.col(f"{m}_q3")).cast("int"))
+    seg = scored.select(
+        "mon_dec",
+        (4 - up("rec")).alias("r_score"),
+        (1 + up("freq")).alias("f_score"),
+        (1 + up("mon")).alias("m_score"))
+    # avg over the EXACT decimal sum (one deterministic division) —
+    # averaging the per-customer doubles instead re-rounds a value that
+    # sits on a half-tick differently per partition order
+    return (seg.groupBy(F.concat(F.col("r_score").cast("string"),
+                                 F.col("f_score").cast("string"),
+                                 F.col("m_score").cast("string"))
+                        .alias("rfm_segment"))
+               .agg(F.count(F.lit(1)).alias("n_customers"),
+                    F.round(F.sum("mon_dec").cast("double")
+                            / F.count(F.lit(1)), 4).alias("avg_monetary")))
+
+RFM_SQL = """
+WITH ref AS (SELECT max(o_orderdate) AS rd FROM orders),
+pc AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                        CAST(any_value(rd) AS DATE)) AS DOUBLE) AS rec,
+         count(*) AS freq,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon_dec,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mon
+  FROM orders CROSS JOIN ref GROUP BY 1
+), b AS (
+  SELECT quantile_cont(rec, 0.25) AS rec_q1, quantile_cont(rec, 0.5) AS rec_q2,
+         quantile_cont(rec, 0.75) AS rec_q3,
+         quantile_cont(CAST(freq AS DOUBLE), 0.25) AS freq_q1,
+         quantile_cont(CAST(freq AS DOUBLE), 0.5) AS freq_q2,
+         quantile_cont(CAST(freq AS DOUBLE), 0.75) AS freq_q3,
+         quantile_cont(mon, 0.25) AS mon_q1, quantile_cont(mon, 0.5) AS mon_q2,
+         quantile_cont(mon, 0.75) AS mon_q3
+  FROM pc
+), seg AS (
+  SELECT mon_dec,
+         4 - ((rec > rec_q1)::INT + (rec > rec_q2)::INT
+              + (rec > rec_q3)::INT) AS r_score,
+         1 + (freq > freq_q1)::INT + (freq > freq_q2)::INT
+           + (freq > freq_q3)::INT AS f_score,
+         1 + (mon > mon_q1)::INT + (mon > mon_q2)::INT
+           + (mon > mon_q3)::INT AS m_score
+  FROM pc CROSS JOIN b
+)
+SELECT concat(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
+              CAST(m_score AS VARCHAR)) AS rfm_segment,
+       count(*) AS n_customers,
+       round(CAST(sum(mon_dec) AS DOUBLE) / count(*), 4) AS avg_monetary
+FROM seg GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# B34. Readability scoring (Flesch-ease proxy per language): words =
+# whitespace tokens, sentences = terminal-punctuation runs (floored at
+# 1), syllables ≈ vowel-group runs — all codegen'd regexp counts, one
+# shuffle over language groups. The standard corpus-quality signal
+# family next to text_quality's ratio gates.
+# --------------------------------------------------------------------------
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.length(F.trim("text")) > 0))
+    w = F.size(F.split(F.trim("text"), r"\s+")).cast("double")
+    s = F.greatest(F.regexp_count("text", F.lit("[.!?]+")),
+                   F.lit(1)).cast("double")
+    syl = F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).cast("double")
+    flesch = (F.lit(206.835) - 1.015 * (w / s) - 84.6 * (syl / w))
+    return (docs.select("lang", flesch.alias("fl"), (w / s).alias("wps"))
+                .groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.round(F.avg("fl"), 4).alias("avg_flesch"),
+                     F.round(F.avg("wps"), 4).alias("avg_words_per_sentence")))
+
+READABILITY_SQL = """
+WITH scored AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS w,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS DOUBLE) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS DOUBLE) AS syl
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(206.835 - 1.015 * (w / s) - 84.6 * (syl / w)), 4)
+         AS avg_flesch,
+       round(avg(w / s), 4) AS avg_words_per_sentence
+FROM scored GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5011,6 +5200,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "gini_acctbal_by_segment": (gini_acctbal_by_segment, GINI_SQL),
     "cusum_changepoint_events": (cusum_changepoint_events, CUSUM_SQL),
     "zipf_token_slope": (zipf_token_slope, ZIPF_SQL),
+    "ks_order_value_priority": (ks_order_value_priority, KS_SQL),
+    "rfm_customer_segments": (rfm_customer_segments, RFM_SQL),
+    "text_readability": (text_readability, READABILITY_SQL),
 }
 
 
