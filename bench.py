@@ -98,6 +98,9 @@ HEADLINE = [
     "ks_order_value_priority",
     "rfm_customer_segments",
     "text_readability",
+    "kaplan_meier_retention",
+    "bootstrap_ci_order_value",
+    "ewma_smoothed_daily",
 ]
 
 

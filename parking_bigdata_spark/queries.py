@@ -4637,10 +4637,14 @@ FROM pairs
 def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # materialize the distinct (order, brand) table: marginals, total,
+    # and both self-join sides otherwise replay the fact scan + join +
+    # distinct shuffle four times
     ob = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
             .select(F.col("l_orderkey").alias("ok"),
                     F.col("p_brand").alias("brand"))
-            .distinct())
+            .distinct()
+            .localCheckpoint(eager=True))
     n_ord = ob.agg(F.countDistinct("ok").alias("n_ord"))
     bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n_b"))
     a, b = ob.alias("a"), ob.alias("b")
@@ -4700,7 +4704,10 @@ def gini_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (cust.where(F.col("c_acctbal") > 0)
                   .groupBy("c_mktsegment",
                            F.col("c_acctbal").alias("v"))
-                  .agg(F.count(F.lit(1)).alias("t")))
+                  .agg(F.count(F.lit(1)).alias("t"))
+                  # materialize: the rank helper's branches otherwise
+                  # replay the customer scan+shuffle
+                  .localCheckpoint(eager=True))
     ranked = stats.tie_avg_ranks_by_group(
         counts, "c_mktsegment", "v", "t", alias="r")
     per = (ranked.groupBy("c_mktsegment")
@@ -4807,8 +4814,11 @@ def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .where(F.col("term").isNotNull()
                         & (F.length("term") >= 2)))
     tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    # materialize the tiny frequency-of-frequency table: the rank
+    # helper's lineage branches otherwise re-tokenize the corpus
     fof = (tf.groupBy(F.col("f")).agg(F.count(F.lit(1)).alias("t"))
-             .select((-F.col("f")).alias("neg_f"), "t"))
+             .select((-F.col("f")).alias("neg_f"), "t")
+             .localCheckpoint(eager=True))
     ranked = (stats.tie_avg_ranks(fof, "neg_f", "t", alias="r")
               .select((-F.col("neg_f")).alias("f"), "t", "r"))
     x, y = F.log("r"), F.log("f")
@@ -4874,7 +4884,11 @@ def ks_order_value_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.sum(F.when(F.col("o_orderpriority") == g1, 1)
                           .otherwise(0)).alias("n1"),
                    F.sum(F.when(F.col("o_orderpriority") == g2, 1)
-                          .otherwise(0)).alias("n2")))
+                          .otherwise(0)).alias("n2"))
+              # materialize the distinct-value table: the cumulative
+              # pass + total otherwise replay the orders scan+shuffle
+              # per lineage branch
+              .localCheckpoint(eager=True))
     cum = stats.range_cumsum(counts, "v", ["n1", "n2"])
     tot = counts.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
     d = (cum.crossJoin(F.broadcast(tot))
@@ -4939,7 +4953,9 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("mon_dec").cast("double").alias("mon"),
                   F.datediff(F.to_date("rd"), F.to_date("last_o"))
                    .cast("double").alias("rec")))
-    pc = pc.withColumn("__g", F.lit(1))
+    # materialize the customer-sized metric table: the three quantile
+    # probes + scoring otherwise replay the orders scan+shuffle ~8x
+    pc = pc.withColumn("__g", F.lit(1)).localCheckpoint(eager=True)
     bounds = {}
     for m in ("rec", "freq", "mon"):
         bounds[m] = stats.grouped_quantiles(
@@ -5042,6 +5058,216 @@ SELECT lang, count(*) AS n_docs,
          AS avg_flesch,
        round(avg(w / s), 4) AS avg_words_per_sentence
 FROM scored GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# C27. EWMA-smoothed daily revenue: exponential smoothing as a bounded
+# interval self-join on the AGGREGATED series (weights α^lag over a
+# 30-day trailing window). A recursive ewma_t = αx + (1-α)ewma_{t-1}
+# can't be a window frame (frames can't reference the current row's
+# index inside the sum) and α^(-i) tricks overflow; the truncated-
+# kernel join is exact to α^30 ≈ 4e-2 mass and input-scale-free after
+# the first aggregate.
+# --------------------------------------------------------------------------
+
+def ewma_smoothed_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import money
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    daily = (ev.groupBy(day.alias("d"))
+               .agg(F.sum(money("value")).cast("double").alias("rev")))
+    a, b = daily.alias("a"), daily.alias("b")
+    w = F.pow(F.lit(0.9), F.col("a.d") - F.col("b.d"))
+    return (a.join(b, (F.col("b.d") >= F.col("a.d") - 29)
+                      & (F.col("b.d") <= F.col("a.d")))
+             .groupBy(F.col("a.d").cast("int").alias("day_num"),
+                      F.col("a.rev").alias("rev_raw"))
+             .agg(F.round(F.sum(w * F.col("b.rev")) / F.sum(w), 4)
+                   .alias("ewma"))
+             .select("day_num", F.round("rev_raw", 4).alias("rev"), "ewma"))
+
+EWMA_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+)
+SELECT CAST(a.d AS INT) AS day_num, round(a.rev, 4) AS rev,
+       round(sum(pow(0.9, a.d - b.d) * b.rev)
+             / sum(pow(0.9, a.d - b.d)), 4) AS ewma
+FROM daily a JOIN daily b ON b.d >= a.d - 29 AND b.d <= a.d
+GROUP BY a.d, a.rev
+"""
+
+
+# --------------------------------------------------------------------------
+# A81. Kaplan-Meier retention curve: survival S(t) over user activity
+# lifespans. Churn = the first ≥3-day inactivity gap (including
+# trailing inactivity before corpus end); users with no such gap are
+# right-CENSORED at corpus end — a genuine event/censor mix on this
+# near-daily-activity corpus. Classic KM product
+# Π(1 − dᵢ/nᵢ) distributed as exp(−Σ −ln(factor)): both cumulative
+# passes (at-risk counts, log-factors) ride stats.range_cumsum on the
+# distinct-duration table — never a row-sized window, and the −ln form
+# keeps the running sum non-negative as range_cumsum requires.
+# --------------------------------------------------------------------------
+
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    mx = ev.agg(F.max(F.to_date("ts")).alias("m"))
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    wlead = Window.partitionBy("user_id").orderBy("d")
+    g = ud.withColumn("nxt", F.lead("d").over(wlead))
+    per_user = (g.groupBy("user_id")
+                 .agg(F.min(F.when(F.datediff("nxt", "d") >= 3,
+                                   F.col("d"))).alias("ichurn"),
+                      F.min("d").alias("fd"), F.max("d").alias("ld"))
+                 .crossJoin(F.broadcast(mx))
+                 .withColumn("cd", F.coalesce(
+                     "ichurn",
+                     F.when(F.datediff("m", "ld") >= 3, F.col("ld"))))
+                 .select(F.datediff(F.coalesce("cd", "m"), "fd")
+                          .alias("dur"),
+                         F.col("cd").isNotNull().cast("int")
+                          .alias("churned")))
+    # materialize the duration-sized table (≤ #days rows): the two
+    # cumulative passes + total otherwise replay the events scan and
+    # user-day shuffle per lineage branch
+    counts = (per_user.groupBy("dur")
+              .agg(F.sum("churned").alias("d"),
+                   F.sum(1 - F.col("churned")).alias("c"))
+              .localCheckpoint(eager=True))
+    tot = counts.agg((F.sum("d") + F.sum("c")).alias("n_total"))
+    cum = (stats.range_cumsum(counts, "dur", ["d", "c"])
+           .crossJoin(F.broadcast(tot))
+           .withColumn("at_risk",
+                       F.col("n_total") - (F.col("cum_d") + F.col("cum_c"))
+                       + F.col("d") + F.col("c"))
+           .withColumn("neg_ln_f",
+                       F.when(F.col("d") > 0,
+                              -F.log(1.0 - F.col("d") / F.col("at_risk")))
+                        .otherwise(F.lit(0.0))))
+    km = stats.range_cumsum(cum, "dur", ["neg_ln_f"])
+    return (km.where(F.col("d") > 0)
+              .select(F.col("dur").cast("int").alias("duration_days"),
+                      F.col("at_risk").alias("n_at_risk"),
+                      F.col("d").alias("n_churned"),
+                      F.round(F.exp(-F.col("cum_neg_ln_f")), 4)
+                       .alias("survival")))
+
+KM_SQL = """
+WITH mx AS (SELECT CAST(max(ts) AS DATE) AS m
+            FROM events WHERE ts IS NOT NULL),
+ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+       FROM events WHERE ts IS NOT NULL),
+g AS (SELECT user_id, d,
+             lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nxt
+      FROM ud),
+f AS (SELECT user_id,
+             min(CASE WHEN date_diff('day', d, nxt) >= 3 THEN d END)
+               AS ichurn,
+             min(d) AS fd, max(d) AS ld
+      FROM g GROUP BY 1),
+per_user AS (
+  SELECT date_diff('day', fd,
+                   coalesce(coalesce(ichurn,
+                            CASE WHEN date_diff('day', ld, m) >= 3
+                                 THEN ld END), m)) AS dur,
+         (coalesce(ichurn,
+                   CASE WHEN date_diff('day', ld, m) >= 3
+                        THEN ld END) IS NOT NULL)::INT AS churned
+  FROM f CROSS JOIN mx
+), counts AS (
+  SELECT dur, sum(churned) AS d, sum(1 - churned) AS c
+  FROM per_user GROUP BY 1
+), tot AS (SELECT sum(d) + sum(c) AS n_total FROM counts),
+cum AS (
+  SELECT dur, d, c, n_total,
+         n_total - (sum(d) OVER w + sum(c) OVER w) + d + c AS at_risk,
+         sum(d) OVER w AS cum_d
+  FROM counts CROSS JOIN tot
+  WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), km AS (
+  SELECT dur, d, at_risk,
+         sum(CASE WHEN d > 0 THEN -ln(1.0 - d / at_risk)
+                  ELSE 0.0 END)
+           OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cum_neg_ln_f
+  FROM cum
+)
+SELECT CAST(dur AS INT) AS duration_days,
+       CAST(at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_churned,
+       round(exp(-cum_neg_ln_f), 4) AS survival
+FROM km WHERE d > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# A82. Deterministic half-sample bootstrap CI for the mean order
+# value: 32 replicates, each keeping rows whose md5(key:replicate)
+# prefix clears a 50% threshold (engine-portable, seed-free — same
+# construction as deterministic_sample_orders). The fact is scanned
+# ONCE; the explode is codegen'd and map-side partial aggregation
+# collapses the 32x row fan-out to 32 partials per task, so the
+# shuffle is replicate-count-sized. Replicate means use exact-decimal
+# sums (one deterministic division each).
+# --------------------------------------------------------------------------
+
+def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import money
+    orders = load_table(spark, sf_dir, "orders")
+    rep = (orders.select(money("o_totalprice").alias("p"),
+                         F.col("o_orderkey").cast("string").alias("k"),
+                         F.explode(F.sequence(F.lit(1), F.lit(32)))
+                          .alias("b"))
+           .where(F.substring(
+               F.md5(F.concat_ws(":", "k", F.col("b").cast("string"))),
+               1, 1) < "8")
+           .groupBy("b")
+           .agg((F.sum("p").cast("double") / F.count(F.lit(1)))
+                .alias("rep_mean")))
+    full = orders.agg(
+        F.round(F.sum(money("o_totalprice")).cast("double")
+                / F.count(F.lit(1)), 4).alias("full_mean"))
+    return (rep.agg(F.count(F.lit(1)).alias("n_replicates"),
+                    F.avg("rep_mean").alias("bm"),
+                    F.stddev_samp("rep_mean").alias("sd"))
+               .crossJoin(F.broadcast(full))
+               .select("n_replicates",
+                       F.round("bm", 4).alias("boot_mean"),
+                       F.round(F.col("bm") - 1.96 * F.col("sd"), 4)
+                        .alias("ci_lo"),
+                       F.round(F.col("bm") + 1.96 * F.col("sd"), 4)
+                        .alias("ci_hi"),
+                       "full_mean"))
+
+BOOTSTRAP_SQL = """
+WITH rep AS (
+  SELECT b,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*) AS rep_mean
+  FROM orders
+  CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS b)
+  WHERE substring(md5(concat_ws(':', CAST(o_orderkey AS VARCHAR),
+                                CAST(b AS VARCHAR))), 1, 1) < '8'
+  GROUP BY 1
+), s AS (
+  SELECT count(*) AS n_replicates, avg(rep_mean) AS bm,
+         stddev_samp(rep_mean) AS sd
+  FROM rep
+), fs AS (
+  SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*), 4) AS full_mean
+  FROM orders
+)
+SELECT n_replicates, round(bm, 4) AS boot_mean,
+       round(bm - 1.96 * sd, 4) AS ci_lo,
+       round(bm + 1.96 * sd, 4) AS ci_hi,
+       full_mean
+FROM s CROSS JOIN fs
 """
 
 
@@ -5203,6 +5429,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ks_order_value_priority": (ks_order_value_priority, KS_SQL),
     "rfm_customer_segments": (rfm_customer_segments, RFM_SQL),
     "text_readability": (text_readability, READABILITY_SQL),
+    "ewma_smoothed_daily": (ewma_smoothed_daily, EWMA_SQL),
+    "kaplan_meier_retention": (kaplan_meier_retention, KM_SQL),
+    "bootstrap_ci_order_value": (bootstrap_ci_order_value, BOOTSTRAP_SQL),
 }
 
 
