@@ -1320,16 +1320,20 @@ FROM g GROUP BY source
 
 def length_filter_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # one pruned scan of the narrow (lang, length) projection,
+    # materialized: the bracket-refine branches + doc counts + the
+    # filter pass otherwise re-scan the corpus parquet ~11x
+    proj = (docs.select("lang", F.col("n_chars").cast("double").alias("ncd"))
+                .localCheckpoint(eager=True))
     # exact length percentiles via bracket-refine (per-lang doc counts
     # are corpus-scale; a per-group sort buffer would not be)
-    qb = stats.grouped_quantiles(
-        docs.select("lang", F.col("n_chars").cast("double").alias("ncd")),
-        "lang", "ncd", [0.05, 0.95], ["p05", "p95"])
-    bounds = (docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    qb = stats.grouped_quantiles(proj, "lang", "ncd",
+                                 [0.05, 0.95], ["p05", "p95"])
+    bounds = (proj.groupBy("lang").agg(F.count("*").alias("n_docs"))
                   .join(F.broadcast(qb), "lang"))
-    kept = (docs.join(F.broadcast(bounds.select("lang", "p05", "p95")), "lang")
-                .where((F.col("n_chars") >= F.col("p05"))
-                       & (F.col("n_chars") <= F.col("p95")))
+    kept = (proj.join(F.broadcast(bounds.select("lang", "p05", "p95")), "lang")
+                .where((F.col("ncd") >= F.col("p05"))
+                       & (F.col("ncd") <= F.col("p95")))
                 .groupBy("lang").agg(F.count("*").alias("n_kept")))
     return (bounds.join(kept, "lang")
             .select("lang",
@@ -1529,12 +1533,16 @@ def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority group inside one aggregation buffer, a per-group
     single-task sort at scale. min/max stay a plain codegen agg."""
     orders = load_table(spark, sf_dir, "orders")
-    q = stats.grouped_quantiles(orders, "o_orderpriority", "o_totalprice",
+    # one pruned scan, materialized — the bracket-refine branches and
+    # the min/max agg otherwise re-scan orders per lineage branch
+    proj = (orders.select("o_orderpriority", "o_totalprice")
+                  .localCheckpoint(eager=True))
+    q = stats.grouped_quantiles(proj, "o_orderpriority", "o_totalprice",
                                 [0.25, 0.5, 0.75, 0.95],
                                 ["q25", "q50", "q75", "q95"])
-    mm = (orders.groupBy("o_orderpriority")
-                .agg(F.round(F.min("o_totalprice"), 4).alias("lo"),
-                     F.round(F.max("o_totalprice"), 4).alias("hi")))
+    mm = (proj.groupBy("o_orderpriority")
+              .agg(F.round(F.min("o_totalprice"), 4).alias("lo"),
+                   F.round(F.max("o_totalprice"), 4).alias("hi")))
     return (q.join(F.broadcast(mm), "o_orderpriority")
              .select("o_orderpriority",
                      F.round("q25", 4).alias("p25"),
@@ -2622,15 +2630,19 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY day
 
 def outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
+    # one pruned scan, materialized — quartile branches + the fence
+    # pass otherwise re-scan customer per lineage branch
+    proj = (cust.select("c_mktsegment", "c_acctbal")
+                .localCheckpoint(eager=True))
     # exact quartiles via bracket-refine — no per-group sort buffers
-    q = stats.grouped_quantiles(cust, "c_mktsegment", "c_acctbal",
+    q = stats.grouped_quantiles(proj, "c_mktsegment", "c_acctbal",
                                 [0.25, 0.75], ["q1", "q3"])
     fences = q.select(
         "c_mktsegment",
         (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
         (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"))
     x = F.col("c_acctbal")
-    return (cust.join(F.broadcast(fences), "c_mktsegment")
+    return (proj.join(F.broadcast(fences), "c_mktsegment")
                 .groupBy("c_mktsegment")
                 .agg(F.round(F.min("lo"), 4).alias("fence_lo"),
                      F.round(F.min("hi"), 4).alias("fence_hi"),
@@ -3117,8 +3129,11 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rank_tab(col: str, alias: str) -> DataFrame:
         # range-partitioned tie-averaged ranks — a near-unique double
-        # column has a rows-sized distinct table, so no global window
-        c = li.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+        # column has a rows-sized distinct table, so no global window.
+        # Materialized: the helper's lineage branches otherwise replay
+        # the lineitem scan+distinct shuffle per branch.
+        c = (li.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+               .localCheckpoint(eager=True))
         return (stats.tie_avg_ranks(c, col, "n", alias)
                 .select(col, alias))
 
@@ -4235,7 +4250,10 @@ def mannwhitney_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (load_table(spark, sf_dir, "orders")
          .where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
          .select("o_orderpriority", "o_totalprice"))
-    vals = o.groupBy("o_totalprice").agg(F.count(F.lit(1)).alias("t"))
+    # materialized (localCheckpoint): the rank helper's branches and
+    # the tie-correction agg otherwise replay the orders scan+shuffle 4x
+    vals = (o.groupBy("o_totalprice").agg(F.count(F.lit(1)).alias("t"))
+             .localCheckpoint(eager=True))
     # range-partitioned ranks: near-unique prices make the distinct
     # table orders-sized — never a single-task global window
     ranked = stats.tie_avg_ranks(vals, "o_totalprice", "t")
