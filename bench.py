@@ -101,6 +101,9 @@ HEADLINE = [
     "kaplan_meier_retention",
     "bootstrap_ci_order_value",
     "ewma_smoothed_daily",
+    "user_path_patterns",
+    "info_gain_features",
+    "sketch_top_event_types",
 ]
 
 

@@ -1533,10 +1533,10 @@ def quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority group inside one aggregation buffer, a per-group
     single-task sort at scale. min/max stay a plain codegen agg."""
     orders = load_table(spark, sf_dir, "orders")
-    # one pruned scan, materialized — the bracket-refine branches and
-    # the min/max agg otherwise re-scan orders per lineage branch
-    proj = (orders.select("o_orderpriority", "o_totalprice")
-                  .localCheckpoint(eager=True))
+    # raw pruned projection, NOT checkpointed: the replayed lineage is
+    # a bare 2-column scan, cheaper than materializing ~rows
+    # (measured 1.97s vs 2.23s at 20x stress)
+    proj = orders.select("o_orderpriority", "o_totalprice")
     q = stats.grouped_quantiles(proj, "o_orderpriority", "o_totalprice",
                                 [0.25, 0.5, 0.75, 0.95],
                                 ["q25", "q50", "q75", "q95"])
@@ -2630,10 +2630,9 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY day
 
 def outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    # one pruned scan, materialized — quartile branches + the fence
-    # pass otherwise re-scan customer per lineage branch
-    proj = (cust.select("c_mktsegment", "c_acctbal")
-                .localCheckpoint(eager=True))
+    # raw pruned projection, NOT checkpointed: replayed lineage is a
+    # bare 2-column scan (see quantile_summary)
+    proj = cust.select("c_mktsegment", "c_acctbal")
     # exact quartiles via bracket-refine — no per-group sort buffers
     q = stats.grouped_quantiles(proj, "c_mktsegment", "c_acctbal",
                                 [0.25, 0.75], ["q1", "q3"])
@@ -3130,10 +3129,10 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rank_tab(col: str, alias: str) -> DataFrame:
         # range-partitioned tie-averaged ranks — a near-unique double
         # column has a rows-sized distinct table, so no global window.
-        # Materialized: the helper's lineage branches otherwise replay
-        # the lineitem scan+distinct shuffle per branch.
-        c = (li.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
-               .localCheckpoint(eager=True))
+        # NOT checkpointed: the distinct table is ~rows-sized here, and
+        # materializing 12M rows costs more than the replayed pruned
+        # scan+shuffle (measured 11.7s vs 13.1s at 20x stress).
+        c = li.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
         return (stats.tie_avg_ranks(c, col, "n", alias)
                 .select(col, alias))
 
@@ -5290,6 +5289,201 @@ FROM s CROSS JOIN fs
 
 
 # --------------------------------------------------------------------------
+# C28. User path-pattern analysis: what share of users' ordered event
+# journeys match funnel-ish regex patterns. Each user's path is built
+# ONCE from a deterministic ordered collect (ts + event_id tie-break,
+# one user_id shuffle); the three pattern probes are then codegen'd
+# rlike scans over the users-sized path table — patterns scale without
+# re-shuffling.
+# --------------------------------------------------------------------------
+
+def user_path_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    paths = (ev.groupBy("user_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("ts", "event_id", "event_type"))),
+                       lambda x: x["event_type"]), ",").alias("path")))
+    pats = spark.createDataFrame(
+        [("signup_then_purchase", "signup.*purchase"),
+         ("purchase_then_error", "purchase.*error"),
+         ("view_click_purchase", "view.*click.*purchase")],
+        ["pattern_name", "pat"])
+    return (paths.crossJoin(F.broadcast(pats))
+            .groupBy("pattern_name")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum(F.regexp_like(F.col("path"), F.col("pat"))
+                        .cast("int"))
+                  .cast("long").alias("n_matching"))
+            .withColumn("pct_matching",
+                        F.round(F.col("n_matching") / F.col("n_users"), 4)))
+
+PATH_PATTERNS_SQL = """
+WITH paths AS (
+  SELECT user_id,
+         string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), pats AS (
+  SELECT * FROM (VALUES
+    ('signup_then_purchase', 'signup.*purchase'),
+    ('purchase_then_error', 'purchase.*error'),
+    ('view_click_purchase', 'view.*click.*purchase'))
+    AS t(pattern_name, pat)
+)
+SELECT pattern_name, count(*) AS n_users,
+       CAST(sum(regexp_matches(path, pat)::INT) AS BIGINT) AS n_matching,
+       round(sum(regexp_matches(path, pat)::INT) / count(*), 4)
+         AS pct_matching
+FROM paths CROSS JOIN pats
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A18h. Two-proportion z-test (pooled): finished-order rate, URGENT vs
+# LOW priority — the categorical companion to the Welch t-test. All
+# four counts come from ONE conditional-aggregate scan (no join, no
+# window); the z statistic is scalar arithmetic on the 1-row result.
+# --------------------------------------------------------------------------
+
+def prop_ztest_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    is1 = F.col("o_orderpriority") == "1-URGENT"
+    is2 = F.col("o_orderpriority") == "5-LOW"
+    hit = F.col("o_orderstatus") == "F"
+    agg = o.agg(
+        F.sum(is1.cast("int")).alias("n1"),
+        F.sum((is1 & hit).cast("int")).alias("x1"),
+        F.sum(is2.cast("int")).alias("n2"),
+        F.sum((is2 & hit).cast("int")).alias("x2"))
+    n1, x1 = F.col("n1"), F.col("x1")
+    n2, x2 = F.col("n2"), F.col("x2")
+    p1, p2 = x1 / n1, x2 / n2
+    pp = (x1 + x2) / (n1 + n2)
+    zed = (p1 - p2) / F.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+    return agg.select(
+        n1.cast("long").alias("n_urgent"), n2.cast("long").alias("n_low"),
+        F.round(p1, 4).alias("rate_urgent"),
+        F.round(p2, 4).alias("rate_low"),
+        F.round(zed, 4).alias("z_stat"))
+
+PROP_ZTEST_SQL = """
+WITH agg AS (
+  SELECT sum((o_orderpriority = '1-URGENT')::INT) AS n1,
+         sum((o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')::INT)
+           AS x1,
+         sum((o_orderpriority = '5-LOW')::INT) AS n2,
+         sum((o_orderpriority = '5-LOW' AND o_orderstatus = 'F')::INT)
+           AS x2
+  FROM orders
+)
+SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_low,
+       round(x1 / n1, 4) AS rate_urgent,
+       round(x2 / n2, 4) AS rate_low,
+       round((x1 / n1 - x2 / n2)
+             / sqrt(((x1 + x2) / (n1 + n2)) * (1 - (x1 + x2) / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)), 4) AS z_stat
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# A83. Information gain feature screening: IG(label; feature) =
+# H(label) − H(label|feature) from exact contingency counts — the
+# entropy-based analogue of the VIF/correlation feature screens. One
+# (feature, label) shuffle per feature, both features unioned into a
+# single pass pipeline; entropies via Σ n·ln n identities on the tiny
+# contingency tables (same algebra as token_entropy_by_source).
+# --------------------------------------------------------------------------
+
+def info_gain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.select(
+        F.col("l_returnflag").alias("y"),
+        F.explode(F.array(
+            F.struct(F.lit("linestatus").alias("feature"),
+                     F.col("l_linestatus").alias("x")),
+            F.struct(F.lit("qty_bin").alias("feature"),
+                     F.floor(F.col("l_quantity") / 10).cast("string")
+                      .alias("x")))).alias("f")
+    ).select("y", "f.feature", "f.x")
+    cell = feats.groupBy("feature", "x", "y").agg(
+        F.count(F.lit(1)).alias("n"))
+    # H(y|x) = (Σ_x n_x·H_x)/N with H_x = ln n_x − Σ_y n·ln n / n_x;
+    # everything reduces to sums of n·ln n over the contingency table
+    per_feat = cell.groupBy("feature").agg(
+        F.sum("n").alias("N"),
+        F.sum(F.col("n") * F.log("n")).alias("s_cell"))
+    margx = (cell.groupBy("feature", "x").agg(F.sum("n").alias("nx"))
+             .groupBy("feature")
+             .agg(F.sum(F.col("nx") * F.log("nx")).alias("s_x")))
+    margy = (cell.groupBy("feature", "y").agg(F.sum("n").alias("ny"))
+             .groupBy("feature")
+             .agg(F.sum(F.col("ny") * F.log("ny")).alias("s_y")))
+    j = per_feat.join(margx, "feature").join(margy, "feature")
+    h_y = F.log("N") - F.col("s_y") / F.col("N")
+    h_y_given_x = (F.col("s_x") - F.col("s_cell")) / F.col("N")
+    return j.select("feature",
+                    F.round(h_y, 4).alias("h_label"),
+                    F.round(h_y_given_x, 4).alias("h_label_given_feature"),
+                    F.round(h_y - h_y_given_x, 4).alias("info_gain"))
+
+INFO_GAIN_SQL = """
+WITH feats AS (
+  SELECT l_returnflag AS y, 'linestatus' AS feature, l_linestatus AS x
+  FROM lineitem
+  UNION ALL
+  SELECT l_returnflag AS y, 'qty_bin' AS feature,
+         CAST(floor(l_quantity / 10) AS VARCHAR) AS x
+  FROM lineitem
+), cell AS (
+  SELECT feature, x, y, count(*) AS n FROM feats GROUP BY 1, 2, 3
+), per_feat AS (
+  SELECT feature, sum(n) AS N, sum(n * ln(n)) AS s_cell
+  FROM cell GROUP BY 1
+), margx AS (
+  SELECT feature, sum(nx * ln(nx)) AS s_x
+  FROM (SELECT feature, x, sum(n) AS nx FROM cell GROUP BY 1, 2)
+  GROUP BY 1
+), margy AS (
+  SELECT feature, sum(ny * ln(ny)) AS s_y
+  FROM (SELECT feature, y, sum(n) AS ny FROM cell GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT p.feature,
+       round(ln(N) - s_y / N, 4) AS h_label,
+       round((s_x - s_cell) / N, 4) AS h_label_given_feature,
+       round((ln(N) - s_y / N) - (s_x - s_cell) / N, 4) AS info_gain
+FROM per_feat p JOIN margx USING (feature) JOIN margy USING (feature)
+"""
+
+
+# --------------------------------------------------------------------------
+# B35. approx_top_k frequent-items sketch (Spark 4 native): mergeable
+# per-partition top-k state, exact when maxItemsTracked covers the
+# domain (event types here) — k chosen above the domain size so no
+# cutoff-tie ambiguity crosses engines. The oracle is the exact
+# group-count, which the sketch must reproduce under that setting.
+# --------------------------------------------------------------------------
+
+def sketch_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    ev.createOrReplaceTempView("__ev_topk")
+    return spark.sql("""
+        SELECT t.item AS event_type, t.count AS n
+        FROM (SELECT explode(approx_top_k(event_type, 10, 1000)) AS t
+              FROM __ev_topk)
+    """)
+
+SKETCH_TOPK_SQL = """
+SELECT event_type, count(*) AS n
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5450,6 +5644,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ewma_smoothed_daily": (ewma_smoothed_daily, EWMA_SQL),
     "kaplan_meier_retention": (kaplan_meier_retention, KM_SQL),
     "bootstrap_ci_order_value": (bootstrap_ci_order_value, BOOTSTRAP_SQL),
+    "user_path_patterns": (user_path_patterns, PATH_PATTERNS_SQL),
+    "prop_ztest_order_status": (prop_ztest_order_status, PROP_ZTEST_SQL),
+    "info_gain_features": (info_gain_features, INFO_GAIN_SQL),
+    "sketch_top_event_types": (sketch_top_event_types, SKETCH_TOPK_SQL),
 }
 
 
