@@ -419,3 +419,27 @@ def test_tie_avg_ranks_by_group_matches_naive_window(spark):
     assert got[("a", 2.0)] == 4.0
     assert got[("a", 5.0)] == 5.5   # ranks 5,6
     assert got[("a", 9.0)] == 7.0
+
+
+def test_range_cumsum_matches_naive_window(spark):
+    """Range-partitioned cumulative sums must equal the naive global
+    ordered window for multiple columns, including duplicate order
+    keys split across partitions."""
+    from pyspark.sql import Window
+    from parking_bigdata_spark.operators import stats
+
+    rows = [(float(v), v % 3, 2 * (v % 5)) for v in range(50)]
+    rows += [(7.0, 10, 1), (7.0, 0, 2)]  # ties on the order column
+    df = spark.createDataFrame(rows, ["v", "a", "b"]).repartition(7)
+    got = stats.range_cumsum(df, "v", ["a", "b"])
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    naive = (df.withColumn("cum_a", F.sum("a").over(w))
+               .withColumn("cum_b", F.sum("b").over(w)))
+    # compare per distinct order value at the value's LAST position:
+    # within-tie ordering differs, so check the tie-group totals
+    agg = lambda d: {r["v"]: (r["ca"], r["cb"])
+                     for r in d.groupBy("v")
+                               .agg(F.max("cum_a").alias("ca"),
+                                    F.max("cum_b").alias("cb")).collect()}
+    assert agg(got) == agg(naive)
+    assert set(got.columns) == {"v", "a", "b", "cum_a", "cum_b"}

@@ -224,3 +224,40 @@ def test_excess_shipment_all_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "excess_shipment_suppliers")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_basket_lift_broadcasts_part_and_marginals(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "basket_brand_lift")
+    # part dim + brand marginals + order total all arrive by broadcast
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin") >= 3
+    # no sort-merge join: the pair join is hash on the orderkey
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_bootstrap_single_scan_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bootstrap_ci_order_value")
+    # the 32-replicate fan-out must not multiply scans
+    assert plan.count("FileScan") == 2  # replicate pass + full-mean pass
+    # map-side partial aggregation collapses the explode before the
+    # replicate shuffle
+    assert "partial_" in plan
+
+
+def test_benford_digit_from_string_no_udf(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "benford_order_totals")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gini_rank_windows_are_partitioned(spark, sf_dir):
+    # the per-segment rank windows must ride the range partitioning —
+    # no WindowExec over an unpartitioned segment sort of the values
+    plan = _plan(spark, sf_dir, "gini_acctbal_by_segment")
+    for ln in plan.splitlines():
+        if "Window" in ln and "windowspecdefinition(v" in ln:
+            raise AssertionError(f"value-ordered global window: {ln}")
+
+
+def test_info_gain_single_union_pipeline(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "info_gain_features")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
