@@ -104,6 +104,8 @@ HEADLINE = [
     "user_path_patterns",
     "info_gain_features",
     "sketch_top_event_types",
+    "weighted_sample_orders",
+    "inverted_index_sample",
 ]
 
 

@@ -5484,6 +5484,145 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# A18i. Chi-square cell diagnostics: standardized residuals per
+# contingency cell plus Cramér's V — WHERE the dependence lives, not
+# just whether it exists (the drill-down the reference's table() EDA
+# implies). One (status, priority) shuffle; margins ride tiny windows
+# over the cells² table, V is scalar arithmetic broadcast from the
+# 1-row total.
+# --------------------------------------------------------------------------
+
+def chisq_cell_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cell = (o.groupBy("o_orderstatus", "o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n")))
+    wr = Window.partitionBy("o_orderstatus")
+    wc = Window.partitionBy("o_orderpriority")
+    wt = Window.partitionBy()
+    d = (cell.withColumn("nr", F.sum("n").over(wr))
+             .withColumn("nc", F.sum("n").over(wc))
+             .withColumn("nt", F.sum("n").over(wt))
+             .withColumn("exp", F.col("nr") * F.col("nc") / F.col("nt")))
+    chi2 = (F.sum(F.pow(F.col("n") - F.col("exp"), 2) / F.col("exp"))
+             .over(wt))
+    # Cramér's V needs min(rows, cols) − 1: count distinct margins on
+    # the tiny cell table via size(collect_set())
+    nrow = F.size(F.collect_set("o_orderstatus").over(wt))
+    ncol = F.size(F.collect_set("o_orderpriority").over(wt))
+    v = F.sqrt(chi2 / (F.col("nt") * (F.least(nrow, ncol) - 1)))
+    return d.select(
+        "o_orderstatus", "o_orderpriority", "n",
+        F.round("exp", 4).alias("expected"),
+        F.round((F.col("n") - F.col("exp")) / F.sqrt("exp"), 4)
+         .alias("std_residual"),
+        F.round(v, 4).alias("cramers_v"))
+
+CHISQ_CELLS_SQL = """
+WITH cell AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2
+), d AS (
+  SELECT *,
+         sum(n) OVER (PARTITION BY o_orderstatus) AS nr,
+         sum(n) OVER (PARTITION BY o_orderpriority) AS nc,
+         sum(n) OVER () AS nt
+  FROM cell
+), e AS (
+  SELECT *, nr * nc / nt AS exp,
+         count(DISTINCT o_orderstatus) OVER () AS nrow,
+         count(DISTINCT o_orderpriority) OVER () AS ncol
+  FROM d
+)
+SELECT o_orderstatus, o_orderpriority, CAST(n AS BIGINT) AS n,
+       round(exp, 4) AS expected,
+       round((n - exp) / sqrt(exp), 4) AS std_residual,
+       round(sqrt(sum(pow(n - exp, 2) / exp) OVER ()
+                  / (nt * (least(nrow, ncol) - 1))), 4) AS cramers_v
+FROM e
+"""
+
+
+# --------------------------------------------------------------------------
+# A84. Deterministic weighted sampling (Efraimidis-Spirakis A-ES):
+# priority key u^(1/w) from an md5-derived uniform — seed-free,
+# engine-portable, one codegen pass; the global top-k is a distributed
+# TakeOrdered (per-partition heaps, never a full sort). Higher-value
+# orders are proportionally likelier to be kept; rerunning yields the
+# SAME sample — the reproducibility property training-data pipelines
+# need.
+# --------------------------------------------------------------------------
+
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    u = (F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")),
+                            1, 8), 16, 10).cast("double")
+         / F.lit(4294967296.0))
+    key = F.pow(u, 1.0 / F.col("o_totalprice"))
+    return (o.select("o_orderkey", "o_totalprice",
+                     F.round(key, 10).alias("es_key"))
+             .orderBy(F.col("es_key").desc(), "o_orderkey")
+             .limit(100))
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT o_orderkey, o_totalprice,
+       round(pow(CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+                                        1, 8) AS BIGINT)
+                 / 4294967296.0, 1.0 / o_totalprice), 10) AS es_key
+FROM orders
+ORDER BY es_key DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# B36. Inverted-index build (token → bounded posting list): the search
+# primitive over the document corpus. One tokenize pass, distinct
+# (term, doc) pairs, then sorted posting arrays TRUNCATED to 20 docs
+# (postings stay bounded regardless of term popularity — the
+# heavy-hitter guard). Integer-deterministic top-50 terms by document
+# frequency with term tie-break.
+# --------------------------------------------------------------------------
+
+def inverted_index_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")),
+            r"\s+").alias("toks"))
+    td = (toks.select("doc_id", F.explode_outer("toks").alias("term"))
+              .where(F.col("term").isNotNull() & (F.length("term") >= 2))
+              .select("term", "doc_id").distinct())
+    postings = (td.groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"),
+                     F.array_join(
+                         F.slice(F.sort_array(F.collect_list("doc_id")),
+                                 1, 20), ",").alias("posting_head")))
+    return (postings.orderBy(F.col("df").desc(), "term").limit(50)
+            .select("term", "df", "posting_head"))
+
+INVERTED_INDEX_SQL = """
+WITH td AS (
+  SELECT DISTINCT term, doc_id
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(
+             trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+             '\\s+')) AS term
+    FROM documents
+  )
+  WHERE term IS NOT NULL AND length(term) >= 2
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_sort(list(doc_id))[1:20], ',')
+         AS posting_head
+FROM td GROUP BY term
+ORDER BY df DESC, term
+LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5648,6 +5787,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "prop_ztest_order_status": (prop_ztest_order_status, PROP_ZTEST_SQL),
     "info_gain_features": (info_gain_features, INFO_GAIN_SQL),
     "sketch_top_event_types": (sketch_top_event_types, SKETCH_TOPK_SQL),
+    "chisq_cell_residuals": (chisq_cell_residuals, CHISQ_CELLS_SQL),
+    "weighted_sample_orders": (weighted_sample_orders, WEIGHTED_SAMPLE_SQL),
+    "inverted_index_sample": (inverted_index_sample, INVERTED_INDEX_SQL),
 }
 
 
