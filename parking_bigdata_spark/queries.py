@@ -5623,6 +5623,61 @@ LIMIT 50
 
 
 # --------------------------------------------------------------------------
+# A20b. Per-group simple regression via the native regr_* aggregate
+# family (Spark 3.4+/ANSI): slope, intercept, R² of price ~ quantity
+# per return flag in ONE fused aggregate pass — the grouped companion
+# to A20's global covar/var form. Pure codegen, map-side partials.
+# --------------------------------------------------------------------------
+
+def grouped_linreg_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (li.groupBy("l_returnflag")
+              .agg(F.regr_count(y, x).alias("n"),
+                   F.round(F.regr_slope(y, x), 4).alias("slope"),
+                   F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+                   F.round(F.regr_r2(y, x), 4).alias("r2")))
+
+GROUPED_LINREG_SQL = """
+SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+FROM lineitem GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A85. Generalized means per group (geometric / harmonic alongside the
+# arithmetic): the rate-averaging family the plain avg() gets wrong —
+# geometric for multiplicative growth, harmonic for rates. Both reduce
+# to one fused aggregate via exp(avg(ln x)) and n/Σ(1/x); positive
+# domain enforced by the quantity filter.
+# --------------------------------------------------------------------------
+
+def generalized_means_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity") > 0))
+    q = F.col("l_quantity")
+    return (li.groupBy("l_returnflag")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.avg(q), 4).alias("mean_arith"),
+                   F.round(F.exp(F.avg(F.log(q))), 4).alias("mean_geo"),
+                   F.round(F.count(F.lit(1)) / F.sum(1.0 / q), 4)
+                    .alias("mean_harmonic")))
+
+GENERALIZED_MEANS_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       round(avg(l_quantity), 4) AS mean_arith,
+       round(exp(avg(ln(l_quantity))), 4) AS mean_geo,
+       round(count(*) / sum(1.0 / l_quantity), 4) AS mean_harmonic
+FROM lineitem WHERE l_quantity > 0
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5790,6 +5845,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "chisq_cell_residuals": (chisq_cell_residuals, CHISQ_CELLS_SQL),
     "weighted_sample_orders": (weighted_sample_orders, WEIGHTED_SAMPLE_SQL),
     "inverted_index_sample": (inverted_index_sample, INVERTED_INDEX_SQL),
+    "grouped_linreg_by_flag": (grouped_linreg_by_flag, GROUPED_LINREG_SQL),
+    "generalized_means_by_flag": (generalized_means_by_flag,
+                                  GENERALIZED_MEANS_SQL),
 }
 
 
