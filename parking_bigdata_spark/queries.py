@@ -5687,6 +5687,93 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# C29. Weekday × hour activity heatmap: the ops-dashboard 2D frequency
+# grid. Weekday = epoch-day % 7 (integer, locale-free — dayofweek()
+# localizes differently across engines); one shuffle onto the 7×24
+# grid with map-side combine, plus a within-weekday share from a
+# grid-sized window.
+# --------------------------------------------------------------------------
+
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    cell = (ev.groupBy((day % 7).cast("int").alias("weekday"),
+                       F.hour("ts").alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("weekday")
+    return cell.select(
+        "weekday", "hour", "n",
+        F.round(F.col("n") / F.sum("n").over(w), 4).alias("share_of_day"))
+
+DOW_HOUR_SQL = """
+WITH cell AS (
+  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) % 7
+              AS INT) AS weekday,
+         CAST(extract(hour FROM ts) AS INT) AS hour,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+)
+SELECT weekday, hour, CAST(n AS BIGINT) AS n,
+       round(n / sum(n) OVER (PARTITION BY weekday), 4) AS share_of_day
+FROM cell
+"""
+
+
+# --------------------------------------------------------------------------
+# C30. Month-over-month composition shift: each priority's share of
+# monthly orders and its delta vs the previous month — the mix-shift
+# diagnostic behind "did the business change or just the mix?". One
+# fact shuffle onto the months × priorities grid; shares and lag
+# deltas are windows over that tiny grid (month key = integer
+# year*12+month, gap-proof for lag-1-month semantics via join-free
+# frame on the dense synthetic calendar).
+# --------------------------------------------------------------------------
+
+def priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate")
+                                                  .isNotNull())
+    mkey = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+    cell = (o.groupBy(mkey.cast("int").alias("mkey"), "o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n")))
+    wm = Window.partitionBy("mkey")
+    wp = Window.partitionBy("o_orderpriority").orderBy("mkey")
+    d = (cell.withColumn("share",
+                         F.col("n") / F.sum("n").over(wm))
+             .withColumn("prev_mkey", F.lag("mkey").over(wp))
+             .withColumn("prev_share", F.lag("share").over(wp)))
+    return d.select(
+        "mkey", "o_orderpriority", "n",
+        F.round("share", 4).alias("share"),
+        F.round(F.when(F.col("prev_mkey") == F.col("mkey") - 1,
+                       F.col("share") - F.col("prev_share")), 4)
+         .alias("share_delta_mom"))
+
+MIX_SHIFT_SQL = """
+WITH cell AS (
+  SELECT CAST(extract(year FROM o_orderdate) * 12
+              + extract(month FROM o_orderdate) - 1 AS INT) AS mkey,
+         o_orderpriority, count(*) AS n
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
+), s AS (
+  SELECT mkey, o_orderpriority, n,
+         n / sum(n) OVER (PARTITION BY mkey) AS share
+  FROM cell
+), d AS (
+  SELECT mkey, o_orderpriority, n, share,
+         lag(mkey) OVER w AS prev_mkey,
+         lag(share) OVER w AS prev_share
+  FROM s
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY mkey)
+)
+SELECT mkey, o_orderpriority, CAST(n AS BIGINT) AS n,
+       round(share, 4) AS share,
+       round(CASE WHEN prev_mkey = mkey - 1
+                  THEN share - prev_share END, 4) AS share_delta_mom
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5857,6 +5944,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "grouped_linreg_by_flag": (grouped_linreg_by_flag, GROUPED_LINREG_SQL),
     "generalized_means_by_flag": (generalized_means_by_flag,
                                   GENERALIZED_MEANS_SQL),
+    "events_dow_hour_heatmap": (events_dow_hour_heatmap, DOW_HOUR_SQL),
+    "priority_mix_shift": (priority_mix_shift, MIX_SHIFT_SQL),
 }
 
 
