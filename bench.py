@@ -164,13 +164,35 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query detail goes to stderr and a sidecar file; the ONE
+    # stdout JSON line stays compact (the driver captures a bounded tail
+    # of stdout — an 83-entry dict pushed "value" out of the r01 capture
+    # window and left "parsed": null). The compact line keeps the
+    # contract keys and the 5 slowest queries.
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+        "sf": sf_val,
+    }
+    print(json.dumps(detail), file=sys.stderr)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "sf": sf_val,
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

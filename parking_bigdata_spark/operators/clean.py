@@ -63,7 +63,14 @@ def impute_group_weighted_mean(df: DataFrame, group_col: str, col: str,
     stats = (df.where(F.col(col).isNotNull())
                .groupBy(group_col)
                .agg((F.sum(F.col(col) * F.col(weight_col))
-                     / F.sum(weight_col)).alias("__gwm")))
-    return (df.join(F.broadcast(stats), group_col, "left")
+                     / F.sum(weight_col)).alias("__gwm"))
+               .withColumnRenamed(group_col, "__gk"))
+    # eqNullSafe: a NULL group key forms its own group (matching the
+    # window/groupBy semantics the reference implies) instead of never
+    # matching and silently staying NULL. No broadcast hint: group-key
+    # cardinality is data-dependent, so let AQE pick broadcast vs
+    # shuffle from actual stats (ADVICE r01).
+    return (df.join(stats, F.col(group_col).eqNullSafe(F.col("__gk")),
+                    "left")
               .withColumn(out_col, F.coalesce(F.col(col), F.col("__gwm")))
-              .drop("__gwm"))
+              .drop("__gwm", "__gk"))

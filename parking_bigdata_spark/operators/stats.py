@@ -334,7 +334,12 @@ def grouped_median(df: DataFrame, group_col: str, value_col: str,
                  F.count(value_col).alias("__n"))
             .select(group_col, F.col("__q")[0].alias("__qlo"),
                     F.col("__q")[1].alias("__qhi"), "__n"))
-    j = df.select(group_col, value_col).join(F.broadcast(br), group_col)
+    # NULLs must not enter the candidate pool: __n counts only non-null
+    # values, but row_number over an unfiltered window ranks NULLs
+    # first, shifting every selected position (ADVICE r01)
+    j = (df.select(group_col, value_col)
+           .where(F.col(value_col).isNotNull())
+           .join(F.broadcast(br), group_col))
     # groups smaller than `accuracy` get a sub-row rank cushion — the
     # bracket can then exclude the ceil-position interpolation partner.
     # For them every row is a candidate (still bounded by `accuracy`
@@ -380,7 +385,10 @@ def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
             .agg(F.percentile_approx(value_col, probes, accuracy)
                   .alias("__q"),
                  F.count(value_col).alias("__n")))
-    j = df.select(group_col, value_col).join(F.broadcast(br), group_col)
+    # NULL filter before candidacy — same rationale as grouped_median
+    j = (df.select(group_col, value_col)
+           .where(F.col(value_col).isNotNull())
+           .join(F.broadcast(br), group_col))
     # sub-row cushion guard: small groups take every row as candidate
     # (bounded by `accuracy` rows) with a zero below-count
     small = F.col("__n") <= accuracy

@@ -32,7 +32,13 @@ def audit(df: DataFrame) -> PlanAudit:
     """Audit the executed (pre-AQE-finalized) physical plan of ``df``."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return PlanAudit(
-        shuffles=plan.count("Exchange") - plan.count("BroadcastExchange"),
+        # anchored regex, not substring count: BroadcastExchange and
+        # ReusedExchange both contain "Exchange" — a reused shuffle would
+        # otherwise double-count and plan assertions would pass/fail for
+        # the wrong reason (ADVICE r01)
+        shuffles=len(re.findall(
+            r"(?<!Broadcast)(?<!Reused)Exchange (?:hash|range|RoundRobin|SinglePartition)",
+            plan)),
         broadcast_hash_joins=plan.count("BroadcastHashJoin"),
         broadcast_nl_joins=plan.count("BroadcastNestedLoopJoin"),
         sort_merge_joins=plan.count("SortMergeJoin"),

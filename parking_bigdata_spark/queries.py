@@ -3582,8 +3582,15 @@ def capped_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 = F.md5(F.col("doc_id").cast("string"))
     h = F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint")
     cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
-    thr = (F.lit(float(2 ** 60)) * (4.0 * K)
-           / F.col("__n")).cast("bigint")
+    # clamp before the bigint cast: for sources with < 4K/2^3 ≈ 51 docs
+    # the unclamped 2^60·4K/n exceeds BIGINT and ANSI mode would throw
+    # CAST_OVERFLOW — previously saved only by Or short-circuit order
+    # (ADVICE r01). Clamped, the threshold is correct and order-free.
+    # clamp value 2^62: exactly representable in double, fits BIGINT,
+    # and ≥ 2^60 (the h space) so a clamped threshold keeps every row
+    thr = F.least(F.lit(float(2 ** 62)),
+                  F.lit(float(2 ** 60)) * (4.0 * K)
+                  / F.col("__n")).cast("bigint")
     pre = (docs.join(F.broadcast(cnt), "source")
                .where((F.col("__n") <= 4 * K) | (h < thr)))
     w = Window.partitionBy("source").orderBy(md5, "doc_id")

@@ -48,7 +48,10 @@ class DecayedEngagementProcessor(StatefulProcessor):
             last_us, score, n_events = None, 0.0, 0
         batch = pd.concat(list(rows), ignore_index=True)
         batch = batch[batch["ts"].notna()]
-        ts_us = (batch["ts"].astype("int64") // 1000).to_numpy()
+        # normalize to µs explicitly: Arrow may hand pandas either
+        # datetime64[ns] or datetime64[us] (pandas 2.x), and a blind
+        # int64-divide would be silently 1000x off for [us] input
+        ts_us = batch["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         vals = batch["value"].fillna(0.0).to_numpy()
         order = ts_us.argsort(kind="stable")
         for i in order:

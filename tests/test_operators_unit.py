@@ -57,6 +57,28 @@ def test_impute_group_weighted_mean(spark):
     assert out.where("g = 'g2'").collect()[0]["x"] is None  # all-NULL group stays NULL
 
 
+def test_impute_group_weighted_mean_null_key(spark):
+    # NULL group keys form their own group (eqNullSafe join): the two
+    # NULL-key rows impute from each other, not stay NULL
+    df = spark.createDataFrame(
+        [(None, None, 1.0), (None, 30.0, 3.0), ("g1", 7.0, 1.0)],
+        "g string, x double, w double")
+    out = clean.impute_group_weighted_mean(df, "g", "x", "w")
+    nk = sorted(r["x"] for r in out.where("g IS NULL").collect())
+    assert nk == [30.0, 30.0]
+
+
+def test_grouped_median_ignores_nulls_in_small_groups(spark):
+    # small-group (n <= accuracy) path: NULL values must not enter the
+    # candidate window — they'd rank first and shift the selection
+    from parking_bigdata_spark.operators.stats import grouped_median
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("a", 1.0), ("a", 2.0), ("a", 9.0)],
+        "g string, v double")
+    got = grouped_median(df, "g", "v").collect()[0]["med"]
+    assert got == 2.0
+
+
 def test_ols_matches_numpy(spark, sf_dir):
     from parking_bigdata_spark.io import load_table
     li = load_table(spark, sf_dir, "lineitem") \

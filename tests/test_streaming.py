@@ -270,3 +270,51 @@ def test_transform_with_state_decay_matches_closed_form(spark, sf_dir):
         ss, sn = streamed[uid]
         assert sn == n, (uid, sn, n)
         assert math.isclose(ss, s, rel_tol=1e-9, abs_tol=1e-9), (uid, ss, s)
+
+
+def test_decay_processor_unit_resolution_invariant():
+    """The decay processor must compute identical scores whether Arrow
+    hands pandas datetime64[ns] or datetime64[us] timestamps (pandas
+    2.x can produce either) — guards the explicit µs normalization."""
+    import math
+
+    import pandas as pd
+
+    from parking_bigdata_spark.streaming.decay import (
+        LAMBDA_PER_US, DecayedEngagementProcessor)
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def getValueState(self, name, schema):
+            return FakeState()
+
+    ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-01-02 00:00:00",
+                         "2024-01-01 12:00:00"])  # one out-of-order row
+    vals = [1.0, 2.0, 4.0]
+    results = {}
+    for unit in ("ns", "us"):
+        proc = DecayedEngagementProcessor()
+        proc.init(FakeHandle())
+        batch = pd.DataFrame({"ts": ts.astype(f"datetime64[{unit}]"),
+                              "value": vals})
+        out = list(proc.handleInputRows((7,), iter([batch]), None))[0]
+        results[unit] = (float(out["score"][0]), int(out["n_events"][0]))
+
+    assert results["ns"] == results["us"]
+    # closed form: decay to t_max (half-life = 1 day)
+    expected = 1.0 * 0.5 + 2.0 + 4.0 * math.exp(
+        -LAMBDA_PER_US * 12 * 3600 * 1e6)
+    assert math.isclose(results["ns"][0], expected, rel_tol=1e-12)
+    assert results["ns"][1] == 3
