@@ -115,17 +115,20 @@ def residual_diagnostics(df: DataFrame, x: str, y: str,
 
     All three reduce to moment aggregates of the residual series:
       JB = n/6·(g1² + g2²/4) from raw residual moments m2,m3,m4
-      DW = Σ(e_t − e_{t−1})² / Σe²   (lag window over ``order_cols``)
+      DW = Σ(e_t − e_{t−1})² / Σe²   (lag in ``order_cols`` order)
       BP = n·corr(e², x)²            (score test with one regressor)
-    Two fused passes: one for slope/intercept, one for the diagnostics
-    (the residual expression composes into the second scan — residuals
-    are never materialized).
 
-    Scale caveat: Durbin-Watson is a statistic of ONE globally-ordered
-    series, so its lag needs a global sort (single-partition window) —
-    inherent to the statistic, not the implementation. For partitioned
-    series at scale, compute DW per series key (add a partitionBy) or
-    accept the one-reducer sort for a driver-sized sample.
+    Durbin-Watson is a statistic of ONE globally-ordered series, but the
+    global lag does NOT need a global sort: the rows are range-
+    partitioned on the order key, the lag runs inside each partition in
+    parallel, and the Σ(e_t − e_{t−1})² terms that cross partition
+    boundaries — exactly (#partitions − 1) of them — are stitched from
+    a tiny per-partition first/last frame (bounded by the shuffle
+    partition count, never by data). Same construction as
+    :func:`tie_avg_ranks`; the result is bit-identical to the
+    single-sort form because every consecutive pair is either within a
+    partition or a boundary pair, never both, and moments/sums are
+    order-free aggregates.
     """
     d = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
     fit = d.agg(
@@ -133,8 +136,11 @@ def residual_diagnostics(df: DataFrame, x: str, y: str,
         F.avg(y).alias("my"), F.avg(x).alias("mx"))
     d = d.crossJoin(F.broadcast(fit))
     e = F.col(y) - (F.col("my") + F.col("slope") * (F.col(x) - F.col("mx")))
-    w = Window.orderBy(*order_cols)
-    d = d.withColumn("__e", e).withColumn("__elag", F.lag("__e").over(w))
+    d = (d.withColumn("__e", e)
+          .repartitionByRange(*[F.col(c) for c in order_cols])
+          .withColumn("__pid", F.spark_partition_id()))
+    wl = Window.partitionBy("__pid").orderBy(*order_cols)
+    d = d.withColumn("__elag", F.lag("__e").over(wl))
     agg = d.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("__e").alias("m1"),
@@ -146,6 +152,26 @@ def residual_diagnostics(df: DataFrame, x: str, y: str,
         F.sum(F.col("__e") ** 2).alias("se2"),
         F.corr(F.col("__e") * F.col("__e"), F.col(x)).alias("r_e2x"),
     )
+    # boundary stitching: one row per non-empty partition; range
+    # partition ids ascend with the order key, so each partition's
+    # predecessor in the global order is the largest smaller non-empty
+    # pid. That "previous row" is found with a triangle join over the
+    # ≤ #shuffle-partitions bounds frame instead of a global-order
+    # window — same result, no WindowExec-single-partition path at all.
+    key = F.struct(*[F.col(c) for c in order_cols])
+    bounds = d.groupBy("__pid").agg(F.min_by("__e", key).alias("__first"),
+                                    F.max_by("__e", key).alias("__last"))
+    prev = (bounds.alias("a")
+            .join(F.broadcast(bounds.alias("b")),
+                  F.col("a.__pid") > F.col("b.__pid"))
+            .groupBy("a.__pid", "a.__first")
+            .agg(F.max_by("b.__last", "b.__pid").alias("__prev_last")))
+    bsum = prev.agg(F.coalesce(
+        F.sum((F.col("__first") - F.col("__prev_last")) ** 2),
+        F.lit(0.0)).alias("bsum"))
+    agg = (agg.crossJoin(F.broadcast(bsum))
+              .withColumn("sdiff", F.coalesce(F.col("sdiff"), F.lit(0.0))
+                          + F.col("bsum")))
     g1 = F.col("m3") / (F.col("m2") ** F.lit(1.5))
     g2 = F.col("m4") / (F.col("m2") ** 2) - 3
     jb = F.col("n") / 6 * (g1 * g1 + g2 * g2 / 4)
@@ -429,3 +455,91 @@ def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
                  .agg(F.sum(contrib)))
     return piv.select(group_col,
                       *[F.col(str(i)).alias(aliases[i]) for i in range(k)])
+
+
+def grouped_trimmed_mean(df: DataFrame, group_col: str, value_col: str,
+                         trim: float = 0.1, alias: str = "trimmed_mean",
+                         accuracy: int = 10000) -> DataFrame:
+    """Exact per-group trimmed mean (drop the lowest and highest
+    floor(trim·n) rows BY RANK) that never materializes a group.
+
+    The GROUPED_AGG pandas-UDF form sorts each group's entire value
+    array in one executor buffer — a few huge groups OOM at corpus
+    scale. Here the trim is resolved from two exact order statistics
+    found by the same bracket-refine machinery as :func:`grouped_median`:
+
+    1. one ``percentile_approx`` pass brackets the k-th smallest and
+       k-th largest values (k = floor(trim·n), rank-cushion argument as
+       in grouped_median — valid for n > accuracy; smaller groups take
+       the all-candidates path);
+    2. a fused pass counts/sums rows outside the brackets and keeps the
+       ~8n/accuracy in-bracket candidates;
+    3. tiny per-group candidate windows select L = k-th smallest and
+       H = k-th largest;
+    4. one conditional aggregation assembles
+       trimmed_sum = Σv − [Σ(v<L) + (k−c(v<L))·L] − [Σ(v>H) + (k−c(v>H))·H]
+       which handles tie blocks spanning a cutoff exactly (the
+       interchangeability of equal values makes rank-trim order-free).
+
+    Returns (group_col, alias, n). Five parallel scans, zero data-sized
+    windows, zero Python.
+    """
+    eps = 4.0 / accuracy
+    probes = [max(0.0, trim - eps), min(1.0, trim + eps),
+              max(0.0, 1.0 - trim - eps), min(1.0, 1.0 - trim + eps)]
+    v = F.col(value_col)
+    br = (df.groupBy(group_col)
+            .agg(F.percentile_approx(value_col, probes, accuracy)
+                  .alias("__q"),
+                 F.count(value_col).alias("__n")))
+    j = (df.select(group_col, value_col)
+           .where(v.isNotNull())
+           .join(F.broadcast(br), group_col))
+    small = F.col("__n") <= accuracy
+    k = F.floor(F.col("__n") * trim)
+    sides = (j.groupBy(group_col)
+              .agg(F.sum((~small & (v < F.element_at("__q", 1)))
+                         .cast("long")).alias("__clo"),
+                   F.sum((~small & (v > F.element_at("__q", 4)))
+                         .cast("long")).alias("__chi")))
+    lo_cand = j.where(small | ((v >= F.element_at("__q", 1))
+                               & (v <= F.element_at("__q", 2))))
+    hi_cand = j.where(small | ((v >= F.element_at("__q", 3))
+                               & (v <= F.element_at("__q", 4))))
+    w_lo = Window.partitionBy(group_col).orderBy(v)
+    w_hi = Window.partitionBy(group_col).orderBy(v.desc())
+    L = (lo_cand.withColumn("__r", F.row_number().over(w_lo))
+                .join(F.broadcast(sides), group_col)
+                .where(F.col("__r") == k - F.col("__clo"))
+                .select(group_col, v.alias("__L")))
+    H = (hi_cand.withColumn("__r", F.row_number().over(w_hi))
+                .join(F.broadcast(sides), group_col)
+                .where(F.col("__r") == k - F.col("__chi"))
+                .select(group_col, v.alias("__H")))
+    cuts = (br.select(group_col, "__n")
+              .join(L, group_col, "left").join(H, group_col, "left"))
+    fin = (df.select(group_col, value_col)
+             .where(v.isNotNull())
+             .join(F.broadcast(cuts), group_col)
+             .groupBy(group_col)
+             .agg(F.max("__n").alias("__n"),
+                  F.max("__L").alias("__L"), F.max("__H").alias("__H"),
+                  F.sum(v).alias("__tot"),
+                  F.sum(F.when(v < F.col("__L"), v)).alias("__slt"),
+                  F.sum((v < F.col("__L")).cast("long")).alias("__nlt"),
+                  F.sum(F.when(v > F.col("__H"), v)).alias("__sgt"),
+                  F.sum((v > F.col("__H")).cast("long")).alias("__ngt")))
+    kk = F.floor(F.col("__n") * trim)
+    trimmed = ((F.col("__tot")
+                - (F.coalesce(F.col("__slt"), F.lit(0.0))
+                   + (kk - F.coalesce(F.col("__nlt"), F.lit(0)))
+                   * F.col("__L"))
+                - (F.coalesce(F.col("__sgt"), F.lit(0.0))
+                   + (kk - F.coalesce(F.col("__ngt"), F.lit(0)))
+                   * F.col("__H")))
+               / (F.col("__n") - 2 * kk))
+    return fin.select(
+        group_col,
+        F.when(kk == 0, F.col("__tot") / F.col("__n"))
+         .otherwise(trimmed).alias(alias),
+        F.col("__n").alias("n"))

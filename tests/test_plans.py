@@ -58,6 +58,15 @@ def test_impute_group_mean_broadcast_stats(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_residual_diagnostics_no_global_window(spark, sf_dir):
+    # the Durbin-Watson lag must run inside range partitions; a window
+    # spec with no partition keys would funnel the fact through ONE task
+    import re
+    plan = _plan(spark, sf_dir, "residual_diagnostics")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "__pid" in m.group(1), m.group(0)
+
+
 def test_describe_single_aggregate_pass(spark, sf_dir):
     # all per-column stats fused: a single pair of HashAggregates
     # (partial+final) over one scan — not one job per column

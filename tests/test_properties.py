@@ -133,3 +133,49 @@ def test_grouped_quantiles_matches_exact_percentile(spark):
         for g in exact:
             for a, b in zip(got[g], exact[g]):
                 assert abs(a - b) < 1e-9, (accuracy, g, a, b)
+
+
+def test_grouped_trimmed_mean_exact(spark):
+    """Rank-trim parity vs numpy across tie-heavy, tiny, and large
+    groups, on both the bracket-refine and all-candidates paths."""
+    import numpy as np
+
+    from parking_bigdata_spark.operators.stats import grouped_trimmed_mean
+
+    rng = np.random.default_rng(11)
+    data = {
+        "tiny": [5.0],                          # k=0 → plain mean
+        "nine": list(range(9)),                 # k=0 boundary (n<10)
+        "ties": [1.0] * 40 + [2.0] * 30 + [9.0] * 30,  # cutoff inside tie blocks
+        "big": rng.uniform(-100, 100, 2500).round(3).tolist(),
+        "const": [7.0] * 100,
+    }
+    rows = [(g, float(v)) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    for accuracy in (64, 10000):
+        got = {r["g"]: (r["tm"], r["n"])
+               for r in grouped_trimmed_mean(df, "g", "v", trim=0.1,
+                                             alias="tm",
+                                             accuracy=accuracy).collect()}
+        for g, vs in data.items():
+            a = np.sort(np.asarray(vs))
+            k = int(len(a) * 0.1)
+            exp = float(a[k: len(a) - k].mean())
+            assert got[g][1] == len(vs)
+            assert abs(got[g][0] - exp) < 1e-9, (accuracy, g, got[g][0], exp)
+
+
+def test_trimmed_mean_registered_query_has_no_python(spark, sf_dir):
+    # the registered query must be pure JVM; the pandas-UDF twin is the
+    # only sanctioned Python form and must agree with it
+    from parking_bigdata_spark import queries as Q
+    from parking_bigdata_spark.plans import audit
+
+    df = Q.queries()["trimmed_mean_price"](spark, sf_dir)
+    a = audit(df)
+    assert a.python_evals == 0 and a.arrow_evals == 0
+    got = {r["l_returnflag"]: (r["trimmed_mean_price"], r["n"])
+           for r in df.collect()}
+    twin = {r["l_returnflag"]: (r["trimmed_mean_price"], r["n"])
+            for r in Q.trimmed_mean_price_pandas(spark, sf_dir).collect()}
+    assert got == twin
