@@ -1042,14 +1042,58 @@ SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5
 """
 
 
+def _hyperplane_bucket_sql(n_planes: int, dim: int, seed: int,
+                           vec: str = "e") -> str:
+    """DuckDB expression computing the SAME hyperplane-LSH bucket id as
+    ``similarity.hyperplane_bucket_expr``: the plane matrix comes from
+    the identical fixed-seed generator and is emitted as exact
+    round-trip double literals, so both engines bucket identically
+    (modulo a sign flip on a dot product within ~1e-15 of zero —
+    never observed on the float-valued embedding corpus)."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    bits = [
+        "(list_dot_product({v}, [{lits}]) > 0)::INT * {w}".format(
+            v=vec, w=1 << i,
+            lits=", ".join(repr(float(x)) for x in planes[i]))
+        for i in range(n_planes)
+    ]
+    return "(" + "\n   + ".join(bits) + ")"
+
+
 # --------------------------------------------------------------------------
-# B6. LSH-bucketed ANN (fixed-seed hyperplanes) — rows-only check.
+# B6. LSH-bucketed ANN (fixed-seed hyperplanes). The hyperplanes are
+# plan literals, so the DuckDB oracle rebuilds the exact buckets from
+# the same constants — a full value-level check, not rows-only.
 # --------------------------------------------------------------------------
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sim_ops.ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10),
                                 k=3, n_planes=8)
+
+ANN_LSH_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), b AS (
+  SELECT vec_id, e, {_hyperplane_bucket_sql(8, 64, 42)} AS bucket FROM v
+), q AS (
+  SELECT vec_id AS query_id, e AS qv, bucket FROM b WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         round(list_dot_product(q.qv, c.e) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(c.e, c.e))), 4) AS score
+  FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, cand_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, cand_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 3
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1063,22 +1107,41 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B5b. Embedding-cosine near-duplicate pairs (exact kernel; LSH/IVF
-# bound candidates at scale).
+# B5b. Embedding-cosine near-duplicate pairs, LSH-bucketed (VERDICT r01
+# "what's wrong" #1: the exact-kernel form collected the whole corpus
+# to the driver). Semantics now: pairs that share ≥1 of 4 banded
+# hyperplane tables' buckets AND have cosine ≥ threshold — candidate
+# generation is bounded per bucket (~n/2^8), the GEMM runs within
+# buckets, nothing is driver-side. The oracle rebuilds the exact
+# buckets from the same plane literals, so this stays a full
+# value-level check.
 # --------------------------------------------------------------------------
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim_ops.embedding_near_dup_pairs(emb, threshold=0.4)
+    return sim_ops.embedding_near_dup_pairs_lsh(
+        emb, threshold=0.4, n_tables=4, n_planes=8)
 
-DEDUP_EMBEDDING_SQL = """
-WITH p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-               4) AS cosine
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+_DE_TABLES = "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, e, {t} AS t,\n"
+    f"  {_hyperplane_bucket_sql(8, 64, 42 + t)} AS bucket FROM v"
+    for t in range(4))
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), b AS (
+{_DE_TABLES}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket
+                    AND a.vec_id < b2.vec_id
+), p AS (
+  SELECT c.id_a, c.id_b,
+         round(list_dot_product(x.e, y.e) /
+               (sqrt(list_dot_product(x.e, x.e)) *
+                sqrt(list_dot_product(y.e, y.e))), 4) AS cosine
+  FROM cand c JOIN v x ON x.vec_id = c.id_a JOIN v y ON y.vec_id = c.id_b
 )
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
 """
@@ -5846,7 +5909,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_simhash": (dedup_simhash, None),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
-    "ann_lsh": (ann_lsh, None),
+    "ann_lsh": (ann_lsh, ANN_LSH_SQL),
     "ann_ivf": (ann_ivf, None),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "text_langid": (text_langid, TEXT_LANGID_SQL),

@@ -179,3 +179,149 @@ def test_trimmed_mean_registered_query_has_no_python(spark, sf_dir):
     twin = {r["l_returnflag"]: (r["trimmed_mean_price"], r["n"])
             for r in Q.trimmed_mean_price_pandas(spark, sf_dir).collect()}
     assert got == twin
+
+
+def _mutate_words(text: str, every: int) -> str:
+    toks = text.split()
+    return " ".join("zzqx%d" % i if i % every == 0 else t
+                    for i, t in enumerate(toks))
+
+
+def test_minhash_lsh_recall_precision_vs_exact_jaccard(spark, sf_dir):
+    """The LSH candidate generator must actually FIND near-duplicates:
+    recall/precision measured against exact n-gram Jaccard on a corpus
+    with planted near-dups (VERDICT r01 next-round #6).
+
+    Banding theory: threshold t ≈ (1/b)^(1/r). The default (r=4, b=8,
+    t≈0.59) is asserted at strong similarity; the r=2, b=16 (t≈0.25)
+    tuning is asserted to reach ≥0.9 recall at jaccard ≥ 0.5 — the
+    documented knob for lower-threshold sweeps.
+    """
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from parking_bigdata_spark.io import load_table
+    from parking_bigdata_spark.operators import dedup
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.size(F.split("text", r"\s+")) >= 60)
+            .select("doc_id", "text").limit(60).collect())
+    rows = []
+    for r in docs:
+        rows.append((r["doc_id"], r["text"]))
+        rows.append((r["doc_id"] + 100000, _mutate_words(r["text"], 20)))
+        rows.append((r["doc_id"] + 200000, _mutate_words(r["text"], 8)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # exact 3-gram jaccard over all gram-sharing pairs = ground truth
+    exact = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()}
+
+    def rec_prec(cand_pairs, truth_thr, cand_floor):
+        truth = {p for p, j in exact.items() if j >= truth_thr}
+        hits = truth & cand_pairs
+        recall = len(hits) / len(truth) if truth else 1.0
+        good = sum(1 for p in cand_pairs if exact.get(p, 0.0) >= cand_floor)
+        precision = good / len(cand_pairs) if cand_pairs else 1.0
+        return recall, precision, len(truth)
+
+    # default banding: strong near-dups (mild mutation, j >= 0.7)
+    cand4 = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_lsh_pairs(df).collect()}
+    r4, p4, n4 = rec_prec(cand4, 0.7, 0.3)
+    assert n4 >= 40  # the planted mild mutations land here
+    assert r4 >= 0.9, (r4, n4)
+    assert p4 >= 0.8, p4
+
+    # low-threshold tuning: r=2, b=16 must reach j >= 0.5 near-dups
+    cand2 = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_lsh_pairs(df, band_size=2).collect()}
+    r2, _, n2 = rec_prec(cand2, 0.5, 0.0)
+    assert n2 >= 60  # mild + most moderate mutations
+    assert r2 >= 0.9, (r2, n2)
+
+
+def test_simhash_separates_near_dups(spark, sf_dir):
+    """SimHash quality: hamming distance between planted near-dup pairs
+    must sit far below random-pair distance, and 16-bit chunk banding
+    must recover ≥80% of strong pairs (pigeonhole: hamming ≤ 3 ⇒ some
+    chunk equal)."""
+    from pyspark.sql import functions as F
+
+    from parking_bigdata_spark.io import load_table
+    from parking_bigdata_spark.operators import dedup
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.size(F.split("text", r"\s+")) >= 60)
+            .select("doc_id", "text").limit(60).collect())
+    rows = []
+    for r in docs:
+        rows.append((r["doc_id"], r["text"]))
+        rows.append((r["doc_id"] + 100000, _mutate_words(r["text"], 20)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    near = [hamming(sig[r["doc_id"]], sig[r["doc_id"] + 100000])
+            for r in docs]
+    rnd = [hamming(sig[a["doc_id"]], sig[b["doc_id"]])
+           for a, b in zip(docs[::2], docs[1::2])]
+    assert sorted(near)[len(near) // 2] < sorted(rnd)[len(rnd) // 2] - 10
+    chunk_hit = sum(
+        1 for r in docs
+        if any(((sig[r["doc_id"]] >> (16 * c)) & 0xFFFF)
+               == ((sig[r["doc_id"] + 100000] >> (16 * c)) & 0xFFFF)
+               for c in range(4)))
+    assert chunk_hit / len(docs) >= 0.8
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """Adversarial constant-text corpus: every doc lands in ONE bucket
+    per band; the cap must bound the pair expansion to
+    n_bands·cap·(cap−1)/2 instead of O(n²) (VERDICT r01 next-round #7)."""
+    from parking_bigdata_spark.operators import dedup
+
+    n = 400
+    df = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated for every document "
+             "in this adversarial flood corpus") for i in range(n)],
+        "doc_id long, text string")
+    cap = 16
+    pairs = dedup.minhash_lsh_pairs(df, bucket_cap=cap)
+    cnt = pairs.count()
+    n_bands = 32 // 4
+    assert 0 < cnt <= n_bands * cap * (cap - 1) // 2, cnt
+    # uncapped control would explode: n*(n-1)/2 pairs
+    assert cnt < n * (n - 1) // 2 / 10
+
+
+def test_embedding_lsh_recall_at_high_cosine(spark):
+    """Bucketed embedding near-dup (the registered scale path) must
+    recover ≥90% of strong pairs (cosine ≥ 0.9) found by the exact
+    kernel — the banded-LSH recall curve is tuned for high-threshold
+    dedup work."""
+    import numpy as np
+
+    from parking_bigdata_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(80, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        w = v + rng.normal(scale=0.08, size=64)  # cosine ≈ 0.95+
+        rows.append((i + 1000, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in sim.embedding_near_dup_pairs(df, threshold=0.9).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in sim.embedding_near_dup_pairs_lsh(
+               df, threshold=0.9, n_tables=4, n_planes=8).collect()}
+    truth = set(exact)
+    assert len(truth) >= 60
+    assert len(truth & lsh) / len(truth) >= 0.9, \
+        (len(truth & lsh), len(truth))
