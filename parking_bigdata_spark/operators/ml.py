@@ -519,3 +519,90 @@ def kmeans_lloyd(df: DataFrame, vec_col: str = "embedding",
             for c, n, s in zip(range(k), counts, sse)]
     return spark.createDataFrame(rows,
                                  "cluster int, n_points long, inertia double")
+
+
+def kfold_cv_simple_linreg(df: DataFrame, x: str, y: str,
+                           fold_expr, k: int = 5,
+                           round_to: int = 4) -> DataFrame:
+    """k-fold cross-validation of simple OLS — the reference's
+    ``caret::trainControl(method="repeatedcv", number=5)`` loop
+    (20210803_이승하.R:1085) done as set algebra, not k re-fits.
+
+    Leave-fold-out training needs NO per-fold pass: one groupBy
+    collects each fold's sufficient statistics (n, Σx, Σy, Σxx, Σxy),
+    totals come from summing the k-row frame, and fold f's TRAINING
+    stats are totals − fold_f — so the slope/intercept of all k models
+    fall out of a single scan. A second scan joins the broadcast k-row
+    coefficient frame back and aggregates held-out RMSE/MAPE/R² per
+    fold. 100 TB cost: two scans, one tiny shuffle, regardless of k.
+
+    ``fold_expr`` is any deterministic int Column in [0, k) — e.g.
+    ``pmod(key, k)`` gives grouped folds that keep an order's lines
+    together (no leakage across the fold boundary).
+    """
+    d = (df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+           .withColumn("__fold", fold_expr.cast("int"))
+           .select("__fold", F.col(x).alias("__x"), F.col(y).alias("__y")))
+    per = d.groupBy("__fold").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("__x").alias("sx"), F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"))
+    tot = per.agg(F.sum("n").alias("tn"), F.sum("sx").alias("tsx"),
+                  F.sum("sy").alias("tsy"), F.sum("sxx").alias("tsxx"),
+                  F.sum("sxy").alias("tsxy"))
+    tr_n = F.col("tn") - F.col("n")
+    tr_sx = F.col("tsx") - F.col("sx")
+    tr_sy = F.col("tsy") - F.col("sy")
+    tr_sxx = F.col("tsxx") - F.col("sxx")
+    tr_sxy = F.col("tsxy") - F.col("sxy")
+    slope = ((tr_sxy - tr_sx * tr_sy / tr_n)
+             / (tr_sxx - tr_sx * tr_sx / tr_n))
+    coefs = (per.crossJoin(F.broadcast(tot))
+                .select("__fold", slope.alias("__b"),
+                        ((tr_sy - slope * tr_sx) / tr_n).alias("__a")))
+    err = F.col("__y") - (F.col("__a") + F.col("__b") * F.col("__x"))
+    out = (d.join(F.broadcast(coefs), "__fold")
+            .groupBy("__fold")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.first("__b").alias("slope_raw"),
+                 F.first("__a").alias("intercept_raw"),
+                 F.avg(err * err).alias("mse"),
+                 F.avg(F.abs(err / F.col("__y"))).alias("mape_raw"),
+                 F.sum(err * err).alias("sse"),
+                 F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+                 F.sum("__y").alias("sy")))
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return (out.select(
+        F.col("__fold").alias("fold"), "n",
+        F.round("slope_raw", round_to).alias("slope"),
+        F.round("intercept_raw", round_to).alias("intercept"),
+        F.round(F.sqrt("mse"), round_to).alias("rmse"),
+        F.round("mape_raw", round_to).alias("mape"),
+        # + 0.0 canonicalizes IEEE -0.0 (a hair-negative R² rounds to
+        # negative zero, which value-hash compares unequal to 0.0)
+        (F.round(F.lit(1.0) - F.col("sse") / sst, round_to)
+         + F.lit(0.0)).alias("r2"))
+        .orderBy("fold"))
+
+
+def gbt_importance(df: DataFrame, xs: list[str], y: str,
+                   n_trees: int = 15, max_depth: int = 4,
+                   seed: int = 42, round_to: int = 4) -> DataFrame:
+    """Gradient-boosted-tree feature importances via MLlib GBTRegressor
+    (the reference loads xgboost at R:57; MLlib GBT is the Spark-native
+    boosted-tree implementation — distributed histogram splits, same
+    scale story as `random_forest_importance`)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+    spark = df.sparkSession
+    data = df.select(*xs, y).dropna()
+    vec = VectorAssembler(inputCols=xs, outputCol="features")
+    model = GBTRegressor(
+        featuresCol="features", labelCol=y, maxIter=n_trees,
+        maxDepth=max_depth, seed=seed, stepSize=0.1,
+    ).fit(vec.transform(data))
+    imps = model.featureImportances.toArray()
+    return spark.createDataFrame(
+        [(c, round(float(v), round_to)) for c, v in zip(xs, imps)],
+        "feature string, importance double")

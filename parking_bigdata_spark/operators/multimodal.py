@@ -2,11 +2,13 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``
 (SURVEY.md §2 B11).
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
-decode kernels are deterministic STUBS (clearly marked); everything
-Spark-side — schema, batch iteration, partition sizing, UDF signatures —
-is real and tested. Swapping a stub for a real decoder changes one
-function body, not the pipeline.
+Compressed-format codecs (PIL/librosa/ffmpeg) are NOT in this
+container: `resize_images` is a REAL pure-numpy kernel over raw uint8
+RGB payloads (decode → bilinear resample → re-encode), and
+`extract_features` uses a clearly-marked deterministic byte-moment
+stub for its feature step. Everything Spark-side — schema, batch
+iteration, partition sizing, UDF signatures — is real and tested;
+swapping in a libjpeg decode changes one `frombuffer` line.
 
 Scale notes: binary payloads never shuffle here — `mapInPandas` is a
 narrow transformation; repartition upstream by size class if payloads
@@ -85,13 +87,68 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+])
+
+
+def _bilinear_resize(img, out_h: int, out_w: int):
+    """Pure-numpy bilinear resample of an (H, W, C) float array —
+    pixel-center aligned (the convention PIL/OpenCV use)."""
+    import numpy as np
+    h, w = img.shape[:2]
+    ys = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize kernel — STUB. Real impl: PIL decode → resize →
-    re-encode inside the same mapInPandas shape as `extract_features`.
-    Raises to make the missing dependency explicit rather than silent."""
-    raise NotImplementedError(
-        "image codecs unavailable in this environment; "
-        "see extract_features for the production mapInPandas shape")
+    """Image resize: decode → bilinear resample → re-encode, all inside
+    one Arrow-batched ``mapInPandas`` pass (a narrow transformation —
+    payloads never shuffle).
+
+    The on-wire format is RAW uint8 RGB (``height·width·3`` bytes, row
+    major, per the metadata columns) — the uncompressed interchange
+    format; a container with image codecs swaps the ``frombuffer`` for
+    a PIL/libjpeg decode and nothing else changes. Payloads whose size
+    does not match their metadata (or NULLs) pass through as NULL
+    rather than poisoning the batch.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                if (p is None or w is None or h is None
+                        or len(p) != int(w) * int(h) * 3):
+                    payloads.append(None)
+                    continue
+                img = (np.frombuffer(p, dtype=np.uint8)
+                         .reshape(int(h), int(w), 3).astype(np.float64))
+                out = _bilinear_resize(img, height, width)
+                payloads.append(np.clip(np.rint(out), 0, 255)
+                                  .astype(np.uint8).tobytes())
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "payload": payloads,
+                "width": [None if p is None else width for p in payloads],
+                "height": [None if p is None else height for p in payloads],
+            })
+
+    return df.select("asset_id", "payload", "width",
+                     "height").mapInPandas(run, RESIZED_SCHEMA)
 
 
 def metadata_summary(df: DataFrame) -> DataFrame:

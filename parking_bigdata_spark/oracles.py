@@ -1,0 +1,163 @@
+"""DuckDB oracle-SQL generators for the linear-algebra queries.
+
+The OLS / ridge / VIF operators solve normal-equation systems whose
+sufficient statistics are one fused aggregate (operators/ml.py). Their
+oracles were rows-only in round 1; these generators emit plain ANSI SQL
+that rebuilds the same Gram matrix in DuckDB and solves the small
+system symbolically via Cramer's rule (k ≤ 4 ⇒ ≤ 24-term determinant
+expansions — generated, never handwritten).
+
+Numerical note: Cramer's rule is only safe because these Gram matrices
+are far from collinear (TPC-H quantity/discount/tax are independent);
+the determinant cancellation factor is O(10), so the SQL solution
+agrees with numpy's LU solve to ~1e-12 relative — far inside the
+4-decimal rounding the queries emit.
+"""
+
+from __future__ import annotations
+
+from itertools import permutations
+
+
+def _perm_sign(p: tuple[int, ...]) -> int:
+    s = 1
+    for i in range(len(p)):
+        for j in range(i + 1, len(p)):
+            if p[i] > p[j]:
+                s = -s
+    return s
+
+
+def sql_det(M: list[list[str]]) -> str:
+    """Symbolic determinant of a small matrix of SQL expressions
+    (Leibniz expansion — fine for n ≤ 4)."""
+    n = len(M)
+    terms = []
+    for p in permutations(range(n)):
+        sgn = "+" if _perm_sign(p) > 0 else "-"
+        terms.append(f" {sgn} " + " * ".join(M[i][p[i]] for i in range(n)))
+    return "(" + "".join(terms) + ")"
+
+
+def _g(i: int, j: int) -> str:
+    a, b = min(i, j), max(i, j)
+    return f"g_{a}_{b}"
+
+
+def _gram_select(xs: list[str], y: str | None, table: str) -> str:
+    """The m CTE: upper triangle of [1,x..]ᵀ[1,x..] (+ Xᵀy, yᵀy),
+    mirroring ml._gram_aggregate's one-pass statistics."""
+    cols = ["__one__"] + xs
+    items = []
+    for i, a in enumerate(cols):
+        for j in range(i, len(cols)):
+            b = cols[j]
+            if i == 0 and j == 0:
+                expr = "CAST(count(*) AS DOUBLE)"
+            elif i == 0:
+                expr = f"sum({b})"
+            else:
+                expr = f"sum({a} * {b})"
+            items.append(f"{expr} AS {_g(i, j)}")
+        if y:
+            expr = f"sum({y})" if i == 0 else f"sum({cols[i]} * {y})"
+            items.append(f"{expr} AS xy_{i}")
+    if y:
+        items.append(f"sum({y} * {y}) AS yy")
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in xs + ([y] if y else []))
+    return ("SELECT " + ",\n       ".join(items)
+            + f"\nFROM {table} WHERE {notnull}")
+
+
+def normal_eq_sql(xs: list[str], y: str, table: str = "lineitem",
+                  lam: float | None = None, round_to: int = 4) -> str:
+    """Oracle for ols_fit_df / ridge_fit_df: (term, estimate) rows from
+    a Cramer solve of (XᵀX [+ λI, intercept unpenalized]) β = Xᵀy."""
+    k = len(xs) + 1
+    G = [[_g(i, j) for j in range(k)] for i in range(k)]
+    if lam is not None:
+        for i in range(1, k):
+            G[i][i] = f"({_g(i, i)} + {float(lam)!r})"
+    b = [f"xy_{i}" for i in range(k)]
+    det = sql_det(G)
+    names = ["intercept"] + [f"coef_{c}" for c in xs]
+    sels = []
+    for j, name in enumerate(names):
+        Mj = [[b[i] if c == j else G[i][c] for c in range(k)]
+              for i in range(k)]
+        sels.append(
+            f"SELECT '{name}' AS term,\n"
+            f"  round({sql_det(Mj)}\n  / {det}, {round_to}) AS estimate"
+            "\nFROM m")
+    return ("WITH m AS (\n" + _gram_select(xs, y, table) + "\n)\n"
+            + "\nUNION ALL\n".join(sels))
+
+
+def vif_sql(cols: list[str], table: str = "lineitem",
+            round_to: int = 4) -> str:
+    """Oracle for ml.vif_scores: per feature j, R²_j of regressing j on
+    intercept+others (Cramer submatrix solve, shared m CTE), then
+    VIF = SST/SSE. Output (feature, r2, vif)."""
+    k = len(cols) + 1
+    sels = []
+    for j, c in enumerate(cols):
+        yi = j + 1
+        others = [0] + [i + 1 for i in range(len(cols)) if i != j]
+        A = [[_g(a, b) for b in others] for a in others]
+        bvec = [_g(a, yi) for a in others]
+        det = sql_det(A)
+        dots = []
+        for col_i in range(len(others)):
+            Mi = [[bvec[r] if cc == col_i else A[r][cc]
+                   for cc in range(len(others))] for r in range(len(others))]
+            dots.append(f"{bvec[col_i]} * {sql_det(Mi)}")
+        sse = (f"({_g(yi, yi)} - ({' + '.join(dots)})\n  / {det})")
+        sst = f"({_g(yi, yi)} - {_g(0, yi)} * {_g(0, yi)} / g_0_0)"
+        sels.append(
+            f"SELECT '{c}' AS feature,\n"
+            f"  round(1.0 - {sse} / {sst}, {round_to}) AS r2,\n"
+            f"  round({sst} / {sse}, {round_to}) AS vif\nFROM m")
+    assert k <= 5, "Leibniz expansion is for small systems only"
+    return ("WITH m AS (\n" + _gram_select(cols, None, table) + "\n)\n"
+            + "\nUNION ALL\n".join(sels))
+
+
+def score_holdout_sql(xs: list[str], y: str, keys: list[str],
+                      table: str = "lineitem", fold_mod: int = 5,
+                      round_to: int = 4, out_round: int = 6) -> str:
+    """Oracle for the train→test scoring query: fit OLS on the training
+    folds (key % fold_mod ≠ 0) via the Cramer solve, round the
+    coefficients to ``round_to`` (BOTH engines then score with the
+    identical decimal coefficients, so per-row predictions are
+    bit-identical IEEE arithmetic), and emit per-key
+    actual/predicted/residual on the held-out fold.
+
+    Outputs round at ``out_round`` = 6 decimals, NOT 4: 4-decimal coefs
+    times 2-decimal inputs give 6-decimal-exact values, so a 4-decimal
+    round would hit exact half-way ties (~1% of rows) that the two
+    engines' last-ulp representations break differently; at 6 decimals
+    the round is exact and tie-free."""
+    k = len(xs) + 1
+    G = [[_g(i, j) for j in range(k)] for i in range(k)]
+    b = [f"xy_{i}" for i in range(k)]
+    det = sql_det(G)
+    coef_items = []
+    for j in range(k):
+        Mj = [[b[i] if c == j else G[i][c] for c in range(k)]
+              for i in range(k)]
+        coef_items.append(f"round({sql_det(Mj)}\n  / {det}, {round_to})"
+                          f" AS b{j}")
+    train = (f"(SELECT * FROM {table} "
+             f"WHERE {keys[0]} % {fold_mod} <> 0) __tr")
+    m = _gram_select(xs, y, train)
+    pred = " + ".join([f"b0"] + [f"b{i + 1} * {c}"
+                                 for i, c in enumerate(xs)])
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in xs + [y])
+    return (
+        "WITH m AS (\n" + m + "\n), c AS (\n"
+        "SELECT " + ",\n       ".join(coef_items) + "\nFROM m\n)\n"
+        f"SELECT {', '.join(keys)}, {y} AS actual,\n"
+        f"       round({pred}, {out_round}) AS predicted,\n"
+        f"       round({y} - ({pred}), {out_round}) AS residual\n"
+        f"FROM {table}, c\n"
+        f"WHERE {keys[0]} % {fold_mod} = 0 AND {notnull}")

@@ -21,6 +21,7 @@ import pandas as pd  # noqa: F401 — resolves pandas-UDF type hints under
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import oracles
 from .io import clean_sentinel_numeric, load_table
 from .operators import clean, features, ml, profile, stats, temporal
 from .operators import dedup as dedup_ops
@@ -5858,6 +5859,146 @@ FROM d
 
 
 # --------------------------------------------------------------------------
+# A86. k-fold cross-validation (caret::trainControl repeatedcv,
+# 20210803_이승하.R:1085): leave-fold-out OLS via sufficient-statistic
+# set algebra — all k models from ONE scan, held-out metrics from a
+# second. Folds are grouped by order key (an order's lines never
+# straddle the train/test boundary — no leakage).
+# --------------------------------------------------------------------------
+
+def cv_metrics_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return ml.kfold_cv_simple_linreg(
+        li, "l_quantity", "l_extendedprice",
+        F.pmod(F.col("l_orderkey"), F.lit(5)), k=5)
+
+CV_METRICS_SQL = """
+WITH d AS (
+  SELECT CAST(l_orderkey % 5 AS INT) AS fold,
+         l_quantity AS x, l_extendedprice AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), per AS (
+  SELECT fold, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM d GROUP BY fold
+), tot AS (
+  SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+         sum(sxx) AS tsxx, sum(sxy) AS tsxy
+  FROM per
+), coef AS (
+  SELECT fold,
+         ((tsxy - sxy) - (tsx - sx) * (tsy - sy) / (tn - n))
+         / ((tsxx - sxx) - (tsx - sx) * (tsx - sx) / (tn - n)) AS b,
+         ((tsy - sy) - ((tsxy - sxy) - (tsx - sx) * (tsy - sy) / (tn - n))
+          / ((tsxx - sxx) - (tsx - sx) * (tsx - sx) / (tn - n)) * (tsx - sx))
+         / (tn - n) AS a
+  FROM per, tot
+), e AS (
+  SELECT d.fold, d.y, c.a, c.b, d.y - (c.a + c.b * d.x) AS err
+  FROM d JOIN coef c ON d.fold = c.fold
+)
+SELECT fold, count(*) AS n,
+       round(any_value(b), 4) AS slope,
+       round(any_value(a), 4) AS intercept,
+       round(sqrt(avg(err * err)), 4) AS rmse,
+       round(avg(abs(err / y)), 4) AS mape,
+       round(1.0 - sum(err * err)
+             / (sum(y * y) - sum(y) * sum(y) / count(*)), 4) + 0.0 AS r2
+FROM e GROUP BY fold
+"""
+
+
+# --------------------------------------------------------------------------
+# A87. Train→test scoring output (R:1280-1373): per-row predictions +
+# residuals on the held-out fold — the "submission frame" the reference
+# assembles at the end. Coefficients are rounded to 4 decimals BEFORE
+# scoring so both engines score with identical decimal constants and
+# per-row arithmetic is bit-identical.
+# --------------------------------------------------------------------------
+
+def score_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    xs, y = ["l_quantity", "l_discount"], "l_extendedprice"
+    train = li.where(F.pmod(F.col("l_orderkey"), F.lit(5)) != 0)
+    fit = ml.ols_fit(train, xs, y)
+    b = [round(fit["intercept"], 4)] + [round(fit[f"coef_{c}"], 4)
+                                        for c in xs]
+    pred = F.lit(b[0]) + F.lit(b[1]) * F.col(xs[0]) + F.lit(b[2]) * F.col(xs[1])
+    test = li.where((F.pmod(F.col("l_orderkey"), F.lit(5)) == 0)
+                    & F.col(xs[0]).isNotNull() & F.col(xs[1]).isNotNull()
+                    & F.col(y).isNotNull())
+    # 6-decimal outputs: exact for 4-dec coefs x 2-dec inputs, so no
+    # half-way rounding ties across engines (see oracles.score_holdout_sql)
+    return test.select(
+        "l_orderkey", "l_linenumber", F.col(y).alias("actual"),
+        F.round(pred, 6).alias("predicted"),
+        F.round(F.col(y) - pred, 6).alias("residual"))
+
+SCORE_HOLDOUT_SQL = oracles.score_holdout_sql(
+    ["l_quantity", "l_discount"], "l_extendedprice",
+    ["l_orderkey", "l_linenumber"])
+
+
+# --------------------------------------------------------------------------
+# A88. Gradient-boosted trees (the reference loads xgboost, R:57):
+# MLlib GBTRegressor importances. Rows-only (distributed tree induction
+# is not SQL-expressible).
+# --------------------------------------------------------------------------
+
+def gbt_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ml.gbt_importance(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_discount", "l_tax"], "l_extendedprice")
+
+
+# --------------------------------------------------------------------------
+# A89. KNN imputation (DMwR2::knnImputation, R:820-823): fill a missing
+# value with the mean over the k nearest neighbors in embedding space.
+# The missing side is the small side (broadcast query set); candidates
+# stream map-side — the cosine_topk contract. At a larger missing
+# fraction, swap the scorer for the LSH/IVF ANN path (same join shape).
+# --------------------------------------------------------------------------
+
+def knn_impute_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    missing = emb.where(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    labeled = emb.where(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    nn = sim_ops.cosine_topk(labeled, missing, k=5)
+    lab = labeled.select(F.col("vec_id").alias("cand_id"), "label")
+    return (nn.join(lab, "cand_id")
+              .groupBy(F.col("query_id").alias("vec_id"))
+              .agg(F.round(F.avg("label"), 4).alias("imputed_label"),
+                   F.count(F.lit(1)).alias("n_neighbors")))
+
+KNN_IMPUTE_SQL = """
+WITH lab AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, label
+  FROM embeddings WHERE vec_id % 10 <> 0
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 10 = 0
+), scored AS (
+  SELECT q.query_id, lab.label,
+         round(list_dot_product(q.qv, lab.e) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(lab.e, lab.e))), 4) AS score,
+         lab.vec_id AS cand_id
+  FROM q CROSS JOIN lab
+  WHERE lab.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id AS vec_id, round(avg(label), 4) AS imputed_label,
+       count(*) AS n_neighbors
+FROM ranked WHERE rank <= 5 GROUP BY query_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5891,7 +6032,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "zscore_by_segment": (zscore_by_segment, ZSCORE_SQL),
     "stratified_split": (stratified_split, SPLIT_SQL),
     "simple_linreg": (simple_linreg, LINREG_SQL),
-    "ols_normal_eq": (ols_normal_eq, None),
+    "ols_normal_eq": (ols_normal_eq, oracles.normal_eq_sql(
+        ["l_quantity", "l_discount"], "l_extendedprice")),
     "lasso_path": (lasso_path, None),
     "stepwise_aic_selection": (stepwise_aic_selection, None),
     "rf_feature_importance": (rf_feature_importance, None),
@@ -5901,7 +6043,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "eval_metrics": (eval_metrics, EVAL_SQL),
     "topk_orders_per_customer": (topk_orders_per_customer, TOPK_SQL),
     "rollup_revenue": (rollup_revenue, ROLLUP_SQL),
-    "vif_scores": (vif_scores, None),
+    "vif_scores": (vif_scores, oracles.vif_sql(_DESCRIBE_COLS)),
     "events_windowed": (events_windowed, EVENTS_WINDOW_SQL),
     "events_sessions": (events_sessions, SESSIONS_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
@@ -5975,7 +6117,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "deterministic_sample_orders": (deterministic_sample_orders, DET_SAMPLE_SQL),
     "snapshot_diff_orders": (snapshot_diff_orders, SNAPSHOT_DIFF_SQL),
     "scd2_user_event_state": (scd2_user_event_state, SCD2_SQL),
-    "ridge_lineitem": (ridge_lineitem, None),
+    "ridge_lineitem": (ridge_lineitem, oracles.normal_eq_sql(
+        ["l_quantity", "l_discount", "l_tax"], "l_extendedprice",
+        lam=10.0)),
     "decayed_engagement": (decayed_engagement, DECAYED_SQL),
     "mode_quantity_by_flag": (mode_quantity_by_flag, MODE_SQL),
     "mad_price_by_flag": (mad_price_by_flag, MAD_SQL),
@@ -6030,6 +6174,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
                                   GENERALIZED_MEANS_SQL),
     "events_dow_hour_heatmap": (events_dow_hour_heatmap, DOW_HOUR_SQL),
     "priority_mix_shift": (priority_mix_shift, MIX_SHIFT_SQL),
+    "cv_metrics_by_fold": (cv_metrics_by_fold, CV_METRICS_SQL),
+    "score_holdout": (score_holdout, SCORE_HOLDOUT_SQL),
+    "gbt_feature_importance": (gbt_feature_importance, None),
+    "knn_impute_labels": (knn_impute_labels, KNN_IMPUTE_SQL),
 }
 
 

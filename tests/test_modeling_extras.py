@@ -204,3 +204,41 @@ def test_pagerank_star_graph_and_mass_conservation(spark):
     assert pr["a"] > pr["b"] > 0
     assert all(abs(pr[s] - pr["b"]) < 1e-12 for s in spokes)  # symmetry
     assert abs(sum(pr.values()) - 5.0) < 1e-9                 # mass
+
+
+def test_gbt_importance_runs_and_sums_to_one(spark, sf_dir):
+    from parking_bigdata_spark.io import load_table
+    from parking_bigdata_spark.operators import ml
+
+    out = ml.gbt_importance(load_table(spark, sf_dir, "lineitem"),
+                            ["l_quantity", "l_discount", "l_tax"],
+                            "l_extendedprice", n_trees=5, max_depth=3)
+    rows = out.collect()
+    assert {r["feature"] for r in rows} == {"l_quantity", "l_discount",
+                                            "l_tax"}
+    assert abs(sum(r["importance"] for r in rows) - 1.0) < 0.01
+    # quantity drives extendedprice in TPC-H — it must dominate
+    imp = {r["feature"]: r["importance"] for r in rows}
+    assert imp["l_quantity"] > imp["l_tax"]
+
+
+def test_kfold_cv_folds_are_leakage_free(spark, sf_dir):
+    """Every fold's coefficients must differ from the full fit (they
+    exclude the fold) and per-fold metrics must be finite."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from parking_bigdata_spark.io import load_table
+    from parking_bigdata_spark.operators import ml
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = ml.kfold_cv_simple_linreg(
+        li, "l_quantity", "l_extendedprice",
+        F.pmod(F.col("l_orderkey"), F.lit(5))).collect()
+    assert [r["fold"] for r in out] == [0, 1, 2, 3, 4]
+    assert sum(r["n"] for r in out) == li.where(
+        "l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL").count()
+    for r in out:
+        assert math.isfinite(r["rmse"]) and math.isfinite(r["r2"])
+    assert len({r["slope"] for r in out}) > 1  # folds train on different data

@@ -36,9 +36,48 @@ def test_extract_features_deterministic(assets):
     assert a == b
 
 
-def test_resize_is_explicit_stub(assets):
-    with pytest.raises(NotImplementedError):
-        mm.resize_images(assets, 224, 224)
+def test_resize_roundtrip(spark):
+    """Real decode → bilinear resample → re-encode round trip on raw
+    uint8 RGB payloads (no codec dependency): exact block means on a
+    2x downsample of constant blocks, passthrough NULL for size
+    mismatches, byte-identical determinism."""
+    import numpy as np
+
+    # 4x4 image of four 2x2 constant blocks -> 2x2 resize = block values
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:2, :2] = 10
+    img[:2, 2:] = 20
+    img[2:, :2] = 30
+    img[2:, 2:] = 40
+    rows = [
+        (1, "image", "image/raw-rgb", img.tobytes(), 4, 4, None),
+        (2, "image", "image/raw-rgb", b"short", 4, 4, None),  # bad size
+        (3, "image", "image/raw-rgb", None, 4, 4, None),
+    ]
+    df = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+    out = {r["asset_id"]: r for r in mm.resize_images(df, 2, 2).collect()}
+    got = np.frombuffer(out[1]["payload"], dtype=np.uint8).reshape(2, 2, 3)
+    assert got[0, 0, 0] == 10 and got[0, 1, 0] == 20
+    assert got[1, 0, 0] == 30 and got[1, 1, 0] == 40
+    assert out[1]["width"] == 2 and out[1]["height"] == 2
+    assert out[2]["payload"] is None and out[3]["payload"] is None
+    again = {r["asset_id"]: r["payload"]
+             for r in mm.resize_images(df, 2, 2).collect()}
+    assert again[1] == out[1]["payload"]
+
+
+def test_resize_upsample_gradient(spark):
+    """Bilinear upsample must interpolate, not replicate: a 2x1 black/
+    white image upscaled to 4x1 shows intermediate values."""
+    import numpy as np
+    img = np.array([[[0, 0, 0], [255, 255, 255]]], dtype=np.uint8)  # 1x2
+    df = spark.createDataFrame(
+        [(1, "image", "image/raw-rgb", img.tobytes(), 2, 1, None)],
+        mm.ASSET_SCHEMA)
+    out = mm.resize_images(df, 4, 1).collect()[0]
+    vals = np.frombuffer(out["payload"], dtype=np.uint8).reshape(1, 4, 3)
+    assert vals[0, 0, 0] == 0 and vals[0, 3, 0] == 255
+    assert 0 < vals[0, 1, 0] < vals[0, 2, 0] < 255
 
 
 def test_metadata_summary(assets):
