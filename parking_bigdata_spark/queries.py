@@ -5998,6 +5998,16 @@ FROM ranked WHERE rank <= 5 GROUP BY query_id
 """
 
 
+def _expected_sql(name: str) -> str:
+    """Oracle for deterministic non-SQL-expressible queries: DuckDB
+    reads back the committed expected-output parquet (generated by
+    scripts/gen_expected.py, determinism-audited across execution
+    geometries by scripts/check_expected.py). Regression/determinism
+    oracle — semantic validation lives in tests/test_properties.py."""
+    return ("SELECT * FROM read_parquet("
+            f"'/root/repo/expected/sf0.01/{name}.parquet')")
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6034,12 +6044,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simple_linreg": (simple_linreg, LINREG_SQL),
     "ols_normal_eq": (ols_normal_eq, oracles.normal_eq_sql(
         ["l_quantity", "l_discount"], "l_extendedprice")),
-    "lasso_path": (lasso_path, None),
-    "stepwise_aic_selection": (stepwise_aic_selection, None),
+    "lasso_path": (lasso_path, _expected_sql("lasso_path")),
+    "stepwise_aic_selection": (stepwise_aic_selection, _expected_sql("stepwise_aic_selection")),
     "rf_feature_importance": (rf_feature_importance, None),
     "corr_test": (corr_test, CORR_TEST_SQL),
-    "pca_explained_variance": (pca_explained_variance, None),
-    "pca_projection": (pca_projection, None),
+    "pca_explained_variance": (pca_explained_variance, _expected_sql("pca_explained_variance")),
+    "pca_projection": (pca_projection, _expected_sql("pca_projection")),
     "eval_metrics": (eval_metrics, EVAL_SQL),
     "topk_orders_per_customer": (topk_orders_per_customer, TOPK_SQL),
     "rollup_revenue": (rollup_revenue, ROLLUP_SQL),
@@ -6047,12 +6057,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_windowed": (events_windowed, EVENTS_WINDOW_SQL),
     "events_sessions": (events_sessions, SESSIONS_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
-    "dedup_minhash": (dedup_minhash, None),
-    "dedup_simhash": (dedup_simhash, None),
+    "dedup_minhash": (dedup_minhash, _expected_sql("dedup_minhash")),
+    "dedup_simhash": (dedup_simhash, _expected_sql("dedup_simhash")),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "ann_lsh": (ann_lsh, ANN_LSH_SQL),
-    "ann_ivf": (ann_ivf, None),
+    "ann_ivf": (ann_ivf, _expected_sql("ann_ivf")),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "text_langid": (text_langid, TEXT_LANGID_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
@@ -6065,9 +6075,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "cohort_retention": (cohort_retention, COHORT_SQL),
-    "winnow_overlap": (winnow_overlap, None),
+    "winnow_overlap": (winnow_overlap, _expected_sql("winnow_overlap")),
     "pipeline_clean_corpus": (pipeline_clean_corpus, PIPELINE_CLEAN_SQL),
-    "sketch_distinct_parts": (sketch_distinct_parts, None),
+    "sketch_distinct_parts": (sketch_distinct_parts, _expected_sql("sketch_distinct_parts")),
     "events_asof_purchase": (events_asof_purchase, EVENTS_ASOF_SQL),
     "quantile_summary": (quantile_summary, QUANTILE_SQL),
     "cube_revenue": (cube_revenue, CUBE_SQL),
@@ -6086,7 +6096,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_centroids": (embedding_centroids, EMB_CENTROID_SQL),
     "events_hopping_windows": (events_hopping_windows, HOPPING_SQL),
     "grouping_sets_revenue": (grouping_sets_revenue, GROUPING_SETS_SQL),
-    "multimodal_features": (multimodal_features, None),
+    "multimodal_features": (multimodal_features, _expected_sql("multimodal_features")),
     "orders_above_customer_avg": (orders_above_customer_avg, ABOVE_AVG_SQL),
     "acctbal_deciles": (acctbal_deciles, DECILES_SQL),
     "customer_priority_history": (customer_priority_history,
@@ -6102,8 +6112,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "orders_trailing_7d": (orders_trailing_7d, TRAILING_7D_SQL),
     "outlier_fences": (outlier_fences, OUTLIER_FENCES_SQL),
     "fuzzy_part_names": (fuzzy_part_names, FUZZY_NAMES_SQL),
-    "logreg_returnflag": (logreg_returnflag, None),
-    "kmeans_embeddings": (kmeans_embeddings, None),
+    "logreg_returnflag": (logreg_returnflag, _expected_sql("logreg_returnflag")),
+    "kmeans_embeddings": (kmeans_embeddings, _expected_sql("kmeans_embeddings")),
     "events_attribution_join": (events_attribution_join, ATTRIBUTION_SQL),
     "nullsafe_segment_match": (nullsafe_segment_match, NULLSAFE_SQL),
     "dq_lineitem_checks": (dq_lineitem_checks, DQ_LINEITEM_SQL),
@@ -6179,6 +6189,67 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "gbt_feature_importance": (gbt_feature_importance, None),
     "knn_impute_labels": (knn_impute_labels, KNN_IMPUTE_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# Driver-gate rotation (VERDICT r01 next-round #1): the build driver
+# samples a bounded PREFIX of the registry each round, so insertion
+# order decides which queries get a hard correctness row. The registry
+# is therefore rotated at import time: queries never yet hash-verified
+# by a driver round come first (original relative order preserved),
+# verified-and-unchanged ones sink to the back. Queries whose
+# implementation or oracle changed since their last verification are
+# force-fronted via _CHANGED_THIS_ROUND.
+# --------------------------------------------------------------------------
+
+#: impl/oracle changed in round 2 — prior driver verification is stale
+_CHANGED_THIS_ROUND = [
+    "dedup_embedding", "ann_lsh", "trimmed_mean_price",
+    "residual_diagnostics", "impute_group_mean", "capped_docs_per_source",
+    "ols_normal_eq", "vif_scores", "ridge_lineitem",
+    "dedup_minhash", "dedup_simhash", "winnow_overlap",
+    "pca_explained_variance", "pca_projection", "multimodal_features",
+    "sketch_distinct_parts", "logreg_returnflag", "kmeans_embeddings",
+    "lasso_path", "stepwise_aic_selection", "ann_ivf",
+    "cv_metrics_by_fold", "score_holdout", "knn_impute_labels",
+    "gbt_feature_importance",
+]
+
+
+def _driver_verified() -> set[str]:
+    """Names hash-verified (or rows-only-run with no oracle then AND
+    now) by any previous driver round, read from CORRECTNESS_r*.json."""
+    import glob
+    import json
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in rec.items():
+            if not isinstance(row, dict) or name not in REGISTRY:
+                continue
+            has_oracle_now = REGISTRY[name][1] is not None
+            if row.get("hash_match") is True:
+                seen.add(name)
+            elif row.get("err") == "no_oracle" and not has_oracle_now:
+                seen.add(name)
+    return seen
+
+
+def _rotated(reg):
+    verified = _driver_verified() - set(_CHANGED_THIS_ROUND)
+    changed = [n for n in _CHANGED_THIS_ROUND if n in reg]
+    fresh = [n for n in reg if n not in verified and n not in set(changed)]
+    back = [n for n in reg if n in verified]
+    return {n: reg[n] for n in changed + fresh + back}
+
+
+REGISTRY = _rotated(REGISTRY)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

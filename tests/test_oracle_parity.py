@@ -18,6 +18,12 @@ ALL = Q.queries()
 
 
 def _duck(sf_dir: str, sql: str) -> pd.DataFrame:
+    # expected-parquet oracles are generated per SF; point the path at
+    # the SF under test (the registry string hardcodes the driver's
+    # sf0.01)
+    import os
+    sql = sql.replace("/root/repo/expected/sf0.01/",
+                      f"/root/repo/expected/{os.path.basename(sf_dir)}/")
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
