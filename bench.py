@@ -106,6 +106,12 @@ HEADLINE = [
     "sketch_top_event_types",
     "weighted_sample_orders",
     "inverted_index_sample",
+    # round 2 additions: changed/new scale-relevant queries
+    "trimmed_mean_price",
+    "residual_diagnostics",
+    "cv_metrics_by_fold",
+    "score_holdout",
+    "knn_impute_labels",
 ]
 
 

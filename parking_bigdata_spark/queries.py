@@ -6212,7 +6212,7 @@ _CHANGED_THIS_ROUND = [
     "sketch_distinct_parts", "logreg_returnflag", "kmeans_embeddings",
     "lasso_path", "stepwise_aic_selection", "ann_ivf",
     "cv_metrics_by_fold", "score_holdout", "knn_impute_labels",
-    "gbt_feature_importance",
+    "gbt_feature_importance", "cosine_topk",
 ]
 
 
