@@ -140,6 +140,13 @@ def residual_diagnostics(df: DataFrame, x: str, y: str,
           .repartitionByRange(*[F.col(c) for c in order_cols])
           .withColumn("__pid", F.spark_partition_id()))
     wl = Window.partitionBy("__pid").orderBy(*order_cols)
+    # NOTE two consumers read the windowed frame (global moments + the
+    # boundary bounds) and Catalyst replays the scan/shuffle per branch.
+    # A localCheckpoint to share it was A/B'ed on the 20× stress set:
+    # no win (5.7 s vs 6.0 s min-of-3 — the block write cancels the
+    # saved shuffle locally) and checkpoint blocks lose lineage, so an
+    # executor loss kills the job on a real cluster. The stateless
+    # double-branch form is kept deliberately.
     d = d.withColumn("__elag", F.lag("__e").over(wl))
     agg = d.agg(
         F.count(F.lit(1)).alias("n"),
