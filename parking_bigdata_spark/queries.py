@@ -5872,9 +5872,9 @@ def cv_metrics_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_quantity", "l_extendedprice",
         F.pmod(F.col("l_orderkey"), F.lit(5)), k=5)
 
-CV_METRICS_SQL = """
+_CV_SQL_BODY = """
 WITH d AS (
-  SELECT CAST(l_orderkey % 5 AS INT) AS fold,
+  SELECT {fold} AS fold,
          l_quantity AS x, l_extendedprice AS y
   FROM lineitem
   WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
@@ -5898,7 +5898,7 @@ WITH d AS (
   SELECT d.fold, d.y, c.a, c.b, d.y - (c.a + c.b * d.x) AS err
   FROM d JOIN coef c ON d.fold = c.fold
 )
-SELECT fold, count(*) AS n,
+SELECT {head}fold, count(*) AS n,
        round(any_value(b), 4) AS slope,
        round(any_value(a), 4) AS intercept,
        round(sqrt(avg(err * err)), 4) AS rmse,
@@ -5906,6 +5906,91 @@ SELECT fold, count(*) AS n,
        round(1.0 - sum(err * err)
              / (sum(y * y) - sum(y) * sum(y) / count(*)), 4) + 0.0 AS r2
 FROM e GROUP BY fold
+"""
+
+CV_METRICS_SQL = _CV_SQL_BODY.format(
+    fold="CAST(l_orderkey % 5 AS INT)", head="")
+
+
+# --------------------------------------------------------------------------
+# A86b. REPEATED k-fold CV — the reference's exact trainControl
+# (method="repeatedcv", number=5) shape: independent fold partitions
+# per repeat. Repeat r partitions by floor(key/5^r) mod 5, which is a
+# genuinely different grouping per repeat (not a relabeling) and stays
+# engine-portable (explicit floor: DuckDB CAST rounds, Spark truncates).
+# --------------------------------------------------------------------------
+
+def repeated_cv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    outs = []
+    for r in range(2):
+        fold = F.pmod(F.floor(F.col("l_orderkey") / F.lit(5 ** r))
+                       .cast("long"), F.lit(5))
+        cv = ml.kfold_cv_simple_linreg(li, "l_quantity", "l_extendedprice",
+                                       fold, k=5)
+        outs.append(cv.select(F.lit(r).alias("rep"), "*"))
+    return outs[0].unionByName(outs[1])
+
+REPEATED_CV_SQL = "\nUNION ALL\n".join(
+    "SELECT * FROM (" + _CV_SQL_BODY.format(
+        fold=f"CAST(floor(l_orderkey / {5 ** r}) AS INT) % 5",
+        head=f"{r} AS rep, ") + ")"
+    for r in range(2))
+
+
+# --------------------------------------------------------------------------
+# A90. OLS with categorical dummies — the reference regresses on
+# categorical 지역/region factors (R:1194 lm over factor columns). Dummy
+# columns are built in the projection (baseline = 'N'), then the same
+# one-pass normal-equation machinery fits; the oracle Cramer-solves the
+# identical Gram system over a dummy-encoding subquery.
+# --------------------------------------------------------------------------
+
+def ols_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .withColumn("flag_r", F.when(F.col("l_returnflag") == "R", 1.0)
+                                 .otherwise(0.0))
+          .withColumn("flag_a", F.when(F.col("l_returnflag") == "A", 1.0)
+                                 .otherwise(0.0)))
+    return ml.ols_fit_df(li, ["l_quantity", "flag_r", "flag_a"],
+                         "l_extendedprice")
+
+OLS_CATEGORICAL_SQL = oracles.normal_eq_sql(
+    ["l_quantity", "flag_r", "flag_a"], "l_extendedprice",
+    table="(SELECT l_quantity, l_extendedprice, "
+          "CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS flag_r, "
+          "CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END AS flag_a "
+          "FROM lineitem) __t")
+
+
+# --------------------------------------------------------------------------
+# A91. Top supplier(s) by total revenue (TPC-H Q15 shape): aggregate
+# view + scalar-subquery max + ties kept. The revenue view is computed
+# once; the max is a 1-row broadcast, so no second scan of the fact.
+# --------------------------------------------------------------------------
+
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (li.groupBy("l_suppkey")
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 2)
+                   .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (rev.crossJoin(F.broadcast(mx))
+               .where(F.col("total_revenue") == F.col("__mx"))
+               .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+               .select("s_suppkey", "s_name", "total_revenue"))
+
+TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
 """
 
 
@@ -6188,6 +6273,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "score_holdout": (score_holdout, SCORE_HOLDOUT_SQL),
     "gbt_feature_importance": (gbt_feature_importance, None),
     "knn_impute_labels": (knn_impute_labels, KNN_IMPUTE_SQL),
+    "repeated_cv_metrics": (repeated_cv_metrics, REPEATED_CV_SQL),
+    "ols_categorical": (ols_categorical, OLS_CATEGORICAL_SQL),
+    "top_revenue_suppliers": (top_revenue_suppliers, TOP_SUPPLIER_SQL),
 }
 
 
