@@ -270,3 +270,40 @@ def test_gini_rank_windows_are_partitioned(spark, sf_dir):
 def test_info_gain_single_union_pipeline(spark, sf_dir):
     plan = _plan(spark, sf_dir, "info_gain_features")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cv_metrics_plan_is_two_scan_jvm(spark, sf_dir):
+    # leave-fold-out CV: no Python evals, no data-sized windows; the
+    # per-fold coefficient frame must come back as a broadcast join
+    from parking_bigdata_spark.plans import audit
+
+    from parking_bigdata_spark import queries as Q
+    a = audit(Q.queries()["cv_metrics_by_fold"](spark, sf_dir))
+    assert a.python_evals == 0 and a.arrow_evals == 0
+    assert a.broadcast_hash_joins >= 1
+    assert "WindowExec" not in a.text
+
+
+def test_score_holdout_pushes_filters(spark, sf_dir):
+    # the held-out fold filter must reach the parquet scan, and scoring
+    # is a pure projection: zero shuffles, zero Python
+    from parking_bigdata_spark.plans import audit
+
+    from parking_bigdata_spark import queries as Q
+    a = audit(Q.queries()["score_holdout"](spark, sf_dir))
+    assert a.python_evals == 0 and a.arrow_evals == 0
+    assert a.shuffles == 0
+    assert any("l_quantity" in f or "IsNotNull" in f
+               for f in a.pushed_filters)
+
+
+def test_trimmed_mean_no_data_sized_windows(spark, sf_dir):
+    # candidate windows partition by group; the fact never sorts whole
+    import re
+
+    from parking_bigdata_spark.plans import audit
+
+    from parking_bigdata_spark import queries as Q
+    a = audit(Q.queries()["trimmed_mean_price"](spark, sf_dir))
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", a.text):
+        assert "l_returnflag" in m.group(1), m.group(0)
