@@ -6290,8 +6290,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # force-fronted via _CHANGED_THIS_ROUND.
 # --------------------------------------------------------------------------
 
-#: impl/oracle changed in round 2 — prior driver verification is stale
-_CHANGED_THIS_ROUND = [
+#: impl/oracle changes by round: verification rows from CORRECTNESS
+#: files of EARLIER rounds are stale for these names and ignored, so a
+#: changed query re-fronts automatically until a later round's driver
+#: row re-verifies it — no manual cleanup between rounds. When changing
+#: a query in round N, set its entry to N.
+_CHANGED_IN_ROUND = {name: 2 for name in [
     "dedup_embedding", "ann_lsh", "trimmed_mean_price",
     "residual_diagnostics", "impute_group_mean", "capped_docs_per_source",
     "ols_normal_eq", "vif_scores", "ridge_lineitem",
@@ -6301,7 +6305,7 @@ _CHANGED_THIS_ROUND = [
     "lasso_path", "stepwise_aic_selection", "ann_ivf",
     "cv_metrics_by_fold", "score_holdout", "knn_impute_labels",
     "gbt_feature_importance", "cosine_topk",
-]
+]}
 
 
 def _driver_verified() -> set[str]:
@@ -6310,9 +6314,12 @@ def _driver_verified() -> set[str]:
     import glob
     import json
     import os
+    import re
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        file_round = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rec = json.load(f)
@@ -6321,6 +6328,8 @@ def _driver_verified() -> set[str]:
         for name, row in rec.items():
             if not isinstance(row, dict) or name not in REGISTRY:
                 continue
+            if file_round < _CHANGED_IN_ROUND.get(name, 0):
+                continue  # row predates the change — stale
             has_oracle_now = REGISTRY[name][1] is not None
             if row.get("hash_match") is True:
                 seen.add(name)
@@ -6330,9 +6339,11 @@ def _driver_verified() -> set[str]:
 
 
 def _rotated(reg):
-    verified = _driver_verified() - set(_CHANGED_THIS_ROUND)
-    changed = [n for n in _CHANGED_THIS_ROUND if n in reg]
-    fresh = [n for n in reg if n not in verified and n not in set(changed)]
+    verified = _driver_verified()
+    changed = [n for n in _CHANGED_IN_ROUND
+               if n in reg and n not in verified]
+    fresh = [n for n in reg
+             if n not in verified and n not in set(changed)]
     back = [n for n in reg if n in verified]
     return {n: reg[n] for n in changed + fresh + back}
 
