@@ -88,6 +88,59 @@ class SyntheticEventsReader(DataSourceReader):
             names=["event_id", "ts", "user_id", "event_type", "value"])
 
 
+class SyntheticEventsStreamReader:
+    """Streaming half of the connector surface (Spark 4
+    ``SimpleDataSourceStreamReader``): micro-batches of deterministic
+    events keyed by a monotonically increasing batch offset.
+
+    Exactly-once contract: the offset IS the generator seed input, so
+    ``readBetweenOffsets`` (replay after restart) regenerates the same
+    rows bit-for-bit — the source-side half of end-to-end exactly-once,
+    no log or cache needed. Lazy import keeps the batch reader usable
+    on Spark builds without the streaming Python-source API.
+    """
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", "50"))
+        self.seed = int(options.get("seed", "7"))
+
+    def initialOffset(self):
+        return {"batch": 0}
+
+    def _rows(self, batch: int):
+        import datetime
+
+        import numpy as np
+        rng = np.random.RandomState(self.seed + batch)
+        n = self.rows_per_batch
+        base = 1704067200  # 2024-01-01 UTC, seconds
+        for i in range(n):
+            ts = datetime.datetime.fromtimestamp(
+                base + batch * 3600 + int(rng.randint(0, 3600)),
+                tz=datetime.timezone.utc)
+            yield (batch * n + i, ts, int(rng.randint(0, 1000)),
+                   EVENT_TYPES[int(rng.randint(0, len(EVENT_TYPES)))],
+                   round(float(rng.uniform(0, 100)), 4))
+
+    def read(self, start):
+        b = start["batch"]
+        # a LIST, not a generator: Spark's prefetching cache copy.copy()s
+        # the returned iterator, and generators aren't copyable
+        return list(self._rows(b)), {"batch": b + 1}
+
+    def readBetweenOffsets(self, start, end):
+        # the replay path wants a true ITERATOR (list →
+        # DATA_SOURCE_INVALID_RETURN_TYPE), unlike read()'s prefetch
+        # path which needs a copyable one
+        rows = []
+        for b in range(start["batch"], end["batch"]):
+            rows.extend(self._rows(b))
+        return iter(rows)
+
+    def commit(self, end):
+        pass
+
+
 class SyntheticEventsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -98,6 +151,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
 
 
 def register(spark) -> None:

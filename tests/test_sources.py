@@ -39,3 +39,50 @@ def test_synthetic_source_filter_pushdown_matches_post_filter(spark):
     # and it composes with downstream aggregation
     agg = pushed.groupBy("user_id").agg(F.sum("value").alias("s"))
     assert agg.count() > 0
+
+
+def test_synthetic_stream_reader_exactly_once(spark, tmp_path):
+    """Streaming half of the custom Python DataSource: micro-batches
+    arrive deterministically, and a restart from checkpoint resumes at
+    the committed offset without duplicating rows (the offset is the
+    generator seed, so replay is bit-identical). File sink — the memory
+    sink cannot recover from a checkpoint."""
+    import time
+
+    from parking_bigdata_spark.sources.synthetic import register
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_until(min_rows):
+        q = (spark.readStream.format("synthetic_events")
+             .option("rows_per_batch", "20").load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(processingTime="0 seconds").start())
+        try:
+            for _ in range(120):
+                try:
+                    if spark.read.parquet(out).count() >= min_rows:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        return spark.read.parquet(out).collect()
+
+    first = run_until(40)
+    ids_a = sorted(r["event_id"] for r in first)
+    assert len(ids_a) >= 40
+    assert ids_a == sorted(set(ids_a))          # no duplicates
+    assert ids_a[:20] == list(range(20))        # batch 0 is ids 0..19
+
+    # restart from the same checkpoint: continues, never replays a
+    # committed batch (exactly-once through the file sink's log)
+    second = run_until(len(ids_a) + 20)
+    ids_b = sorted(r["event_id"] for r in second)
+    assert ids_b == sorted(set(ids_b))          # still no duplicates
+    assert set(ids_a) <= set(ids_b)             # old rows intact
+    assert len(ids_b) >= len(ids_a) + 20        # and new batches landed
