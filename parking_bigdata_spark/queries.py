@@ -6094,6 +6094,57 @@ def _expected_sql(name: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# A92. Winsorized statistics per group (robust moments EDA — the
+# clamp-at-percentile companion to the Tukey fences of A44): exact
+# p01/p99 via the bracket-refine quantile machinery (no per-group
+# sorts), then one conditional clamp-aggregate. The clamp uses the
+# UNROUNDED cutoffs; interpolated percentiles cannot collide with data
+# values (they fall strictly between adjacent order statistics), so
+# cross-engine ulp differences cannot flip a clamp decision.
+# --------------------------------------------------------------------------
+
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_extendedprice").isNotNull()))
+    q = stats.grouped_quantiles(li, "l_returnflag", "l_extendedprice",
+                                [0.01, 0.99], ["p01", "p99"])
+    w = li.join(F.broadcast(q), "l_returnflag")
+    v = F.col("l_extendedprice")
+    clamped = F.least(F.greatest(v, F.col("p01")), F.col("p99"))
+    return (w.groupBy("l_returnflag")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.avg(clamped), 4).alias("winsorized_mean"),
+                  F.round(F.stddev_samp(clamped), 4).alias("winsorized_sd"),
+                  F.sum(((v < F.col("p01")) | (v > F.col("p99")))
+                        .cast("long")).alias("n_clamped"),
+                  F.round(F.first("p01"), 4).alias("p01"),
+                  F.round(F.first("p99"), 4).alias("p99")))
+
+WINSORIZED_SQL = """
+WITH q AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.01) AS p01,
+         quantile_cont(l_extendedprice, 0.99) AS p99
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), w AS (
+  SELECT l.l_returnflag,
+         least(greatest(l_extendedprice, p01), p99) AS cv,
+         l_extendedprice AS v, p01, p99
+  FROM lineitem l JOIN q USING (l_returnflag)
+  WHERE l_extendedprice IS NOT NULL
+)
+SELECT l_returnflag, count(*) AS n,
+       round(avg(cv), 4) AS winsorized_mean,
+       round(stddev_samp(cv), 4) AS winsorized_sd,
+       CAST(sum(CASE WHEN v < p01 OR v > p99 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clamped,
+       round(any_value(p01), 4) AS p01,
+       round(any_value(p99), 4) AS p99
+FROM w GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -6276,6 +6327,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "repeated_cv_metrics": (repeated_cv_metrics, REPEATED_CV_SQL),
     "ols_categorical": (ols_categorical, OLS_CATEGORICAL_SQL),
     "top_revenue_suppliers": (top_revenue_suppliers, TOP_SUPPLIER_SQL),
+    "winsorized_price_stats": (winsorized_price_stats, WINSORIZED_SQL),
 }
 
 

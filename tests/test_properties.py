@@ -325,3 +325,56 @@ def test_embedding_lsh_recall_at_high_cosine(spark):
     assert len(truth) >= 60
     assert len(truth & lsh) / len(truth) >= 0.9, \
         (len(truth & lsh), len(truth))
+
+
+@given(vals=st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                               st.floats(min_value=-1e4, max_value=1e4,
+                                         allow_nan=False)),
+                     min_size=4, max_size=60),
+       trim=st.sampled_from([0.05, 0.1, 0.25]))
+@settings(**SLOW)
+def test_grouped_trimmed_mean_matches_numpy_property(spark, vals, trim):
+    """Hypothesis sweep of the rank-trim identity: for ANY group sizes,
+    tie structure and trim fraction, the bracket-refine form equals the
+    sort-and-slice definition."""
+    import numpy as np
+
+    from parking_bigdata_spark.operators.stats import grouped_trimmed_mean
+
+    df = spark.createDataFrame(pd.DataFrame(vals, columns=["g", "v"]))
+    got = {r["g"]: r["tm"]
+           for r in grouped_trimmed_mean(df, "g", "v", trim=trim,
+                                         alias="tm", accuracy=16).collect()}
+    for g in {k for k, _ in vals}:
+        a = np.sort(np.asarray([v for k, v in vals if k == g]))
+        k = int(len(a) * trim)
+        exp = float(a[k: len(a) - k].mean())
+        assert abs(got[g] - exp) < 1e-9, (g, got[g], exp)
+
+
+@given(vals=st.lists(st.floats(min_value=-1e4, max_value=1e4,
+                               allow_nan=False), min_size=2, max_size=50),
+       dup=st.integers(min_value=1, max_value=3))
+@settings(**SLOW)
+def test_tie_avg_ranks_match_numpy_property(spark, vals, dup):
+    """tie_avg_ranks (the range-partitioned rank machinery under
+    spearman/kruskal/mannwhitney) must reproduce scipy-style average
+    ranks for arbitrary duplicate structure."""
+    import numpy as np
+
+    from parking_bigdata_spark.operators.stats import tie_avg_ranks
+
+    data = vals * dup  # force ties across partitions
+    cnt = pd.Series(data).value_counts()
+    counts_df = spark.createDataFrame(
+        pd.DataFrame({"v": cnt.index.to_numpy(dtype=float),
+                      "t": cnt.to_numpy(dtype="int64")}))
+    got = {r["v"]: r["avg_rank"]
+           for r in tie_avg_ranks(counts_df, "v").collect()}
+    arr = np.asarray(data)
+    order = np.argsort(arr, kind="stable")
+    ranks = np.empty(len(arr), dtype=float)
+    ranks[order] = np.arange(1, len(arr) + 1)
+    for v in set(data):
+        mask = arr == v
+        assert abs(got[v] - ranks[mask].mean()) < 1e-9, v
