@@ -74,3 +74,52 @@ def impute_group_weighted_mean(df: DataFrame, group_col: str, col: str,
                     "left")
               .withColumn(out_col, F.coalesce(F.col(col), F.col("__gwm")))
               .drop("__gwm", "__gk"))
+
+
+def chained_regression_impute(df: DataFrame, a: str, b: str,
+                              n_iter: int = 2):
+    """Deterministic MICE-style chained-equation imputation (the
+    reference loads ``mice``, 20210803_이승하.R:59): two columns with
+    missingness impute each other through alternating regressions —
+    mean-fill init, then per half-iteration regress the observed values
+    of one column on the CURRENT filled partner and fill its missing
+    entries from the fit. The classic mice posterior-noise draw is
+    omitted (deterministic = oracle-checkable); this is the
+    regression-imputation / EM-flavored variant.
+
+    Scale shape: every half-iteration is ONE fused aggregate (count,
+    sums, products — map-side combined) whose two scalar coefficients
+    fold into the next fill expression as literals. The fact table
+    never shuffles and nothing but k scalars ever reaches the driver.
+
+    Returns (df_with_filled_columns, fill expressions are materialized
+    as ``<col>_filled``).
+    """
+    ma, mb = df.agg(F.avg(a), F.avg(b)).collect()[0]
+    cur_a = F.coalesce(F.col(a), F.lit(float(ma)))
+    cur_b = F.coalesce(F.col(b), F.lit(float(mb)))
+    for _ in range(n_iter):
+        # regress a_obs on current b, refill a
+        r = (df.where(F.col(a).isNotNull())
+               .select(F.col(a).alias("__t"), cur_b.alias("__p"))
+               .agg((F.covar_pop("__p", "__t") / F.var_pop("__p"))
+                    .alias("s"),
+                    F.avg("__t").alias("mt"), F.avg("__p").alias("mp"))
+               .collect()[0])
+        cur_a = F.coalesce(
+            F.col(a),
+            F.lit(float(r["mt"]))
+            + F.lit(float(r["s"])) * (cur_b - F.lit(float(r["mp"]))))
+        # regress b_obs on updated a, refill b
+        r = (df.where(F.col(b).isNotNull())
+               .select(F.col(b).alias("__t"), cur_a.alias("__p"))
+               .agg((F.covar_pop("__p", "__t") / F.var_pop("__p"))
+                    .alias("s"),
+                    F.avg("__t").alias("mt"), F.avg("__p").alias("mp"))
+               .collect()[0])
+        cur_b = F.coalesce(
+            F.col(b),
+            F.lit(float(r["mt"]))
+            + F.lit(float(r["s"])) * (cur_a - F.lit(float(r["mp"]))))
+    return (df.withColumn(f"{a}_filled", cur_a)
+              .withColumn(f"{b}_filled", cur_b))

@@ -6145,6 +6145,158 @@ FROM w GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# A93. LOESS smoothing curve (geom_smooth(method="loess"), R:607,656,
+# 701,1114,1153): G tricube-weighted local regressions fused into ONE
+# aggregation pass (stats.loess_curve). The oracle replays the same
+# G x 6 conditional sums.
+# --------------------------------------------------------------------------
+
+_LOESS_GRID = [2.5 * i for i in range(1, 21)]
+_LOESS_H = 10.0
+
+
+def loess_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats.loess_curve(li, "l_quantity", "l_extendedprice",
+                             _LOESS_GRID, _LOESS_H)
+
+
+def _loess_sql() -> str:
+    sums, sels = [], []
+    for i, g in enumerate(_LOESS_GRID):
+        u = f"(abs(l_quantity - {g!r}) / {_LOESS_H!r})"
+        w = (f"(CASE WHEN {u} < 1 "
+             f"THEN pow(1 - pow({u}, 3), 3) ELSE 0.0 END)")
+        sums += [f"sum({w}) AS sw_{i}",
+                 f"sum({w} * l_quantity) AS swx_{i}",
+                 f"sum({w} * l_extendedprice) AS swy_{i}",
+                 f"sum({w} * l_quantity * l_quantity) AS swxx_{i}",
+                 f"sum({w} * l_quantity * l_extendedprice) AS swxy_{i}",
+                 f"CAST(sum(CASE WHEN {u} < 1 THEN 1 ELSE 0 END) AS BIGINT)"
+                 f" AS nl_{i}"]
+        b = (f"((sw_{i} * swxy_{i} - swx_{i} * swy_{i})"
+             f" / (sw_{i} * swxx_{i} - swx_{i} * swx_{i}))")
+        a = f"((swy_{i} - {b} * swx_{i}) / sw_{i})"
+        sels.append(
+            f"SELECT {g!r} AS grid_x,"
+            f" round({a} + {b} * {g!r}, 4) AS loess_fit,"
+            f" nl_{i} AS n_local FROM m")
+    return ("WITH m AS (\nSELECT " + ",\n       ".join(sums)
+            + "\nFROM lineitem WHERE l_quantity IS NOT NULL"
+              " AND l_extendedprice IS NOT NULL\n)\n"
+            + "\nUNION ALL\n".join(sels))
+
+
+LOESS_SQL = _loess_sql()
+
+
+# --------------------------------------------------------------------------
+# A94. Chained-equation imputation (mice loaded at R:59): two columns
+# with disjoint missingness alternate regression fills (deterministic
+# variant, clean.chained_regression_impute). The oracle unrolls the
+# same mean-init + two iterations of covar/var regressions in CTEs.
+# --------------------------------------------------------------------------
+
+def mice_impute_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .withColumn("tax_val",
+                      F.when(F.col("l_linenumber") != 1, F.col("l_tax")))
+          .withColumn("disc_val",
+                      F.when(F.col("l_linenumber") != 2,
+                             F.col("l_discount"))))
+    filled = clean.chained_regression_impute(li, "tax_val", "disc_val",
+                                             n_iter=2)
+    return (filled.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("tax_val").isNull().cast("long"))
+                  .alias("n_filled_tax"),
+                 F.sum(F.col("disc_val").isNull().cast("long"))
+                  .alias("n_filled_disc"),
+                 F.round(F.avg("tax_val_filled"), 6).alias("avg_tax_filled"),
+                 F.round(F.avg("disc_val_filled"), 6)
+                  .alias("avg_disc_filled")))
+
+MICE_SQL = """
+WITH base AS (
+  SELECT l_returnflag,
+         CASE WHEN l_linenumber <> 1 THEN l_tax END AS a,
+         CASE WHEN l_linenumber <> 2 THEN l_discount END AS b
+  FROM lineitem
+), m0 AS (
+  SELECT avg(a) AS ma, avg(b) AS mb FROM base
+), f0 AS (
+  SELECT l_returnflag, a, b,
+         coalesce(a, ma) AS a0, coalesce(b, mb) AS b0
+  FROM base, m0
+), c1 AS (
+  SELECT covar_pop(b0, a) / var_pop(b0) AS s,
+         avg(a) AS mt, avg(b0) AS mp
+  FROM f0 WHERE a IS NOT NULL
+), f1 AS (
+  SELECT l_returnflag, a, b, b0,
+         coalesce(a, mt + s * (b0 - mp)) AS a1
+  FROM f0, c1
+), c2 AS (
+  SELECT covar_pop(a1, b) / var_pop(a1) AS s,
+         avg(b) AS mt, avg(a1) AS mp
+  FROM f1 WHERE b IS NOT NULL
+), f2 AS (
+  SELECT l_returnflag, a, b, a1,
+         coalesce(b, mt + s * (a1 - mp)) AS b1
+  FROM f1, c2
+), c3 AS (
+  SELECT covar_pop(b1, a) / var_pop(b1) AS s,
+         avg(a) AS mt, avg(b1) AS mp
+  FROM f2 WHERE a IS NOT NULL
+), f3 AS (
+  SELECT l_returnflag, a, b, b1,
+         coalesce(a, mt + s * (b1 - mp)) AS a2
+  FROM f2, c3
+), c4 AS (
+  SELECT covar_pop(a2, b) / var_pop(a2) AS s,
+         avg(b) AS mt, avg(a2) AS mp
+  FROM f3 WHERE b IS NOT NULL
+), f4 AS (
+  SELECT l_returnflag, a, b, a2,
+         coalesce(b, mt + s * (a2 - mp)) AS b2
+  FROM f3, c4
+)
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_filled_tax,
+       CAST(sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_filled_disc,
+       round(avg(a2), 6) AS avg_tax_filled,
+       round(avg(b2), 6) AS avg_disc_filled
+FROM f4 GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A95. Bagged trees (ipred loaded at R:59): bootstrap-aggregated
+# regression trees = MLlib RF with featureSubsetStrategy="all" (every
+# tree sees every feature; variance comes from the bootstrap). Rows
+# only — tree induction is split-geometry sensitive, like RF/GBT.
+# --------------------------------------------------------------------------
+
+def bagged_trees_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+    xs, y = ["l_quantity", "l_discount", "l_tax"], "l_extendedprice"
+    data = (load_table(spark, sf_dir, "lineitem")
+            .select(*xs, y).dropna())
+    vec = VectorAssembler(inputCols=xs, outputCol="features")
+    model = RandomForestRegressor(
+        featuresCol="features", labelCol=y, numTrees=15, maxDepth=5,
+        seed=42, subsamplingRate=0.8, featureSubsetStrategy="all",
+    ).fit(vec.transform(data))
+    imps = model.featureImportances.toArray()
+    return spark.createDataFrame(
+        [(c, round(float(v), 4)) for c, v in zip(xs, imps)],
+        "feature string, importance double")
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -6328,6 +6480,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ols_categorical": (ols_categorical, OLS_CATEGORICAL_SQL),
     "top_revenue_suppliers": (top_revenue_suppliers, TOP_SUPPLIER_SQL),
     "winsorized_price_stats": (winsorized_price_stats, WINSORIZED_SQL),
+    "loess_qty_price": (loess_qty_price, LOESS_SQL),
+    "mice_impute_chained": (mice_impute_chained, MICE_SQL),
+    "bagged_trees_importance": (bagged_trees_importance, None),
 }
 
 
