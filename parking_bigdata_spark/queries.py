@@ -6297,6 +6297,74 @@ def bagged_trees_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A96. Missingness profile + co-missingness patterns (VIM::aggr,
+# loaded at R:59; the reference inspects missingness before imputing).
+# Per-column counts are one fused aggregate; patterns are a groupBy on
+# the null-flag combination (2^k cells max — tiny shuffle).
+# --------------------------------------------------------------------------
+
+def _with_missingness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load_table(spark, sf_dir, "lineitem")
+            .withColumn("tax_val",
+                        F.when(F.col("l_linenumber") != 1, F.col("l_tax")))
+            .withColumn("disc_val",
+                        F.when(F.col("l_linenumber") != 2,
+                               F.col("l_discount")))
+            .withColumn("price_val",
+                        F.when(F.col("l_linenumber") < 6,
+                               F.col("l_extendedprice"))))
+
+_MISS_COLS = ["tax_val", "disc_val", "price_val"]
+
+
+def missingness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _with_missingness(spark, sf_dir)
+    agg = li.agg(F.count(F.lit(1)).alias("n"),
+                 *[F.count(c).alias(f"nn_{c}") for c in _MISS_COLS])
+    stack = ", ".join(f"'{c}', n - nn_{c}" for c in _MISS_COLS)
+    return (agg.selectExpr(
+        "n", f"stack({len(_MISS_COLS)}, {stack}) AS (column, n_missing)")
+        .select(F.col("column"), F.col("n_missing"),
+                F.round(F.col("n_missing") / F.col("n"), 4)
+                 .alias("pct_missing")))
+
+MISS_PROFILE_SQL = """
+WITH a AS (
+  SELECT count(*) AS n,
+         count(CASE WHEN l_linenumber <> 1 THEN l_tax END) AS nn_tax,
+         count(CASE WHEN l_linenumber <> 2 THEN l_discount END) AS nn_disc,
+         count(CASE WHEN l_linenumber < 6 THEN l_extendedprice END) AS nn_price
+  FROM lineitem
+)
+SELECT 'tax_val' AS column, n - nn_tax AS n_missing,
+       round((n - nn_tax) / CAST(n AS DOUBLE), 4) AS pct_missing FROM a
+UNION ALL
+SELECT 'disc_val', n - nn_disc,
+       round((n - nn_disc) / CAST(n AS DOUBLE), 4) FROM a
+UNION ALL
+SELECT 'price_val', n - nn_price,
+       round((n - nn_price) / CAST(n AS DOUBLE), 4) FROM a
+"""
+
+
+def missingness_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _with_missingness(spark, sf_dir)
+    pattern = F.concat_ws(",", *[
+        F.when(F.col(c).isNull(), c) for c in _MISS_COLS])
+    return (li.groupBy(pattern.alias("pattern"))
+              .agg(F.count(F.lit(1)).alias("n")))
+
+MISS_PATTERNS_SQL = """
+SELECT concat_ws(',',
+         CASE WHEN l_linenumber = 1 THEN 'tax_val' END,
+         CASE WHEN l_linenumber = 2 THEN 'disc_val' END,
+         CASE WHEN l_linenumber >= 6 THEN 'price_val' END) AS pattern,
+       count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -6483,6 +6551,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "loess_qty_price": (loess_qty_price, LOESS_SQL),
     "mice_impute_chained": (mice_impute_chained, MICE_SQL),
     "bagged_trees_importance": (bagged_trees_importance, None),
+    "missingness_profile": (missingness_profile, MISS_PROFILE_SQL),
+    "missingness_patterns": (missingness_patterns, MISS_PATTERNS_SQL),
 }
 
 
