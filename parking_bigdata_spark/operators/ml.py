@@ -17,7 +17,6 @@ stream through; driver work is O(k³) independent of row count.
 
 from __future__ import annotations
 
-from itertools import combinations
 
 import numpy as np
 from pyspark.sql import DataFrame
