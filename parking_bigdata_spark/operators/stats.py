@@ -594,9 +594,12 @@ def loess_curve(df: DataFrame, x: str, y: str, grid: list[float],
         sw, swx, swy = (F.col(f"sw_{i}"), F.col(f"swx_{i}"),
                         F.col(f"swy_{i}"))
         swxx, swxy = F.col(f"swxx_{i}"), F.col(f"swxy_{i}")
-        den = sw * swxx - swx * swx
+        # nullif guards: an empty or constant-x window has no defined
+        # local line — emit NULL rather than an ANSI divide-by-zero
+        # (found by the hypothesis sweep in tests/test_properties.py)
+        den = F.nullif(sw * swxx - swx * swx, F.lit(0.0))
         b = (sw * swxy - swx * swy) / den
-        a = (swy - b * swx) / sw
+        a = (swy - b * swx) / F.nullif(sw, F.lit(0.0))
         fits.append(F.struct(
             F.lit(float(g)).alias("grid_x"),
             F.round(a + b * float(g), round_to).alias(alias),

@@ -6175,8 +6175,8 @@ def _loess_sql() -> str:
                  f"CAST(sum(CASE WHEN {u} < 1 THEN 1 ELSE 0 END) AS BIGINT)"
                  f" AS nl_{i}"]
         b = (f"((sw_{i} * swxy_{i} - swx_{i} * swy_{i})"
-             f" / (sw_{i} * swxx_{i} - swx_{i} * swx_{i}))")
-        a = f"((swy_{i} - {b} * swx_{i}) / sw_{i})"
+             f" / nullif(sw_{i} * swxx_{i} - swx_{i} * swx_{i}, 0.0))")
+        a = f"((swy_{i} - {b} * swx_{i}) / nullif(sw_{i}, 0.0))"
         sels.append(
             f"SELECT {g!r} AS grid_x,"
             f" round({a} + {b} * {g!r}, 4) AS loess_fit,"

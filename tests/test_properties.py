@@ -378,3 +378,40 @@ def test_tie_avg_ranks_match_numpy_property(spark, vals, dup):
     for v in set(data):
         mask = arr == v
         assert abs(got[v] - ranks[mask].mean()) < 1e-9, v
+
+
+@given(vals=st.lists(st.tuples(st.floats(min_value=0, max_value=10,
+                                         allow_nan=False),
+                               st.floats(min_value=-100, max_value=100,
+                                         allow_nan=False)),
+                     min_size=8, max_size=50))
+@settings(**SLOW)
+def test_loess_curve_matches_numpy_property(spark, vals):
+    """The fused-aggregate LOESS must equal a direct numpy weighted
+    least squares at every grid point (tricube weights, local linear)."""
+    import numpy as np
+
+    from parking_bigdata_spark.operators.stats import loess_curve
+
+    xs = np.array([v[0] for v in vals])
+    ys = np.array([v[1] for v in vals])
+    grid, h = [2.0, 5.0, 8.0], 6.0
+    df = spark.createDataFrame(pd.DataFrame({"x": xs, "y": ys}))
+    got = {r["grid_x"]: (r["fit"], r["n_local"])
+           for r in loess_curve(df, "x", "y", grid, h,
+                                alias="fit", round_to=6).collect()}
+    for g in grid:
+        u = np.abs(xs - g) / h
+        w = np.where(u < 1, (1 - u ** 3) ** 3, 0.0)
+        sw, swx, swy = w.sum(), (w * xs).sum(), (w * ys).sum()
+        swxx, swxy = (w * xs * xs).sum(), (w * xs * ys).sum()
+        den = sw * swxx - swx * swx
+        if abs(den) < 1e-9:
+            continue  # degenerate window (all x equal) — fit undefined
+        b = (sw * swxy - swx * swy) / den
+        a = (swy - b * swx) / sw
+        exp = a + b * g
+        fit, n_local = got[g]
+        assert n_local == int((u < 1).sum())
+        if fit is not None and np.isfinite(exp):
+            assert abs(fit - exp) < 1e-4, (g, fit, exp)
