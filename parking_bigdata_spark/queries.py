@@ -6365,6 +6365,62 @@ FROM lineitem GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# B37. Hashing-trick document vectors (feature hashing a la
+# HashingTF / Vowpal Wabbit): token -> md5 -> bucket mod 64, long-form
+# (doc_id, bucket, n_tokens, tf). The bucket hash is the first md5
+# byte decoded with strpos arithmetic so BOTH engines compute the
+# identical bucket from the identical hex string — a fully
+# SQL-expressible feature extractor (unlike xxhash64-based ops).
+# Scale: explode is a narrow transform; the only shuffle is the
+# (doc, bucket) aggregate. Per-doc totals ride a window over the
+# exploded frame — partitions are doc-sized (bounded by document
+# length), never corpus-sized.
+# --------------------------------------------------------------------------
+
+def hashed_token_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.regexp_replace(
+            F.lower(F.col("text")), "[^a-z0-9]+", " ")), " "))
+         .alias("tok"))
+        .where(F.col("tok") != ""))
+    # Spark decodes the first md5 byte with conv(); the oracle uses
+    # strpos arithmetic (DuckDB has no conv) — identical integer value
+    md5 = F.md5(F.col("tok").cast("binary"))
+    bucket = F.pmod(F.conv(F.substring(md5, 1, 2), 16, 10).cast("int"),
+                    F.lit(64))
+    w = Window.partitionBy("doc_id")
+    hb = (toks.select("doc_id", bucket.alias("bucket"))
+              .withColumn("__total", F.count(F.lit(1)).over(w)))
+    return (hb.groupBy("doc_id", "bucket")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.round(F.count(F.lit(1)) / F.max("__total"), 4)
+                    .alias("tf")))
+
+HASHED_VECTORS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), t2 AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), hb AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1))
+         % 64 AS bucket,
+         count(*) OVER (PARTITION BY doc_id) AS total
+  FROM t2
+)
+SELECT doc_id, bucket, count(*) AS n_tokens,
+       round(count(*) / CAST(max(total) AS DOUBLE), 4) AS tf
+FROM hb GROUP BY doc_id, bucket
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -6553,6 +6609,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bagged_trees_importance": (bagged_trees_importance, None),
     "missingness_profile": (missingness_profile, MISS_PROFILE_SQL),
     "missingness_patterns": (missingness_patterns, MISS_PATTERNS_SQL),
+    "hashed_token_vectors": (hashed_token_vectors, HASHED_VECTORS_SQL),
 }
 
 
