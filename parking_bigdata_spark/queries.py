@@ -6639,6 +6639,11 @@ _CHANGED_IN_ROUND = {name: 2 for name in [
     "lasso_path", "stepwise_aic_selection", "ann_ivf",
     "cv_metrics_by_fold", "score_holdout", "knn_impute_labels",
     "gbt_feature_importance", "cosine_topk",
+    # new in round 2 (never driver-verified) — front-load with the rest
+    "repeated_cv_metrics", "ols_categorical", "top_revenue_suppliers",
+    "winsorized_price_stats", "loess_qty_price", "mice_impute_chained",
+    "bagged_trees_importance", "missingness_profile",
+    "missingness_patterns", "hashed_token_vectors",
 ]}
 
 
