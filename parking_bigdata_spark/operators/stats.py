@@ -300,15 +300,16 @@ def tie_avg_ranks_by_group(counts: DataFrame, group_col: str,
 
 def range_cumsum(df: DataFrame, order_col: str,
                  sum_cols: list[str]) -> DataFrame:
-    """Global cumulative sums of NON-NEGATIVE columns in ``order_col``
-    order without a single-partition window — the ECDF building block.
+    """Global cumulative sums in ``order_col`` order without a
+    single-partition window — the ECDF / sweep-line building block.
 
     Same construction as :func:`tie_avg_ranks`: range-partition on the
     order column, per-partition cumulative windows in parallel, then a
     broadcast prefix-sum of the per-partition totals (one row per
-    shuffle partition). Non-negativity matters: the per-partition TOTAL
-    is read off as ``max(cum)``, which only equals the total when the
-    running sum is monotone.
+    shuffle partition). The per-partition total is the plain ``sum`` of
+    the base column — exact for ANY sign (an earlier form read it off
+    as ``max(cum)``, which restricted the helper to non-negative
+    inputs; signed deltas enable ±1 sweep-line queries).
 
     Returns the input columns plus ``cum_<col>`` for each sum column.
     """
@@ -321,7 +322,7 @@ def range_cumsum(df: DataFrame, order_col: str,
         local = local.withColumn(f"__cum_{c}", F.sum(c).over(wl))
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     off = local.groupBy("__pid").agg(
-        *[F.max(f"__cum_{c}").alias(f"__t_{c}") for c in sum_cols])
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols])
     for c in sum_cols:
         off = off.withColumn(
             f"__off_{c}", F.coalesce(F.sum(f"__t_{c}").over(wo), F.lit(0)))

@@ -6421,6 +6421,71 @@ FROM hb GROUP BY doc_id, bucket
 
 
 # --------------------------------------------------------------------------
+# C31. Peak concurrency (sweep line): max simultaneously-active
+# sessions and the earliest instant it is reached. Session intervals
+# from the gap-based sessionizer; the ±1 sweep runs through the
+# range-partitioned cumulative machinery (range_cumsum — now
+# sign-general), so the global ordering never lands on one task.
+# Start points order before end points at the same microsecond via the
+# composite key 2·us / 2·us+1 (inclusive-interval convention).
+# --------------------------------------------------------------------------
+
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("sess_id",
+                         F.sum(new_sess).over(
+                             w.rowsBetween(Window.unboundedPreceding, 0)))
+    iv = (sess.groupBy("user_id", "sess_id")
+              .agg(F.min(us).alias("s"), F.max(us).alias("e")))
+    pts = iv.select(F.explode(F.array(
+        F.struct((F.col("s") * 2).alias("k"), F.lit(1).alias("delta")),
+        F.struct((F.col("e") * 2 + 1).alias("k"),
+                 F.lit(-1).alias("delta")))).alias("p"))         .select("p.k", "p.delta")
+    cum = stats.range_cumsum(pts, "k", ["delta"])
+    peak = cum.agg(F.max("cum_delta").alias("mx"))
+    return (cum.crossJoin(F.broadcast(peak))
+               .where(F.col("cum_delta") == F.col("mx"))
+               .agg(F.max("mx").cast("int").alias("max_concurrent"),
+                    F.timestamp_micros(
+                        F.floor(F.min("k") / 2).cast("long"))
+                     .alias("peak_at")))
+
+MAX_CONCURRENT_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM e
+), iv AS (
+  SELECT user_id, sess_id, min(us) AS st, max(us) AS en
+  FROM s GROUP BY 1, 2
+), pts AS (
+  SELECT st * 2 AS k, 1 AS delta FROM iv
+  UNION ALL
+  SELECT en * 2 + 1 AS k, -1 AS delta FROM iv
+), c AS (
+  SELECT k, sum(delta) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pts
+), m AS (SELECT max(cum) AS mx FROM c)
+SELECT CAST(max(mx) AS INT) AS max_concurrent,
+       make_timestamp(CAST(floor(min(k) / 2) AS BIGINT)) AS peak_at
+FROM c, m WHERE cum = mx
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -6610,6 +6675,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "missingness_profile": (missingness_profile, MISS_PROFILE_SQL),
     "missingness_patterns": (missingness_patterns, MISS_PATTERNS_SQL),
     "hashed_token_vectors": (hashed_token_vectors, HASHED_VECTORS_SQL),
+    "max_concurrent_sessions": (max_concurrent_sessions, MAX_CONCURRENT_SQL),
 }
 
 
@@ -6644,6 +6710,7 @@ _CHANGED_IN_ROUND = {name: 2 for name in [
     "winsorized_price_stats", "loess_qty_price", "mice_impute_chained",
     "bagged_trees_importance", "missingness_profile",
     "missingness_patterns", "hashed_token_vectors",
+    "max_concurrent_sessions",
 ]}
 
 
