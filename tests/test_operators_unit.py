@@ -465,3 +465,26 @@ def test_range_cumsum_matches_naive_window(spark):
                                     F.max("cum_b").alias("cb")).collect()}
     assert agg(got) == agg(naive)
     assert set(got.columns) == {"v", "a", "b", "cum_a", "cum_b"}
+
+
+def test_operators_handle_empty_input(spark):
+    """Empty-input hardening: the round-2 operators must return empty
+    (or all-NULL-fit) frames, never throw, when the source is empty."""
+    from parking_bigdata_spark.operators import similarity as sim
+    from parking_bigdata_spark.operators.stats import (grouped_trimmed_mean,
+                                                       loess_curve)
+
+    empty_num = spark.createDataFrame([], "g string, v double")
+    assert grouped_trimmed_mean(empty_num, "g", "v").count() == 0
+
+    fits = loess_curve(empty_num.withColumnRenamed("v", "x")
+                       .withColumn("y", F.lit(None).cast("double")),
+                       "x", "y", [1.0, 2.0], 1.0).collect()
+    assert len(fits) == 2 and all(r["loess_fit"] is None for r in fits)
+
+    empty_vec = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    one_vec = spark.createDataFrame([(1, [1.0] * 64)],
+                                    "vec_id long, embedding array<double>")
+    assert sim.embedding_near_dup_pairs_lsh(one_vec).count() == 0
+    assert sim.cosine_topk(one_vec, empty_vec).count() == 0
+    assert sim.cosine_topk(empty_vec, one_vec).count() == 0
