@@ -96,30 +96,32 @@ def chained_regression_impute(df: DataFrame, a: str, b: str,
     as ``<col>_filled``).
     """
     ma, mb = df.agg(F.avg(a), F.avg(b)).collect()[0]
+    if ma is None or mb is None:
+        raise ValueError(
+            f"chained_regression_impute needs observed values in both "
+            f"columns; {a if ma is None else b} is entirely NULL")
     cur_a = F.coalesce(F.col(a), F.lit(float(ma)))
     cur_b = F.coalesce(F.col(b), F.lit(float(mb)))
+
+    def _fit(target: str, partner_expr):
+        # nullif: a zero-variance (constant) partner has no defined
+        # slope — fall back to the mean fill (slope 0) instead of an
+        # ANSI divide-by-zero inside the aggregate
+        r = (df.where(F.col(target).isNotNull())
+               .select(F.col(target).alias("__t"), partner_expr.alias("__p"))
+               .agg((F.covar_pop("__p", "__t")
+                     / F.nullif(F.var_pop("__p"), F.lit(0.0))).alias("s"),
+                    F.avg("__t").alias("mt"), F.avg("__p").alias("mp"))
+               .collect()[0])
+        slope = 0.0 if r["s"] is None else float(r["s"])
+        return slope, float(r["mt"]), float(r["mp"])
+
     for _ in range(n_iter):
-        # regress a_obs on current b, refill a
-        r = (df.where(F.col(a).isNotNull())
-               .select(F.col(a).alias("__t"), cur_b.alias("__p"))
-               .agg((F.covar_pop("__p", "__t") / F.var_pop("__p"))
-                    .alias("s"),
-                    F.avg("__t").alias("mt"), F.avg("__p").alias("mp"))
-               .collect()[0])
+        s1, mt, mp = _fit(a, cur_b)
         cur_a = F.coalesce(
-            F.col(a),
-            F.lit(float(r["mt"]))
-            + F.lit(float(r["s"])) * (cur_b - F.lit(float(r["mp"]))))
-        # regress b_obs on updated a, refill b
-        r = (df.where(F.col(b).isNotNull())
-               .select(F.col(b).alias("__t"), cur_a.alias("__p"))
-               .agg((F.covar_pop("__p", "__t") / F.var_pop("__p"))
-                    .alias("s"),
-                    F.avg("__t").alias("mt"), F.avg("__p").alias("mp"))
-               .collect()[0])
+            F.col(a), F.lit(mt) + F.lit(s1) * (cur_b - F.lit(mp)))
+        s2, mt, mp = _fit(b, cur_a)
         cur_b = F.coalesce(
-            F.col(b),
-            F.lit(float(r["mt"]))
-            + F.lit(float(r["s"])) * (cur_a - F.lit(float(r["mp"]))))
+            F.col(b), F.lit(mt) + F.lit(s2) * (cur_a - F.lit(mp)))
     return (df.withColumn(f"{a}_filled", cur_a)
               .withColumn(f"{b}_filled", cur_b))

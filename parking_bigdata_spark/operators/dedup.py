@@ -164,18 +164,6 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     stack = ", ".join(f"{b}, bh{b}" for b in range(n_bands))
     bands = wide.selectExpr(
         id_col, f"stack({n_bands}, {stack}) as (band, band_hash)")
-    if bucket_cap is not None:
-        # persisted because the cap needs a second consumption (the
-        # per-bucket count); without it the whole signature pipeline
-        # would be recomputed for the count branch
-        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
-        cnt = (bands.groupBy("band", "band_hash")
-                    .agg(F.count(F.lit(1)).alias("__m")))
-        bands = (bands.join(cnt, ["band", "band_hash"])
-                 .where((F.col("__m") <= bucket_cap)
-                        | (F.pmod(F.xxhash64(id_col, "band", "band_hash"),
-                                  F.col("__m")) < bucket_cap))
-                 .drop("__m"))
     # Pair generation WITHOUT a self-join: group each bucket, collect the
     # (bounded, sorted) id list, and expand i<j pairs with array
     # expressions. A self-join would evaluate the entire signature
@@ -184,11 +172,29 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # once and shuffles only (band, band_hash) -> tiny id lists.
     ids_expr = F.sort_array(F.collect_list(id_col))
     if bucket_cap is not None:
+        # the cap needs a second consumption of the banded frame (the
+        # per-bucket count), so it is persisted for the duration of the
+        # candidate build, the capped bucket lists are EAGERLY
+        # materialized via localCheckpoint, and the persist is released
+        # immediately — no cache outlives the call (code-review r02).
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+        cnt = (bands.groupBy("band", "band_hash")
+                    .agg(F.count(F.lit(1)).alias("__m")))
+        capped = (bands.join(cnt, ["band", "band_hash"])
+                  .where((F.col("__m") <= bucket_cap)
+                         | (F.pmod(F.xxhash64(id_col, "band", "band_hash"),
+                                   F.col("__m")) < bucket_cap))
+                  .drop("__m"))
         # hard bound even against prefilter binomial jitter
-        ids_expr = F.slice(ids_expr, 1, bucket_cap)
-    buckets = (bands.groupBy("band", "band_hash")
-               .agg(ids_expr.alias("ids"))
-               .where(F.size("ids") >= 2))
+        buckets = (capped.groupBy("band", "band_hash")
+                   .agg(F.slice(ids_expr, 1, bucket_cap).alias("ids"))
+                   .where(F.size("ids") >= 2)
+                   .localCheckpoint(eager=True))
+        bands.unpersist()
+    else:
+        buckets = (bands.groupBy("band", "band_hash")
+                   .agg(ids_expr.alias("ids"))
+                   .where(F.size("ids") >= 2))
     pairs = buckets.select(F.explode(F.expr(
         "flatten(transform(sequence(1, size(ids) - 1), "
         "i -> transform(slice(ids, i + 1, size(ids) - i), "

@@ -346,11 +346,16 @@ def stepwise_aic(df: DataFrame, xs: list[str], y: str) -> DataFrame:
 
 def random_forest_importance(df: DataFrame, xs: list[str], y: str,
                              n_trees: int = 20, max_depth: int = 5,
-                             seed: int = 42, round_to: int = 4) -> DataFrame:
+                             seed: int = 42, round_to: int = 4,
+                             feature_subset: str = "onethird") -> DataFrame:
     """Random-forest regression feature importances (R:1260's
     ``randomForest``), via Spark MLlib — distributed tree induction with
     histogram-based splits (the standard scale-out RF formulation).
     Fixed seed ⇒ deterministic importances.
+
+    ``feature_subset="all"`` turns this into BAGGED trees (ipred's
+    ``bagging``, R:59): every tree sees every feature and variance comes
+    only from the bootstrap.
     """
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import RandomForestRegressor
@@ -360,6 +365,7 @@ def random_forest_importance(df: DataFrame, xs: list[str], y: str,
     model = RandomForestRegressor(
         featuresCol="features", labelCol=y, numTrees=n_trees,
         maxDepth=max_depth, seed=seed, subsamplingRate=0.8,
+        featureSubsetStrategy=feature_subset,
     ).fit(vec.transform(data))
     imps = model.featureImportances.toArray()
     return spark.createDataFrame(
@@ -567,7 +573,10 @@ def kfold_cv_simple_linreg(df: DataFrame, x: str, y: str,
                  F.first("__b").alias("slope_raw"),
                  F.first("__a").alias("intercept_raw"),
                  F.avg(err * err).alias("mse"),
-                 F.avg(F.abs(err / F.col("__y"))).alias("mape_raw"),
+                 # nullif: a zero response would ANSI-throw; standard
+                 # MAPE practice excludes zero-actual rows
+                 F.avg(F.abs(err / F.nullif(F.col("__y"), F.lit(0.0))))
+                  .alias("mape_raw"),
                  F.sum(err * err).alias("sse"),
                  F.sum(F.col("__y") * F.col("__y")).alias("syy"),
                  F.sum("__y").alias("sy")))

@@ -132,6 +132,7 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             payloads = []
             for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
                 if (p is None or w is None or h is None
+                        or int(w) <= 0 or int(h) <= 0
                         or len(p) != int(w) * int(h) * 3):
                     payloads.append(None)
                     continue

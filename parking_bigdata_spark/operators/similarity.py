@@ -208,7 +208,12 @@ def embedding_near_dup_pairs_lsh(df: DataFrame, threshold: float = 0.4,
         # raw GEMM entry can differ in the last ulp between two buckets
         # holding the same pair — breaking the cross-table distinct)
         S = V @ V.T
-        ia, ib = np.where(np.triu(S >= threshold - 1e-6, k=1))
+        # prefilter margin must cover the rounding half-width: a raw
+        # cosine just below threshold can ROUND UP to it (e.g. 0.39996
+        # -> 0.4 at round_to=4), and the emitted filter keeps rounded
+        # >= threshold — so the preselect must too (code-review r02)
+        margin = 0.5 * 10.0 ** (-round_to) + 1e-9
+        ia, ib = np.where(np.triu(S >= threshold - margin, k=1))
         if not len(ia):
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         exact = np.round(np.einsum("ij,ij->i", V[ia], V[ib]), round_to)

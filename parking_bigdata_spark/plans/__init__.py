@@ -32,12 +32,14 @@ def audit(df: DataFrame) -> PlanAudit:
     """Audit the executed (pre-AQE-finalized) physical plan of ``df``."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return PlanAudit(
-        # anchored regex, not substring count: BroadcastExchange and
-        # ReusedExchange both contain "Exchange" — a reused shuffle would
-        # otherwise double-count and plan assertions would pass/fail for
-        # the wrong reason (ADVICE r01)
+        # anchored regex, not substring count: BroadcastExchange contains
+        # "Exchange", and a ReusedExchange node prints as
+        # "ReusedExchange [attrs], Exchange hashpartitioning(...)" — the
+        # embedded mention is preceded by ", ", so exclude that context
+        # too (ADVICE r01 + code-review r02, verified on Spark 4.1.2)
         shuffles=len(re.findall(
-            r"(?<!Broadcast)(?<!Reused)Exchange (?:hash|range|RoundRobin|SinglePartition)",
+            r"(?<!Broadcast)(?<!Reused)(?<!, )"
+            r"Exchange (?:hash|range|RoundRobin|SinglePartition)",
             plan)),
         broadcast_hash_joins=plan.count("BroadcastHashJoin"),
         broadcast_nl_joins=plan.count("BroadcastNestedLoopJoin"),

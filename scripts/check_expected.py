@@ -23,11 +23,18 @@ from scripts.gen_expected import EXPECTED_ORACLE_QUERIES, REPO  # noqa: E402
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Shared canonicalizer for both audit scripts: arrays stringify as
+    lists; str AND bytes stay scalar (bytes would otherwise become a
+    byte-int list in one script and a b'..' repr in the other)."""
+    def _scalar(x):
+        return x.item() if hasattr(x, "item") else x
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        df[c] = df[c].map(lambda v: str(list(v))
-                          if hasattr(v, "__len__")
-                          and not isinstance(v, str) else str(v))
+        df[c] = df[c].map(
+            lambda v: str([_scalar(x) for x in v])
+            if hasattr(v, "__len__") and not isinstance(v, (str, bytes))
+            else str(_scalar(v)))
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 

@@ -17,23 +17,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
-import pandas as pd  # noqa: E402
 
 from parking_bigdata_spark import queries as Q  # noqa: E402
 from parking_bigdata_spark.session import get_spark  # noqa: E402
+from scripts.check_expected import _canon  # noqa: E402 — ONE canonicalizer
+                                           # for both audit scripts
 
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
-
-
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        df[c] = df[c].map(
-            lambda v: str(list(v))
-            if hasattr(v, "__len__") and not isinstance(v, (str, bytes))
-            else str(v))
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
 def main() -> int:
@@ -53,11 +44,16 @@ def main() -> int:
             if name not in oracles:
                 rec["err"] = "no_oracle"
             else:
+                # expected-parquet oracles are per-SF: point the driver
+                # default (sf0.01) at the SF under test
+                sql = oracles[name].replace(
+                    "/expected/sf0.01/",
+                    f"/expected/{os.path.basename(sf_dir.rstrip('/'))}/")
                 con = duckdb.connect()
                 for t in TABLES:
                     con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                                 f"'{sf_dir}/{t}.parquet'")
-                exp = con.execute(oracles[name]).df()
+                exp = con.execute(sql).df()
                 rec["oracle_rows"] = len(exp)
                 rec["rows_match"] = len(got) == len(exp)
                 rec["schema_match"] = sorted(got.columns) == sorted(exp.columns)

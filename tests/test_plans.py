@@ -307,3 +307,20 @@ def test_trimmed_mean_no_data_sized_windows(spark, sf_dir):
     a = audit(Q.queries()["trimmed_mean_price"](spark, sf_dir))
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", a.text):
         assert "l_returnflag" in m.group(1), m.group(0)
+
+
+def test_plan_audit_ignores_reused_exchange(spark):
+    # a ReusedExchange node prints "ReusedExchange [...], Exchange
+    # hashpartitioning(...)": the embedded mention must not count as a
+    # shuffle (code-review r02, empirically double-counted before)
+    import pyspark.sql.functions as F
+
+    from parking_bigdata_spark.plans import audit
+
+    df = spark.range(0, 1000).select((F.col("id") % 7).alias("k"))
+    agg = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    joined = agg.alias("a").join(agg.alias("b"), "k")
+    a = audit(joined)
+    if "ReusedExchange" in a.text:
+        # reuse fired: exactly one real shuffle despite two agg branches
+        assert a.shuffles == 1, a.text
