@@ -55,6 +55,12 @@ EXPECTED_ORACLE_QUERIES = [
     "lasso_path",
     "stepwise_aic_selection",
     "ann_ivf",
+    # tree ensembles: MLlib importances verified bit-identical across
+    # adversarial geometries (5 shuffle partitions + 1MB file splits vs
+    # defaults) — per-row seeded sampling is partition-independent
+    "rf_feature_importance",
+    "gbt_feature_importance",
+    "bagged_trees_importance",
 ]
 
 
