@@ -173,28 +173,26 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     ids_expr = F.sort_array(F.collect_list(id_col))
     if bucket_cap is not None:
         # the cap needs a second consumption of the banded frame (the
-        # per-bucket count), so it is persisted for the duration of the
-        # candidate build, the capped bucket lists are EAGERLY
-        # materialized via localCheckpoint, and the persist is released
-        # immediately — no cache outlives the call (code-review r02).
+        # per-bucket count), so it is persisted — LAZILY, like
+        # ngram_jaccard_pairs' gram table: an eager
+        # localCheckpoint-then-unpersist variant was tried and rejected
+        # (it runs the whole signature job at query-CONSTRUCTION time,
+        # breaks plan audits by truncating lineage, and its checkpoint
+        # blocks leak identically). The persisted blocks live until the
+        # caller's session clears caches (bench/driver do per query).
         bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
         cnt = (bands.groupBy("band", "band_hash")
                     .agg(F.count(F.lit(1)).alias("__m")))
-        capped = (bands.join(cnt, ["band", "band_hash"])
-                  .where((F.col("__m") <= bucket_cap)
-                         | (F.pmod(F.xxhash64(id_col, "band", "band_hash"),
-                                   F.col("__m")) < bucket_cap))
-                  .drop("__m"))
+        bands = (bands.join(cnt, ["band", "band_hash"])
+                 .where((F.col("__m") <= bucket_cap)
+                        | (F.pmod(F.xxhash64(id_col, "band", "band_hash"),
+                                  F.col("__m")) < bucket_cap))
+                 .drop("__m"))
         # hard bound even against prefilter binomial jitter
-        buckets = (capped.groupBy("band", "band_hash")
-                   .agg(F.slice(ids_expr, 1, bucket_cap).alias("ids"))
-                   .where(F.size("ids") >= 2)
-                   .localCheckpoint(eager=True))
-        bands.unpersist()
-    else:
-        buckets = (bands.groupBy("band", "band_hash")
-                   .agg(ids_expr.alias("ids"))
-                   .where(F.size("ids") >= 2))
+        ids_expr = F.slice(ids_expr, 1, bucket_cap)
+    buckets = (bands.groupBy("band", "band_hash")
+               .agg(ids_expr.alias("ids"))
+               .where(F.size("ids") >= 2))
     pairs = buckets.select(F.explode(F.expr(
         "flatten(transform(sequence(1, size(ids) - 1), "
         "i -> transform(slice(ids, i + 1, size(ids) - i), "

@@ -6524,7 +6524,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         ["l_quantity", "l_discount"], "l_extendedprice")),
     "lasso_path": (lasso_path, _expected_sql("lasso_path")),
     "stepwise_aic_selection": (stepwise_aic_selection, _expected_sql("stepwise_aic_selection")),
-    "rf_feature_importance": (rf_feature_importance, _expected_sql("rf_feature_importance")),
+    "rf_feature_importance": (rf_feature_importance, None),
     "corr_test": (corr_test, CORR_TEST_SQL),
     "pca_explained_variance": (pca_explained_variance, _expected_sql("pca_explained_variance")),
     "pca_projection": (pca_projection, _expected_sql("pca_projection")),
@@ -6664,7 +6664,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "priority_mix_shift": (priority_mix_shift, MIX_SHIFT_SQL),
     "cv_metrics_by_fold": (cv_metrics_by_fold, CV_METRICS_SQL),
     "score_holdout": (score_holdout, SCORE_HOLDOUT_SQL),
-    "gbt_feature_importance": (gbt_feature_importance, _expected_sql("gbt_feature_importance")),
+    "gbt_feature_importance": (gbt_feature_importance, None),
     "knn_impute_labels": (knn_impute_labels, KNN_IMPUTE_SQL),
     "repeated_cv_metrics": (repeated_cv_metrics, REPEATED_CV_SQL),
     "ols_categorical": (ols_categorical, OLS_CATEGORICAL_SQL),
@@ -6672,7 +6672,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "winsorized_price_stats": (winsorized_price_stats, WINSORIZED_SQL),
     "loess_qty_price": (loess_qty_price, LOESS_SQL),
     "mice_impute_chained": (mice_impute_chained, MICE_SQL),
-    "bagged_trees_importance": (bagged_trees_importance, _expected_sql("bagged_trees_importance")),
+    "bagged_trees_importance": (bagged_trees_importance, None),
     "missingness_profile": (missingness_profile, MISS_PROFILE_SQL),
     "missingness_patterns": (missingness_patterns, MISS_PATTERNS_SQL),
     "hashed_token_vectors": (hashed_token_vectors, HASHED_VECTORS_SQL),

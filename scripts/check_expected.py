@@ -33,7 +33,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         df[c] = df[c].map(
             lambda v: str([_scalar(x) for x in v])
-            if hasattr(v, "__len__") and not isinstance(v, (str, bytes))
+            if hasattr(v, "__len__")
+            and not isinstance(v, (str, bytes, bytearray))
+            else str(bytes(v)) if isinstance(v, bytearray)
             else str(_scalar(v)))
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 

@@ -36,8 +36,15 @@ from parking_bigdata_spark.session import get_spark  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: Queries with committed expected-output oracles (all fixed-seed /
-#: closed-form deterministic; see module docstring).
+#: Queries with committed expected-output oracles. Inclusion rule:
+#: the computation must be partition-INDEPENDENT, not merely stable
+#: under today's file layout — pure aggregates, fixed hashes, and
+#: closed-form driver solves qualify; anything with per-partition RNG
+#: does not (see the tree-ensemble exclusion below). ann_ivf qualifies
+#: because its quantizer's limit(100k) sample exceeds the corpus at
+#: every oracle SF, so "the sample" is the whole table regardless of
+#: splits; HLL± (sketch_distinct_parts) merges by register-max, which
+#: is order-insensitive (unlike DataSketches' union, excluded below).
 EXPECTED_ORACLE_QUERIES = [
     "dedup_minhash",
     "dedup_simhash",
@@ -55,12 +62,13 @@ EXPECTED_ORACLE_QUERIES = [
     "lasso_path",
     "stepwise_aic_selection",
     "ann_ivf",
-    # tree ensembles: MLlib importances verified bit-identical across
-    # adversarial geometries (5 shuffle partitions + 1MB file splits vs
-    # defaults) — per-row seeded sampling is partition-independent
-    "rf_feature_importance",
-    "gbt_feature_importance",
-    "bagged_trees_importance",
+    # Tree ensembles (RF/GBT/bagged) are deliberately EXCLUDED: MLlib's
+    # bootstrap is per-PARTITION seeded (reseedRandomGenerator(seed +
+    # partitionIndex)), so importances move with the input partitioning
+    # — demonstrated by repartition(3/7/32) shifting every importance
+    # in the 3rd decimal. A geometry audit over the single-row-group
+    # testdata files alone cannot see this (file splits align to row
+    # groups, leaving one scan partition); they stay rows-only.
 ]
 
 

@@ -22,8 +22,8 @@ def _duck(sf_dir: str, sql: str) -> pd.DataFrame:
     # the SF under test (the registry string hardcodes the driver's
     # sf0.01)
     import os
-    sql = sql.replace("/root/repo/expected/sf0.01/",
-                      f"/root/repo/expected/{os.path.basename(sf_dir)}/")
+    sql = sql.replace("/expected/sf0.01/",
+                      f"/expected/{os.path.basename(sf_dir)}/")
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
