@@ -98,12 +98,30 @@ def test_rolling_and_cumsum_single_shuffle(spark, sf_dir):
         assert plan.count("Exchange") == 1, name
 
 
-def test_no_python_udfs_in_core_queries(spark, sf_dir):
-    # every registry query stays JVM-side (multimodal stubs excluded by
-    # design — they are the sanctioned mapInPandas path)
+def test_plan_hygiene_all_queries(spark, sf_dir):
+    """One pass over EVERY registry query's physical plan asserting the
+    two global hygiene rules:
+
+    1. no row-at-a-time Python UDFs (Arrow mapInPandas is the only
+       sanctioned Python path);
+    2. no DATA-SIZED global (partition-less) window — the r01 flaw
+       class. Global windows are permitted only over (a) ``__pid``
+       per-partition offset frames (≤ shuffle-partition-count rows, the
+       tie_avg_ranks/range_cumsum construction) and (b) aggregated
+       calendar series (weekly/daily keys — bounded by the calendar,
+       not the data).
+    """
+    import re
+    allowed_global_order_cols = {"__pid", "wk", "d"}
     for name in Q.queries():
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            first = m.group(1).split(",")[0].strip()
+            if " ASC" in first or " DESC" in first:  # order-only spec
+                col = re.split(r"[# ]", first)[0]
+                assert col in allowed_global_order_cols, (
+                    f"{name}: data-sized global window over {first!r}")
 
 
 def test_sole_late_single_fact_shuffle(spark, sf_dir):
