@@ -614,3 +614,45 @@ def gbt_importance(df: DataFrame, xs: list[str], y: str,
     return spark.createDataFrame(
         [(c, round(float(v), round_to)) for c, v in zip(xs, imps)],
         "feature string, importance double")
+
+
+def huber_fit_df(df: DataFrame, x: str, y: str, delta: float = 1000.0,
+                 n_iter: int = 2, round_to: int = 4) -> DataFrame:
+    """Huber M-estimator line via IRLS (Huber 1964, public; the robust
+    companion to `simple_linreg` — the reference's lm family, R:1194,
+    made outlier-resistant).
+
+    Iteration t scores residuals with the round-t−1 coefficients and
+    solves ONE weighted-least-squares closed form from five fused sums
+    (Σw, Σwx, Σwy, Σwx², Σwxy) — a single distributed aggregate per
+    iteration, no shuffles, so 100 TB cost = (n_iter+1) scans. The
+    Huber weight min(1, δ/|r|) is CONTINUOUS in r, so engine last-ulp
+    residual differences cannot flip a weight discontinuously; on top
+    of that the coefficients are rounded to 6 dp between iterations so
+    both the Spark fit and the SQL oracle (oracles.huber_sql) score
+    every row with identical decimal constants.
+    """
+    d = df.where(F.col(x).isNotNull() & F.col(y).isNotNull()).persist()
+    b0 = b1 = None
+    for it in range(n_iter + 1):
+        if it == 0:
+            w = F.lit(1.0)
+        else:
+            r = F.abs(F.col(y) - (F.lit(b0) + F.lit(b1) * F.col(x)))
+            w = F.when(r <= delta, F.lit(1.0)).otherwise(delta / r)
+        row = d.agg(F.sum(w).alias("sw"),
+                    F.sum(w * F.col(x)).alias("swx"),
+                    F.sum(w * F.col(y)).alias("swy"),
+                    F.sum(w * F.col(x) * F.col(x)).alias("swxx"),
+                    F.sum(w * F.col(x) * F.col(y)).alias("swxy")
+                    ).collect()[0]
+        slope = ((row.sw * row.swxy - row.swx * row.swy)
+                 / (row.sw * row.swxx - row.swx * row.swx))
+        b1 = round(slope, 6)
+        b0 = round((row.swy - b1 * row.swx) / row.sw, 6)
+    d.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [("intercept", round(b0, round_to)),
+         (f"coef_{x}", round(b1, round_to))],
+        "term string, estimate double")

@@ -354,3 +354,37 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.round(F.avg("__nll"), 4).alias("avg_surprisal"),
                  F.round(F.max("__nll"), 4).alias("max_surprisal")))
+
+
+def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public),
+    adapted to the signals this corpus exposes: word-count bounds,
+    mean-word-length bounds, symbol-to-char ratio, alphabetic-word
+    ratio, and minimum stopword evidence. Each rule is a boolean
+    column plus a combined ``pass_gopher`` flag. All counts are
+    regexp/split built-ins over one codegen'd projection — ratios are
+    integer-over-integer, so every flag is engine-exact.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(F.split(F.trim(t), r"\s+"))
+    mean_wl = (n_chars - n_words + 1).cast("double") / n_words
+    n_sym = F.regexp_count(t, F.lit(r"[#…]"))
+    n_alpha = F.regexp_count(t, F.lit(r"\b[A-Za-z]+\b"))
+    n_stop = F.regexp_count(
+        F.lower(t), F.lit(r"\b(the|a|of|to|and|is|in|that|it|for)\b"))
+    f_wc = (n_words >= 50) & (n_words <= 100000)
+    f_wl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    f_sym = n_sym.cast("double") <= 0.1 * n_chars
+    f_alpha = n_alpha.cast("double") >= 0.8 * n_words
+    f_stop = n_stop >= 2
+    return (df.withColumn("n_words", n_words)
+              .withColumn("mean_word_len", F.round(mean_wl, 4))
+              .withColumn("flag_word_count", f_wc.cast("int"))
+              .withColumn("flag_word_len", f_wl.cast("int"))
+              .withColumn("flag_symbol_ratio", f_sym.cast("int"))
+              .withColumn("flag_alpha_ratio", f_alpha.cast("int"))
+              .withColumn("flag_stopwords", f_stop.cast("int"))
+              .withColumn("pass_gopher",
+                          (f_wc & f_wl & f_sym & f_alpha & f_stop)
+                          .cast("int")))

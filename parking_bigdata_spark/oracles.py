@@ -161,3 +161,44 @@ def score_holdout_sql(xs: list[str], y: str, keys: list[str],
         f"       round({y} - ({pred}), {out_round}) AS residual\n"
         f"FROM {table}, c\n"
         f"WHERE {keys[0]} % {fold_mod} = 0 AND {notnull}")
+
+
+def huber_sql(x: str, y: str, delta: float = 1000.0, n_iter: int = 2,
+              table: str = "lineitem", round_to: int = 4) -> str:
+    """Oracle for ml.huber_fit_df: the identical IRLS unrolled into
+    chained CTEs — iteration t's weights come from iteration t−1's
+    6-dp-rounded coefficients, so both engines score with the same
+    decimal constants (the score_holdout_sql determinism recipe)."""
+    notnull = f"{x} IS NOT NULL AND {y} IS NOT NULL"
+    ctes = []
+    for it in range(n_iter + 1):
+        if it == 0:
+            w = "1.0"
+            src = table
+        else:
+            r = f"abs({y} - (c{it - 1}.b0 + c{it - 1}.b1 * {x}))"
+            w = (f"CASE WHEN {r} <= {delta!r} THEN 1.0 "
+                 f"ELSE {delta!r} / {r} END")
+            src = f"{table}, c{it - 1}"
+        ctes.append(
+            f"s{it} AS (\n"
+            f"  SELECT sum({w}) AS sw, sum(({w}) * {x}) AS swx,\n"
+            f"         sum(({w}) * {y}) AS swy,\n"
+            f"         sum(({w}) * {x} * {x}) AS swxx,\n"
+            f"         sum(({w}) * {x} * {y}) AS swxy\n"
+            f"  FROM {src} WHERE {notnull}\n)")
+        ctes.append(
+            f"c{it} AS (\n"
+            f"  SELECT round((sw * swxy - swx * swy)\n"
+            f"               / (sw * swxx - swx * swx), 6) AS b1,\n"
+            f"         round((swy - round((sw * swxy - swx * swy)\n"
+            f"                            / (sw * swxx - swx * swx), 6)\n"
+            f"                      * swx) / sw, 6) AS b0\n"
+            f"  FROM s{it}\n)")
+    last = f"c{n_iter}"
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            f"SELECT 'intercept' AS term, round(b0, {round_to}) AS estimate"
+            f" FROM {last}\n"
+            "UNION ALL\n"
+            f"SELECT 'coef_{x}' AS term, round(b1, {round_to}) AS estimate"
+            f" FROM {last}")

@@ -6487,6 +6487,510 @@ FROM c, m WHERE cum = mx
 
 
 # --------------------------------------------------------------------------
+# C31. Theil-Sen robust trend of the daily event series: the median of
+# all pairwise slopes (and the matching median intercept). Robust
+# complement to A20's least-squares line (the reference fits lm trends,
+# R:1194; Theil-Sen is the standard outlier-resistant alternative —
+# Sen 1968, public). Scale shape: the O(days²) pair set is built from
+# the AGGREGATED calendar series (bounded by the calendar, ~365 rows/yr
+# at any data size), never from raw events — a broadcast self-join of a
+# tiny table on top of one distributed count-by-day.
+# --------------------------------------------------------------------------
+
+def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per calendar day, keyed by an absolute day index ``d``."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    return ev.groupBy(day.alias("d")).agg(F.count(F.lit(1)).alias("n"))
+
+_DAILY_SQL = """
+  SELECT datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+"""
+
+
+def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_counts(spark, sf_dir)
+    a, b = daily.alias("a"), daily.alias("b")
+    # (n_b - n_a) / (d_b - d_a): integer differences, one exact double
+    # division — bit-identical across engines, so the median's middle
+    # values agree exactly and only the interpolation rounding remains.
+    pairs = (a.join(F.broadcast(b), F.col("b.d") > F.col("a.d"))
+              .select(((F.col("b.n") - F.col("a.n"))
+                       / (F.col("b.d") - F.col("a.d"))).alias("slope")))
+    m = pairs.agg(F.percentile("slope", F.lit(0.5)).alias("__m"),
+                  F.count(F.lit(1)).alias("n_pairs"))
+    return (daily.crossJoin(F.broadcast(m))
+                 .agg(F.count(F.lit(1)).alias("n_days"),
+                      F.max("n_pairs").alias("n_pairs"),
+                      F.round(F.max("__m"), 4).alias("slope"),
+                      F.round(F.percentile(
+                          F.col("n") - F.col("__m") * F.col("d"),
+                          F.lit(0.5)), 4).alias("intercept")))
+
+THEILSEN_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+p AS (
+  SELECT CAST(b.n - a.n AS DOUBLE) / (b.d - a.d) AS slope
+  FROM daily a JOIN daily b ON b.d > a.d
+),
+m AS (SELECT quantile_cont(slope, 0.5) AS m, count(*) AS n_pairs FROM p)
+SELECT count(*) AS n_days,
+       max(n_pairs) AS n_pairs,
+       round(max(m.m), 4) AS slope,
+       round(quantile_cont(daily.n - m.m * daily.d, 0.5), 4) AS intercept
+FROM daily, m
+"""
+
+
+# --------------------------------------------------------------------------
+# C32. Harmonic (weekly sin/cos) regression on the daily series — the
+# closed-form seasonality fit that complements C21's decomposition:
+# n ~ intercept + a·sin(2πd/7) + b·cos(2πd/7), solved by the SAME
+# one-pass normal-equation machinery as A21 over the calendar-bounded
+# aggregate. Regressors are rounded to 6 dp on BOTH engines so libm
+# last-ulp sin/cos differences cannot reach the Gram sums.
+# --------------------------------------------------------------------------
+
+def harmonic_weekly_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    daily = _daily_counts(spark, sf_dir)
+    ang = (F.lit(2 * math.pi) * F.col("d")) / 7
+    feat = daily.select(
+        F.round(F.sin(ang), 6).alias("sin_t"),
+        F.round(F.cos(ang), 6).alias("cos_t"),
+        F.col("n").cast("double").alias("n"))
+    return ml.ols_fit_df(feat, ["sin_t", "cos_t"], "n")
+
+HARMONIC_SQL = oracles.normal_eq_sql(
+    ["sin_t", "cos_t"], "n",
+    table=f"""(
+  SELECT round(sin((2 * pi()) * d / 7), 6) AS sin_t,
+         round(cos((2 * pi()) * d / 7), 6) AS cos_t,
+         CAST(n AS DOUBLE) AS n
+  FROM ({_DAILY_SQL}) __d) __t""")
+
+
+# --------------------------------------------------------------------------
+# C33. Grubbs outlier test on the daily series: G = max|n−mean|/sd with
+# the flagged day (Grubbs 1950, public). The deviation |n−mean| is an
+# exact double (integer counts, exact mean S/n), so the argmax ordering
+# is engine-identical; ties break on the earlier day.
+# --------------------------------------------------------------------------
+
+def grubbs_daily_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_counts(spark, sf_dir)
+    st = daily.agg(F.avg("n").alias("__mu"),
+                   F.stddev_samp("n").alias("__sd"),
+                   F.count(F.lit(1)).alias("n_days"))
+    dev = F.abs(F.col("n") - F.col("__mu"))
+    return (daily.crossJoin(F.broadcast(st))
+                 .orderBy(dev.desc(), F.col("d").asc())
+                 .limit(1)
+                 .select("n_days",
+                         F.round(dev / F.col("__sd"), 4).alias("g_stat"),
+                         F.col("d").cast("int").alias("outlier_day"),
+                         F.col("n").alias("outlier_n")))
+
+GRUBBS_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+st AS (SELECT avg(n) AS mu, stddev_samp(n) AS sd, count(*) AS n_days
+       FROM daily)
+SELECT st.n_days,
+       round(abs(daily.n - st.mu) / st.sd, 4) AS g_stat,
+       CAST(daily.d AS INT) AS outlier_day,
+       daily.n AS outlier_n
+FROM daily, st
+ORDER BY abs(daily.n - st.mu) DESC, daily.d ASC
+LIMIT 1
+"""
+
+
+# --------------------------------------------------------------------------
+# C34. Wald-Wolfowitz runs test for randomness of the daily series
+# around its median (public, 1940). Days equal to the (interpolated)
+# median are dropped, per the standard formulation. Everything after
+# the daily aggregate is integer arithmetic + one IEEE sqrt, so the
+# z statistic is bit-identical across engines. The ordered scan is over
+# the calendar-bounded series (allowed global window over ``d``).
+# --------------------------------------------------------------------------
+
+def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_counts(spark, sf_dir)
+    med = daily.agg(F.percentile("n", F.lit(0.5)).alias("__med"))
+    j = (daily.crossJoin(F.broadcast(med))
+              .where(F.col("n") != F.col("__med"))
+              .withColumn("__s", (F.col("n") > F.col("__med")).cast("int")))
+    w = Window.orderBy("d")
+    flips = (j.withColumn("__flip",
+                          (F.col("__s") != F.lag("__s").over(w)).cast("int"))
+              .agg(F.sum("__s").alias("n_pos"),
+                   F.sum(1 - F.col("__s")).alias("n_neg"),
+                   (F.coalesce(F.sum("__flip"), F.lit(0)) + 1).alias("runs")))
+    n1, n2, r = F.col("n_pos"), F.col("n_neg"), F.col("runs")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+           / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)))
+    return flips.select("n_pos", "n_neg", "runs",
+                        F.round((r - mu) / F.sqrt(var), 4).alias("z_stat"))
+
+RUNS_TEST_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+med AS (SELECT quantile_cont(n, 0.5) AS med FROM daily),
+s AS (
+  SELECT d, CASE WHEN n > med THEN 1 ELSE 0 END AS sgn
+  FROM daily, med WHERE n != med
+),
+fl AS (
+  SELECT sgn,
+         CASE WHEN sgn != lag(sgn) OVER (ORDER BY d) THEN 1 ELSE 0 END AS flip
+  FROM s
+),
+f AS (
+  SELECT CAST(sum(sgn) AS BIGINT) AS n_pos,
+         CAST(sum(1 - sgn) AS BIGINT) AS n_neg,
+         CAST(coalesce(sum(flip), 0) + 1 AS BIGINT) AS runs
+  FROM fl
+)
+SELECT n_pos, n_neg, runs,
+       round((runs - (2.0 * n_pos * n_neg / (n_pos + n_neg) + 1))
+             / sqrt(2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - n_pos - n_neg)
+                    / ((n_pos + n_neg) * (n_pos + n_neg)
+                       * (n_pos + n_neg - 1))), 4) AS z_stat
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
+# A86. Two-group Poisson rate comparison (purchase vs error events over
+# the same observation window): rates per active day, their ratio, and
+# the conditional z statistic (n1−n2)/√(n1+n2) — the standard equal-
+# exposure Poisson test (public; e.g. Lehmann, Testing Statistical
+# Hypotheses). One fused aggregate over the filtered fact; integer
+# counts make every output exact.
+# --------------------------------------------------------------------------
+
+def poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull()
+                 & F.col("event_type").isin("purchase", "error")))
+    is_p = (F.col("event_type") == "purchase").cast("long")
+    agg = ev.agg(
+        F.sum(is_p).alias("n_purchase"),
+        F.sum(1 - is_p).alias("n_error"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"))
+    n1, n2, dd = F.col("n_purchase"), F.col("n_error"), F.col("n_days")
+    return agg.select(
+        "n_purchase", "n_error", "n_days",
+        F.round(n1 / dd, 4).alias("rate_purchase"),
+        F.round(n2 / dd, 4).alias("rate_error"),
+        F.round(n1 / n2, 4).alias("rate_ratio"),
+        F.round((n1 - n2) / F.sqrt((n1 + n2).cast("double")), 4)
+         .alias("z_stat"))
+
+POISSON_RATE_SQL = """
+WITH f AS (
+  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2,
+         count(DISTINCT CAST(ts AS DATE)) AS n_days
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IN ('purchase', 'error')
+)
+SELECT n1 AS n_purchase, n2 AS n_error, n_days,
+       round(CAST(n1 AS DOUBLE) / n_days, 4) AS rate_purchase,
+       round(CAST(n2 AS DOUBLE) / n_days, 4) AS rate_error,
+       round(CAST(n1 AS DOUBLE) / n2, 4) AS rate_ratio,
+       round((n1 - n2) / sqrt(CAST(n1 + n2 AS DOUBLE)), 4) AS z_stat
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
+# A87b. Huber robust regression (IRLS M-estimator): the outlier-
+# resistant line fit for l_quantity → l_extendedprice. Each iteration
+# is one fused 5-sum aggregate (no shuffle); see ml.huber_fit_df for
+# the determinism contract shared with the unrolled SQL oracle.
+# --------------------------------------------------------------------------
+
+def huber_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return ml.huber_fit_df(li, "l_quantity", "l_extendedprice",
+                           delta=1000.0, n_iter=2)
+
+HUBER_SQL = oracles.huber_sql("l_quantity", "l_extendedprice",
+                              delta=1000.0, n_iter=2)
+
+
+# --------------------------------------------------------------------------
+# B37. Gopher quality rule set (Rae et al. 2021): per-document boolean
+# rules + combined pass flag. One codegen'd projection, zero shuffles.
+# --------------------------------------------------------------------------
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.gopher_flags(docs).select(
+        "doc_id", "n_words", "mean_word_len", "flag_word_count",
+        "flag_word_len", "flag_symbol_ratio", "flag_alpha_ratio",
+        "flag_stopwords", "pass_gopher")
+
+GOPHER_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_words,
+         len(regexp_extract_all(text, '[#…]')) AS n_sym,
+         len(regexp_extract_all(text, '\b[A-Za-z]+\b')) AS n_alpha,
+         len(regexp_extract_all(lower(text),
+             '\b(the|a|of|to|and|is|in|that|it|for)\b')) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_words,
+       round(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words, 4)
+         AS mean_word_len,
+       CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS flag_word_count,
+       CAST(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words >= 3.0
+            AND CAST(n_chars - n_words + 1 AS DOUBLE) / n_words <= 10.0
+            AS INT) AS flag_word_len,
+       CAST(CAST(n_sym AS DOUBLE) <= 0.1 * n_chars AS INT)
+         AS flag_symbol_ratio,
+       CAST(CAST(n_alpha AS DOUBLE) >= 0.8 * n_words AS INT)
+         AS flag_alpha_ratio,
+       CAST(n_stop >= 2 AS INT) AS flag_stopwords,
+       CAST(n_words >= 50 AND n_words <= 100000
+            AND CAST(n_chars - n_words + 1 AS DOUBLE) / n_words >= 3.0
+            AND CAST(n_chars - n_words + 1 AS DOUBLE) / n_words <= 10.0
+            AND CAST(n_sym AS DOUBLE) <= 0.1 * n_chars
+            AND CAST(n_alpha AS DOUBLE) >= 0.8 * n_words
+            AND n_stop >= 2 AS INT) AS pass_gopher
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
+# B38. Heaps'-law fit: vocabulary growth V = K·N^β across sources,
+# estimated by OLS on (ln N, ln V) per source (Heaps 1978, public; the
+# lexical-diversity companion to B33's Zipf slope). The explode+agg is
+# the only distributed work; the fit runs over #sources points through
+# the same normal-equation machinery as A21. ln features are rounded
+# to 6 dp on both engines before the Gram sums.
+# --------------------------------------------------------------------------
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    per_src = (toks.groupBy("source")
+                   .agg(F.count(F.lit(1)).alias("__n"),
+                        F.countDistinct("tok").alias("__v")))
+    feat = per_src.select(F.round(F.log("__n"), 6).alias("ln_n"),
+                          F.round(F.log("__v"), 6).alias("ln_v"))
+    return ml.ols_fit_df(feat, ["ln_n"], "ln_v")
+
+HEAPS_SQL = oracles.normal_eq_sql(
+    ["ln_n"], "ln_v",
+    table=r"""(
+  SELECT round(ln(count(*)), 6) AS ln_n,
+         round(ln(count(DISTINCT tok)), 6) AS ln_v
+  FROM (SELECT source,
+               unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents) __toks
+  GROUP BY source) __t""")
+
+
+# --------------------------------------------------------------------------
+# B39. BM25 ranked retrieval (Robertson-Spärck Jones, public) for a
+# fixed query over the corpus: tf/df from one explode+agg, idf and
+# avgdl rounded (6/4 dp) so both engines score with identical decimal
+# constants, per-term partial scores summed in a FIXED column order
+# (never a float sum whose order the engine picks). Top-20 with
+# doc_id tiebreak. Scale shape: posting-list join on the query terms
+# only (the term filter prunes the exploded table before any shuffle).
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "window"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__dl"))
+    stats_g = dl.agg(F.round(F.avg("__dl"), 4).alias("__avgdl"),
+                     F.count(F.lit(1)).alias("__nd"))
+    hits = (toks.where(F.col("tok").isin(_BM25_TERMS))
+                .groupBy("doc_id", "tok")
+                .agg(F.count(F.lit(1)).alias("__tf")))
+    dfreq = hits.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (hits.join(dl, "doc_id")
+                  .join(F.broadcast(dfreq), "tok")
+                  .crossJoin(F.broadcast(stats_g)))
+    idf = F.round(F.log((F.col("__nd") - F.col("__df") + 0.5)
+                        / (F.col("__df") + 0.5) + 1), 6)
+    tf = F.col("__tf").cast("double")
+    part = (idf * (tf * (_BM25_K1 + 1))
+            / (tf + _BM25_K1 * (1 - _BM25_B
+                                + _BM25_B * F.col("__dl") / F.col("__avgdl"))))
+    per_term = scored.select("doc_id", "tok", part.alias("__s"))
+    # fixed-order sum: one conditional agg per query term, added in
+    # list order — engines may not reorder a + b + c over columns
+    aggs = [F.sum(F.when(F.col("tok") == t, F.col("__s"))
+                  .otherwise(F.lit(0.0))).alias(f"__s_{i}")
+            for i, t in enumerate(_BM25_TERMS)]
+    total = per_term.groupBy("doc_id").agg(*aggs)
+    score = F.col("__s_0")
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + F.col(f"__s_{i}")
+    return (total.select("doc_id", F.round(score, 4).alias("bm25"))
+                 .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+                 .limit(20))
+
+_BM25_CASES = ",\n         ".join(
+    f"sum(CASE WHEN tok = '{t}' THEN s ELSE 0.0 END) AS s_{i}"
+    for i, t in enumerate(_BM25_TERMS))
+BM25_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+g AS (SELECT round(avg(dl), 4) AS avgdl, count(*) AS nd FROM dl),
+hits AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT tok, count(*) AS df FROM hits GROUP BY 1),
+scored AS (
+  SELECT h.doc_id, h.tok,
+         round(ln((g.nd - f.df + 0.5) / (f.df + 0.5) + 1), 6)
+           * (CAST(h.tf AS DOUBLE) * ({_BM25_K1} + 1))
+           / (CAST(h.tf AS DOUBLE)
+              + {_BM25_K1} * (1 - {_BM25_B}
+                              + {_BM25_B} * dl.dl / g.avgdl)) AS s
+  FROM hits h JOIN dl ON dl.doc_id = h.doc_id
+  JOIN dfreq f ON f.tok = h.tok CROSS JOIN g
+),
+tot AS (
+  SELECT doc_id,
+         {_BM25_CASES}
+  FROM scored GROUP BY 1
+)
+SELECT doc_id,
+       round(s_0 + s_1 + s_2, 4) AS bm25
+FROM tot
+ORDER BY s_0 + s_1 + s_2 DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# B40. Multinomial naive Bayes language classifier (public; McCallum &
+# Nigam 1998): train token likelihoods on an 80% doc_id-hash split,
+# predict the held-out 20%. Per-token log-likelihoods and log-priors
+# are rounded to 6 dp on BOTH engines before the per-document sum, and
+# the argmax rounds the total to 6 dp with a lexicographic lang
+# tiebreak — so the prediction is engine-stable. Scale shape: token
+# counts are one explode+agg; scoring is an equi-join of the test
+# token table against the (lang, token) likelihood table (broadcast-
+# able here; falls back to a shuffle hash join when the vocabulary is
+# large) — never a per-row Python loop.
+# --------------------------------------------------------------------------
+
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    test = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    tr_tok = train.select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    clt = tr_tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("__c"))
+    nl = tr_tok.groupBy("lang").agg(F.count(F.lit(1)).alias("__nl"))
+    vocab = tr_tok.agg(F.countDistinct("tok").alias("__v"))
+    pri = (train.groupBy("lang").agg(F.count(F.lit(1)).alias("__nd"))
+                .crossJoin(F.broadcast(
+                    train.agg(F.count(F.lit(1)).alias("__nt"))))
+                .select("lang", F.round(F.log(F.col("__nd")
+                                              / F.col("__nt")), 6)
+                                 .alias("__logprior")))
+    te_tok = test.select(
+        F.col("doc_id"), F.col("lang").alias("true_lang"),
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    cand = (te_tok.crossJoin(
+                F.broadcast(nl.crossJoin(vocab)
+                              .withColumnRenamed("lang", "__l")))
+                  .join(clt, (F.col("__l") == clt["lang"])
+                             & (te_tok["tok"] == clt["tok"]), "left")
+                  .drop(clt["lang"]).drop(clt["tok"]))
+    term = F.round(F.log((F.coalesce(F.col("__c"), F.lit(0)) + 1)
+                         / (F.col("__nl") + F.col("__v")).cast("double")),
+                   6)
+    per_lang = (cand.groupBy("doc_id", "true_lang",
+                             F.col("__l").alias("cand_lang"))
+                    .agg(F.sum(term).alias("__ll"))
+                    .join(F.broadcast(pri),
+                          F.col("cand_lang") == pri["lang"])
+                    .select("doc_id", "true_lang", "cand_lang",
+                            F.round(F.col("__ll") + F.col("__logprior"), 6)
+                             .alias("__score")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("__score").desc(), F.col("cand_lang").asc())
+    return (per_lang.withColumn("__r", F.row_number().over(w))
+                    .where(F.col("__r") == 1)
+                    .select("doc_id",
+                            F.col("cand_lang").alias("pred_lang"),
+                            (F.col("pred_lang") == F.col("true_lang"))
+                            .cast("int").alias("correct")))
+
+NAIVE_BAYES_SQL = r"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+tr_tok AS (
+  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM train
+),
+clt AS (SELECT lang, tok, count(*) AS c FROM tr_tok GROUP BY 1, 2),
+nl AS (SELECT lang, count(*) AS nl FROM tr_tok GROUP BY 1),
+vocab AS (SELECT count(DISTINCT tok) AS v FROM tr_tok),
+pri AS (
+  SELECT lang,
+         round(ln(CAST(count(*) AS DOUBLE)
+                  / (SELECT count(*) FROM train)), 6) AS logprior
+  FROM train GROUP BY 1
+),
+te_tok AS (
+  SELECT doc_id, lang AS true_lang,
+         unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM test
+),
+cand AS (
+  SELECT t.doc_id, t.true_lang, nl.lang AS cand_lang,
+         round(ln((coalesce(clt.c, 0) + 1)
+                  / CAST(nl.nl + vocab.v AS DOUBLE)), 6) AS term
+  FROM te_tok t CROSS JOIN nl CROSS JOIN vocab
+  LEFT JOIN clt ON clt.lang = nl.lang AND clt.tok = t.tok
+),
+per_lang AS (
+  SELECT c.doc_id, c.true_lang, c.cand_lang,
+         round(sum(c.term) + max(p.logprior), 6) AS score
+  FROM cand c JOIN pri p ON p.lang = c.cand_lang
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT doc_id, true_lang, cand_lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand_lang ASC) AS r
+  FROM per_lang
+)
+SELECT doc_id, cand_lang AS pred_lang,
+       CAST(cand_lang = true_lang AS INT) AS correct
+FROM ranked WHERE r = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -6677,6 +7181,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "missingness_patterns": (missingness_patterns, MISS_PATTERNS_SQL),
     "hashed_token_vectors": (hashed_token_vectors, HASHED_VECTORS_SQL),
     "max_concurrent_sessions": (max_concurrent_sessions, MAX_CONCURRENT_SQL),
+    "theilsen_daily_trend": (theilsen_daily_trend, THEILSEN_SQL),
+    "harmonic_weekly_fit": (harmonic_weekly_fit, HARMONIC_SQL),
+    "grubbs_daily_outlier": (grubbs_daily_outlier, GRUBBS_SQL),
+    "runs_test_daily": (runs_test_daily, RUNS_TEST_SQL),
+    "poisson_rate_ratio": (poisson_rate_ratio, POISSON_RATE_SQL),
+    "huber_lineitem": (huber_lineitem, HUBER_SQL),
+    "gopher_quality_flags": (gopher_quality_flags, GOPHER_SQL),
+    "heaps_law_fit": (heaps_law_fit, HEAPS_SQL),
+    "bm25_scoring": (bm25_scoring, BM25_SQL),
+    "naive_bayes_langid": (naive_bayes_langid, NAIVE_BAYES_SQL),
 }
 
 
@@ -6712,6 +7226,11 @@ _CHANGED_IN_ROUND = {name: 2 for name in [
     "bagged_trees_importance", "missingness_profile",
     "missingness_patterns", "hashed_token_vectors",
     "max_concurrent_sessions", "embedding_centroids",
+    # round-2 late additions (never driver-verified)
+    "theilsen_daily_trend", "harmonic_weekly_fit", "grubbs_daily_outlier",
+    "runs_test_daily", "poisson_rate_ratio", "huber_lineitem",
+    "gopher_quality_flags", "heaps_law_fit", "bm25_scoring",
+    "naive_bayes_langid",
 ]}
 
 

