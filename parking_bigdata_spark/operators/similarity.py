@@ -416,3 +416,60 @@ def ann_lsh_topk(df: DataFrame, query_df: DataFrame, k: int = 3,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)
                   .select("query_id", "cand_id", "score", "rank"))
+
+
+def semdedup(df: DataFrame, n_cells: int = 16, threshold: float = 0.4,
+             seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding", round_to: int = 4) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic deduplication by
+    clustering embeddings and removing near-identical vectors WITHIN
+    each cluster — candidate generation cost is per-cell, never
+    all-pairs over the corpus.
+
+    Composition of the existing scale pieces: `ivf_fit_centroids`
+    (seeded k-means++ on a bounded sample) → `ivf_assign` (one GEMM
+    per Arrow batch, no shuffle) → per-cell exact pair GEMM via
+    `applyInPandas` (the `embedding_near_dup_pairs_lsh` kernel shape,
+    cells instead of hash buckets) → one agg picking each duplicate's
+    keeper. Removal rule, deterministic: a vector is a duplicate if
+    some SMALLER id in its cell has cosine ≥ threshold; its keeper is
+    the smallest such id (`min_by` for the keeper's cosine). Emitted
+    cosines are per-pair einsum recomputes rounded to ``round_to`` —
+    independent of bucket shape, so the output is partition-stable
+    (the expected-oracle determinism contract).
+
+    At 100 TB: cells bound candidates like IVF search does; skewed
+    cells can be split by raising ``n_cells`` or sub-bucketing a hot
+    cell with `hyperplane_bucket_expr` — same remedy as LSH hot
+    buckets.
+    """
+    import pandas as pd
+    C = ivf_fit_centroids(df, n_cells=n_cells, seed=seed, vec_col=vec_col)
+    assigned = ivf_assign(df.select(id_col, vec_col), C,
+                          id_col=id_col, vec_col=vec_col)
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        V = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf[vec_col]])
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = V @ V.T
+        margin = 0.5 * 10.0 ** (-round_to) + 1e-9
+        ia, ib = np.where(np.triu(S >= threshold - margin, k=1))
+        if not len(ia):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        exact = np.round(np.einsum("ij,ij->i", V[ia], V[ib]), round_to)
+        keep = exact >= threshold
+        ids = pdf[id_col].to_numpy()
+        a, b = ids[ia][keep], ids[ib][keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "cosine": exact[keep]})
+
+    pairs = assigned.groupBy("cell").applyInPandas(cell_pairs, out_schema)
+    return (pairs.groupBy(F.col("id_b").alias(id_col))
+                 .agg(F.min("id_a").alias("keep_id"),
+                      F.min_by("cosine", "id_a").alias("cosine")))

@@ -6991,6 +6991,18 @@ FROM ranked WHERE r = 1
 
 
 # --------------------------------------------------------------------------
+# B42. SemDeDup — semantic dedup via k-means cells + in-cell cosine
+# (Abbas et al. 2023). Expected-parquet oracle (the quantizer is not
+# SQL-expressible); semantic recall is asserted against the exact
+# near-dup kernel in tests/test_round2_late.py.
+# --------------------------------------------------------------------------
+
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.semdedup(emb, n_cells=16, threshold=0.4)
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -7191,6 +7203,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "heaps_law_fit": (heaps_law_fit, HEAPS_SQL),
     "bm25_scoring": (bm25_scoring, BM25_SQL),
     "naive_bayes_langid": (naive_bayes_langid, NAIVE_BAYES_SQL),
+    "semdedup_embeddings": (semdedup_embeddings,
+                            _expected_sql("semdedup_embeddings")),
 }
 
 
@@ -7230,7 +7244,7 @@ _CHANGED_IN_ROUND = {name: 2 for name in [
     "theilsen_daily_trend", "harmonic_weekly_fit", "grubbs_daily_outlier",
     "runs_test_daily", "poisson_rate_ratio", "huber_lineitem",
     "gopher_quality_flags", "heaps_law_fit", "bm25_scoring",
-    "naive_bayes_langid",
+    "naive_bayes_langid", "semdedup_embeddings",
 ]}
 
 

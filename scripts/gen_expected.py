@@ -62,6 +62,10 @@ EXPECTED_ORACLE_QUERIES = [
     "lasso_path",
     "stepwise_aic_selection",
     "ann_ivf",
+    # semdedup qualifies for the same reason as ann_ivf: its quantizer
+    # sample exceeds the corpus at every oracle SF, and the emitted
+    # cosines are per-pair einsum recomputes (bucket-shape-independent)
+    "semdedup_embeddings",
     # Tree ensembles (RF/GBT/bagged) are deliberately EXCLUDED: MLlib's
     # bootstrap is per-PARTITION seeded (reseedRandomGenerator(seed +
     # partitionIndex)), so importances move with the input partitioning
