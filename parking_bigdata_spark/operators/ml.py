@@ -656,3 +656,54 @@ def huber_fit_df(df: DataFrame, x: str, y: str, delta: float = 1000.0,
         [("intercept", round(b0, round_to)),
          (f"coef_{x}", round(b1, round_to))],
         "term string, estimate double")
+
+
+def poisson_glm_df(df: DataFrame, xs: list[str], y: str, n_iter: int = 3,
+                   round_to: int = 4) -> DataFrame:
+    """Poisson regression (log link) via IRLS — the count-data GLM
+    (Nelder-Wedderburn 1972, public), completing the family next to
+    `ols_fit` and `logreg_irls`.
+
+    Each iteration is ONE fused aggregate: with the current β folded
+    into codegen, μ = exp(Xβ) and the weighted Gram XᵀWX (W = diag μ)
+    plus the working response XᵀWz = Σx(μη + y − μ) are
+    (k+1)(k+4)/2 scalars per scan. Determinism contract with the
+    unrolled SQL oracle (oracles.poisson_glm_sql): β is rounded to
+    6 dp between iterations and μ to 6 dp inside each scan, so both
+    engines aggregate identical per-row values; the driver's numpy
+    solve and the oracle's Cramer solve then agree within the 6-dp
+    round. Init: intercept = round(ln ȳ, 6), slopes 0.
+    """
+    cols = ["__one"] + xs
+    d = df
+    for c in xs + [y]:
+        d = d.where(F.col(c).isNotNull())
+    d = d.withColumn("__one", F.lit(1.0))
+    k = len(cols)
+    ybar = d.agg(F.avg(y).alias("m")).collect()[0]["m"]
+    beta = [round(float(np.log(ybar)), 6)] + [0.0] * (k - 1)
+    for _ in range(n_iter):
+        eta = F.lit(beta[0])
+        for c, b in zip(cols[1:], beta[1:]):
+            eta = eta + F.lit(b) * F.col(c)
+        mu = F.round(F.exp(eta), 6)
+        aggs = []
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(F.sum(mu * F.col(cols[i]) * F.col(cols[j]))
+                            .alias(f"h_{i}_{j}"))
+            aggs.append(F.sum(F.col(cols[i])
+                              * (mu * eta + F.col(y) - mu))
+                        .alias(f"r_{i}"))
+        row = d.agg(*aggs).collect()[0].asDict()
+        H = np.zeros((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                H[i, j] = H[j, i] = row[f"h_{i}_{j}"]
+        rhs = np.array([row[f"r_{i}"] for i in range(k)])
+        beta = [round(float(b), 6) for b in np.linalg.solve(H, rhs)]
+    spark = df.sparkSession
+    rows = [("intercept", round(beta[0], round_to))]
+    rows += [(f"coef_{c}", round(b, round_to))
+             for c, b in zip(xs, beta[1:])]
+    return spark.createDataFrame(rows, "term string, estimate double")

@@ -202,3 +202,47 @@ def huber_sql(x: str, y: str, delta: float = 1000.0, n_iter: int = 2,
             "UNION ALL\n"
             f"SELECT 'coef_{x}' AS term, round(b1, {round_to}) AS estimate"
             f" FROM {last}")
+
+
+def poisson_glm_sql(xs: list[str], y: str, table: str, n_iter: int = 3,
+                    round_to: int = 4) -> str:
+    """Oracle for ml.poisson_glm_df: IRLS unrolled into chained CTEs.
+    Iteration t computes μ = round(exp(η), 6) from iteration t−1's
+    6-dp coefficients (identical decimal constants on both engines),
+    aggregates the weighted Gram + working response, and Cramer-solves
+    the (k+1)-system, rounding the new coefficients to 6 dp."""
+    k = len(xs) + 1
+    cols = ["1.0"] + xs
+    names = ["intercept"] + [f"coef_{c}" for c in xs]
+    ctes = [f"c0 AS (\n  SELECT round(ln(avg({y})), 6) AS b0, "
+            + ", ".join(f"0.0 AS b{i}" for i in range(1, k))
+            + f"\n  FROM {table}\n)"]
+    for it in range(1, n_iter + 1):
+        p = f"c{it - 1}"
+        eta = f"({p}.b0" + "".join(
+            f" + {p}.b{i} * {c}" for i, c in enumerate(xs, 1)) + ")"
+        mu = f"round(exp({eta}), 6)"
+        items = []
+        for i in range(k):
+            for j in range(i, k):
+                items.append(f"sum({mu} * {cols[i]} * {cols[j]})"
+                             f" AS h_{i}_{j}")
+            items.append(f"sum({cols[i]} * ({mu} * {eta} + {y} - {mu}))"
+                         f" AS r_{i}")
+        ctes.append(f"m{it} AS (\n  SELECT "
+                    + ",\n         ".join(items)
+                    + f"\n  FROM {table}, {p}\n)")
+        H = [[f"h_{min(i, j)}_{max(i, j)}" for j in range(k)]
+             for i in range(k)]
+        det = sql_det(H)
+        sols = []
+        for col in range(k):
+            Mj = [[f"r_{i}" if c == col else H[i][c] for c in range(k)]
+                  for i in range(k)]
+            sols.append(f"round({sql_det(Mj)}\n  / {det}, 6) AS b{col}")
+        ctes.append(f"c{it} AS (\n  SELECT "
+                    + ",\n         ".join(sols) + f"\n  FROM m{it}\n)")
+    last = f"c{n_iter}"
+    sels = [f"SELECT '{nm}' AS term, round(b{i}, {round_to}) AS estimate"
+            f" FROM {last}" for i, nm in enumerate(names)]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)

@@ -7003,6 +7003,270 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B43. Cross-document duplicate passages: exact dedup at CHUNK
+# granularity (the RefinedWeb/C4 passage-dedup step, public). Reuses
+# the B28 chunker with stride == size (non-overlapping passages) at a
+# small window so the synthetic corpus actually collides; output is
+# the top repeated passages with occurrence and distinct-doc counts.
+# Scale: one projection + one (chunk_md5) shuffle — the md5 is the
+# shuffle key, so the fact never moves twice.
+# --------------------------------------------------------------------------
+
+def duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ch = text_ops.chunk_tokens(docs, size=3, stride=3)
+    return (ch.groupBy("chunk_md5")
+              .agg(F.count(F.lit(1)).alias("n_total"),
+                   F.countDistinct("doc_id").alias("n_docs"),
+                   F.min("doc_id").alias("first_doc"))
+              .where(F.col("n_docs") > 1)
+              .orderBy(F.col("n_total").desc(), F.col("chunk_md5").asc())
+              .limit(50))
+
+DUPLICATE_CHUNKS_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                      ' ') AS w
+  FROM documents
+), st AS (
+  SELECT doc_id, w, len(w) AS n,
+         unnest(generate_series(1, greatest(len(w) - 3 + 1, 1), 3)) AS s
+  FROM base
+), ch AS (
+  SELECT doc_id, md5(array_to_string(list_slice(w, s, s + 2), ' ')) AS chunk_md5
+  FROM st
+)
+SELECT chunk_md5, count(*) AS n_total,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS first_doc
+FROM ch GROUP BY 1
+HAVING count(DISTINCT doc_id) > 1
+ORDER BY n_total DESC, chunk_md5 ASC
+LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
+# A97. Cochran-Armitage trend test (public, 1954/55): is the fraction
+# of finished orders monotonically associated with the ordered
+# priority level? Scores = the priority's leading digit (1-URGENT …
+# 5-LOW). One contingency aggregate; every input to the z statistic is
+# an integer count, so the result is engine-exact.
+# --------------------------------------------------------------------------
+
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = F.substring("o_orderpriority", 1, 1).cast("long")
+    fin = (F.col("o_orderstatus") == "F").cast("long")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(fin).alias("__r"),
+        F.sum(w).alias("__swn"),
+        F.sum(w * w).alias("__swwn"),
+        F.sum(w * fin).alias("__t"))
+    n, r = F.col("__n"), F.col("__r")
+    pbar = r / n
+    t, swn, swwn = F.col("__t"), F.col("__swn"), F.col("__swwn")
+    var = pbar * (1 - pbar) * (swwn - swn * swn / n)
+    return agg.select(
+        n.alias("n_orders"), r.alias("n_finished"),
+        F.round(pbar, 4).alias("p_finished"),
+        F.round((t - pbar * swn) / F.sqrt(var), 4).alias("z_trend"))
+
+COCHRAN_ARMITAGE_SQL = """
+WITH f AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r,
+         CAST(sum(CAST(substr(o_orderpriority, 1, 1) AS BIGINT))
+              AS BIGINT) AS swn,
+         CAST(sum(CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                  * CAST(substr(o_orderpriority, 1, 1) AS BIGINT))
+              AS BIGINT) AS swwn,
+         CAST(sum(CASE WHEN o_orderstatus = 'F'
+                       THEN CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS t
+  FROM orders
+)
+SELECT n AS n_orders, r AS n_finished,
+       round(CAST(r AS DOUBLE) / n, 4) AS p_finished,
+       round((t - (CAST(r AS DOUBLE) / n) * swn)
+             / sqrt((CAST(r AS DOUBLE) / n) * (1 - CAST(r AS DOUBLE) / n)
+                    * (swwn - CAST(swn AS DOUBLE) * swn / n)), 4) AS z_trend
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
+# B44. Triangle count + global clustering coefficient on the brand
+# co-purchase graph (public; the standard edge-join triangle
+# enumeration, e.g. Suri-Vassilvitskii 2011). Edges = brand pairs
+# co-occurring in MORE orders than the mean pair (SF-robust
+# threshold); pairs are generated IN-ROW from per-order sorted brand
+# arrays (the basket_brand_lift construction — no fact self-join).
+# The edge table is nodes²-bounded, so the wedge/triangle joins run
+# broadcast; at web scale the same joins shuffle on node id, which is
+# the canonical distributed algorithm.
+# --------------------------------------------------------------------------
+
+def triangle_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .select(F.col("l_orderkey").alias("ok"),
+                    F.col("p_brand").alias("brand"))
+            .distinct())
+    per_order = ob.groupBy("ok").agg(
+        F.sort_array(F.collect_set("brand")).alias("bs"))
+    pairs_arr = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.size("bs") - 2),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.size("bs") - 1),
+            lambda j: F.struct(
+                F.element_at(F.col("bs"), i + 1).alias("a"),
+                F.element_at(F.col("bs"), j + 1).alias("b")))))
+    pc = (per_order.where(F.size("bs") >= 2)
+          .select(F.explode(pairs_arr).alias("p"))
+          .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+          .agg(F.count(F.lit(1)).alias("n_ab")))
+    thr = pc.agg(F.avg("n_ab").alias("__thr"))  # mean is exact: S/n
+    e = (pc.crossJoin(F.broadcast(thr))
+           .where(F.col("n_ab") > F.col("__thr"))
+           .select("a", "b")
+           .localCheckpoint(eager=True))
+    deg = (e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    base = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long")
+         .alias("n_wedges"))
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+             .join(e3, (F.col("e1.a") == F.col("e3.a"))
+                       & (F.col("e2.b") == F.col("e3.b")))
+             .agg(F.count(F.lit(1)).alias("n_triangles")))
+    return (base.crossJoin(F.broadcast(ne))
+                .crossJoin(F.broadcast(tri))
+                .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
+                        F.round(3.0 * F.col("n_triangles")
+                                / F.greatest(F.col("n_wedges"), F.lit(1)),
+                                4).alias("clustering_coef")))
+
+TRIANGLE_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), pc AS (
+  SELECT x.brand AS a, y.brand AS b, count(*) AS n_ab
+  FROM ob x JOIN ob y ON x.ok = y.ok AND x.brand < y.brand
+  GROUP BY 1, 2
+), e AS (
+  SELECT a, b FROM pc WHERE n_ab > (SELECT avg(n_ab) FROM pc)
+), deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+  ) GROUP BY 1
+), base AS (
+  SELECT count(*) AS n_nodes,
+         CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+  FROM deg
+), ne AS (SELECT count(*) AS n_edges FROM e),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       round(3.0 * n_triangles / greatest(n_wedges, 1), 4)
+         AS clustering_coef
+FROM base, ne, tri
+"""
+
+
+# --------------------------------------------------------------------------
+# B45. KL divergence of each source's token distribution from the
+# corpus distribution (add-1 smoothed over the corpus vocabulary) —
+# the information-theoretic companion to B26's PSI drift. The dense
+# (source × vocab) grid is sources × |V| rows — an equi-join of two
+# aggregates, no all-pairs; per-cell terms are rounded to 8 dp so
+# engine ln ulps cannot reach the vocab-sized sum.
+# --------------------------------------------------------------------------
+
+def kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    cst = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("__c"))
+    ns = toks.groupBy("source").agg(F.count(F.lit(1)).alias("__ns"))
+    glob = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__g"))
+    tot = glob.agg(F.sum("__g").alias("__n"),
+                   F.count(F.lit(1)).alias("__v"))
+    grid = (ns.crossJoin(glob)
+              .join(cst, ["source", "tok"], "left")
+              .crossJoin(F.broadcast(tot)))
+    p = (F.coalesce(F.col("__c"), F.lit(0)) + 1) \
+        / (F.col("__ns") + F.col("__v")).cast("double")
+    q = (F.col("__g") + 1) / (F.col("__n") + F.col("__v")).cast("double")
+    term = F.round(p * F.log(p / q), 8)
+    return (grid.groupBy("source")
+                .agg(F.max("__ns").alias("n_tokens"),
+                     F.round(F.sum(term), 4).alias("kl_divergence")))
+
+KL_DIVERGENCE_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+),
+cst AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+ns AS (SELECT source, count(*) AS ns FROM toks GROUP BY 1),
+gl AS (SELECT tok, count(*) AS g FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(g) AS BIGINT) AS n, count(*) AS v FROM gl),
+grid AS (
+  SELECT ns.source, ns.ns, gl.g, tot.n, tot.v,
+         coalesce(cst.c, 0) AS c
+  FROM ns CROSS JOIN gl
+  LEFT JOIN cst ON cst.source = ns.source AND cst.tok = gl.tok
+  CROSS JOIN tot
+)
+SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+       round(sum(round(((c + 1) / CAST(ns + v AS DOUBLE))
+                       * ln(((c + 1) / CAST(ns + v AS DOUBLE))
+                            / ((g + 1) / CAST(n + v AS DOUBLE))), 8)), 4)
+         AS kl_divergence
+FROM grid GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# C36. Poisson GLM (log link) on the daily event series with weekly
+# harmonics — the count-data companion to C33's Gaussian fit: rate
+# λ(d) = exp(b0 + b1·sin + b2·cos). IRLS over the calendar-bounded
+# aggregate; determinism contract in ml.poisson_glm_df.
+# --------------------------------------------------------------------------
+
+def poisson_glm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    daily = _daily_counts(spark, sf_dir)
+    ang = (F.lit(2 * math.pi) * F.col("d")) / 7
+    feat = daily.select(
+        F.round(F.sin(ang), 6).alias("sin_t"),
+        F.round(F.cos(ang), 6).alias("cos_t"),
+        F.col("n").cast("double").alias("n"))
+    return ml.poisson_glm_df(feat, ["sin_t", "cos_t"], "n", n_iter=3)
+
+POISSON_GLM_SQL = oracles.poisson_glm_sql(
+    ["sin_t", "cos_t"], "n", n_iter=3,
+    table=f"""(
+  SELECT round(sin((2 * pi()) * d / 7), 6) AS sin_t,
+         round(cos((2 * pi()) * d / 7), 6) AS cos_t,
+         CAST(n AS DOUBLE) AS n
+  FROM ({_DAILY_SQL}) __d) __t""")
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -7205,6 +7469,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "naive_bayes_langid": (naive_bayes_langid, NAIVE_BAYES_SQL),
     "semdedup_embeddings": (semdedup_embeddings,
                             _expected_sql("semdedup_embeddings")),
+    "duplicate_chunks": (duplicate_chunks, DUPLICATE_CHUNKS_SQL),
+    "cochran_armitage_trend": (cochran_armitage_trend,
+                               COCHRAN_ARMITAGE_SQL),
+    "triangle_count_brands": (triangle_count_brands, TRIANGLE_SQL),
+    "kl_divergence_by_source": (kl_divergence_by_source, KL_DIVERGENCE_SQL),
+    "poisson_glm_daily": (poisson_glm_daily, POISSON_GLM_SQL),
 }
 
 
@@ -7244,7 +7514,9 @@ _CHANGED_IN_ROUND = {name: 2 for name in [
     "theilsen_daily_trend", "harmonic_weekly_fit", "grubbs_daily_outlier",
     "runs_test_daily", "poisson_rate_ratio", "huber_lineitem",
     "gopher_quality_flags", "heaps_law_fit", "bm25_scoring",
-    "naive_bayes_langid", "semdedup_embeddings",
+    "naive_bayes_langid", "semdedup_embeddings", "duplicate_chunks",
+    "cochran_armitage_trend", "triangle_count_brands",
+    "kl_divergence_by_source", "poisson_glm_daily",
 ]}
 
 

@@ -182,3 +182,94 @@ def test_semdedup_pairs_are_exact_subset(spark, sf_dir):
     removed_exact = set(ex.id_b)
     recall = len(set(sd.vec_id) & removed_exact) / max(1, len(removed_exact))
     assert recall >= 0.3
+
+
+def test_cochran_armitage_matches_manual(spark, sf_dir):
+    got = Q.cochran_armitage_trend(spark, sf_dir).toPandas().iloc[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderpriority", "o_orderstatus"])
+    w = o["o_orderpriority"].str[0].astype(int).to_numpy()
+    f = (o["o_orderstatus"] == "F").to_numpy(int)
+    n, r, t = len(o), f.sum(), (w * f).sum()
+    pbar = r / n
+    var = pbar * (1 - pbar) * ((w * w).sum() - w.sum() ** 2 / n)
+    assert got["n_orders"] == n and got["n_finished"] == r
+    assert got["z_trend"] == pytest.approx((t - pbar * w.sum())
+                                           / math.sqrt(var), abs=1e-4)
+
+
+def test_triangle_count_matches_pandas(spark, sf_dir):
+    got = Q.triangle_count_brands(spark, sf_dir).toPandas().iloc[0]
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    pt = pd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    ob = (li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+            [["l_orderkey", "p_brand"]].drop_duplicates())
+    pairs = {}
+    for _, grp in ob.groupby("l_orderkey"):
+        bs = sorted(grp["p_brand"])
+        for i in range(len(bs)):
+            for j in range(i + 1, len(bs)):
+                pairs[(bs[i], bs[j])] = pairs.get((bs[i], bs[j]), 0) + 1
+    thr = sum(pairs.values()) / len(pairs)
+    edges = {p for p, c in pairs.items() if c > thr}
+    nodes = {v for e in edges for v in e}
+    tri = sum(1 for (a, b) in edges for (b2, c) in edges
+              if b == b2 and (a, c) in edges)
+    assert got["n_edges"] == len(edges)
+    assert got["n_nodes"] == len(nodes)
+    assert got["n_triangles"] == tri
+
+
+def test_kl_divergence_nonnegative_and_consistent(spark, sf_dir):
+    got = Q.kl_divergence_by_source(spark, sf_dir).toPandas()
+    assert (got["kl_divergence"] >= 0).all()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+    toks = docs.assign(tok=docs["text"].str.strip().str.split()) \
+               .explode("tok")[["source", "tok"]]
+    g = toks["tok"].value_counts()
+    n, v = len(toks), g.size
+    src = "src0"
+    cs = toks[toks["source"] == src]["tok"].value_counts()
+    ns = int(cs.sum())
+    kl = sum(round(((cs.get(t, 0) + 1) / (ns + v))
+                   * math.log(((cs.get(t, 0) + 1) / (ns + v))
+                              / ((g[t] + 1) / (n + v))), 8)
+             for t in g.index)
+    row = got.set_index("source").loc[src]
+    assert row["n_tokens"] == ns
+    assert row["kl_divergence"] == pytest.approx(kl, abs=1e-3)
+
+
+def test_poisson_glm_matches_converged_mle(spark, sf_dir):
+    got = (Q.poisson_glm_daily(spark, sf_dir).toPandas()
+           .set_index("term")["estimate"])
+    daily = _daily(sf_dir)
+    t = daily["d"].to_numpy(float)
+    y = daily["n"].to_numpy(float)
+    X = np.column_stack([
+        np.ones_like(t),
+        np.round(np.sin(2 * math.pi * t / 7), 6),
+        np.round(np.cos(2 * math.pi * t / 7), 6)])
+    # independent check: run IRLS to FULL convergence (no rounding) —
+    # 3 rounded iterations must land within newton-quadratic distance
+    beta = np.array([math.log(y.mean()), 0.0, 0.0])
+    for _ in range(25):
+        mu = np.exp(X @ beta)
+        W = mu
+        H = X.T @ (W[:, None] * X)
+        rhs = X.T @ (W * (X @ beta) + (y - mu))
+        beta = np.linalg.solve(H, rhs)
+    assert got["intercept"] == pytest.approx(beta[0], abs=1e-3)
+    assert got["coef_sin_t"] == pytest.approx(beta[1], abs=1e-3)
+    assert got["coef_cos_t"] == pytest.approx(beta[2], abs=1e-3)
+
+
+def test_duplicate_chunks_have_multiple_docs(spark, sf_dir):
+    got = Q.duplicate_chunks(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    assert (got["n_docs"] > 1).all()
+    assert (got["n_total"] >= got["n_docs"]).all()
+    assert list(got["n_total"]) == sorted(got["n_total"], reverse=True)
