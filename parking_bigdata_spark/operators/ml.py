@@ -632,7 +632,13 @@ def huber_fit_df(df: DataFrame, x: str, y: str, delta: float = 1000.0,
     both the Spark fit and the SQL oracle (oracles.huber_sql) score
     every row with identical decimal constants.
     """
+    spark = df.sparkSession
     d = df.where(F.col(x).isNotNull() & F.col(y).isNotNull()).persist()
+    if d.limit(2).count() < 2:  # a line needs two points
+        d.unpersist()
+        return spark.createDataFrame(
+            [("intercept", None), (f"coef_{x}", None)],
+            "term string, estimate double")
     b0 = b1 = None
     for it in range(n_iter + 1):
         if it == 0:
@@ -651,7 +657,6 @@ def huber_fit_df(df: DataFrame, x: str, y: str, delta: float = 1000.0,
         b1 = round(slope, 6)
         b0 = round((row.swy - b1 * row.swx) / row.sw, 6)
     d.unpersist()
-    spark = df.sparkSession
     return spark.createDataFrame(
         [("intercept", round(b0, round_to)),
          (f"coef_{x}", round(b1, round_to))],
@@ -680,7 +685,11 @@ def poisson_glm_df(df: DataFrame, xs: list[str], y: str, n_iter: int = 3,
         d = d.where(F.col(c).isNotNull())
     d = d.withColumn("__one", F.lit(1.0))
     k = len(cols)
+    spark = df.sparkSession
     ybar = d.agg(F.avg(y).alias("m")).collect()[0]["m"]
+    if ybar is None or ybar <= 0:  # empty input or degenerate counts
+        rows = [("intercept", None)] + [(f"coef_{c}", None) for c in xs]
+        return spark.createDataFrame(rows, "term string, estimate double")
     beta = [round(float(np.log(ybar)), 6)] + [0.0] * (k - 1)
     for _ in range(n_iter):
         eta = F.lit(beta[0])
@@ -702,7 +711,6 @@ def poisson_glm_df(df: DataFrame, xs: list[str], y: str, n_iter: int = 3,
                 H[i, j] = H[j, i] = row[f"h_{i}_{j}"]
         rhs = np.array([row[f"r_{i}"] for i in range(k)])
         beta = [round(float(b), 6) for b in np.linalg.solve(H, rhs)]
-    spark = df.sparkSession
     rows = [("intercept", round(beta[0], round_to))]
     rows += [(f"coef_{c}", round(b, round_to))
              for c, b in zip(xs, beta[1:])]

@@ -444,10 +444,13 @@ def semdedup(df: DataFrame, n_cells: int = 16, threshold: float = 0.4,
     buckets.
     """
     import pandas as pd
+    id_type = dict(df.dtypes)[id_col]
+    if df.limit(2).count() < 2:  # nothing to deduplicate against
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, keep_id {id_type}, cosine double")
     C = ivf_fit_centroids(df, n_cells=n_cells, seed=seed, vec_col=vec_col)
     assigned = ivf_assign(df.select(id_col, vec_col), C,
                           id_col=id_col, vec_col=vec_col)
-    id_type = dict(df.dtypes)[id_col]
     out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:

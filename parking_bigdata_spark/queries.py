@@ -7267,6 +7267,146 @@ POISSON_GLM_SQL = oracles.poisson_glm_sql(
 
 
 # --------------------------------------------------------------------------
+# A98. Skyline / Pareto frontier per brand (Börzsönyi et al. 2001,
+# public): parts not dominated on (lower price, larger size) within
+# their brand. After a distinct on (brand, price, size), the frontier
+# test is ONE partitioned window — sort (price asc, size desc), keep
+# rows whose size strictly exceeds the running max over PRECEDING rows
+# — linear, no all-pairs dominance join, partitioned by brand so no
+# global sort at any scale. Exact integer/decimal comparisons.
+# --------------------------------------------------------------------------
+
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (load_table(spark, sf_dir, "part")
+         .select("p_brand", "p_retailprice", "p_size")
+         .distinct())
+    w = (Window.partitionBy("p_brand")
+               .orderBy(F.col("p_retailprice").asc(), F.col("p_size").desc())
+               .rowsBetween(Window.unboundedPreceding, -1))
+    return (p.withColumn("__mx", F.max("p_size").over(w))
+             .where(F.col("__mx").isNull()
+                    | (F.col("p_size") > F.col("__mx")))
+             .select("p_brand", "p_retailprice", "p_size"))
+
+PARETO_SQL = """
+WITH d AS (
+  SELECT DISTINCT p_brand, p_retailprice, p_size FROM part
+), m AS (
+  SELECT p_brand, p_retailprice, p_size,
+         max(p_size) OVER (PARTITION BY p_brand
+                           ORDER BY p_retailprice ASC, p_size DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS mx
+  FROM d
+)
+SELECT p_brand, p_retailprice, p_size
+FROM m WHERE mx IS NULL OR p_size > mx
+"""
+
+
+# --------------------------------------------------------------------------
+# B46. Item-item cosine similarity on the brand co-purchase matrix —
+# the neighborhood model of classic collaborative filtering (Sarwar et
+# al. 2001, public): cos(a,b) = n_ab / √(n_a·n_b) over order baskets.
+# Reuses the in-row pair generation (no fact self-join); integer
+# counts + one IEEE sqrt keep the score engine-exact. Top-30 with
+# lexicographic pair tiebreak.
+# --------------------------------------------------------------------------
+
+def item_cosine_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .select(F.col("l_orderkey").alias("ok"),
+                    F.col("p_brand").alias("brand"))
+            .distinct()
+            .localCheckpoint(eager=True))
+    per_order = ob.groupBy("ok").agg(
+        F.sort_array(F.collect_set("brand")).alias("bs"))
+    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n_b"))
+    pairs_arr = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.size("bs") - 2),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.size("bs") - 1),
+            lambda j: F.struct(
+                F.element_at(F.col("bs"), i + 1).alias("a"),
+                F.element_at(F.col("bs"), j + 1).alias("b")))))
+    pairs = (per_order.where(F.size("bs") >= 2)
+             .select(F.explode(pairs_arr).alias("p"))
+             .groupBy(F.col("p.a").alias("brand_a"),
+                      F.col("p.b").alias("brand_b"))
+             .agg(F.count(F.lit(1)).alias("n_ab")))
+    ca = bc.select(F.col("brand").alias("brand_a"),
+                   F.col("n_b").alias("n_a"))
+    cb = bc.select(F.col("brand").alias("brand_b"),
+                   F.col("n_b").alias("n_b"))
+    return (pairs.join(F.broadcast(ca), "brand_a")
+                 .join(F.broadcast(cb), "brand_b")
+                 .select("brand_a", "brand_b", "n_ab",
+                         F.round(F.col("n_ab")
+                                 / F.sqrt((F.col("n_a") * F.col("n_b"))
+                                          .cast("double")), 4)
+                          .alias("cosine"))
+                 .orderBy(F.col("cosine").desc(), "brand_a", "brand_b")
+                 .limit(30))
+
+ITEM_COSINE_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), pc AS (
+  SELECT x.brand AS brand_a, y.brand AS brand_b, count(*) AS n_ab
+  FROM ob x JOIN ob y ON x.ok = y.ok AND x.brand < y.brand
+  GROUP BY 1, 2
+), bc AS (SELECT brand, count(*) AS n_b FROM ob GROUP BY 1)
+SELECT pc.brand_a, pc.brand_b, pc.n_ab,
+       round(pc.n_ab / sqrt(CAST(a.n_b * b.n_b AS DOUBLE)), 4) AS cosine
+FROM pc JOIN bc a ON a.brand = pc.brand_a
+JOIN bc b ON b.brand = pc.brand_b
+ORDER BY cosine DESC, brand_a, brand_b
+LIMIT 30
+"""
+
+
+# --------------------------------------------------------------------------
+# A99. Incremental aggregate maintenance: the monthly revenue rollup
+# kept fresh by MERGING a delta partition's partial aggregate into the
+# base partial aggregate — never rescanning the base fact (the
+# materialized-view maintenance pattern; complements A75's row-level
+# MERGE upsert). Money sums are exact DECIMAL, so partial + partial
+# == full recompute BIT-EXACTLY — which is precisely what the direct
+# single-pass oracle asserts. At 100 TB the base branch reads only the
+# stored agg (here recomputed from the < cutoff partition to stay
+# self-contained); the delta branch scans only the new partition.
+# --------------------------------------------------------------------------
+
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import money
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    cutoff = F.lit("1997-07-01").cast("date")
+    partial = lambda d: (d.groupBy(month.alias("month"))
+                          .agg(F.count(F.lit(1)).alias("n_orders"),
+                               F.sum(money("o_totalprice")).alias("__rev")))
+    base = partial(o.where(F.col("o_orderdate") < cutoff))
+    delta = partial(o.where(F.col("o_orderdate") >= cutoff))
+    return (base.unionAll(delta)
+                .groupBy("month")
+                .agg(F.sum("n_orders").alias("n_orders"),
+                     F.round(F.sum("__rev").cast("double"), 2)
+                      .alias("revenue")))
+
+INCREMENTAL_AGG_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -7475,6 +7615,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "triangle_count_brands": (triangle_count_brands, TRIANGLE_SQL),
     "kl_divergence_by_source": (kl_divergence_by_source, KL_DIVERGENCE_SQL),
     "poisson_glm_daily": (poisson_glm_daily, POISSON_GLM_SQL),
+    "pareto_frontier_parts": (pareto_frontier_parts, PARETO_SQL),
+    "item_cosine_similarity": (item_cosine_similarity, ITEM_COSINE_SQL),
+    "incremental_agg_refresh": (incremental_agg_refresh,
+                                INCREMENTAL_AGG_SQL),
 }
 
 
@@ -7517,6 +7661,8 @@ _CHANGED_IN_ROUND = {name: 2 for name in [
     "naive_bayes_langid", "semdedup_embeddings", "duplicate_chunks",
     "cochran_armitage_trend", "triangle_count_brands",
     "kl_divergence_by_source", "poisson_glm_daily",
+    "pareto_frontier_parts", "item_cosine_similarity",
+    "incremental_agg_refresh",
 ]}
 
 

@@ -273,3 +273,71 @@ def test_duplicate_chunks_have_multiple_docs(spark, sf_dir):
     assert (got["n_docs"] > 1).all()
     assert (got["n_total"] >= got["n_docs"]).all()
     assert list(got["n_total"]) == sorted(got["n_total"], reverse=True)
+
+
+def test_new_fit_operators_handle_empty_input(spark):
+    from parking_bigdata_spark.operators import similarity as sim
+
+    empty = spark.createDataFrame([], "x double, y double")
+    h = ml.huber_fit_df(empty, "x", "y").collect()
+    assert [r["estimate"] for r in h] == [None, None]
+    one = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    h1 = ml.huber_fit_df(one, "x", "y").collect()
+    assert [r["estimate"] for r in h1] == [None, None]
+
+    p = ml.poisson_glm_df(empty, ["x"], "y").collect()
+    assert [r["estimate"] for r in p] == [None, None]
+
+    empty_vec = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    assert sim.semdedup(empty_vec).count() == 0
+    one_vec = spark.createDataFrame([(1, [1.0] * 64)],
+                                    "vec_id long, embedding array<double>")
+    assert sim.semdedup(one_vec).count() == 0
+
+
+def test_pareto_frontier_brute_force(spark, sf_dir):
+    got = Q.pareto_frontier_parts(spark, sf_dir).toPandas()
+    p = pd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_brand", "p_retailprice", "p_size"]) \
+          .drop_duplicates()
+    for brand, grp in p.groupby("p_brand"):
+        pts = list(zip(grp["p_retailprice"], grp["p_size"]))
+        frontier = {(pr, sz) for pr, sz in pts
+                    if not any((pr2 <= pr and sz2 >= sz
+                                and (pr2 < pr or sz2 > sz))
+                               for pr2, sz2 in pts)}
+        gb = got[got["p_brand"] == brand]
+        assert set(zip(gb["p_retailprice"], gb["p_size"])) == frontier, brand
+
+
+def test_item_cosine_matches_pandas(spark, sf_dir):
+    got = Q.item_cosine_similarity(spark, sf_dir).toPandas()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    pt = pd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    ob = (li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+            [["l_orderkey", "p_brand"]].drop_duplicates())
+    nb = ob["p_brand"].value_counts()
+    for _, r in got.head(5).iterrows():
+        sets = ob.groupby("p_brand")["l_orderkey"].apply(set)
+        n_ab = len(sets[r["brand_a"]] & sets[r["brand_b"]])
+        assert r["n_ab"] == n_ab
+        assert r["cosine"] == pytest.approx(
+            n_ab / math.sqrt(nb[r["brand_a"]] * nb[r["brand_b"]]), abs=1e-4)
+
+
+def test_incremental_agg_equals_direct(spark, sf_dir):
+    got = Q.incremental_agg_refresh(spark, sf_dir).toPandas()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+    direct = (o.assign(month=pd.to_datetime(o["o_orderdate"])
+                       .dt.strftime("%Y-%m"))
+               .groupby("month")["o_totalprice"]
+               .agg(["count", "sum"]))
+    assert len(got) == len(direct)
+    m = got.set_index("month")
+    for month, row in direct.iterrows():
+        assert m.loc[month, "n_orders"] == row["count"]
+        assert m.loc[month, "revenue"] == pytest.approx(row["sum"], abs=0.02)
