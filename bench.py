@@ -112,6 +112,18 @@ HEADLINE = [
     "cv_metrics_by_fold",
     "score_holdout",
     "knn_impute_labels",
+    # round 2 late additions (corpus/graph/ML heavy hitters; the
+    # daily-series stats are calendar-bounded and benchmark as noise)
+    "semdedup_embeddings",
+    "naive_bayes_langid",
+    "bm25_scoring",
+    "duplicate_chunks",
+    "triangle_count_brands",
+    "kl_divergence_by_source",
+    "huber_lineitem",
+    "poisson_glm_daily",
+    "pareto_frontier_parts",
+    "item_cosine_similarity",
 ]
 
 

@@ -715,3 +715,69 @@ def poisson_glm_df(df: DataFrame, xs: list[str], y: str, n_iter: int = 3,
     rows += [(f"coef_{c}", round(b, round_to))
              for c, b in zip(xs, beta[1:])]
     return spark.createDataFrame(rows, "term string, estimate double")
+
+
+def lsa_singular_values(df: DataFrame, text_col: str = "text",
+                        vocab_size: int = 50, top_k: int = 10,
+                        round_to: int = 4) -> DataFrame:
+    """Count-based LSA: singular values of the PPMI co-occurrence
+    matrix (Deerwester 1990 / Levy-Goldberg 2014, public) — the
+    classic pre-neural embedding trainer, reported via its
+    sign-ambiguity-free spectrum.
+
+    Distributed work = ONE tokenize pass feeding adjacent-bigram and
+    unigram counts (vocabulary-width shuffle, the bigram_pmi shape).
+    The matrix is capped at the top ``vocab_size`` tokens by frequency
+    (integer-deterministic tie-break on the token), so the driver-side
+    PPMI assembly and SVD are vocab²-bounded regardless of corpus
+    size — the PCA/IVF contract. PPMI entries are rounded to 6 dp
+    before the SVD so the matrix (hence the spectrum) is identical
+    across execution geometries; symmetrized with fixed (+) order.
+    """
+    spark = df.sparkSession
+    toks_arr = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]",
+                                " ")), r"\s+")
+    base = df.select(toks_arr.alias("__toks")).persist()
+    uni = (base.select(F.explode("__toks").alias("tok"))
+               .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    top = (uni.orderBy(F.col("n").desc(), F.col("tok").asc())
+              .limit(vocab_size).collect())
+    vocab = {r["tok"]: i for i, r in enumerate(
+        sorted(top, key=lambda r: r["tok"]))}
+    n_tok = {r["tok"]: r["n"] for r in top}
+    bigrams = F.expr(
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> struct(element_at(__toks, i) AS w1, "
+        "element_at(__toks, i + 1) AS w2)) "
+        "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END")
+    vocab_keys = list(vocab)
+    bg = (base.select(F.explode_outer(bigrams).alias("p"))
+              .where(F.col("p.w1").isin(vocab_keys)
+                     & F.col("p.w2").isin(vocab_keys))
+              .groupBy("p.w1", "p.w2")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .collect())
+    base.unpersist()
+    V = len(vocab)
+    C = np.zeros((V, V))
+    for r in bg:  # symmetrize in one fixed order: C += M + M.T entry-wise
+        C[vocab[r["w1"]], vocab[r["w2"]]] += r["n"]
+    C = C + C.T
+    N = C.sum()
+    M = np.zeros((V, V))
+    if N > 0:
+        totals = C.sum(axis=1)
+        for i in range(V):
+            for j in range(V):
+                if C[i, j] > 0 and totals[i] > 0 and totals[j] > 0:
+                    pmi = np.log(C[i, j] * N / (totals[i] * totals[j]))
+                    M[i, j] = round(max(0.0, float(pmi)), 6)
+    sv = np.linalg.svd(M, compute_uv=False)
+    tot = float(sv.sum()) or 1.0
+    rows = [(i + 1, round(float(s), round_to),
+             round(float(s) / tot, round_to))
+            for i, s in enumerate(sv[:top_k])]
+    return spark.createDataFrame(
+        rows, "rank int, singular_value double, explained_ratio double")

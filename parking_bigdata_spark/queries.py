@@ -7407,6 +7407,128 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# B47. Distributed BFS hop distances on the brand co-purchase graph
+# from the lexicographically-smallest node — the iterative-frontier
+# companion to B22's connected components and B27's PageRank. Each
+# round is one equi-join of the CURRENT frontier against the edge
+# list (shuffle = frontier-adjacency, never the graph²), with
+# localCheckpoint lineage truncation per round. The oracle is a real
+# recursive CTE (DuckDB WITH RECURSIVE) over the same mean-support
+# edge set — an independent engine's fixpoint, not a pinned file.
+# --------------------------------------------------------------------------
+
+def bfs_hops_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .select(F.col("l_orderkey").alias("ok"),
+                    F.col("p_brand").alias("brand"))
+            .distinct())
+    per_order = ob.groupBy("ok").agg(
+        F.sort_array(F.collect_set("brand")).alias("bs"))
+    pairs_arr = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.size("bs") - 2),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.size("bs") - 1),
+            lambda j: F.struct(
+                F.element_at(F.col("bs"), i + 1).alias("a"),
+                F.element_at(F.col("bs"), j + 1).alias("b")))))
+    pc = (per_order.where(F.size("bs") >= 2)
+          .select(F.explode(pairs_arr).alias("p"))
+          .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+          .agg(F.count(F.lit(1)).alias("n_ab")))
+    thr = pc.agg(F.avg("n_ab").alias("__thr"))
+    e = (pc.crossJoin(F.broadcast(thr))
+           .where(F.col("n_ab") > F.col("__thr")).select("a", "b"))
+    ue = (e.unionAll(e.select(F.col("b").alias("a"),
+                              F.col("a").alias("b")))
+           .localCheckpoint(eager=True))
+    src = ue.agg(F.min("a").alias("v")).withColumn("hops", F.lit(0))
+    dist = src.localCheckpoint(eager=True)
+    frontier = dist
+    for k in range(1, 5):
+        nxt = (frontier.join(ue, frontier["v"] == ue["a"])
+                       .select(ue["b"].alias("v"),
+                               F.lit(k).alias("hops"))
+                       .distinct())
+        dist = (dist.unionAll(nxt)
+                    .groupBy("v").agg(F.min("hops").alias("hops"))
+                    .localCheckpoint(eager=True))
+        frontier = dist.where(F.col("hops") == k)
+        if frontier.limit(1).count() == 0:  # fixpoint before max depth
+            break
+    return dist.select(F.col("v").alias("brand"), "hops")
+
+BFS_SQL = """
+WITH RECURSIVE ob AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), pc AS (
+  SELECT x.brand AS a, y.brand AS b, count(*) AS n_ab
+  FROM ob x JOIN ob y ON x.ok = y.ok AND x.brand < y.brand
+  GROUP BY 1, 2
+), e AS (
+  SELECT a, b FROM pc WHERE n_ab > (SELECT avg(n_ab) FROM pc)
+), ue AS (
+  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+), walk(v, d) AS (
+  SELECT (SELECT min(a) FROM ue) AS v, 0 AS d
+  UNION
+  SELECT ue.b, walk.d + 1
+  FROM walk JOIN ue ON ue.a = walk.v
+  WHERE walk.d < 4
+)
+SELECT v AS brand, CAST(min(d) AS INT) AS hops
+FROM walk GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# C37. Overdispersion diagnostic for the daily count series — the
+# model-adequacy check paired with C36's Poisson GLM (a Poisson series
+# has dispersion ≈ 1; var/mean ≫ 1 says use negative binomial). One
+# aggregate over the calendar-bounded series; integer sums keep the
+# index engine-stable to the 4-dp round.
+# --------------------------------------------------------------------------
+
+def overdispersion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_counts(spark, sf_dir)
+    agg = daily.agg(F.count(F.lit(1)).alias("n_days"),
+                    F.avg("n").alias("__mu"),
+                    F.var_samp("n").alias("__var"))
+    disp = F.col("__var") / F.col("__mu")
+    return agg.select(
+        "n_days",
+        F.round("__mu", 4).alias("mean_daily"),
+        F.round("__var", 4).alias("var_daily"),
+        F.round(disp, 4).alias("dispersion_index"),
+        F.round((F.col("n_days") - 1) * disp, 4).alias("chi2_stat"))
+
+OVERDISPERSION_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+f AS (SELECT count(*) AS n_days, avg(n) AS mu, var_samp(n) AS v
+      FROM daily)
+SELECT n_days, round(mu, 4) AS mean_daily, round(v, 4) AS var_daily,
+       round(v / mu, 4) AS dispersion_index,
+       round((n_days - 1) * (v / mu), 4) AS chi2_stat
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
+# B48. LSA spectrum: singular values of the PPMI token co-occurrence
+# matrix — count-based embedding training (Deerwester 1990 /
+# Levy-Goldberg 2014). Vocab capped by frequency so the driver SVD is
+# vocab²-bounded at any corpus size; expected-parquet oracle (SVD not
+# SQL-expressible), geometry-audited like the other pinned oracles.
+# --------------------------------------------------------------------------
+
+def lsa_singular_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ml.lsa_singular_values(docs, vocab_size=50, top_k=10)
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -7619,6 +7741,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "item_cosine_similarity": (item_cosine_similarity, ITEM_COSINE_SQL),
     "incremental_agg_refresh": (incremental_agg_refresh,
                                 INCREMENTAL_AGG_SQL),
+    "bfs_hops_brands": (bfs_hops_brands, BFS_SQL),
+    "overdispersion_daily": (overdispersion_daily, OVERDISPERSION_SQL),
+    "lsa_singular_values": (lsa_singular_values,
+                            _expected_sql("lsa_singular_values")),
 }
 
 
@@ -7662,7 +7788,8 @@ _CHANGED_IN_ROUND = {name: 2 for name in [
     "cochran_armitage_trend", "triangle_count_brands",
     "kl_divergence_by_source", "poisson_glm_daily",
     "pareto_frontier_parts", "item_cosine_similarity",
-    "incremental_agg_refresh",
+    "incremental_agg_refresh", "bfs_hops_brands", "overdispersion_daily",
+    "lsa_singular_values",
 ]}
 
 

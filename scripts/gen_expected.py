@@ -66,6 +66,10 @@ EXPECTED_ORACLE_QUERIES = [
     # sample exceeds the corpus at every oracle SF, and the emitted
     # cosines are per-pair einsum recomputes (bucket-shape-independent)
     "semdedup_embeddings",
+    # lsa: integer co-occurrence counts -> 6-dp-rounded PPMI matrix ->
+    # driver SVD; the matrix is identical under any partitioning, and
+    # the spectrum (unlike the singular VECTORS) has no sign ambiguity
+    "lsa_singular_values",
     # Tree ensembles (RF/GBT/bagged) are deliberately EXCLUDED: MLlib's
     # bootstrap is per-PARTITION seeded (reseedRandomGenerator(seed +
     # partitionIndex)), so importances move with the input partitioning

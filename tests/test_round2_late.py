@@ -341,3 +341,60 @@ def test_incremental_agg_equals_direct(spark, sf_dir):
     for month, row in direct.iterrows():
         assert m.loc[month, "n_orders"] == row["count"]
         assert m.loc[month, "revenue"] == pytest.approx(row["sum"], abs=0.02)
+
+
+def test_bfs_hops_match_networkx_free_bfs(spark, sf_dir):
+    got = Q.bfs_hops_brands(spark, sf_dir).toPandas()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    pt = pd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    ob = (li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+            [["l_orderkey", "p_brand"]].drop_duplicates())
+    pairs = {}
+    for _, grp in ob.groupby("l_orderkey"):
+        bs = sorted(grp["p_brand"])
+        for i in range(len(bs)):
+            for j in range(i + 1, len(bs)):
+                pairs[(bs[i], bs[j])] = pairs.get((bs[i], bs[j]), 0) + 1
+    thr = sum(pairs.values()) / len(pairs)
+    adj = {}
+    for (a, b), c in pairs.items():
+        if c > thr:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    src = min(adj)
+    dist, frontier = {src: 0}, {src}
+    for k in range(1, 5):
+        frontier = {n for v in frontier for n in adj.get(v, ())
+                    if n not in dist}
+        for n in frontier:
+            dist[n] = k
+        if not frontier:
+            break
+    assert dict(zip(got["brand"], got["hops"])) == dist
+
+
+def test_overdispersion_matches_numpy(spark, sf_dir):
+    got = Q.overdispersion_daily(spark, sf_dir).toPandas().iloc[0]
+    n = _daily(sf_dir)["n"].to_numpy(float)
+    assert got["mean_daily"] == pytest.approx(n.mean(), abs=1e-3)
+    assert got["var_daily"] == pytest.approx(n.var(ddof=1), abs=1e-2)
+    assert got["dispersion_index"] == pytest.approx(
+        n.var(ddof=1) / n.mean(), abs=1e-3)
+
+
+def test_lsa_spectrum_properties(spark, sf_dir):
+    got = Q.lsa_singular_values(spark, sf_dir).toPandas()
+    assert len(got) == 10
+    sv = got["singular_value"].to_numpy()
+    assert (sv >= 0).all()
+    assert list(sv) == sorted(sv, reverse=True)
+    assert 0 < got["explained_ratio"].sum() <= 1.0 + 1e-9
+    # vocab cap: re-running with a smaller vocab must not error and
+    # gives a spectrum dominated by the same leading component
+    small = ml.lsa_singular_values(
+        __import__("parking_bigdata_spark.io", fromlist=["load_table"])
+        .load_table(spark, sf_dir, "documents"), vocab_size=20, top_k=5
+    ).toPandas()
+    assert small["rank"].tolist() == [1, 2, 3, 4, 5]
