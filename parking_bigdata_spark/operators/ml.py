@@ -616,22 +616,15 @@ def gbt_importance(df: DataFrame, xs: list[str], y: str,
         "feature string, importance double")
 
 
-def huber_fit_df(df: DataFrame, x: str, y: str, delta: float = 1000.0,
-                 n_iter: int = 2, round_to: int = 4) -> DataFrame:
-    """Huber M-estimator line via IRLS (Huber 1964, public; the robust
-    companion to `simple_linreg` — the reference's lm family, R:1194,
-    made outlier-resistant).
-
-    Iteration t scores residuals with the round-t−1 coefficients and
-    solves ONE weighted-least-squares closed form from five fused sums
-    (Σw, Σwx, Σwy, Σwx², Σwxy) — a single distributed aggregate per
-    iteration, no shuffles, so 100 TB cost = (n_iter+1) scans. The
-    Huber weight min(1, δ/|r|) is CONTINUOUS in r, so engine last-ulp
-    residual differences cannot flip a weight discontinuously; on top
-    of that the coefficients are rounded to 6 dp between iterations so
-    both the Spark fit and the SQL oracle (oracles.huber_sql) score
-    every row with identical decimal constants.
-    """
+def _irls_line(df: DataFrame, x: str, y: str, make_weight,
+               n_iter: int, round_to: int) -> DataFrame:
+    """Shared IRLS engine for the robust line fits (Huber, LAD): each
+    iteration is ONE fused 5-sum weighted-least-squares aggregate (no
+    shuffle; 100 TB cost = (n_iter+1) scans). ``make_weight(b0, b1)``
+    returns the weight Column for the current coefficients (None on
+    the OLS warm start). Coefficients round to 6 dp between iterations
+    so the unrolled SQL oracles score with identical decimal
+    constants."""
     spark = df.sparkSession
     d = df.where(F.col(x).isNotNull() & F.col(y).isNotNull()).persist()
     if d.limit(2).count() < 2:  # a line needs two points
@@ -641,11 +634,7 @@ def huber_fit_df(df: DataFrame, x: str, y: str, delta: float = 1000.0,
             "term string, estimate double")
     b0 = b1 = None
     for it in range(n_iter + 1):
-        if it == 0:
-            w = F.lit(1.0)
-        else:
-            r = F.abs(F.col(y) - (F.lit(b0) + F.lit(b1) * F.col(x)))
-            w = F.when(r <= delta, F.lit(1.0)).otherwise(delta / r)
+        w = F.lit(1.0) if it == 0 else make_weight(b0, b1)
         row = d.agg(F.sum(w).alias("sw"),
                     F.sum(w * F.col(x)).alias("swx"),
                     F.sum(w * F.col(y)).alias("swy"),
@@ -661,6 +650,36 @@ def huber_fit_df(df: DataFrame, x: str, y: str, delta: float = 1000.0,
         [("intercept", round(b0, round_to)),
          (f"coef_{x}", round(b1, round_to))],
         "term string, estimate double")
+
+
+def huber_fit_df(df: DataFrame, x: str, y: str, delta: float = 1000.0,
+                 n_iter: int = 2, round_to: int = 4) -> DataFrame:
+    """Huber M-estimator line via IRLS (Huber 1964, public; the robust
+    companion to `simple_linreg` — the reference's lm family, R:1194,
+    made outlier-resistant). The Huber weight min(1, δ/|r|) is
+    CONTINUOUS in r, so engine last-ulp residual differences cannot
+    flip a weight discontinuously. Determinism contract and scale
+    shape in `_irls_line`; oracle = oracles.huber_sql.
+    """
+    def weight(b0, b1):
+        r = F.abs(F.col(y) - (F.lit(b0) + F.lit(b1) * F.col(x)))
+        return F.when(r <= delta, F.lit(1.0)).otherwise(delta / r)
+    return _irls_line(df, x, y, weight, n_iter, round_to)
+
+
+def lad_fit_df(df: DataFrame, x: str, y: str, eps: float = 1.0,
+               n_iter: int = 2, round_to: int = 4) -> DataFrame:
+    """LAD (median) regression via IRLS (Koenker-Bassett 1978, public):
+    weight 1/max(|r|, eps) re-targets the squared-error solve at
+    absolute error. The max() branch compares |r| built from identical
+    6-dp decimal coefficients on both engines, so the branch decision
+    is engine-stable. Same per-iteration cost and oracle contract as
+    `huber_fit_df` (oracle = oracles.lad_sql).
+    """
+    def weight(b0, b1):
+        r = F.abs(F.col(y) - (F.lit(b0) + F.lit(b1) * F.col(x)))
+        return F.lit(1.0) / F.greatest(r, F.lit(eps))
+    return _irls_line(df, x, y, weight, n_iter, round_to)
 
 
 def poisson_glm_df(df: DataFrame, xs: list[str], y: str, n_iter: int = 3,

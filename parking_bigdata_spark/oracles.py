@@ -246,3 +246,42 @@ def poisson_glm_sql(xs: list[str], y: str, table: str, n_iter: int = 3,
     sels = [f"SELECT '{nm}' AS term, round(b{i}, {round_to}) AS estimate"
             f" FROM {last}" for i, nm in enumerate(names)]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+def lad_sql(x: str, y: str, eps: float = 1.0, n_iter: int = 2,
+            table: str = "lineitem", round_to: int = 4) -> str:
+    """Oracle for ml.lad_fit_df: the 1/max(|r|, eps) IRLS unrolled into
+    chained CTEs with the same 6-dp inter-iteration rounding as
+    huber_sql."""
+    notnull = f"{x} IS NOT NULL AND {y} IS NOT NULL"
+    ctes = []
+    for it in range(n_iter + 1):
+        if it == 0:
+            w = "1.0"
+            src = table
+        else:
+            r = f"abs({y} - (c{it - 1}.b0 + c{it - 1}.b1 * {x}))"
+            w = f"1.0 / greatest({r}, {eps!r})"
+            src = f"{table}, c{it - 1}"
+        ctes.append(
+            f"s{it} AS (\n"
+            f"  SELECT sum({w}) AS sw, sum(({w}) * {x}) AS swx,\n"
+            f"         sum(({w}) * {y}) AS swy,\n"
+            f"         sum(({w}) * {x} * {x}) AS swxx,\n"
+            f"         sum(({w}) * {x} * {y}) AS swxy\n"
+            f"  FROM {src} WHERE {notnull}\n)")
+        ctes.append(
+            f"c{it} AS (\n"
+            f"  SELECT round((sw * swxy - swx * swy)\n"
+            f"               / (sw * swxx - swx * swx), 6) AS b1,\n"
+            f"         round((swy - round((sw * swxy - swx * swy)\n"
+            f"                            / (sw * swxx - swx * swx), 6)\n"
+            f"                      * swx) / sw, 6) AS b0\n"
+            f"  FROM s{it}\n)")
+    last = f"c{n_iter}"
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            f"SELECT 'intercept' AS term, round(b0, {round_to}) AS estimate"
+            f" FROM {last}\n"
+            "UNION ALL\n"
+            f"SELECT 'coef_{x}' AS term, round(b1, {round_to}) AS estimate"
+            f" FROM {last}")

@@ -7529,6 +7529,84 @@ def lsa_singular_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A100. Isotonic (monotone) regression of mean price on quantity via
+# the MINIMAX characterization fit_k = max_{i≤k} min_{j≥k} wavg(i..j)
+# (Barlow et al. 1972, public) — NOT iterative PAVA, so it has a real
+# ANSI-SQL oracle. Scale design: the fact collapses to one row per
+# integer quantity FIRST (one shuffle, ≤50 groups); the O(n³) minimax
+# runs on that calendar-of-quantities-bounded series with broadcast
+# self-joins — never on raw rows. Group means are rounded to 6 dp so
+# both engines pool identical decimal inputs.
+# --------------------------------------------------------------------------
+
+def isotonic_price_by_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (li.where(F.col("l_quantity").isNotNull()
+                  & F.col("l_extendedprice").isNotNull())
+           .groupBy(F.col("l_quantity").cast("int").alias("q"))
+           .agg(F.round(F.avg("l_extendedprice"), 6).alias("ybar"),
+                F.count(F.lit(1)).alias("w")))
+    a, b, m = g.alias("a"), g.alias("b"), g.alias("m")
+    ranges = (a.join(F.broadcast(b), F.col("b.q") >= F.col("a.q"))
+               .select(F.col("a.q").alias("i"), F.col("b.q").alias("j"))
+               .join(F.broadcast(m), (F.col("m.q") >= F.col("i"))
+                                     & (F.col("m.q") <= F.col("j")))
+               .groupBy("i", "j")
+               .agg((F.sum(F.col("m.w") * F.col("m.ybar"))
+                     / F.sum(F.col("m.w"))).alias("wavg")))
+    k = g.select(F.col("q").alias("k"))
+    inner = (ranges.join(F.broadcast(k), (F.col("i") <= F.col("k"))
+                                         & (F.col("k") <= F.col("j")))
+                   .groupBy("k", "i")
+                   .agg(F.min("wavg").alias("__mn")))
+    return (inner.groupBy("k")
+                 .agg(F.round(F.max("__mn"), 4).alias("isotonic_fit"))
+                 .select(F.col("k").alias("q"), "isotonic_fit"))
+
+ISOTONIC_SQL = """
+WITH g AS (
+  SELECT CAST(l_quantity AS INT) AS q,
+         round(avg(l_extendedprice), 6) AS ybar,
+         count(*) AS w
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+), ranges AS (
+  SELECT a.q AS i, b.q AS j,
+         sum(m.w * m.ybar) / sum(m.w) AS wavg
+  FROM g a JOIN g b ON b.q >= a.q
+  JOIN g m ON m.q >= a.q AND m.q <= b.q
+  GROUP BY 1, 2
+), inner_min AS (
+  SELECT k.q AS k, r.i, min(r.wavg) AS mn
+  FROM ranges r JOIN g k ON r.i <= k.q AND k.q <= r.j
+  GROUP BY 1, 2
+)
+SELECT k AS q, round(max(mn), 4) AS isotonic_fit
+FROM inner_min GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A101. LAD (median / quantile) regression via IRLS — minimizing
+# absolute error instead of squared error (Koenker-Bassett 1978,
+# public), completing the robust family next to A95's Huber. Same
+# one-fused-aggregate-per-iteration shape and the same 6-dp
+# inter-iteration coefficient rounding contract with the unrolled SQL
+# oracle; the weight 1/max(|r|, eps) branches on |r| computed from
+# identical decimal coefficients, so both engines take the same branch.
+# --------------------------------------------------------------------------
+
+def lad_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return ml.lad_fit_df(li, "l_quantity", "l_extendedprice",
+                         eps=1.0, n_iter=2)
+
+LAD_SQL = oracles.lad_sql("l_quantity", "l_extendedprice",
+                          eps=1.0, n_iter=2)
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -7745,6 +7823,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "overdispersion_daily": (overdispersion_daily, OVERDISPERSION_SQL),
     "lsa_singular_values": (lsa_singular_values,
                             _expected_sql("lsa_singular_values")),
+    "isotonic_price_by_qty": (isotonic_price_by_qty, ISOTONIC_SQL),
+    "lad_lineitem": (lad_lineitem, LAD_SQL),
 }
 
 
@@ -7789,7 +7869,7 @@ _CHANGED_IN_ROUND = {name: 2 for name in [
     "kl_divergence_by_source", "poisson_glm_daily",
     "pareto_frontier_parts", "item_cosine_similarity",
     "incremental_agg_refresh", "bfs_hops_brands", "overdispersion_daily",
-    "lsa_singular_values",
+    "lsa_singular_values", "isotonic_price_by_qty", "lad_lineitem",
 ]}
 
 

@@ -398,3 +398,59 @@ def test_lsa_spectrum_properties(spark, sf_dir):
         .load_table(spark, sf_dir, "documents"), vocab_size=20, top_k=5
     ).toPandas()
     assert small["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_isotonic_matches_numpy_pava(spark, sf_dir):
+    got = (Q.isotonic_price_by_qty(spark, sf_dir).toPandas()
+           .sort_values("q").reset_index(drop=True))
+    fits = got["isotonic_fit"].to_numpy()
+    # monotone nondecreasing by construction
+    assert (np.diff(fits) >= -1e-9).all()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice"]).dropna()
+    g = (li.assign(q=li["l_quantity"].astype(int))
+           .groupby("q")["l_extendedprice"].agg(["mean", "count"])
+           .sort_index())
+    y = np.round(g["mean"].to_numpy(), 6)
+    w = g["count"].to_numpy(float)
+    # reference implementation: classic PAVA with weighted pooling
+    blocks = [[y[i], w[i], i] for i in range(len(y))]
+    out = []
+    for b in blocks:
+        out.append(b)
+        while len(out) > 1 and out[-2][0] > out[-1][0] - 1e-15:
+            v2, w2, _ = out.pop()
+            v1, w1, i1 = out.pop()
+            out.append([(v1 * w1 + v2 * w2) / (w1 + w2), w1 + w2, i1])
+    pava = np.empty(len(y))
+    pos = 0
+    for v, wt, _ in out:
+        cnt = 0
+        acc = 0.0
+        while pos + cnt < len(y) and acc < wt - 1e-9:
+            acc += w[pos + cnt]
+            cnt += 1
+        pava[pos:pos + cnt] = v
+        pos += cnt
+    assert np.allclose(fits, pava, atol=1e-3)
+
+
+def test_lad_matches_numpy_irls(spark, sf_dir):
+    got = (Q.lad_lineitem(spark, sf_dir).toPandas()
+           .set_index("term")["estimate"])
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice"]).dropna()
+    x = li["l_quantity"].to_numpy(float)
+    y = li["l_extendedprice"].to_numpy(float)
+    b0 = b1 = 0.0
+    w = np.ones_like(x)
+    for it in range(3):
+        if it > 0:
+            r = np.abs(y - (b0 + b1 * x))
+            w = 1.0 / np.maximum(r, 1.0)
+        sw, swx, swy = w.sum(), (w * x).sum(), (w * y).sum()
+        swxx, swxy = (w * x * x).sum(), (w * x * y).sum()
+        b1 = round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 6)
+        b0 = round((swy - b1 * swx) / sw, 6)
+    assert got["intercept"] == pytest.approx(b0, abs=1e-3)
+    assert got["coef_l_quantity"] == pytest.approx(b1, abs=1e-3)
