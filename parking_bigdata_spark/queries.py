@@ -7607,6 +7607,122 @@ LAD_SQL = oracles.lad_sql("l_quantity", "l_extendedprice",
 
 
 # --------------------------------------------------------------------------
+# A102. ROC-AUC (+ Gini) of order value as a classifier score for
+# finished orders — the rank formulation AUC = (R⁺ − n⁺(n⁺+1)/2) /
+# (n⁺·n⁻) (Hanley-McNeil 1982, public; the Mann-Whitney identity).
+# Same scale machinery as A18f: tie-averaged ranks on the DISTINCT
+# value table via range-partitioned cumulative windows — never a
+# per-row global sort.
+# --------------------------------------------------------------------------
+
+def roc_auc_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (load_table(spark, sf_dir, "orders")
+         .select((F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+                 "o_totalprice"))
+    vals = (o.groupBy("o_totalprice").agg(F.count(F.lit(1)).alias("t"))
+             .localCheckpoint(eager=True))
+    ranked = stats.tie_avg_ranks(vals, "o_totalprice", "t")
+    per = (o.groupBy("pos", "o_totalprice")
+            .agg(F.count(F.lit(1)).alias("n_vg")))
+    grp = (per.join(ranked.select("o_totalprice", "avg_rank"),
+                    "o_totalprice")
+              .groupBy("pos")
+              .agg(F.sum(F.col("avg_rank") * F.col("n_vg")).alias("rg"),
+                   F.sum("n_vg").alias("ng")))
+    gp = grp.where(F.col("pos") == 1).select(F.col("rg").alias("rp"),
+                                             F.col("ng").alias("np"))
+    gn = grp.where(F.col("pos") == 0).select(F.col("ng").alias("nn"))
+    auc = ((F.col("rp") - F.col("np") * (F.col("np") + 1) / F.lit(2.0))
+           / (F.col("np") * F.col("nn")).cast("double"))
+    return (gp.crossJoin(gn)
+              .select(F.col("np").cast("long").alias("n_pos"),
+                      F.col("nn").cast("long").alias("n_neg"),
+                      F.round(auc, 4).alias("auc"),
+                      F.round(2 * auc - 1, 4).alias("gini")))
+
+ROC_AUC_SQL = """
+WITH o AS (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+         o_totalprice
+  FROM orders
+), vals AS (
+  SELECT o_totalprice, count(*) AS t FROM o GROUP BY 1
+), ranked AS (
+  SELECT o_totalprice, t,
+         sum(t) OVER (ORDER BY o_totalprice
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM vals
+), r2 AS (
+  SELECT o_totalprice, cum - t + (t + 1) / 2.0 AS avg_rank FROM ranked
+), per AS (
+  SELECT pos, o_totalprice, count(*) AS n_vg FROM o GROUP BY 1, 2
+), grp AS (
+  SELECT pos, sum(avg_rank * n_vg) AS rg,
+         CAST(sum(n_vg) AS BIGINT) AS ng
+  FROM per JOIN r2 USING (o_totalprice) GROUP BY 1
+), gp AS (SELECT rg AS rp, ng AS np FROM grp WHERE pos = 1),
+gn AS (SELECT ng AS nn FROM grp WHERE pos = 0)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       round((rp - np * (np + 1) / 2.0) / CAST(np * nn AS DOUBLE), 4)
+         AS auc,
+       round(2 * ((rp - np * (np + 1) / 2.0) / CAST(np * nn AS DOUBLE))
+             - 1, 4) AS gini
+FROM gp, gn
+"""
+
+
+# --------------------------------------------------------------------------
+# A103. Out-of-fold target encoding (leakage-safe categorical
+# encoding; public — e.g. Micci-Barreca 2001 + the standard K-fold
+# variant): each (segment, fold) cell is encoded with the target mean
+# computed on the OTHER folds via set algebra — totals minus own-fold
+# — from ONE distributed aggregate over (segment, fold). Money sums
+# are exact DECIMAL so the subtraction is engine-exact.
+# --------------------------------------------------------------------------
+
+def target_encode_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import money
+    c = load_table(spark, sf_dir, "customer")
+    fold = F.pmod(F.col("c_custkey"), F.lit(5))
+    cell = (c.where(F.col("c_acctbal").isNotNull())
+             .groupBy(F.col("c_mktsegment").alias("segment"),
+                      fold.alias("fold"))
+             .agg(F.sum(money("c_acctbal")).alias("__s"),
+                  F.count(F.lit(1)).alias("__n")))
+    tot = (cell.groupBy("segment")
+               .agg(F.sum("__s").alias("__st"),
+                    F.sum("__n").alias("__nt")))
+    return (cell.join(tot, "segment")
+                .select("segment", "fold",
+                        F.round(((F.col("__st") - F.col("__s"))
+                                 / (F.col("__nt") - F.col("__n")))
+                                .cast("double"), 4)
+                         .alias("oof_target_mean"),
+                        F.col("__n").alias("n_rows"))
+                .orderBy("segment", "fold"))
+
+TARGET_ENCODE_SQL = """
+WITH cell AS (
+  SELECT c_mktsegment AS segment, c_custkey % 5 AS fold,
+         sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+         count(*) AS n
+  FROM customer WHERE c_acctbal IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT segment, sum(s) AS st, CAST(sum(n) AS BIGINT) AS nt
+  FROM cell GROUP BY 1
+)
+SELECT cell.segment, cell.fold,
+       round(CAST((tot.st - cell.s) AS DOUBLE) / (tot.nt - cell.n), 4)
+         AS oof_target_mean,
+       cell.n AS n_rows
+FROM cell JOIN tot ON tot.segment = cell.segment
+ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -7825,6 +7941,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
                             _expected_sql("lsa_singular_values")),
     "isotonic_price_by_qty": (isotonic_price_by_qty, ISOTONIC_SQL),
     "lad_lineitem": (lad_lineitem, LAD_SQL),
+    "roc_auc_order_status": (roc_auc_order_status, ROC_AUC_SQL),
+    "target_encode_mktsegment": (target_encode_mktsegment,
+                                 TARGET_ENCODE_SQL),
 }
 
 
@@ -7870,6 +7989,7 @@ _CHANGED_IN_ROUND = {name: 2 for name in [
     "pareto_frontier_parts", "item_cosine_similarity",
     "incremental_agg_refresh", "bfs_hops_brands", "overdispersion_daily",
     "lsa_singular_values", "isotonic_price_by_qty", "lad_lineitem",
+    "roc_auc_order_status", "target_encode_mktsegment",
 ]}
 
 

@@ -454,3 +454,36 @@ def test_lad_matches_numpy_irls(spark, sf_dir):
         b0 = round((swy - b1 * swx) / sw, 6)
     assert got["intercept"] == pytest.approx(b0, abs=1e-3)
     assert got["coef_l_quantity"] == pytest.approx(b1, abs=1e-3)
+
+
+def test_roc_auc_matches_sklearn_free_rank_formula(spark, sf_dir):
+    got = Q.roc_auc_order_status(spark, sf_dir).toPandas().iloc[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderstatus", "o_totalprice"])
+    pos = (o["o_orderstatus"] == "F").to_numpy(int)
+    score = o["o_totalprice"].to_numpy()
+    ranks = pd.Series(score).rank(method="average").to_numpy()
+    n_pos, n_neg = pos.sum(), len(pos) - pos.sum()
+    auc = (ranks[pos == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert got["n_pos"] == n_pos and got["n_neg"] == n_neg
+    assert got["auc"] == pytest.approx(auc, abs=1e-4)
+    assert got["gini"] == pytest.approx(2 * auc - 1, abs=1e-4)
+    assert 0.0 <= got["auc"] <= 1.0
+
+
+def test_target_encoding_excludes_own_fold(spark, sf_dir):
+    got = Q.target_encode_mktsegment(spark, sf_dir).toPandas()
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    c = c[c["c_acctbal"].notna()]
+    c["fold"] = c["c_custkey"] % 5
+    row = got.iloc[0]
+    seg, fold = row["segment"], row["fold"]
+    other = c[(c["c_mktsegment"] == seg) & (c["fold"] != fold)]
+    # decimal(18,2) aggregation truncates nothing: inputs have 2 dp
+    expect = round(other["c_acctbal"].sum(), 2) / len(other)
+    assert row["oof_target_mean"] == pytest.approx(expect, abs=1e-3)
+    # leakage check: encoding must differ from the WITH-fold mean
+    # whenever the fold is a nontrivial subset
+    full = c[c["c_mktsegment"] == seg]
+    assert len(other) < len(full)
