@@ -7727,6 +7727,299 @@ ORDER BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# C38. Funnel conversion latency quantiles: p50/p90 of the
+# view→purchase time for converting users — the timing companion to
+# C12's strict funnel. The per-user latency table is users-sized, so
+# the exact quantiles go through stats.grouped_quantiles (bracket-
+# refine, no single-buffer sort at any scale) on a constant group.
+# Latencies are integer microseconds — interpolation is engine-exact.
+# --------------------------------------------------------------------------
+
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t, ty = F.col("ts"), F.col("event_type")
+    d = ev.withColumn("t_view", F.min(F.when(ty == "view", t)).over(w))
+    d = d.withColumn(
+        "t_click", F.min(F.when((ty == "click")
+                                & (t >= F.col("t_view")), t)).over(w))
+    d = d.withColumn(
+        "t_purchase", F.min(F.when((ty == "purchase")
+                                   & (t >= F.col("t_click")), t)).over(w))
+    lat = (d.groupBy("user_id")
+             .agg(F.max("t_purchase").alias("tp"),
+                  F.max("t_view").alias("tv"))
+             .where(F.col("tp").isNotNull())
+             .select(F.lit("all").alias("g"),
+                     (F.unix_micros("tp") - F.unix_micros("tv"))
+                     .cast("double").alias("latency_us")))
+    q = stats.grouped_quantiles(lat, "g", "latency_us",
+                                [0.5, 0.9], ["p50_us", "p90_us"])
+    n = lat.groupBy("g").agg(F.count(F.lit(1)).alias("n_converted"))
+    return (q.join(n, "g")
+             .select("n_converted",
+                     F.round("p50_us", 4).alias("p50_us"),
+                     F.round("p90_us", 4).alias("p90_us")))
+
+FUNNEL_LATENCY_SQL = """
+WITH d1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM events
+), d2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
+              OVER (PARTITION BY user_id) AS t_click
+  FROM d1
+), d3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t_click
+                     THEN ts END)
+              OVER (PARTITION BY user_id) AS t_purchase
+  FROM d2
+), lat AS (
+  SELECT CAST(epoch_us(max(t_purchase)) - epoch_us(max(t_view))
+              AS DOUBLE) AS latency_us
+  FROM d3 GROUP BY user_id
+  HAVING max(t_purchase) IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(latency_us, 0.5), 4) AS p50_us,
+       round(quantile_cont(latency_us, 0.9), 4) AS p90_us
+FROM lat
+"""
+
+
+# --------------------------------------------------------------------------
+# B49. Frequent 3-itemsets (Apriori's k=3 step, Agrawal-Srikant 1994,
+# public): top brand triples co-purchased in one order. Triples
+# generate IN-ROW from the per-order sorted brand array (bounded by
+# C(brands-per-order, 3) — never an order-table 3-way self-join);
+# integer support counts make the top-20 frontier engine-exact.
+# --------------------------------------------------------------------------
+
+def basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .select(F.col("l_orderkey").alias("ok"),
+                    F.col("p_brand").alias("brand"))
+            .distinct())
+    per_order = ob.groupBy("ok").agg(
+        F.sort_array(F.collect_set("brand")).alias("bs"))
+    n = F.size("bs")
+    triples_arr = F.flatten(F.flatten(F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.transform(
+            F.sequence(i + 1, n - 2),
+            lambda j: F.transform(
+                F.sequence(j + 1, n - 1),
+                lambda k: F.struct(
+                    F.element_at(F.col("bs"), i + 1).alias("a"),
+                    F.element_at(F.col("bs"), j + 1).alias("b"),
+                    F.element_at(F.col("bs"), k + 1).alias("c")))))))
+    return (per_order.where(n >= 3)
+            .select(F.explode(triples_arr).alias("t"))
+            .groupBy(F.col("t.a").alias("brand_a"),
+                     F.col("t.b").alias("brand_b"),
+                     F.col("t.c").alias("brand_c"))
+            .agg(F.count(F.lit(1)).alias("support"))
+            .orderBy(F.col("support").desc(), "brand_a", "brand_b",
+                     "brand_c")
+            .limit(20))
+
+BASKET_TRIPLES_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT x.brand AS brand_a, y.brand AS brand_b, z.brand AS brand_c,
+       count(*) AS support
+FROM ob x
+JOIN ob y ON y.ok = x.ok AND y.brand > x.brand
+JOIN ob z ON z.ok = x.ok AND z.brand > y.brand
+GROUP BY 1, 2, 3
+ORDER BY support DESC, brand_a, brand_b, brand_c
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# B50. Trigram-set name similarity (record-linkage blocking; public —
+# e.g. Gravano et al. 2001 q-gram joins): part-name pairs within a
+# brand whose character-3-gram sets have cosine ≥ 0.5. The set-based
+# score joins on (brand, gram) — linear in gram postings, never a
+# quadratic edit-distance pass (contrast A45's Levenshtein, which is
+# the small-blocked complement). Integer gram counts + IEEE sqrt.
+# --------------------------------------------------------------------------
+
+def trigram_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # canonicalize to DISTINCT (brand, name) representatives first:
+    # identical names would otherwise pair quadratically (751k output
+    # rows at sf0.1, unbounded at corpus scale); matching
+    # representatives bounds both the join and the output by the name
+    # vocabulary, and the member counts preserve the linkage info
+    names = (load_table(spark, sf_dir, "part")
+             .groupBy(F.col("p_brand").alias("brand"),
+                      F.lower(F.col("p_name")).alias("nm"))
+             .agg(F.count(F.lit(1)).alias("n_parts")))
+    grams = (names.select(
+        "brand", "nm",
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.length("nm") - 2),
+            lambda i: F.col("nm").substr(i, F.lit(3)))))
+         .alias("gram")))
+    sizes = grams.groupBy("brand", "nm").agg(
+        F.count(F.lit(1)).alias("sz"))
+    a = grams.select("brand", F.col("nm").alias("nm_a"), "gram")
+    b = grams.select("brand", F.col("nm").alias("nm_b"), "gram")
+    inter = (a.join(b, ["brand", "gram"])
+              .where(F.col("nm_a") < F.col("nm_b"))
+              .groupBy("brand", "nm_a", "nm_b")
+              .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.select("brand", F.col("nm").alias("nm_a"),
+                      F.col("sz").alias("sz_a"))
+    sb = sizes.select("brand", F.col("nm").alias("nm_b"),
+                      F.col("sz").alias("sz_b"))
+    ca = names.select("brand", F.col("nm").alias("nm_a"),
+                      F.col("n_parts").alias("n_parts_a"))
+    cb = names.select("brand", F.col("nm").alias("nm_b"),
+                      F.col("n_parts").alias("n_parts_b"))
+    cos = F.col("n_inter") / F.sqrt((F.col("sz_a") * F.col("sz_b"))
+                                    .cast("double"))
+    return (inter.join(sa, ["brand", "nm_a"]).join(sb, ["brand", "nm_b"])
+                 .join(ca, ["brand", "nm_a"]).join(cb, ["brand", "nm_b"])
+                 .where(F.round(cos, 4) >= 0.5)
+                 .select("brand", F.col("nm_a").alias("name_a"),
+                         F.col("nm_b").alias("name_b"),
+                         "n_parts_a", "n_parts_b",
+                         F.round(cos, 4).alias("gram_cosine")))
+
+TRIGRAM_SIM_SQL = """
+WITH names AS (
+  SELECT p_brand AS brand, lower(p_name) AS nm, count(*) AS n_parts
+  FROM part GROUP BY 1, 2
+), grams AS (
+  SELECT DISTINCT brand, nm, substr(nm, i, 3) AS gram
+  FROM names, unnest(generate_series(1, length(nm) - 2)) AS t(i)
+), sizes AS (
+  SELECT brand, nm, count(*) AS sz FROM grams GROUP BY 1, 2
+), inter AS (
+  SELECT a.brand, a.nm AS nm_a, b.nm AS nm_b, count(*) AS n_inter
+  FROM grams a JOIN grams b
+    ON a.brand = b.brand AND a.gram = b.gram AND a.nm < b.nm
+  GROUP BY 1, 2, 3
+)
+SELECT i.brand, nm_a AS name_a, nm_b AS name_b,
+       ca.n_parts AS n_parts_a, cb.n_parts AS n_parts_b,
+       round(n_inter / sqrt(CAST(sa.sz * sb.sz AS DOUBLE)), 4)
+         AS gram_cosine
+FROM inter i
+JOIN sizes sa ON sa.brand = i.brand AND sa.nm = i.nm_a
+JOIN sizes sb ON sb.brand = i.brand AND sb.nm = i.nm_b
+JOIN names ca ON ca.brand = i.brand AND ca.nm = i.nm_a
+JOIN names cb ON cb.brand = i.brand AND cb.nm = i.nm_b
+WHERE round(n_inter / sqrt(CAST(sa.sz * sb.sz AS DOUBLE)), 4) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# C39. Robust outlier days (modified z-score, Iglewicz-Hoaglin 1993,
+# public): 0.6745·(n−median)/MAD on the daily series — the
+# median-based companion to C34's mean-based Grubbs test. Top-5 days
+# by |modified z| (threshold-free output is non-empty at every SF);
+# exact interpolated median/MAD from integer counts.
+# --------------------------------------------------------------------------
+
+def robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_counts(spark, sf_dir)
+    med = daily.agg(F.percentile("n", F.lit(0.5)).alias("__med"))
+    dev = (daily.crossJoin(F.broadcast(med))
+                .withColumn("__ad", F.abs(F.col("n") - F.col("__med"))))
+    mad = dev.agg(F.percentile("__ad", F.lit(0.5)).alias("__mad"))
+    z = F.lit(0.6745) * (F.col("n") - F.col("__med")) / F.col("__mad")
+    return (dev.crossJoin(F.broadcast(mad))
+               .orderBy(F.abs(z).desc(), F.col("d").asc())
+               .limit(5)
+               .select(F.col("d").cast("int").alias("day_num"),
+                       F.col("n").alias("n_events"),
+                       F.round(z, 4).alias("modified_z")))
+
+ROBUST_OUTLIER_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+med AS (SELECT quantile_cont(n, 0.5) AS med FROM daily),
+dev AS (
+  SELECT d, n, abs(n - med.med) AS ad, med.med AS med
+  FROM daily, med
+),
+mad AS (SELECT quantile_cont(ad, 0.5) AS mad FROM dev)
+SELECT CAST(d AS INT) AS day_num, n AS n_events,
+       round(0.6745 * (n - med) / mad.mad, 4) AS modified_z
+FROM dev, mad
+ORDER BY abs(0.6745 * (n - med) / mad.mad) DESC, d ASC
+LIMIT 5
+"""
+
+
+# --------------------------------------------------------------------------
+# C40. Cohort LTV curve: cumulative revenue per user by cohort week ×
+# week offset — the value companion to C13's retention counts. One
+# user-keyed window for the cohort tag, one (cohort, offset) shuffle;
+# the cumulative runs over the weeks²-bounded grid. Money sums are
+# exact DECIMAL before the per-user division.
+# --------------------------------------------------------------------------
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import money
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    d = (ev.withColumn("first_ts", F.min("ts").over(w))
+           .select("user_id", money("value").alias("val"),
+                   F.date_format(F.date_trunc("week", "first_ts"),
+                                 "yyyy-MM-dd").alias("cohort_week"),
+                   ((F.datediff(F.date_trunc("week", "ts").cast("date"),
+                                F.date_trunc("week", "first_ts")
+                                 .cast("date")) / 7)
+                    .cast("long").alias("week_offset"))))
+    cell = (d.groupBy("cohort_week", "week_offset")
+             .agg(F.sum("val").alias("__rev")))
+    size = (d.groupBy("cohort_week")
+             .agg(F.countDistinct("user_id").alias("__nu")))
+    wcum = (Window.partitionBy("cohort_week").orderBy("week_offset")
+                  .rowsBetween(Window.unboundedPreceding, 0))
+    return (cell.withColumn("__cum", F.sum("__rev").over(wcum))
+                .join(size, "cohort_week")
+                .select("cohort_week", "week_offset",
+                        F.round(F.col("__cum").cast("double")
+                                / F.col("__nu"), 4)
+                         .alias("cum_ltv_per_user")))
+
+COHORT_LTV_SQL = """
+WITH d AS (
+  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS val,
+         strftime(date_trunc('week', min(ts) OVER (PARTITION BY user_id)),
+                  '%Y-%m-%d') AS cohort_week,
+         CAST(datediff('day',
+                CAST(date_trunc('week',
+                     min(ts) OVER (PARTITION BY user_id)) AS DATE),
+                CAST(date_trunc('week', ts) AS DATE)) / 7 AS BIGINT)
+           AS week_offset
+  FROM events
+), cell AS (
+  SELECT cohort_week, week_offset, sum(val) AS rev
+  FROM d GROUP BY 1, 2
+), size_t AS (
+  SELECT cohort_week, count(DISTINCT user_id) AS nu FROM d GROUP BY 1
+)
+SELECT cell.cohort_week, cell.week_offset,
+       round(CAST(sum(cell.rev) OVER (PARTITION BY cell.cohort_week
+                                      ORDER BY cell.week_offset
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE) / size_t.nu, 4) AS cum_ltv_per_user
+FROM cell JOIN size_t ON size_t.cohort_week = cell.cohort_week
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -7948,6 +8241,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "roc_auc_order_status": (roc_auc_order_status, ROC_AUC_SQL),
     "target_encode_mktsegment": (target_encode_mktsegment,
                                  TARGET_ENCODE_SQL),
+    "funnel_latency_quantiles": (funnel_latency_quantiles,
+                                 FUNNEL_LATENCY_SQL),
+    "basket_triples": (basket_triples, BASKET_TRIPLES_SQL),
+    "trigram_name_similarity": (trigram_name_similarity, TRIGRAM_SIM_SQL),
+    "robust_outlier_days": (robust_outlier_days, ROBUST_OUTLIER_SQL),
+    "cohort_ltv": (cohort_ltv, COHORT_LTV_SQL),
 }
 
 
@@ -7994,6 +8293,8 @@ _CHANGED_IN_ROUND = {name: 2 for name in [
     "incremental_agg_refresh", "bfs_hops_brands", "overdispersion_daily",
     "lsa_singular_values", "isotonic_price_by_qty", "lad_lineitem",
     "roc_auc_order_status", "target_encode_mktsegment",
+    "funnel_latency_quantiles", "basket_triples",
+    "trigram_name_similarity", "robust_outlier_days", "cohort_ltv",
 ]}
 
 

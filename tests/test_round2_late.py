@@ -487,3 +487,74 @@ def test_target_encoding_excludes_own_fold(spark, sf_dir):
     # whenever the fold is a nontrivial subset
     full = c[c["c_mktsegment"] == seg]
     assert len(other) < len(full)
+
+
+def test_funnel_latency_matches_pandas(spark, sf_dir):
+    got = Q.funnel_latency_quantiles(spark, sf_dir).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    lats = []
+    for _, g in ev.groupby("user_id"):
+        tv = g.loc[g["event_type"] == "view", "ts"].min()
+        if pd.isna(tv):
+            continue
+        tc = g.loc[(g["event_type"] == "click") & (g["ts"] >= tv),
+                   "ts"].min()
+        if pd.isna(tc):
+            continue
+        tp = g.loc[(g["event_type"] == "purchase") & (g["ts"] >= tc),
+                   "ts"].min()
+        if pd.isna(tp):
+            continue
+        lats.append((tp - tv).value / 1000)  # ns -> us
+    assert got["n_converted"] == len(lats)
+    assert got["p50_us"] == pytest.approx(np.percentile(lats, 50), rel=1e-6)
+    assert got["p90_us"] == pytest.approx(np.percentile(lats, 90), rel=1e-6)
+
+
+def test_basket_triples_support_is_consistent(spark, sf_dir):
+    got = Q.basket_triples(spark, sf_dir).toPandas()
+    assert len(got) == 20
+    assert (got["support"] > 0).all()
+    assert list(got["support"]) == sorted(got["support"], reverse=True)
+    # every triple's support cannot exceed any of its pair supports
+    pairs = Q.item_cosine_similarity(spark, sf_dir).toPandas()
+    pmap = {(r["brand_a"], r["brand_b"]): r["n_ab"]
+            for _, r in pairs.iterrows()}
+    for _, r in got.head(3).iterrows():
+        ab = pmap.get((r["brand_a"], r["brand_b"]))
+        if ab is not None:
+            assert r["support"] <= ab
+
+
+def test_trigram_similarity_reflexive_names_score_one(spark, sf_dir):
+    got = Q.trigram_name_similarity(spark, sf_dir).toPandas()
+    assert (got["gram_cosine"] >= 0.5).all()
+    assert (got["gram_cosine"] <= 1.0).all()
+    # representative matching: no pair of identical names can appear
+    # (identical names collapse into ONE representative with n_parts>1)
+    assert (got["name_a"] != got["name_b"]).all()
+    # sanity vs a python recompute for one pair
+    row = got.iloc[0]
+    g = lambda s: {s[i:i + 3] for i in range(len(s) - 2)}
+    a, b = g(row["name_a"]), g(row["name_b"])
+    assert row["gram_cosine"] == pytest.approx(
+        len(a & b) / math.sqrt(len(a) * len(b)), abs=1e-4)
+
+
+def test_robust_outliers_match_numpy(spark, sf_dir):
+    got = Q.robust_outlier_days(spark, sf_dir).toPandas()
+    n = _daily(sf_dir).sort_values("d")["n"].to_numpy(float)
+    med = np.median(n)
+    mad = np.median(np.abs(n - med))
+    z = 0.6745 * (n - med) / mad
+    top = sorted(np.abs(z), reverse=True)[:5]
+    assert sorted(np.abs(got["modified_z"]), reverse=True) == \
+        pytest.approx(top, abs=1e-3)
+
+
+def test_cohort_ltv_monotone_within_cohort(spark, sf_dir):
+    got = Q.cohort_ltv(spark, sf_dir).toPandas()
+    for _, g in got.groupby("cohort_week"):
+        vals = g.sort_values("week_offset")["cum_ltv_per_user"].to_numpy()
+        assert (np.diff(vals) >= -1e-9).all()  # cumulative, value >= 0
