@@ -8020,6 +8020,153 @@ FROM cell JOIN size_t ON size_t.cohort_week = cell.cohort_week
 
 
 # --------------------------------------------------------------------------
+# C41. Daily bounce rate: share of gap-sessionized sessions with
+# exactly one event, per day of session start — the engagement-quality
+# companion to B13's sessionization (same 30-min gap rule, same
+# single user_id window shuffle). Integer session counts → exact rate.
+# --------------------------------------------------------------------------
+
+def daily_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1) \
+                .otherwise(0)
+    sess = ev.withColumn(
+        "sess_id", F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    per_sess = (sess.groupBy("user_id", "sess_id")
+                    .agg(F.count(F.lit(1)).alias("n_ev"),
+                         F.to_date(F.min("ts")).alias("day")))
+    return (per_sess.groupBy(F.date_format("day", "yyyy-MM-dd")
+                             .alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum((F.col("n_ev") == 1).cast("long"))
+                  .alias("n_bounces"))
+            .select("day", "n_sessions", "n_bounces",
+                    F.round(F.col("n_bounces") / F.col("n_sessions"), 4)
+                     .alias("bounce_rate")))
+
+BOUNCE_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+), per_sess AS (
+  SELECT user_id, sess_id, count(*) AS n_ev,
+         strftime(CAST(min(ts) AS DATE), '%Y-%m-%d') AS day
+  FROM s GROUP BY 1, 2
+)
+SELECT day, count(*) AS n_sessions,
+       CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       round(CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS bounce_rate
+FROM per_sess GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# B51. Lexical diversity per source: type-token ratio, hapax ratio,
+# and Yule's K = 10⁴·(Σ m²·V(m) − N)/N² from the frequency-of-
+# frequencies table (Yule 1944, public) — all integer-derived, so
+# engine-exact. Two vocabulary-width shuffles (token counts → count-of-
+# counts), corpus never re-shuffled.
+# --------------------------------------------------------------------------
+
+def yule_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    tc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("m"))
+    ff = (tc.groupBy("source", "m")
+            .agg(F.count(F.lit(1)).alias("vm")))
+    return (ff.groupBy("source")
+              .agg(F.sum(F.col("m") * F.col("vm")).alias("__n"),
+                   F.sum("vm").alias("n_types"),
+                   F.sum(F.when(F.col("m") == 1, F.col("vm"))
+                          .otherwise(F.lit(0))).alias("n_hapax"),
+                   F.sum(F.col("m") * F.col("m") * F.col("vm"))
+                    .alias("__m2"))
+              .select("source",
+                      F.col("__n").alias("n_tokens"), "n_types",
+                      F.round(F.col("n_types") / F.col("__n"), 4)
+                       .alias("ttr"),
+                      F.round(F.col("n_hapax") / F.col("n_types"), 4)
+                       .alias("hapax_ratio"),
+                      F.round(F.lit(10_000.0)
+                              * (F.col("__m2") - F.col("__n"))
+                              / (F.col("__n") * F.col("__n")), 4)
+                       .alias("yule_k")))
+
+YULE_K_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+), tc AS (
+  SELECT source, tok, count(*) AS m FROM toks GROUP BY 1, 2
+), ff AS (
+  SELECT source, m, count(*) AS vm FROM tc GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(m * vm) AS BIGINT) AS n_tokens,
+       CAST(sum(vm) AS BIGINT) AS n_types,
+       round(CAST(sum(vm) AS DOUBLE) / sum(m * vm), 4) AS ttr,
+       round(CAST(sum(CASE WHEN m = 1 THEN vm ELSE 0 END) AS DOUBLE)
+             / sum(vm), 4) AS hapax_ratio,
+       round(10000.0 * (sum(m * m * vm) - sum(m * vm))
+             / (CAST(sum(m * vm) AS DOUBLE) * sum(m * vm)), 4) AS yule_k
+FROM ff GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# C42. Burstiness index per event type (Goh-Barabási 2008, public):
+# B = (σ−μ)/(σ+μ) of the DAILY count series per type — B→−1 periodic,
+# 0 Poisson-like, →1 bursty. Computed on the calendar-bounded
+# (type × day) aggregate, never on raw-event inter-arrivals (which
+# would need a per-type global ordering — the r01 flaw class).
+# --------------------------------------------------------------------------
+
+def burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+               .agg(F.count(F.lit(1)).alias("n")))
+    agg = (daily.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n_days"),
+                     F.avg("n").alias("__mu"),
+                     F.stddev_samp("n").alias("__sd")))
+    b = (F.col("__sd") - F.col("__mu")) / (F.col("__sd") + F.col("__mu"))
+    return agg.select("event_type", "n_days",
+                      F.round("__mu", 4).alias("mean_daily"),
+                      F.round("__sd", 4).alias("sd_daily"),
+                      F.round(b, 4).alias("burstiness"))
+
+BURSTINESS_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, count(*) AS n_days,
+       round(avg(n), 4) AS mean_daily,
+       round(stddev_samp(n), 4) AS sd_daily,
+       round((stddev_samp(n) - avg(n)) / (stddev_samp(n) + avg(n)), 4)
+         AS burstiness
+FROM daily GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8247,6 +8394,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "trigram_name_similarity": (trigram_name_similarity, TRIGRAM_SIM_SQL),
     "robust_outlier_days": (robust_outlier_days, ROBUST_OUTLIER_SQL),
     "cohort_ltv": (cohort_ltv, COHORT_LTV_SQL),
+    "daily_bounce_rate": (daily_bounce_rate, BOUNCE_SQL),
+    "yule_k_by_source": (yule_k_by_source, YULE_K_SQL),
+    "burstiness_by_type": (burstiness_by_type, BURSTINESS_SQL),
 }
 
 
@@ -8295,6 +8445,7 @@ _CHANGED_IN_ROUND = {name: 2 for name in [
     "roc_auc_order_status", "target_encode_mktsegment",
     "funnel_latency_quantiles", "basket_triples",
     "trigram_name_similarity", "robust_outlier_days", "cohort_ltv",
+    "daily_bounce_rate", "yule_k_by_source", "burstiness_by_type",
 ]}
 
 

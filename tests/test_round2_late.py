@@ -558,3 +558,45 @@ def test_cohort_ltv_monotone_within_cohort(spark, sf_dir):
     for _, g in got.groupby("cohort_week"):
         vals = g.sort_values("week_offset")["cum_ltv_per_user"].to_numpy()
         assert (np.diff(vals) >= -1e-9).all()  # cumulative, value >= 0
+
+
+def test_bounce_rate_bounds_and_totals(spark, sf_dir):
+    got = Q.daily_bounce_rate(spark, sf_dir).toPandas()
+    assert (got["bounce_rate"] >= 0).all() and (got["bounce_rate"] <= 1).all()
+    assert (got["n_bounces"] <= got["n_sessions"]).all()
+    sess = Q.events_sessions(spark, sf_dir).toPandas()
+    assert got["n_sessions"].sum() == sess["n_sessions"].sum()
+
+
+def test_yule_k_matches_manual(spark, sf_dir):
+    got = Q.yule_k_by_source(spark, sf_dir).toPandas().set_index("source")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+    src = "src0"
+    toks = [t for txt in docs.loc[docs["source"] == src, "text"]
+            for t in txt.strip().split()]
+    from collections import Counter
+    c = Counter(toks)
+    N = sum(c.values())
+    m2 = sum(m * m for m in c.values())
+    row = got.loc[src]
+    assert row["n_tokens"] == N
+    assert row["n_types"] == len(c)
+    assert row["yule_k"] == pytest.approx(1e4 * (m2 - N) / N ** 2, abs=1e-3)
+    assert row["hapax_ratio"] == pytest.approx(
+        sum(1 for m in c.values() if m == 1) / len(c), abs=1e-4)
+
+
+def test_burstiness_in_range(spark, sf_dir):
+    got = Q.burstiness_by_type(spark, sf_dir).toPandas()
+    assert len(got) == 5
+    assert (got["burstiness"] > -1).all() and (got["burstiness"] < 1).all()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"]).dropna()
+    one = ev[ev["event_type"] == "click"]
+    daily = (pd.to_datetime(one["ts"]).dt.normalize()
+             .value_counts().to_numpy(float))
+    mu, sd = daily.mean(), daily.std(ddof=1)
+    row = got.set_index("event_type").loc["click"]
+    assert row["burstiness"] == pytest.approx((sd - mu) / (sd + mu),
+                                              abs=1e-3)
