@@ -8167,6 +8167,64 @@ FROM daily GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# A104. Catalog-wide data profile: one row per (table, column) with
+# row/null/distinct counts across ALL ten tables — the data-catalog /
+# discovery utility generalizing A7's single-table describe. One scan
+# per table computes every column's counts in a single fused
+# aggregate (count-distinct expands map-side, never a per-column
+# rescan); the scalars collected per table are #columns-bounded. The
+# oracle SQL is GENERATED from the same column dictionary, so the two
+# sides cannot drift.
+# --------------------------------------------------------------------------
+
+_CATALOG_COLUMNS: dict[str, list[str]] = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "label"],
+}
+
+
+def catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = []
+    for table, cols in _CATALOG_COLUMNS.items():
+        df = load_table(spark, sf_dir, table)
+        aggs = [F.count(F.lit(1)).alias("__nr")]
+        for c in cols:
+            aggs.append(F.count(c).alias(f"__c_{c}"))
+            aggs.append(F.countDistinct(c).alias(f"__d_{c}"))
+        r = df.agg(*aggs).collect()[0].asDict()
+        for c in cols:
+            rows.append((table, c, r["__nr"], r["__nr"] - r[f"__c_{c}"],
+                         r[f"__d_{c}"]))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, n_rows long, "
+              "n_nulls long, n_distinct long")
+
+_CATALOG_SELECTS = []
+for _t, _cols in _CATALOG_COLUMNS.items():
+    for _c in _cols:
+        _CATALOG_SELECTS.append(
+            f"SELECT '{_t}' AS table_name, '{_c}' AS column_name,\n"
+            f"       (SELECT count(*) FROM {_t}) AS n_rows,\n"
+            f"       (SELECT count(*) - count({_c}) FROM {_t}) AS n_nulls,\n"
+            f"       (SELECT count(DISTINCT {_c}) FROM {_t}) AS n_distinct")
+CATALOG_PROFILE_SQL = "\nUNION ALL\n".join(_CATALOG_SELECTS)
+del _CATALOG_SELECTS, _t, _cols, _c
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8397,6 +8455,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "daily_bounce_rate": (daily_bounce_rate, BOUNCE_SQL),
     "yule_k_by_source": (yule_k_by_source, YULE_K_SQL),
     "burstiness_by_type": (burstiness_by_type, BURSTINESS_SQL),
+    "catalog_profile": (catalog_profile, CATALOG_PROFILE_SQL),
 }
 
 
@@ -8446,6 +8505,7 @@ _CHANGED_IN_ROUND = {name: 2 for name in [
     "funnel_latency_quantiles", "basket_triples",
     "trigram_name_similarity", "robust_outlier_days", "cohort_ltv",
     "daily_bounce_rate", "yule_k_by_source", "burstiness_by_type",
+    "catalog_profile",
 ]}
 
 

@@ -600,3 +600,17 @@ def test_burstiness_in_range(spark, sf_dir):
     row = got.set_index("event_type").loc["click"]
     assert row["burstiness"] == pytest.approx((sd - mu) / (sd + mu),
                                               abs=1e-3)
+
+
+def test_catalog_profile_consistency(spark, sf_dir):
+    got = Q.catalog_profile(spark, sf_dir).toPandas()
+    assert len(got) == 49
+    assert (got["n_nulls"] >= 0).all()
+    assert (got["n_distinct"] <= got["n_rows"]).all()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    sub = got[got["table_name"] == "lineitem"].set_index("column_name")
+    assert (sub["n_rows"] == len(li)).all()
+    assert sub.loc["l_returnflag", "n_distinct"] == \
+        li["l_returnflag"].nunique()
+    assert sub.loc["l_quantity", "n_nulls"] == \
+        int(li["l_quantity"].isna().sum())
