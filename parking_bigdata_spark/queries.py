@@ -7750,16 +7750,21 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.max("t_purchase").alias("tp"),
                   F.max("t_view").alias("tv"))
              .where(F.col("tp").isNotNull())
+             # seconds, not microseconds: interpolated quantiles at
+             # ~1e11 magnitude sit BELOW one double ulp per 1e-4, so a
+             # 4-dp round would flip on the engines' different (equal-
+             # value) interpolation formulas; at ~1e5 seconds the noise
+             # is 1e-10 against a 5e-5 round quantum
              .select(F.lit("all").alias("g"),
-                     (F.unix_micros("tp") - F.unix_micros("tv"))
-                     .cast("double").alias("latency_us")))
-    q = stats.grouped_quantiles(lat, "g", "latency_us",
-                                [0.5, 0.9], ["p50_us", "p90_us"])
+                     ((F.unix_micros("tp") - F.unix_micros("tv"))
+                      / F.lit(1_000_000.0)).alias("latency_s")))
+    q = stats.grouped_quantiles(lat, "g", "latency_s",
+                                [0.5, 0.9], ["p50_s", "p90_s"])
     n = lat.groupBy("g").agg(F.count(F.lit(1)).alias("n_converted"))
     return (q.join(n, "g")
              .select("n_converted",
-                     F.round("p50_us", 4).alias("p50_us"),
-                     F.round("p90_us", 4).alias("p90_us")))
+                     F.round("p50_s", 4).alias("p50_s"),
+                     F.round("p90_s", 4).alias("p90_s")))
 
 FUNNEL_LATENCY_SQL = """
 WITH d1 AS (
@@ -7777,14 +7782,14 @@ WITH d1 AS (
               OVER (PARTITION BY user_id) AS t_purchase
   FROM d2
 ), lat AS (
-  SELECT CAST(epoch_us(max(t_purchase)) - epoch_us(max(t_view))
-              AS DOUBLE) AS latency_us
+  SELECT (epoch_us(max(t_purchase)) - epoch_us(max(t_view)))
+         / 1000000.0 AS latency_s
   FROM d3 GROUP BY user_id
   HAVING max(t_purchase) IS NOT NULL
 )
 SELECT CAST(count(*) AS BIGINT) AS n_converted,
-       round(quantile_cont(latency_us, 0.5), 4) AS p50_us,
-       round(quantile_cont(latency_us, 0.9), 4) AS p90_us
+       round(quantile_cont(latency_s, 0.5), 4) AS p50_s,
+       round(quantile_cont(latency_s, 0.9), 4) AS p90_s
 FROM lat
 """
 

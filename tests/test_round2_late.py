@@ -506,10 +506,10 @@ def test_funnel_latency_matches_pandas(spark, sf_dir):
                    "ts"].min()
         if pd.isna(tp):
             continue
-        lats.append((tp - tv).value / 1000)  # ns -> us
+        lats.append((tp - tv).value / 1e9)  # ns -> s
     assert got["n_converted"] == len(lats)
-    assert got["p50_us"] == pytest.approx(np.percentile(lats, 50), rel=1e-6)
-    assert got["p90_us"] == pytest.approx(np.percentile(lats, 90), rel=1e-6)
+    assert got["p50_s"] == pytest.approx(np.percentile(lats, 50), rel=1e-6)
+    assert got["p90_s"] == pytest.approx(np.percentile(lats, 90), rel=1e-6)
 
 
 def test_basket_triples_support_is_consistent(spark, sf_dir):
