@@ -764,7 +764,6 @@ def lsa_singular_values(df: DataFrame, text_col: str = "text",
               .limit(vocab_size).collect())
     vocab = {r["tok"]: i for i, r in enumerate(
         sorted(top, key=lambda r: r["tok"]))}
-    n_tok = {r["tok"]: r["n"] for r in top}
     bigrams = F.expr(
         "CASE WHEN size(__toks) >= 2 THEN "
         "transform(sequence(1, size(__toks) - 1), "

@@ -214,9 +214,13 @@ def poisson_glm_sql(xs: list[str], y: str, table: str, n_iter: int = 3,
     k = len(xs) + 1
     cols = ["1.0"] + xs
     names = ["intercept"] + [f"coef_{c}" for c in xs]
+    # same row filter as ml.poisson_glm_df: a row with ANY null feature
+    # or target is dropped entirely (code-review r02 — sum() skipping
+    # only the null PRODUCTS would silently diverge from the operator)
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in xs + [y])
     ctes = [f"c0 AS (\n  SELECT round(ln(avg({y})), 6) AS b0, "
             + ", ".join(f"0.0 AS b{i}" for i in range(1, k))
-            + f"\n  FROM {table}\n)"]
+            + f"\n  FROM {table} WHERE {notnull}\n)"]
     for it in range(1, n_iter + 1):
         p = f"c{it - 1}"
         eta = f"({p}.b0" + "".join(
@@ -231,7 +235,7 @@ def poisson_glm_sql(xs: list[str], y: str, table: str, n_iter: int = 3,
                          f" AS r_{i}")
         ctes.append(f"m{it} AS (\n  SELECT "
                     + ",\n         ".join(items)
-                    + f"\n  FROM {table}, {p}\n)")
+                    + f"\n  FROM {table}, {p} WHERE {notnull}\n)")
         H = [[f"h_{min(i, j)}_{max(i, j)}" for j in range(k)]
              for i in range(k)]
         det = sql_det(H)

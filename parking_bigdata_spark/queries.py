@@ -4742,31 +4742,17 @@ FROM pairs
 # --------------------------------------------------------------------------
 
 def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    # materialize the distinct (order, brand) table: the marginal and
-    # per-order branches otherwise replay the fact scan+join+distinct
-    ob = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-            .select(F.col("l_orderkey").alias("ok"),
-                    F.col("p_brand").alias("brand"))
-            .distinct()
-            .localCheckpoint(eager=True))
-    per_order = ob.groupBy("ok").agg(
-        F.sort_array(F.collect_set("brand")).alias("bs"))
-    n_ord = per_order.agg(F.count(F.lit(1)).alias("n_ord"))
+    # materialize the distinct (order, brand) table: the marginal,
+    # n_ord, and per-order branches (THREE consumers) otherwise replay
+    # the fact scan+join+distinct — the measured crossover where the
+    # checkpoint wins (contrast item_cosine_similarity's two consumers)
+    ob = _order_brands(spark, sf_dir).localCheckpoint(eager=True)
+    n_ord = (ob.select("ok").distinct()
+               .agg(F.count(F.lit(1)).alias("n_ord")))
     bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n_b"))
-    pairs_arr = F.flatten(F.transform(
-        F.sequence(F.lit(0), F.size("bs") - 2),
-        lambda i: F.transform(
-            F.sequence(i + 1, F.size("bs") - 1),
-            lambda j: F.struct(
-                F.element_at(F.col("bs"), i + 1).alias("brand_a"),
-                F.element_at(F.col("bs"), j + 1).alias("brand_b")))))
-    pairs = (per_order.where(F.size("bs") >= 2)
-             .select(F.explode(pairs_arr).alias("p"))
-             .groupBy(F.col("p.brand_a").alias("brand_a"),
-                      F.col("p.brand_b").alias("brand_b"))
-             .agg(F.count(F.lit(1)).alias("n_ab")))
+    pairs = (_basket_pair_counts(ob)
+             .withColumnRenamed("a", "brand_a")
+             .withColumnRenamed("b", "brand_b"))
     ca = bc.select(F.col("brand").alias("brand_a"),
                    F.col("n_b").alias("n_a_orders"))
     cb = bc.select(F.col("brand").alias("brand_b"),
@@ -6487,7 +6473,7 @@ FROM c, m WHERE cum = mx
 
 
 # --------------------------------------------------------------------------
-# C31. Theil-Sen robust trend of the daily event series: the median of
+# C32. Theil-Sen robust trend of the daily event series: the median of
 # all pairwise slopes (and the matching median intercept). Robust
 # complement to A20's least-squares line (the reference fits lm trends,
 # R:1194; Theil-Sen is the standard outlier-resistant alternative —
@@ -6508,6 +6494,54 @@ _DAILY_SQL = """
          count(*) AS n
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 """
+
+
+def _order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, brand) basket table — the shared input of the
+    co-purchase family (basket lift, item cosine, triples, triangle
+    count, BFS). One broadcast dim join + one distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .select(F.col("l_orderkey").alias("ok"),
+                      F.col("p_brand").alias("brand"))
+              .distinct())
+
+
+def _per_order_brand_sets(ob: DataFrame) -> DataFrame:
+    """(ok, sorted brand array) — the in-row pair/triple generator's
+    source; sorting makes every emitted combination canonical."""
+    return ob.groupBy("ok").agg(
+        F.sort_array(F.collect_set("brand")).alias("bs"))
+
+
+def _basket_pair_counts(ob: DataFrame) -> DataFrame:
+    """Brand co-occurrence counts (a < b, n_ab) with pairs generated
+    IN-ROW from per-order sorted arrays — bounded by C(brands-per-
+    order, 2) per order, never an order-table self-join shuffle."""
+    per_order = _per_order_brand_sets(ob)
+    pairs_arr = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.size("bs") - 2),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.size("bs") - 1),
+            lambda j: F.struct(
+                F.element_at(F.col("bs"), i + 1).alias("a"),
+                F.element_at(F.col("bs"), j + 1).alias("b")))))
+    return (per_order.where(F.size("bs") >= 2)
+            .select(F.explode(pairs_arr).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n_ab")))
+
+
+def _mean_support_edges(pc: DataFrame) -> DataFrame:
+    """Edges above the mean pair support — the SF-robust graph
+    threshold shared by the triangle and BFS queries. Mean = S/n is an
+    exact double, so the cut is engine-stable."""
+    thr = pc.agg(F.avg("n_ab").alias("__thr"))
+    return (pc.crossJoin(F.broadcast(thr))
+              .where(F.col("n_ab") > F.col("__thr"))
+              .select("a", "b"))
+
 
 
 def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6545,7 +6579,7 @@ FROM daily, m
 
 
 # --------------------------------------------------------------------------
-# C32. Harmonic (weekly sin/cos) regression on the daily series — the
+# C33. Harmonic (weekly sin/cos) regression on the daily series — the
 # closed-form seasonality fit that complements C21's decomposition:
 # n ~ intercept + a·sin(2πd/7) + b·cos(2πd/7), solved by the SAME
 # one-pass normal-equation machinery as A21 over the calendar-bounded
@@ -6573,7 +6607,7 @@ HARMONIC_SQL = oracles.normal_eq_sql(
 
 
 # --------------------------------------------------------------------------
-# C33. Grubbs outlier test on the daily series: G = max|n−mean|/sd with
+# C34. Grubbs outlier test on the daily series: G = max|n−mean|/sd with
 # the flagged day (Grubbs 1950, public). The deviation |n−mean| is an
 # exact double (integer counts, exact mean S/n), so the argmax ordering
 # is engine-identical; ties break on the earlier day.
@@ -6608,7 +6642,7 @@ LIMIT 1
 
 
 # --------------------------------------------------------------------------
-# C34. Wald-Wolfowitz runs test for randomness of the daily series
+# C35. Wald-Wolfowitz runs test for randomness of the daily series
 # around its median (public, 1940). Days equal to the (interpolated)
 # median are dropped, per the standard formulation. Everything after
 # the daily aggregate is integer arithmetic + one IEEE sqrt, so the
@@ -6663,7 +6697,7 @@ FROM f
 
 
 # --------------------------------------------------------------------------
-# A86. Two-group Poisson rate comparison (purchase vs error events over
+# A106. Two-group Poisson rate comparison (purchase vs error events over
 # the same observation window): rates per active day, their ratio, and
 # the conditional z statistic (n1−n2)/√(n1+n2) — the standard equal-
 # exposure Poisson test (public; e.g. Lehmann, Testing Statistical
@@ -6709,7 +6743,7 @@ FROM f
 
 
 # --------------------------------------------------------------------------
-# A87b. Huber robust regression (IRLS M-estimator): the outlier-
+# A105. Huber robust regression (IRLS M-estimator): the outlier-
 # resistant line fit for l_quantity → l_extendedprice. Each iteration
 # is one fused 5-sum aggregate (no shuffle); see ml.huber_fit_df for
 # the determinism contract shared with the unrolled SQL oracle.
@@ -6725,7 +6759,7 @@ HUBER_SQL = oracles.huber_sql("l_quantity", "l_extendedprice",
 
 
 # --------------------------------------------------------------------------
-# B37. Gopher quality rule set (Rae et al. 2021): per-document boolean
+# B38. Gopher quality rule set (Rae et al. 2021): per-document boolean
 # rules + combined pass flag. One codegen'd projection, zero shuffles.
 # --------------------------------------------------------------------------
 
@@ -6770,7 +6804,7 @@ FROM f
 
 
 # --------------------------------------------------------------------------
-# B38. Heaps'-law fit: vocabulary growth V = K·N^β across sources,
+# B39. Heaps'-law fit: vocabulary growth V = K·N^β across sources,
 # estimated by OLS on (ln N, ln V) per source (Heaps 1978, public; the
 # lexical-diversity companion to B33's Zipf slope). The explode+agg is
 # the only distributed work; the fit runs over #sources points through
@@ -6801,7 +6835,7 @@ HEAPS_SQL = oracles.normal_eq_sql(
 
 
 # --------------------------------------------------------------------------
-# B39. BM25 ranked retrieval (Robertson-Spärck Jones, public) for a
+# B40. BM25 ranked retrieval (Robertson-Spärck Jones, public) for a
 # fixed query over the corpus: tf/df from one explode+agg, idf and
 # avgdl rounded (6/4 dp) so both engines score with identical decimal
 # constants, per-term partial scores summed in a FIXED column order
@@ -6882,13 +6916,13 @@ tot AS (
 SELECT doc_id,
        round(s_0 + s_1 + s_2, 4) AS bm25
 FROM tot
-ORDER BY s_0 + s_1 + s_2 DESC, doc_id ASC
+ORDER BY round(s_0 + s_1 + s_2, 4) DESC, doc_id ASC
 LIMIT 20
 """
 
 
 # --------------------------------------------------------------------------
-# B40. Multinomial naive Bayes language classifier (public; McCallum &
+# B41. Multinomial naive Bayes language classifier (public; McCallum &
 # Nigam 1998): train token likelihoods on an 80% doc_id-hash split,
 # predict the held-out 20%. Per-token log-likelihoods and log-priors
 # are rounded to 6 dp on BOTH engines before the per-document sum, and
@@ -7068,7 +7102,9 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, r = F.col("__n"), F.col("__r")
     pbar = r / n
     t, swn, swwn = F.col("__t"), F.col("__swn"), F.col("__swwn")
-    var = pbar * (1 - pbar) * (swwn - swn * swn / n)
+    # 1.0 * promotes BEFORE the square: swn² overflows BIGINT at
+    # ~1e9 orders while the double is exact to 2^53 (code-review r02)
+    var = pbar * (1 - pbar) * (swwn - (1.0 * swn) * swn / n)
     return agg.select(
         n.alias("n_orders"), r.alias("n_finished"),
         F.round(pbar, 4).alias("p_finished"),
@@ -7111,30 +7147,8 @@ FROM f
 # --------------------------------------------------------------------------
 
 def triangle_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    ob = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-            .select(F.col("l_orderkey").alias("ok"),
-                    F.col("p_brand").alias("brand"))
-            .distinct())
-    per_order = ob.groupBy("ok").agg(
-        F.sort_array(F.collect_set("brand")).alias("bs"))
-    pairs_arr = F.flatten(F.transform(
-        F.sequence(F.lit(0), F.size("bs") - 2),
-        lambda i: F.transform(
-            F.sequence(i + 1, F.size("bs") - 1),
-            lambda j: F.struct(
-                F.element_at(F.col("bs"), i + 1).alias("a"),
-                F.element_at(F.col("bs"), j + 1).alias("b")))))
-    pc = (per_order.where(F.size("bs") >= 2)
-          .select(F.explode(pairs_arr).alias("p"))
-          .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-          .agg(F.count(F.lit(1)).alias("n_ab")))
-    thr = pc.agg(F.avg("n_ab").alias("__thr"))  # mean is exact: S/n
-    e = (pc.crossJoin(F.broadcast(thr))
-           .where(F.col("n_ab") > F.col("__thr"))
-           .select("a", "b")
-           .localCheckpoint(eager=True))
+    pc = _basket_pair_counts(_order_brands(spark, sf_dir))
+    e = _mean_support_edges(pc).localCheckpoint(eager=True)
     deg = (e.select(F.col("a").alias("v"))
             .unionAll(e.select(F.col("b").alias("v")))
             .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
@@ -7314,32 +7328,16 @@ FROM m WHERE mx IS NULL OR p_size > mx
 # --------------------------------------------------------------------------
 
 def item_cosine_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    # NO localCheckpoint here, unlike basket_brand_lift: with only two
-    # consumers (per_order, bc) replaying the pruned scan+distinct
+    # NO localCheckpoint on ob, unlike basket_brand_lift: with only
+    # two consumers (pairs, bc) replaying the pruned scan+distinct
     # measured faster than materializing (5.1 s vs 6.4 s at 20x
     # stress, A/B'ed both ways) — the 3-consumer basket query is the
     # crossover point
-    ob = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-            .select(F.col("l_orderkey").alias("ok"),
-                    F.col("p_brand").alias("brand"))
-            .distinct())
-    per_order = ob.groupBy("ok").agg(
-        F.sort_array(F.collect_set("brand")).alias("bs"))
+    ob = _order_brands(spark, sf_dir)
     bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n_b"))
-    pairs_arr = F.flatten(F.transform(
-        F.sequence(F.lit(0), F.size("bs") - 2),
-        lambda i: F.transform(
-            F.sequence(i + 1, F.size("bs") - 1),
-            lambda j: F.struct(
-                F.element_at(F.col("bs"), i + 1).alias("a"),
-                F.element_at(F.col("bs"), j + 1).alias("b")))))
-    pairs = (per_order.where(F.size("bs") >= 2)
-             .select(F.explode(pairs_arr).alias("p"))
-             .groupBy(F.col("p.a").alias("brand_a"),
-                      F.col("p.b").alias("brand_b"))
-             .agg(F.count(F.lit(1)).alias("n_ab")))
+    pairs = (_basket_pair_counts(ob)
+             .withColumnRenamed("a", "brand_a")
+             .withColumnRenamed("b", "brand_b"))
     ca = bc.select(F.col("brand").alias("brand_a"),
                    F.col("n_b").alias("n_a"))
     cb = bc.select(F.col("brand").alias("brand_b"),
@@ -7422,28 +7420,8 @@ GROUP BY 1
 # --------------------------------------------------------------------------
 
 def bfs_hops_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    ob = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-            .select(F.col("l_orderkey").alias("ok"),
-                    F.col("p_brand").alias("brand"))
-            .distinct())
-    per_order = ob.groupBy("ok").agg(
-        F.sort_array(F.collect_set("brand")).alias("bs"))
-    pairs_arr = F.flatten(F.transform(
-        F.sequence(F.lit(0), F.size("bs") - 2),
-        lambda i: F.transform(
-            F.sequence(i + 1, F.size("bs") - 1),
-            lambda j: F.struct(
-                F.element_at(F.col("bs"), i + 1).alias("a"),
-                F.element_at(F.col("bs"), j + 1).alias("b")))))
-    pc = (per_order.where(F.size("bs") >= 2)
-          .select(F.explode(pairs_arr).alias("p"))
-          .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-          .agg(F.count(F.lit(1)).alias("n_ab")))
-    thr = pc.agg(F.avg("n_ab").alias("__thr"))
-    e = (pc.crossJoin(F.broadcast(thr))
-           .where(F.col("n_ab") > F.col("__thr")).select("a", "b"))
+    pc = _basket_pair_counts(_order_brands(spark, sf_dir))
+    e = _mean_support_edges(pc)
     ue = (e.unionAll(e.select(F.col("b").alias("a"),
                               F.col("a").alias("b")))
            .localCheckpoint(eager=True))
@@ -7636,8 +7614,11 @@ def roc_auc_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     gp = grp.where(F.col("pos") == 1).select(F.col("rg").alias("rp"),
                                              F.col("ng").alias("np"))
     gn = grp.where(F.col("pos") == 0).select(F.col("ng").alias("nn"))
-    auc = ((F.col("rp") - F.col("np") * (F.col("np") + 1) / F.lit(2.0))
-           / (F.col("np") * F.col("nn")).cast("double"))
+    # promote before the products: np² / np·nn overflow BIGINT at
+    # ~3e9 rows while doubles stay exact to 2^53 (code-review r02)
+    np_d = F.col("np").cast("double")
+    auc = ((F.col("rp") - np_d * (np_d + 1) / F.lit(2.0))
+           / (np_d * F.col("nn")))
     return (gp.crossJoin(gn)
               .select(F.col("np").cast("long").alias("n_pos"),
                       F.col("nn").cast("long").alias("n_neg"),
@@ -7803,14 +7784,7 @@ FROM lat
 # --------------------------------------------------------------------------
 
 def basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    ob = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-            .select(F.col("l_orderkey").alias("ok"),
-                    F.col("p_brand").alias("brand"))
-            .distinct())
-    per_order = ob.groupBy("ok").agg(
-        F.sort_array(F.collect_set("brand")).alias("bs"))
+    per_order = _per_order_brand_sets(_order_brands(spark, sf_dir))
     n = F.size("bs")
     triples_arr = F.flatten(F.flatten(F.transform(
         F.sequence(F.lit(0), n - 3),
@@ -7869,8 +7843,12 @@ def trigram_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("n_parts")))
     grams = (names.select(
         "brand", "nm",
+        # greatest(..., 1) guards Spark's DESCENDING sequence(1, 0)
+        # trap on names shorter than 3 chars (the chunk_tokens guard);
+        # such a name contributes its whole string as one gram on both
+        # engines
         F.explode(F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.length("nm") - 2),
+            F.sequence(F.lit(1), F.greatest(F.length("nm") - 2, F.lit(1))),
             lambda i: F.col("nm").substr(i, F.lit(3)))))
          .alias("gram")))
     sizes = grams.groupBy("brand", "nm").agg(
@@ -7905,7 +7883,8 @@ WITH names AS (
   FROM part GROUP BY 1, 2
 ), grams AS (
   SELECT DISTINCT brand, nm, substr(nm, i, 3) AS gram
-  FROM names, unnest(generate_series(1, length(nm) - 2)) AS t(i)
+  FROM names,
+       unnest(generate_series(1, greatest(length(nm) - 2, 1))) AS t(i)
 ), sizes AS (
   SELECT brand, nm, count(*) AS sz FROM grams GROUP BY 1, 2
 ), inter AS (
@@ -8109,9 +8088,12 @@ def yule_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("ttr"),
                       F.round(F.col("n_hapax") / F.col("n_types"), 4)
                        .alias("hapax_ratio"),
+                      # cast BEFORE the square: __n² overflows BIGINT
+                      # at ~3e9 tokens/source (code-review r02)
                       F.round(F.lit(10_000.0)
                               * (F.col("__m2") - F.col("__n"))
-                              / (F.col("__n") * F.col("__n")), 4)
+                              / (F.col("__n").cast("double")
+                                 * F.col("__n")), 4)
                        .alias("yule_k")))
 
 YULE_K_SQL = r"""

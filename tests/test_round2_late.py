@@ -614,3 +614,32 @@ def test_catalog_profile_consistency(spark, sf_dir):
         li["l_returnflag"].nunique()
     assert sub.loc["l_quantity", "n_nulls"] == \
         int(li["l_quantity"].isna().sum())
+
+
+def test_trigram_short_names_single_gram(spark):
+    from pyspark.sql import functions as SF
+    df = spark.createDataFrame([("ab",), ("abcd",)], "nm string")
+    grams = df.select("nm", SF.explode(SF.array_distinct(SF.transform(
+        SF.sequence(SF.lit(1), SF.greatest(SF.length("nm") - 2, SF.lit(1))),
+        lambda i: SF.col("nm").substr(i, SF.lit(3))))).alias("gram"))
+    got = {(r["nm"], r["gram"]) for r in grams.collect()}
+    # a sub-3-char name yields exactly its whole string (not the
+    # descending-sequence explosion), longer names the sliding grams
+    assert got == {("ab", "ab"), ("abcd", "abc"), ("abcd", "bcd")}
+
+
+def test_poisson_glm_oracle_drops_null_rows(spark):
+    import duckdb
+    from parking_bigdata_spark import oracles
+    pdf = pd.DataFrame({
+        "x1": [0.1, 0.5, None, 0.9, 0.2, 0.7, 0.4, 0.3],
+        "y": [3.0, 5.0, 4.0, None, 6.0, 2.0, 7.0, 4.0]})
+    sdf = spark.createDataFrame(pdf)
+    got = (ml.poisson_glm_df(sdf, ["x1"], "y", n_iter=2).toPandas()
+           .set_index("term")["estimate"])
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sql = oracles.poisson_glm_sql(["x1"], "y", table="t", n_iter=2)
+    exp = con.execute(sql).df().set_index("term")["estimate"]
+    for term in ("intercept", "coef_x1"):
+        assert got[term] == exp[term], term
