@@ -8216,6 +8216,126 @@ del _CATALOG_SELECTS, _t, _cols, _c
 
 
 # --------------------------------------------------------------------------
+# B52. Count-min sketch (Cormode-Muthukrishnan 2005, public): d=3
+# rows × w=64 buckets of counters over the event-type stream, then
+# point estimates = min over rows — with the CMS overestimate
+# guarantee checked against true counts in the same output. The
+# sketch is 192 mergeable cells (map-side combined) regardless of
+# stream size; hashes are md5 hex pairs so the oracle replays them
+# EXACTLY (the hashed_token_vectors conv/strpos recipe — no
+# engine-private hash).
+# --------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 3, 64
+
+
+def _cms_bucket_spark(col, d: int):
+    md5 = F.md5(col.cast("binary"))
+    pair = F.substring(md5, 1 + 2 * d, 2)
+    return F.pmod(F.conv(pair, 16, 10).cast("int"), F.lit(_CMS_W))
+
+
+def _cms_bucket_sql(expr: str, d: int) -> str:
+    a, b = 1 + 2 * d, 2 + 2 * d
+    return (f"(16 * (strpos('0123456789abcdef', "
+            f"substring(md5({expr}), {a}, 1)) - 1) "
+            f"+ (strpos('0123456789abcdef', "
+            f"substring(md5({expr}), {b}, 1)) - 1)) % {_CMS_W}")
+
+
+def cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 _cms_bucket_spark(F.col("event_type"), d).alias("bucket"))
+        for d in range(_CMS_D)])).alias("h"))
+    cms = (rows.groupBy(F.col("h.d").alias("d"),
+                        F.col("h.bucket").alias("bucket"))
+               .agg(F.count(F.lit(1)).alias("c")))
+    truth = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("true_count"))
+    probes = truth.select("event_type", "true_count", F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 _cms_bucket_spark(F.col("event_type"), d).alias("bucket"))
+        for d in range(_CMS_D)])).alias("h"))
+    return (probes.join(F.broadcast(cms),
+                        (probes["h.d"] == cms["d"])
+                        & (probes["h.bucket"] == cms["bucket"]))
+                  .groupBy("event_type", "true_count")
+                  .agg(F.min("c").alias("cms_estimate"))
+                  .select("event_type", "true_count", "cms_estimate",
+                          (F.col("cms_estimate") >= F.col("true_count"))
+                          .cast("int").alias("is_overestimate")))
+
+_CMS_HASH_UNION = "\nUNION ALL\n".join(
+    f"SELECT {d} AS d, {_cms_bucket_sql('event_type', d)} AS bucket, "
+    "event_type FROM events"
+    for d in range(_CMS_D))
+CMS_SQL = f"""
+WITH hashes AS (
+{_CMS_HASH_UNION}
+), cms AS (
+  SELECT d, bucket, count(*) AS c FROM hashes GROUP BY 1, 2
+), truth AS (
+  SELECT event_type, count(*) AS true_count FROM events GROUP BY 1
+), probes AS (
+  SELECT DISTINCT t.event_type, t.true_count, h.d, h.bucket
+  FROM truth t JOIN hashes h ON h.event_type = t.event_type
+)
+SELECT p.event_type, p.true_count,
+       CAST(min(cms.c) AS BIGINT) AS cms_estimate,
+       CAST(min(cms.c) >= p.true_count AS INT) AS is_overestimate
+FROM probes p JOIN cms ON cms.d = p.d AND cms.bucket = p.bucket
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# A107. k-anonymity audit (Sweeney 2002, public): how identifiable are
+# customers under the quasi-identifier (nation, segment, balance
+# band)? Reports group-size distribution and the share of customers
+# in groups smaller than k ∈ {2, 5, 10}. Two aggregates (QI groups →
+# size histogram); integer-exact.
+# --------------------------------------------------------------------------
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000)
+    g = (c.groupBy(F.col("c_nationkey").alias("qi_nation"),
+                   F.col("c_mktsegment").alias("qi_segment"),
+                   band.alias("qi_band"))
+          .agg(F.count(F.lit(1)).alias("sz")))
+    tot = F.sum("sz")
+    below = lambda k: F.sum(F.when(F.col("sz") < k, F.col("sz"))
+                            .otherwise(F.lit(0)))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        tot.alias("n_customers"),
+        F.min("sz").alias("min_group_size"),
+        F.round(below(2) / tot, 4).alias("share_below_k2"),
+        F.round(below(5) / tot, 4).alias("share_below_k5"),
+        F.round(below(10) / tot, 4).alias("share_below_k10"))
+
+K_ANON_SQL = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, floor(c_acctbal / 1000) AS band,
+         count(*) AS sz
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT count(*) AS n_groups,
+       CAST(sum(sz) AS BIGINT) AS n_customers,
+       CAST(min(sz) AS BIGINT) AS min_group_size,
+       round(CAST(sum(CASE WHEN sz < 2 THEN sz ELSE 0 END) AS DOUBLE)
+             / sum(sz), 4) AS share_below_k2,
+       round(CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+             / sum(sz), 4) AS share_below_k5,
+       round(CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS DOUBLE)
+             / sum(sz), 4) AS share_below_k10
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8447,6 +8567,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "yule_k_by_source": (yule_k_by_source, YULE_K_SQL),
     "burstiness_by_type": (burstiness_by_type, BURSTINESS_SQL),
     "catalog_profile": (catalog_profile, CATALOG_PROFILE_SQL),
+    "cms_event_counts": (cms_event_counts, CMS_SQL),
+    "k_anonymity_audit": (k_anonymity_audit, K_ANON_SQL),
 }
 
 
@@ -8496,7 +8618,7 @@ _CHANGED_IN_ROUND = {name: 2 for name in [
     "funnel_latency_quantiles", "basket_triples",
     "trigram_name_similarity", "robust_outlier_days", "cohort_ltv",
     "daily_bounce_rate", "yule_k_by_source", "burstiness_by_type",
-    "catalog_profile",
+    "catalog_profile", "cms_event_counts", "k_anonymity_audit",
 ]}
 
 

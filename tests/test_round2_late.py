@@ -643,3 +643,29 @@ def test_poisson_glm_oracle_drops_null_rows(spark):
     exp = con.execute(sql).df().set_index("term")["estimate"]
     for term in ("intercept", "coef_x1"):
         assert got[term] == exp[term], term
+
+
+def test_cms_overestimates_and_is_tight_here(spark, sf_dir):
+    got = Q.cms_event_counts(spark, sf_dir).toPandas()
+    assert len(got) == 5
+    # the CMS guarantee: never underestimates
+    assert (got["cms_estimate"] >= got["true_count"]).all()
+    assert (got["is_overestimate"] == 1).all()
+    # d=3 x w=64 over only 5 distinct keys: collisions are unlikely in
+    # ALL three rows, so at least 3 of 5 estimates should be exact
+    assert (got["cms_estimate"] == got["true_count"]).sum() >= 3
+
+
+def test_k_anonymity_consistency(spark, sf_dir):
+    got = Q.k_anonymity_audit(spark, sf_dir).toPandas().iloc[0]
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+    g = (c.assign(band=np.floor(c["c_acctbal"] / 1000))
+          .groupby(["c_nationkey", "c_mktsegment", "band"]).size())
+    assert got["n_groups"] == len(g)
+    assert got["n_customers"] == int(g.sum())
+    assert got["min_group_size"] == int(g.min())
+    assert got["share_below_k5"] == pytest.approx(
+        g[g < 5].sum() / g.sum(), abs=1e-4)
+    assert 0 <= got["share_below_k2"] <= got["share_below_k5"] \
+        <= got["share_below_k10"] <= 1
