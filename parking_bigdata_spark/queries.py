@@ -8336,6 +8336,348 @@ FROM g
 
 
 # --------------------------------------------------------------------------
+# C43. Nelson-Aalen cumulative hazard (Nelson 1972 / Aalen 1978,
+# public): H(t) = Σ d_i / n_i over the SAME churn life table as C81's
+# Kaplan-Meier (3-day-gap churn, right-censored at the window edge) —
+# the hazard-scale companion estimator. Cumulatives run over the
+# ≤#days-sized duration table via range_cumsum (never a data-sized
+# global window).
+# --------------------------------------------------------------------------
+
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    mx = ev.agg(F.max(F.to_date("ts")).alias("m"))
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    wlead = Window.partitionBy("user_id").orderBy("d")
+    g = ud.withColumn("nxt", F.lead("d").over(wlead))
+    per_user = (g.groupBy("user_id")
+                 .agg(F.min(F.when(F.datediff("nxt", "d") >= 3,
+                                   F.col("d"))).alias("ichurn"),
+                      F.min("d").alias("fd"), F.max("d").alias("ld"))
+                 .crossJoin(F.broadcast(mx))
+                 .withColumn("cd", F.coalesce(
+                     "ichurn",
+                     F.when(F.datediff("m", "ld") >= 3, F.col("ld"))))
+                 .select(F.datediff(F.coalesce("cd", "m"), "fd")
+                          .alias("dur"),
+                         F.col("cd").isNotNull().cast("int")
+                          .alias("churned")))
+    counts = (per_user.groupBy("dur")
+              .agg(F.sum("churned").alias("d"),
+                   F.sum(1 - F.col("churned")).alias("c"))
+              .localCheckpoint(eager=True))
+    tot = counts.agg((F.sum("d") + F.sum("c")).alias("n_total"))
+    cum = (stats.range_cumsum(counts, "dur", ["d", "c"])
+           .crossJoin(F.broadcast(tot))
+           .withColumn("at_risk",
+                       F.col("n_total") - (F.col("cum_d") + F.col("cum_c"))
+                       + F.col("d") + F.col("c"))
+           .withColumn("h",
+                       F.when(F.col("d") > 0, F.col("d") / F.col("at_risk"))
+                        .otherwise(F.lit(0.0))))
+    na = stats.range_cumsum(cum, "dur", ["h"])
+    return (na.where(F.col("d") > 0)
+              .select(F.col("dur").cast("int").alias("duration_days"),
+                      F.col("at_risk").alias("n_at_risk"),
+                      F.col("d").alias("n_churned"),
+                      F.round(F.col("cum_h"), 4).alias("cum_hazard")))
+
+NELSON_AALEN_SQL = """
+WITH mx AS (SELECT CAST(max(ts) AS DATE) AS m
+            FROM events WHERE ts IS NOT NULL),
+ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+       FROM events WHERE ts IS NOT NULL),
+g AS (SELECT user_id, d,
+             lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nxt
+      FROM ud),
+f AS (SELECT user_id,
+             min(CASE WHEN date_diff('day', d, nxt) >= 3 THEN d END)
+               AS ichurn,
+             min(d) AS fd, max(d) AS ld
+      FROM g GROUP BY 1),
+per_user AS (
+  SELECT date_diff('day', fd,
+                   coalesce(coalesce(ichurn,
+                            CASE WHEN date_diff('day', ld, m) >= 3
+                                 THEN ld END), m)) AS dur,
+         (coalesce(ichurn,
+                   CASE WHEN date_diff('day', ld, m) >= 3
+                        THEN ld END) IS NOT NULL)::INT AS churned
+  FROM f CROSS JOIN mx
+), counts AS (
+  SELECT dur, sum(churned) AS d, sum(1 - churned) AS c
+  FROM per_user GROUP BY 1
+), tot AS (SELECT sum(d) + sum(c) AS n_total FROM counts),
+cum AS (
+  SELECT dur, d, c, n_total,
+         n_total - (sum(d) OVER w + sum(c) OVER w) + d + c AS at_risk
+  FROM counts CROSS JOIN tot
+  WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), na AS (
+  SELECT dur, d, at_risk,
+         sum(CASE WHEN d > 0 THEN d / at_risk ELSE 0.0 END)
+           OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cum_h
+  FROM cum
+)
+SELECT CAST(dur AS INT) AS duration_days,
+       CAST(at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_churned,
+       round(cum_h, 4) AS cum_hazard
+FROM na WHERE d > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# A108. Difference-in-differences (public; e.g. Card-Krueger 1994):
+# URGENT vs LOW order value, pre/post a fixed cutoff — the four cell
+# means in ONE conditional aggregate, DiD = (T,post−T,pre) −
+# (C,post−C,pre), with the large-sample SE from per-cell variances.
+# Money means are exact DECIMAL sums over integer counts.
+# --------------------------------------------------------------------------
+
+def diff_in_diff_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import money
+    o = (load_table(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+                & F.col("o_orderdate").isNotNull()))
+    t = (F.col("o_orderpriority") == "1-URGENT")
+    post = F.col("o_orderdate") >= F.lit("1996-01-01").cast("date")
+    cells = []
+    for tag, cond in (("t_post", t & post), ("t_pre", t & ~post),
+                      ("c_post", ~t & post), ("c_pre", ~t & ~post)):
+        cells += [
+            F.sum(F.when(cond, money("o_totalprice"))).alias(f"s_{tag}"),
+            F.sum(cond.cast("long")).alias(f"n_{tag}"),
+            F.var_samp(F.when(cond, F.col("o_totalprice")))
+             .alias(f"v_{tag}")]
+    agg = o.agg(*cells)
+    m = {tag: (F.col(f"s_{tag}").cast("double") / F.col(f"n_{tag}"))
+         for tag in ("t_post", "t_pre", "c_post", "c_pre")}
+    did = (m["t_post"] - m["t_pre"]) - (m["c_post"] - m["c_pre"])
+    se = F.sqrt(sum(F.col(f"v_{tag}") / F.col(f"n_{tag}")
+                    for tag in ("t_post", "t_pre", "c_post", "c_pre")))
+    return agg.select(
+        *[F.round(m[tag], 4).alias(f"mean_{tag}")
+          for tag in ("t_post", "t_pre", "c_post", "c_pre")],
+        F.round(did, 4).alias("did_estimate"),
+        F.round(did / se, 4).alias("z_stat"))
+
+DID_SQL = """
+WITH f AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS t,
+         CASE WHEN o_orderdate >= DATE '1996-01-01' THEN 1 ELSE 0 END
+           AS post,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS val,
+         o_totalprice AS raw
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_orderdate IS NOT NULL
+), a AS (
+  SELECT
+    CAST(sum(CASE WHEN t = 1 AND post = 1 THEN val END) AS DOUBLE)
+      / sum(CASE WHEN t = 1 AND post = 1 THEN 1 END) AS m_t_post,
+    CAST(sum(CASE WHEN t = 1 AND post = 0 THEN val END) AS DOUBLE)
+      / sum(CASE WHEN t = 1 AND post = 0 THEN 1 END) AS m_t_pre,
+    CAST(sum(CASE WHEN t = 0 AND post = 1 THEN val END) AS DOUBLE)
+      / sum(CASE WHEN t = 0 AND post = 1 THEN 1 END) AS m_c_post,
+    CAST(sum(CASE WHEN t = 0 AND post = 0 THEN val END) AS DOUBLE)
+      / sum(CASE WHEN t = 0 AND post = 0 THEN 1 END) AS m_c_pre,
+    var_samp(CASE WHEN t = 1 AND post = 1 THEN raw END)
+      / sum(CASE WHEN t = 1 AND post = 1 THEN 1 END) AS vv1,
+    var_samp(CASE WHEN t = 1 AND post = 0 THEN raw END)
+      / sum(CASE WHEN t = 1 AND post = 0 THEN 1 END) AS vv2,
+    var_samp(CASE WHEN t = 0 AND post = 1 THEN raw END)
+      / sum(CASE WHEN t = 0 AND post = 1 THEN 1 END) AS vv3,
+    var_samp(CASE WHEN t = 0 AND post = 0 THEN raw END)
+      / sum(CASE WHEN t = 0 AND post = 0 THEN 1 END) AS vv4
+  FROM f
+)
+SELECT round(m_t_post, 4) AS mean_t_post,
+       round(m_t_pre, 4) AS mean_t_pre,
+       round(m_c_post, 4) AS mean_c_post,
+       round(m_c_pre, 4) AS mean_c_pre,
+       round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 4)
+         AS did_estimate,
+       round(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
+             / sqrt(vv1 + vv2 + vv3 + vv4), 4) AS z_stat
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# A109. Weight-of-Evidence + Information Value (classic credit-scoring
+# feature screening; public — e.g. Siddiqi 2006): per segment, WoE =
+# ln(pos-share / neg-share) against "customer placed an urgent
+# order", and the IV contribution. Semi-join tags the outcome; one
+# contingency aggregate; 6-dp-rounded ln keeps the IV sum stable.
+# --------------------------------------------------------------------------
+
+def woe_iv_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = (load_table(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey").distinct())
+    tagged = (c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+               .select("c_mktsegment",
+                       o["o_custkey"].isNotNull().cast("int").alias("y")))
+    bins = (tagged.groupBy(F.col("c_mktsegment").alias("segment"))
+                  .agg(F.sum("y").alias("n_pos"),
+                       F.sum(1 - F.col("y")).alias("n_neg")))
+    tot = bins.agg(F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn"))
+    ps = F.col("n_pos") / F.col("tp")
+    ns = F.col("n_neg") / F.col("tn")
+    woe = F.round(F.log(ps / ns), 6)
+    return (bins.crossJoin(F.broadcast(tot))
+                .select("segment", "n_pos", "n_neg",
+                        woe.alias("woe"),
+                        F.round((ps - ns) * woe, 6).alias("iv_contrib")))
+
+WOE_IV_SQL = """
+WITH o AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+), tagged AS (
+  SELECT c.c_mktsegment,
+         CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+  FROM customer c LEFT JOIN o ON o.o_custkey = c.c_custkey
+), bins AS (
+  SELECT c_mktsegment AS segment,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(1 - y) AS BIGINT) AS n_neg
+  FROM tagged GROUP BY 1
+), tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM bins)
+SELECT segment, n_pos, n_neg,
+       round(ln((CAST(n_pos AS DOUBLE) / tp)
+                / (CAST(n_neg AS DOUBLE) / tn)), 6) AS woe,
+       round((CAST(n_pos AS DOUBLE) / tp - CAST(n_neg AS DOUBLE) / tn)
+             * round(ln((CAST(n_pos AS DOUBLE) / tp)
+                        / (CAST(n_neg AS DOUBLE) / tn)), 6), 6)
+         AS iv_contrib
+FROM bins CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------------
+# A110. Calibration curve + Brier score for a FROZEN scoring model
+# (reliability diagram; public — e.g. DeGroot-Fienberg 1983). The
+# pinned sigmoid score (a deployment-time artifact, rounded to 6 dp
+# per row) is binned by exact-decimal value bands; per bin: mean
+# predicted vs empirical rate; global Brier = mean squared error.
+# One conditional-agg scan.
+# --------------------------------------------------------------------------
+
+def calibration_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    z = F.lit(-2.0) + F.col("o_totalprice") * F.lit(1e-5)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    y = (F.col("o_orderstatus") == "F").cast("int")
+    binned = o.select(
+        F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9))
+         .cast("int").alias("bin"),
+        score.alias("p"), y.alias("y"))
+    brier = binned.agg(
+        F.round(F.avg((F.col("p") - F.col("y"))
+                      * (F.col("p") - F.col("y"))), 4).alias("b"))
+    return (binned.groupBy("bin")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.round(F.avg("p"), 4).alias("mean_predicted"),
+                       F.round(F.avg(F.col("y").cast("double")), 4)
+                        .alias("empirical_rate"))
+                  .crossJoin(F.broadcast(brier))
+                  .select("bin", "n", "mean_predicted", "empirical_rate",
+                          F.col("b").alias("brier_score")))
+
+CALIBRATION_SQL = """
+WITH s AS (
+  SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INT) AS bin,
+         round(1.0 / (1.0 + exp(-(-2.0 + o_totalprice * 1e-5))), 6) AS p,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), brier AS (SELECT round(avg((p - y) * (p - y)), 4) AS b FROM s)
+SELECT bin, count(*) AS n,
+       round(avg(p), 4) AS mean_predicted,
+       round(avg(CAST(y AS DOUBLE)), 4) AS empirical_rate,
+       max(brier.b) AS brier_score
+FROM s CROSS JOIN brier
+GROUP BY bin, brier.b
+"""
+
+
+# --------------------------------------------------------------------------
+# A111. Split-conformal prediction interval (Vovk et al., public;
+# Lei et al. 2018): fit the simple price~quantity line on the train
+# folds, take the 0.9 quantile of |residual| on the calibration fold
+# (bracket-refine, exact interpolation), and report the finite-sample
+# coverage on the held-out test fold — which the conformal guarantee
+# says must be ≈ 0.9. Coefficients round to 6 dp so both engines
+# score with identical decimal constants (the score_holdout recipe).
+# --------------------------------------------------------------------------
+
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity").isNotNull()
+                 & F.col("l_extendedprice").isNotNull()))
+    fold = F.pmod(F.col("l_orderkey"), F.lit(5))
+    train = li.where(~fold.isin(0, 4))
+    r = train.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("l_quantity").alias("sx"),
+                  F.sum("l_extendedprice").alias("sy"),
+                  F.sum(F.col("l_quantity") * F.col("l_quantity"))
+                   .alias("sxx"),
+                  F.sum(F.col("l_quantity") * F.col("l_extendedprice"))
+                   .alias("sxy")).collect()[0]
+    b1 = round((r.n * r.sxy - r.sx * r.sy) / (r.n * r.sxx - r.sx * r.sx), 6)
+    b0 = round((r.sy - b1 * r.sx) / r.n, 6)
+    resid = F.abs(F.col("l_extendedprice")
+                  - (F.lit(b0) + F.lit(b1) * F.col("l_quantity")))
+    cal = (li.where(fold == 4)
+             .select(F.lit("all").alias("g"), resid.alias("ar")))
+    q = stats.grouped_quantiles(cal, "g", "ar", [0.9], ["q90"])
+    test = li.where(fold == 0).select(resid.alias("ar"))
+    cov = (test.crossJoin(F.broadcast(q.select("q90")))
+               .agg(F.count(F.lit(1)).alias("n_test"),
+                    F.sum((F.col("ar") <= F.col("q90")).cast("long"))
+                     .alias("n_covered"),
+                    F.round(F.max("q90"), 4).alias("q90")))
+    return cov.select("n_test", "n_covered", "q90",
+                      F.round(F.col("n_covered") / F.col("n_test"), 4)
+                       .alias("coverage"))
+
+CONFORMAL_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_quantity AS x, l_extendedprice AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), tr AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM li WHERE l_orderkey % 5 NOT IN (0, 4)
+), c AS (
+  SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS b1,
+         round((sy - round((n * sxy - sx * sy)
+                           / (n * sxx - sx * sx), 6) * sx) / n, 6) AS b0
+  FROM tr
+), cal AS (
+  SELECT abs(y - (c.b0 + c.b1 * x)) AS ar
+  FROM li, c WHERE l_orderkey % 5 = 4
+), q AS (SELECT quantile_cont(ar, 0.9) AS q90 FROM cal),
+test AS (
+  SELECT abs(y - (c.b0 + c.b1 * x)) AS ar
+  FROM li, c WHERE l_orderkey % 5 = 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN ar <= q.q90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       round(max(q.q90), 4) AS q90,
+       round(CAST(sum(CASE WHEN ar <= q.q90 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS coverage
+FROM test CROSS JOIN q
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8569,6 +8911,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "catalog_profile": (catalog_profile, CATALOG_PROFILE_SQL),
     "cms_event_counts": (cms_event_counts, CMS_SQL),
     "k_anonymity_audit": (k_anonymity_audit, K_ANON_SQL),
+    "nelson_aalen_hazard": (nelson_aalen_hazard, NELSON_AALEN_SQL),
+    "diff_in_diff_revenue": (diff_in_diff_revenue, DID_SQL),
+    "woe_iv_mktsegment": (woe_iv_mktsegment, WOE_IV_SQL),
+    "calibration_order_status": (calibration_order_status,
+                                 CALIBRATION_SQL),
+    "conformal_interval_coverage": (conformal_interval_coverage,
+                                    CONFORMAL_SQL),
 }
 
 
@@ -8619,6 +8968,8 @@ _CHANGED_IN_ROUND = {name: 2 for name in [
     "trigram_name_similarity", "robust_outlier_days", "cohort_ltv",
     "daily_bounce_rate", "yule_k_by_source", "burstiness_by_type",
     "catalog_profile", "cms_event_counts", "k_anonymity_audit",
+    "nelson_aalen_hazard", "diff_in_diff_revenue", "woe_iv_mktsegment",
+    "calibration_order_status", "conformal_interval_coverage",
 ]}
 
 

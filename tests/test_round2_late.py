@@ -669,3 +669,64 @@ def test_k_anonymity_consistency(spark, sf_dir):
         g[g < 5].sum() / g.sum(), abs=1e-4)
     assert 0 <= got["share_below_k2"] <= got["share_below_k5"] \
         <= got["share_below_k10"] <= 1
+
+
+def test_nelson_aalen_vs_km_consistency(spark, sf_dir):
+    na = Q.nelson_aalen_hazard(spark, sf_dir).toPandas()
+    km = Q.kaplan_meier_retention(spark, sf_dir).toPandas()
+    # same life table: identical event times and at-risk counts
+    assert list(na["duration_days"]) == list(km["duration_days"])
+    assert list(na["n_at_risk"]) == list(km["n_at_risk"])
+    # hazard is nonnegative and nondecreasing; exp(-H) ~ KM survival
+    # (they agree to first order for small per-step hazards)
+    h = na.sort_values("duration_days")["cum_hazard"].to_numpy()
+    assert (np.diff(h) >= -1e-9).all()
+    s = km.sort_values("duration_days")["survival"].to_numpy()
+    assert np.allclose(np.exp(-h), s, atol=0.05)
+
+
+def test_did_matches_pandas(spark, sf_dir):
+    got = Q.diff_in_diff_revenue(spark, sf_dir).toPandas().iloc[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o[o["o_orderpriority"].isin(["1-URGENT", "5-LOW"])
+          & o["o_orderdate"].notna()]
+    t = o["o_orderpriority"] == "1-URGENT"
+    post = pd.to_datetime(o["o_orderdate"]) >= "1996-01-01"
+    m = lambda mask: o.loc[mask, "o_totalprice"].mean()
+    did = (m(t & post) - m(t & ~post)) - (m(~t & post) - m(~t & ~post))
+    assert got["did_estimate"] == pytest.approx(did, abs=1e-2)
+
+
+def test_woe_iv_sums_and_signs(spark, sf_dir):
+    got = Q.woe_iv_mktsegment(spark, sf_dir).toPandas()
+    assert len(got) == 5
+    # IV contributions are nonnegative by construction ((ps-ns) and
+    # ln(ps/ns) always share a sign)
+    assert (got["iv_contrib"] >= -1e-9).all()
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderpriority"])
+    urgent = set(o.loc[o["o_orderpriority"] == "1-URGENT", "o_custkey"])
+    y = c["c_custkey"].isin(urgent)
+    assert got["n_pos"].sum() == int(y.sum())
+    assert got["n_neg"].sum() == int((~y).sum())
+
+
+def test_calibration_brier_matches_pandas(spark, sf_dir):
+    got = Q.calibration_order_status(spark, sf_dir).toPandas()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_totalprice", "o_orderstatus"])
+    p = np.round(1 / (1 + np.exp(-(-2.0 + o["o_totalprice"] * 1e-5))), 6)
+    y = (o["o_orderstatus"] == "F").astype(float)
+    assert got["brier_score"].iloc[0] == pytest.approx(
+        ((p - y) ** 2).mean(), abs=1e-3)
+    assert got["n"].sum() == len(o)
+
+
+def test_conformal_coverage_near_nominal(spark, sf_dir):
+    got = Q.conformal_interval_coverage(spark, sf_dir).toPandas().iloc[0]
+    # split-conformal guarantee: coverage within sampling noise of 0.9
+    assert 0.8 <= got["coverage"] <= 1.0
+    assert got["n_covered"] <= got["n_test"]
+    assert got["q90"] > 0
