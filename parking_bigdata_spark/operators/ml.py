@@ -799,3 +799,65 @@ def lsa_singular_values(df: DataFrame, text_col: str = "text",
             for i, s in enumerate(sv[:top_k])]
     return spark.createDataFrame(
         rows, "rank int, singular_value double, explained_ratio double")
+
+
+def gmm_em_1d(df: DataFrame, x: str, n_iter: int = 3,
+              round_to: int = 4) -> DataFrame:
+    """Two-component 1-D Gaussian mixture via EM (Dempster 1977,
+    public) — the unsupervised-density companion to k-means. Each EM
+    step is ONE fused aggregate: with the current 6-dp parameters
+    folded into codegen, the responsibility r(x) and the six weighted
+    moments (Σr, Σrx, Σrx², and the complements) are plain column
+    arithmetic — no per-row Python, 100 TB cost = n_iter scans.
+
+    Determinism contract (oracles.gmm_em_sql): init = moment split
+    (μ ∓ σ), every parameter rounds to 6 dp between iterations, and σ
+    is computed from the ROUNDED mean, so both engines fold identical
+    decimal constants into each scan.
+    """
+    spark = df.sparkSession
+    d = df.where(F.col(x).isNotNull()).persist()
+    base = d.agg(F.count(F.lit(1)).alias("n"), F.avg(x).alias("m"),
+                 F.stddev_samp(x).alias("s")).collect()[0]
+    if not base.n or base.s is None or base.s == 0:
+        d.unpersist()
+        rows = [(k, None, None, None) for k in (1, 2)]
+        return spark.createDataFrame(
+            rows, "component int, weight double, mean double, std double")
+    p1 = 0.5
+    mu1, mu2 = round(base.m - base.s, 6), round(base.m + base.s, 6)
+    s1 = s2 = round(base.s, 6)
+    for _ in range(n_iter):
+        xx = F.col(x)
+        d1 = (F.lit(p1) / F.lit(s1)) * F.exp(
+            -((xx - mu1) * (xx - mu1)) / F.lit(2.0 * s1 * s1))
+        d2 = (F.lit(1.0 - p1) / F.lit(s2)) * F.exp(
+            -((xx - mu2) * (xx - mu2)) / F.lit(2.0 * s2 * s2))
+        # per-row 9-dp rounding makes the responsibilities decimal-
+        # identical across engines (exp() last-ulp differences would
+        # otherwise accumulate through the Σr sums and occasionally
+        # flip a 6-dp parameter round — observed once at sf0.001)
+        r = F.round(d1 / (d1 + d2), 9)
+        row = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(r).alias("sr"),
+            F.sum(r * xx).alias("srx"),
+            F.sum(r * xx * xx).alias("srx2"),
+            F.sum((1 - r) * xx).alias("scx"),
+            F.sum((1 - r) * xx * xx).alias("scx2")).collect()[0]
+        sc = row.n - row.sr
+        p1 = round(row.sr / row.n, 6)
+        mu1 = round(row.srx / row.sr, 6)
+        mu2 = round(row.scx / sc, 6)
+        # math.sqrt, not ** 0.5: pow(x, 0.5) is not guaranteed the
+        # correctly-rounded sqrt the oracle's sqrt() computes
+        import math
+        s1 = round(math.sqrt(max(row.srx2 / row.sr - mu1 * mu1, 1e-12)), 6)
+        s2 = round(math.sqrt(max(row.scx2 / sc - mu2 * mu2, 1e-12)), 6)
+    d.unpersist()
+    rows = [(1, round(p1, round_to), round(mu1, round_to),
+             round(s1, round_to)),
+            (2, round(1.0 - p1, round_to), round(mu2, round_to),
+             round(s2, round_to))]
+    return spark.createDataFrame(
+        rows, "component int, weight double, mean double, std double")

@@ -289,3 +289,56 @@ def lad_sql(x: str, y: str, eps: float = 1.0, n_iter: int = 2,
             "UNION ALL\n"
             f"SELECT 'coef_{x}' AS term, round(b1, {round_to}) AS estimate"
             f" FROM {last}")
+
+
+def gmm_em_sql(x: str, table: str, n_iter: int = 3,
+               round_to: int = 4) -> str:
+    """Oracle for ml.gmm_em_1d: the two-component EM unrolled into
+    chained CTEs with the same 6-dp inter-iteration parameter rounding
+    (σ from the ROUNDED mean, matching the operator exactly)."""
+    notnull = f"{x} IS NOT NULL"
+    ctes = [
+        f"c0 AS (\n"
+        f"  SELECT 0.5 AS p1,\n"
+        f"         round(avg({x}) - stddev_samp({x}), 6) AS mu1,\n"
+        f"         round(avg({x}) + stddev_samp({x}), 6) AS mu2,\n"
+        f"         round(stddev_samp({x}), 6) AS s1,\n"
+        f"         round(stddev_samp({x}), 6) AS s2\n"
+        f"  FROM {table} WHERE {notnull}\n)"]
+    for it in range(1, n_iter + 1):
+        p = f"c{it - 1}"
+        d1 = (f"({p}.p1 / {p}.s1) * exp(-(({x} - {p}.mu1) * ({x} - {p}.mu1))"
+              f" / (2.0 * {p}.s1 * {p}.s1))")
+        d2 = (f"((1.0 - {p}.p1) / {p}.s2) * exp(-(({x} - {p}.mu2)"
+              f" * ({x} - {p}.mu2)) / (2.0 * {p}.s2 * {p}.s2))")
+        r = f"round(({d1}) / (({d1}) + ({d2})), 9)"
+        ctes.append(
+            f"m{it} AS (\n"
+            f"  SELECT count(*) AS n, sum({r}) AS sr,\n"
+            f"         sum({r} * {x}) AS srx,\n"
+            f"         sum({r} * {x} * {x}) AS srx2,\n"
+            f"         sum((1 - {r}) * {x}) AS scx,\n"
+            f"         sum((1 - {r}) * {x} * {x}) AS scx2\n"
+            f"  FROM {table}, {p} WHERE {notnull}\n)")
+        ctes.append(
+            f"c{it} AS (\n"
+            f"  SELECT round(sr / n, 6) AS p1,\n"
+            f"         round(srx / sr, 6) AS mu1,\n"
+            f"         round(scx / (n - sr), 6) AS mu2,\n"
+            f"         round(sqrt(greatest(srx2 / sr\n"
+            f"               - round(srx / sr, 6) * round(srx / sr, 6),\n"
+            f"               1e-12)), 6) AS s1,\n"
+            f"         round(sqrt(greatest(scx2 / (n - sr)\n"
+            f"               - round(scx / (n - sr), 6)\n"
+            f"                 * round(scx / (n - sr), 6),\n"
+            f"               1e-12)), 6) AS s2\n"
+            f"  FROM m{it}\n)")
+    last = f"c{n_iter}"
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            f"SELECT 1 AS component, round(p1, {round_to}) AS weight,\n"
+            f"       round(mu1, {round_to}) AS mean,"
+            f" round(s1, {round_to}) AS std FROM {last}\n"
+            "UNION ALL\n"
+            f"SELECT 2 AS component, round(1.0 - p1, {round_to}) AS weight,\n"
+            f"       round(mu2, {round_to}) AS mean,"
+            f" round(s2, {round_to}) AS std FROM {last}")

@@ -8678,6 +8678,27 @@ FROM test CROSS JOIN q
 
 
 # --------------------------------------------------------------------------
+# A112. Two-component Gaussian mixture via EM on scaled order value —
+# the density-model companion to k-means (see ml.gmm_em_1d for the
+# per-iteration fused-aggregate shape and the 6-dp determinism
+# contract shared with the unrolled-CTE oracle). The 1e-5 scaling
+# keeps exp() arguments O(1) on both engines.
+# --------------------------------------------------------------------------
+
+def gmm_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (load_table(spark, sf_dir, "orders")
+         .select((F.col("o_totalprice") * F.lit(1e-5)).alias("xs")))
+    # round_to=6 == the stored parameter precision: re-rounding the
+    # 6-dp params to 4 dp hits exact half-way ties (observed: a std of
+    # 0.937750 split 0.9377/0.9378 across engines)
+    return ml.gmm_em_1d(o, "xs", n_iter=3, round_to=6)
+
+GMM_SQL = oracles.gmm_em_sql(
+    "xs", table="(SELECT o_totalprice * 1e-5 AS xs FROM orders) __t",
+    n_iter=3, round_to=6)
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8918,6 +8939,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
                                  CALIBRATION_SQL),
     "conformal_interval_coverage": (conformal_interval_coverage,
                                     CONFORMAL_SQL),
+    "gmm_order_value": (gmm_order_value, GMM_SQL),
 }
 
 
@@ -8970,6 +8992,7 @@ _CHANGED_IN_ROUND = {name: 2 for name in [
     "catalog_profile", "cms_event_counts", "k_anonymity_audit",
     "nelson_aalen_hazard", "diff_in_diff_revenue", "woe_iv_mktsegment",
     "calibration_order_status", "conformal_interval_coverage",
+    "gmm_order_value",
 ]}
 
 

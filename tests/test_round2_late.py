@@ -730,3 +730,39 @@ def test_conformal_coverage_near_nominal(spark, sf_dir):
     assert 0.8 <= got["coverage"] <= 1.0
     assert got["n_covered"] <= got["n_test"]
     assert got["q90"] > 0
+
+
+def test_gmm_matches_numpy_em(spark, sf_dir):
+    got = (Q.gmm_order_value(spark, sf_dir).toPandas()
+           .set_index("component"))
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_totalprice"]).dropna()
+    x = o["o_totalprice"].to_numpy(float) * 1e-5
+    m, s = x.mean(), x.std(ddof=1)
+    p1, mu1, mu2 = 0.5, round(m - s, 6), round(m + s, 6)
+    s1 = s2 = round(s, 6)
+    for _ in range(3):
+        d1 = (p1 / s1) * np.exp(-((x - mu1) ** 2) / (2 * s1 * s1))
+        d2 = ((1 - p1) / s2) * np.exp(-((x - mu2) ** 2) / (2 * s2 * s2))
+        r = np.round(d1 / (d1 + d2), 9)
+        n, sr = len(x), r.sum()
+        p1 = round(sr / n, 6)
+        mu1 = round((r * x).sum() / sr, 6)
+        mu2 = round(((1 - r) * x).sum() / (n - sr), 6)
+        s1 = round(math.sqrt(max((r * x * x).sum() / sr - mu1 * mu1,
+                                 1e-12)), 6)
+        s2 = round(math.sqrt(max(((1 - r) * x * x).sum() / (n - sr)
+                                 - mu2 * mu2, 1e-12)), 6)
+    assert got.loc[1, "weight"] == pytest.approx(p1, abs=1e-5)
+    assert got.loc[1, "mean"] == pytest.approx(mu1, abs=1e-5)
+    assert got.loc[2, "mean"] == pytest.approx(mu2, abs=1e-5)
+    assert got.loc[1, "std"] == pytest.approx(s1, abs=1e-5)
+    # mixture sanity: weights sum to 1, components ordered by mean
+    assert got["weight"].sum() == pytest.approx(1.0, abs=1e-6)
+    assert got.loc[1, "mean"] < got.loc[2, "mean"]
+
+
+def test_gmm_empty_input(spark):
+    empty = spark.createDataFrame([], "xs double")
+    out = ml.gmm_em_1d(empty, "xs").collect()
+    assert [r["weight"] for r in out] == [None, None]
