@@ -415,3 +415,46 @@ def test_loess_curve_matches_numpy_property(spark, vals):
         assert n_local == int((u < 1).sum())
         if fit is not None and np.isfinite(exp):
             assert abs(fit - exp) < 1e-4, (g, fit, exp)
+
+
+@given(vals=st.lists(st.tuples(
+    st.floats(min_value=-100, max_value=100, allow_nan=False,
+              allow_infinity=False),
+    st.integers(min_value=1, max_value=5)), min_size=1, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_isotonic_minimax_equals_pava(vals):
+    """The Barlow minimax characterization fit_k = max_{i<=k}
+    min_{j>=k} wavg(i..j) — the form the isotonic_price_by_qty query
+    computes because it IS SQL-expressible — must equal the classic
+    weighted PAVA on any series. Two independent algorithms, one
+    function."""
+    import numpy as np
+    y = np.array([v for v, _ in vals], dtype=float)
+    w = np.array([c for _, c in vals], dtype=float)
+    n = len(y)
+    # minimax form
+    pre_y = np.concatenate([[0.0], np.cumsum(w * y)])
+    pre_w = np.concatenate([[0.0], np.cumsum(w)])
+    wavg = lambda i, j: (pre_y[j + 1] - pre_y[i]) / (pre_w[j + 1] - pre_w[i])
+    minimax = np.array([
+        max(min(wavg(i, j) for j in range(k, n)) for i in range(k + 1))
+        for k in range(n)])
+    # weighted PAVA
+    blocks = [[y[i], w[i]] for i in range(n)]
+    out = []
+    for b in blocks:
+        out.append(list(b))
+        while len(out) > 1 and out[-2][0] >= out[-1][0] - 1e-15:
+            v2, w2 = out.pop()
+            v1, w1 = out.pop()
+            out.append([(v1 * w1 + v2 * w2) / (w1 + w2), w1 + w2])
+    pava = np.empty(n)
+    pos = 0
+    for v, wt in out:
+        cnt, acc = 0, 0.0
+        while pos + cnt < n and acc < wt - 1e-9:
+            acc += w[pos + cnt]
+            cnt += 1
+        pava[pos:pos + cnt] = v
+        pos += cnt
+    assert np.allclose(minimax, pava, atol=1e-8)
