@@ -124,6 +124,12 @@ HEADLINE = [
     "poisson_glm_daily",
     "pareto_frontier_parts",
     "item_cosine_similarity",
+    "gmm_order_value",
+    "conformal_interval_coverage",
+    "nelson_aalen_hazard",
+    "basket_triples",
+    "catalog_profile",
+    "funnel_latency_quantiles",
 ]
 
 
