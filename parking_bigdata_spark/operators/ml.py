@@ -815,6 +815,7 @@ def gmm_em_1d(df: DataFrame, x: str, n_iter: int = 3,
     is computed from the ROUNDED mean, so both engines fold identical
     decimal constants into each scan.
     """
+    import math
     spark = df.sparkSession
     d = df.where(F.col(x).isNotNull()).persist()
     base = d.agg(F.count(F.lit(1)).alias("n"), F.avg(x).alias("m"),
@@ -851,7 +852,6 @@ def gmm_em_1d(df: DataFrame, x: str, n_iter: int = 3,
         mu2 = round(row.scx / sc, 6)
         # math.sqrt, not ** 0.5: pow(x, 0.5) is not guaranteed the
         # correctly-rounded sqrt the oracle's sqrt() computes
-        import math
         s1 = round(math.sqrt(max(row.srx2 / row.sr - mu1 * mu1, 1e-12)), 6)
         s2 = round(math.sqrt(max(row.scx2 / sc - mu2 * mu2, 1e-12)), 6)
     d.unpersist()

@@ -298,12 +298,17 @@ def gmm_em_sql(x: str, table: str, n_iter: int = 3,
     (σ from the ROUNDED mean, matching the operator exactly)."""
     notnull = f"{x} IS NOT NULL"
     ctes = [
+        # nullif: a zero stddev (constant or empty input) must yield
+        # all-NULL parameters like ml.gmm_em_1d's early return — NULL
+        # propagates through every CTE, NaN would not (code-review r02)
         f"c0 AS (\n"
         f"  SELECT 0.5 AS p1,\n"
-        f"         round(avg({x}) - stddev_samp({x}), 6) AS mu1,\n"
-        f"         round(avg({x}) + stddev_samp({x}), 6) AS mu2,\n"
-        f"         round(stddev_samp({x}), 6) AS s1,\n"
-        f"         round(stddev_samp({x}), 6) AS s2\n"
+        f"         round(avg({x}) - nullif(stddev_samp({x}), 0), 6)"
+        f" AS mu1,\n"
+        f"         round(avg({x}) + nullif(stddev_samp({x}), 0), 6)"
+        f" AS mu2,\n"
+        f"         round(nullif(stddev_samp({x}), 0), 6) AS s1,\n"
+        f"         round(nullif(stddev_samp({x}), 0), 6) AS s2\n"
         f"  FROM {table} WHERE {notnull}\n)"]
     for it in range(1, n_iter + 1):
         p = f"c{it - 1}"

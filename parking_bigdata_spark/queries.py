@@ -5213,7 +5213,12 @@ GROUP BY a.d, a.rev
 # keeps the running sum non-negative as range_cumsum requires.
 # --------------------------------------------------------------------------
 
-def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _churn_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared survival life table (3-day-gap churn, right-censored at
+    the observation edge): one row per duration with event/censor
+    counts and the at-risk set — the common input of the Kaplan-Meier
+    (C13 family) and Nelson-Aalen estimators. Cumulatives run through
+    range_cumsum on the ≤#days-sized duration table."""
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     mx = ev.agg(F.max(F.to_date("ts")).alias("m"))
     ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
@@ -5231,32 +5236,22 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .alias("dur"),
                          F.col("cd").isNotNull().cast("int")
                           .alias("churned")))
-    # materialize the duration-sized table (≤ #days rows): the two
-    # cumulative passes + total otherwise replay the events scan and
-    # user-day shuffle per lineage branch
     counts = (per_user.groupBy("dur")
               .agg(F.sum("churned").alias("d"),
                    F.sum(1 - F.col("churned")).alias("c"))
               .localCheckpoint(eager=True))
     tot = counts.agg((F.sum("d") + F.sum("c")).alias("n_total"))
-    cum = (stats.range_cumsum(counts, "dur", ["d", "c"])
-           .crossJoin(F.broadcast(tot))
-           .withColumn("at_risk",
-                       F.col("n_total") - (F.col("cum_d") + F.col("cum_c"))
-                       + F.col("d") + F.col("c"))
-           .withColumn("neg_ln_f",
-                       F.when(F.col("d") > 0,
-                              -F.log(1.0 - F.col("d") / F.col("at_risk")))
-                        .otherwise(F.lit(0.0))))
-    km = stats.range_cumsum(cum, "dur", ["neg_ln_f"])
-    return (km.where(F.col("d") > 0)
-              .select(F.col("dur").cast("int").alias("duration_days"),
-                      F.col("at_risk").alias("n_at_risk"),
-                      F.col("d").alias("n_churned"),
-                      F.round(F.exp(-F.col("cum_neg_ln_f")), 4)
-                       .alias("survival")))
+    return (stats.range_cumsum(counts, "dur", ["d", "c"])
+            .crossJoin(F.broadcast(tot))
+            .withColumn("at_risk",
+                        F.col("n_total") - (F.col("cum_d") + F.col("cum_c"))
+                        + F.col("d") + F.col("c")))
 
-KM_SQL = """
+
+#: shared SQL CTE prefix for the churn life table (ends at ``cum``
+#: with columns dur, d, c, at_risk) — keep in lockstep with
+#: _churn_life_table
+_CHURN_LIFE_SQL = """
 WITH mx AS (SELECT CAST(max(ts) AS DATE) AS m
             FROM events WHERE ts IS NOT NULL),
 ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
@@ -5284,12 +5279,28 @@ per_user AS (
 ), tot AS (SELECT sum(d) + sum(c) AS n_total FROM counts),
 cum AS (
   SELECT dur, d, c, n_total,
-         n_total - (sum(d) OVER w + sum(c) OVER w) + d + c AS at_risk,
-         sum(d) OVER w AS cum_d
+         n_total - (sum(d) OVER w + sum(c) OVER w) + d + c AS at_risk
   FROM counts CROSS JOIN tot
   WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
                AND CURRENT ROW)
-), km AS (
+)"""
+
+
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cum = (_churn_life_table(spark, sf_dir)
+           .withColumn("neg_ln_f",
+                       F.when(F.col("d") > 0,
+                              -F.log(1.0 - F.col("d") / F.col("at_risk")))
+                        .otherwise(F.lit(0.0))))
+    km = stats.range_cumsum(cum, "dur", ["neg_ln_f"])
+    return (km.where(F.col("d") > 0)
+              .select(F.col("dur").cast("int").alias("duration_days"),
+                      F.col("at_risk").alias("n_at_risk"),
+                      F.col("d").alias("n_churned"),
+                      F.round(F.exp(-F.col("cum_neg_ln_f")), 4)
+                       .alias("survival")))
+
+KM_SQL = _CHURN_LIFE_SQL + """, km AS (
   SELECT dur, d, at_risk,
          sum(CASE WHEN d > 0 THEN -ln(1.0 - d / at_risk)
                   ELSE 0.0 END)
@@ -8345,33 +8356,7 @@ FROM g
 # --------------------------------------------------------------------------
 
 def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
-    mx = ev.agg(F.max(F.to_date("ts")).alias("m"))
-    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
-    wlead = Window.partitionBy("user_id").orderBy("d")
-    g = ud.withColumn("nxt", F.lead("d").over(wlead))
-    per_user = (g.groupBy("user_id")
-                 .agg(F.min(F.when(F.datediff("nxt", "d") >= 3,
-                                   F.col("d"))).alias("ichurn"),
-                      F.min("d").alias("fd"), F.max("d").alias("ld"))
-                 .crossJoin(F.broadcast(mx))
-                 .withColumn("cd", F.coalesce(
-                     "ichurn",
-                     F.when(F.datediff("m", "ld") >= 3, F.col("ld"))))
-                 .select(F.datediff(F.coalesce("cd", "m"), "fd")
-                          .alias("dur"),
-                         F.col("cd").isNotNull().cast("int")
-                          .alias("churned")))
-    counts = (per_user.groupBy("dur")
-              .agg(F.sum("churned").alias("d"),
-                   F.sum(1 - F.col("churned")).alias("c"))
-              .localCheckpoint(eager=True))
-    tot = counts.agg((F.sum("d") + F.sum("c")).alias("n_total"))
-    cum = (stats.range_cumsum(counts, "dur", ["d", "c"])
-           .crossJoin(F.broadcast(tot))
-           .withColumn("at_risk",
-                       F.col("n_total") - (F.col("cum_d") + F.col("cum_c"))
-                       + F.col("d") + F.col("c"))
+    cum = (_churn_life_table(spark, sf_dir)
            .withColumn("h",
                        F.when(F.col("d") > 0, F.col("d") / F.col("at_risk"))
                         .otherwise(F.lit(0.0))))
@@ -8382,39 +8367,7 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("d").alias("n_churned"),
                       F.round(F.col("cum_h"), 4).alias("cum_hazard")))
 
-NELSON_AALEN_SQL = """
-WITH mx AS (SELECT CAST(max(ts) AS DATE) AS m
-            FROM events WHERE ts IS NOT NULL),
-ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
-       FROM events WHERE ts IS NOT NULL),
-g AS (SELECT user_id, d,
-             lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nxt
-      FROM ud),
-f AS (SELECT user_id,
-             min(CASE WHEN date_diff('day', d, nxt) >= 3 THEN d END)
-               AS ichurn,
-             min(d) AS fd, max(d) AS ld
-      FROM g GROUP BY 1),
-per_user AS (
-  SELECT date_diff('day', fd,
-                   coalesce(coalesce(ichurn,
-                            CASE WHEN date_diff('day', ld, m) >= 3
-                                 THEN ld END), m)) AS dur,
-         (coalesce(ichurn,
-                   CASE WHEN date_diff('day', ld, m) >= 3
-                        THEN ld END) IS NOT NULL)::INT AS churned
-  FROM f CROSS JOIN mx
-), counts AS (
-  SELECT dur, sum(churned) AS d, sum(1 - churned) AS c
-  FROM per_user GROUP BY 1
-), tot AS (SELECT sum(d) + sum(c) AS n_total FROM counts),
-cum AS (
-  SELECT dur, d, c, n_total,
-         n_total - (sum(d) OVER w + sum(c) OVER w) + d + c AS at_risk
-  FROM counts CROSS JOIN tot
-  WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
-               AND CURRENT ROW)
-), na AS (
+NELSON_AALEN_SQL = _CHURN_LIFE_SQL + """, na AS (
   SELECT dur, d, at_risk,
          sum(CASE WHEN d > 0 THEN d / at_risk ELSE 0.0 END)
            OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
@@ -8549,12 +8502,15 @@ WITH o AS (
   FROM tagged GROUP BY 1
 ), tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM bins)
 SELECT segment, n_pos, n_neg,
-       round(ln((CAST(n_pos AS DOUBLE) / tp)
-                / (CAST(n_neg AS DOUBLE) / tn)), 6) AS woe,
-       round((CAST(n_pos AS DOUBLE) / tp - CAST(n_neg AS DOUBLE) / tn)
-             * round(ln((CAST(n_pos AS DOUBLE) / tp)
-                        / (CAST(n_neg AS DOUBLE) / tn)), 6), 6)
-         AS iv_contrib
+       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+            ELSE round(ln((CAST(n_pos AS DOUBLE) / tp)
+                          / (CAST(n_neg AS DOUBLE) / tn)), 6) END AS woe,
+       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+            ELSE round((CAST(n_pos AS DOUBLE) / tp
+                        - CAST(n_neg AS DOUBLE) / tn)
+                       * round(ln((CAST(n_pos AS DOUBLE) / tp)
+                                  / (CAST(n_neg AS DOUBLE) / tn)), 6), 6)
+       END AS iv_contrib
 FROM bins CROSS JOIN tot
 """
 
@@ -8577,17 +8533,21 @@ def calibration_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9))
          .cast("int").alias("bin"),
         score.alias("p"), y.alias("y"))
-    brier = binned.agg(
-        F.round(F.avg((F.col("p") - F.col("y"))
-                      * (F.col("p") - F.col("y"))), 4).alias("b"))
-    return (binned.groupBy("bin")
+    # ONE scan: the global Brier is derivable from per-bin squared-
+    # error sums, so it rides the same groupBy and the fact is never
+    # re-read (code-review r02)
+    bins = (binned.groupBy("bin")
                   .agg(F.count(F.lit(1)).alias("n"),
                        F.round(F.avg("p"), 4).alias("mean_predicted"),
                        F.round(F.avg(F.col("y").cast("double")), 4)
-                        .alias("empirical_rate"))
-                  .crossJoin(F.broadcast(brier))
-                  .select("bin", "n", "mean_predicted", "empirical_rate",
-                          F.col("b").alias("brier_score")))
+                        .alias("empirical_rate"),
+                       F.sum((F.col("p") - F.col("y"))
+                             * (F.col("p") - F.col("y"))).alias("__ss")))
+    brier = bins.agg(
+        F.round(F.sum("__ss") / F.sum("n"), 4).alias("b"))
+    return (bins.crossJoin(F.broadcast(brier))
+                .select("bin", "n", "mean_predicted", "empirical_rate",
+                        F.col("b").alias("brier_score")))
 
 CALIBRATION_SQL = """
 WITH s AS (
@@ -8595,13 +8555,15 @@ WITH s AS (
          round(1.0 / (1.0 + exp(-(-2.0 + o_totalprice * 1e-5))), 6) AS p,
          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
   FROM orders
-), brier AS (SELECT round(avg((p - y) * (p - y)), 4) AS b FROM s)
-SELECT bin, count(*) AS n,
-       round(avg(p), 4) AS mean_predicted,
-       round(avg(CAST(y AS DOUBLE)), 4) AS empirical_rate,
-       max(brier.b) AS brier_score
-FROM s CROSS JOIN brier
-GROUP BY bin, brier.b
+), bins AS (
+  SELECT bin, count(*) AS n,
+         round(avg(p), 4) AS mean_predicted,
+         round(avg(CAST(y AS DOUBLE)), 4) AS empirical_rate,
+         sum((p - y) * (p - y)) AS ss
+  FROM s GROUP BY 1
+), brier AS (SELECT round(sum(ss) / sum(n), 4) AS b FROM bins)
+SELECT bin, n, mean_predicted, empirical_rate, brier.b AS brier_score
+FROM bins CROSS JOIN brier
 """
 
 
@@ -8617,8 +8579,10 @@ GROUP BY bin, brier.b
 
 def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
           .where(F.col("l_quantity").isNotNull()
-                 & F.col("l_extendedprice").isNotNull()))
+                 & F.col("l_extendedprice").isNotNull())
+          .persist())  # four fold passes share one materialization
     fold = F.pmod(F.col("l_orderkey"), F.lit(5))
     train = li.where(~fold.isin(0, 4))
     r = train.agg(F.count(F.lit(1)).alias("n"),
@@ -8641,9 +8605,11 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum((F.col("ar") <= F.col("q90")).cast("long"))
                      .alias("n_covered"),
                     F.round(F.max("q90"), 4).alias("q90")))
-    return cov.select("n_test", "n_covered", "q90",
-                      F.round(F.col("n_covered") / F.col("n_test"), 4)
-                       .alias("coverage"))
+    out = cov.select("n_test", "n_covered", "q90",
+                     F.round(F.col("n_covered") / F.col("n_test"), 4)
+                      .alias("coverage")).localCheckpoint(eager=True)
+    li.unpersist()
+    return out
 
 CONFORMAL_SQL = """
 WITH li AS (

@@ -766,3 +766,16 @@ def test_gmm_empty_input(spark):
     empty = spark.createDataFrame([], "xs double")
     out = ml.gmm_em_1d(empty, "xs").collect()
     assert [r["weight"] for r in out] == [None, None]
+
+
+def test_gmm_oracle_matches_operator_on_degenerate_input(spark):
+    import duckdb
+    from parking_bigdata_spark import oracles
+    pdf = pd.DataFrame({"xs": [2.0] * 20})  # constant: stddev == 0
+    got = ml.gmm_em_1d(spark.createDataFrame(pdf), "xs").toPandas()
+    assert got["weight"].isna().all()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.execute(
+        oracles.gmm_em_sql("xs", table="t", n_iter=3)).df()
+    assert exp["weight"].isna().all() and exp["mean"].isna().all()
