@@ -8665,6 +8665,76 @@ GMM_SQL = oracles.gmm_em_sql(
 
 
 # --------------------------------------------------------------------------
+# A113. Lorenz curve of customer spend (Lorenz 1905, public) — the
+# curve behind A79's Gini: cumulative spend share by spend decile.
+# Deciles come from the A39 range-partitioned NTILE assembly (no
+# single-task global window); spend sums are exact DECIMAL; the
+# cumulative runs by joining the 10-row decile table to itself
+# (b ≤ a) — no window at all on the grid.
+# --------------------------------------------------------------------------
+
+def lorenz_curve_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import money
+    o = load_table(spark, sf_dir, "orders")
+    spend = (o.groupBy("o_custkey")
+              .agg(F.sum(money("o_totalprice")).alias("sp")))
+    d = (spend.repartitionByRange(F.col("sp"), F.col("o_custkey"))
+              .withColumn("__pid", F.spark_partition_id()))
+    wl = Window.partitionBy("__pid").orderBy("sp", "o_custkey")
+    local = d.withColumn("__rn", F.row_number().over(wl))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = (local.groupBy("__pid").agg(F.max("__rn").alias("__t"))
+           .withColumn("__off", F.coalesce(F.sum("__t").over(wo), F.lit(0))))
+    tot = off.agg(F.sum("__t").alias("__n"))
+    r = F.col("__off") + F.col("__rn")
+    q = F.floor(F.col("__n") / 10)
+    rem = F.col("__n") % 10
+    cutoff = rem * (q + 1)
+    decile = (F.when(F.col("__n") < 10, r)
+               .when(r <= cutoff, F.floor((r + q) / (q + 1)))
+               .otherwise(rem + F.floor((r - cutoff + q - 1) / q)))
+    per_dec = (local.join(F.broadcast(off.select("__pid", "__off")), "__pid")
+               .crossJoin(F.broadcast(tot))
+               .withColumn("decile", decile.cast("int"))
+               .groupBy("decile")
+               .agg(F.count(F.lit(1)).alias("n_customers"),
+                    F.sum("sp").alias("__s")))
+    total = per_dec.agg(F.sum("__s").alias("__tot"))
+    a, b = per_dec.alias("a"), per_dec.alias("b")
+    cum = (a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
+            .groupBy(F.col("a.decile").alias("decile"),
+                     F.col("a.n_customers").alias("n_customers"),
+                     F.col("a.__s").alias("__s"))
+            .agg(F.sum(F.col("b.__s")).alias("__cum")))
+    return (cum.crossJoin(F.broadcast(total))
+               .select("decile", "n_customers",
+                       F.round((F.col("__s") / F.col("__tot"))
+                               .cast("double"), 4).alias("spend_share"),
+                       F.round((F.col("__cum") / F.col("__tot"))
+                               .cast("double"), 4)
+                        .alias("cum_spend_share")))
+
+LORENZ_SQL = """
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+  FROM orders GROUP BY 1
+), dd AS (
+  SELECT sp, ntile(10) OVER (ORDER BY sp, o_custkey) AS decile
+  FROM spend
+), per_dec AS (
+  SELECT decile, count(*) AS n_customers, sum(sp) AS s
+  FROM dd GROUP BY 1
+), tot AS (SELECT sum(s) AS t FROM per_dec)
+SELECT a.decile, a.n_customers,
+       round(CAST(a.s AS DOUBLE) / max(tot.t), 4) AS spend_share,
+       round(CAST(sum(b.s) AS DOUBLE) / max(tot.t), 4)
+         AS cum_spend_share
+FROM per_dec a JOIN per_dec b ON b.decile <= a.decile CROSS JOIN tot
+GROUP BY a.decile, a.n_customers, a.s
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8906,6 +8976,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "conformal_interval_coverage": (conformal_interval_coverage,
                                     CONFORMAL_SQL),
     "gmm_order_value": (gmm_order_value, GMM_SQL),
+    "lorenz_curve_spend": (lorenz_curve_spend, LORENZ_SQL),
 }
 
 
@@ -8958,7 +9029,7 @@ _CHANGED_IN_ROUND = {name: 2 for name in [
     "catalog_profile", "cms_event_counts", "k_anonymity_audit",
     "nelson_aalen_hazard", "diff_in_diff_revenue", "woe_iv_mktsegment",
     "calibration_order_status", "conformal_interval_coverage",
-    "gmm_order_value",
+    "gmm_order_value", "lorenz_curve_spend",
 ]}
 
 

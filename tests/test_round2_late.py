@@ -779,3 +779,20 @@ def test_gmm_oracle_matches_operator_on_degenerate_input(spark):
     exp = con.execute(
         oracles.gmm_em_sql("xs", table="t", n_iter=3)).df()
     assert exp["weight"].isna().all() and exp["mean"].isna().all()
+
+
+def test_lorenz_curve_properties(spark, sf_dir):
+    got = (Q.lorenz_curve_spend(spark, sf_dir).toPandas()
+           .sort_values("decile").reset_index(drop=True))
+    assert list(got["decile"]) == list(range(1, 11))
+    # Lorenz curve: nondecreasing, convex-ish shares, ends at 1
+    cs = got["cum_spend_share"].to_numpy()
+    assert (np.diff(cs) > 0).all()
+    assert cs[-1] == pytest.approx(1.0, abs=1e-4)
+    # deciles are ordered by spend: per-decile share must be
+    # nondecreasing too
+    sh = got["spend_share"].to_numpy()
+    assert (np.diff(sh) >= -1e-9).all()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    assert got["n_customers"].sum() == o["o_custkey"].nunique()
