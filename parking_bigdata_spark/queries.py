@@ -8735,6 +8735,60 @@ GROUP BY a.decile, a.n_customers, a.s
 
 
 # --------------------------------------------------------------------------
+# C44. Mann-Kendall trend test (Mann 1945 / Kendall, public) on the
+# daily event series — the significance test that pairs with C32's
+# Theil-Sen slope estimate. S = Σ sign(n_j − n_i) over day pairs
+# (calendar-bounded broadcast self-join), tie-corrected variance, and
+# the continuity-corrected z — every input integer, so the statistic
+# is engine-exact.
+# --------------------------------------------------------------------------
+
+def mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_counts(spark, sf_dir)
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (a.join(F.broadcast(b), F.col("b.d") > F.col("a.d"))
+              .agg(F.sum(F.signum(F.col("b.n") - F.col("a.n"))
+                          .cast("long")).alias("s")))
+    ties = (daily.groupBy("n").agg(F.count(F.lit(1)).alias("t"))
+                 .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                            * (2 * F.col("t") + 5)).alias("tie_term")))
+    nn = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    s, tt, nd = F.col("s"), F.col("tie_term"), F.col("n_days")
+    var = (nd * (nd - 1) * (2 * nd + 5) - tt) / F.lit(18.0)
+    zed = F.when(s > 0, (s - 1) / F.sqrt(var)) \
+           .when(s < 0, (s + 1) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return (pairs.crossJoin(F.broadcast(ties))
+                 .crossJoin(F.broadcast(nn))
+                 .select("n_days", s.alias("s_stat"),
+                         F.round(var, 4).alias("var_s"),
+                         F.round(zed, 4).alias("z_stat")))
+
+MANN_KENDALL_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+p AS (
+  SELECT CAST(sum(sign(b.n - a.n)) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON b.d > a.d
+),
+ties AS (
+  SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT n, count(*) AS t FROM daily GROUP BY 1)
+),
+nn AS (SELECT count(*) AS n_days FROM daily)
+SELECT n_days, s AS s_stat,
+       round((n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)
+             / 18.0, 4) AS var_s,
+       round(CASE WHEN s > 0 THEN (s - 1)
+                       / sqrt((n_days * (n_days - 1) * (2 * n_days + 5)
+                               - tie_term) / 18.0)
+                  WHEN s < 0 THEN (s + 1)
+                       / sqrt((n_days * (n_days - 1) * (2 * n_days + 5)
+                               - tie_term) / 18.0)
+                  ELSE 0.0 END, 4) AS z_stat
+FROM p CROSS JOIN ties CROSS JOIN nn
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8977,6 +9031,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
                                     CONFORMAL_SQL),
     "gmm_order_value": (gmm_order_value, GMM_SQL),
     "lorenz_curve_spend": (lorenz_curve_spend, LORENZ_SQL),
+    "mann_kendall_daily": (mann_kendall_daily, MANN_KENDALL_SQL),
 }
 
 
@@ -9029,7 +9084,7 @@ _CHANGED_IN_ROUND = {name: 2 for name in [
     "catalog_profile", "cms_event_counts", "k_anonymity_audit",
     "nelson_aalen_hazard", "diff_in_diff_revenue", "woe_iv_mktsegment",
     "calibration_order_status", "conformal_interval_coverage",
-    "gmm_order_value", "lorenz_curve_spend",
+    "gmm_order_value", "lorenz_curve_spend", "mann_kendall_daily",
 ]}
 
 

@@ -796,3 +796,25 @@ def test_lorenz_curve_properties(spark, sf_dir):
     o = pd.read_parquet(f"{sf_dir}/orders.parquet",
                         columns=["o_custkey", "o_totalprice"])
     assert got["n_customers"].sum() == o["o_custkey"].nunique()
+
+
+def test_mann_kendall_matches_manual(spark, sf_dir):
+    got = Q.mann_kendall_daily(spark, sf_dir).toPandas().iloc[0]
+    daily = _daily(sf_dir).sort_values("d")
+    n = daily["n"].to_numpy()
+    k = len(n)
+    s = sum(np.sign(n[j] - n[i])
+            for i in range(k) for j in range(i + 1, k))
+    from collections import Counter
+    tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(n).values())
+    var = (k * (k - 1) * (2 * k + 5) - tie) / 18.0
+    z = ((s - 1) / math.sqrt(var) if s > 0
+         else (s + 1) / math.sqrt(var) if s < 0 else 0.0)
+    assert got["n_days"] == k
+    assert got["s_stat"] == s
+    assert got["var_s"] == pytest.approx(var, abs=1e-3)
+    assert got["z_stat"] == pytest.approx(z, abs=1e-4)
+    # consistency with the Theil-Sen slope's sign
+    ts = Q.theilsen_daily_trend(spark, sf_dir).toPandas().iloc[0]
+    if abs(got["z_stat"]) > 1.96:
+        assert np.sign(ts["slope"]) == np.sign(got["s_stat"])
