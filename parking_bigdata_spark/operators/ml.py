@@ -641,8 +641,13 @@ def _irls_line(df: DataFrame, x: str, y: str, make_weight,
                     F.sum(w * F.col(x) * F.col(x)).alias("swxx"),
                     F.sum(w * F.col(x) * F.col(y)).alias("swxy")
                     ).collect()[0]
-        slope = ((row.sw * row.swxy - row.swx * row.swy)
-                 / (row.sw * row.swxx - row.swx * row.swx))
+        denom = row.sw * row.swxx - row.swx * row.swx
+        if denom == 0.0:  # constant-x input: match the oracle's NULL
+            d.unpersist()  # propagation instead of ZeroDivisionError
+            return spark.createDataFrame(
+                [("intercept", None), (f"coef_{x}", None)],
+                "term string, estimate double")
+        slope = (row.sw * row.swxy - row.swx * row.swy) / denom
         b1 = round(slope, 6)
         b0 = round((row.swy - b1 * row.swx) / row.sw, 6)
     d.unpersist()
@@ -729,7 +734,15 @@ def poisson_glm_df(df: DataFrame, xs: list[str], y: str, n_iter: int = 3,
             for j in range(i, k):
                 H[i, j] = H[j, i] = row[f"h_{i}_{j}"]
         rhs = np.array([row[f"r_{i}"] for i in range(k)])
-        beta = [round(float(b), 6) for b in np.linalg.solve(H, rhs)]
+        try:
+            beta = [round(float(b), 6) for b in np.linalg.solve(H, rhs)]
+        except np.linalg.LinAlgError:
+            # singular Gram (collinear xs): the oracle's Cramer solve
+            # divides by a zero determinant and yields NULL — mirror it
+            rows = ([("intercept", None)]
+                    + [(f"coef_{c}", None) for c in xs])
+            return spark.createDataFrame(
+                rows, "term string, estimate double")
     rows = [("intercept", round(beta[0], round_to))]
     rows += [(f"coef_{c}", round(b, round_to))
              for c, b in zip(xs, beta[1:])]
@@ -847,6 +860,14 @@ def gmm_em_1d(df: DataFrame, x: str, n_iter: int = 3,
             F.sum((1 - r) * xx).alias("scx"),
             F.sum((1 - r) * xx * xx).alias("scx2")).collect()[0]
         sc = row.n - row.sr
+        if row.sr == 0.0 or sc == 0.0:
+            # a component's responsibility mass collapsed — the oracle
+            # CTE would propagate NULL; mirror it instead of raising
+            d.unpersist()
+            rows = [(k, None, None, None) for k in (1, 2)]
+            return spark.createDataFrame(
+                rows,
+                "component int, weight double, mean double, std double")
         p1 = round(row.sr / row.n, 6)
         mu1 = round(row.srx / row.sr, 6)
         mu2 = round(row.scx / sc, 6)

@@ -458,7 +458,12 @@ def semdedup(df: DataFrame, n_cells: int = 16, threshold: float = 0.4,
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         V = np.stack([np.asarray(v, dtype=np.float64)
                       for v in pdf[vec_col]])
-        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        # zero-norm guard: an all-zero embedding would otherwise turn
+        # its row into NaN and poison every cosine in this cell's GEMM;
+        # clamping leaves it cosine-0 vs everything (never a duplicate)
+        norms = np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                           1e-300)
+        V = V / norms
         S = V @ V.T
         margin = 0.5 * 10.0 ** (-round_to) + 1e-9
         ia, ib = np.where(np.triu(S >= threshold - margin, k=1))

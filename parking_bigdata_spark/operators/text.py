@@ -367,8 +367,13 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     t = F.col(text_col)
     n_chars = F.length(t)
-    n_words = F.size(F.split(F.trim(t), r"\s+"))
-    mean_wl = (n_chars - n_words + 1).cast("double") / n_words
+    # mean word length is measured on whitespace-NORMALIZED text
+    # (runs of spaces/tabs collapse to one separator), so it is exactly
+    # Σ len(token) / n_words — un-normalized runs would otherwise count
+    # as word characters and inflate the metric past the Gopher bound
+    norm = F.regexp_replace(F.trim(t), r"\s+", " ")
+    n_words = F.size(F.split(norm, " "))
+    mean_wl = (F.length(norm) - n_words + 1).cast("double") / n_words
     n_sym = F.regexp_count(t, F.lit(r"[#…]"))
     n_alpha = F.regexp_count(t, F.lit(r"\b[A-Za-z]+\b"))
     n_stop = F.regexp_count(

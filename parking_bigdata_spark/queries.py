@@ -6785,7 +6785,10 @@ GOPHER_SQL = r"""
 WITH f AS (
   SELECT doc_id,
          CAST(length(text) AS INT) AS n_chars,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_words,
+         CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g'))
+              AS INT) AS n_chars_norm,
+         CAST(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                               ' ')) AS INT) AS n_words,
          len(regexp_extract_all(text, '[#…]')) AS n_sym,
          len(regexp_extract_all(text, '\b[A-Za-z]+\b')) AS n_alpha,
          len(regexp_extract_all(lower(text),
@@ -6793,11 +6796,11 @@ WITH f AS (
   FROM documents
 )
 SELECT doc_id, n_words,
-       round(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words, 4)
+       round(CAST(n_chars_norm - n_words + 1 AS DOUBLE) / n_words, 4)
          AS mean_word_len,
        CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS flag_word_count,
-       CAST(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words >= 3.0
-            AND CAST(n_chars - n_words + 1 AS DOUBLE) / n_words <= 10.0
+       CAST(CAST(n_chars_norm - n_words + 1 AS DOUBLE) / n_words >= 3.0
+            AND CAST(n_chars_norm - n_words + 1 AS DOUBLE) / n_words <= 10.0
             AS INT) AS flag_word_len,
        CAST(CAST(n_sym AS DOUBLE) <= 0.1 * n_chars AS INT)
          AS flag_symbol_ratio,
@@ -6805,8 +6808,8 @@ SELECT doc_id, n_words,
          AS flag_alpha_ratio,
        CAST(n_stop >= 2 AS INT) AS flag_stopwords,
        CAST(n_words >= 50 AND n_words <= 100000
-            AND CAST(n_chars - n_words + 1 AS DOUBLE) / n_words >= 3.0
-            AND CAST(n_chars - n_words + 1 AS DOUBLE) / n_words <= 10.0
+            AND CAST(n_chars_norm - n_words + 1 AS DOUBLE) / n_words >= 3.0
+            AND CAST(n_chars_norm - n_words + 1 AS DOUBLE) / n_words <= 10.0
             AND CAST(n_sym AS DOUBLE) <= 0.1 * n_chars
             AND CAST(n_alpha AS DOUBLE) >= 0.8 * n_words
             AND n_stop >= 2 AS INT) AS pass_gopher
@@ -7395,7 +7398,11 @@ LIMIT 30
 
 def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import money
-    o = load_table(spark, sf_dir, "orders")
+    # NULL dates are excluded on BOTH sides (the </>= split would
+    # silently drop them while an unfiltered oracle groups them into a
+    # NULL month — ADVICE r02 latent-drift fix)
+    o = (load_table(spark, sf_dir, "orders")
+         .where(F.col("o_orderdate").isNotNull()))
     month = F.date_format("o_orderdate", "yyyy-MM")
     cutoff = F.lit("1997-07-01").cast("date")
     partial = lambda d: (d.groupBy(month.alias("month"))
@@ -7415,6 +7422,7 @@ SELECT strftime(o_orderdate, '%Y-%m') AS month,
        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
          AS revenue
 FROM orders
+WHERE o_orderdate IS NOT NULL
 GROUP BY 1
 """
 

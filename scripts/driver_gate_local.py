@@ -4,7 +4,10 @@ registry query at sf0.01 against its DuckDB oracle (rows, columns,
 sorted-value equality) and write a CORRECTNESS-shaped JSON. Use before
 each round lands so the driver never sees a surprise.
 
-Usage: python scripts/driver_gate_local.py [sf_dir] [out.json]
+Usage: python scripts/driver_gate_local.py [sf_dir] [out.json] [names]
+
+``names`` (optional) is a comma-separated subset of registry keys —
+gate only those (fast re-check after touching a query).
 """
 
 from __future__ import annotations
@@ -32,6 +35,13 @@ def main() -> int:
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/gate.json"
     spark = get_spark("driver-gate-local")
     reg, oracles = Q.queries(), Q.oracle_sql()
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        missing = only - set(reg)
+        if missing:
+            print(f"unknown names: {sorted(missing)}")
+            return 1
+        reg = {n: f for n, f in reg.items() if n in only}
     results: dict[str, dict] = {}
     fails = 0
     for name, fn in reg.items():

@@ -123,6 +123,17 @@ def test_gopher_flags_rules(spark):
     assert out[4]["pass_gopher"] == 0
 
 
+def test_gopher_mean_word_len_whitespace_normalized(spark):
+    # runs of spaces/tabs must NOT count as word characters (ADVICE
+    # r02): "ab   cd" and "ab cd" both have mean word length 2.0
+    docs = spark.createDataFrame(
+        [(1, "ab   cd"), (2, "ab cd"), (3, "ab\t\tcd")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r["mean_word_len"]
+           for r in text_ops.gopher_flags(docs).collect()}
+    assert out[1] == out[2] == out[3] == 2.0
+
+
 def test_bm25_scores_positive_and_sorted(spark, sf_dir):
     got = Q.bm25_scoring(spark, sf_dir).toPandas()
     assert len(got) == 20
