@@ -25,6 +25,7 @@ from . import oracles
 from .io import clean_sentinel_numeric, load_table
 from .operators import clean, features, ml, profile, stats, temporal
 from .operators import dedup as dedup_ops
+from .operators import trees as trees_ops
 from .operators import similarity as sim_ops
 from .operators import text as text_ops
 
@@ -795,10 +796,16 @@ def stepwise_aic_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rf_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-forest importances (R:1260) via MLlib distributed trees."""
-    return ml.random_forest_importance(
+    """Random-forest importances (R:1260) via the deterministic
+    histogram-split forest (operators/trees.py) — hash-based Poisson
+    bootstrap + exact integer split stats make the output partition-
+    independent, so it carries an expected-parquet oracle (VERDICT r02
+    ask #3; MLlib's partition-seeded bootstrap could not)."""
+    model = trees_ops.fit_random_forest(
         load_table(spark, sf_dir, "lineitem"),
-        ["l_quantity", "l_discount", "l_tax"], "l_extendedprice")
+        ["l_quantity", "l_discount", "l_tax"], "l_extendedprice",
+        n_trees=10, max_depth=4)
+    return trees_ops.importance_df(model, spark)
 
 
 # --------------------------------------------------------------------------
@@ -6026,15 +6033,40 @@ SCORE_HOLDOUT_SQL = oracles.score_holdout_sql(
 
 
 # --------------------------------------------------------------------------
+# A87b. Tree-ensemble holdout scoring — the reference's ACTUAL
+# deliverable is randomForest predictions on the held-out frame
+# (R:1280-1373's submission file); `score_holdout` covers the OLS
+# shape, this covers the tree shape. Same deterministic 80/20 hash
+# split; the forest trains on the train fold only and scores the
+# holdout through pure codegen CASE expressions (no UDF, no model
+# broadcast). Deterministic end-to-end (integer split stats +
+# hash bootstrap), hence expected-parquet oracle.
+# --------------------------------------------------------------------------
+
+def rf_score_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    xs, y = ["l_quantity", "l_discount", "l_tax"], "l_extendedprice"
+    train = li.where(F.pmod(F.col("l_orderkey"), F.lit(5)) != 0)
+    test = li.where(F.pmod(F.col("l_orderkey"), F.lit(5)) == 0)
+    model = trees_ops.fit_random_forest(train, xs, y,
+                                        n_trees=10, max_depth=4)
+    return trees_ops.score_df(model, test,
+                              ["l_orderkey", "l_linenumber"], y)
+
+
+# --------------------------------------------------------------------------
 # A88. Gradient-boosted trees (the reference loads xgboost, R:57):
-# MLlib GBTRegressor importances. Rows-only (distributed tree induction
-# is not SQL-expressible).
+# deterministic squared-loss boosting on the histogram-split engine —
+# integer residuals survive every round, so the importances earn an
+# expected-parquet oracle (was MLlib rows-only through r02).
 # --------------------------------------------------------------------------
 
 def gbt_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ml.gbt_importance(
+    model = trees_ops.fit_gbt(
         load_table(spark, sf_dir, "lineitem"),
-        ["l_quantity", "l_discount", "l_tax"], "l_extendedprice")
+        ["l_quantity", "l_discount", "l_tax"], "l_extendedprice",
+        n_trees=5, max_depth=3)
+    return trees_ops.importance_df(model, spark)
 
 
 # --------------------------------------------------------------------------
@@ -6282,16 +6314,17 @@ FROM f4 GROUP BY 1
 
 # --------------------------------------------------------------------------
 # A95. Bagged trees (ipred loaded at R:59): bootstrap-aggregated
-# regression trees = MLlib RF with featureSubsetStrategy="all" (every
-# tree sees every feature; variance comes from the bootstrap). Rows
-# only — tree induction is split-geometry sensitive, like RF/GBT.
+# regression trees = the deterministic forest with feature_subset
+# "all" (every tree sees every feature; variance comes only from the
+# hash-based bootstrap). Expected-parquet oracle like RF/GBT.
 # --------------------------------------------------------------------------
 
 def bagged_trees_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ml.random_forest_importance(
+    model = trees_ops.fit_random_forest(
         load_table(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_discount", "l_tax"], "l_extendedprice",
-        n_trees=15, feature_subset="all")
+        n_trees=15, max_depth=4, feature_subset="all")
+    return trees_ops.importance_df(model, spark)
 
 
 # --------------------------------------------------------------------------
@@ -8870,7 +8903,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         ["l_quantity", "l_discount"], "l_extendedprice")),
     "lasso_path": (lasso_path, _expected_sql("lasso_path")),
     "stepwise_aic_selection": (stepwise_aic_selection, _expected_sql("stepwise_aic_selection")),
-    "rf_feature_importance": (rf_feature_importance, None),
+    "rf_feature_importance": (rf_feature_importance,
+                              _expected_sql("rf_feature_importance")),
     "corr_test": (corr_test, CORR_TEST_SQL),
     "pca_explained_variance": (pca_explained_variance, _expected_sql("pca_explained_variance")),
     "pca_projection": (pca_projection, _expected_sql("pca_projection")),
@@ -9010,7 +9044,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "priority_mix_shift": (priority_mix_shift, MIX_SHIFT_SQL),
     "cv_metrics_by_fold": (cv_metrics_by_fold, CV_METRICS_SQL),
     "score_holdout": (score_holdout, SCORE_HOLDOUT_SQL),
-    "gbt_feature_importance": (gbt_feature_importance, None),
+    "rf_score_holdout": (rf_score_holdout,
+                         _expected_sql("rf_score_holdout")),
+    "gbt_feature_importance": (gbt_feature_importance,
+                               _expected_sql("gbt_feature_importance")),
     "knn_impute_labels": (knn_impute_labels, KNN_IMPUTE_SQL),
     "repeated_cv_metrics": (repeated_cv_metrics, REPEATED_CV_SQL),
     "ols_categorical": (ols_categorical, OLS_CATEGORICAL_SQL),
@@ -9018,7 +9055,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "winsorized_price_stats": (winsorized_price_stats, WINSORIZED_SQL),
     "loess_qty_price": (loess_qty_price, LOESS_SQL),
     "mice_impute_chained": (mice_impute_chained, MICE_SQL),
-    "bagged_trees_importance": (bagged_trees_importance, None),
+    "bagged_trees_importance": (bagged_trees_importance,
+                                _expected_sql("bagged_trees_importance")),
     "missingness_profile": (missingness_profile, MISS_PROFILE_SQL),
     "missingness_patterns": (missingness_patterns, MISS_PATTERNS_SQL),
     "hashed_token_vectors": (hashed_token_vectors, HASHED_VECTORS_SQL),
@@ -9133,6 +9171,15 @@ _CHANGED_IN_ROUND = {name: 2 for name in [
     "calibration_order_status", "conformal_interval_coverage",
     "gmm_order_value", "lorenz_curve_spend", "mann_kendall_daily",
 ]}
+
+#: round-3 changes: tree ensembles moved to the deterministic engine
+#: (outputs AND oracle kind changed), catalog_profile was re-planned,
+#: and two queries are new — any older driver row is stale for these.
+_CHANGED_IN_ROUND.update({name: 3 for name in [
+    "rf_feature_importance", "gbt_feature_importance",
+    "bagged_trees_importance", "rf_score_holdout",
+    "catalog_profile", "catalog_profile_approx",
+]})
 
 
 def _driver_verified() -> set[str]:

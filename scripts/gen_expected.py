@@ -70,13 +70,16 @@ EXPECTED_ORACLE_QUERIES = [
     # driver SVD; the matrix is identical under any partitioning, and
     # the spectrum (unlike the singular VECTORS) has no sign ambiguity
     "lsa_singular_values",
-    # Tree ensembles (RF/GBT/bagged) are deliberately EXCLUDED: MLlib's
-    # bootstrap is per-PARTITION seeded (reseedRandomGenerator(seed +
-    # partitionIndex)), so importances move with the input partitioning
-    # — demonstrated by repartition(3/7/32) shifting every importance
-    # in the 3rd decimal. A geometry audit over the single-row-group
-    # testdata files alone cannot see this (file splits align to row
-    # groups, leaving one scan partition); they stay rows-only.
+    # Tree ensembles qualify as of round 3: operators/trees.py replaced
+    # MLlib's partition-seeded bootstrap (which shifted importances
+    # with the input layout, the r01/r02 exclusion reason) with a
+    # hash-based Poisson bootstrap and EXACT integer/decimal split
+    # statistics — associative sums, so bit-identical under any
+    # geometry; split argmax is exact rational arithmetic.
+    "rf_feature_importance",
+    "gbt_feature_importance",
+    "bagged_trees_importance",
+    "rf_score_holdout",
 ]
 
 

@@ -45,3 +45,80 @@ def test_catalog_profile_approx_within_hll_bounds(spark, sf_dir):
     err = (j["n_distinct_approx"] - j["n_distinct"]).abs()
     assert (err <= 0.15 * j["n_distinct"] + 2).all(), \
         j[err > 0.15 * j["n_distinct"] + 2]
+
+
+# ---------------------------------------------------- deterministic trees
+
+
+def _signal_frame(spark, n=2000):
+    # y = 30*x1 + small structured wiggle; x2 pure noise. Built from
+    # hash-derived integers so the frame itself is deterministic.
+    from pyspark.sql import functions as F
+    df = spark.range(n)
+    x1 = (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100)))
+    x2 = (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100)))
+    noise = F.pmod(F.xxhash64("id", F.lit(3)), F.lit(7)) - F.lit(3)
+    return df.select(
+        F.col("id"),
+        (x1 / 100.0).alias("x1"), (x2 / 100.0).alias("x2"),
+        ((x1 * 30 + noise) / 100.0).alias("y"))
+
+
+def test_rf_learns_signal(spark):
+    from parking_bigdata_spark.operators import trees as T
+    df = _signal_frame(spark)
+    model = T.fit_random_forest(df, ["x1", "x2"], "y", n_trees=8,
+                                max_depth=5, feature_subset="all")
+    pdf = T.score_df(model, df, ["id"], "y").toPandas()
+    sse = ((pdf["actual"] - pdf["predicted"]) ** 2).sum()
+    sst = ((pdf["actual"] - pdf["actual"].mean()) ** 2).sum()
+    assert 1 - sse / sst > 0.9
+    imp = dict(model.importances())
+    assert imp["x1"] > 0.95  # the true driver dominates
+
+
+def test_gbt_learns_signal_and_beats_single_tree(spark):
+    from parking_bigdata_spark.operators import trees as T
+    from fractions import Fraction
+    df = _signal_frame(spark)
+    model = T.fit_gbt(df, ["x1", "x2"], "y", n_trees=8, max_depth=4,
+                      shrinkage=Fraction(1, 2))
+    pdf = T.score_df(model, df, ["id"], "y").toPandas()
+    sse = ((pdf["actual"] - pdf["predicted"]) ** 2).sum()
+    sst = ((pdf["actual"] - pdf["actual"].mean()) ** 2).sum()
+    assert 1 - sse / sst > 0.9
+    one = T.fit_gbt(df, ["x1", "x2"], "y", n_trees=1, max_depth=4,
+                    shrinkage=Fraction(1, 2))
+    pdf1 = T.score_df(one, df, ["id"], "y").toPandas()
+    sse1 = ((pdf1["actual"] - pdf1["predicted"]) ** 2).sum()
+    assert sse < sse1  # boosting actually reduces training error
+
+
+def test_forest_partition_independent(spark, sf_dir):
+    # THE determinism contract: identical trees no matter how the
+    # input is partitioned (the expected-parquet geometry audit can't
+    # re-split single-row-group files, so force it here).
+    from parking_bigdata_spark.io import load_table
+    from parking_bigdata_spark.operators import trees as T
+    li = load_table(spark, sf_dir, "lineitem").limit(3000)
+    xs, y = ["l_quantity", "l_discount", "l_tax"], "l_extendedprice"
+    m1 = T.fit_random_forest(li.coalesce(1), xs, y, n_trees=5,
+                             max_depth=4)
+    m2 = T.fit_random_forest(li.repartition(13), xs, y, n_trees=5,
+                             max_depth=4)
+    assert m1.importances() == m2.importances()
+    for t1, t2 in zip(m1.trees, m2.trees):
+        assert sorted(t1) == sorted(t2)
+        for nid in t1:
+            a, b = t1[nid], t2[nid]
+            assert (a.feature, a.bin_thr, a.value_int) == \
+                   (b.feature, b.bin_thr, b.value_int)
+
+
+def test_rf_score_holdout_disjoint_and_shaped(spark, sf_dir):
+    got = Q.rf_score_holdout(spark, sf_dir).toPandas()
+    assert set(got.columns) == {"l_orderkey", "l_linenumber", "actual",
+                                "predicted", "residual"}
+    assert (got["l_orderkey"] % 5 == 0).all()  # holdout fold only
+    assert ((got["actual"] - got["predicted"]) - got["residual"]) \
+        .abs().max() < 1e-6
