@@ -18,13 +18,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def describe_table(df: DataFrame, cols: list[str], round_to: int = 4) -> DataFrame:
-    """Per-column n / nulls / distinct / mean / stddev / min / max.
+def describe_table(df: DataFrame, cols: list[str], round_to: int = 4,
+                   quartiles: bool = False) -> DataFrame:
+    """Per-column n / nulls / distinct / mean / stddev / min / max,
+    plus exact p25/p50/p75 when ``quartiles=True`` (the reference's
+    ``skim`` prints per-column quartiles, R:106-111).
 
     One distributed pass: all per-column aggregates are fused into a
     single ``agg`` (map-side partial aggregation, no per-column jobs the
     way naive ``df.describe()`` loops would at 100 TB with many columns).
     Output is unpivoted to one row per column via ``stack``.
+
+    Quartiles reuse `stats.grouped_quantiles`' bracket-refine (approx
+    bracket pass + in-bracket exact interpolation — never a per-group
+    sort buffer, unlike the exact ``percentile`` aggregate which
+    buffers every value): the columns unpivot to (column_name, value)
+    rows and column_name IS the group. The k× row fan-out is confined
+    to the quantile subtree; the broadcast join back is #cols-sized.
     """
     aggs = []
     for c in cols:
@@ -45,7 +55,20 @@ def describe_table(df: DataFrame, cols: list[str], round_to: int = 4) -> DataFra
     )
     expr = (f"stack({len(cols)}, {stack_args}) as "
             "(column_name, n, n_nulls, n_distinct, mean, stddev, min_val, max_val)")
-    return wide.selectExpr(expr)
+    out = wide.selectExpr(expr)
+    if not quartiles:
+        return out
+    from . import stats
+    melted_args = ", ".join(
+        f"'{c}', CAST({c} AS DOUBLE)" for c in cols)
+    melted = df.selectExpr(
+        f"stack({len(cols)}, {melted_args}) as (column_name, __v)")
+    q = stats.grouped_quantiles(melted, "column_name", "__v",
+                                [0.25, 0.5, 0.75], ["p25", "p50", "p75"])
+    q = q.select("column_name",
+                 *[F.round(F.col(a), round_to).alias(a)
+                   for a in ("p25", "p50", "p75")])
+    return out.join(F.broadcast(q), "column_name", "left")
 
 
 def freq_table(df: DataFrame, cols: list[str]) -> DataFrame:

@@ -174,15 +174,24 @@ _DESCRIBE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 def describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.describe_table(load_table(spark, sf_dir, "lineitem"),
-                                  _DESCRIBE_COLS)
+                                  _DESCRIBE_COLS, quartiles=True)
 
+# quartiles = percentile_cont, the same lo+(hi-lo)·frac interpolation
+# grouped_quantiles' bracket-refine computes (skim prints p25/p50/p75,
+# R:106-111)
 DESCRIBE_SQL = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS column_name, count({c}) AS n,
        CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        count(DISTINCT {c}) AS n_distinct,
        round(avg({c}), 4) AS mean, round(stddev_samp({c}), 4) AS stddev,
        round(CAST(min({c}) AS DOUBLE), 4) AS min_val,
-       round(CAST(max({c}) AS DOUBLE), 4) AS max_val
+       round(CAST(max({c}) AS DOUBLE), 4) AS max_val,
+       round(percentile_cont(0.25) WITHIN GROUP
+             (ORDER BY CAST({c} AS DOUBLE)), 4) AS p25,
+       round(percentile_cont(0.50) WITHIN GROUP
+             (ORDER BY CAST({c} AS DOUBLE)), 4) AS p50,
+       round(percentile_cont(0.75) WITHIN GROUP
+             (ORDER BY CAST({c} AS DOUBLE)), 4) AS p75
 FROM lineitem""" for c in _DESCRIBE_COLS)
 
 
@@ -9179,6 +9188,7 @@ _CHANGED_IN_ROUND.update({name: 3 for name in [
     "rf_feature_importance", "gbt_feature_importance",
     "bagged_trees_importance", "rf_score_holdout",
     "catalog_profile", "catalog_profile_approx",
+    "describe_lineitem",  # gained p25/p50/p75 columns
 ]})
 
 
