@@ -930,6 +930,41 @@ FROM events GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# B11f-batch. Stream-stream interval join, batch twin (VERDICT r02
+# ask #8): this registered query calls the SAME
+# `view_purchase_attribution` builder the streaming pipeline runs —
+# watermarks are no-ops on static frames, so one code path serves
+# both engines and the DuckDB oracle value-checks the streaming
+# operator's join semantics (the unit test additionally asserts the
+# drained stream equals this batch result row-for-row).
+# --------------------------------------------------------------------------
+
+def stream_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.events import view_purchase_attribution
+    ev = load_table(spark, sf_dir, "events")
+    return view_purchase_attribution(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"))
+
+STREAM_INTERVAL_JOIN_SQL = """
+WITH v AS (
+  SELECT user_id AS v_user, event_id AS view_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p_user AS user_id, view_id, purchase_id, view_ts, purchase_ts,
+       purchase_value
+FROM v JOIN p
+  ON v_user = p_user
+ AND purchase_ts >= view_ts
+ AND purchase_ts <= view_ts + INTERVAL 1 HOUR
+"""
+
+
+# --------------------------------------------------------------------------
 # B13. Gap-based sessionization (30-min inactivity).
 # --------------------------------------------------------------------------
 
@@ -8923,6 +8958,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "vif_scores": (vif_scores, oracles.vif_sql(_DESCRIBE_COLS)),
     "events_windowed": (events_windowed, EVENTS_WINDOW_SQL),
     "events_sessions": (events_sessions, SESSIONS_SQL),
+    "stream_interval_join_batch": (stream_interval_join_batch,
+                                   STREAM_INTERVAL_JOIN_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash": (dedup_minhash, _expected_sql("dedup_minhash")),
     "dedup_simhash": (dedup_simhash, _expected_sql("dedup_simhash")),
@@ -9189,6 +9226,7 @@ _CHANGED_IN_ROUND.update({name: 3 for name in [
     "bagged_trees_importance", "rf_score_holdout",
     "catalog_profile", "catalog_profile_approx",
     "describe_lineitem",  # gained p25/p50/p75 columns
+    "stream_interval_join_batch",  # new: streaming join's batch twin
 ]})
 
 

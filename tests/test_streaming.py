@@ -137,23 +137,9 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
 
     got = run_view_purchase_attribution_batchlike(spark, sf_dir, "1 hour")
 
-    ev = load_table(spark, sf_dir, "events")
-    v = (ev.where(F.col("event_type") == "view")
-           .select(F.col("user_id").alias("v_user"),
-                   F.col("event_id").alias("view_id"),
-                   F.col("ts").alias("view_ts")))
-    p = (ev.where(F.col("event_type") == "purchase")
-           .select(F.col("user_id").alias("p_user"),
-                   F.col("event_id").alias("purchase_id"),
-                   F.col("ts").alias("purchase_ts"),
-                   F.col("value").alias("purchase_value")))
-    want = (v.join(p, (F.col("v_user") == F.col("p_user"))
-                   & (F.col("purchase_ts") >= F.col("view_ts"))
-                   & (F.col("purchase_ts")
-                      <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")))
-             .select(F.col("p_user").alias("user_id"), "view_id",
-                     "purchase_id", "view_ts", "purchase_ts",
-                     "purchase_value"))
+    # the comparison side IS the registered oracle-checked query
+    # (stream_interval_join_batch), so stream == batch == DuckDB
+    want = Q.stream_interval_join_batch(spark, sf_dir)
     key = lambda r: (r["view_id"], r["purchase_id"])
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
     assert got.count() > 0
