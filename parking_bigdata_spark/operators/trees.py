@@ -49,6 +49,8 @@ from fractions import Fraction
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .dedup import spread_for_cpu
+
 # Poisson(1) inverse CDF on a 1e6 integer grid: P(X<=k)·1e6, exact
 # thresholds so every engine run derives identical weights.
 _POISSON_CDF_1E6 = [367879, 735759, 919699, 981012, 996340, 999406,
@@ -66,15 +68,19 @@ def _poisson_weight(key: Column, seed: int) -> Column:
     return w
 
 
-def _mtry(tree: int, node: int, feats: list[int], m: int,
+def _mtry(tree: int, level: int, feats: list[int], m: int,
           seed: int) -> list[int]:
-    """Deterministic feature subset for one (tree, node): the m
-    features with the smallest md5(seed:tree:node:feat) digest.
-    hashlib, not hash() — stable across interpreter runs."""
+    """Deterministic feature subset for one (tree, level): the m
+    features with the smallest md5(seed:tree:level:feat) digest.
+    hashlib, not hash() — stable across interpreter runs. Level-wise
+    (every node of a tree-level shares the subset) so each level's
+    histogram pass emits only the subset's facts — a k/m cut in
+    explode volume; the cross-tree subsets still decorrelate trees,
+    which is what the Breiman subsampling is for."""
     ranked = sorted(
         feats,
         key=lambda f: hashlib.md5(
-            f"{seed}:{tree}:{node}:{f}".encode()).hexdigest())
+            f"{seed}:{tree}:{level}:{f}".encode()).hexdigest())
     return sorted(ranked[:m])
 
 
@@ -110,39 +116,47 @@ def _fit_forest(binned: DataFrame, n_feats: int, *, n_trees: int,
     for t in range(n_trees):
         cur = cur.withColumn(f"__n{t}", F.lit(0))
 
+    assert max_depth <= 7, "node id packing uses 16 bits"
     n_bins = 0  # discovered from data below
     for depth in range(max_depth):
-        # one fact per (tree, feature): struct(tree, node, feat, bin,
-        # w, wy, wy2) — exploded and partially aggregated map-side
+        last = depth == max_depth - 1
+        # one fact per (tree, allowed feature) — or a single leaf-stat
+        # fact on the LAST level (no split will be scored there, so no
+        # per-feature/per-bin histogram is needed). Facts are lean
+        # (packed int key, w, w·y): no sum of squares rides along —
+        # SSE-drop scoring only needs (n, Σwy) per side.
+        level_mtry = {t: _mtry(t, depth, list(range(n_feats)), mtry,
+                               seed) for t in range(n_trees)}
         facts = []
         for t in range(n_trees):
             w = F.col(f"__w{t}")
             ne = F.col(f"__n{t}")
-            for f_idx in range(n_feats):
+            feats_here = [0] if last else level_mtry[t]
+            for f_idx in feats_here:
+                bin_col = F.lit(0) if last else F.col(f"__b{f_idx}")
+                key = (F.lit(t * (1 << 24)) + ne * F.lit(1 << 16)
+                       + F.lit(f_idx * 256) + bin_col)
                 facts.append(F.struct(
-                    F.lit(t).alias("tree"), ne.alias("node"),
-                    F.lit(f_idx).alias("feat"),
-                    F.col(f"__b{f_idx}").alias("bin"),
-                    w.alias("w"),
-                    (w * F.col(y_col)).alias("wy"),
-                    (w.cast("decimal(38,0)") * F.col(y_col)
-                     * F.col(y_col)).alias("wy2")))
+                    key.alias("k"), w.alias("w"),
+                    (w * F.col(y_col)).alias("wy")))
         hist = (cur
                 .select(F.explode(F.array(*facts)).alias("s"))
                 .select("s.*")
                 .where(F.col("w") > 0)
-                .groupBy("tree", "node", "feat", "bin")
-                .agg(F.sum("w").alias("n"),
-                     F.sum("wy").alias("s1"),
-                     F.sum("wy2").alias("s2"))
+                .groupBy("k")
+                .agg(F.sum("w").alias("n"), F.sum("wy").alias("s1"))
                 .collect())
-        # organize: (tree, node) -> feat -> {bin: (n, s1, s2)}
+        # organize: (tree, node) -> feat -> {bin: (n, s1)}
         by_node: dict[tuple[int, int], dict[int, dict[int, tuple]]] = {}
         for r in hist:
-            by_node.setdefault((r["tree"], r["node"]), {}) \
-                   .setdefault(r["feat"], {})[r["bin"]] = (
-                       int(r["n"]), int(r["s1"]), int(r["s2"]))
-            n_bins = max(n_bins, r["bin"] + 1)
+            k = int(r["k"])
+            t, rest = divmod(k, 1 << 24)
+            nid, rest = divmod(rest, 1 << 16)
+            f_idx, b = divmod(rest, 256)
+            by_node.setdefault((t, nid), {}) \
+                   .setdefault(f_idx, {})[b] = (int(r["n"]),
+                                                int(r["s1"]))
+            n_bins = max(n_bins, b + 1)
 
         any_split = False
         new_splits: dict[int, list[tuple[int, _Node]]] = {}
@@ -150,18 +164,15 @@ def _fit_forest(binned: DataFrame, n_feats: int, *, n_trees: int,
             if nid in trees[t]:     # already a leaf/split from earlier
                 continue
             node = _Node()
-            # node totals from any feature's histogram (all identical)
+            # node totals from any emitted histogram (all identical)
             h0 = next(iter(feat_hists.values()))
             n_tot = sum(v[0] for v in h0.values())
             s1_tot = sum(v[1] for v in h0.values())
-            s2_tot = sum(v[2] for v in h0.values())
             node.value_int = _round_div(s1_tot, n_tot)
-            # best split among this node's deterministic feature subset
-            allowed = _mtry(t, nid, list(range(n_feats)), mtry, seed)
-            best = None  # (score Fraction, feat, bin_thr, gain)
-            if n_tot >= 2 * min_leaf and depth < max_depth - 1:
+            best = None  # (score Fraction, feat, bin_thr)
+            if n_tot >= 2 * min_leaf and not last:
                 base = Fraction(s1_tot * s1_tot, n_tot)
-                for f_idx in allowed:
+                for f_idx in level_mtry[t]:
                     h = feat_hists.get(f_idx, {})
                     nl = s1l = 0
                     for b in range(n_bins - 1):
@@ -320,13 +331,21 @@ def fit_random_forest(df: DataFrame, xs: list[str], y: str, *,
         "__y", F.round(F.col(y) * scale).cast("long"))
     # row identity for the bootstrap hash: the full feature+target
     # tuple (works for any frame; duplicate rows draw identical
-    # weights, which is fine — weights need only be deterministic)
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string")
-                                for c in [*xs, y]])
+    # weights, which is fine — weights need only be deterministic).
+    # Hashed ONCE to a long, then each tree re-hashes the long — the
+    # n_trees string-concat hashes per row were the cache-build
+    # hotspot at 12M rows.
+    binned = binned.withColumn(
+        "__k", F.xxhash64(F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in [*xs, y]])))
     for t in range(n_trees):
-        binned = binned.withColumn(f"__w{t}",
-                                   _poisson_weight(key, seed + t))
-    binned = binned.persist()
+        binned = binned.withColumn(
+            f"__w{t}", _poisson_weight(F.col("__k"), seed + t))
+    # the per-level histogram explode is CPU-bound; a compact parquet
+    # input plans to fewer scan tasks than cores, which would serialize
+    # every level. Safe to reshuffle: the engine is partition-
+    # independent by construction (integer sums + hash bootstrap).
+    binned = spread_for_cpu(binned).persist()
     try:
         k = len(xs)
         mtry = k if feature_subset == "all" else max(1, (k + 2) // 3)
@@ -354,8 +373,8 @@ def fit_gbt(df: DataFrame, xs: list[str], y: str, *, n_trees: int = 5,
     edges = _feature_edges(data, xs, scale)
     binned = _bin_cols(data, xs, edges, n_bins, scale).withColumn(
         "__y", F.round(F.col(y) * scale).cast("long")) \
-        .withColumn("__w0", F.lit(1)) \
-        .persist()
+        .withColumn("__w0", F.lit(1))
+    binned = spread_for_cpu(binned).persist()  # see fit_random_forest
     k = len(xs)
     all_trees: list[dict[int, _Node]] = []
     try:
