@@ -76,6 +76,10 @@ HEADLINE = [
     "forecast_revenue_delta",
     "nation_trade_volume",
     "profit_by_nation_year",
+    "late_order_priority_counts",
+    "local_supplier_volume",
+    "ship_speed_priority_mix",
+    "supplier_count_by_part",
     "returned_item_customers",
     "nation_value_share",
     "promo_revenue_pct",

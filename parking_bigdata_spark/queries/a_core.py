@@ -1974,3 +1974,167 @@ def mode_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("l_returnflag",
                        F.col("l_quantity").alias("mode_quantity"),
                        F.col("cnt").alias("n_occurrences")))
+
+
+# --------------------------------------------------------------------------
+# A114. Order-priority checking (TPC-H Q4 shape): date-window scan of
+# orders + EXISTS semi-join against the fact table with a correlated
+# cross-side predicate, counted per priority. The schema has no
+# l_commitdate/l_receiptdate, so "late" is l_shipdate more than 60
+# days after o_orderdate — same shape: the semi join pushes the date
+# window into the orders scan and dedups lineitem matches for free
+# (no count inflation from multi-line orders). At 100 TB the orders
+# side shrinks to one quarter before the shuffle and LEFT SEMI stops
+# probing an order after the first late line.
+# --------------------------------------------------------------------------
+
+def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (load_table(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >=
+                      F.lit("1997-07-01").cast("timestamp")) &
+                     (F.col("o_orderdate") <
+                      F.lit("1997-10-01").cast("timestamp"))))
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) &
+        (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi"))
+    return (late.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("order_count")))
+
+LATE_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# A115. Local-supplier volume (TPC-H Q5 shape): the distinguishing
+# constraint is the cross-dimension equi-predicate c_nationkey =
+# s_nationkey folded INTO the supplier join, so only intra-nation
+# sales survive. Region + year filters prune before any wide join;
+# nation/region broadcast.
+# --------------------------------------------------------------------------
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = (load_table(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >=
+                      F.lit("1996-01-01").cast("timestamp")) &
+                     (F.col("o_orderdate") <
+                      F.lit("1997-01-01").cast("timestamp"))))
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = (load_table(spark, sf_dir, "region")
+              .where(F.col("r_name") == "ASIA"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
+              .join(supp,  # supplier scales with SF — no broadcast hint;
+                           # AQE still broadcasts it when it measures small
+                    (li.l_suppkey == supp.s_suppkey) &
+                    (cust.c_nationkey == supp.s_nationkey))
+              .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+              .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+              .groupBy("n_name")
+              .agg(F.round(F.sum(rev), 4).alias("revenue")))
+
+LOCAL_SUPPLIER_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# A116. Shipping-speed priority mix (TPC-H Q12 shape): conditional
+# CASE-sums of priority classes per transport class. The schema has no
+# l_shipmode, so the class is derived from ship latency (FAST < 30d,
+# MEDIUM < 90d, else SLOW) — the load-bearing shape is the single
+# fact-dim join feeding two filtered counts per group in ONE pass
+# (no per-class re-scan).
+# --------------------------------------------------------------------------
+
+def ship_speed_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    speed = (F.when(lat < 30, "FAST")
+              .when(lat < 90, "MEDIUM")
+              .otherwise("SLOW"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.where((F.col("l_shipdate") >=
+                      F.lit("1997-01-01").cast("timestamp")) &
+                     (F.col("l_shipdate") <
+                      F.lit("1998-01-01").cast("timestamp")))
+              .join(orders, li.l_orderkey == orders.o_orderkey)
+              .groupBy(speed.alias("speed_class"))
+              .agg(F.sum(high.cast("long")).alias("high_line_count"),
+                   F.sum((~high).cast("long")).alias("low_line_count")))
+
+SHIP_SPEED_SQL = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) < 30 THEN 'FAST'
+            WHEN datediff('day', o_orderdate, l_shipdate) < 90 THEN 'MEDIUM'
+            ELSE 'SLOW' END AS speed_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A117. Supplier-count by part attributes (TPC-H Q16 shape): distinct
+# suppliers per (brand, type, size) over the observed part-supplier
+# pairs, with a NOT-IN exclusion subquery (suppliers in deficit stand
+# in for Q16's complaint filter; the schema has no partsupp table, so
+# the pair universe is the lineitem-observed one). The pair table is
+# deduped BEFORE the count-distinct group-by; the exclusion list joins
+# as a left_anti (unhinted — AQE broadcasts it while it stays small).
+# --------------------------------------------------------------------------
+
+def supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bad = (load_table(spark, sf_dir, "supplier")
+           .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    pairs = (li.select("l_partkey", "l_suppkey").distinct()
+               .join(bad,  # exclusion list scales with SF — let AQE pick
+                     F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"))
+    return (pairs.join(part, pairs.l_partkey == part.p_partkey)
+                 .where((F.col("p_brand") != "Brand#45") &
+                        F.col("p_size").isin(1, 9, 17, 25, 33, 41, 49))
+                 .groupBy("p_brand", "p_type", "p_size")
+                 .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+SUPPLIER_COUNT_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
