@@ -80,6 +80,15 @@ HEADLINE = [
     "local_supplier_volume",
     "ship_speed_priority_mix",
     "supplier_count_by_part",
+    "fisher_exact_2x2",
+    "kendall_tau_qty_discount",
+    "tukey_hsd_segments",
+    "cooks_distance_outliers",
+    "boxcox_lambda_scan",
+    "pr_auc_order_status",
+    "dsir_importance_weights",
+    "decontam_bloom",
+    "changepoint_binseg_daily",
     "returned_item_customers",
     "nation_value_share",
     "promo_revenue_pct",
@@ -206,12 +215,16 @@ def main() -> None:
         "sf": sf_val,
     }
     print(json.dumps(detail), file=sys.stderr)
-    try:
-        here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
-            json.dump(detail, f, indent=1)
-    except OSError:
-        pass
+    # sidecar detail is the committed record of the driver's default
+    # tier — only overwrite it for sf0.1 runs, so a quick smoke at
+    # another SF can't clobber the canonical numbers
+    if sf_val == 0.1:
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+                json.dump(detail, f, indent=1)
+        except OSError:
+            pass
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(json.dumps({
         "metric": "headline_queries_total_wall",

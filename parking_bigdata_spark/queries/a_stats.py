@@ -2949,3 +2949,408 @@ SELECT a.decile, a.n_customers,
 FROM per_dec a JOIN per_dec b ON b.decile <= a.decile CROSS JOIN tot
 GROUP BY a.decile, a.n_customers, a.s
 """
+
+
+# --------------------------------------------------------------------------
+# A118. Fisher's exact test on a 2x2 contingency table (Fisher 1935;
+# R's fisher.test is the standard companion to chisq.test for sparse
+# tables — the reference runs chi-square association checks at
+# R:775+). Cells: customers with negative account balance x BUILDING
+# market segment. The distributed part is ONE fused aggregate scan to
+# the four cell counts; the hypergeometric enumeration (two-sided:
+# sum of all table probabilities <= the observed one) runs on the
+# driver with exact lgamma arithmetic over min(margin) terms — the
+# operator's contract is small-margin tables, which is exactly where
+# Fisher's exactness matters (use chisq_status_priority when every
+# expected cell is large).
+# --------------------------------------------------------------------------
+
+def fisher_exact_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    c = load_table(spark, sf_dir, "customer")
+    row = F.col("c_acctbal") < 0
+    col = F.col("c_mktsegment") == "BUILDING"
+    cnt = c.agg(
+        F.sum((row & col).cast("long")).alias("a"),
+        F.sum((row & ~col).cast("long")).alias("b"),
+        F.sum((~row & col).cast("long")).alias("c"),
+        F.sum((~row & ~col).cast("long")).alias("d")).collect()[0]
+    a, b, cc, d = int(cnt["a"]), int(cnt["b"]), int(cnt["c"]), int(cnt["d"])
+    n, r1, c1 = a + b + cc + d, a + b, a + cc
+
+    def logp(k: int) -> float:
+        lg = math.lgamma
+        return (lg(r1 + 1) + lg(n - r1 + 1) + lg(c1 + 1) + lg(n - c1 + 1)
+                - lg(n + 1) - lg(k + 1) - lg(r1 - k + 1) - lg(c1 - k + 1)
+                - lg(n - r1 - c1 + k + 1))
+
+    lp_obs = logp(a)
+    # two-sided: standard 1e-7 relative tolerance against float drift
+    # in the "as or more extreme" comparison (R's fisher.test does the
+    # same) — the SQL oracle replicates the identical rule
+    p = sum(math.exp(lp) for k in range(max(0, r1 + c1 - n),
+                                        min(r1, c1) + 1)
+            if (lp := logp(k)) <= lp_obs + 1e-7)
+    odds = (a * d) / (b * cc) if b * cc else float("inf")
+    return spark.createDataFrame(
+        [(a, b, cc, d, round(odds, 4), round(min(p, 1.0), 6))],
+        "n_11 long, n_12 long, n_21 long, n_22 long, "
+        "odds_ratio double, p_two_sided double")
+
+FISHER_SQL = """
+WITH cells AS (
+  SELECT
+    CAST(sum(CASE WHEN c_acctbal < 0 AND c_mktsegment = 'BUILDING'
+             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN c_acctbal < 0 AND c_mktsegment <> 'BUILDING'
+             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN c_acctbal >= 0 AND c_mktsegment = 'BUILDING'
+             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN c_acctbal >= 0 AND c_mktsegment <> 'BUILDING'
+             THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM customer
+), m AS (
+  SELECT a, b, c, d, a + b + c + d AS n, a + b AS r1, a + c AS c1
+  FROM cells
+), ks AS (
+  SELECT m.*, unnest(range(greatest(0, r1 + c1 - n),
+                           least(r1, c1) + 1)) AS k
+  FROM m
+), lp AS (
+  SELECT *,
+         lgamma(r1 + 1) + lgamma(n - r1 + 1) + lgamma(c1 + 1)
+           + lgamma(n - c1 + 1) - lgamma(n + 1) - lgamma(k + 1)
+           - lgamma(r1 - k + 1) - lgamma(c1 - k + 1)
+           - lgamma(n - r1 - c1 + k + 1) AS logp,
+         lgamma(r1 + 1) + lgamma(n - r1 + 1) + lgamma(c1 + 1)
+           + lgamma(n - c1 + 1) - lgamma(n + 1) - lgamma(a + 1)
+           - lgamma(r1 - a + 1) - lgamma(c1 - a + 1)
+           - lgamma(n - r1 - c1 + a + 1) AS logp_obs
+  FROM ks
+)
+SELECT a AS n_11, b AS n_12, c AS n_21, d AS n_22,
+       round(CAST(a * d AS DOUBLE) / (b * c), 4) AS odds_ratio,
+       round(least(sum(CASE WHEN logp <= logp_obs + 1e-7
+                            THEN exp(logp) ELSE 0 END), 1.0), 6)
+         AS p_two_sided
+FROM lp GROUP BY a, b, c, d
+"""
+
+
+# --------------------------------------------------------------------------
+# A119. Kendall's tau-b rank correlation (Kendall 1938) between
+# l_quantity and l_discount — EXACT at any row count without the
+# O(n^2) pair scan: both columns are low-cardinality, so concordant /
+# discordant pair totals are sums over the JOINT CONTINGENCY CUBE
+# (one groupBy -> ~550 cells), paired by a cells-x-cells self-join
+# that is bounded by value-pair cardinality, never rows. Tie terms
+# come from the margins. For continuous columns, bin first — the
+# operator contract mirrors tau-b's own tie semantics.
+# --------------------------------------------------------------------------
+
+def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (li.groupBy(F.col("l_quantity").alias("x"),
+                        F.col("l_discount").alias("y"))
+               .agg(F.count(F.lit(1)).alias("c"))
+               .localCheckpoint(eager=True))
+    a, b2 = cells.alias("a"), cells.alias("b")
+    conc = (F.col("b.x") > F.col("a.x")) & (F.col("b.y") > F.col("a.y"))
+    disc = (F.col("b.x") > F.col("a.x")) & (F.col("b.y") < F.col("a.y"))
+    pairs = a.crossJoin(b2).agg(
+        F.sum(F.when(conc, F.col("a.c") * F.col("b.c"))
+               .otherwise(F.lit(0))).alias("C"),
+        F.sum(F.when(disc, F.col("a.c") * F.col("b.c"))
+               .otherwise(F.lit(0))).alias("D"))
+    margins = cells.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"))
+    rx = (cells.groupBy("x").agg(F.sum("c").alias("r"))
+               .agg(F.sum(F.col("r") * F.col("r")).alias("sr2")))
+    cy = (cells.groupBy("y").agg(F.sum("c").alias("s"))
+               .agg(F.sum(F.col("s") * F.col("s")).alias("ss2")))
+    j = pairs.crossJoin(margins).crossJoin(rx).crossJoin(cy)
+    # doubles for the n^2-scale products: exact to 2^53 and the final
+    # statistic is a ratio rounded to 6 (BIGINT would overflow first)
+    n = F.col("n").cast("double")
+    n0 = (n * n - n) / 2
+    n1 = (F.col("sr2").cast("double") - n) / 2
+    n2 = (F.col("ss2").cast("double") - n) / 2
+    tau = ((F.col("C") - F.col("D")).cast("double")
+           / F.sqrt((n0 - n1) * (n0 - n2)))
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("C").cast("long").alias("concordant"),
+        F.col("D").cast("long").alias("discordant"),
+        F.round(tau, 6).alias("tau_b"))
+
+KENDALL_SQL = """
+WITH cells AS (
+  SELECT l_quantity AS x, l_discount AS y, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), pairs AS (
+  SELECT
+    sum(CASE WHEN b.x > a.x AND b.y > a.y THEN a.c * b.c ELSE 0 END) AS C,
+    sum(CASE WHEN b.x > a.x AND b.y < a.y THEN a.c * b.c ELSE 0 END) AS D
+  FROM cells a CROSS JOIN cells b
+), margins AS (
+  SELECT sum(c) AS n, sum(c * c) AS sc2 FROM cells
+), rx AS (
+  SELECT sum(r * r) AS sr2
+  FROM (SELECT sum(c) AS r FROM cells GROUP BY x)
+), cy AS (
+  SELECT sum(s * s) AS ss2
+  FROM (SELECT sum(c) AS s FROM cells GROUP BY y)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(C AS BIGINT) AS concordant,
+       CAST(D AS BIGINT) AS discordant,
+       round(CAST(C - D AS DOUBLE)
+             / sqrt(((CAST(n AS DOUBLE) * n - n) / 2
+                     - (CAST(sr2 AS DOUBLE) - n) / 2)
+                    * ((CAST(n AS DOUBLE) * n - n) / 2
+                       - (CAST(ss2 AS DOUBLE) - n) / 2)), 6) AS tau_b
+FROM pairs CROSS JOIN margins CROSS JOIN rx CROSS JOIN cy
+"""
+
+
+# --------------------------------------------------------------------------
+# A120. Tukey HSD pairwise contrasts after one-way ANOVA (Tukey 1949;
+# R's TukeyHSD(aov(...)) — the standard post-hoc to the reference's
+# anova at R:765-772): for every segment pair, the mean difference
+# and the studentized-range q statistic against the pooled MSE. One
+# groupBy to per-group moments (k rows), then a k x k self-join —
+# nothing scales with rows but the single moment scan.
+# --------------------------------------------------------------------------
+
+def tukey_hsd_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    g = (c.groupBy("c_mktsegment")
+          .agg(F.count("c_acctbal").alias("n"),
+               F.avg("c_acctbal").alias("m"),
+               F.sum(F.col("c_acctbal") * F.col("c_acctbal")).alias("s2")))
+    tot = g.agg(
+        F.sum("n").alias("tot_n"), F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.col("s2") - F.col("n") * F.col("m") * F.col("m"))
+         .alias("ssw"))
+    mse = F.col("ssw") / (F.col("tot_n") - F.col("n_groups"))
+    a, b2 = g.alias("a"), g.alias("b")
+    pair = (a.crossJoin(b2)
+             .where(F.col("a.c_mktsegment") < F.col("b.c_mktsegment"))
+             .crossJoin(F.broadcast(tot)))
+    diff = F.col("a.m") - F.col("b.m")
+    se = F.sqrt(mse / 2 * (1 / F.col("a.n") + 1 / F.col("b.n")))
+    return pair.select(
+        F.col("a.c_mktsegment").alias("segment_a"),
+        F.col("b.c_mktsegment").alias("segment_b"),
+        F.round(diff, 4).alias("mean_diff"),
+        F.round(se, 4).alias("se"),
+        F.round(diff / se, 4).alias("q_stat"))
+
+TUKEY_SQL = """
+WITH g AS (
+  SELECT c_mktsegment, count(c_acctbal) AS n, avg(c_acctbal) AS m,
+         sum(c_acctbal * c_acctbal) AS s2
+  FROM customer GROUP BY 1
+), tot AS (
+  SELECT sum(n) AS tot_n, count(*) AS n_groups,
+         sum(s2 - n * m * m) AS ssw
+  FROM g
+)
+SELECT a.c_mktsegment AS segment_a, b.c_mktsegment AS segment_b,
+       round(a.m - b.m, 4) AS mean_diff,
+       round(sqrt(ssw / (tot_n - n_groups) / 2
+                  * (1.0 / a.n + 1.0 / b.n)), 4) AS se,
+       round((a.m - b.m)
+             / sqrt(ssw / (tot_n - n_groups) / 2
+                    * (1.0 / a.n + 1.0 / b.n)), 4) AS q_stat
+FROM g a CROSS JOIN g b CROSS JOIN tot
+WHERE a.c_mktsegment < b.c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# A121. Cook's distance influence diagnostics (Cook 1977; R's
+# plot(lm) panel 4 — the reference inspects lm diagnostics at
+# R:593-614): for the simple OLS of extendedprice on quantity, each
+# row's leverage h_i = 1/n + (x_i-mx)^2/Sxx and D_i =
+# e_i^2 h_i / (p s^2 (1-h_i)^2), p = 2. One moment scan fits the
+# line (closed form), one projection scores every row — top 20 most
+# influential rows, deterministic tie-break on the row key.
+# --------------------------------------------------------------------------
+
+def cooks_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_linenumber",
+                  F.col("l_quantity").cast("double").alias("x"),
+                  F.col("l_extendedprice").cast("double").alias("y"))
+    fit = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"), F.avg("y").alias("my"),
+        (F.var_pop("x") * F.count(F.lit(1))).alias("sxx"),
+        (F.covar_pop("x", "y") * F.count(F.lit(1))).alias("sxy"),
+        (F.var_pop("y") * F.count(F.lit(1))).alias("syy"))
+    j = d.crossJoin(F.broadcast(fit))
+    slope = F.col("sxy") / F.col("sxx")
+    e = F.col("y") - (F.col("my") + slope * (F.col("x") - F.col("mx")))
+    s2 = (F.col("syy") - slope * F.col("sxy")) / (F.col("n") - 2)
+    h = 1 / F.col("n") + ((F.col("x") - F.col("mx")) ** 2) / F.col("sxx")
+    dist = e * e * h / (2 * s2 * (1 - h) * (1 - h))
+    return (j.select("l_orderkey", "l_linenumber",
+                     F.round(e, 4).alias("residual"),
+                     F.round(h, 8).alias("leverage"),
+                     F.round(dist, 8).alias("cooks_d"))
+             .orderBy(F.col("cooks_d").desc(), "l_orderkey",
+                      "l_linenumber")
+             .limit(20))
+
+COOKS_SQL = """
+WITH d AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+), fit AS (
+  SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+         var_pop(x) * count(*) AS sxx,
+         covar_pop(x, y) * count(*) AS sxy,
+         var_pop(y) * count(*) AS syy
+  FROM d
+), s AS (
+  SELECT d.*, n, mx, my, sxy / sxx AS slope,
+         (syy - (sxy / sxx) * sxy) / (n - 2) AS s2,
+         1.0 / n + (x - mx) * (x - mx) / sxx AS h
+  FROM d CROSS JOIN fit
+)
+SELECT l_orderkey, l_linenumber,
+       round(y - (my + slope * (x - mx)), 4) AS residual,
+       round(h, 8) AS leverage,
+       round((y - (my + slope * (x - mx))) * (y - (my + slope * (x - mx)))
+             * h / (2 * s2 * (1 - h) * (1 - h)), 8) AS cooks_d
+FROM s
+ORDER BY cooks_d DESC, l_orderkey, l_linenumber
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# A122. Box-Cox transform selection (Box & Cox 1964; R's
+# MASS::boxcox profile — the reference log-transforms skewed
+# responses, R:537+): profile log-likelihood over the standard lambda
+# grid, LL(l) = -n/2 ln(var_pop(y_l)) + (l-1) SUM(ln y), computed for
+# every lambda in ONE fused aggregate scan (each grid point is just
+# another pair of aggregate expressions). Flags the grid argmax.
+# --------------------------------------------------------------------------
+
+_BOXCOX_GRID = [-1.0, -0.5, 0.0, 0.5, 1.0]
+
+def boxcox_lambda_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    y = F.col("o_totalprice").cast("double")
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.sum(F.log(y)).alias("slog")]
+    for i, lam in enumerate(_BOXCOX_GRID):
+        t = F.log(y) if lam == 0.0 else (F.pow(y, lam) - 1) / lam
+        aggs.append(F.var_pop(t).alias(f"v{i}"))
+    wide = o.where(y > 0).agg(*aggs)
+    rows = wide.selectExpr(
+        "n", "slog",
+        "stack({k}, {args}) as (lam, v)".format(
+            k=len(_BOXCOX_GRID),
+            args=", ".join(f"CAST({lam} AS DOUBLE), v{i}"
+                           for i, lam in enumerate(_BOXCOX_GRID))))
+    ll = (-F.col("n") / 2 * F.log("v")
+          + (F.col("lam") - 1) * F.col("slog"))
+    w = Window.partitionBy()
+    out = rows.select("lam", F.round(ll, 4).alias("log_lik"))
+    return out.withColumn(
+        "is_best", (F.col("log_lik") == F.max("log_lik").over(w))
+                    .cast("int")).orderBy("lam")
+
+BOXCOX_SQL = """
+WITH base AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS y FROM orders
+  WHERE o_totalprice > 0
+), agg AS (
+  SELECT count(*) AS n, sum(ln(y)) AS slog,
+         var_pop((pow(y, -1.0) - 1) / -1.0) AS v0,
+         var_pop((pow(y, -0.5) - 1) / -0.5) AS v1,
+         var_pop(ln(y)) AS v2,
+         var_pop((pow(y, 0.5) - 1) / 0.5) AS v3,
+         var_pop((pow(y, 1.0) - 1) / 1.0) AS v4
+  FROM base
+), rows_ AS (
+  SELECT n, slog, lam, v
+  FROM agg, (VALUES (-1.0, 'v0'), (-0.5, 'v1'), (0.0, 'v2'),
+                    (0.5, 'v3'), (1.0, 'v4')) t(lam, tag),
+       LATERAL (SELECT CASE tag WHEN 'v0' THEN v0 WHEN 'v1' THEN v1
+                       WHEN 'v2' THEN v2 WHEN 'v3' THEN v3
+                       ELSE v4 END AS v)
+), ll AS (
+  SELECT lam, round(-n / 2.0 * ln(v) + (lam - 1) * slog, 4) AS log_lik
+  FROM rows_
+)
+SELECT lam, log_lik,
+       CAST(log_lik = max(log_lik) OVER () AS INT) AS is_best
+FROM ll ORDER BY lam
+"""
+
+
+# --------------------------------------------------------------------------
+# A123. Precision-recall AUC / average precision (Davis & Goadrich
+# 2006) — companion to roc_auc_order_status for the imbalanced case:
+# AP = SUM over descending score blocks of (block TP / P) * precision
+# at the block cut, ties handled as blocks (one groupBy per distinct
+# score, cumulative windows over the score-block table — never a
+# row-level sort).
+# --------------------------------------------------------------------------
+
+def pr_auc_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (load_table(spark, sf_dir, "orders")
+         .select((F.col("o_orderstatus") == "P").cast("long").alias("pos"),
+                 "o_totalprice"))
+    blocks = (o.groupBy("o_totalprice")
+               .agg(F.sum("pos").alias("tp_b"),
+                    F.count(F.lit(1)).alias("n_b")))
+    w = (Window.partitionBy().orderBy(F.col("o_totalprice").desc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = blocks.select(
+        "tp_b",
+        F.sum("tp_b").over(w).alias("ctp"),
+        F.sum("n_b").over(w).alias("cn"))
+    tot = o.agg(F.sum("pos").alias("P"),
+                F.count(F.lit(1)).alias("N"))
+    ap = (cum.crossJoin(F.broadcast(tot))
+             .agg(F.round(F.sum(F.col("tp_b") / F.col("P")
+                                * (F.col("ctp") / F.col("cn"))), 6)
+                   .alias("average_precision"),
+                  F.max("P").alias("n_pos"),
+                  F.max(F.col("N") - F.col("P")).alias("n_neg")))
+    return ap.select("n_pos", "n_neg", "average_precision")
+
+PR_AUC_SQL = """
+WITH o AS (
+  SELECT CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS pos,
+         o_totalprice
+  FROM orders
+), blocks AS (
+  SELECT o_totalprice, sum(pos) AS tp_b, count(*) AS n_b
+  FROM o GROUP BY 1
+), cum AS (
+  SELECT tp_b,
+         sum(tp_b) OVER (ORDER BY o_totalprice DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS ctp,
+         sum(n_b) OVER (ORDER BY o_totalprice DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cn
+  FROM blocks
+), tot AS (
+  SELECT sum(pos) AS P, count(*) AS N FROM o
+)
+SELECT CAST(max(P) AS BIGINT) AS n_pos,
+       CAST(max(N - P) AS BIGINT) AS n_neg,
+       round(sum(CAST(tp_b AS DOUBLE) / P * (CAST(ctp AS DOUBLE) / cn)),
+             6) AS average_precision
+FROM cum CROSS JOIN tot
+"""

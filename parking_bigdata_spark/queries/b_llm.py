@@ -2298,3 +2298,163 @@ SELECT p.event_type, p.true_count,
 FROM probes p JOIN cms ON cms.d = p.d AND cms.bucket = p.bucket
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# B53. DSIR data-selection importance weights (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling"):
+# per-document log importance weight log w(d) = SUM_tokens
+# [ln p_target(bucket) - ln p_corpus(bucket)] over HASHED unigram
+# buckets (64-way md5 bucketing — the same bucket function as
+# hashed_token_vectors, shared bit-for-bit with the SQL oracle),
+# Laplace-smoothed. The target distribution here is the 'src0' slice
+# of the corpus standing in for a high-quality reference set. Plan:
+# two token-count aggregates (target + corpus) collapse to a 64-row
+# log-ratio table that BROADCASTS to the per-document scoring pass —
+# at 100 TB nothing but token streams ever shuffles, and those only
+# into 64-key partial aggregates.
+# --------------------------------------------------------------------------
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "doc_id", "source",
+        F.explode(F.split(F.trim(F.regexp_replace(
+            F.lower(F.col("text")), "[^a-z0-9]+", " ")), " "))
+         .alias("tok"))
+        .where(F.col("tok") != ""))
+    md5 = F.md5(F.col("tok").cast("binary"))
+    bucket = F.pmod(F.conv(F.substring(md5, 1, 2), 16, 10).cast("int"),
+                    F.lit(64))
+    tb = toks.select("source", bucket.alias("b"))
+    tgt = (tb.where(F.col("source") == "src0")
+             .groupBy("b").agg(F.count(F.lit(1)).alias("t")))
+    all_b = tb.groupBy("b").agg(F.count(F.lit(1)).alias("s"))
+    ratio = (all_b.join(tgt, "b", "left")
+                  .withColumn("t", F.coalesce("t", F.lit(0)))
+                  .crossJoin(all_b.agg(F.sum("s").alias("tot_s"))
+                                  .crossJoin(
+                                      tgt.agg(F.sum("t").alias("tot_t"))))
+                  .select("b",
+                          (F.log((F.col("t") + 1)
+                                 / (F.col("tot_t") + 64))
+                           - F.log((F.col("s") + 1)
+                                   / (F.col("tot_s") + 64))).alias("lr")))
+    return (toks.select("doc_id", bucket.alias("b"))
+                .join(F.broadcast(ratio), "b")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_tokens"),
+                     F.round(F.sum("lr"), 4).alias("log_weight")))
+
+DSIR_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split(trim(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), tb AS (
+  SELECT doc_id, source,
+         ((strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1))
+         % 64 AS b
+  FROM toks WHERE tok <> ''
+), tgt AS (
+  SELECT b, count(*) AS t FROM tb WHERE source = 'src0' GROUP BY 1
+), all_b AS (
+  SELECT b, count(*) AS s FROM tb GROUP BY 1
+), tots AS (
+  SELECT (SELECT sum(s) FROM all_b) AS S1, (SELECT sum(t) FROM tgt) AS T1
+), ratio AS (
+  SELECT all_b.b,
+         ln((coalesce(t, 0) + 1) / CAST(T1 + 64 AS DOUBLE))
+           - ln((s + 1) / CAST(S1 + 64 AS DOUBLE)) AS lr
+  FROM all_b LEFT JOIN tgt ON all_b.b = tgt.b CROSS JOIN tots
+)
+SELECT doc_id, count(*) AS n_tokens, round(sum(lr), 4) AS log_weight
+FROM tb JOIN ratio USING (b)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# B54. Bloom-filter decontamination probe (Bloom 1970; the scale path
+# for B23's exact gram join): the eval set's word 3-grams set k=3 bit
+# positions each (16-bit positions from the first 4 hex chars of a
+# seeded md5 — the hash is shared bit-for-bit with the SQL oracle),
+# and the DISTINCT-position table — bounded by 2^16 rows no matter
+# how large the eval set grows — broadcasts to the corpus probe: a
+# corpus gram is flagged iff ALL k positions are present (join +
+# count(k)). Relational Bloom semantics: deterministic, false
+# positives possible by design (compare decontam_overlap for exact
+# overlap), zero false negatives — a pre-filter whose survivors
+# would feed the exact join at 100 TB.
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 16
+
+def _bloom_positions(gram_col: str):
+    return [F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"bloom{i}|"),
+                               F.col(gram_col)).cast("binary")), 1, 4),
+                16, 10).cast("int").alias(f"p{i}")
+            for i in range(3)]
+
+def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (dedup_ops.word_ngrams(docs.select("doc_id", "text"),
+                                   "text", 3)
+             .select("doc_id", F.explode_outer("grams").alias("gram"))
+             .where(F.col("gram").isNotNull()))
+    ev = grams.where(F.col("doc_id") % 20 == 0)
+    corpus = grams.where(F.col("doc_id") % 20 != 0)
+    bits = (ev.select(F.explode(F.array(*_bloom_positions("gram")))
+                       .alias("pos"))
+              .distinct())
+    probe = (corpus.select(
+        "doc_id", "gram",
+        F.explode(F.array(*_bloom_positions("gram"))).alias("pos")))
+    flagged = (probe.join(F.broadcast(bits), "pos")
+                    .groupBy("doc_id", "gram")
+                    .agg(F.count(F.lit(1)).alias("k_hit"))
+                    .where(F.col("k_hit") == 3))
+    return (flagged.groupBy("doc_id")
+                   .agg(F.countDistinct("gram").alias("n_flagged_grams")))
+
+_BLOOM_POS_SQL = """
+          ((((strpos('0123456789abcdef', substring(md5('bloom{i}|' || gram), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substring(md5('bloom{i}|' || gram), 2, 1)) - 1)) * 16
+           + (strpos('0123456789abcdef', substring(md5('bloom{i}|' || gram), 3, 1)) - 1)) * 16
+           + (strpos('0123456789abcdef', substring(md5('bloom{i}|' || gram), 4, 1)) - 1))"""
+
+DECONTAM_BLOOM_SQL = ("""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g')), '\\s+') AS t
+  FROM documents
+), grams_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram
+  FROM toks
+), grams AS (
+  -- per-doc distinct grams, mirroring word_ngrams' array_distinct
+  SELECT DISTINCT doc_id, gram FROM grams_raw
+), pos AS (
+  SELECT doc_id, gram, unnest([""" +
+    ", ".join(_BLOOM_POS_SQL.format(i=i) for i in range(3)) + """
+  ]) AS pos
+  FROM grams
+), bits AS (
+  SELECT DISTINCT pos FROM pos WHERE doc_id % 20 = 0
+), flagged AS (
+  SELECT p.doc_id, p.gram
+  FROM pos p JOIN bits USING (pos)
+  WHERE p.doc_id % 20 <> 0
+  GROUP BY p.doc_id, p.gram
+  HAVING count(*) = 3
+)
+SELECT doc_id, count(DISTINCT gram) AS n_flagged_grams
+FROM flagged GROUP BY 1
+""")

@@ -1754,3 +1754,79 @@ SELECT n_days, s AS s_stat,
                   ELSE 0.0 END, 4) AS z_stat
 FROM p CROSS JOIN ties CROSS JOIN nn
 """
+
+
+# --------------------------------------------------------------------------
+# C45. Binary-segmentation changepoint on daily event volume (Scott &
+# Knott 1974; the first split of binary segmentation): the day
+# boundary maximizing the between-segment SSE reduction
+# gain(i) = s_i^2/i + (S-s_i)^2/(n-i) - S^2/n, evaluated for EVERY
+# candidate boundary from one cumulative window over the
+# #days-sized aggregated series (the fact table is touched once, by
+# the daily count aggregate). Complements cusum_changepoint_events
+# (Page statistic = mean-shift evidence; binseg = explicit two-segment
+# least-squares fit). Peak day deterministic via rounded-gain max +
+# earliest-day tie-break.
+# --------------------------------------------------------------------------
+
+def changepoint_binseg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    daily = (ev.groupBy(day.alias("d"))
+               .agg(F.count(F.lit(1)).cast("double").alias("y")))
+    tot = daily.agg(F.sum("y").alias("S"),
+                    F.count(F.lit(1)).alias("n"))
+    wc = (Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wr = Window.orderBy("d")
+    cum = (daily.crossJoin(F.broadcast(tot))
+                .withColumn("s1", F.sum("y").over(wc))
+                .withColumn("i", F.row_number().over(wr))
+                .where(F.col("i") < F.col("n")))
+    i_d = F.col("i").cast("double")
+    rest = F.col("n").cast("double") - i_d
+    gain = (F.col("s1") * F.col("s1") / i_d
+            + (F.col("S") - F.col("s1")) * (F.col("S") - F.col("s1")) / rest
+            - F.col("S") * F.col("S") / F.col("n").cast("double"))
+    scored = cum.select(
+        "d", "n",
+        F.round(gain, 4).alias("g"),
+        F.round(F.col("s1") / i_d, 4).alias("mean_left"),
+        F.round((F.col("S") - F.col("s1")) / rest, 4).alias("mean_right"))
+    peak = scored.agg(F.max("g").alias("g_max"))
+    return (scored.crossJoin(F.broadcast(peak))
+            .where(F.col("g") == F.col("g_max"))
+            .agg(F.min("d").cast("int").alias("split_day"),
+                 F.min_by("mean_left", "d").alias("mean_left"),
+                 F.min_by("mean_right", "d").alias("mean_right"),
+                 F.max("g_max").alias("sse_gain"),
+                 F.any_value("n").alias("n_days")))
+
+BINSEG_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), tot AS (SELECT sum(y) AS S, count(*) AS n FROM daily),
+cum AS (
+  SELECT d, n, S,
+         sum(y) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS s1,
+         row_number() OVER (ORDER BY d) AS i
+  FROM daily CROSS JOIN tot
+), scored AS (
+  SELECT d, n,
+         round(s1 * s1 / i + (S - s1) * (S - s1) / (n - i)
+               - S * S / n, 4) AS g,
+         round(s1 / i, 4) AS mean_left,
+         round((S - s1) / (n - i), 4) AS mean_right
+  FROM cum WHERE i < n
+), peak AS (SELECT max(g) AS g_max FROM scored)
+SELECT CAST(min(d) AS INT) AS split_day,
+       min_by(mean_left, d) AS mean_left,
+       min_by(mean_right, d) AS mean_right,
+       max(g_max) AS sse_gain,
+       any_value(n) AS n_days
+FROM scored CROSS JOIN peak
+WHERE g = g_max
+"""
