@@ -3309,15 +3309,17 @@ def pr_auc_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (load_table(spark, sf_dir, "orders")
          .select((F.col("o_orderstatus") == "P").cast("long").alias("pos"),
                  "o_totalprice"))
+    # the score-block table is rows-sized for near-unique scores, so
+    # the descending cumulative runs through range_cumsum (range-
+    # partitioned parallel windows + broadcast offset stitch) on the
+    # NEGATED score — never a single-task global sort
     blocks = (o.groupBy("o_totalprice")
                .agg(F.sum("pos").alias("tp_b"),
-                    F.count(F.lit(1)).alias("n_b")))
-    w = (Window.partitionBy().orderBy(F.col("o_totalprice").desc())
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = blocks.select(
-        "tp_b",
-        F.sum("tp_b").over(w).alias("ctp"),
-        F.sum("n_b").over(w).alias("cn"))
+                    F.count(F.lit(1)).alias("n_b"))
+               .withColumn("neg_score", -F.col("o_totalprice")))
+    cum = (stats.range_cumsum(blocks, "neg_score", ["tp_b", "n_b"])
+           .select("tp_b", F.col("cum_tp_b").alias("ctp"),
+                   F.col("cum_n_b").alias("cn")))
     tot = o.agg(F.sum("pos").alias("P"),
                 F.count(F.lit(1)).alias("N"))
     ap = (cum.crossJoin(F.broadcast(tot))

@@ -345,3 +345,15 @@ def test_plan_audit_ignores_reused_exchange(spark):
     if "ReusedExchange" in a.text:
         # reuse fired: exactly one real shuffle despite two agg branches
         assert a.shuffles == 1, a.text
+
+
+def test_bloom_and_dsir_broadcast_only(spark, sf_dir):
+    # the probe-side tables are bounded by construction (2^16 bloom
+    # positions; 64 hash buckets) — the plan must broadcast them, never
+    # shuffle the token/gram stream into a SortMergeJoin
+    from parking_bigdata_spark import queries as Q
+    for name in ("decontam_bloom", "dsir_importance_weights"):
+        plan = (Q.queries()[name](spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
