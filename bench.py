@@ -89,6 +89,13 @@ HEADLINE = [
     "dsir_importance_weights",
     "decontam_bloom",
     "changepoint_binseg_daily",
+    "partial_corr_matrix",
+    "cronbach_alpha",
+    "cohen_kappa_orders",
+    "theil_index_by_segment",
+    "cluster_keep_best",
+    "holt_linear_daily",
+    "interval_union_coverage",
     "returned_item_customers",
     "nation_value_share",
     "promo_revenue_pct",

@@ -21,6 +21,7 @@ from ..operators import text as text_ops
 
 from itertools import combinations as _combos
 from .a_core import (  # noqa: E501
+    _DESCRIBE_COLS,
     _basket_pair_counts,
     _order_brands,
 )
@@ -3355,4 +3356,229 @@ SELECT CAST(max(P) AS BIGINT) AS n_pos,
        round(sum(CAST(tp_b AS DOUBLE) / P * (CAST(ctp AS DOUBLE) / cn)),
              6) AS average_precision
 FROM cum CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------------
+# A124. Partial correlation matrix (ppcor's pcor in R; companion to
+# A16's marginal correlations): for each pair, the correlation with
+# ALL other profiled columns held constant — computed from cofactors
+# of the 4x4 correlation matrix (rho_ij = -C_ij / sqrt(C_ii C_jj);
+# the determinant cancels, so no division by a near-singular det).
+# One fused corr scan; the Leibniz cofactor expansion is evaluated in
+# EXACTLY the same operation order driver-side and in the SQL oracle
+# (both generated from the same permutation enumeration — see
+# oracles.sql_det), on identically pre-rounded corr inputs, so the
+# two sides agree bit-for-bit.
+# --------------------------------------------------------------------------
+
+def _leibniz_det_f(M: list[list[float]]) -> float:
+    """Numeric twin of oracles.sql_det: identical permutation order,
+    identical left-fold multiply/add order — IEEE-identical to the SQL
+    expression DuckDB evaluates."""
+    from itertools import permutations as _perms
+    tot = 0.0
+    n = len(M)
+    for p in _perms(range(n)):
+        s = 1
+        for i in range(n):
+            for j in range(i + 1, n):
+                if p[i] > p[j]:
+                    s = -s
+        term = 1.0
+        for i in range(n):
+            term = term * M[i][p[i]]
+        tot = tot + term if s > 0 else tot - term
+    return tot
+
+
+def _cof_f(M: list[list[float]], i: int, j: int) -> float:
+    k = len(M)
+    minor = [[M[r][c] for c in range(k) if c != j]
+             for r in range(k) if r != i]
+    d = _leibniz_det_f(minor)
+    return d if (i + j) % 2 == 0 else -d
+
+
+def partial_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = _DESCRIBE_COLS
+    k = len(cols)
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.round(F.corr(cols[a], cols[b]), 6).alias(f"c_{a}_{b}")
+            for a in range(k) for b in range(a + 1, k)]
+    row = li.agg(*aggs).collect()[0]
+    R = [[1.0] * k for _ in range(k)]
+    for a in range(k):
+        for b in range(a + 1, k):
+            R[a][b] = R[b][a] = float(row[f"c_{a}_{b}"])
+    import math
+    out = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            pc = (-_cof_f(R, i, j)
+                  / math.sqrt(_cof_f(R, i, i) * _cof_f(R, j, j)))
+            out.append((cols[i], cols[j], pc))
+    # final rounding via Spark's HALF_UP round (Python round is
+    # banker's — would drift from the oracle on exact halves)
+    return (spark.createDataFrame(
+        out, "col_x string, col_y string, pc double")
+        .select("col_x", "col_y",
+                F.round("pc", 4).alias("partial_corr")))
+
+
+def _partial_corr_sql(cols: list[str], table: str = "lineitem") -> str:
+    k = len(cols)
+    sym = [["1.0" if i == j else f"c_{min(i, j)}_{max(i, j)}"
+            for j in range(k)] for i in range(k)]
+
+    def cof(i: int, j: int) -> str:
+        minor = [[sym[r][c] for c in range(k) if c != j]
+                 for r in range(k) if r != i]
+        d = oracles.sql_det(minor)
+        return f"(-{d})" if (i + j) % 2 else d
+
+    corr_exprs = ", ".join(
+        f"round(corr({cols[a]}, {cols[b]}), 6) AS c_{a}_{b}"
+        for a in range(k) for b in range(a + 1, k))
+    selects = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            selects.append(
+                f"SELECT '{cols[i]}' AS col_x, '{cols[j]}' AS col_y,\n"
+                f"  round(-({cof(i, j)})\n"
+                f"    / sqrt(({cof(i, i)}) * ({cof(j, j)})), 4)"
+                f" AS partial_corr FROM r")
+    return (f"WITH r AS (SELECT {corr_exprs} FROM {table})\n"
+            + "\nUNION ALL\n".join(selects))
+
+PARTIAL_CORR_SQL = _partial_corr_sql(_DESCRIBE_COLS)
+
+
+# --------------------------------------------------------------------------
+# A125. Cronbach's alpha internal-consistency reliability (Cronbach
+# 1951; psych::alpha in R's EDA toolkit, reference loads psych at
+# R:59): alpha = k/(k-1) * (1 - SUM var(item) / var(total score)).
+# Everything from ONE fused aggregate (per-item variances + the
+# variance of the row-sum expression).
+# --------------------------------------------------------------------------
+
+def cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = _DESCRIBE_COLS
+    k = len(cols)
+    li = load_table(spark, sf_dir, "lineitem")
+    total = sum((F.col(c) for c in cols[1:]), F.col(cols[0]))
+    agg = li.agg(
+        *[F.var_samp(c).alias(f"v{i}") for i, c in enumerate(cols)],
+        F.var_samp(total).alias("vt"),
+        F.count(F.lit(1)).alias("n"))
+    item_sum = sum((F.col(f"v{i}") for i in range(1, k)), F.col("v0"))
+    alpha = (F.lit(float(k)) / (k - 1)) * (1 - item_sum / F.col("vt"))
+    return agg.select(
+        F.col("n").alias("n_rows"), F.lit(k).alias("n_items"),
+        F.round(alpha, 6).alias("cronbach_alpha"))
+
+CRONBACH_SQL = f"""
+WITH a AS (
+  SELECT {", ".join(f"var_samp({c}) AS v{i}"
+                    for i, c in enumerate(_DESCRIBE_COLS))},
+         var_samp({" + ".join(_DESCRIBE_COLS)}) AS vt,
+         count(*) AS n
+  FROM lineitem
+)
+SELECT n AS n_rows, {len(_DESCRIBE_COLS)} AS n_items,
+       round({float(len(_DESCRIBE_COLS))} / {len(_DESCRIBE_COLS) - 1}
+             * (1 - ({" + ".join(f"v{i}"
+                                 for i in range(len(_DESCRIBE_COLS)))})
+                / vt), 6) AS cronbach_alpha
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# A126. Cohen's kappa inter-rater agreement (Cohen 1960): agreement
+# between two derived binary "raters" on orders — urgent priority vs
+# high order value — beyond chance. All four cells from ONE fused
+# conditional-aggregate scan; kappa = (po - pe) / (1 - pe).
+# --------------------------------------------------------------------------
+
+def cohen_kappa_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    r1 = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    r2 = F.col("o_totalprice") > 150000
+    agg = o.agg(
+        F.sum((r1 & r2).cast("long")).alias("a"),
+        F.sum((r1 & ~r2).cast("long")).alias("b"),
+        F.sum((~r1 & r2).cast("long")).alias("c"),
+        F.sum((~r1 & ~r2).cast("long")).alias("d"))
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    po = (F.col("a") + F.col("d")) / n
+    pe = ((F.col("a") + F.col("b")) * (F.col("a") + F.col("c"))
+          + (F.col("c") + F.col("d")) * (F.col("b") + F.col("d"))) / (n * n)
+    return agg.select(
+        n.cast("long").alias("n"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"))
+
+KAPPA_SQL = """
+WITH cells AS (
+  SELECT
+    CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   AND o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   AND o_totalprice <= 150000 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                   AND o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                   AND o_totalprice <= 150000 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM orders
+), m AS (
+  SELECT a, b, c, d, CAST(a + b + c + d AS DOUBLE) AS n FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((a + d) / n, 6) AS p_observed,
+       round(((a + b) * (a + c) + (c + d) * (b + d)) / (n * n), 6)
+         AS p_expected,
+       round(((a + d) / n - ((a + b) * (a + c) + (c + d) * (b + d))
+              / (n * n))
+             / (1 - ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)),
+             6) AS kappa
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# A127. Theil inequality index per segment (Theil 1967; the
+# entropy-based companion to A79's Gini): T = (SUM x ln x)/(n mu)
+# - ln mu over positive balances — the algebraic one-pass form, so
+# each group needs only (n, SUM x, SUM x ln x) from ONE fused scan
+# (no mean-join second pass).
+# --------------------------------------------------------------------------
+
+def theil_index_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (load_table(spark, sf_dir, "customer")
+         .where(F.col("c_acctbal") > 0))
+    x = F.col("c_acctbal").cast("double")
+    g = (c.groupBy("c_mktsegment")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum(x).alias("sx"),
+               F.sum(x * F.log(x)).alias("sxlx")))
+    mu = F.col("sx") / F.col("n")
+    theil = F.col("sxlx") / F.col("sx") - F.log(mu)
+    return g.select("c_mktsegment", "n",
+                    F.round(mu, 4).alias("mean_bal"),
+                    F.round(theil, 6).alias("theil_index"))
+
+THEIL_SQL = """
+WITH g AS (
+  SELECT c_mktsegment, count(*) AS n,
+         sum(CAST(c_acctbal AS DOUBLE)) AS sx,
+         sum(CAST(c_acctbal AS DOUBLE) * ln(CAST(c_acctbal AS DOUBLE)))
+           AS sxlx
+  FROM customer WHERE c_acctbal > 0 GROUP BY 1
+)
+SELECT c_mktsegment, n,
+       round(sx / n, 4) AS mean_bal,
+       round(sxlx / sx - ln(sx / n), 6) AS theil_index
+FROM g
 """

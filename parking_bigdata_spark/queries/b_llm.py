@@ -2458,3 +2458,70 @@ WITH toks AS (
 SELECT doc_id, count(DISTINCT gram) AS n_flagged_grams
 FROM flagged GROUP BY 1
 """)
+
+
+# --------------------------------------------------------------------------
+# B55. Near-dup cluster representatives, keep-best retention (the
+# cluster-level twin of B1b's exact keep-best — RefinedWeb/Gopher
+# pipelines keep ONE document per near-dup cluster, chosen by
+# quality): B22's connected components label the clusters, B8's
+# quality score ranks members, and the representative per cluster is
+# the quality argmax (ties: smallest doc_id). Singleton docs (no
+# near-dup edge) represent themselves, so the output is a full
+# retention decision for the corpus: one row per kept doc with its
+# cluster size.
+# --------------------------------------------------------------------------
+
+def cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, group_col="source",
+                                          ngram=3, threshold=0.05)
+    comp = dedup_ops.connected_components(pairs, src="doc_id_a",
+                                          dst="doc_id_b")
+    q = text_ops.quality_score(docs).select("doc_id", "quality_score")
+    labeled = (q.join(comp.withColumnRenamed("node", "doc_id"),
+                      "doc_id", "left")
+                .withColumn("lbl", F.coalesce("lbl", F.col("doc_id"))))
+    return (labeled.groupBy("lbl")
+            .agg(F.count(F.lit(1)).alias("cluster_size"),
+                 F.max_by("doc_id",
+                          F.struct(F.col("quality_score"),
+                                   -F.col("doc_id"))).alias("kept_doc_id"),
+                 F.max("quality_score").alias("kept_quality"))
+            .select(F.col("lbl").alias("cluster_label"), "kept_doc_id",
+                    "cluster_size", "kept_quality"))
+
+CLUSTER_KEEP_BEST_SQL = (
+    DEDUP_CLUSTERS_SQL.rsplit("SELECT node, min(lbl) AS lbl", 1)[0]
+    .rstrip().rstrip(")").rstrip()  # reopen the CTE list: strip the
+                                    # closing paren of reach(...) AS (
+    + """)
+, comp AS (
+  SELECT node, min(lbl) AS lbl FROM reach GROUP BY node
+), q AS (
+  SELECT doc_id,
+         round(least(len(string_split_regex(trim(text), '\\s+')) / 100.0,
+                     1.0) * 0.4
+               + (len(regexp_extract_all(lower(text),
+                      '\\b(the|a|of|to|and|is|in|that|it|for)\\b'))
+                  / CAST(greatest(len(string_split_regex(trim(text),
+                                      '\\s+')), 1) AS DOUBLE)) * 0.4
+               + (1 - len(regexp_extract_all(text, '[^\\w\\s]'))
+                  / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.2,
+               4) AS quality_score
+  FROM documents
+), labeled AS (
+  SELECT q.doc_id, q.quality_score,
+         coalesce(comp.lbl, q.doc_id) AS lbl
+  FROM q LEFT JOIN comp ON comp.node = q.doc_id
+), kept AS (
+  SELECT lbl, max(quality_score) AS kq FROM labeled GROUP BY lbl
+)
+SELECT l.lbl AS cluster_label,
+       min(CASE WHEN l.quality_score = k.kq THEN l.doc_id END)
+         AS kept_doc_id,
+       count(*) AS cluster_size,
+       max(l.quality_score) AS kept_quality
+FROM labeled l JOIN kept k USING (lbl)
+GROUP BY l.lbl
+""")

@@ -1830,3 +1830,138 @@ SELECT CAST(min(d) AS INT) AS split_day,
 FROM scored CROSS JOIN peak
 WHERE g = g_max
 """
+
+
+# --------------------------------------------------------------------------
+# C46. Holt double exponential smoothing on daily event volume (Holt
+# 1957; R's HoltWinters(..., gamma=FALSE) — the trend extension of
+# C27's EWMA): level/trend recurrence l_t = a*y + (1-a)(l+b),
+# b_t = g*(l_t - l_{t-1}) + (1-g)*b. The fact table is touched once
+# by the daily aggregate; the recurrence runs over the COLLECTED
+# #days series (bounded by the calendar — identical at 100 TB) with
+# plain IEEE doubles, and the oracle replays the SAME operation
+# sequence through a recursive CTE, so both sides agree bit-for-bit
+# before the final rounding. Emits the end state + a 7-day forecast.
+# --------------------------------------------------------------------------
+
+_HOLT_ALPHA, _HOLT_GAMMA = 0.3, 0.1
+
+def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    daily = (ev.groupBy(day.alias("d"))
+               .agg(F.count(F.lit(1)).cast("double").alias("y"))
+               .orderBy("d").collect())
+    ys = [r["y"] for r in daily]
+    a, g = _HOLT_ALPHA, _HOLT_GAMMA
+    lvl, trd = ys[0], ys[1] - ys[0]
+    for y in ys[1:]:
+        prev = lvl
+        lvl = a * y + (1 - a) * (lvl + trd)
+        trd = g * (lvl - prev) + (1 - g) * trd
+    fc7 = lvl + 7 * trd
+    return (spark.createDataFrame(
+        [(len(ys), lvl, trd, fc7)],
+        "n_days int, level double, trend double, forecast_7d double")
+        .select("n_days", F.round("level", 4).alias("level"),
+                F.round("trend", 4).alias("trend"),
+                F.round("forecast_7d", 4).alias("forecast_7d")))
+
+HOLT_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), seq AS (
+  SELECT y, row_number() OVER (ORDER BY d) AS i FROM daily
+), n AS (SELECT count(*) AS n_days FROM seq),
+holt AS (
+  SELECT 1 AS i, s1.y AS lvl, s2.y - s1.y AS trd
+  FROM (SELECT y FROM seq WHERE i = 1) s1,
+       (SELECT y FROM seq WHERE i = 2) s2
+  UNION ALL
+  SELECT h.i + 1,
+         {_HOLT_ALPHA} * s.y + {1 - _HOLT_ALPHA} * (h.lvl + h.trd),
+         {_HOLT_GAMMA} * (({_HOLT_ALPHA} * s.y
+                           + {1 - _HOLT_ALPHA} * (h.lvl + h.trd)) - h.lvl)
+           + {1 - _HOLT_GAMMA} * h.trd
+  FROM holt h JOIN seq s ON s.i = h.i + 1
+)
+SELECT CAST(n_days AS INT) AS n_days,
+       round(lvl, 4) AS level,
+       round(trd, 4) AS trend,
+       round(lvl + 7 * trd, 4) AS forecast_7d
+FROM holt CROSS JOIN n WHERE i = n_days
+"""
+
+
+# --------------------------------------------------------------------------
+# C47. Interval-union coverage per user (gaps-and-islands union
+# length): each event opens a 5-minute activity interval; overlaps
+# union into islands (new island when the next start exceeds the
+# running max end — a per-user cumulative window, parallel across
+# users), and covered time = SUM(island end - island start). Emits
+# the coverage distribution's summary row. The per-user window
+# partitions by a high-cardinality key, so no single task ever sees
+# more than one user's events.
+# --------------------------------------------------------------------------
+
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    iv = ev.select("user_id",
+                   F.col("ts").cast("long").alias("s"),
+                   (F.col("ts").cast("long") + 300).alias("e"))
+    w = (Window.partitionBy("user_id").orderBy("s", "e")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        (F.col("s") > F.coalesce(F.max("e").over(w), F.lit(-1))).cast("int"))
+    wisl = (Window.partitionBy("user_id").orderBy("s", "e")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    isl = flagged.withColumn("island", F.sum("new_island").over(wisl))
+    per_island = (isl.groupBy("user_id", "island")
+                     .agg(F.min("s").alias("s0"), F.max("e").alias("e1")))
+    per_user = (per_island.groupBy("user_id")
+                .agg(F.sum(F.col("e1") - F.col("s0")).alias("covered_s"),
+                     F.count(F.lit(1)).alias("n_islands")))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("covered_s"), 4).alias("avg_covered_s"),
+        F.max("covered_s").alias("max_covered_s"),
+        F.sum("covered_s").alias("total_covered_s"),
+        F.round(F.avg("n_islands"), 4).alias("avg_islands"))
+
+INTERVAL_COVERAGE_SQL = """
+WITH iv AS (
+  -- floor, not cast: DuckDB double->BIGINT casts ROUND, while Spark's
+  -- timestamp->long truncates the fractional second
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+  FROM events WHERE ts IS NOT NULL
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+  FROM flagged
+), per_island AS (
+  SELECT user_id, island, min(s) AS s0, max(e) AS e1
+  FROM isl GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id, sum(e1 - s0) AS covered_s, count(*) AS n_islands
+  FROM per_island GROUP BY 1
+)
+SELECT count(*) AS n_users,
+       round(avg(covered_s), 4) AS avg_covered_s,
+       CAST(max(covered_s) AS BIGINT) AS max_covered_s,
+       CAST(sum(covered_s) AS BIGINT) AS total_covered_s,
+       round(avg(n_islands), 4) AS avg_islands
+FROM per_user
+"""

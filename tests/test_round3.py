@@ -261,3 +261,65 @@ def test_dsir_weights_favor_target_like_docs(spark, sf_dir):
     rest = j[j["source"] != "src0"]["log_weight"]
     assert len(tgt) > 0 and len(rest) > 0
     assert tgt.mean() > rest.mean()
+
+
+def test_interval_coverage_bruteforce_small(spark):
+    import datetime
+    base = datetime.datetime(1995, 1, 1)
+    # user 1: two overlapping intervals + one distant = 2 islands
+    # user 2: one event = 1 island of 300 s
+    rows = [(1, base, 1), (2, base + datetime.timedelta(seconds=100), 1),
+            (3, base + datetime.timedelta(seconds=10000), 1),
+            (4, base, 2)]
+    df = spark.createDataFrame(
+        [(i, ts, u, "view", 1.0, "{}") for i, ts, u in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.parquet(os.path.join(td, "events.parquet"))
+        out = Q.interval_union_coverage(spark, td).collect()[0]
+    # user1: [0,400) U [10000,10300) = 700; user2: 300
+    assert out["n_users"] == 2
+    assert out["total_covered_s"] == 1000
+    assert out["max_covered_s"] == 700
+    assert out["avg_islands"] == 1.5
+
+
+def test_holt_matches_reference_recurrence(spark, sf_dir):
+    got = Q.holt_linear_daily(spark, sf_dir).collect()[0]
+    # recompute independently from the daily series
+    from parking_bigdata_spark.io import load_table
+    from pyspark.sql import functions as F
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    ys = [r["y"] for r in (ev.groupBy(day.alias("d"))
+                             .agg(F.count(F.lit(1)).cast("double").alias("y"))
+                             .orderBy("d").collect())]
+    lvl, trd = ys[0], ys[1] - ys[0]
+    for y in ys[1:]:
+        prev = lvl
+        lvl = 0.3 * y + 0.7 * (lvl + trd)
+        trd = 0.1 * (lvl - prev) + 0.9 * trd
+    assert abs(got["level"] - round(lvl, 4)) < 1e-9
+    assert abs(got["forecast_7d"] - round(lvl + 7 * trd, 4)) < 1e-9
+    assert got["n_days"] == len(ys)
+
+
+def test_cluster_keep_best_retention_invariants(spark, sf_dir):
+    kb = Q.cluster_keep_best(spark, sf_dir).toPandas()
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id").toPandas())
+    # full retention decision: cluster sizes sum to the corpus
+    assert kb["cluster_size"].sum() == len(docs)
+    # representatives are unique and are real docs
+    assert kb["kept_doc_id"].is_unique
+    assert set(kb["kept_doc_id"]) <= set(docs["doc_id"])
+    # at least one true multi-doc cluster exists in the near-dup corpus
+    assert (kb["cluster_size"] > 1).any()
+
+
+def test_partial_corr_bounded_and_symmetric_free(spark, sf_dir):
+    pc = Q.partial_corr_matrix(spark, sf_dir).toPandas()
+    assert len(pc) == 6  # 4 choose 2
+    assert (pc["partial_corr"].abs() <= 1.0 + 1e-9).all()
