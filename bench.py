@@ -96,6 +96,9 @@ HEADLINE = [
     "cluster_keep_best",
     "holt_linear_daily",
     "interval_union_coverage",
+    "mcnemar_orders",
+    "tokenizer_fertility_by_lang",
+    "quality_classifier_coeffs",
     "returned_item_customers",
     "nation_value_share",
     "promo_revenue_pct",

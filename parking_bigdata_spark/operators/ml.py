@@ -399,7 +399,8 @@ def vif_scores(df: DataFrame, cols: list[str], round_to: int = 4) -> DataFrame:
 
 
 def logreg_irls(df: DataFrame, xs: list[str], y: str,
-                n_iter: int = 8, round_to: int = 4) -> DataFrame:
+                n_iter: int = 8, round_to: int = 4,
+                l2: float = 0.0) -> DataFrame:
     """Logistic regression via iteratively reweighted least squares
     (Newton-Raphson) — the GLM companion to `ols_fit` (R:740's lm
     family, extended to classification).
@@ -410,6 +411,12 @@ def logreg_irls(df: DataFrame, xs: list[str], y: str,
     Xt(y - p) plus the upper triangle of the Hessian XtWX —
     (k+1)(k+4)/2 scalars regardless of row count. The (k+1)-dim solve
     happens on the driver. 100 TB cost = n_iter scans, no shuffles.
+
+    ``l2`` adds ridge regularization (gradient − l2·beta, Hessian +
+    l2·I, intercept included): REQUIRED when the label is perfectly
+    separable in the features (e.g. a rule-derived label regressed on
+    the rule's own inputs) — unregularized IRLS then diverges to a
+    singular Hessian. Default 0.0 keeps the plain-MLE behavior.
     """
     spark = df.sparkSession
     cols = ["__one"] + xs
@@ -431,11 +438,13 @@ def logreg_irls(df: DataFrame, xs: list[str], y: str,
                 aggs.append(F.sum(w * F.col(cols[i]) * F.col(cols[j]))
                              .alias(f"h_{i}_{j}"))
         row = d.agg(*aggs).collect()[0].asDict()
-        g = np.array([row[f"g_{i}"] for i in range(k)])
+        g = np.array([row[f"g_{i}"] for i in range(k)]) - l2 * beta
         H = np.zeros((k, k))
         for i in range(k):
             for j in range(i, k):
                 H[i, j] = H[j, i] = row[f"h_{i}_{j}"]
+        if l2:
+            H = H + l2 * np.eye(k)
         beta = beta + np.linalg.solve(H, g)
     d.unpersist()
     rows = [("intercept", round(float(beta[0]), round_to))]

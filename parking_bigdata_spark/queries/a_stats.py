@@ -3582,3 +3582,39 @@ SELECT c_mktsegment, n,
        round(sxlx / sx - ln(sx / n), 6) AS theil_index
 FROM g
 """
+
+
+# --------------------------------------------------------------------------
+# A128. McNemar's paired test (McNemar 1947; the PAIRED companion to
+# A126's kappa — same two derived raters, but testing whether their
+# disagreements are symmetric): chi2 = (|b - c| - 1)^2 / (b + c) with
+# the Edwards continuity correction, from the SAME single fused
+# conditional-aggregate scan.
+# --------------------------------------------------------------------------
+
+def mcnemar_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    r1 = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    r2 = F.col("o_totalprice") > 150000
+    agg = o.agg(
+        F.sum((r1 & ~r2).cast("long")).alias("b"),
+        F.sum((~r1 & r2).cast("long")).alias("c"))
+    b, c = F.col("b").cast("double"), F.col("c").cast("double")
+    chi2 = (F.abs(b - c) - 1) * (F.abs(b - c) - 1) / (b + c)
+    return agg.select("b", "c", F.round(chi2, 4).alias("chi2_corrected"))
+
+MCNEMAR_SQL = """
+WITH cells AS (
+  SELECT
+    CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   AND o_totalprice <= 150000 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                   AND o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM orders
+)
+SELECT b, c,
+       round((abs(CAST(b AS DOUBLE) - c) - 1)
+             * (abs(CAST(b AS DOUBLE) - c) - 1)
+             / (CAST(b AS DOUBLE) + c), 4) AS chi2_corrected
+FROM cells
+"""

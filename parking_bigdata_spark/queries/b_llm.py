@@ -2525,3 +2525,67 @@ SELECT l.lbl AS cluster_label,
 FROM labeled l JOIN kept k USING (lbl)
 GROUP BY l.lbl
 """)
+
+
+# --------------------------------------------------------------------------
+# B56. Classifier-based quality filtering (the GPT-3/LLaMA pipeline
+# pattern — Brown et al. 2020 train a classifier on a reference set
+# and keep documents it scores highly): logistic regression (IRLS,
+# ml.logreg_irls — n_iter one-aggregate scans, driver-side solve) on
+# the document quality features predicting the Gopher pass flag, so
+# the cheap feature projection can stand in for the expensive rule
+# evaluation at serving time. Emits the fitted coefficients.
+# Deterministic closed-loop algebra -> expected-parquet oracle
+# (geometry-audited), like logreg_returnflag.
+# --------------------------------------------------------------------------
+
+def quality_classifier_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = (text_ops.quality_score(docs)
+             .join(text_ops.gopher_flags(docs).select("doc_id",
+                                                      "pass_gopher"),
+                   "doc_id")
+             .select((F.col("n_words") / 100.0).alias("words_h"),
+                     "stop_ratio", "punct_ratio",
+                     F.col("pass_gopher").cast("double").alias("label")))
+    # l2=1.0: the label is rule-derived from these very features, so
+    # the classes are perfectly separable and plain MLE diverges
+    return ml.logreg_irls(feats, ["words_h", "stop_ratio", "punct_ratio"],
+                          "label", n_iter=8, l2=1.0)
+
+
+# --------------------------------------------------------------------------
+# B57. Tokenizer fertility by language (the bytes-per-token /
+# pieces-per-word audit every multilingual pipeline runs before
+# fixing a tokenizer budget): chars per BPE-ish piece, pieces per
+# whitespace word, per language — one codegen projection + one
+# groupBy.
+# --------------------------------------------------------------------------
+
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = text_ops.token_counts(docs)
+    return (t.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.round(F.sum(F.length("text"))
+                          / F.sum("bpe_tokens"), 4)
+                   .alias("chars_per_piece"),
+                  F.round(F.sum("bpe_tokens").cast("double")
+                          / F.sum("ws_tokens"), 4)
+                   .alias("pieces_per_word")))
+
+FERTILITY_SQL = r"""
+WITH t AS (
+  SELECT lang, length(text) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+           AS bpe_tokens
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       round(CAST(sum(n_chars) AS DOUBLE) / sum(bpe_tokens), 4)
+         AS chars_per_piece,
+       round(CAST(sum(bpe_tokens) AS DOUBLE) / sum(ws_tokens), 4)
+         AS pieces_per_word
+FROM t GROUP BY lang
+"""

@@ -58,6 +58,9 @@ EXPECTED_ORACLE_QUERIES = [
     # the "__all__" row moved 496→498 under a different geometry), so
     # it stays rows-only.
     "logreg_returnflag",
+    # same IRLS closed-loop algebra as logreg_returnflag, over the
+    # text quality features (B56)
+    "quality_classifier_coeffs",
     "kmeans_embeddings",
     "lasso_path",
     "stepwise_aic_selection",
