@@ -99,6 +99,11 @@ HEADLINE = [
     "mcnemar_orders",
     "tokenizer_fertility_by_lang",
     "quality_classifier_coeffs",
+    "bartlett_acctbal_by_segment",
+    "higher_moments_by_flag",
+    "mahalanobis_outliers",
+    "vocab_overlap_by_source",
+    "dow_seasonality_strength",
     "returned_item_customers",
     "nation_value_share",
     "promo_revenue_pct",

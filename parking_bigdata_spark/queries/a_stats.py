@@ -3618,3 +3618,184 @@ SELECT b, c,
              / (CAST(b AS DOUBLE) + c), 4) AS chi2_corrected
 FROM cells
 """
+
+
+# --------------------------------------------------------------------------
+# A129. Bartlett's test of variance homogeneity (Bartlett 1937;
+# bartlett.test — the parametric companion to A18e's Levene): the
+# statistic is a closed form of the per-group (n_i, s_i^2), so ONE
+# moment scan feeds scalar arithmetic. chi2 with k-1 df emitted as a
+# statistic (no p — no chi-square CDF in either engine).
+# --------------------------------------------------------------------------
+
+def bartlett_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    g = (c.groupBy("c_mktsegment")
+          .agg(F.count("c_acctbal").alias("n"),
+               F.var_samp("c_acctbal").alias("s2")))
+    agg = g.agg(
+        F.sum("n").alias("N"), F.count(F.lit(1)).alias("k"),
+        F.sum((F.col("n") - 1) * F.col("s2")).alias("num"),
+        F.sum((F.col("n") - 1) * F.log("s2")).alias("sumlog"),
+        F.sum(1.0 / (F.col("n") - 1)).alias("suminv"))
+    sp2 = F.col("num") / (F.col("N") - F.col("k"))
+    stat = ((F.col("N") - F.col("k")) * F.log(sp2) - F.col("sumlog"))
+    corr_ = (1 + (F.col("suminv") - 1 / (F.col("N") - F.col("k")))
+             / (3 * (F.col("k") - 1)))
+    return agg.select(
+        F.col("N").alias("n_total"), F.col("k").alias("n_groups"),
+        F.round(sp2, 4).alias("pooled_var"),
+        F.round(stat / corr_, 4).alias("bartlett_chi2"),
+        (F.col("k") - 1).alias("dof"))
+
+BARTLETT_B_SQL = """
+WITH g AS (
+  SELECT c_mktsegment, count(c_acctbal) AS n, var_samp(c_acctbal) AS s2
+  FROM customer GROUP BY 1
+), a AS (
+  SELECT sum(n) AS N, count(*) AS k,
+         sum((n - 1) * s2) AS num,
+         sum((n - 1) * ln(s2)) AS sumlog,
+         sum(1.0 / (n - 1)) AS suminv
+  FROM g
+)
+SELECT CAST(N AS BIGINT) AS n_total, CAST(k AS BIGINT) AS n_groups,
+       round(num / (N - k), 4) AS pooled_var,
+       round(((N - k) * ln(num / (N - k)) - sumlog)
+             / (1 + (suminv - 1.0 / (N - k)) / (3 * (k - 1))), 4)
+         AS bartlett_chi2,
+       CAST(k - 1 AS BIGINT) AS dof
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# A130. Higher moments per group — skewness and excess kurtosis from
+# EXPLICIT raw-moment algebra (m3/m2^1.5, m4/m2^2 - 3) rather than the
+# built-in aggregates: Spark's skewness() and DuckDB's skewness() use
+# DIFFERENT estimators (population g1 vs bias-corrected G1), so the
+# only cross-engine-checkable form is the shared formula over shared
+# moment sums. One fused scan.
+# --------------------------------------------------------------------------
+
+def higher_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("double")
+    g = (li.groupBy("l_returnflag")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.avg(x).alias("m1"),
+                F.avg(x * x).alias("r2"),
+                F.avg(x * x * x).alias("r3"),
+                F.avg(x * x * x * x).alias("r4")))
+    m1 = F.col("m1")
+    m2 = F.col("r2") - m1 * m1
+    m3 = F.col("r3") - 3 * m1 * F.col("r2") + 2 * m1 * m1 * m1
+    m4 = (F.col("r4") - 4 * m1 * F.col("r3")
+          + 6 * m1 * m1 * F.col("r2") - 3 * m1 * m1 * m1 * m1)
+    return g.select(
+        "l_returnflag", "n",
+        F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness_g1"),
+        F.round(m4 / (m2 * m2) - 3, 4).alias("excess_kurtosis_g2"))
+
+HIGHER_MOMENTS_SQL = """
+WITH g AS (
+  SELECT l_returnflag, count(*) AS n,
+         avg(CAST(l_extendedprice AS DOUBLE)) AS m1,
+         avg(CAST(l_extendedprice AS DOUBLE)
+             * CAST(l_extendedprice AS DOUBLE)) AS r2,
+         avg(CAST(l_extendedprice AS DOUBLE)
+             * CAST(l_extendedprice AS DOUBLE)
+             * CAST(l_extendedprice AS DOUBLE)) AS r3,
+         avg(CAST(l_extendedprice AS DOUBLE)
+             * CAST(l_extendedprice AS DOUBLE)
+             * CAST(l_extendedprice AS DOUBLE)
+             * CAST(l_extendedprice AS DOUBLE)) AS r4
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       round((r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1)
+             / pow(r2 - m1 * m1, 1.5), 4) AS skewness_g1,
+       round((r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2
+              - 3 * m1 * m1 * m1 * m1)
+             / ((r2 - m1 * m1) * (r2 - m1 * m1)) - 3, 4)
+         AS excess_kurtosis_g2
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# A131. Mahalanobis multivariate outliers (Mahalanobis 1936; the
+# multivariate generalization of A44's univariate fences): d^2 =
+# (x-mu)' S^-1 (x-mu) via the adjugate — d^2 = (v' adj(S) v)/det(S),
+# where adj and det expand by the SAME Leibniz term order driver-side
+# and in the generated SQL oracle over identically pre-rounded
+# covariances (the partial_corr_matrix parity technique). One moment
+# scan + one scoring projection; top 20 rows, deterministic
+# tie-break.
+# --------------------------------------------------------------------------
+
+_MAHAL_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = _MAHAL_COLS
+    k = len(cols)
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.round(F.avg(c), 6).alias(f"mu_{i}")
+            for i, c in enumerate(cols)]
+    aggs += [F.round(F.covar_pop(cols[a], cols[b]), 6).alias(f"s_{a}_{b}")
+             for a in range(k) for b in range(a, k)]
+    row = li.agg(*aggs).collect()[0]
+    mu = [float(row[f"mu_{i}"]) for i in range(k)]
+    S = [[float(row[f"s_{min(a, b)}_{max(a, b)}"]) for b in range(k)]
+         for a in range(k)]
+    det = _leibniz_det_f(S)
+    # adjugate = transposed cofactors; S symmetric -> adj symmetric
+    adj = [[_cof_f(S, a, b) for b in range(k)] for a in range(k)]
+    v = [F.col(c).cast("double") - mu[i] for i, c in enumerate(cols)]
+    quad = F.lit(0.0)
+    for a in range(k):
+        for b in range(k):
+            quad = quad + F.lit(adj[a][b]) * v[a] * v[b]
+    d2 = quad / F.lit(det)
+    return (li.select("l_orderkey", "l_linenumber",
+                      F.round(d2, 6).alias("mahalanobis_d2"))
+              .orderBy(F.col("mahalanobis_d2").desc(), "l_orderkey",
+                       "l_linenumber")
+              .limit(20))
+
+
+def _mahalanobis_sql(cols: list[str], table: str = "lineitem") -> str:
+    k = len(cols)
+    sym = [[f"s_{min(a, b)}_{max(a, b)}" for b in range(k)]
+           for a in range(k)]
+    det = oracles.sql_det(sym)
+
+    def cof(i: int, j: int) -> str:
+        minor = [[sym[r][c] for c in range(k) if c != j]
+                 for r in range(k) if r != i]
+        d = oracles.sql_det(minor)
+        return f"(-{d})" if (i + j) % 2 else d
+
+    terms = []
+    for a in range(k):
+        for b in range(k):
+            terms.append(f"({cof(a, b)}) * (t.{cols[a]} - m.mu_{a})"
+                         f" * (t.{cols[b]} - m.mu_{b})")
+    quad = "0.0 + " + "\n       + ".join(terms)
+    mu_sel = ", ".join(f"round(avg({c}), 6) AS mu_{i}"
+                       for i, c in enumerate(cols))
+    cov_sel = ", ".join(
+        f"round(covar_pop({cols[a]}, {cols[b]}), 6) AS s_{a}_{b}"
+        for a in range(k) for b in range(a, k))
+    return f"""
+WITH m AS (
+  SELECT {mu_sel}, {cov_sel} FROM {table}
+)
+SELECT t.l_orderkey, t.l_linenumber,
+       round(({quad}) / ({det}), 6) AS mahalanobis_d2
+FROM {table} t CROSS JOIN m
+ORDER BY mahalanobis_d2 DESC, t.l_orderkey, t.l_linenumber
+LIMIT 20
+"""
+
+MAHALANOBIS_SQL = _mahalanobis_sql(_MAHAL_COLS)

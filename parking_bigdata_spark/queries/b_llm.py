@@ -2589,3 +2589,62 @@ SELECT lang, count(*) AS n_docs,
          AS pieces_per_word
 FROM t GROUP BY lang
 """
+
+
+# --------------------------------------------------------------------------
+# B58. Vocabulary overlap vs a reference corpus (set-level domain
+# match — the n-gram/vocab companion to B53's token-distribution
+# DSIR): per-source Jaccard between the source's distinct token
+# vocabulary and the 'src0' reference vocabulary. The reference vocab
+# (distinct tokens — bounded by vocabulary, not corpus) broadcasts to
+# the per-source distinct stream.
+# --------------------------------------------------------------------------
+
+def vocab_overlap_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.regexp_replace(
+            F.lower(F.col("text")), "[^a-z0-9]+", " ")), " "))
+         .alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct())
+    tgt = (toks.where(F.col("source") == "src0")
+               .select("tok").distinct())
+    n_tgt_df = tgt.agg(F.count(F.lit(1)).alias("n_tgt"))
+    per = (toks.join(F.broadcast(tgt.withColumn("__hit", F.lit(1))),
+                     "tok", "left")
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_vocab"),
+                    F.sum(F.coalesce("__hit", F.lit(0))).alias("n_common")))
+    return (per.crossJoin(F.broadcast(n_tgt_df))
+            .select("source", "n_vocab",
+                    F.col("n_common").cast("long").alias("n_common"),
+                    F.round(F.col("n_common").cast("double")
+                            / (F.col("n_vocab") + F.col("n_tgt")
+                               - F.col("n_common")), 6)
+                     .alias("vocab_jaccard")))
+
+VOCAB_OVERLAP_SQL = """
+WITH toks AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source,
+           unnest(string_split(trim(regexp_replace(lower(text),
+                  '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), tgt AS (
+  SELECT DISTINCT tok FROM toks WHERE source = 'src0'
+), n_t AS (SELECT count(*) AS n_tgt FROM tgt),
+per AS (
+  SELECT t.source, count(*) AS n_vocab,
+         CAST(sum(CASE WHEN g.tok IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_common
+  FROM toks t LEFT JOIN tgt g ON t.tok = g.tok
+  GROUP BY 1
+)
+SELECT source, n_vocab, n_common,
+       round(CAST(n_common AS DOUBLE)
+             / (n_vocab + n_tgt - n_common), 6) AS vocab_jaccard
+FROM per CROSS JOIN n_t
+"""

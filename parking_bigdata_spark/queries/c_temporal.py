@@ -1965,3 +1965,56 @@ SELECT count(*) AS n_users,
        round(avg(n_islands), 4) AS avg_islands
 FROM per_user
 """
+
+
+# --------------------------------------------------------------------------
+# C48. Day-of-week seasonality strength (the eta-squared of the dow
+# factor on daily volume — quantifies HOW seasonal the series is,
+# complementing C21's decomposition and C33's harmonic fit): one
+# daily aggregate, then SS_between(dow)/SS_total over the
+# #days-sized series.
+# --------------------------------------------------------------------------
+
+def dow_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+               .agg(F.count(F.lit(1)).cast("double").alias("y")))
+    d = daily.withColumn("dow", F.dayofweek("day"))
+    g = (d.groupBy("dow")
+          .agg(F.count(F.lit(1)).alias("n"), F.avg("y").alias("m"),
+               F.sum(F.col("y") * F.col("y")).alias("s2")))
+    tot = g.agg(
+        F.sum("n").alias("n_days"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        F.sum("s2").alias("ss_raw"),
+        F.sum(F.col("n") * F.col("m") * F.col("m")).alias("ss_groups"))
+    ss_total = F.col("ss_raw") - F.col("n_days") * F.col("gm") * F.col("gm")
+    ss_between = (F.col("ss_groups")
+                  - F.col("n_days") * F.col("gm") * F.col("gm"))
+    return tot.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.col("gm"), 4).alias("mean_daily"),
+        F.round(ss_between / ss_total, 6).alias("eta_sq_dow"))
+
+DOW_STRENGTH_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), d AS (
+  SELECT y, dayofweek(day) + 1 AS dow FROM daily
+), g AS (
+  SELECT dow, count(*) AS n, avg(y) AS m, sum(y * y) AS s2
+  FROM d GROUP BY 1
+), tot AS (
+  SELECT sum(n) AS n_days,
+         sum(n * m) / sum(n) AS gm,
+         sum(s2) AS ss_raw,
+         sum(n * m * m) AS ss_groups
+  FROM g
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       round(gm, 4) AS mean_daily,
+       round((ss_groups - n_days * gm * gm)
+             / (ss_raw - n_days * gm * gm), 6) AS eta_sq_dow
+FROM tot
+"""
