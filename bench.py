@@ -104,6 +104,9 @@ HEADLINE = [
     "mahalanobis_outliers",
     "vocab_overlap_by_source",
     "dow_seasonality_strength",
+    "qq_deciles_priority",
+    "seasonal_naive_error_daily",
+    "dup_rate_by_source",
     "returned_item_customers",
     "nation_value_share",
     "promo_revenue_pct",

@@ -3799,3 +3799,48 @@ LIMIT 20
 """
 
 MAHALANOBIS_SQL = _mahalanobis_sql(_MAHAL_COLS)
+
+
+# --------------------------------------------------------------------------
+# A132. Q-Q decile comparison between two groups (the tabular form of
+# R's qqplot, reference EDA at R:429+): exact order-statistic deciles
+# of order value for urgent vs low priority side by side, with their
+# ratio. Both sides go through grouped_quantiles' bracket-refine
+# machinery (tie-proof RLE, range-parallel) — one bracketed pass per
+# group set, never a per-group sort.
+# --------------------------------------------------------------------------
+
+def qq_deciles_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (load_table(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+         .select("o_orderpriority", "o_totalprice"))
+    fr = [i / 10.0 for i in range(1, 10)]
+    al = [f"d{i}" for i in range(1, 10)]
+    # materialize the 2-row quantile frame ONCE (each reference to the
+    # lazy frame would replay the whole bracket-refine lineage)
+    q = {r["o_orderpriority"]: r
+         for r in stats.grouped_quantiles(
+             o, "o_orderpriority", "o_totalprice", fr, al).collect()}
+    hi, lo = q["1-URGENT"], q["5-LOW"]
+    rows = [(i, float(hi[f"d{i}"]), float(lo[f"d{i}"]))
+            for i in range(1, 10)]
+    return (spark.createDataFrame(rows, "decile int, h double, l double")
+            .select("decile",
+                    F.round("h", 4).alias("urgent_value"),
+                    F.round("l", 4).alias("low_value"),
+                    F.round(F.col("h") / F.col("l"), 6).alias("qq_ratio")))
+
+QQ_DECILES_SQL = "\nUNION ALL\n".join(
+    f"""SELECT {i} AS decile,
+       round(quantile_cont(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN o_totalprice END, {i / 10.0}), 4)
+         AS urgent_value,
+       round(quantile_cont(CASE WHEN o_orderpriority = '5-LOW'
+                           THEN o_totalprice END, {i / 10.0}), 4)
+         AS low_value,
+       round(quantile_cont(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN o_totalprice END, {i / 10.0})
+             / quantile_cont(CASE WHEN o_orderpriority = '5-LOW'
+                             THEN o_totalprice END, {i / 10.0}), 6)
+         AS qq_ratio
+FROM orders""" for i in range(1, 10))

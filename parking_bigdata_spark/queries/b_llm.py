@@ -2648,3 +2648,35 @@ SELECT source, n_vocab, n_common,
              / (n_vocab + n_tgt - n_common), 6) AS vocab_jaccard
 FROM per CROSS JOIN n_t
 """
+
+
+# --------------------------------------------------------------------------
+# B59. Per-source exact-duplication rate report (the first number any
+# corpus audit prints — how much of each source is literal copies):
+# md5 the canonical text once, count docs vs distinct digests per
+# source. One digest shuffle; the 16-byte digest travels, never the
+# text.
+# --------------------------------------------------------------------------
+
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("source", F.md5(F.col("text").cast("binary"))
+                    .alias("dig"))
+    return (h.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.countDistinct("dig").alias("n_unique"))
+             .select("source", "n_docs", "n_unique",
+                     (F.col("n_docs") - F.col("n_unique"))
+                      .alias("n_exact_dups"),
+                     F.round((F.col("n_docs") - F.col("n_unique"))
+                             / F.col("n_docs").cast("double"), 6)
+                      .alias("dup_rate")))
+
+DUP_RATE_SQL = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       count(*) - count(DISTINCT md5(text)) AS n_exact_dups,
+       round((count(*) - count(DISTINCT md5(text)))
+             / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+FROM documents GROUP BY source
+"""

@@ -2018,3 +2018,42 @@ SELECT CAST(n_days AS BIGINT) AS n_days,
              / (ss_raw - n_days * gm * gm), 6) AS eta_sq_dow
 FROM tot
 """
+
+
+# --------------------------------------------------------------------------
+# C49. Seasonal-naive forecast baseline (the y_hat(t) = y(t-7)
+# benchmark every forecast must beat — Hyndman's forecasting
+# baseline; grades C46's Holt and C33's harmonic fit): lag-7 over the
+# #days aggregated daily series (the 'd' calendar window the plan
+# audit whitelists), MAE / MAPE / RMSE of the naive forecast.
+# --------------------------------------------------------------------------
+
+def seasonal_naive_error_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    daily = (ev.groupBy(day.alias("d"))
+               .agg(F.count(F.lit(1)).cast("double").alias("y")))
+    w = Window.orderBy("d")
+    lagged = daily.withColumn("y7", F.lag("y", 7).over(w)) \
+                  .where(F.col("y7").isNotNull())
+    e = F.col("y") - F.col("y7")
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_scored_days"),
+        F.round(F.avg(F.abs(e)), 4).alias("mae"),
+        F.round(F.avg(F.abs(e) / F.col("y")), 6).alias("mape"),
+        F.round(F.sqrt(F.avg(e * e)), 4).alias("rmse"))
+
+SEASONAL_NAIVE_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), lagged AS (
+  SELECT y, lag(y, 7) OVER (ORDER BY d) AS y7 FROM daily
+)
+SELECT count(*) AS n_scored_days,
+       round(avg(abs(y - y7)), 4) AS mae,
+       round(avg(abs(y - y7) / y), 6) AS mape,
+       round(sqrt(avg((y - y7) * (y - y7))), 4) AS rmse
+FROM lagged WHERE y7 IS NOT NULL
+"""
