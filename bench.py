@@ -107,6 +107,9 @@ HEADLINE = [
     "qq_deciles_priority",
     "seasonal_naive_error_daily",
     "dup_rate_by_source",
+    "chow_test_by_flag",
+    "quality_lift_table",
+    "peak_load_window",
     "returned_item_customers",
     "nation_value_share",
     "promo_revenue_pct",

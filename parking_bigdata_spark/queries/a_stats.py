@@ -3844,3 +3844,76 @@ QQ_DECILES_SQL = "\nUNION ALL\n".join(
                              THEN o_totalprice END, {i / 10.0}), 6)
          AS qq_ratio
 FROM orders""" for i in range(1, 10))
+
+
+# --------------------------------------------------------------------------
+# A133. Chow structural-break test (Chow 1960; strucchange in R): does
+# the price~quantity regression differ across return-flag regimes?
+# F = ((SSR_pooled - SUM SSR_g) / ((k-1)(p+1)))
+#     / (SUM SSR_g / (n - k(p+1))), p = 1 slope. Every SSR is a
+# closed form of per-group (n, Sxx, Sxy, Syy) — ONE fused moment scan
+# for the groups plus one for the pooled fit; scalar F assembly.
+# --------------------------------------------------------------------------
+
+def chow_test_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("double")
+    y = F.col("l_extendedprice").cast("double")
+    aggs = [F.count(F.lit(1)).alias("n"),
+            (F.var_pop(x) * F.count(F.lit(1))).alias("sxx"),
+            (F.covar_pop(x, y) * F.count(F.lit(1))).alias("sxy"),
+            (F.var_pop(y) * F.count(F.lit(1))).alias("syy")]
+    g = li.groupBy("l_returnflag").agg(*aggs)
+    ssr_g = F.col("syy") - F.col("sxy") * F.col("sxy") / F.col("sxx")
+    parts = g.agg(F.sum("n").alias("n"),
+                  F.count(F.lit(1)).alias("k"),
+                  F.sum(ssr_g).alias("ssr_groups"))
+    pooled = li.agg(*aggs).select(
+        (F.col("syy") - F.col("sxy") * F.col("sxy") / F.col("sxx"))
+        .alias("ssr_pooled"))
+    jn = parts.crossJoin(pooled)
+    num = (F.col("ssr_pooled") - F.col("ssr_groups")) \
+        / ((F.col("k") - 1) * 2)
+    den = F.col("ssr_groups") / (F.col("n") - F.col("k") * 2)
+    # emit MEAN squared residuals, not raw SSRs: at corpus scale the
+    # SSR magnitude (~1e13+) exceeds the double ulp at 2 decimals, so
+    # a fixed-decimal round of the raw sum is not engine-stable
+    return jn.select(
+        F.col("n").alias("n_rows"), F.col("k").alias("n_regimes"),
+        F.round(F.col("ssr_pooled") / F.col("n"), 4).alias("mse_pooled"),
+        F.round(F.col("ssr_groups") / F.col("n"), 4).alias("mse_by_regime"),
+        F.round(num / den, 4).alias("chow_f"),
+        ((F.col("k") - 1) * 2).alias("df1"),
+        (F.col("n") - F.col("k") * 2).alias("df2"))
+
+CHOW_SQL = """
+WITH g AS (
+  SELECT l_returnflag, count(*) AS n,
+         var_pop(CAST(l_quantity AS DOUBLE)) * count(*) AS sxx,
+         covar_pop(CAST(l_quantity AS DOUBLE),
+                   CAST(l_extendedprice AS DOUBLE)) * count(*) AS sxy,
+         var_pop(CAST(l_extendedprice AS DOUBLE)) * count(*) AS syy
+  FROM lineitem GROUP BY 1
+), parts AS (
+  SELECT sum(n) AS n, count(*) AS k,
+         sum(syy - sxy * sxy / sxx) AS ssr_groups
+  FROM g
+), pooled AS (
+  SELECT var_pop(CAST(l_extendedprice AS DOUBLE)) * count(*)
+         - (covar_pop(CAST(l_quantity AS DOUBLE),
+                      CAST(l_extendedprice AS DOUBLE)) * count(*))
+           * (covar_pop(CAST(l_quantity AS DOUBLE),
+                        CAST(l_extendedprice AS DOUBLE)) * count(*))
+           / (var_pop(CAST(l_quantity AS DOUBLE)) * count(*))
+           AS ssr_pooled
+  FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_regimes,
+       round(ssr_pooled / n, 4) AS mse_pooled,
+       round(ssr_groups / n, 4) AS mse_by_regime,
+       round(((ssr_pooled - ssr_groups) / ((k - 1) * 2))
+             / (ssr_groups / (n - k * 2)), 4) AS chow_f,
+       CAST((k - 1) * 2 AS BIGINT) AS df1,
+       CAST(n - k * 2 AS BIGINT) AS df2
+FROM parts CROSS JOIN pooled
+"""

@@ -2680,3 +2680,101 @@ SELECT source, count(*) AS n_docs,
              / CAST(count(*) AS DOUBLE), 6) AS dup_rate
 FROM documents GROUP BY source
 """
+
+
+# --------------------------------------------------------------------------
+# B60. Quality-score lift table (the calibration audit for B8's
+# heuristic score against B38's Gopher rules — does the cheap score
+# actually rank rule-passing documents first?): documents bucketed
+# into score deciles (NTILE over the per-doc score, deterministic
+# doc_id tie-break), per-decile Gopher pass rate + cumulative lift
+# over the base rate.
+# --------------------------------------------------------------------------
+
+def quality_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (text_ops.quality_score(docs)
+              .join(text_ops.gopher_flags(docs)
+                    .select("doc_id", "pass_gopher"), "doc_id")
+              .select("doc_id", "quality_score",
+                      F.col("pass_gopher").cast("int").alias("label")))
+    # NTILE(10) without the single-task global sort: range-partition
+    # on the (negated score, doc_id) order key, per-partition row
+    # numbers + broadcast offsets, then ntile's exact bucket
+    # arithmetic — the acctbal_deciles construction
+    s = (scored.withColumn("__neg", -F.col("quality_score"))
+               .repartitionByRange(F.col("__neg"), F.col("doc_id"))
+               .withColumn("__pid", F.spark_partition_id()))
+    wl = Window.partitionBy("__pid").orderBy("__neg", "doc_id")
+    local = s.withColumn("__rn", F.row_number().over(wl))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = (local.groupBy("__pid").agg(F.max("__rn").alias("__t"))
+           .withColumn("__off", F.coalesce(F.sum("__t").over(wo), F.lit(0))))
+    tot = off.agg(F.sum("__t").alias("__n"))
+    r = F.col("__off") + F.col("__rn")
+    q = F.floor(F.col("__n") / 10)
+    rem = F.col("__n") % 10
+    cutoff = rem * (q + 1)
+    decile = (F.when(F.col("__n") < 10, r)
+               .when(r <= cutoff, F.floor((r + q) / (q + 1)))
+               .otherwise(rem + F.floor((r - cutoff + q - 1) / q)))
+    dec = (local.join(F.broadcast(off.select("__pid", "__off")), "__pid")
+                .crossJoin(F.broadcast(tot))
+                .withColumn("decile", decile.cast("int")))
+    per = (dec.groupBy("decile")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("label").alias("n_pass")))
+    tot = per.agg((F.sum("n_pass") / F.sum("n_docs")).alias("base_rate"))
+    wc = (Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (per.withColumn("cum_pass", F.sum("n_pass").over(wc))
+              .withColumn("cum_docs", F.sum("n_docs").over(wc))
+              .crossJoin(F.broadcast(tot)))
+    return cum.select(
+        "decile", "n_docs",
+        F.round(F.col("n_pass") / F.col("n_docs"), 4).alias("pass_rate"),
+        F.round((F.col("cum_pass") / F.col("cum_docs"))
+                / F.col("base_rate"), 4).alias("cum_lift"))
+
+QUALITY_LIFT_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars_txt,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_words,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         len(regexp_extract_all(lower(text),
+             '\b(the|a|of|to|and|is|in|that|it|for)\b')) AS n_stop
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         round(least(n_words / 100.0, 1.0) * 0.4
+               + (CAST(n_stop AS DOUBLE) / greatest(n_words, 1)) * 0.4
+               + (1 - CAST(n_punct AS DOUBLE)
+                  / greatest(n_chars_txt, 1)) * 0.2, 4) AS quality_score
+  FROM f
+), lbl AS (
+  SELECT s.doc_id, s.quality_score, g.pass_gopher
+  FROM scored s JOIN (__GOPHER__) g ON s.doc_id = g.doc_id
+), dec AS (
+  SELECT *, ntile(10) OVER (ORDER BY quality_score DESC, doc_id)
+           AS decile
+  FROM lbl
+), per AS (
+  SELECT decile, count(*) AS n_docs,
+         sum(CASE WHEN pass_gopher THEN 1 ELSE 0 END) AS n_pass
+  FROM dec GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_pass) AS DOUBLE) / sum(n_docs) AS base_rate FROM per
+)
+SELECT decile, n_docs,
+       round(CAST(n_pass AS DOUBLE) / n_docs, 4) AS pass_rate,
+       round((CAST(sum(n_pass) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE)
+              / sum(n_docs) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             / base_rate, 4) AS cum_lift
+FROM per CROSS JOIN tot
+"""
+
+QUALITY_LIFT_SQL = QUALITY_LIFT_SQL.replace("__GOPHER__", GOPHER_SQL)

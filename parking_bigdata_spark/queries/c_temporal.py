@@ -2057,3 +2057,44 @@ SELECT count(*) AS n_scored_days,
        round(sqrt(avg((y - y7) * (y - y7))), 4) AS rmse
 FROM lagged WHERE y7 IS NOT NULL
 """
+
+
+# --------------------------------------------------------------------------
+# C50. Peak-load window (capacity planning's first question — the
+# busiest sliding hour): hopping windows (1 h length, 15 min hop)
+# over the event stream, then the deterministic argmax (earliest
+# window among count maxima). The hopping aggregate shuffles
+# window-bucket partials (4x fan-out, map-side combined); the argmax
+# runs over the tiny bucket table. Same window spec as
+# events_hopping_windows, different question.
+# --------------------------------------------------------------------------
+
+def peak_load_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    hop = (ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    flat = hop.select(F.col("w.start").alias("window_start"),
+                      F.col("w.end").alias("window_end"), "n_events")
+    peak = flat.agg(F.max("n_events").alias("mx"))
+    return (flat.crossJoin(F.broadcast(peak))
+            .where(F.col("n_events") == F.col("mx"))
+            .agg(F.min("window_start").alias("window_start"),
+                 F.min_by("window_end", "window_start").alias("window_end"),
+                 F.max("mx").alias("n_events")))
+
+PEAK_LOAD_SQL = """
+WITH hops AS (
+  SELECT unnest([0, 1, 2, 3]) AS k, ts FROM events WHERE ts IS NOT NULL
+), b AS (
+  -- windows of length 1h hopping by 15min: event belongs to the 4
+  -- windows starting at floor15(ts) - k*15min for k in 0..3
+  SELECT time_bucket(INTERVAL '15 minutes', ts)
+           - k * INTERVAL '15 minutes' AS window_start,
+         count(*) AS n_events
+  FROM hops GROUP BY 1
+), peak AS (SELECT max(n_events) AS mx FROM b)
+SELECT min(window_start) AS window_start,
+       min(window_start) + INTERVAL '1 hour' AS window_end,
+       CAST(max(mx) AS BIGINT) AS n_events
+FROM b CROSS JOIN peak WHERE n_events = mx
+"""

@@ -115,7 +115,9 @@ def test_plan_hygiene_all_queries(spark, sf_dir):
        not the data).
     """
     import re
-    allowed_global_order_cols = {"__pid", "wk", "d"}
+    # "decile": cumulative windows over a post-aggregation decile table
+    # (exactly 10 rows by construction — quality_lift_table's cum-lift)
+    allowed_global_order_cols = {"__pid", "wk", "d", "decile"}
     for name in Q.queries():
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
