@@ -1,0 +1,175 @@
+"""Independent semantic checks for the round-3 late batches: every
+closed-form statistic recomputed in pandas/numpy from the raw parquet
+(no Spark, no oracle machinery) and compared against the registered
+query's output."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from parking_bigdata_spark import queries as Q
+
+
+@pytest.fixture(scope="module")
+def lineitem(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def customer(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/customer.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/orders.parquet")
+
+
+def test_partial_corr_matches_numpy_inverse(spark, sf_dir, lineitem):
+    got = {(r["col_x"], r["col_y"]): r["partial_corr"]
+           for r in Q.partial_corr_matrix(spark, sf_dir).collect()}
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    R = np.corrcoef(lineitem[cols].to_numpy(float), rowvar=False)
+    P = np.linalg.inv(R)
+    for i in range(4):
+        for j in range(i + 1, 4):
+            want = -P[i, j] / np.sqrt(P[i, i] * P[j, j])
+            assert abs(got[(cols[i], cols[j])] - want) < 1e-3, \
+                (cols[i], cols[j], got[(cols[i], cols[j])], want)
+
+
+def test_mahalanobis_matches_numpy(spark, sf_dir, lineitem):
+    top = Q.mahalanobis_outliers(spark, sf_dir).toPandas()
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    X = lineitem[cols].to_numpy(float)
+    mu = X.mean(axis=0)
+    S = np.cov(X, rowvar=False, bias=True)
+    Sinv = np.linalg.inv(S)
+    V = X - mu
+    d2 = np.einsum("ij,jk,ik->i", V, Sinv, V)
+    want = np.sort(d2)[-1]
+    # rounded covariances on the Spark side -> small tolerance
+    assert abs(top["mahalanobis_d2"].iloc[0] - want) / want < 1e-3
+
+
+def test_chow_matches_direct_ols(spark, sf_dir, lineitem):
+    got = Q.chow_test_by_flag(spark, sf_dir).collect()[0]
+
+    def ssr(df):
+        x = df["l_quantity"].to_numpy(float)
+        y = df["l_extendedprice"].to_numpy(float)
+        slope = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+        e = y - (y.mean() + slope * (x - x.mean()))
+        return float((e ** 2).sum())
+
+    ssr_p = ssr(lineitem)
+    groups = [g for _, g in lineitem.groupby("l_returnflag")]
+    ssr_g = sum(ssr(g) for g in groups)
+    k, n = len(groups), len(lineitem)
+    f = ((ssr_p - ssr_g) / ((k - 1) * 2)) / (ssr_g / (n - k * 2))
+    assert abs(got["chow_f"] - f) / f < 1e-4
+    assert got["n_regimes"] == k and got["n_rows"] == n
+
+
+def test_cronbach_matches_pandas(spark, sf_dir, lineitem):
+    got = Q.cronbach_alpha(spark, sf_dir).collect()[0]
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    item_vars = lineitem[cols].var(ddof=1)
+    total_var = lineitem[cols].sum(axis=1).var(ddof=1)
+    want = 4 / 3 * (1 - item_vars.sum() / total_var)
+    assert abs(got["cronbach_alpha"] - want) < 1e-5
+
+
+def test_kappa_and_mcnemar_match_pandas(spark, sf_dir, orders):
+    r1 = orders["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    r2 = orders["o_totalprice"] > 150000
+    a = int((r1 & r2).sum())
+    b = int((r1 & ~r2).sum())
+    c = int((~r1 & r2).sum())
+    d = int((~r1 & ~r2).sum())
+    n = a + b + c + d
+    po = (a + d) / n
+    pe = ((a + b) * (a + c) + (c + d) * (b + d)) / n ** 2
+    kap = Q.cohen_kappa_orders(spark, sf_dir).collect()[0]
+    assert abs(kap["kappa"] - (po - pe) / (1 - pe)) < 1e-5
+    mc = Q.mcnemar_orders(spark, sf_dir).collect()[0]
+    assert mc["b"] == b and mc["c"] == c
+    assert abs(mc["chi2_corrected"]
+               - (abs(b - c) - 1) ** 2 / (b + c)) < 1e-3
+
+
+def test_bartlett_matches_direct(spark, sf_dir, customer):
+    got = Q.bartlett_acctbal_by_segment(spark, sf_dir).collect()[0]
+    g = customer.groupby("c_mktsegment")["c_acctbal"]
+    ns = g.count().to_numpy(float)
+    s2 = g.var(ddof=1).to_numpy(float)
+    N, k = ns.sum(), len(ns)
+    sp2 = ((ns - 1) * s2).sum() / (N - k)
+    stat = (N - k) * np.log(sp2) - ((ns - 1) * np.log(s2)).sum()
+    corr = 1 + ((1 / (ns - 1)).sum() - 1 / (N - k)) / (3 * (k - 1))
+    assert abs(got["bartlett_chi2"] - stat / corr) < 1e-3
+
+
+def test_theil_matches_direct(spark, sf_dir, customer):
+    got = {r["c_mktsegment"]: r["theil_index"]
+           for r in Q.theil_index_by_segment(spark, sf_dir).collect()}
+    pos = customer[customer["c_acctbal"] > 0]
+    for seg, grp in pos.groupby("c_mktsegment"):
+        x = grp["c_acctbal"].to_numpy(float)
+        mu = x.mean()
+        want = float(np.mean(x / mu * np.log(x / mu)))
+        assert abs(got[seg] - want) < 1e-5, seg
+
+
+def test_higher_moments_match_scipy_free(spark, sf_dir, lineitem):
+    got = {r["l_returnflag"]: r for r in
+           Q.higher_moments_by_flag(spark, sf_dir).collect()}
+    for flag, grp in lineitem.groupby("l_returnflag"):
+        x = grp["l_extendedprice"].to_numpy(float)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        m3 = ((x - m) ** 3).mean()
+        m4 = ((x - m) ** 4).mean()
+        assert abs(got[flag]["skewness_g1"] - m3 / m2 ** 1.5) < 1e-3
+        assert abs(got[flag]["excess_kurtosis_g2"]
+                   - (m4 / m2 ** 2 - 3)) < 1e-3
+
+
+def test_quality_lift_table_invariants(spark, sf_dir):
+    lift = Q.quality_lift_table(spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert sorted(lift["decile"]) == list(range(1, 11))
+    assert lift["n_docs"].sum() == len(docs)
+    # the full-corpus cumulative lift is the base rate over itself
+    assert abs(lift.loc[lift["decile"] == 10, "cum_lift"].iloc[0]
+               - 1.0) < 1e-9
+    # the heuristic score must actually concentrate rule-passers early
+    assert (lift.loc[lift["decile"] == 1, "pass_rate"].iloc[0]
+            >= lift.loc[lift["decile"] == 10, "pass_rate"].iloc[0])
+
+
+def test_vocab_overlap_target_is_unity(spark, sf_dir):
+    ov = {r["source"]: r for r in
+          Q.vocab_overlap_by_source(spark, sf_dir).collect()}
+    assert ov["src0"]["vocab_jaccard"] == 1.0
+    assert ov["src0"]["n_common"] == ov["src0"]["n_vocab"]
+    for src, r in ov.items():
+        assert 0.0 <= r["vocab_jaccard"] <= 1.0, src
+
+
+def test_seasonal_naive_error_positive_and_bounded(spark, sf_dir):
+    r = Q.seasonal_naive_error_daily(spark, sf_dir).collect()[0]
+    assert r["n_scored_days"] > 10  # sf0.001 events span ~a month
+    assert r["mae"] > 0 and r["rmse"] >= r["mae"]
+
+
+def test_peak_load_window_is_max_of_hops(spark, sf_dir):
+    from parking_bigdata_spark.io import load_table
+    from pyspark.sql import functions as F
+    peak = Q.peak_load_window(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    mx = (ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+            .count().agg(F.max("count")).collect()[0][0])
+    assert peak["n_events"] == mx
