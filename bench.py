@@ -110,6 +110,8 @@ HEADLINE = [
     "chow_test_by_flag",
     "quality_lift_table",
     "peak_load_window",
+    "friedman_dow_test",
+    "js_divergence_by_source",
     "returned_item_customers",
     "nation_value_share",
     "promo_revenue_pct",

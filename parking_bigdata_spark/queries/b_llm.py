@@ -2778,3 +2778,72 @@ FROM per CROSS JOIN tot
 """
 
 QUALITY_LIFT_SQL = QUALITY_LIFT_SQL.replace("__GOPHER__", GOPHER_SQL)
+
+
+# --------------------------------------------------------------------------
+# B61. Jensen-Shannon divergence per source (Lin 1991; the SYMMETRIC,
+# bounded companion to B45's KL): JSD(P||C) = 0.5 KL(P||M) +
+# 0.5 KL(C||M), M = (P+C)/2, over the same 64-way hashed-unigram
+# distributions as B53 — the 64-bucket grids join broadcast, nothing
+# token-sized shuffles twice.
+# --------------------------------------------------------------------------
+
+def js_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.regexp_replace(
+            F.lower(F.col("text")), "[^a-z0-9]+", " ")), " "))
+         .alias("tok"))
+        .where(F.col("tok") != ""))
+    md5 = F.md5(F.col("tok").cast("binary"))
+    bucket = F.pmod(F.conv(F.substring(md5, 1, 2), 16, 10).cast("int"),
+                    F.lit(64))
+    tb = toks.select("source", bucket.alias("b"))
+    per = tb.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
+    src_tot = per.groupBy("source").agg(F.sum("c").alias("st"))
+    corpus = tb.groupBy("b").agg(F.count(F.lit(1)).alias("cc"))
+    corpus_tot = corpus.agg(F.sum("cc").alias("ct"))
+    j = (per.join(src_tot, "source")
+            .join(F.broadcast(corpus), "b")
+            .crossJoin(F.broadcast(corpus_tot)))
+    p = (F.col("c") + 1) / (F.col("st") + 64)
+    q = (F.col("cc") + 1) / (F.col("ct") + 64)
+    m = (p + q) / 2
+    term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    return (j.groupBy("source")
+             .agg(F.round(F.sum(term), 6).alias("js_divergence"))
+             )
+
+JS_DIVERGENCE_SQL = """
+WITH toks AS (
+  SELECT source,
+         unnest(string_split(trim(regexp_replace(lower(text),
+                '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), tb AS (
+  SELECT source,
+         ((strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1))
+         % 64 AS b
+  FROM toks WHERE tok <> ''
+), per AS (
+  SELECT source, b, count(*) AS c FROM tb GROUP BY 1, 2
+), st AS (
+  SELECT source, sum(c) AS st FROM per GROUP BY 1
+), corpus AS (
+  SELECT b, count(*) AS cc FROM tb GROUP BY 1
+), ct AS (SELECT sum(cc) AS ct FROM corpus)
+SELECT source,
+       round(sum(0.5 * ((c + 1) / CAST(st + 64 AS DOUBLE))
+                 * ln(((c + 1) / CAST(st + 64 AS DOUBLE))
+                      / ((((c + 1) / CAST(st + 64 AS DOUBLE))
+                          + ((cc + 1) / CAST(ct + 64 AS DOUBLE))) / 2))
+                 + 0.5 * ((cc + 1) / CAST(ct + 64 AS DOUBLE))
+                 * ln(((cc + 1) / CAST(ct + 64 AS DOUBLE))
+                      / ((((c + 1) / CAST(st + 64 AS DOUBLE))
+                          + ((cc + 1) / CAST(ct + 64 AS DOUBLE))) / 2))),
+             6) AS js_divergence
+FROM per JOIN st USING (source) JOIN corpus USING (b) CROSS JOIN ct
+GROUP BY source
+"""

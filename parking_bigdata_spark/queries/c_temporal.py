@@ -1854,6 +1854,11 @@ def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                .orderBy("d").collect())
     ys = [r["y"] for r in daily]
     a, g = _HOLT_ALPHA, _HOLT_GAMMA
+    if len(ys) < 2:  # trend needs two observations; mirror the
+        # oracle's empty recursive-CTE result
+        return spark.createDataFrame(
+            [], "n_days int, level double, trend double, "
+                "forecast_7d double")
     lvl, trd = ys[0], ys[1] - ys[0]
     for y in ys[1:]:
         prev = lvl
@@ -2097,4 +2102,68 @@ SELECT min(window_start) AS window_start,
        min(window_start) + INTERVAL '1 hour' AS window_end,
        CAST(max(mx) AS BIGINT) AS n_events
 FROM b CROSS JOIN peak WHERE n_events = mx
+"""
+
+
+# --------------------------------------------------------------------------
+# C51. Friedman rank test on week x day-of-week blocks (Friedman
+# 1937; friedman.test — the nonparametric repeated-measures companion
+# to C48's eta2): within each complete ISO week (block) the 7 daily
+# volumes are ranked 1..7 (per-block window, bounded 7 rows — scale-
+# safe by construction); the statistic compares per-dow rank sums.
+# Untied ranks (daily counts are effectively distinct); incomplete
+# boundary weeks are dropped so every block has exactly k=7 rows.
+# --------------------------------------------------------------------------
+
+def friedman_dow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+               .agg(F.count(F.lit(1)).cast("double").alias("y")))
+    d = daily.select(
+        "y", F.weekofyear("day").alias("wk"),
+        F.year("day").alias("yr"),
+        ((F.dayofweek("day") + 5) % 7 + 1).alias("dow"))  # 1=Mon
+    blocks = (d.groupBy("yr", "wk")
+                .agg(F.count(F.lit(1)).alias("ndays")))
+    full = d.join(F.broadcast(blocks.where(F.col("ndays") == 7)
+                              .select("yr", "wk")), ["yr", "wk"])
+    wb = Window.partitionBy("yr", "wk").orderBy("y", "dow")
+    ranked = full.withColumn("r", F.row_number().over(wb))
+    per_dow = (ranked.groupBy("dow")
+                     .agg(F.sum("r").alias("rsum")))
+    tot = (ranked.agg((F.countDistinct("yr", "wk")).alias("n")))
+    k = 7
+    q = per_dow.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n_blocks"),
+        F.round(12.0 / (F.max("n") * k * (k + 1))
+                * F.sum(F.col("rsum") * F.col("rsum"))
+                - 3.0 * F.max("n") * (k + 1), 4).alias("friedman_q"))
+    return q.select("n_blocks", F.lit(k - 1).alias("dof"), "friedman_q")
+
+FRIEDMAN_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), d AS (
+  SELECT y, weekofyear(day) AS wk, year(day) AS yr,
+         (dayofweek(day) + 6) % 7 + 1 AS dow
+  FROM daily
+), blocks AS (
+  SELECT yr, wk FROM d GROUP BY 1, 2 HAVING count(*) = 7
+), full_w AS (
+  SELECT d.* FROM d JOIN blocks USING (yr, wk)
+), ranked AS (
+  SELECT dow,
+         row_number() OVER (PARTITION BY yr, wk ORDER BY y, dow) AS r
+  FROM full_w
+), per_dow AS (
+  SELECT dow, sum(r) AS rsum FROM ranked GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n FROM blocks
+)
+SELECT CAST(max(n) AS BIGINT) AS n_blocks,
+       6 AS dof,
+       round(12.0 / (max(n) * 7 * 8) * sum(rsum * rsum)
+             - 3.0 * max(n) * 8, 4) AS friedman_q
+FROM per_dow CROSS JOIN tot
 """
