@@ -112,6 +112,8 @@ HEADLINE = [
     "peak_load_window",
     "friedman_dow_test",
     "js_divergence_by_source",
+    "effect_sizes_segments",
+    "bigram_entropy_by_source",
     "returned_item_customers",
     "nation_value_share",
     "promo_revenue_pct",

@@ -3917,3 +3917,49 @@ SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_regimes,
        CAST(n - k * 2 AS BIGINT) AS df2
 FROM parts CROSS JOIN pooled
 """
+
+
+# --------------------------------------------------------------------------
+# A134. Cohen's d effect sizes per segment pair (Cohen 1988; the
+# magnitude companion to A120's Tukey q — significance is not size):
+# d = (m_a - m_b) / s_pooled with the pooled SD from the same single
+# moment scan; Hedges' g small-sample correction factor included.
+# --------------------------------------------------------------------------
+
+def effect_sizes_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    g = (c.groupBy("c_mktsegment")
+          .agg(F.count("c_acctbal").alias("n"),
+               F.avg("c_acctbal").alias("m"),
+               F.var_samp("c_acctbal").alias("s2")))
+    a, b2 = g.alias("a"), g.alias("b")
+    pair = (a.crossJoin(b2)
+             .where(F.col("a.c_mktsegment") < F.col("b.c_mktsegment")))
+    dfree = F.col("a.n") + F.col("b.n") - 2
+    sp = F.sqrt(((F.col("a.n") - 1) * F.col("a.s2")
+                 + (F.col("b.n") - 1) * F.col("b.s2")) / dfree)
+    d = (F.col("a.m") - F.col("b.m")) / sp
+    j = 1 - 3 / (4 * dfree - 1)
+    return pair.select(
+        F.col("a.c_mktsegment").alias("segment_a"),
+        F.col("b.c_mktsegment").alias("segment_b"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * j, 6).alias("hedges_g"))
+
+EFFECT_SIZES_SQL = """
+WITH g AS (
+  SELECT c_mktsegment, count(c_acctbal) AS n, avg(c_acctbal) AS m,
+         var_samp(c_acctbal) AS s2
+  FROM customer GROUP BY 1
+)
+SELECT a.c_mktsegment AS segment_a, b.c_mktsegment AS segment_b,
+       round((a.m - b.m)
+             / sqrt(((a.n - 1) * a.s2 + (b.n - 1) * b.s2)
+                    / (a.n + b.n - 2)), 6) AS cohens_d,
+       round((a.m - b.m)
+             / sqrt(((a.n - 1) * a.s2 + (b.n - 1) * b.s2)
+                    / (a.n + b.n - 2))
+             * (1 - 3.0 / (4 * (a.n + b.n - 2) - 1)), 6) AS hedges_g
+FROM g a CROSS JOIN g b
+WHERE a.c_mktsegment < b.c_mktsegment
+"""

@@ -2847,3 +2847,81 @@ SELECT source,
 FROM per JOIN st USING (source) JOIN corpus USING (b) CROSS JOIN ct
 GROUP BY source
 """
+
+
+# --------------------------------------------------------------------------
+# B62. Conditional bigram entropy rate per source (Shannon 1951's
+# language-predictability measure H(w2|w1) = H(bigram) - H(unigram);
+# complements B25's marginal token entropy and B24's PMI pairs): both
+# entropies from the same tokenized pass — adjacent-pair counts via
+# the posexplode self-zip, plug-in (ML) estimator.
+# --------------------------------------------------------------------------
+
+def bigram_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.split(F.trim(F.regexp_replace(
+            F.lower(F.col("text")), "[^a-z0-9]+", " ")), " ").alias("t"))
+    pairs = (toks.select(
+        "source",
+        F.explode(F.expr(
+            "CASE WHEN size(t) >= 2 THEN "
+            "transform(sequence(1, size(t) - 1), "
+            "i -> struct(t[i-1] AS w1, t[i] AS w2)) "
+            "ELSE array() END")).alias("p"))
+        .select("source", F.col("p.w1").alias("w1"),
+                F.col("p.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != "")))
+    big = pairs.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c"))
+    uni = big.groupBy("source", "w1").agg(F.sum("c").alias("cu"))
+    tot = big.groupBy("source").agg(F.sum("c").alias("n"))
+    h_big = (big.join(tot, "source")
+                .groupBy("source")
+                .agg((-F.sum(F.col("c") / F.col("n")
+                             * F.log(F.col("c") / F.col("n")))
+                      ).alias("hb")))
+    h_uni = (uni.join(tot, "source")
+                .groupBy("source")
+                .agg((-F.sum(F.col("cu") / F.col("n")
+                             * F.log(F.col("cu") / F.col("n")))
+                      ).alias("hu")))
+    return (h_big.join(h_uni, "source")
+            .select("source",
+                    F.round(F.col("hb"), 4).alias("h_bigram_nats"),
+                    F.round(F.col("hu"), 4).alias("h_unigram_nats"),
+                    F.round(F.col("hb") - F.col("hu"), 4)
+                     .alias("h_conditional_nats")))
+
+BIGRAM_ENTROPY_SQL = """
+WITH toks AS (
+  SELECT source,
+         string_split(trim(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+  FROM documents
+), pairs AS (
+  SELECT source, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t), 1))) AS i)
+  WHERE t[i] <> '' AND t[i + 1] <> ''
+), big AS (
+  SELECT source, w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2, 3
+), uni AS (
+  SELECT source, w1, sum(c) AS cu FROM big GROUP BY 1, 2
+), tot AS (
+  SELECT source, sum(c) AS n FROM big GROUP BY 1
+), hb AS (
+  SELECT big.source,
+         -sum(c / CAST(n AS DOUBLE) * ln(c / CAST(n AS DOUBLE))) AS hb
+  FROM big JOIN tot ON big.source = tot.source GROUP BY 1
+), hu AS (
+  SELECT uni.source,
+         -sum(cu / CAST(n AS DOUBLE) * ln(cu / CAST(n AS DOUBLE))) AS hu
+  FROM uni JOIN tot ON uni.source = tot.source GROUP BY 1
+)
+SELECT hb.source,
+       round(hb, 4) AS h_bigram_nats,
+       round(hu, 4) AS h_unigram_nats,
+       round(hb - hu, 4) AS h_conditional_nats
+FROM hb JOIN hu ON hb.source = hu.source
+"""
