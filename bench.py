@@ -114,6 +114,8 @@ HEADLINE = [
     "js_divergence_by_source",
     "effect_sizes_segments",
     "bigram_entropy_by_source",
+    "gamma_mom_fit",
+    "near_dup_rate_by_source",
     "returned_item_customers",
     "nation_value_share",
     "promo_revenue_pct",

@@ -3963,3 +3963,51 @@ SELECT a.c_mktsegment AS segment_a, b.c_mktsegment AS segment_b,
 FROM g a CROSS JOIN g b
 WHERE a.c_mktsegment < b.c_mktsegment
 """
+
+
+# --------------------------------------------------------------------------
+# A135. Gamma distribution fit by method of moments (the
+# MASS::fitdistr shape for positively-skewed money data; reference
+# fits distributions to transformed responses at R:537+): shape
+# k = m^2/var, scale theta = var/m from ONE moment scan, plus the
+# plug-in mean log-likelihood per observation (needs only SUM ln x
+# from the same scan; lgamma(k) evaluated on the driver — neither
+# engine has a distributed lgamma aggregate, and k is a scalar).
+# --------------------------------------------------------------------------
+
+def gamma_mom_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("double")
+    r = (o.where(x > 0)
+          .agg(F.count(F.lit(1)).alias("n"), F.avg(x).alias("m"),
+               F.var_pop(x).alias("v"),
+               F.avg(F.log(x)).alias("mlog")).collect()[0])
+    n, m, v, mlog = int(r["n"]), float(r["m"]), float(r["v"]), float(r["mlog"])
+    k = m * m / v
+    theta = v / m
+    # mean log-likelihood: (k-1) E[ln x] - E[x]/theta - k ln theta - ln G(k)
+    mll = ((k - 1) * mlog - m / theta - k * math.log(theta)
+           - math.lgamma(k))
+    return (spark.createDataFrame(
+        [(n, k, theta, mll)],
+        "n long, shape_k double, scale_theta double, mean_loglik double")
+        .select("n", F.round("shape_k", 6).alias("shape_k"),
+                F.round("scale_theta", 4).alias("scale_theta"),
+                F.round("mean_loglik", 6).alias("mean_loglik")))
+
+GAMMA_MOM_SQL = """
+WITH a AS (
+  SELECT count(*) AS n, avg(CAST(o_totalprice AS DOUBLE)) AS m,
+         var_pop(CAST(o_totalprice AS DOUBLE)) AS v,
+         avg(ln(CAST(o_totalprice AS DOUBLE))) AS mlog
+  FROM orders WHERE o_totalprice > 0
+)
+SELECT n,
+       round(m * m / v, 6) AS shape_k,
+       round(v / m, 4) AS scale_theta,
+       round((m * m / v - 1) * mlog - m / (v / m)
+             - (m * m / v) * ln(v / m) - lgamma(m * m / v), 6)
+         AS mean_loglik
+FROM a
+"""

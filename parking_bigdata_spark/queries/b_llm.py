@@ -2925,3 +2925,57 @@ SELECT hb.source,
        round(hb - hu, 4) AS h_conditional_nats
 FROM hb JOIN hu ON hb.source = hu.source
 """
+
+
+# --------------------------------------------------------------------------
+# B63. Near-duplication rate by source (the per-source roll-up of
+# B2's MinHash pair list — which sources are flooding the corpus with
+# near-copies): each candidate pair attributes to its members'
+# sources; per-source involved-doc counts and rate. Oracle: the SQL
+# side re-derives the same roll-up from B2's determinism-audited
+# expected pair parquet joined to documents (pair generation is the
+# audited part; the roll-up is plain relational algebra both sides).
+# --------------------------------------------------------------------------
+
+def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_pairs(docs, n_perm=32, band_size=4)
+    involved = (pairs.select(F.col("id_a").alias("doc_id"))
+                .union(pairs.select(F.col("id_b").alias("doc_id")))
+                .distinct())
+    per = (docs.select("doc_id", "source")
+               .join(involved.withColumn("__d", F.lit(1)),
+                     "doc_id", "left")
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.coalesce("__d", F.lit(0)))
+                     .cast("long").alias("n_near_dup_docs")))
+    return per.select(
+        "source", "n_docs", "n_near_dup_docs",
+        F.round(F.col("n_near_dup_docs") / F.col("n_docs").cast("double"),
+                6).alias("near_dup_rate"))
+
+def _near_dup_rate_sql() -> str:
+    import os
+    root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    pairs = os.path.join(root, "expected", "sf0.01",
+                         "dedup_minhash.parquet").replace("\\", "/")
+    return f"""
+WITH pairs AS (
+  SELECT * FROM read_parquet('{pairs}')
+), involved AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT id_a AS doc_id FROM pairs
+    UNION ALL SELECT id_b FROM pairs)
+)
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_near_dup_docs,
+       round(sum(CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS near_dup_rate
+FROM documents d LEFT JOIN involved i ON d.doc_id = i.doc_id
+GROUP BY d.source
+"""
+
+NEAR_DUP_RATE_SQL = _near_dup_rate_sql()
