@@ -116,6 +116,10 @@ HEADLINE = [
     "bigram_entropy_by_source",
     "gamma_mom_fit",
     "near_dup_rate_by_source",
+    "wilcoxon_signed_rank",
+    "ordinal_assoc_qty_discount",
+    "ljung_box_daily",
+    "negbin_mom_daily",
     "returned_item_customers",
     "nation_value_share",
     "promo_revenue_pct",

@@ -4011,3 +4011,157 @@ SELECT n,
          AS mean_loglik
 FROM a
 """
+
+
+# --------------------------------------------------------------------------
+# A136. Wilcoxon signed-rank test (paired; Wilcoxon 1945 — the
+# nonparametric sibling of the reference's paired comparisons at
+# R:700+): does the peak realized unit price differ systematically
+# from the catalog retail price, per part? The pair statistic is
+# d = max(l_extendedprice/l_quantity) - p_retailprice — max of exact
+# per-row divisions, NOT an accumulated average, so d is bit-identical
+# across engines and summation orders (rank positions never flip on
+# FP noise). |d| ranks ride stats.tie_avg_ranks (range-partitioned —
+# no single-task global sort over the ~#parts distinct table), with
+# the standard tie-corrected normal approximation.
+# --------------------------------------------------------------------------
+
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (li.join(p, li.l_partkey == p.p_partkey)
+               .groupBy("p_partkey", "p_retailprice")
+               .agg(F.max(F.col("l_extendedprice") / F.col("l_quantity"))
+                     .alias("peak"))
+               .select((F.col("peak") - F.col("p_retailprice")).alias("d"))
+               .where(F.col("d") != 0))
+    runs = (pairs.groupBy(F.abs("d").alias("ad"))
+                 .agg(F.count(F.lit(1)).alias("t"),
+                      F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+                       .alias("tpos")))
+    ranked = (stats.tie_avg_ranks(runs.select("ad", "t"), "ad", "t")
+              .join(runs.select("ad", "tpos"), "ad"))
+    agg = ranked.agg(
+        F.sum("t").alias("n"),
+        F.sum(F.col("tpos") * F.col("avg_rank")).alias("wplus"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+         .alias("tsum"))
+    n = F.col("n").cast("double")
+    var = (n * (n + 1) * (2 * n + 1) / 24.0
+           - F.col("tsum").cast("double") / 48.0)
+    return agg.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round("wplus", 2).alias("w_plus"),
+        F.round((F.col("wplus") - n * (n + 1) / 4.0) / F.sqrt(var), 6)
+         .alias("z_stat"))
+
+WILCOXON_SQL = """
+WITH pairs AS (
+  SELECT max(l.l_extendedprice / l.l_quantity) - p.p_retailprice AS d
+  FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_partkey, p.p_retailprice
+), nz AS (
+  SELECT d, abs(d) AS ad FROM pairs WHERE d <> 0
+), ranked AS (
+  SELECT d,
+         rank() OVER (ORDER BY ad)
+           + (count(*) OVER (PARTITION BY ad) - 1) / 2.0 AS r
+  FROM nz
+), ties AS (
+  SELECT coalesce(sum(t * t * t - t), 0) AS tsum
+  FROM (SELECT count(*) AS t FROM nz GROUP BY ad)
+), s AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN d > 0 THEN r ELSE 0 END) AS wplus
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       round(wplus, 2) AS w_plus,
+       round((wplus - n * (n + 1) / 4.0)
+             / sqrt(n * (n + 1) * (2.0 * n + 1) / 24.0 - tsum / 48.0), 6)
+         AS z_stat
+FROM s CROSS JOIN ties
+"""
+
+
+# --------------------------------------------------------------------------
+# A137. Ordinal association suite: Goodman-Kruskal gamma (1954),
+# Somers' D (1962, both directions), and Stuart's tau-c — the
+# companions of A116's Kendall tau-b, all closed forms of the SAME
+# concordant/discordant cube. The cube is bounded by the two value
+# cardinalities (|qty| x |discount| cells), never by corpus rows, so
+# the crossJoin is a constant-size compute regardless of scale.
+# --------------------------------------------------------------------------
+
+def ordinal_assoc_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (li.groupBy(F.col("l_quantity").alias("x"),
+                        F.col("l_discount").alias("y"))
+               .agg(F.count(F.lit(1)).alias("c"))
+               .localCheckpoint(eager=True))
+    a, b2 = cells.alias("a"), cells.alias("b")
+    conc = (F.col("b.x") > F.col("a.x")) & (F.col("b.y") > F.col("a.y"))
+    disc = (F.col("b.x") > F.col("a.x")) & (F.col("b.y") < F.col("a.y"))
+    pairs = a.crossJoin(b2).agg(
+        F.sum(F.when(conc, F.col("a.c") * F.col("b.c"))
+               .otherwise(F.lit(0))).alias("C"),
+        F.sum(F.when(disc, F.col("a.c") * F.col("b.c"))
+               .otherwise(F.lit(0))).alias("D"))
+    margins = cells.agg(F.sum("c").alias("n"),
+                        F.countDistinct("x").alias("nx"),
+                        F.countDistinct("y").alias("ny"))
+    rx = (cells.groupBy("x").agg(F.sum("c").alias("r"))
+               .agg(F.sum(F.col("r") * F.col("r")).alias("sr2")))
+    cy = (cells.groupBy("y").agg(F.sum("c").alias("s"))
+               .agg(F.sum(F.col("s") * F.col("s")).alias("ss2")))
+    j = pairs.crossJoin(margins).crossJoin(rx).crossJoin(cy)
+    n = F.col("n").cast("double")
+    n0 = (n * n - n) / 2
+    n1 = (F.col("sr2").cast("double") - n) / 2
+    n2 = (F.col("ss2").cast("double") - n) / 2
+    cd = (F.col("C") - F.col("D")).cast("double")
+    m = F.least(F.col("nx"), F.col("ny")).cast("double")
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("C").cast("long").alias("concordant"),
+        F.col("D").cast("long").alias("discordant"),
+        F.round(cd / (F.col("C") + F.col("D")).cast("double"), 6)
+         .alias("gk_gamma"),
+        F.round(cd / (n0 - n1), 6).alias("somers_d_yx"),
+        F.round(cd / (n0 - n2), 6).alias("somers_d_xy"),
+        F.round(cd * 2 * m / (n * n * (m - 1)), 6).alias("stuart_tau_c"))
+
+ORDINAL_ASSOC_SQL = """
+WITH cells AS (
+  SELECT l_quantity AS x, l_discount AS y, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), pairs AS (
+  SELECT
+    sum(CASE WHEN b.x > a.x AND b.y > a.y THEN a.c * b.c ELSE 0 END) AS C,
+    sum(CASE WHEN b.x > a.x AND b.y < a.y THEN a.c * b.c ELSE 0 END) AS D
+  FROM cells a CROSS JOIN cells b
+), margins AS (
+  SELECT sum(c) AS n, count(DISTINCT x) AS nx, count(DISTINCT y) AS ny
+  FROM cells
+), rx AS (
+  SELECT sum(r * r) AS sr2
+  FROM (SELECT sum(c) AS r FROM cells GROUP BY x)
+), cy AS (
+  SELECT sum(s * s) AS ss2
+  FROM (SELECT sum(c) AS s FROM cells GROUP BY y)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(C AS BIGINT) AS concordant,
+       CAST(D AS BIGINT) AS discordant,
+       round(CAST(C - D AS DOUBLE) / (C + D), 6) AS gk_gamma,
+       round(CAST(C - D AS DOUBLE)
+             / ((CAST(n AS DOUBLE) * n - n) / 2 - (sr2 - n) / 2.0), 6)
+         AS somers_d_yx,
+       round(CAST(C - D AS DOUBLE)
+             / ((CAST(n AS DOUBLE) * n - n) / 2 - (ss2 - n) / 2.0), 6)
+         AS somers_d_xy,
+       round(CAST(C - D AS DOUBLE) * 2 * least(nx, ny)
+             / (CAST(n AS DOUBLE) * n * (least(nx, ny) - 1)), 6)
+         AS stuart_tau_c
+FROM pairs CROSS JOIN margins CROSS JOIN rx CROSS JOIN cy
+"""

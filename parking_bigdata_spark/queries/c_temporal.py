@@ -2167,3 +2167,136 @@ SELECT CAST(max(n) AS BIGINT) AS n_blocks,
              - 3.0 * max(n) * 8, 4) AS friedman_q
 FROM per_dow CROSS JOIN tot
 """
+
+
+# --------------------------------------------------------------------------
+# C45. Ljung-Box portmanteau test (Ljung-Box 1978) on the daily event
+# count series — the whiteness companion of C24's per-lag ACF: is the
+# series jointly autocorrelated over lags 1..7? Uses the standard
+# time-series convention (overall mean and c0 denominator, NOT the
+# pairwise Pearson corr C24 reports). The daily series is a ~#days
+# aggregate, so the self-join and the 7-row cumulative window are
+# constant-size compute at any corpus scale; the one data-sized
+# shuffle is the daily groupBy itself.
+# --------------------------------------------------------------------------
+
+def ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    daily = (ev.groupBy(day.alias("d"))
+               .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    base = daily.agg(F.count(F.lit(1)).alias("n"), F.avg("x").alias("xbar"),
+                     F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    lagged = (a.select("d", "x",
+                       F.explode(F.sequence(F.lit(1), F.lit(7)))
+                        .alias("lag_k"))
+               .join(b, F.col("b.d") == F.col("a.d") + F.col("lag_k"))
+               .crossJoin(F.broadcast(base))
+               .groupBy("lag_k", "n", "xbar", "sxx")
+               .agg(F.sum((F.col("a.x") - F.col("xbar"))
+                          * (F.col("b.x") - F.col("xbar"))).alias("ck")))
+    n = F.col("n").cast("double")
+    c0 = F.col("sxx") - n * F.col("xbar") * F.col("xbar")
+    rk = F.col("ck") / c0
+    term = rk * rk / (n - F.col("lag_k"))
+    w = Window.orderBy("lag_k").rowsBetween(Window.unboundedPreceding, 0)
+    return (lagged.select("lag_k", rk.alias("__rk"), (n * (n + 2) * term)
+                          .alias("__t"), "n")
+                  .select("lag_k", F.round("__rk", 6).alias("r_k"),
+                          F.round(F.sum("__t").over(w), 4).alias("q_cum"))
+                  .orderBy("lag_k"))
+
+LJUNG_BOX_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), base AS (
+  SELECT count(*) AS n, avg(x) AS xbar, sum(x * x) AS sxx FROM daily
+), ks AS (SELECT CAST(unnest(generate_series(1, 7)) AS INT) AS lag_k),
+lagged AS (
+  SELECT lag_k,
+         sum((a.x - xbar) * (b.x - xbar)) AS ck,
+         max(n) AS n, max(sxx) AS sxx, max(xbar) AS xbar
+  FROM daily a CROSS JOIN ks
+  JOIN daily b ON b.d = a.d + lag_k
+  CROSS JOIN base
+  GROUP BY lag_k
+)
+SELECT lag_k,
+       round(ck / (sxx - n * xbar * xbar), 6) AS r_k,
+       round(sum(n * (n + 2.0) * (ck / (sxx - n * xbar * xbar)) ** 2
+                 / (n - lag_k))
+             OVER (ORDER BY lag_k ROWS UNBOUNDED PRECEDING), 4) AS q_cum
+FROM lagged
+ORDER BY lag_k
+"""
+
+
+# --------------------------------------------------------------------------
+# C46. Negative-binomial method-of-moments fit on the daily event
+# count series (the parametric companion of C37's overdispersion
+# diagnostic): size r = m^2/(v-m), p = m/v, plus the NB2 mean
+# log-likelihood. Spark has no lgamma expression, so the likelihood
+# sum is compressed to the DISTINCT daily-count values first (a
+# <=#days-row table — integer counts repeat) and evaluated on the
+# driver; the DuckDB oracle computes the identical sum with its
+# native lgamma. Degenerate input (v <= m: no overdispersion) yields
+# NULL fit columns rather than a ZeroDivisionError, matching the
+# oracle's NULL propagation (round-2 advice pattern).
+# --------------------------------------------------------------------------
+
+def negbin_mom_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    daily = (ev.groupBy(day.alias("d"))
+               .agg(F.count(F.lit(1)).alias("x")))
+    runs = (daily.groupBy("x").agg(F.count(F.lit(1)).alias("t"))
+                 .collect())
+    n = sum(int(r["t"]) for r in runs)
+    m = sum(int(r["x"]) * int(r["t"]) for r in runs) / n
+    v = (sum((int(r["x"]) - m) ** 2 * int(r["t"]) for r in runs)
+         / (n - 1))
+    if v <= m:
+        row = (n, round(m, 4), round(v, 4), None, None, None)
+    else:
+        r_sz = m * m / (v - m)
+        p = m / v
+        ll = sum(int(t_) * (math.lgamma(x_ + r_sz) - math.lgamma(r_sz)
+                            - math.lgamma(x_ + 1) + r_sz * math.log(p)
+                            + x_ * math.log(1 - p))
+                 for x_, t_ in ((int(r["x"]), int(r["t"])) for r in runs))
+        row = (n, round(m, 4), round(v, 4), round(r_sz, 6), round(p, 6),
+               round(ll / n, 6))
+    return spark.createDataFrame(
+        [row], "n_days long, mean double, variance double, size_r double, "
+               "prob_p double, mean_loglik double")
+
+NEGBIN_MOM_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         count(*) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), mom AS (
+  SELECT count(*) AS n, avg(CAST(x AS DOUBLE)) AS m,
+         var_samp(CAST(x AS DOUBLE)) AS v
+  FROM daily
+), fit AS (
+  SELECT n, m, v,
+         CASE WHEN v > m THEN m * m / (v - m) END AS r_sz,
+         CASE WHEN v > m THEN m / v END AS p
+  FROM mom
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(m, 4) AS mean,
+       round(v, 4) AS variance,
+       round(r_sz, 6) AS size_r,
+       round(p, 6) AS prob_p,
+       round((SELECT sum(lgamma(x + r_sz) - lgamma(r_sz) - lgamma(x + 1.0)
+                         + r_sz * ln(p) + x * ln(1 - p))
+              FROM daily) / n, 6) AS mean_loglik
+FROM fit
+"""

@@ -173,3 +173,87 @@ def test_peak_load_window_is_max_of_hops(spark, sf_dir):
     mx = (ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
             .count().agg(F.max("count")).collect()[0][0])
     assert peak["n_events"] == mx
+
+
+def test_wilcoxon_matches_pandas_rank_recompute(spark, sf_dir, lineitem):
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    li = lineitem.assign(unit=lineitem.l_extendedprice
+                         / lineitem.l_quantity)
+    peak = li.groupby("l_partkey")["unit"].max()
+    d = (peak - part.set_index("p_partkey")["p_retailprice"]).dropna()
+    d = d[d != 0]
+    r = d.abs().rank(method="average")
+    wplus = float(r[d > 0].sum())
+    n = len(d)
+    t = d.abs().value_counts().to_numpy()
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - float(((t**3) - t).sum()) / 48
+    z = (wplus - n * (n + 1) / 4.0) / np.sqrt(var)
+    got = Q.wilcoxon_signed_rank(spark, sf_dir).collect()[0]
+    assert got["n_pairs"] == n
+    assert abs(got["w_plus"] - wplus) < 0.01
+    assert abs(got["z_stat"] - z) < 1e-5
+
+
+def test_ordinal_assoc_matches_brute_force_cube(spark, sf_dir, lineitem):
+    cells = (lineitem.groupby(["l_quantity", "l_discount"])
+             .size().reset_index(name="c"))
+    x = cells.l_quantity.to_numpy()
+    y = cells.l_discount.to_numpy()
+    c = cells.c.to_numpy().astype(float)
+    gx = np.greater.outer(x, x).T  # [a, b] -> x_b > x_a
+    gy = np.greater.outer(y, y).T
+    ly = np.less.outer(y, y).T
+    w = np.outer(c, c)
+    C = float(w[gx & gy].sum())
+    D = float(w[gx & ly].sum())
+    n = float(c.sum())
+    n0 = (n * n - n) / 2
+    srx = cells.groupby("l_quantity")["c"].sum().to_numpy().astype(float)
+    scy = cells.groupby("l_discount")["c"].sum().to_numpy().astype(float)
+    n1 = ((srx**2).sum() - n) / 2
+    n2 = ((scy**2).sum() - n) / 2
+    got = Q.ordinal_assoc_qty_discount(spark, sf_dir).collect()[0]
+    assert got["concordant"] == C and got["discordant"] == D
+    assert abs(got["gk_gamma"] - (C - D) / (C + D)) < 1e-5
+    assert abs(got["somers_d_yx"] - (C - D) / (n0 - n1)) < 1e-5
+    assert abs(got["somers_d_xy"] - (C - D) / (n0 - n2)) < 1e-5
+    m = min(len(srx), len(scy))
+    assert abs(got["stuart_tau_c"]
+               - (C - D) * 2 * m / (n * n * (m - 1))) < 1e-5
+
+
+def test_ljung_box_matches_numpy_acf(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").dropna(subset=["ts"])
+    daily = (ev.assign(d=ev.ts.dt.normalize()).groupby("d").size()
+             .sort_index())
+    x = daily.to_numpy().astype(float)
+    idx = (daily.index - pd.Timestamp("1995-01-01")).days.to_numpy()
+    n = len(x)
+    xbar = x.mean()
+    c0 = ((x - xbar) ** 2).sum()
+    pos = {d: v for d, v in zip(idx, x)}
+    q = 0.0
+    got = {r["lag_k"]: r for r in
+           Q.ljung_box_daily(spark, sf_dir).collect()}
+    for k in range(1, 8):
+        ck = sum((pos[d] - xbar) * (pos[d + k] - xbar)
+                 for d in idx if d + k in pos)
+        rk = ck / c0
+        q += n * (n + 2) * rk * rk / (n - k)
+        assert abs(got[k]["r_k"] - rk) < 1e-4, k
+        assert abs(got[k]["q_cum"] - q) < 0.01, k
+
+
+def test_negbin_mom_recovers_moment_identities(spark, sf_dir):
+    got = Q.negbin_mom_daily(spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").dropna(subset=["ts"])
+    daily = ev.assign(d=ev.ts.dt.normalize()).groupby("d").size()
+    m, v = daily.mean(), daily.var(ddof=1)
+    assert got["n_days"] == len(daily)
+    assert abs(got["mean"] - m) < 1e-3
+    assert abs(got["variance"] - v) < 1e-3
+    if v > m:
+        r, p = got["size_r"], got["prob_p"]
+        # NB(r, p) mean identity: r(1-p)/p == sample mean
+        assert abs(r * (1 - p) / p - m) < 1e-2
+        assert got["mean_loglik"] < 0
