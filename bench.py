@@ -116,6 +116,8 @@ HEADLINE = [
     "bigram_entropy_by_source",
     "gamma_mom_fit",
     "near_dup_rate_by_source",
+    "gram_novelty_by_source",
+    "token_packing_stats",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

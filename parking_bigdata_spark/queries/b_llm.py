@@ -2979,3 +2979,237 @@ GROUP BY d.source
 """
 
 NEAR_DUP_RATE_SQL = _near_dup_rate_sql()
+
+
+# --------------------------------------------------------------------------
+# B64. Corpus-unique n-gram novelty per source (the memorization /
+# originality axis of corpus QA — e.g. Lee et al. 2022 "Deduplicating
+# Training Data" measures duplicated-substring mass; this is its
+# complement): what fraction of a source's distinct word 8-grams
+# appear in NO other document corpus-wide? Grams shuffle as md5
+# digests (fixed 32-byte keys, parity-exact with the DuckDB oracle —
+# duplicate_chunks' convention), never as raw strings; a unique
+# gram's owning source is recovered exactly as min(source) over its
+# single document.
+# --------------------------------------------------------------------------
+
+def gram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")),
+                r"\s+")
+    toks = docs.select("doc_id", "source", w.alias("t"))
+    n = F.size("t")
+    grams = (toks.where(n >= 8)
+                 .select("doc_id", "source",
+                         F.explode(F.array_distinct(F.transform(
+                             F.sequence(F.lit(0), n - 8),
+                             lambda i: F.md5(F.concat_ws(
+                                 " ", F.slice("t", i + 1, 8)))))).alias("g")))
+    stats_g = grams.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("source").alias("one_source"))
+    per_src = (grams.select("source", "g").distinct()
+                    .groupBy("source")
+                    .agg(F.count(F.lit(1)).alias("n_distinct_grams")))
+    uniq = (stats_g.where(F.col("n_docs") == 1)
+                   .groupBy(F.col("one_source").alias("source"))
+                   .agg(F.count(F.lit(1)).alias("n_unique_grams")))
+    return (per_src.join(uniq, "source", "left")
+            .select("source", "n_distinct_grams",
+                    F.coalesce("n_unique_grams", F.lit(0))
+                     .alias("n_unique_grams"),
+                    F.round(F.coalesce("n_unique_grams", F.lit(0))
+                            / F.col("n_distinct_grams").cast("double"), 6)
+                     .alias("novelty_rate"))
+            .orderBy("source"))
+
+GRAM_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(
+           range(1, greatest(len(t) - 7, 0) + 1),
+           i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                              t[i+4], t[i+5], t[i+6], t[i+7])))) AS g
+  FROM toks WHERE len(t) >= 8
+), stats_g AS (
+  SELECT g, count(DISTINCT doc_id) AS n_docs, min(source) AS one_source
+  FROM grams GROUP BY 1
+), per_src AS (
+  SELECT source, count(DISTINCT g) AS n_distinct_grams FROM grams GROUP BY 1
+), uniq AS (
+  SELECT one_source AS source, count(*) AS n_unique_grams
+  FROM stats_g WHERE n_docs = 1 GROUP BY 1
+)
+SELECT p.source AS source,
+       CAST(n_distinct_grams AS BIGINT) AS n_distinct_grams,
+       CAST(coalesce(n_unique_grams, 0) AS BIGINT) AS n_unique_grams,
+       round(coalesce(n_unique_grams, 0)
+             / CAST(n_distinct_grams AS DOUBLE), 6) AS novelty_rate
+FROM per_src p LEFT JOIN uniq u ON p.source = u.source
+ORDER BY p.source
+"""
+
+
+# --------------------------------------------------------------------------
+# B65. Boilerplate prefix detection per source (header/template
+# detection — the prefix analogue of CCNet's repeated-paragraph
+# filter): the most common leading word 4-gram per source and the
+# share of the source's docs that start with it. Deterministic tie
+# break (count DESC, prefix ASC); per-source candidate table is
+# bounded by distinct prefixes, the rank window runs on the
+# #prefixes-per-source aggregate, never on the corpus.
+# --------------------------------------------------------------------------
+
+def boilerplate_prefix_by_source(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")),
+                r"\s+")
+    pre = (docs.select("source", w.alias("t"))
+               .where(F.size("t") >= 4)
+               .select("source",
+                       F.concat_ws(" ", F.slice("t", 1, 4)).alias("prefix")))
+    counts = (pre.groupBy("source", "prefix")
+                 .agg(F.count(F.lit(1)).alias("n_docs")))
+    tot = pre.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    rw = Window.partitionBy("source").orderBy(F.desc("n_docs"), "prefix")
+    top = (counts.withColumn("__r", F.row_number().over(rw))
+                 .where(F.col("__r") == 1).drop("__r"))
+    return (top.join(tot, "source")
+               .select("source", F.col("prefix").alias("top_prefix"),
+                       F.col("n_docs").alias("n_docs_with_prefix"),
+                       F.round(F.col("n_docs")
+                               / F.col("n_total").cast("double"), 6)
+                        .alias("prefix_share"))
+               .orderBy("source"))
+
+BOILERPLATE_PREFIX_SQL = """
+WITH pre AS (
+  SELECT source, concat_ws(' ', t[1], t[2], t[3], t[4]) AS prefix
+  FROM (
+    SELECT source,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+') AS t
+    FROM documents
+  ) WHERE len(t) >= 4
+), counts AS (
+  SELECT source, prefix, count(*) AS n_docs FROM pre GROUP BY 1, 2
+), tot AS (
+  SELECT source, count(*) AS n_total FROM pre GROUP BY 1
+), top AS (
+  SELECT source, prefix, n_docs,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_docs DESC, prefix) AS r
+  FROM counts
+)
+SELECT t.source AS source, prefix AS top_prefix,
+       CAST(n_docs AS BIGINT) AS n_docs_with_prefix,
+       round(n_docs / CAST(n_total AS DOUBLE), 6) AS prefix_share
+FROM top t JOIN tot USING (source)
+WHERE r = 1
+ORDER BY t.source
+"""
+
+
+# --------------------------------------------------------------------------
+# B66. Character-class profile per source (encoding/charset QA — the
+# mojibake axis of corpus hygiene; C4 and CCNet both gate on
+# printable-character ratios): per-source mean fractions of
+# whitespace, digit, uppercase and symbol characters, plus the count
+# of docs containing anything outside printable ASCII. Pure codegen
+# length/regexp arithmetic — no Python in the scan.
+# --------------------------------------------------------------------------
+
+def charset_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    ln = F.length(t).cast("double")
+    def frac(pattern):
+        return (ln - F.length(F.regexp_replace(t, pattern, ""))) / ln
+    return (docs.where(ln > 0)
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.round(F.avg(frac(r"[ \t\n\r]")), 6).alias("ws_frac"),
+                     F.round(F.avg(frac("[0-9]")), 6).alias("digit_frac"),
+                     F.round(F.avg(frac("[A-Z]")), 6).alias("upper_frac"),
+                     F.round(F.avg(frac("[^a-zA-Z0-9 \t\n\r]")), 6)
+                      .alias("symbol_frac"),
+                     F.sum(F.when(t.rlike("[^ -~]"), 1).otherwise(0))
+                      .alias("n_docs_non_ascii"))
+                .orderBy("source"))
+
+CHARSET_PROFILE_SQL = """
+WITH d AS (
+  SELECT source, text, CAST(length(text) AS DOUBLE) AS ln
+  FROM documents WHERE length(text) > 0
+)
+SELECT source, count(*) AS n_docs,
+  round(avg((ln - length(regexp_replace(text, '[ \t\n\r]', '', 'g'))) / ln), 6) AS ws_frac,
+  round(avg((ln - length(regexp_replace(text, '[0-9]', '', 'g'))) / ln), 6) AS digit_frac,
+  round(avg((ln - length(regexp_replace(text, '[A-Z]', '', 'g'))) / ln), 6) AS upper_frac,
+  round(avg((ln - length(regexp_replace(text, '[^a-zA-Z0-9 \t\n\r]', '', 'g'))) / ln), 6) AS symbol_frac,
+  CAST(sum(CASE WHEN regexp_matches(text, '[^ -~]') THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_non_ascii
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# B67. Sequence-packing statistics (GPT-style concat-and-chunk: docs
+# are concatenated in doc_id order and cut into fixed 512-token
+# training sequences): sequence count, fill rate, and how many docs
+# span a cut boundary. The global token cumsum rides
+# stats.range_cumsum (range-partitioned prefix sum — no single-task
+# window over the corpus); everything downstream is integer-exact
+# closed forms of (start, end) offsets, so parity cannot drift.
+# --------------------------------------------------------------------------
+
+def token_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq_len = 512
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+    toks = docs.select("doc_id", ntok.cast("long").alias("n"))
+    cum = stats.range_cumsum(toks, "doc_id", ["n"])
+    first_seq = F.floor((F.col("cum_n") - F.col("n")) / seq_len)
+    last_seq = F.floor((F.col("cum_n") - 1) / seq_len)
+    agg = cum.where(F.col("n") > 0).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.sum(F.when(last_seq > first_seq, 1).otherwise(0))
+         .alias("n_docs_crossing"))
+    nseq = F.ceil(F.col("total_tokens") / F.lit(seq_len).cast("double"))
+    return agg.select(
+        "n_docs", "total_tokens",
+        nseq.cast("long").alias("n_sequences"),
+        "n_docs_crossing",
+        F.round(F.col("total_tokens")
+                / (nseq * seq_len).cast("double"), 6).alias("fill_rate"),
+        F.round(F.col("n_docs_crossing")
+                / F.col("n_docs").cast("double"), 6).alias("crossing_rate"))
+
+TOKEN_PACKING_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n
+  FROM documents
+), cum AS (
+  SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_n
+  FROM toks
+), agg AS (
+  SELECT count(*) AS n_docs, sum(n) AS total_tokens,
+         sum(CASE WHEN (cum_n - 1) // 512 > (cum_n - n) // 512
+             THEN 1 ELSE 0 END) AS n_docs_crossing
+  FROM cum WHERE n > 0
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(ceil(total_tokens / 512.0) AS BIGINT) AS n_sequences,
+       CAST(n_docs_crossing AS BIGINT) AS n_docs_crossing,
+       round(total_tokens
+             / (ceil(total_tokens / 512.0) * 512.0), 6) AS fill_rate,
+       round(n_docs_crossing / CAST(n_docs AS DOUBLE), 6) AS crossing_rate
+FROM agg
+"""

@@ -257,3 +257,81 @@ def test_negbin_mom_recovers_moment_identities(spark, sf_dir):
         # NB(r, p) mean identity: r(1-p)/p == sample mean
         assert abs(r * (1 - p) / p - m) < 1e-2
         assert got["mean_loglik"] < 0
+
+
+def _doc_words(text):
+    import re
+    return re.sub(r"[^a-z0-9 ]", " ", text.lower()).split()
+
+
+def test_gram_novelty_matches_pandas_sets(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    per_doc = {}
+    for r in docs.itertuples():
+        w = _doc_words(r.text)
+        per_doc[r.doc_id] = (r.source, {
+            " ".join(w[i:i + 8]) for i in range(len(w) - 7)})
+    owners = {}
+    for did, (src, grams) in per_doc.items():
+        for g in grams:
+            owners.setdefault(g, set()).add(did)
+    got = {r["source"]: r for r in
+           Q.gram_novelty_by_source(spark, sf_dir).collect()}
+    by_src = {}
+    for did, (src, grams) in per_doc.items():
+        by_src.setdefault(src, set()).update(grams)
+    for src, grams in by_src.items():
+        uniq = sum(1 for g in grams if len(owners[g]) == 1)
+        assert got[src]["n_distinct_grams"] == len(grams), src
+        assert got[src]["n_unique_grams"] == uniq, src
+
+
+def test_boilerplate_prefix_matches_pandas(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    pre = docs.assign(prefix=[" ".join(_doc_words(t)[:4])
+                              for t in docs.text])
+    pre = pre[pre.prefix.str.split().str.len() >= 4]
+    got = {r["source"]: r for r in
+           Q.boilerplate_prefix_by_source(spark, sf_dir).collect()}
+    for src, g in pre.groupby("source"):
+        counts = (g.groupby("prefix").size().reset_index(name="n")
+                  .sort_values(["n", "prefix"], ascending=[False, True]))
+        top = counts.iloc[0]
+        assert got[src]["top_prefix"] == top.prefix, src
+        assert got[src]["n_docs_with_prefix"] == top.n, src
+        assert abs(got[src]["prefix_share"] - top.n / len(g)) < 1e-5
+
+
+def test_charset_profile_matches_recompute(spark, sf_dir):
+    import re
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    got = {r["source"]: r for r in
+           Q.charset_profile_by_source(spark, sf_dir).collect()}
+    src = docs.source.iloc[0]
+    g = docs[docs.source == src]
+    ws = np.mean([len(re.findall(r"[ \t\n\r]", t)) / len(t)
+                  for t in g.text if t])
+    sym = np.mean([len(re.findall(r"[^a-zA-Z0-9 \t\n\r]", t)) / len(t)
+                   for t in g.text if t])
+    assert abs(got[src]["ws_frac"] - ws) < 1e-4
+    assert abs(got[src]["symbol_frac"] - sym) < 1e-4
+    assert got[src]["n_docs"] == (g.text.str.len() > 0).sum()
+
+
+def test_token_packing_matches_integer_cumsum(spark, sf_dir):
+    import re
+    pat = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
+    docs = (pd.read_parquet(f"{sf_dir}/documents.parquet")
+            .sort_values("doc_id"))
+    n = docs.text.map(lambda t: len(pat.findall(t))).to_numpy()
+    cum = n.cumsum()
+    start, end = cum - n, cum
+    nz = n > 0
+    crossing = int((((end[nz] - 1) // 512) > (start[nz] // 512)).sum())
+    got = Q.token_packing_stats(spark, sf_dir).collect()[0]
+    assert got["n_docs"] == int(nz.sum())
+    assert got["total_tokens"] == int(n.sum())
+    assert got["n_sequences"] == -(-int(n.sum()) // 512)
+    assert got["n_docs_crossing"] == crossing
+    assert abs(got["fill_rate"]
+               - n.sum() / (got["n_sequences"] * 512)) < 1e-6
