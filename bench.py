@@ -118,6 +118,9 @@ HEADLINE = [
     "near_dup_rate_by_source",
     "gram_novelty_by_source",
     "token_packing_stats",
+    "dagostino_k2_price",
+    "jonckheere_trend_qty",
+    "logrank_churn_ab",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

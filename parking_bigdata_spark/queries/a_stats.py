@@ -4165,3 +4165,427 @@ SELECT CAST(n AS BIGINT) AS n,
          AS stuart_tau_c
 FROM pairs CROSS JOIN margins CROSS JOIN rx CROSS JOIN cy
 """
+
+
+# --------------------------------------------------------------------------
+# A138. D'Agostino-Pearson K² omnibus normality test (D'Agostino 1971;
+# Anscombe-Glynn 1983 kurtosis transform) on ln(o_totalprice) — the
+# formal companion of the reference's visual normality checks (hist /
+# qqnorm around R:601 Jarque-Bera territory). ONE moment scan (n,
+# E[x..x⁴]) feeds closed-form z-transforms of skewness and kurtosis;
+# 100 TB cost = a single map-side-combined aggregate, no shuffle
+# beyond 5 partials. All downstream math is scalar algebra on the
+# one-row aggregate, identical decimal inputs in both engines.
+# --------------------------------------------------------------------------
+
+def dagostino_k2_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = F.log(F.col("o_totalprice").cast("double"))
+    g = o.agg(F.count(F.lit(1)).alias("n"),
+              F.avg(x).alias("m1"),
+              F.avg(x * x).alias("r2"),
+              F.avg(x * x * x).alias("r3"),
+              F.avg(x * x * x * x).alias("r4"))
+    n = F.col("n").cast("double")
+    m1 = F.col("m1")
+    m2 = F.col("r2") - m1 * m1
+    m3 = F.col("r3") - 3 * m1 * F.col("r2") + 2 * m1 * m1 * m1
+    m4 = (F.col("r4") - 4 * m1 * F.col("r3")
+          + 6 * m1 * m1 * F.col("r2") - 3 * m1 * m1 * m1 * m1)
+    g1 = m3 / F.pow(m2, 1.5)
+    b2 = m4 / (m2 * m2)
+    # skewness transform (D'Agostino 1970)
+    y = g1 * F.sqrt((n + 1) * (n + 3) / (6 * (n - 2)))
+    beta2 = (3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+             / ((n - 2) * (n + 5) * (n + 7) * (n + 9)))
+    w2 = F.sqrt(2 * (beta2 - 1)) - 1
+    delta = 1.0 / F.sqrt(F.log(F.sqrt(w2)))
+    alpha = F.sqrt(2.0 / (w2 - 1))
+    z1 = delta * F.log(y / alpha + F.sqrt((y / alpha) * (y / alpha) + 1))
+    # kurtosis transform (Anscombe-Glynn 1983)
+    eb2 = 3.0 * (n - 1) / (n + 1)
+    vb2 = 24.0 * n * (n - 2) * (n - 3) / ((n + 1) * (n + 1)
+                                          * (n + 3) * (n + 5))
+    xk = (b2 - eb2) / F.sqrt(vb2)
+    sb1 = (6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+           * F.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3))))
+    a = 6.0 + 8.0 / sb1 * (2.0 / sb1 + F.sqrt(1 + 4.0 / (sb1 * sb1)))
+    z2 = ((1 - 2.0 / (9 * a))
+          - F.cbrt((1 - 2.0 / a) / (1 + xk * F.sqrt(2.0 / (a - 4))))
+          ) / F.sqrt(2.0 / (9 * a))
+    return g.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(g1, 6).alias("skewness_g1"),
+        F.round(b2, 6).alias("kurtosis_b2"),
+        F.round(z1, 4).alias("z_skew"),
+        F.round(z2, 4).alias("z_kurt"),
+        F.round(z1 * z1 + z2 * z2, 4).alias("k2_stat"))
+
+DAGOSTINO_SQL = """
+WITH g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         avg(ln(o_totalprice)) AS m1,
+         avg(ln(o_totalprice) * ln(o_totalprice)) AS r2,
+         avg(ln(o_totalprice) * ln(o_totalprice) * ln(o_totalprice)) AS r3,
+         avg(ln(o_totalprice) * ln(o_totalprice)
+             * ln(o_totalprice) * ln(o_totalprice)) AS r4
+  FROM orders
+), mom AS (
+  SELECT n,
+         (r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1)
+           / pow(r2 - m1 * m1, 1.5) AS g1,
+         (r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1)
+           / ((r2 - m1 * m1) * (r2 - m1 * m1)) AS b2
+  FROM g
+), sk AS (
+  SELECT n, g1, b2,
+         g1 * sqrt((n + 1) * (n + 3) / (6 * (n - 2))) AS y,
+         sqrt(2 * (3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+                   / ((n - 2) * (n + 5) * (n + 7) * (n + 9)) - 1)) - 1 AS w2
+  FROM mom
+), z1c AS (
+  SELECT n, g1, b2,
+         (1.0 / sqrt(ln(sqrt(w2))))
+           * ln(y / sqrt(2.0 / (w2 - 1))
+                + sqrt((y / sqrt(2.0 / (w2 - 1)))
+                       * (y / sqrt(2.0 / (w2 - 1))) + 1)) AS z1
+  FROM sk
+), ku AS (
+  SELECT n, g1, b2, z1,
+         (b2 - 3.0 * (n - 1) / (n + 1))
+           / sqrt(24.0 * n * (n - 2) * (n - 3)
+                  / ((n + 1) * (n + 1) * (n + 3) * (n + 5))) AS xk,
+         6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+           * sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3))) AS sb1
+  FROM z1c
+), ac AS (
+  SELECT n, g1, b2, z1, xk,
+         6.0 + 8.0 / sb1 * (2.0 / sb1 + sqrt(1 + 4.0 / (sb1 * sb1))) AS a
+  FROM ku
+), z2c AS (
+  SELECT n, g1, b2, z1,
+         ((1 - 2.0 / (9 * a))
+          - cbrt((1 - 2.0 / a) / (1 + xk * sqrt(2.0 / (a - 4)))))
+           / sqrt(2.0 / (9 * a)) AS z2
+  FROM ac
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(g1, 6) AS skewness_g1,
+       round(b2, 6) AS kurtosis_b2,
+       round(z1, 4) AS z_skew,
+       round(z2, 4) AS z_kurt,
+       round(z1 * z1 + z2 * z2, 4) AS k2_stat
+FROM z2c
+"""
+
+
+# --------------------------------------------------------------------------
+# A139. Dunn's post-hoc pairwise rank test (Dunn 1964, Bonferroni
+# family) — the follow-up the reference's workflow implies after a
+# significant Kruskal-Wallis (A18d shares this exact rank machinery):
+# which segment pairs actually differ in acctbal? Global tie-averaged
+# ranks ride the range-partitioned helper on the DISTINCT-value table
+# (never a corpus sort); the pairwise table is |segments|²-bounded
+# driver-free algebra.
+# --------------------------------------------------------------------------
+
+def dunn_posthoc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", F.col("c_acctbal").cast("double").alias("v"))
+    vals = (c.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+             .localCheckpoint(eager=True))
+    ranked = stats.tie_avg_ranks(vals, "v", "t")
+    per = c.groupBy("c_mktsegment", "v").agg(F.count(F.lit(1)).alias("nv"))
+    grp = (per.join(ranked.select("v", "avg_rank"), "v")
+              .groupBy("c_mktsegment")
+              .agg(F.sum(F.col("avg_rank") * F.col("nv")).alias("rsum"),
+                   F.sum("nv").alias("ng")))
+    glob = vals.agg(
+        F.sum("t").alias("n_total"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+         .alias("tie3"))
+    a = grp.select(F.col("c_mktsegment").alias("seg_a"),
+                   (F.col("rsum") / F.col("ng")).alias("mr_a"),
+                   F.col("ng").alias("na"))
+    b = grp.select(F.col("c_mktsegment").alias("seg_b"),
+                   (F.col("rsum") / F.col("ng")).alias("mr_b"),
+                   F.col("ng").alias("nb"))
+    nn = F.col("n_total").cast("double")
+    sig2 = (nn * (nn + 1) / 12.0
+            - F.col("tie3").cast("double") / (12.0 * (nn - 1)))
+    z = ((F.col("mr_a") - F.col("mr_b"))
+         / F.sqrt(sig2 * (1.0 / F.col("na") + 1.0 / F.col("nb"))))
+    return (a.join(b, a.seg_a < b.seg_b).crossJoin(F.broadcast(glob))
+             .select("seg_a", "seg_b",
+                     F.round("mr_a", 4).alias("mean_rank_a"),
+                     F.round("mr_b", 4).alias("mean_rank_b"),
+                     F.round(z, 4).alias("z_stat"))
+             .orderBy("seg_a", "seg_b"))
+
+DUNN_SQL = """
+WITH c AS (
+  SELECT c_mktsegment, CAST(c_acctbal AS DOUBLE) AS v FROM customer
+), ranked AS (
+  SELECT c_mktsegment, v,
+         rank() OVER (ORDER BY v)
+           + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS r
+  FROM c
+), grp AS (
+  SELECT c_mktsegment, sum(r) AS rsum, count(*) AS ng
+  FROM ranked GROUP BY 1
+), ties AS (
+  SELECT coalesce(sum(t * t * t - t), 0) AS tie3,
+         CAST(sum(t) AS DOUBLE) AS n_total
+  FROM (SELECT count(*) AS t FROM c GROUP BY v)
+)
+SELECT a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+       round(a.rsum / a.ng, 4) AS mean_rank_a,
+       round(b.rsum / b.ng, 4) AS mean_rank_b,
+       round((a.rsum / a.ng - b.rsum / b.ng)
+             / sqrt((n_total * (n_total + 1) / 12.0
+                     - tie3 / (12.0 * (n_total - 1)))
+                    * (1.0 / a.ng + 1.0 / b.ng)), 4) AS z_stat
+FROM grp a JOIN grp b ON a.c_mktsegment < b.c_mktsegment
+CROSS JOIN ties
+ORDER BY seg_a, seg_b
+"""
+
+
+# --------------------------------------------------------------------------
+# A140. Jonckheere-Terpstra ordered-alternative trend test
+# (Terpstra 1952, Jonckheere 1954): does l_quantity shift
+# stochastically upward across ordered l_discount levels? JT is the
+# sum of pairwise Mann-Whitney counts between ordered group pairs,
+# computed ENTIRELY on the (discount × quantity) contingency cube —
+# ≤ 11·50 cells regardless of corpus size, exactly A116/A137's
+# bounded-cube discipline (the cell self-join is constant-size
+# compute, never rows²). Tie-corrected normal approximation.
+# --------------------------------------------------------------------------
+
+def jonckheere_trend_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (li.groupBy(F.col("l_discount").cast("double").alias("g"),
+                        F.col("l_quantity").cast("double").alias("v"))
+               .agg(F.count(F.lit(1)).alias("c"))
+               .localCheckpoint(eager=True))
+    c1 = cells.select(F.col("g").alias("g1"), F.col("v").alias("v1"),
+                      F.col("c").alias("c1"))
+    c2 = cells.select(F.col("g").alias("g2"), F.col("v").alias("v2"),
+                      F.col("c").alias("c2"))
+    jt = (c1.join(c2, F.col("g1") < F.col("g2"))
+            .agg(F.sum(F.when(F.col("v1") < F.col("v2"),
+                              F.col("c1") * F.col("c2").cast("double"))
+                        .when(F.col("v1") == F.col("v2"),
+                              0.5 * F.col("c1") * F.col("c2"))
+                        .otherwise(F.lit(0.0))).alias("jt")))
+    gs = (cells.groupBy("g").agg(F.sum("c").alias("n"))
+               .agg(F.sum("n").alias("n_total"),
+                    F.sum(F.col("n") * F.col("n")).alias("sn2"),
+                    F.sum(F.col("n") * (F.col("n") - 1)
+                          * (2 * F.col("n") + 5)).alias("sn25"),
+                    F.sum(F.col("n") * (F.col("n") - 1)
+                          * (F.col("n") - 2)).alias("sn3"),
+                    F.sum(F.col("n") * (F.col("n") - 1)).alias("snn")))
+    ts = (cells.groupBy("v").agg(F.sum("c").alias("t"))
+               .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                          * (2 * F.col("t") + 5)).alias("st25"),
+                    F.sum(F.col("t") * (F.col("t") - 1)
+                          * (F.col("t") - 2)).alias("st3"),
+                    F.sum(F.col("t") * (F.col("t") - 1)).alias("stt")))
+    n = F.col("n_total").cast("double")
+    mean = (n * n - F.col("sn2")) / 4.0
+    # the tie-product terms exceed int64 (Σn³ · Σt³ ~ 1e23 already at
+    # sf0.01) — promote to double BEFORE multiplying, both engines
+    var = ((n * (n - 1) * (2 * n + 5)
+            - F.col("sn25").cast("double") - F.col("st25").cast("double"))
+           / 72.0
+           + F.col("sn3").cast("double") * F.col("st3").cast("double")
+           / (36.0 * n * (n - 1) * (n - 2))
+           + F.col("snn").cast("double") * F.col("stt").cast("double")
+           / (8.0 * n * (n - 1)))
+    return (jt.crossJoin(F.broadcast(gs)).crossJoin(F.broadcast(ts))
+              .select(F.col("n_total").cast("long").alias("n"),
+                      F.round("jt", 2).alias("jt_stat"),
+                      F.round(mean, 2).alias("mean_jt"),
+                      F.round((F.col("jt") - mean) / F.sqrt(var), 4)
+                       .alias("z_stat")))
+
+JONCKHEERE_SQL = """
+WITH cells AS (
+  SELECT CAST(l_discount AS DOUBLE) AS g, CAST(l_quantity AS DOUBLE) AS v,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), jt AS (
+  SELECT sum(CASE WHEN a.v < b.v THEN CAST(a.c * b.c AS DOUBLE)
+                  WHEN a.v = b.v THEN 0.5 * a.c * b.c
+                  ELSE 0.0 END) AS jt
+  FROM cells a JOIN cells b ON a.g < b.g
+), gs AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS n_total,
+         sum(n * n) AS sn2,
+         sum(n * (n - 1) * (2 * n + 5)) AS sn25,
+         sum(n * (n - 1) * (n - 2)) AS sn3,
+         sum(n * (n - 1)) AS snn
+  FROM (SELECT sum(c) AS n FROM cells GROUP BY g)
+), ts AS (
+  SELECT sum(t * (t - 1) * (2 * t + 5)) AS st25,
+         sum(t * (t - 1) * (t - 2)) AS st3,
+         sum(t * (t - 1)) AS stt
+  FROM (SELECT sum(c) AS t FROM cells GROUP BY v)
+)
+SELECT CAST(n_total AS BIGINT) AS n,
+       round(jt, 2) AS jt_stat,
+       round((n_total * n_total - sn2) / 4.0, 2) AS mean_jt,
+       round((jt - (n_total * n_total - sn2) / 4.0)
+             / sqrt((n_total * (n_total - 1) * (2 * n_total + 5)
+                     - CAST(sn25 AS DOUBLE) - CAST(st25 AS DOUBLE)) / 72.0
+                    + CAST(sn3 AS DOUBLE) * CAST(st3 AS DOUBLE)
+                      / (36.0 * n_total * (n_total - 1) * (n_total - 2))
+                    + CAST(snn AS DOUBLE) * CAST(stt AS DOUBLE)
+                      / (8.0 * n_total * (n_total - 1))), 4)
+         AS z_stat
+FROM jt CROSS JOIN gs CROSS JOIN ts
+"""
+
+
+# --------------------------------------------------------------------------
+# A141. Log-rank test (Mantel 1966 / Cox-Mantel) as an experiment
+# readout: do users in deterministically-assigned A/B arms churn at
+# different rates? Arms use the repo's seed-free md5-prefix
+# randomization (deterministic_sample_orders' convention) so both
+# engines assign identical arms and both arms are populated at every
+# SF (a semantic split like "ever purchased" degenerates to one arm
+# on small corpora). Extends the A81/C43 shared life-table
+# construction to two strata — per-duration event/censor counts PER
+# GROUP pivot into columns (2 arms -> 4 columns, one shuffle),
+# cumulative at-risk sets ride range_cumsum on the <=#days-sized
+# duration table, and the hypergeometric O-E/variance terms collapse
+# in one bounded aggregate. Nothing scales with users beyond the
+# first distinct-day shuffle.
+# --------------------------------------------------------------------------
+
+def logrank_churn_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    mx = ev.agg(F.max(F.to_date("ts")).alias("m"))
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    wlead = Window.partitionBy("user_id").orderBy("d")
+    g = ud.withColumn("nxt", F.lead("d").over(wlead))
+    arm = (F.substring(F.md5(F.concat(F.lit("arm:"),
+                                      F.col("user_id").cast("string"))),
+                       1, 1) < "8").cast("int")
+    per_user = (g.groupBy("user_id")
+                 .agg(F.min(F.when(F.datediff("nxt", "d") >= 3,
+                                   F.col("d"))).alias("ichurn"),
+                      F.min("d").alias("fd"), F.max("d").alias("ld"))
+                 .crossJoin(F.broadcast(mx))
+                 .withColumn("cd", F.coalesce(
+                     "ichurn",
+                     F.when(F.datediff("m", "ld") >= 3, F.col("ld"))))
+                 .select(F.datediff(F.coalesce("cd", "m"), "fd")
+                          .alias("dur"),
+                         F.col("cd").isNotNull().cast("int")
+                          .alias("churned"),
+                         arm.alias("b")))
+    counts = (per_user.groupBy("dur")
+              .agg(F.sum(F.col("churned") * F.col("b")).alias("d1"),
+                   F.sum((1 - F.col("churned")) * F.col("b")).alias("c1"),
+                   F.sum(F.col("churned") * (1 - F.col("b"))).alias("d0"),
+                   F.sum((1 - F.col("churned")) * (1 - F.col("b")))
+                    .alias("c0"))
+              .localCheckpoint(eager=True))
+    tot = counts.agg((F.sum("d1") + F.sum("c1")).alias("n1_total"),
+                     (F.sum("d0") + F.sum("c0")).alias("n0_total"))
+    cum = (stats.range_cumsum(counts, "dur", ["d1", "c1", "d0", "c0"])
+           .crossJoin(F.broadcast(tot))
+           .withColumn("n1at", F.col("n1_total")
+                       - (F.col("cum_d1") + F.col("cum_c1"))
+                       + F.col("d1") + F.col("c1"))
+           .withColumn("n0at", F.col("n0_total")
+                       - (F.col("cum_d0") + F.col("cum_c0"))
+                       + F.col("d0") + F.col("c0")))
+    d = F.col("d1") + F.col("d0")
+    nat = (F.col("n1at") + F.col("n0at")).cast("double")
+    # ANSI sessions evaluate division subexpressions eagerly inside
+    # the codegen stage, so the nat>1 guard lives IN the expression
+    # (when), not only in the row filter
+    ok = (d > 0) & (F.col("n1at") + F.col("n0at") > 1)
+    agg = (cum.where(ok)
+              .agg(F.first("n1_total").alias("n_arm_a"),
+                   F.first("n0_total").alias("n_arm_b"),
+                   F.sum("d1").alias("o1"),
+                   F.sum(d * F.col("n1at") / nat).alias("e1"),
+                   F.sum(F.when(ok, d * (F.col("n1at") / nat)
+                                * (F.col("n0at") / nat)
+                                * (nat - d) / (nat - 1))
+                          .otherwise(F.lit(0.0))).alias("v")))
+    # v == 0 (one arm empty at every event time) -> NULL, matching the
+    # oracle's CASE; never an ANSI divide-by-zero
+    z = F.when(F.col("v") > 0,
+               (F.col("o1") - F.col("e1")) / F.sqrt(F.col("v")))
+    return agg.select(
+        F.col("n_arm_a").cast("long").alias("n_arm_a"),
+        F.col("n_arm_b").cast("long").alias("n_arm_b"),
+        F.col("o1").cast("long").alias("observed_a_churn"),
+        F.round("e1", 4).alias("expected_a_churn"),
+        F.round(z, 4).alias("z_stat"),
+        F.round(z * z, 4).alias("chi2_stat"))
+
+LOGRANK_SQL = """
+WITH mx AS (SELECT CAST(max(ts) AS DATE) AS m
+            FROM events WHERE ts IS NOT NULL),
+ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+       FROM events WHERE ts IS NOT NULL),
+g AS (SELECT user_id, d,
+             lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nxt
+      FROM ud),
+f AS (SELECT user_id,
+             min(CASE WHEN date_diff('day', d, nxt) >= 3 THEN d END)
+               AS ichurn,
+             min(d) AS fd, max(d) AS ld
+      FROM g GROUP BY 1),
+per_user AS (
+  SELECT date_diff('day', fd,
+                   coalesce(coalesce(ichurn,
+                            CASE WHEN date_diff('day', ld, m) >= 3
+                                 THEN ld END), m)) AS dur,
+         (coalesce(ichurn,
+                   CASE WHEN date_diff('day', ld, m) >= 3
+                        THEN ld END) IS NOT NULL)::INT AS churned,
+         (substring(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 1)
+          < '8')::INT AS b
+  FROM f CROSS JOIN mx
+), counts AS (
+  SELECT dur,
+         sum(churned * b) AS d1, sum((1 - churned) * b) AS c1,
+         sum(churned * (1 - b)) AS d0,
+         sum((1 - churned) * (1 - b)) AS c0
+  FROM per_user GROUP BY 1
+), tot AS (SELECT sum(d1) + sum(c1) AS n1_total,
+                  sum(d0) + sum(c0) AS n0_total FROM counts),
+cum AS (
+  SELECT dur, d1, d0, n1_total, n0_total,
+         n1_total - (sum(d1) OVER w + sum(c1) OVER w) + d1 + c1 AS n1at,
+         n0_total - (sum(d0) OVER w + sum(c0) OVER w) + d0 + c0 AS n0at
+  FROM counts CROSS JOIN tot
+  WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), agg AS (
+  SELECT any_value(n1_total) AS n_arm_a,
+         any_value(n0_total) AS n_arm_b,
+         sum(d1) AS o1,
+         sum((d1 + d0) * n1at / CAST(n1at + n0at AS DOUBLE)) AS e1,
+         sum((d1 + d0) * (n1at / CAST(n1at + n0at AS DOUBLE))
+             * (n0at / CAST(n1at + n0at AS DOUBLE))
+             * (n1at + n0at - d1 - d0)
+             / CAST(n1at + n0at - 1 AS DOUBLE)) AS v
+  FROM cum WHERE d1 + d0 > 0 AND n1at + n0at > 1
+)
+SELECT CAST(n_arm_a AS BIGINT) AS n_arm_a,
+       CAST(n_arm_b AS BIGINT) AS n_arm_b,
+       CAST(o1 AS BIGINT) AS observed_a_churn,
+       round(e1, 4) AS expected_a_churn,
+       round(CASE WHEN v > 0 THEN (o1 - e1) / sqrt(v) END, 4) AS z_stat,
+       round(CASE WHEN v > 0 THEN (o1 - e1) * (o1 - e1) / v END, 4)
+         AS chi2_stat
+FROM agg
+"""

@@ -335,3 +335,125 @@ def test_token_packing_matches_integer_cumsum(spark, sf_dir):
     assert got["n_docs_crossing"] == crossing
     assert abs(got["fill_rate"]
                - n.sum() / (got["n_sequences"] * 512)) < 1e-6
+
+
+def test_dagostino_k2_matches_published_formulas(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    x = np.log(o.o_totalprice.astype(float).to_numpy())
+    n = float(len(x))
+    m = x.mean()
+    m2 = ((x - m) ** 2).mean()
+    m3 = ((x - m) ** 3).mean()
+    m4 = ((x - m) ** 4).mean()
+    g1 = m3 / m2 ** 1.5
+    b2 = m4 / m2 ** 2
+    # D'Agostino 1970 skewness transform
+    y = g1 * np.sqrt((n + 1) * (n + 3) / (6 * (n - 2)))
+    beta2 = (3 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+             / ((n - 2) * (n + 5) * (n + 7) * (n + 9)))
+    w2 = np.sqrt(2 * (beta2 - 1)) - 1
+    delta = 1 / np.sqrt(np.log(np.sqrt(w2)))
+    alpha = np.sqrt(2 / (w2 - 1))
+    z1 = delta * np.log(y / alpha + np.sqrt((y / alpha) ** 2 + 1))
+    # Anscombe-Glynn 1983 kurtosis transform
+    eb2 = 3 * (n - 1) / (n + 1)
+    vb2 = 24 * n * (n - 2) * (n - 3) / ((n + 1) ** 2 * (n + 3) * (n + 5))
+    xk = (b2 - eb2) / np.sqrt(vb2)
+    sb1 = (6 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+           * np.sqrt(6 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3))))
+    a = 6 + 8 / sb1 * (2 / sb1 + np.sqrt(1 + 4 / sb1 ** 2))
+    z2 = ((1 - 2 / (9 * a))
+          - np.cbrt((1 - 2 / a) / (1 + xk * np.sqrt(2 / (a - 4))))
+          ) / np.sqrt(2 / (9 * a))
+    got = Q.dagostino_k2_price(spark, sf_dir).collect()[0]
+    assert got["n"] == int(n)
+    assert abs(got["skewness_g1"] - g1) < 1e-4
+    assert abs(got["kurtosis_b2"] - b2) < 1e-4
+    assert abs(got["z_skew"] - z1) < 1e-3
+    assert abs(got["z_kurt"] - z2) < 1e-3
+    assert abs(got["k2_stat"] - (z1 * z1 + z2 * z2)) < 2e-3
+
+
+def test_dunn_posthoc_matches_pandas_ranks(spark, sf_dir):
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    r = c.c_acctbal.astype(float).rank(method="average")
+    n = float(len(c))
+    t = c.c_acctbal.astype(float).value_counts().to_numpy().astype(float)
+    sig2 = n * (n + 1) / 12 - (t ** 3 - t).sum() / (12 * (n - 1))
+    mr = r.groupby(c.c_mktsegment).mean()
+    ng = c.c_mktsegment.value_counts()
+    got = {(x["seg_a"], x["seg_b"]): x for x in
+           Q.dunn_posthoc_segments(spark, sf_dir).collect()}
+    segs = sorted(mr.index)
+    assert len(got) == len(segs) * (len(segs) - 1) // 2
+    for i, sa in enumerate(segs):
+        for sb in segs[i + 1:]:
+            z = ((mr[sa] - mr[sb])
+                 / np.sqrt(sig2 * (1 / ng[sa] + 1 / ng[sb])))
+            assert abs(got[(sa, sb)]["z_stat"] - z) < 1e-3, (sa, sb)
+            assert abs(got[(sa, sb)]["mean_rank_a"] - mr[sa]) < 1e-2
+
+
+def test_jonckheere_matches_bruteforce_cube(spark, sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    g = li.l_discount.astype(float).to_numpy()
+    v = li.l_quantity.astype(float).to_numpy()
+    levels = np.sort(np.unique(g))
+    jt = 0.0
+    for i, gi in enumerate(levels):
+        vi = np.sort(v[g == gi])
+        for gj in levels[i + 1:]:
+            vj = v[g == gj]
+            # U_ij = #(x<y) + 0.5 #(x==y) via sorted-side searchsorted
+            lt = np.searchsorted(vi, vj, side="left")
+            le = np.searchsorted(vi, vj, side="right")
+            jt += lt.sum() + 0.5 * (le - lt).sum()
+    got = Q.jonckheere_trend_qty(spark, sf_dir).collect()[0]
+    assert got["n"] == len(li)
+    assert abs(got["jt_stat"] - jt) < 0.51
+    # mean under H0
+    ni = np.array([(g == gi).sum() for gi in levels], dtype=float)
+    assert abs(got["mean_jt"]
+               - (len(li) ** 2 - (ni ** 2).sum()) / 4.0) < 0.51
+
+
+def test_logrank_matches_pandas_life_table(spark, sf_dir):
+    import hashlib
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev.ts.notna()]
+    ev["d"] = pd.to_datetime(ev.ts).dt.normalize()
+    mx = ev.d.max()
+    rows = []
+    for uid, gd in ev.groupby("user_id"):
+        days = pd.to_datetime(np.sort(gd.d.unique()))
+        gaps = np.diff(days.values).astype("timedelta64[D]").astype(int)
+        ich = None
+        for i, gp in enumerate(gaps):
+            if gp >= 3:
+                ich = days[i]
+                break
+        cd = ich
+        if cd is None and (mx - days[-1]).days >= 3:
+            cd = days[-1]
+        dur = ((cd if cd is not None else mx) - days[0]).days
+        arm = int(hashlib.md5(f"arm:{uid}".encode()).hexdigest()[0] < "8")
+        rows.append((dur, int(cd is not None), arm))
+    lt = pd.DataFrame(rows, columns=["dur", "churned", "b"])
+    o1 = e1 = vv = 0.0
+    for dur in sorted(lt.dur.unique()):
+        at = lt[lt.dur >= dur]
+        ev_t = lt[(lt.dur == dur) & (lt.churned == 1)]
+        d, nat = len(ev_t), float(len(at))
+        n1, d1 = float((at.b == 1).sum()), float((ev_t.b == 1).sum())
+        if d == 0 or nat <= 1:
+            continue
+        o1 += d1
+        e1 += d * n1 / nat
+        vv += d * (n1 / nat) * ((nat - n1) / nat) * (nat - d) / (nat - 1)
+    got = Q.logrank_churn_ab(spark, sf_dir).collect()[0]
+    assert got["n_arm_a"] == int((lt.b == 1).sum())
+    assert got["n_arm_b"] == int((lt.b == 0).sum())
+    assert got["observed_a_churn"] == int(o1)
+    assert abs(got["expected_a_churn"] - e1) < 1e-3
+    if vv > 0:
+        assert abs(got["z_stat"] - (o1 - e1) / np.sqrt(vv)) < 1e-3
