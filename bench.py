@@ -121,6 +121,9 @@ HEADLINE = [
     "dagostino_k2_price",
     "jonckheere_trend_qty",
     "logrank_churn_ab",
+    "granger_count_to_value",
+    "pettitt_changepoint_daily",
+    "interarrival_exp_ks",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

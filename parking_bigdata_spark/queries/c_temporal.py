@@ -2300,3 +2300,312 @@ SELECT CAST(n AS BIGINT) AS n_days,
               FROM daily) / n, 6) AS mean_loglik
 FROM fit
 """
+
+
+# --------------------------------------------------------------------------
+# C52. Cross-correlation function between the two daily series (count
+# vs mean event value) at lags -3..+3 — does activity LEAD value or
+# follow it? (Box-Jenkins CCF identification step.) Both series come
+# out of ONE distributed count-by-day; the lag expansion and corr run
+# on the calendar-bounded aggregate (≤ days·7 rows), never on raw
+# events.
+# --------------------------------------------------------------------------
+
+def ccf_count_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    daily = (ev.groupBy(day.alias("d"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.avg(F.col("value").cast("double")).alias("v")))
+    a, b = daily.alias("a"), daily.alias("b")
+    lagged = (a.select("d", "n",
+                       F.explode(F.sequence(F.lit(-3), F.lit(3)))
+                        .alias("lag_k"))
+               .join(b, F.col("b.d") == F.col("a.d") + F.col("lag_k")))
+    return (lagged.groupBy("lag_k")
+                  .agg(F.count(F.lit(1)).alias("n_pairs"),
+                       F.round(F.corr(F.col("a.n").cast("double"),
+                                      F.col("b.v")), 4).alias("ccf"))
+                  .orderBy("lag_k"))
+
+CCF_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         count(*) AS n, avg(CAST(value AS DOUBLE)) AS v
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), ks AS (SELECT CAST(unnest(generate_series(-3, 3)) AS INT) AS lag_k)
+SELECT lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(corr(a.n, b.v), 4) AS ccf
+FROM daily a CROSS JOIN ks JOIN daily b ON b.d = a.d + lag_k
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# C53. Granger-causality F-test (Granger 1969), lag-1: does yesterday's
+# event COUNT improve today's mean-value prediction beyond yesterday's
+# value alone? Restricted (y ~ y₋₁) and full (y ~ y₋₁ + x₋₁) OLS both
+# collapse to closed determinant forms of ONE fused product-sum
+# aggregate over the calendar-bounded lag join — the A21/C33
+# normal-equation discipline, no driver solve.
+# --------------------------------------------------------------------------
+
+def granger_count_to_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    daily = (ev.groupBy(day.alias("d"))
+               .agg(F.count(F.lit(1)).cast("double").alias("x"),
+                    F.avg(F.col("value").cast("double")).alias("y")))
+    cur, lag = daily.alias("cur"), daily.alias("lag")
+    rows = (cur.join(lag, F.col("lag.d") == F.col("cur.d") - 1)
+               .select(F.col("cur.y").alias("y"),
+                       F.col("lag.y").alias("yl"),
+                       F.col("lag.x").alias("xl")))
+    g = rows.agg(F.count(F.lit(1)).alias("n"),
+                 F.avg("y").alias("my"), F.avg("yl").alias("m1"),
+                 F.avg("xl").alias("m2"),
+                 F.avg(F.col("y") * F.col("y")).alias("ryy"),
+                 F.avg(F.col("yl") * F.col("yl")).alias("r11"),
+                 F.avg(F.col("xl") * F.col("xl")).alias("r22"),
+                 F.avg(F.col("yl") * F.col("xl")).alias("r12"),
+                 F.avg(F.col("y") * F.col("yl")).alias("r1y"),
+                 F.avg(F.col("y") * F.col("xl")).alias("r2y"))
+    n = F.col("n").cast("double")
+    syy = F.col("ryy") - F.col("my") * F.col("my")
+    s11 = F.col("r11") - F.col("m1") * F.col("m1")
+    s22 = F.col("r22") - F.col("m2") * F.col("m2")
+    s12 = F.col("r12") - F.col("m1") * F.col("m2")
+    s1y = F.col("r1y") - F.col("m1") * F.col("my")
+    s2y = F.col("r2y") - F.col("m2") * F.col("my")
+    rss_r = syy - s1y * s1y / s11
+    det = s11 * s22 - s12 * s12
+    b1 = (s1y * s22 - s2y * s12) / det
+    b2 = (s2y * s11 - s1y * s12) / det
+    rss_f = syy - b1 * s1y - b2 * s2y
+    fstat = (rss_r - rss_f) / (rss_f / (n - 3))
+    return g.select(F.col("n").cast("long").alias("n_obs"),
+                    F.round(b2 * n, 6).alias("lag_count_coef_scaled"),
+                    F.round(rss_r * n, 4).alias("rss_restricted"),
+                    F.round(rss_f * n, 4).alias("rss_full"),
+                    F.round(fstat, 4).alias("f_stat"))
+
+GRANGER_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         CAST(count(*) AS DOUBLE) AS x, avg(CAST(value AS DOUBLE)) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), rows_t AS (
+  SELECT cur.y AS y, lag.y AS yl, lag.x AS xl
+  FROM daily cur JOIN daily lag ON lag.d = cur.d - 1
+), g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         avg(y) AS my, avg(yl) AS m1, avg(xl) AS m2,
+         avg(y * y) AS ryy, avg(yl * yl) AS r11, avg(xl * xl) AS r22,
+         avg(yl * xl) AS r12, avg(y * yl) AS r1y, avg(y * xl) AS r2y
+  FROM rows_t
+), s AS (
+  SELECT n,
+         ryy - my * my AS syy, r11 - m1 * m1 AS s11,
+         r22 - m2 * m2 AS s22, r12 - m1 * m2 AS s12,
+         r1y - m1 * my AS s1y, r2y - m2 * my AS s2y
+  FROM g
+), fit AS (
+  SELECT n, syy, s1y, s11,
+         (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1,
+         (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2,
+         s2y
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_obs,
+       round(b2 * n, 6) AS lag_count_coef_scaled,
+       round((syy - s1y * s1y / s11) * n, 4) AS rss_restricted,
+       round((syy - b1 * s1y - b2 * s2y) * n, 4) AS rss_full,
+       round(((syy - s1y * s1y / s11) - (syy - b1 * s1y - b2 * s2y))
+             / ((syy - b1 * s1y - b2 * s2y) / (n - 3)), 4) AS f_stat
+FROM fit
+"""
+
+
+# --------------------------------------------------------------------------
+# C54. Pettitt changepoint test (Pettitt 1979) on the daily count
+# series — the rank-based (distribution-free) companion of C26's CUSUM
+# and the binseg scan: K = max_t |2·S_t − t(N+1)| where S_t is the
+# running sum of time-ordered ranks. Ranks come off the
+# distinct-value table (tie-averaged, range-partitioned) and the
+# running sum rides range_cumsum over the ≤#days calendar table; the
+# argmax tie-breaks deterministically on the earliest day.
+# --------------------------------------------------------------------------
+
+def pettitt_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_counts(spark, sf_dir).localCheckpoint(eager=True)
+    vals = daily.groupBy("n").agg(F.count(F.lit(1)).alias("t"))
+    ranked = stats.tie_avg_ranks(vals, "n", "t")
+    dr = (daily.join(ranked.select("n", "avg_rank"), "n")
+               .select("d", F.col("avg_rank").alias("r"))
+               .withColumn("one", F.lit(1)))
+    cum = stats.range_cumsum(dr, "d", ["r", "one"])
+    tot = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    u = (cum.crossJoin(F.broadcast(tot))
+            .select("d", "n_days",
+                    (2.0 * F.col("cum_r")
+                     - F.col("cum_one") * (F.col("n_days") + 1))
+                    .alias("u_t")))
+    best = (u.orderBy(F.abs("u_t").desc(), "d").limit(1))
+    nn = F.col("n_days").cast("double")
+    return best.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("d").cast("long").alias("changepoint_day"),
+        F.round(F.abs("u_t"), 2).alias("k_stat"),
+        F.round(F.exp(-6.0 * F.col("u_t") * F.col("u_t")
+                      / (nn * nn * nn + nn * nn)), 6).alias("p_approx"))
+
+PETTITT_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), ranked AS (
+  SELECT d,
+         rank() OVER (ORDER BY n)
+           + (count(*) OVER (PARTITION BY n) - 1) / 2.0 AS r
+  FROM daily
+), cum AS (
+  SELECT d,
+         sum(r) OVER w AS cum_r,
+         CAST(count(*) OVER w AS DOUBLE) AS t,
+         CAST(count(*) OVER () AS DOUBLE) AS n_days
+  FROM ranked
+  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), u AS (
+  SELECT d, n_days, 2.0 * cum_r - t * (n_days + 1) AS u_t
+  FROM cum
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(d AS BIGINT) AS changepoint_day,
+       round(abs(u_t), 2) AS k_stat,
+       round(exp(-6.0 * u_t * u_t
+                 / (n_days * n_days * n_days + n_days * n_days)), 6)
+         AS p_approx
+FROM u ORDER BY abs(u_t) DESC, d LIMIT 1
+"""
+
+
+# --------------------------------------------------------------------------
+# C55. Periodogram of the daily count series (Schuster 1898): spectral
+# power at candidate periods 2..14 days — the frequency-sweep
+# generalization of C33's fixed weekly harmonic (which period IS the
+# season?). Centered values fan out over the bounded period grid in
+# one codegen explode; each power is two fused trig sums over the
+# calendar-bounded series. Power is variance-normalized so the
+# rounding scale is data-size-independent.
+# --------------------------------------------------------------------------
+
+def periodogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    daily = _daily_counts(spark, sf_dir)
+    mv = daily.agg(F.avg(F.col("n").cast("double")).alias("mu"),
+                   F.count(F.lit(1)).alias("nd"),
+                   F.var_pop(F.col("n").cast("double")).alias("s2"))
+    x = F.col("n").cast("double") - F.col("mu")
+    theta = 2.0 * math.pi * F.col("d") / F.col("period")
+    per = (daily.crossJoin(F.broadcast(mv))
+                .select("d", "n", "mu", "nd", "s2",
+                        F.explode(F.sequence(F.lit(2), F.lit(14)))
+                         .alias("period"))
+                .groupBy("period")
+                .agg(F.first("nd").alias("nd"), F.first("s2").alias("s2"),
+                     F.sum(x * F.cos(theta)).alias("sc"),
+                     F.sum(x * F.sin(theta)).alias("ss")))
+    power = ((F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
+             / (F.col("nd") * F.col("s2")))
+    return (per.select("period",
+                       F.col("nd").cast("long").alias("n_days"),
+                       F.round(power, 4).alias("power_norm"))
+               .orderBy("period"))
+
+PERIODOGRAM_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), mv AS (
+  SELECT avg(n) AS mu, CAST(count(*) AS DOUBLE) AS nd,
+         var_pop(n) AS s2
+  FROM daily
+), grid AS (SELECT CAST(unnest(generate_series(2, 14)) AS INT) AS period)
+SELECT period, CAST(nd AS BIGINT) AS n_days,
+       round((pow(sum((n - mu) * cos(2 * pi() * d / period)), 2)
+              + pow(sum((n - mu) * sin(2 * pi() * d / period)), 2))
+             / (nd * s2), 4) AS power_norm
+FROM daily CROSS JOIN mv CROSS JOIN grid
+GROUP BY period, nd, s2
+ORDER BY period
+"""
+
+
+# --------------------------------------------------------------------------
+# C56. Interarrival-time exponential fit + KS goodness-of-fit: are
+# per-user inter-event gaps memoryless (Poisson-process check —
+# companion of C42 burstiness, which only reports the CV)? λ is the
+# closed-form MLE (1/mean), rounded to 9 dp on BOTH engines before it
+# enters exp(); the KS statistic compares the ECDF (both step sides)
+# against 1−exp(−λg) on the distinct-gap table via range_cumsum —
+# never a corpus-wide sort.
+# --------------------------------------------------------------------------
+
+def interarrival_exp_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (ev.select("user_id", "ts", "event_id",
+                      F.lag("ts").over(w).alias("prev"))
+              .where(F.col("prev").isNotNull())
+              # exact integer microsecond difference, ONE deterministic
+              # /1e6 — identical doubles in both engines (unix_timestamp
+              # would truncate sub-second parts Spark-side only)
+              .select(((F.unix_micros("ts") - F.unix_micros("prev"))
+                       / F.lit(1000000.0)).alias("g"))
+              .where(F.col("g") > 0))
+    dist = (gaps.groupBy("g").agg(F.count(F.lit(1)).alias("t"))
+                .localCheckpoint(eager=True))
+    mv = dist.agg(F.sum("t").alias("n_gaps"),
+                  F.round(F.sum("t")
+                          / F.sum(F.col("g") * F.col("t")), 9)
+                   .alias("lam"))
+    cum = (stats.range_cumsum(dist, "g", ["t"])
+           .crossJoin(F.broadcast(mv)))
+    cdf = 1.0 - F.exp(-F.col("lam") * F.col("g"))
+    nn = F.col("n_gaps").cast("double")
+    dev = F.greatest(F.abs(F.col("cum_t") / nn - cdf),
+                     F.abs((F.col("cum_t") - F.col("t")) / nn - cdf))
+    return (cum.agg(F.first("n_gaps").alias("ng"),
+                    F.first("lam").alias("l"),
+                    F.max(dev).alias("ks"))
+               .select(F.col("ng").cast("long").alias("n_gaps"),
+                       F.round("l", 9).alias("lambda_per_sec"),
+                       F.round("ks", 4).alias("ks_stat")))
+
+INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)))
+         / 1000000.0 AS g
+  FROM events WHERE ts IS NOT NULL
+), nz AS (SELECT g FROM gaps WHERE g > 0),
+dist AS (SELECT g, count(*) AS t FROM nz GROUP BY 1),
+mv AS (SELECT sum(t) AS n_gaps,
+              round(sum(t) / sum(g * t), 9) AS lam FROM dist),
+cum AS (
+  SELECT g, t, n_gaps, lam,
+         sum(t) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum_t
+  FROM dist CROSS JOIN mv
+)
+SELECT CAST(any_value(n_gaps) AS BIGINT) AS n_gaps,
+       round(any_value(lam), 9) AS lambda_per_sec,
+       round(max(greatest(
+         abs(cum_t / CAST(n_gaps AS DOUBLE) - (1 - exp(-lam * g))),
+         abs((cum_t - t) / CAST(n_gaps AS DOUBLE)
+             - (1 - exp(-lam * g))))), 4) AS ks_stat
+FROM cum
+"""

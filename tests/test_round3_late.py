@@ -457,3 +457,105 @@ def test_logrank_matches_pandas_life_table(spark, sf_dir):
     assert abs(got["expected_a_churn"] - e1) < 1e-3
     if vv > 0:
         assert abs(got["z_stat"] - (o1 - e1) / np.sqrt(vv)) < 1e-3
+
+
+def _daily_df(sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev.ts.notna()].copy()
+    ev["d"] = (pd.to_datetime(ev.ts).dt.normalize()
+               - pd.Timestamp("1995-01-01")).dt.days
+    return ev
+
+
+def test_ccf_matches_pandas_shifted_corr(spark, sf_dir):
+    ev = _daily_df(sf_dir)
+    daily = (ev.groupby("d")
+               .agg(n=("event_id", "size"), v=("value", "mean"))
+               .reset_index())
+    got = {r["lag_k"]: r for r in
+           Q.ccf_count_value(spark, sf_dir).collect()}
+    for k in (-2, 0, 3):
+        m = daily.merge(daily.assign(d=daily.d - k)[["d", "v"]],
+                        on="d", suffixes=("", "_lag"))
+        exp = np.corrcoef(m.n, m.v_lag)[0, 1]
+        assert got[k]["n_pairs"] == len(m)
+        assert abs(got[k]["ccf"] - exp) < 1e-3, k
+
+
+def test_granger_f_matches_numpy_ols(spark, sf_dir):
+    ev = _daily_df(sf_dir)
+    daily = (ev.groupby("d")
+               .agg(x=("event_id", "size"), y=("value", "mean"))
+               .reset_index().sort_values("d"))
+    m = daily.merge(daily.assign(d=daily.d + 1), on="d",
+                    suffixes=("", "_l"))
+    y, yl, xl = (m.y.to_numpy(), m.y_l.to_numpy(),
+                 m.x_l.to_numpy(dtype=float))
+    n = len(m)
+    Xr = np.column_stack([np.ones(n), yl])
+    Xf = np.column_stack([np.ones(n), yl, xl])
+    rss = lambda X: float(((y - X @ np.linalg.lstsq(X, y, rcond=None)[0])
+                           ** 2).sum())
+    rss_r, rss_f = rss(Xr), rss(Xf)
+    f = (rss_r - rss_f) / (rss_f / (n - 3))
+    got = Q.granger_count_to_value(spark, sf_dir).collect()[0]
+    assert got["n_obs"] == n
+    assert abs(got["rss_restricted"] - rss_r) < max(1e-2, 1e-6 * rss_r)
+    assert abs(got["rss_full"] - rss_f) < max(1e-2, 1e-6 * rss_f)
+    assert abs(got["f_stat"] - f) < 1e-2
+
+
+def test_pettitt_matches_bruteforce(spark, sf_dir):
+    ev = _daily_df(sf_dir)
+    daily = (ev.groupby("d").size().reset_index(name="n")
+               .sort_values("d").reset_index(drop=True))
+    r = daily.n.rank(method="average").to_numpy()
+    nd = len(daily)
+    s = np.cumsum(r)
+    t = np.arange(1, nd + 1)
+    u = 2 * s - t * (nd + 1)
+    k = np.abs(u).max()
+    best_day = int(daily.d.iloc[np.argmax(np.abs(u))])
+    got = Q.pettitt_changepoint_daily(spark, sf_dir).collect()[0]
+    assert got["n_days"] == nd
+    assert abs(got["k_stat"] - k) < 0.51
+    assert got["changepoint_day"] == best_day
+    assert abs(got["p_approx"]
+               - np.exp(-6 * k * k / (nd ** 3 + nd ** 2))) < 1e-4
+
+
+def test_periodogram_peaks_at_planted_period(spark, sf_dir):
+    ev = _daily_df(sf_dir)
+    daily = (ev.groupby("d").size().reset_index(name="n")
+               .sort_values("d"))
+    x = daily.n.to_numpy(dtype=float)
+    d = daily.d.to_numpy(dtype=float)
+    xc = x - x.mean()
+    got = {r["period"]: r["power_norm"] for r in
+           Q.periodogram_daily(spark, sf_dir).collect()}
+    for p in (3, 7, 12):
+        th = 2 * np.pi * d / p
+        pw = (((xc * np.cos(th)).sum() ** 2 + (xc * np.sin(th)).sum() ** 2)
+              / (len(x) * x.var()))
+        assert abs(got[p] - pw) < 1e-3, p
+
+
+def test_interarrival_ks_matches_numpy_ecdf(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev.ts.notna()].sort_values(["user_id", "ts", "event_id"])
+    us = ev.ts.astype("datetime64[us]").astype("int64")  # micros, exact
+    g = []
+    for uid, grp in ev.assign(us=us).groupby("user_id"):
+        dif = np.diff(grp.us.to_numpy()) / 1e6
+        g.extend(dif[dif > 0])
+    g = np.sort(np.array(g))
+    lam = round(1.0 / g.mean(), 9)
+    n = len(g)
+    cdf = 1 - np.exp(-lam * g)
+    hi = np.arange(1, n + 1) / n
+    lo = np.arange(0, n) / n
+    ks = max(np.abs(hi - cdf).max(), np.abs(lo - cdf).max())
+    got = Q.interarrival_exp_ks(spark, sf_dir).collect()[0]
+    assert got["n_gaps"] == n
+    assert abs(got["lambda_per_sec"] - lam) < 1e-9
+    assert abs(got["ks_stat"] - ks) < 1e-3
