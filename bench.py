@@ -124,6 +124,8 @@ HEADLINE = [
     "granger_count_to_value",
     "pettitt_changepoint_daily",
     "interarrival_exp_ks",
+    "source_mixture_weights",
+    "ann_truncation_recall",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

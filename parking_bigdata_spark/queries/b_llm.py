@@ -3213,3 +3213,263 @@ SELECT CAST(n_docs AS BIGINT) AS n_docs,
        round(n_docs_crossing / CAST(n_docs AS DOUBLE), 6) AS crossing_rate
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# B68. Temperature-scaled source mixture weights (the multilingual /
+# multi-source sampling rule of mBERT/XLM-R and the Pile: sample
+# source s with probability p_s^α / Σ p^α, α=0.7, to up-weight small
+# sources without drowning large ones). Token counts come off ONE
+# codegen regexp scan; the α-power renormalization runs on the
+# ≤#sources aggregate. upsample_factor is the resulting per-source
+# duplication rate a data loader would apply.
+# --------------------------------------------------------------------------
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+    per = (docs.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(ntok.cast("long")).alias("n_tokens")))
+    tot = per.agg(F.sum("n_tokens").alias("all_tok"))
+    shared = (per.crossJoin(F.broadcast(tot))
+                 .withColumn("p", F.col("n_tokens")
+                             / F.col("all_tok").cast("double"))
+                 .withColumn("pa", F.pow("p", F.lit(0.7))))
+    norm = shared.agg(F.sum("pa").alias("z"))
+    return (shared.crossJoin(F.broadcast(norm))
+                  .select("source", "n_docs", "n_tokens",
+                          F.round("p", 6).alias("natural_share"),
+                          F.round(F.col("pa") / F.col("z"), 6)
+                           .alias("temp_share"),
+                          F.round(F.col("pa") / F.col("z") / F.col("p"), 4)
+                           .alias("upsample_factor"))
+                  .orderBy("source"))
+
+SOURCE_MIXTURE_SQL = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CAST(len(regexp_extract_all(
+             text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT))
+           AS n_tokens
+  FROM documents GROUP BY 1
+), tot AS (SELECT sum(n_tokens) AS all_tok FROM per),
+shared AS (
+  SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+         n_tokens / CAST(all_tok AS DOUBLE) AS p,
+         pow(n_tokens / CAST(all_tok AS DOUBLE), 0.7) AS pa
+  FROM per CROSS JOIN tot
+), norm AS (SELECT sum(pa) AS z FROM shared)
+SELECT source, n_docs, n_tokens,
+       round(p, 6) AS natural_share,
+       round(pa / z, 6) AS temp_share,
+       round(pa / z / p, 4) AS upsample_factor
+FROM shared CROSS JOIN norm
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# B69. Padding-waste accounting under length-bucketed batching (the
+# pad-to-bucket strategy every LLM data loader uses when it does NOT
+# pack — the cost-model complement of B67's packing stats): docs fall
+# into power-of-two token-length buckets via an exact integer CASE
+# chain (no log2 libm at bucket boundaries), and each bucket reports
+# the fraction of padded slots wasted. Pure codegen scan + ≤9-group
+# aggregate.
+# --------------------------------------------------------------------------
+
+def padding_waste_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = (F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+            .cast("long"))
+    d = docs.select(ntok.alias("n")).where(F.col("n") > 0)
+    bucket = F.when(F.col("n") <= 16, 16)
+    for b in (32, 64, 128, 256, 512, 1024, 2048, 4096):
+        bucket = bucket.when(F.col("n") <= b, b)
+    bucket = bucket.otherwise(8192)
+    return (d.groupBy(bucket.alias("bucket_len"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n").alias("n_tokens"))
+             .select("bucket_len", "n_docs", "n_tokens",
+                     (F.col("n_docs") * F.col("bucket_len"))
+                      .alias("padded_slots"),
+                     F.round(1.0 - F.col("n_tokens")
+                             / (F.col("n_docs") * F.col("bucket_len"))
+                             .cast("double"), 6).alias("waste_frac"))
+             .orderBy("bucket_len"))
+
+PADDING_WASTE_SQL = """
+WITH d AS (
+  SELECT CAST(len(regexp_extract_all(
+           text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n
+  FROM documents
+), nz AS (SELECT n FROM d WHERE n > 0),
+b AS (
+  SELECT n,
+         CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+              WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+              WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+              WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048
+              WHEN n <= 4096 THEN 4096 ELSE 8192 END AS bucket_len
+  FROM nz
+)
+SELECT bucket_len, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) * bucket_len AS BIGINT) AS padded_slots,
+       round(1.0 - sum(n) / CAST(count(*) * bucket_len AS DOUBLE), 6)
+         AS waste_frac
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# B70. Corpus source-diversity indices (ecology's Shannon/Simpson
+# applied to training-mix design — "how many effective sources does
+# this corpus have?", by doc share AND token share): entropy in nats,
+# exp(H) effective counts, inverse-Simpson. Two bounded aggregates
+# over the per-source table; one row out.
+# --------------------------------------------------------------------------
+
+def source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+    per = (docs.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("nd"),
+                    F.sum(ntok.cast("long")).alias("nt")))
+    tot = per.agg(F.sum("nd").alias("td"), F.sum("nt").alias("tt"))
+    pd_ = F.col("nd") / F.col("td").cast("double")
+    pt = F.col("nt") / F.col("tt").cast("double")
+    agg = (per.crossJoin(F.broadcast(tot))
+              .agg(F.count(F.lit(1)).alias("n_sources"),
+                   F.sum(-pd_ * F.log(pd_)).alias("hd"),
+                   F.sum(pd_ * pd_).alias("sd"),
+                   F.sum(-pt * F.log(pt)).alias("ht"),
+                   F.sum(pt * pt).alias("st")))
+    return agg.select(
+        "n_sources",
+        F.round("hd", 6).alias("doc_entropy_nats"),
+        F.round(F.exp("hd"), 4).alias("doc_effective_sources"),
+        F.round(1.0 / F.col("sd"), 4).alias("doc_inv_simpson"),
+        F.round("ht", 6).alias("token_entropy_nats"),
+        F.round(F.exp("ht"), 4).alias("token_effective_sources"),
+        F.round(1.0 / F.col("st"), 4).alias("token_inv_simpson"))
+
+SOURCE_DIVERSITY_SQL = """
+WITH per AS (
+  SELECT source, count(*) AS nd,
+         sum(CAST(len(regexp_extract_all(
+             text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)) AS nt
+  FROM documents GROUP BY 1
+), tot AS (SELECT sum(nd) AS td, sum(nt) AS tt FROM per),
+agg AS (
+  SELECT count(*) AS n_sources,
+         sum(-(nd / CAST(td AS DOUBLE)) * ln(nd / CAST(td AS DOUBLE)))
+           AS hd,
+         sum((nd / CAST(td AS DOUBLE)) * (nd / CAST(td AS DOUBLE))) AS sd,
+         sum(-(nt / CAST(tt AS DOUBLE)) * ln(nt / CAST(tt AS DOUBLE)))
+           AS ht,
+         sum((nt / CAST(tt AS DOUBLE)) * (nt / CAST(tt AS DOUBLE))) AS st
+  FROM per CROSS JOIN tot
+)
+SELECT CAST(n_sources AS BIGINT) AS n_sources,
+       round(hd, 6) AS doc_entropy_nats,
+       round(exp(hd), 4) AS doc_effective_sources,
+       round(1.0 / sd, 4) AS doc_inv_simpson,
+       round(ht, 6) AS token_entropy_nats,
+       round(exp(ht), 4) AS token_effective_sources,
+       round(1.0 / st, 4) AS token_inv_simpson
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# B71. Matryoshka dimension-truncation recall (Kusupati et al. 2022
+# MRL evaluation shape): how much of the exact 64-dim cosine top-5
+# does a prefix-truncated embedding retain at dims 8/16/32? The dim
+# sweep is one codegen explode over the broadcast query set; each
+# (dim, query) ranking is a ~corpus-row partition window on ROUNDED
+# (6 dp) scores with vec_id tie-break, so both engines cut identical
+# top-5 sets; recall joins the truncated set against the 64-dim set.
+# At 100 TB the exact per-query scan is the contract (this is an
+# EVALUATION query over a sampled query set, not the serving path —
+# that's B6/B6b).
+# --------------------------------------------------------------------------
+
+def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("e")))
+    q = (emb.where(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")))
+    pairs = (emb.crossJoin(F.broadcast(q))
+                .where(F.col("vec_id") != F.col("qid"))
+                .select("qid", "vec_id", "e", "qe",
+                        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32),
+                                          F.lit(64))).alias("dim")))
+    def cos(dim_col):
+        a = F.slice("e", F.lit(1), dim_col)
+        b = F.slice("qe", F.lit(1), dim_col)
+        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, v: acc + v)
+        na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                                F.lit(0.0), lambda acc, v: acc + v))
+        nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                                F.lit(0.0), lambda acc, v: acc + v))
+        return F.round(dot / (na * nb), 6)
+    scored = pairs.select("qid", "vec_id", "dim",
+                          cos(F.col("dim")).alias("score"))
+    w = Window.partitionBy("dim", "qid").orderBy(F.desc("score"), "vec_id")
+    top = (scored.withColumn("r", F.row_number().over(w))
+                 .where(F.col("r") <= 5)
+                 .select("dim", "qid", "vec_id"))
+    full = (top.where(F.col("dim") == 64)
+               .select(F.col("qid").alias("fqid"),
+                       F.col("vec_id").alias("fid")))
+    trunc = top.where(F.col("dim") < 64)
+    hits = (trunc.join(full, (trunc.qid == full.fqid)
+                       & (trunc.vec_id == full.fid))
+                 .groupBy("dim", "qid")
+                 .agg(F.count(F.lit(1)).alias("h")))
+    base = trunc.select("dim", "qid").distinct()
+    return (base.join(hits, ["dim", "qid"], "left")
+                .groupBy("dim")
+                .agg(F.count(F.lit(1)).alias("n_queries"),
+                     F.round(F.avg(F.coalesce("h", F.lit(0)) / F.lit(5.0)),
+                             4).alias("mean_recall_at_5"))
+                .orderBy("dim"))
+
+ANN_TRUNCATION_SQL = """
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 10
+), dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+scored AS (
+  SELECT c.vec_id, q.qid, d.dim,
+         round(list_dot_product(c.e[1:d.dim], q.qe[1:d.dim])
+               / (sqrt(list_dot_product(c.e[1:d.dim], c.e[1:d.dim]))
+                  * sqrt(list_dot_product(q.qe[1:d.dim],
+                                          q.qe[1:d.dim]))), 6) AS score
+  FROM emb c CROSS JOIN q CROSS JOIN dims d
+  WHERE c.vec_id <> q.qid
+), top AS (
+  SELECT dim, qid, vec_id
+  FROM (SELECT dim, qid, vec_id,
+               row_number() OVER (PARTITION BY dim, qid
+                                  ORDER BY score DESC, vec_id) AS r
+        FROM scored)
+  WHERE r <= 5
+), full_set AS (
+  SELECT qid, vec_id AS fid FROM top WHERE dim = 64
+), hits AS (
+  SELECT t.dim, t.qid, count(*) AS h
+  FROM top t JOIN full_set f ON t.qid = f.qid AND t.vec_id = f.fid
+  WHERE t.dim < 64 GROUP BY 1, 2
+), base AS (
+  SELECT DISTINCT dim, qid FROM top WHERE dim < 64
+)
+SELECT b.dim AS dim, CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(coalesce(h, 0) / 5.0), 4) AS mean_recall_at_5
+FROM base b LEFT JOIN hits USING (dim, qid)
+GROUP BY 1 ORDER BY 1
+"""

@@ -559,3 +559,90 @@ def test_interarrival_ks_matches_numpy_ecdf(spark, sf_dir):
     assert got["n_gaps"] == n
     assert abs(got["lambda_per_sec"] - lam) < 1e-9
     assert abs(got["ks_stat"] - ks) < 1e-3
+
+
+_TOK_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def test_source_mixture_matches_numpy_temperature(spark, sf_dir):
+    import re
+    pat = re.compile(_TOK_PAT)
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.assign(n=[len(pat.findall(t)) for t in docs.text])
+    per = tok.groupby("source")["n"].sum()
+    p = per / per.sum()
+    w = p ** 0.7 / (p ** 0.7).sum()
+    got = {r["source"]: r for r in
+           Q.source_mixture_weights(spark, sf_dir).collect()}
+    assert abs(sum(r["temp_share"] for r in got.values()) - 1.0) < 1e-3
+    for src in per.index:
+        assert got[src]["n_tokens"] == per[src]
+        assert abs(got[src]["natural_share"] - p[src]) < 1e-5
+        assert abs(got[src]["temp_share"] - w[src]) < 1e-5
+        assert abs(got[src]["upsample_factor"] - w[src] / p[src]) < 1e-3
+    # temperature sampling must compress the range toward uniform
+    assert (max(w) - min(w)) < (max(p) - min(p)) + 1e-12
+
+
+def test_padding_waste_matches_numpy_buckets(spark, sf_dir):
+    import re
+    pat = re.compile(_TOK_PAT)
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    n = np.array([len(pat.findall(t)) for t in docs.text])
+    n = n[n > 0]
+    buckets = 2 ** np.clip(np.ceil(np.log2(np.maximum(n, 1))), 4, 13)
+    buckets = np.maximum(buckets, 16).astype(int)
+    got = {r["bucket_len"]: r for r in
+           Q.padding_waste_by_bucket(spark, sf_dir).collect()}
+    for b in np.unique(buckets):
+        mask = buckets == b
+        assert got[b]["n_docs"] == int(mask.sum()), b
+        assert got[b]["n_tokens"] == int(n[mask].sum()), b
+        w = 1 - n[mask].sum() / (mask.sum() * b)
+        assert abs(got[b]["waste_frac"] - w) < 1e-5, b
+    assert sum(r["n_docs"] for r in got.values()) == len(n)
+
+
+def test_source_diversity_matches_entropy(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    p = docs.source.value_counts(normalize=True).to_numpy()
+    h = float(-(p * np.log(p)).sum())
+    got = Q.source_diversity(spark, sf_dir).collect()[0]
+    assert got["n_sources"] == docs.source.nunique()
+    assert abs(got["doc_entropy_nats"] - h) < 1e-5
+    assert abs(got["doc_effective_sources"] - np.exp(h)) < 1e-3
+    assert abs(got["doc_inv_simpson"] - 1.0 / (p ** 2).sum()) < 1e-3
+    assert got["doc_effective_sources"] <= got["n_sources"] + 1e-9
+    assert got["token_effective_sources"] <= got["n_sources"] + 1e-9
+
+
+def test_ann_truncation_recall_matches_numpy(spark, sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    V = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    qmask = ids < 10
+
+    def topk(dim):
+        A = V[:, :dim]
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        S = An[qmask] @ An.T
+        out = {}
+        for qi, qid in enumerate(ids[qmask]):
+            s = np.round(S[qi], 6)
+            s[ids == qid] = -np.inf
+            # score DESC, vec_id ASC tie-break
+            order = np.lexsort((ids, -s))
+            out[qid] = set(ids[order][:5])
+        return out
+
+    full = topk(64)
+    got = {r["dim"]: r for r in
+           Q.ann_truncation_recall(spark, sf_dir).collect()}
+    for dim in (8, 16, 32):
+        t = topk(dim)
+        rec = np.mean([len(t[q] & full[q]) / 5.0 for q in full])
+        assert got[dim]["n_queries"] == len(full)
+        assert abs(got[dim]["mean_recall_at_5"] - rec) < 1e-6, dim
+    # recall must be monotone non-decreasing in retained dims
+    assert (got[8]["mean_recall_at_5"]
+            <= got[32]["mean_recall_at_5"] + 1e-9)
