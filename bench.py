@@ -126,6 +126,10 @@ HEADLINE = [
     "interarrival_exp_ks",
     "source_mixture_weights",
     "ann_truncation_recall",
+    "ad_ksample_priority",
+    "white_test_hetero",
+    "lda_returnflag",
+    "ar2_yule_walker_daily",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

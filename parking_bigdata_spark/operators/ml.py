@@ -891,3 +891,53 @@ def gmm_em_1d(df: DataFrame, x: str, n_iter: int = 3,
              round(s2, round_to))]
     return spark.createDataFrame(
         rows, "component int, weight double, mean double, std double")
+
+
+def lda_two_class_df(df: DataFrame, xs: list[str], label: str,
+                     class_a, class_b, round_to: int = 6) -> DataFrame:
+    """Fisher two-class linear discriminant (Fisher 1936, public):
+    w ∝ Sw⁻¹(μ_a − μ_b) from ONE fused per-class sufficient-statistics
+    aggregate (n, Σx, Σxᵢxⱼ per class — the `_gram_aggregate`
+    discipline), tiny k×k solve on the driver. The direction is
+    normalized to unit length; its sign is canonical because
+    w·(μ_a − μ_b) = dᵀSw⁻¹d > 0 for any PD Sw — no convention needed.
+    Also returns the Mahalanobis separation sqrt(dᵀSw⁻¹d).
+    100 TB cost = one map-side-combined scan; nothing on the driver
+    scales with rows. Oracle: unrolled Cramer via oracles.sql_det.
+    """
+    spark = df.sparkSession
+    k = len(xs)
+    d = df.where(F.col(label).isin([class_a, class_b]))
+    isa = (F.col(label) == class_a).cast("double")
+    isb = 1.0 - isa
+    aggs = [F.sum(isa).alias("na"), F.sum(isb).alias("nb")]
+    for i, a in enumerate(xs):
+        aggs.append(F.sum(isa * F.col(a)).alias(f"sa_{i}"))
+        aggs.append(F.sum(isb * F.col(a)).alias(f"sb_{i}"))
+        for j, b in enumerate(xs[i:], start=i):
+            aggs.append(F.sum(isa * F.col(a) * F.col(b))
+                        .alias(f"pa_{i}_{j}"))
+            aggs.append(F.sum(isb * F.col(a) * F.col(b))
+                        .alias(f"pb_{i}_{j}"))
+    row = d.agg(*aggs).collect()[0].asDict()
+    na, nb = row["na"], row["nb"]
+    import numpy as np
+    Sw = np.zeros((k, k))
+    dvec = np.zeros(k)
+    for i in range(k):
+        dvec[i] = row[f"sa_{i}"] / na - row[f"sb_{i}"] / nb
+        for j in range(i, k):
+            Sw[i, j] = Sw[j, i] = (
+                (row[f"pa_{i}_{j}"] - row[f"sa_{i}"] * row[f"sa_{j}"] / na)
+                + (row[f"pb_{i}_{j}"] - row[f"sb_{i}"] * row[f"sb_{j}"] / nb)
+            ) / (na + nb - 2)
+    w = np.linalg.solve(Sw, dvec)
+    sep = float(np.sqrt(w @ dvec))
+    wn = w / np.linalg.norm(w)
+    cols = ([("n_a", float(na)), ("n_b", float(nb))]
+            + [(f"w_{c}", round(float(v), round_to))
+               for c, v in zip(xs, wn)]
+            + [("mahalanobis_sep", round(sep, 4))])
+    return spark.createDataFrame(
+        [tuple(v for _, v in cols)],
+        ", ".join(f"{n} double" for n, _ in cols))

@@ -604,3 +604,38 @@ def loess_curve(df: DataFrame, x: str, y: str, grid: list[float],
             F.col(f"nl_{i}").alias("n_local")))
     return (wide.select(F.explode(F.array(*fits)).alias("p"))
                 .select("p.grid_x", f"p.{alias}", "p.n_local"))
+
+
+def range_cumsum_by_group(df: DataFrame, group_col: str, order_col: str,
+                          sum_cols: list[str]) -> DataFrame:
+    """Per-group cumulative sums in ``order_col`` order without any
+    single-task window — the grouped twin of :func:`range_cumsum`,
+    built the same way as :func:`tie_avg_ranks_by_group`: rows are
+    range-partitioned on the ORDER column (so no group's series lands
+    on one task), per-(partition, group) cumulative windows run in
+    parallel, and per-(partition, group) totals — bounded by
+    #partitions × #groups — are prefix-summed into offsets and
+    broadcast back. Adds ``cum_<col>`` for each sum column."""
+    d = (df.repartitionByRange(F.col(order_col))
+           .withColumn("__pid", F.spark_partition_id()))
+    wl = (Window.partitionBy("__pid", group_col).orderBy(order_col)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    local = d
+    for c in sum_cols:
+        local = local.withColumn(f"__cum_{c}", F.sum(c).over(wl))
+    wo = (Window.partitionBy(group_col).orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = local.groupBy("__pid", group_col).agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols])
+    for c in sum_cols:
+        off = off.withColumn(
+            f"__off_{c}", F.coalesce(F.sum(f"__t_{c}").over(wo), F.lit(0)))
+    res = local.join(
+        F.broadcast(off.select("__pid", group_col,
+                               *[f"__off_{c}" for c in sum_cols])),
+        ["__pid", group_col])
+    for c in sum_cols:
+        res = res.withColumn(f"cum_{c}",
+                             F.col(f"__off_{c}") + F.col(f"__cum_{c}"))
+    return res.drop("__pid", *[f"__cum_{c}" for c in sum_cols],
+                    *[f"__off_{c}" for c in sum_cols])

@@ -4589,3 +4589,247 @@ SELECT CAST(n_arm_a AS BIGINT) AS n_arm_a,
          AS chi2_stat
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# A142. k-sample Anderson-Darling test statistic (Scholz-Stephens
+# 1987, ties-adjusted A²akN) — does order value follow the SAME
+# distribution across all five priorities? More tail-sensitive than
+# A18g's two-sample KS. Everything runs on the distinct-value × group
+# grid (k·|values| rows): per-group cumulatives ride the NEW
+# range_cumsum_by_group (no single-task windows), the global ECDF
+# rides range_cumsum, and the quadratic term is promoted to double
+# BEFORE squaring (N·M ~ 2e18 at 100 TB would overflow int64).
+# --------------------------------------------------------------------------
+
+def ad_ksample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cells = (o.groupBy(F.col("o_orderpriority").alias("g"),
+                       F.col("o_totalprice").cast("double").alias("v"))
+              .agg(F.count(F.lit(1)).alias("f"))
+              .localCheckpoint(eager=True))
+    sizes = cells.groupBy("g").agg(F.sum("f").alias("ni"))
+    vals = cells.groupBy("v").agg(F.sum("f").alias("l"))
+    bcum = stats.range_cumsum(vals, "v", ["l"])
+    grid = (bcum.crossJoin(F.broadcast(sizes))
+                .join(cells, ["g", "v"], "left")
+                .withColumn("f", F.coalesce("f", F.lit(0))))
+    mcum = stats.range_cumsum_by_group(grid, "g", "v", ["f"])
+    tot = sizes.agg(F.sum("ni").alias("N"),
+                    F.count(F.lit(1)).alias("k"))
+    j = mcum.crossJoin(F.broadcast(tot))
+    nn = F.col("N").cast("double")
+    ma = F.col("cum_f").cast("double") - F.col("f") / 2.0
+    ba = F.col("cum_l").cast("double") - F.col("l") / 2.0
+    den = ba * (nn - ba) - nn * F.col("l") / 4.0
+    inner = (F.col("l") * (nn * ma - F.col("ni") * ba)
+             * (nn * ma - F.col("ni") * ba) / den / F.col("ni"))
+    agg = (j.where(den > 0)
+            .agg(F.first("N").alias("n"), F.first("k").alias("k"),
+                 F.sum(inner).alias("s")))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("int").alias("k_groups"),
+        F.round((F.col("n") - 1) / F.col("n").cast("double")
+                * F.col("s"), 4).alias("a2_akn"),
+        (F.col("k") - 1).cast("double").alias("mean_h0"))
+
+AD_KSAMPLE_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v,
+         count(*) AS f
+  FROM orders GROUP BY 1, 2
+), sizes AS (SELECT g, sum(f) AS ni FROM cells GROUP BY 1),
+vals AS (
+  SELECT v, sum(f) AS l,
+         sum(sum(f)) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_l
+  FROM cells GROUP BY v
+), grid AS (
+  SELECT s.g, va.v, va.l, va.cum_l, s.ni, coalesce(c.f, 0) AS f
+  FROM vals va CROSS JOIN sizes s
+  LEFT JOIN cells c ON c.g = s.g AND c.v = va.v
+), mcum AS (
+  SELECT g, v, l, cum_l, ni, f,
+         sum(f) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_f
+  FROM grid
+), tot AS (SELECT CAST(sum(ni) AS DOUBLE) AS nn, count(*) AS k
+           FROM sizes),
+terms AS (
+  SELECT nn, k,
+         l * (nn * (cum_f - f / 2.0) - ni * (cum_l - l / 2.0))
+           * (nn * (cum_f - f / 2.0) - ni * (cum_l - l / 2.0))
+           / ((cum_l - l / 2.0) * (nn - (cum_l - l / 2.0)) - nn * l / 4.0)
+           / ni AS inner_term,
+         (cum_l - l / 2.0) * (nn - (cum_l - l / 2.0)) - nn * l / 4.0
+           AS den
+  FROM mcum CROSS JOIN tot
+)
+SELECT CAST(any_value(nn) AS BIGINT) AS n,
+       CAST(any_value(k) AS INT) AS k_groups,
+       round((any_value(nn) - 1) / any_value(nn)
+             * sum(inner_term), 4) AS a2_akn,
+       CAST(any_value(k) - 1 AS DOUBLE) AS mean_h0
+FROM terms WHERE den > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# A143. White test for heteroskedasticity (White 1980) — the
+# general-form companion of A18b's Breusch-Pagan (which only tests
+# the linear term): regress squared OLS residuals on x and x², LM =
+# n·R². Both the base fit and the auxiliary 2-predictor R² are closed
+# determinant forms of fused product-sum aggregates (two scans total,
+# no driver solve) — the A21/C53 discipline.
+# --------------------------------------------------------------------------
+
+def white_test_hetero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("double")
+    y = F.col("l_extendedprice").cast("double")
+    d = li.select(x.alias("x"), y.alias("y"))
+    fit = d.agg((F.covar_pop("x", "y") / F.var_pop("x")).alias("slope"),
+                F.avg("y").alias("my"), F.avg("x").alias("mx"))
+    e = (F.col("y") - (F.col("my") + F.col("slope")
+                       * (F.col("x") - F.col("mx"))))
+    u = (e * e).alias("u")
+    z1, z2 = F.col("x"), F.col("x") * F.col("x")
+    g = (d.crossJoin(F.broadcast(fit))
+          .select(u, z1.alias("z1"), z2.alias("z2"))
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.avg("u").alias("mu"), F.avg("z1").alias("m1"),
+               F.avg("z2").alias("m2"),
+               F.avg(F.col("u") * F.col("u")).alias("ruu"),
+               F.avg(F.col("z1") * F.col("z1")).alias("r11"),
+               F.avg(F.col("z2") * F.col("z2")).alias("r22"),
+               F.avg(F.col("z1") * F.col("z2")).alias("r12"),
+               F.avg(F.col("u") * F.col("z1")).alias("r1u"),
+               F.avg(F.col("u") * F.col("z2")).alias("r2u")))
+    suu = F.col("ruu") - F.col("mu") * F.col("mu")
+    s11 = F.col("r11") - F.col("m1") * F.col("m1")
+    s22 = F.col("r22") - F.col("m2") * F.col("m2")
+    s12 = F.col("r12") - F.col("m1") * F.col("m2")
+    s1u = F.col("r1u") - F.col("m1") * F.col("mu")
+    s2u = F.col("r2u") - F.col("m2") * F.col("mu")
+    det = s11 * s22 - s12 * s12
+    b1 = (s1u * s22 - s2u * s12) / det
+    b2 = (s2u * s11 - s1u * s12) / det
+    r2 = (b1 * s1u + b2 * s2u) / suu
+    return g.select(F.col("n").cast("long").alias("n"),
+                    F.round(r2, 6).alias("r2_aux"),
+                    F.round(F.col("n") * r2, 4).alias("white_lm"),
+                    F.lit(2).alias("df"))
+
+WHITE_TEST_SQL = """
+WITH d AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+), fit AS (
+  SELECT covar_pop(x, y) / var_pop(x) AS slope,
+         avg(y) AS my, avg(x) AS mx
+  FROM d
+), aux AS (
+  SELECT (y - (my + slope * (x - mx))) * (y - (my + slope * (x - mx)))
+           AS u,
+         x AS z1, x * x AS z2
+  FROM d CROSS JOIN fit
+), g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         avg(u) AS mu, avg(z1) AS m1, avg(z2) AS m2,
+         avg(u * u) AS ruu, avg(z1 * z1) AS r11, avg(z2 * z2) AS r22,
+         avg(z1 * z2) AS r12, avg(u * z1) AS r1u, avg(u * z2) AS r2u
+  FROM aux
+), s AS (
+  SELECT n, ruu - mu * mu AS suu, r11 - m1 * m1 AS s11,
+         r22 - m2 * m2 AS s22, r12 - m1 * m2 AS s12,
+         r1u - m1 * mu AS s1u, r2u - m2 * mu AS s2u
+  FROM g
+), fit2 AS (
+  SELECT n, suu, s1u, s2u,
+         (s1u * s22 - s2u * s12) / (s11 * s22 - s12 * s12) AS b1,
+         (s2u * s11 - s1u * s12) / (s11 * s22 - s12 * s12) AS b2
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((b1 * s1u + b2 * s2u) / suu, 6) AS r2_aux,
+       round(n * (b1 * s1u + b2 * s2u) / suu, 4) AS white_lm,
+       2 AS df
+FROM fit2
+"""
+
+
+# --------------------------------------------------------------------------
+# A144. Fisher two-class linear discriminant (Fisher 1936): the
+# returned-vs-not direction in (quantity, discount, tax) space — the
+# classification twin of A46's logistic IRLS, but CLOSED-FORM. Spark
+# side in ml.lda_two_class_df (one fused per-class Gram scan, k×k
+# driver solve); the oracle unrolls the same Cramer solve through
+# oracles.sql_det, normalizes, and exploits w·d > 0 for a
+# convention-free sign.
+# --------------------------------------------------------------------------
+
+_LDA_XS = ["l_quantity", "l_discount", "l_tax"]
+
+
+def lda_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(*[F.col(c).cast("double").alias(c) for c in _LDA_XS],
+                  "l_returnflag")
+    return ml.lda_two_class_df(d, _LDA_XS, "l_returnflag", "R", "N")
+
+
+def _lda_sql() -> str:
+    xs = _LDA_XS
+    k = len(xs)
+    sums = ["count(*) FILTER (l_returnflag = 'R') AS na",
+            "count(*) FILTER (l_returnflag = 'N') AS nb"]
+    for i, a in enumerate(xs):
+        sums.append(f"sum({a}) FILTER (l_returnflag = 'R') AS sa_{i}")
+        sums.append(f"sum({a}) FILTER (l_returnflag = 'N') AS sb_{i}")
+        for j, b in enumerate(xs[i:], start=i):
+            sums.append(f"sum({a} * {b}) FILTER (l_returnflag = 'R')"
+                        f" AS pa_{i}_{j}")
+            sums.append(f"sum({a} * {b}) FILTER (l_returnflag = 'N')"
+                        f" AS pb_{i}_{j}")
+    sw = []
+    for i in range(k):
+        sw.append(f"(sa_{i} / na - sb_{i} / nb) AS d_{i}")
+        for j in range(i, k):
+            sw.append(
+                f"((pa_{i}_{j} - sa_{i} * sa_{j} / na)"
+                f" + (pb_{i}_{j} - sb_{i} * sb_{j} / nb))"
+                f" / (na + nb - 2) AS sw_{i}_{j}")
+    S = [[f"sw_{min(i, j)}_{max(i, j)}" for j in range(k)]
+         for i in range(k)]
+    det = oracles.sql_det(S)
+    wexprs = []
+    for c in range(k):
+        Mc = [[f"d_{i}" if cc == c else S[i][cc] for cc in range(k)]
+              for i in range(k)]
+        wexprs.append(f"({oracles.sql_det(Mc)}) / ({det}) AS wr_{c}")
+    wnorm = " + ".join(f"wr_{c} * wr_{c}" for c in range(k))
+    wd = " + ".join(f"wr_{c} * d_{c}" for c in range(k))
+    wsel = ",\n       ".join(
+        f"round(wr_{c} / sqrt({wnorm}), 6) AS w_{xs[c]}"
+        for c in range(k))
+    return f"""
+WITH m AS (
+  SELECT {", ".join(sums)}
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+), sw AS (
+  SELECT na, nb, {", ".join(sw)} FROM m
+), wv AS (
+  SELECT na, nb, {", ".join(f"d_{c}" for c in range(k))},
+         {", ".join(wexprs)}
+  FROM sw
+)
+SELECT CAST(na AS DOUBLE) AS n_a, CAST(nb AS DOUBLE) AS n_b,
+       {wsel},
+       round(sqrt({wd}), 4) AS mahalanobis_sep
+FROM wv
+"""
+
+LDA_SQL = _lda_sql()

@@ -2609,3 +2609,77 @@ SELECT CAST(any_value(n_gaps) AS BIGINT) AS n_gaps,
              - (1 - exp(-lam * g))))), 4) AS ks_stat
 FROM cum
 """
+
+
+# --------------------------------------------------------------------------
+# C57. AR(2) autoregression via Yule-Walker equations (Yule 1927,
+# Walker 1931) on the daily count series — the parametric fit the
+# C24 ACF identifies: φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²),
+# innovation variance c₀(1 − φ₁r₁ − φ₂r₂). Autocovariances are two
+# fused lag-join sums over the calendar-bounded aggregate with the
+# FULL-series mean/variance (the standard biased estimator, ÷n).
+# --------------------------------------------------------------------------
+
+def ar2_yule_walker_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_counts(spark, sf_dir).localCheckpoint(eager=True)
+    mv = daily.agg(F.avg(F.col("n").cast("double")).alias("mu"),
+                   F.var_pop(F.col("n").cast("double")).alias("c0"),
+                   F.count(F.lit(1)).alias("nd"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (a.select("d", "n",
+                      F.explode(F.sequence(F.lit(1), F.lit(2)))
+                       .alias("k"))
+              .join(b, F.col("b.d") == F.col("a.d") + F.col("k"))
+              .crossJoin(F.broadcast(mv)))
+    ck = (pairs.groupBy("k")
+               .agg((F.sum((F.col("a.n") - F.col("mu"))
+                           * (F.col("b.n") - F.col("mu")))
+                     / F.first(F.col("nd").cast("double"))).alias("c")))
+    wide = (ck.crossJoin(F.broadcast(mv))
+              .groupBy("nd", "mu", "c0")
+              .agg(F.max(F.when(F.col("k") == 1, F.col("c"))).alias("c1"),
+                   F.max(F.when(F.col("k") == 2, F.col("c"))).alias("c2")))
+    r1 = F.col("c1") / F.col("c0")
+    r2 = F.col("c2") / F.col("c0")
+    phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    return wide.select(
+        F.col("nd").cast("long").alias("n_days"),
+        F.round(r1, 6).alias("r1"),
+        F.round(r2, 6).alias("r2"),
+        F.round(phi1, 6).alias("phi1"),
+        F.round(phi2, 6).alias("phi2"),
+        F.round(F.col("c0") * (1 - phi1 * r1 - phi2 * r2), 4)
+         .alias("innovation_var"))
+
+AR2_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), mv AS (
+  SELECT avg(n) AS mu, var_pop(n) AS c0,
+         CAST(count(*) AS DOUBLE) AS nd
+  FROM daily
+), ck AS (
+  SELECT k, sum((a.n - mu) * (b.n - mu)) / any_value(nd) AS c
+  FROM daily a
+  CROSS JOIN (SELECT CAST(unnest(generate_series(1, 2)) AS INT) AS k)
+  JOIN daily b ON b.d = a.d + k
+  CROSS JOIN mv
+  GROUP BY k
+), wide AS (
+  SELECT nd, c0,
+         max(CASE WHEN k = 1 THEN c END) AS c1,
+         max(CASE WHEN k = 2 THEN c END) AS c2
+  FROM ck CROSS JOIN mv GROUP BY nd, c0
+), r AS (SELECT nd, c0, c1 / c0 AS r1, c2 / c0 AS r2 FROM wide)
+SELECT CAST(nd AS BIGINT) AS n_days,
+       round(r1, 6) AS r1, round(r2, 6) AS r2,
+       round(r1 * (1 - r2) / (1 - r1 * r1), 6) AS phi1,
+       round((r2 - r1 * r1) / (1 - r1 * r1), 6) AS phi2,
+       round(c0 * (1 - (r1 * (1 - r2) / (1 - r1 * r1)) * r1
+                   - ((r2 - r1 * r1) / (1 - r1 * r1)) * r2), 4)
+         AS innovation_var
+FROM r
+"""

@@ -646,3 +646,93 @@ def test_ann_truncation_recall_matches_numpy(spark, sf_dir):
     # recall must be monotone non-decreasing in retained dims
     assert (got[8]["mean_recall_at_5"]
             <= got[32]["mean_recall_at_5"] + 1e-9)
+
+
+def test_ad_ksample_matches_bruteforce(spark, sf_dir, orders):
+    g = orders.o_orderpriority.to_numpy()
+    v = orders.o_totalprice.astype(float).to_numpy()
+    groups = np.unique(g)
+    zs, ls = np.unique(v, return_counts=True)
+    N, k = len(v), len(groups)
+    B = np.cumsum(ls)
+    a2 = 0.0
+    for gi in groups:
+        vi = v[g == gi]
+        ni = len(vi)
+        f = np.zeros(len(zs))
+        uz, uc = np.unique(vi, return_counts=True)
+        f[np.searchsorted(zs, uz)] = uc
+        M = np.cumsum(f)
+        Ma = M - f / 2.0
+        Ba = B - ls / 2.0
+        den = Ba * (N - Ba) - N * ls / 4.0
+        ok = den > 0
+        a2 += (1.0 / ni) * (ls[ok] * (N * Ma[ok] - ni * Ba[ok]) ** 2
+                            / den[ok]).sum()
+    a2 *= (N - 1) / N
+    got = Q.ad_ksample_priority(spark, sf_dir).collect()[0]
+    assert got["n"] == N and got["k_groups"] == k
+    assert abs(got["a2_akn"] - a2) < 1e-2
+    assert got["mean_h0"] == k - 1
+
+
+def test_white_lm_matches_numpy(spark, sf_dir, lineitem):
+    x = lineitem.l_quantity.astype(float).to_numpy()
+    y = lineitem.l_extendedprice.astype(float).to_numpy()
+    slope = np.cov(x, y, bias=True)[0, 1] / x.var()
+    e = y - (y.mean() + slope * (x - x.mean()))
+    u = e ** 2
+    Z = np.column_stack([np.ones_like(x), x, x * x])
+    b = np.linalg.lstsq(Z, u, rcond=None)[0]
+    r2 = 1 - ((u - Z @ b) ** 2).sum() / ((u - u.mean()) ** 2).sum()
+    got = Q.white_test_hetero(spark, sf_dir).collect()[0]
+    assert got["n"] == len(x)
+    assert abs(got["r2_aux"] - r2) < 1e-5
+    assert abs(got["white_lm"] - len(x) * r2) < max(0.01, 1e-4 * len(x))
+
+
+def test_lda_matches_numpy_solve(spark, sf_dir, lineitem):
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    a = lineitem[lineitem.l_returnflag == "R"][cols].to_numpy(float)
+    b = lineitem[lineitem.l_returnflag == "N"][cols].to_numpy(float)
+    d = a.mean(axis=0) - b.mean(axis=0)
+    Sw = ((np.cov(a, rowvar=False, bias=False) * (len(a) - 1)
+           + np.cov(b, rowvar=False, bias=False) * (len(b) - 1))
+          / (len(a) + len(b) - 2))
+    w = np.linalg.solve(Sw, d)
+    sep = np.sqrt(w @ d)
+    wn = w / np.linalg.norm(w)
+    got = Q.lda_returnflag(spark, sf_dir).collect()[0]
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    for c, v in zip(cols, wn):
+        assert abs(got[f"w_{c}"] - v) < 1e-4, c
+    assert abs(got["mahalanobis_sep"] - sep) < 1e-3
+    # canonical direction: separates toward class a
+    assert sum(got[f"w_{c}"] * dv for c, dv in zip(cols, d)) > 0
+
+
+def test_ar2_matches_numpy_yule_walker(spark, sf_dir):
+    ev = _daily_df(sf_dir)
+    daily = (ev.groupby("d").size().reset_index(name="n")
+               .sort_values("d"))
+    x = daily.n.to_numpy(dtype=float)
+    d = daily.d.to_numpy()
+    mu, c0, n = x.mean(), x.var(), len(x)
+    cs = {}
+    for k in (1, 2):
+        # pairs joined on calendar day (gaps drop), matching the query
+        idx = {dd: i for i, dd in enumerate(d)}
+        pairs = [(i, idx[dd + k]) for i, dd in enumerate(d)
+                 if dd + k in idx]
+        cs[k] = sum((x[i] - mu) * (x[j] - mu) for i, j in pairs) / n
+    r1, r2 = cs[1] / c0, cs[2] / c0
+    phi1 = r1 * (1 - r2) / (1 - r1 ** 2)
+    phi2 = (r2 - r1 ** 2) / (1 - r1 ** 2)
+    got = Q.ar2_yule_walker_daily(spark, sf_dir).collect()[0]
+    assert got["n_days"] == n
+    assert abs(got["r1"] - r1) < 1e-5
+    assert abs(got["r2"] - r2) < 1e-5
+    assert abs(got["phi1"] - phi1) < 1e-4
+    assert abs(got["phi2"] - phi2) < 1e-4
+    assert abs(got["innovation_var"]
+               - c0 * (1 - phi1 * r1 - phi2 * r2)) < 1e-2
