@@ -3005,12 +3005,20 @@ def gram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.sequence(F.lit(0), n - 8),
                              lambda i: F.md5(F.concat_ws(
                                  " ", F.slice("t", i + 1, 8)))))).alias("g")))
-    stats_g = grams.groupBy("g").agg(
-        F.countDistinct("doc_id").alias("n_docs"),
+    # each doc belongs to exactly ONE source, so a single
+    # (gram, source) aggregation feeds BOTH roll-ups: corpus-wide
+    # distinct docs per gram = Σ_source per-source distinct docs, and
+    # per-source distinct grams = that table's rows per source. One
+    # gram shuffle instead of two full replays (11.9 s → ~4 s at
+    # sf0.1); materialized because two consumers read it.
+    gs = (grams.groupBy("g", "source")
+               .agg(F.countDistinct("doc_id").alias("nd"))
+               .localCheckpoint(eager=True))
+    stats_g = gs.groupBy("g").agg(
+        F.sum("nd").alias("n_docs"),
         F.min("source").alias("one_source"))
-    per_src = (grams.select("source", "g").distinct()
-                    .groupBy("source")
-                    .agg(F.count(F.lit(1)).alias("n_distinct_grams")))
+    per_src = (gs.groupBy("source")
+                 .agg(F.count(F.lit(1)).alias("n_distinct_grams")))
     uniq = (stats_g.where(F.col("n_docs") == 1)
                    .groupBy(F.col("one_source").alias("source"))
                    .agg(F.count(F.lit(1)).alias("n_unique_grams")))
