@@ -130,6 +130,9 @@ HEADLINE = [
     "white_test_hetero",
     "lda_returnflag",
     "ar2_yule_walker_daily",
+    "bigram_ppl_by_source",
+    "embedding_isotropy",
+    "vocab_coverage_topk",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

@@ -3481,3 +3481,213 @@ SELECT b.dim AS dim, CAST(count(*) AS BIGINT) AS n_queries,
 FROM base b LEFT JOIN hits USING (dim, qid)
 GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# B72. Bigram-LM perplexity per source (the KenLM-style fluency score
+# CCNet filters on — one order up from B29's unigram surprisal):
+# add-k-smoothed p(w₂|w₁) with context counts and the w₂ vocabulary
+# from the corpus itself. One tokenize pass emits in-row adjacent
+# pairs; two bounded joins (bigram + context counts) score every
+# bigram occurrence; per-doc NLLs roll up per source. FP-exact
+# rollup: the per-doc mean is a count-weighted exact-sum division.
+# --------------------------------------------------------------------------
+
+def bigram_ppl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")),
+                r"\s+")
+    toks = docs.select("doc_id", "source", w.alias("t"))
+    n = F.size("t")
+    big = (toks.where(n >= 2)
+               .select("doc_id", "source",
+                       F.explode(F.transform(
+                           F.sequence(F.lit(1), n - 1),
+                           lambda i: F.struct(
+                               F.element_at("t", i).alias("w1"),
+                               F.element_at("t", i + 1).alias("w2"))))
+                        .alias("b"))
+               .select("doc_id", "source",
+                       F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+               .localCheckpoint(eager=True))
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = big.agg(F.countDistinct("w2").alias("v"))
+    p = ((F.col("cb") + 0.5)
+         / (F.col("cu") + 0.5 * F.col("v")).cast("double"))
+    doc = (big.join(cb, ["w1", "w2"]).join(cu, "w1")
+              .crossJoin(F.broadcast(vocab))
+              .groupBy("doc_id", "source")
+              .agg((F.sum(-F.log(p)) / F.count(F.lit(1))).alias("nll")))
+    return (doc.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.round(F.avg("nll"), 4).alias("avg_bigram_nll"),
+                    F.round(F.exp(F.avg("nll")), 2).alias("perplexity"))
+               .orderBy("source"))
+
+BIGRAM_PPL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g')), '\s+') AS t
+  FROM documents
+), big AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(t)),
+                i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+  FROM toks WHERE len(t) >= 2
+), pairs AS (
+  SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM big
+), cb AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+cu AS (SELECT w1, count(*) AS cu FROM pairs GROUP BY 1),
+vocab AS (SELECT count(DISTINCT w2) AS v FROM pairs),
+doc AS (
+  SELECT doc_id, source,
+         sum(-ln((cb + 0.5) / CAST(cu + 0.5 * v AS DOUBLE)))
+           / count(*) AS nll
+  FROM pairs JOIN cb USING (w1, w2) JOIN cu USING (w1)
+  CROSS JOIN vocab
+  GROUP BY 1, 2
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(nll), 4) AS avg_bigram_nll,
+       round(exp(avg(nll)), 2) AS perplexity
+FROM doc GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# B76. Embedding isotropy / norm profile (Ethayarajh 2019's anisotropy
+# diagnostic; degenerate "cone-shaped" embedding spaces break cosine
+# retrieval): mean pairwise cosine across ALL n² pairs WITHOUT an n²
+# computation, via the exact identity Σᵢ≠ⱼ v̂ᵢ·v̂ⱼ = ‖Σv̂‖² − n for
+# unit-normalized vectors. Norms fold in-row (no self-join); the
+# dimension sums are one 64-group shuffle.
+# --------------------------------------------------------------------------
+
+def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select(F.col("embedding").cast("array<double>").alias("e")))
+    nrm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                             F.lit(0.0), lambda a, v: a + v))
+    d = (emb.withColumn("nrm", nrm)
+            .where(F.col("nrm") > 0)
+            .withColumn("vhat", F.transform(
+                "e", lambda x: x / F.col("nrm"))))
+    stats_n = d.agg(F.count(F.lit(1)).alias("n"),
+                    F.avg("nrm").alias("mean_norm"),
+                    F.stddev_pop("nrm").alias("sd_norm"))
+    dims = (d.select(F.posexplode("vhat").alias("dim", "val"))
+             .groupBy("dim").agg(F.sum("val").alias("s")))
+    ss = dims.agg(F.count(F.lit(1)).alias("dim"),
+                  F.sum(F.col("s") * F.col("s")).alias("ss"))
+    nn = F.col("n").cast("double")
+    return (stats_n.crossJoin(F.broadcast(ss))
+            .select(F.col("n").cast("long").alias("n_vectors"),
+                    F.col("dim").cast("int").alias("dim"),
+                    F.round("mean_norm", 6).alias("mean_norm"),
+                    F.round(F.col("sd_norm") / F.col("mean_norm"), 6)
+                     .alias("norm_cv"),
+                    F.round((F.col("ss") - nn) / (nn * (nn - 1)), 6)
+                     .alias("mean_pairwise_cosine")))
+
+EMB_ISOTROPY_SQL = """
+WITH e AS (
+  SELECT embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), d AS (
+  SELECT e, nrm, list_transform(e, x -> x / nrm) AS vhat
+  FROM e WHERE nrm > 0
+), stats_n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(nrm) AS mean_norm,
+         stddev_pop(nrm) AS sd_norm
+  FROM d
+), dims AS (
+  SELECT dim, sum(val) AS s
+  FROM (SELECT unnest(vhat) AS val,
+               generate_subscripts(vhat, 1) - 1 AS dim FROM d)
+  GROUP BY 1
+), ss AS (SELECT count(*) AS dim, sum(s * s) AS ss FROM dims)
+SELECT CAST(n AS BIGINT) AS n_vectors,
+       CAST(dim AS INT) AS dim,
+       round(mean_norm, 6) AS mean_norm,
+       round(sd_norm / mean_norm, 6) AS norm_cv,
+       round((ss - n) / (n * (n - 1)), 6) AS mean_pairwise_cosine
+FROM stats_n CROSS JOIN ss
+"""
+
+
+# --------------------------------------------------------------------------
+# B77. Vocabulary coverage at top-k cutoffs (the OOV-rate curve that
+# sizes a tokenizer's vocab): what fraction of corpus tokens do the
+# k most frequent words cover, k ∈ {100, 1k, 10k}? The curve is read
+# off the COUNT-OF-COUNTS table (bounded by distinct frequency
+# values, thousands at any corpus size — the Zipf tail compresses),
+# never off a ranked vocab window; inside a frequency-tie group every
+# word contributes the same count, so the partial-group interpolation
+# is exact without any word-level tie-break.
+# --------------------------------------------------------------------------
+
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")),
+                r"\s+")
+    tok = docs.select(F.explode(w).alias("tok")).where(F.col("tok") != "")
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    cc = (vocab.groupBy("c").agg(F.count(F.lit(1)).alias("nw"))
+               .withColumn("neg_c", -F.col("c")))
+    cum = stats.range_cumsum(
+        cc.withColumn("ctok", F.col("c") * F.col("nw")),
+        "neg_c", ["nw", "ctok"])
+    tot = vocab.agg(F.sum("c").alias("n_tokens"),
+                    F.count(F.lit(1)).alias("vocab_size"))
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(100), F.lit(1000), F.lit(10000)))
+         .alias("k"))
+    j = (ks.crossJoin(F.broadcast(tot))
+           .join(F.broadcast(
+                     cum.select("c", "nw", "ctok", "cum_nw", "cum_ctok")),
+                 (F.col("cum_nw") - F.col("nw") < F.col("k"))
+                 & (F.col("cum_nw") >= F.col("k")), "left"))
+    covered = (F.col("cum_ctok") - F.col("ctok")
+               + (F.col("k") - (F.col("cum_nw") - F.col("nw")))
+               * F.col("c"))
+    cov = F.when(F.col("c").isNull(), F.lit(1.0)).otherwise(
+        covered / F.col("n_tokens").cast("double"))
+    return (j.select(F.col("k").cast("int").alias("top_k"),
+                     F.col("vocab_size").cast("long").alias("vocab_size"),
+                     F.round(cov, 6).alias("token_coverage"),
+                     F.round(1.0 - cov, 6).alias("oov_rate"))
+             .orderBy("top_k"))
+
+VOCAB_COVERAGE_SQL = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g')), '\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS c FROM tok WHERE tok <> '' GROUP BY 1
+), cc AS (
+  SELECT c, count(*) AS nw, c * count(*) AS ctok
+  FROM vocab GROUP BY 1
+), cum AS (
+  SELECT c, nw, ctok,
+         sum(nw) OVER w AS cum_nw, sum(ctok) OVER w AS cum_ctok
+  FROM cc WINDOW w AS (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+), tot AS (SELECT sum(c) AS n_tokens, count(*) AS vocab_size FROM vocab),
+ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+SELECT CAST(k AS INT) AS top_k,
+       CAST(vocab_size AS BIGINT) AS vocab_size,
+       round(coalesce((cum_ctok - ctok + (k - (cum_nw - nw)) * c)
+                      / CAST(n_tokens AS DOUBLE), 1.0), 6)
+         AS token_coverage,
+       round(1.0 - coalesce((cum_ctok - ctok + (k - (cum_nw - nw)) * c)
+                            / CAST(n_tokens AS DOUBLE), 1.0), 6)
+         AS oov_rate
+FROM ks CROSS JOIN tot
+LEFT JOIN cum ON cum_nw - nw < k AND cum_nw >= k
+ORDER BY top_k
+"""

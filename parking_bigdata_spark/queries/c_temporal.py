@@ -2683,3 +2683,54 @@ SELECT CAST(nd AS BIGINT) AS n_days,
          AS innovation_var
 FROM r
 """
+
+
+# --------------------------------------------------------------------------
+# C58. Weekend-vs-weekday activity lift + Welch t — the operational
+# readout behind C29's heatmap. Day-of-week comes from the absolute
+# day index mod 7 (1995-01-01 is a Sunday: 0=Sun, 6=Sat) — pure
+# integer arithmetic, immune to engine/locale dayofweek conventions.
+# --------------------------------------------------------------------------
+
+def weekend_lift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_counts(spark, sf_dir)
+    wknd = (F.col("d") % 7).isin(0, 6)
+    g = (daily.groupBy(wknd.cast("int").alias("is_weekend"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.avg(F.col("n").cast("double")).alias("m"),
+                   F.var_samp(F.col("n").cast("double")).alias("v")))
+    a = g.where(F.col("is_weekend") == 1).select(
+        F.col("n").alias("nw"), F.col("m").alias("mw"),
+        F.col("v").alias("vw"))
+    b = g.where(F.col("is_weekend") == 0).select(
+        F.col("n").alias("nd"), F.col("m").alias("md"),
+        F.col("v").alias("vd"))
+    se2 = F.col("vw") / F.col("nw") + F.col("vd") / F.col("nd")
+    return (a.crossJoin(b)
+             .select(F.col("nw").cast("long").alias("n_weekend_days"),
+                     F.col("nd").cast("long").alias("n_weekday_days"),
+                     F.round("mw", 4).alias("mean_weekend"),
+                     F.round("md", 4).alias("mean_weekday"),
+                     F.round(F.col("mw") / F.col("md"), 4).alias("lift"),
+                     F.round((F.col("mw") - F.col("md")) / F.sqrt(se2), 4)
+                      .alias("welch_t")))
+
+WEEKEND_LIFT_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), g AS (
+  SELECT CASE WHEN d % 7 IN (0, 6) THEN 1 ELSE 0 END AS is_weekend,
+         count(*) AS n, avg(n) AS m, var_samp(n) AS v
+  FROM daily GROUP BY 1
+)
+SELECT CAST(a.n AS BIGINT) AS n_weekend_days,
+       CAST(b.n AS BIGINT) AS n_weekday_days,
+       round(a.m, 4) AS mean_weekend,
+       round(b.m, 4) AS mean_weekday,
+       round(a.m / b.m, 4) AS lift,
+       round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS welch_t
+FROM g a CROSS JOIN g b
+WHERE a.is_weekend = 1 AND b.is_weekend = 0
+"""

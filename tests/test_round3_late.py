@@ -736,3 +736,78 @@ def test_ar2_matches_numpy_yule_walker(spark, sf_dir):
     assert abs(got["phi2"] - phi2) < 1e-4
     assert abs(got["innovation_var"]
                - c0 * (1 - phi1 * r1 - phi2 * r2)) < 1e-2
+
+
+def test_bigram_ppl_matches_pandas_lm(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    from collections import Counter
+    cb, cu = Counter(), Counter()
+    doc_pairs = {}
+    for r in docs.itertuples():
+        w = _doc_words(r.text)
+        prs = list(zip(w, w[1:]))
+        if prs:
+            doc_pairs[r.doc_id] = (r.source, prs)
+            cb.update(prs)
+            cu.update(p[0] for p in prs)
+    v = len({p[1] for ps in doc_pairs.values() for p in ps[1]})
+    per_src = {}
+    for did, (src, prs) in doc_pairs.items():
+        nll = np.mean([-np.log((cb[p] + 0.5) / (cu[p[0]] + 0.5 * v))
+                       for p in prs])
+        per_src.setdefault(src, []).append(nll)
+    got = {r["source"]: r for r in
+           Q.bigram_ppl_by_source(spark, sf_dir).collect()}
+    for src, nlls in per_src.items():
+        assert got[src]["n_docs"] == len(nlls), src
+        assert abs(got[src]["avg_bigram_nll"] - np.mean(nlls)) < 1e-3
+        assert abs(got[src]["perplexity"]
+                   - np.exp(np.mean(nlls))) < 0.05
+
+
+def test_embedding_isotropy_matches_n2_bruteforce(spark, sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    V = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(V, axis=1)
+    Vh = V[nrm > 0] / nrm[nrm > 0, None]
+    n = len(Vh)
+    S = Vh @ Vh.T
+    mean_cos = (S.sum() - np.trace(S)) / (n * (n - 1))
+    got = Q.embedding_isotropy(spark, sf_dir).collect()[0]
+    assert got["n_vectors"] == n
+    assert got["dim"] == V.shape[1]
+    assert abs(got["mean_norm"] - nrm[nrm > 0].mean()) < 1e-5
+    assert abs(got["mean_pairwise_cosine"] - mean_cos) < 1e-5
+
+
+def test_vocab_coverage_matches_sorted_cumsum(spark, sf_dir):
+    from collections import Counter
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    c = Counter()
+    for t in docs.text:
+        c.update(_doc_words(t))
+    # sort by count desc; within a tie group any word subset covers
+    # the same token mass, so plain count-sorted cumsum is exact
+    counts = np.sort(np.array(list(c.values())))[::-1]
+    total = counts.sum()
+    got = {r["top_k"]: r for r in
+           Q.vocab_coverage_topk(spark, sf_dir).collect()}
+    for k in (100, 1000, 10000):
+        want = counts[:k].sum() / total if k <= len(counts) else 1.0
+        assert got[k]["vocab_size"] == len(counts)
+        assert abs(got[k]["token_coverage"] - want) < 1e-5, k
+        assert abs(got[k]["oov_rate"] - (1 - want)) < 1e-5
+
+
+def test_weekend_lift_matches_pandas(spark, sf_dir):
+    ev = _daily_df(sf_dir)
+    daily = ev.groupby("d").size().reset_index(name="n")
+    wk = daily[daily.d % 7 % 6 == 0]  # 0 or 6
+    wd = daily[~(daily.d % 7).isin([0, 6])]
+    got = Q.weekend_lift_daily(spark, sf_dir).collect()[0]
+    assert got["n_weekend_days"] == len(wk)
+    assert got["n_weekday_days"] == len(wd)
+    assert abs(got["lift"] - wk.n.mean() / wd.n.mean()) < 1e-3
+    se2 = wk.n.var(ddof=1) / len(wk) + wd.n.var(ddof=1) / len(wd)
+    t = (wk.n.mean() - wd.n.mean()) / np.sqrt(se2)
+    assert abs(got["welch_t"] - t) < 1e-3
