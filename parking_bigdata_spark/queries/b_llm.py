@@ -3084,9 +3084,17 @@ def boilerplate_prefix_by_source(spark: SparkSession,
     counts = (pre.groupBy("source", "prefix")
                  .agg(F.count(F.lit(1)).alias("n_docs")))
     tot = pre.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    # two-phase argmax: a per-task local top-1 bounds every source's
+    # global rank window to ≤#tasks rows (a boilerplate-free source has
+    # ~#docs distinct prefixes — the global-only window would put all
+    # of them on one task at 100 TB)
+    rwl = Window.partitionBy(F.spark_partition_id(), "source").orderBy(
+        F.desc("n_docs"), "prefix")
+    local = (counts.withColumn("__r", F.row_number().over(rwl))
+                   .where(F.col("__r") == 1).drop("__r"))
     rw = Window.partitionBy("source").orderBy(F.desc("n_docs"), "prefix")
-    top = (counts.withColumn("__r", F.row_number().over(rw))
-                 .where(F.col("__r") == 1).drop("__r"))
+    top = (local.withColumn("__r", F.row_number().over(rw))
+                .where(F.col("__r") == 1).drop("__r"))
     return (top.join(tot, "source")
                .select("source", F.col("prefix").alias("top_prefix"),
                        F.col("n_docs").alias("n_docs_with_prefix"),
@@ -3426,8 +3434,18 @@ def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.round(dot / (na * nb), 6)
     scored = pairs.select("qid", "vec_id", "dim",
                           cos(F.col("dim")).alias("score"))
+    # two-phase exact top-5 (the cosine_topk discipline): a per-task
+    # local prune bounds every (dim, qid) group to ≤5·#tasks rows
+    # BEFORE the global rank window — without it, each (dim, qid)
+    # partition is corpus-sized on one task at 100 TB. The merge of
+    # per-task top-5s contains the global top-5 exactly (same
+    # score-desc/vec_id-asc order in both phases).
+    wl = Window.partitionBy(F.spark_partition_id(), "dim", "qid").orderBy(
+        F.desc("score"), "vec_id")
+    pruned = (scored.withColumn("__lr", F.row_number().over(wl))
+                    .where(F.col("__lr") <= 5).drop("__lr"))
     w = Window.partitionBy("dim", "qid").orderBy(F.desc("score"), "vec_id")
-    top = (scored.withColumn("r", F.row_number().over(w))
+    top = (pruned.withColumn("r", F.row_number().over(w))
                  .where(F.col("r") <= 5)
                  .select("dim", "qid", "vec_id"))
     full = (top.where(F.col("dim") == 64)
