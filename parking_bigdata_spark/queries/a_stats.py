@@ -4378,20 +4378,25 @@ def jonckheere_trend_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .when(F.col("v1") == F.col("v2"),
                               0.5 * F.col("c1") * F.col("c2"))
                         .otherwise(F.lit(0.0))).alias("jt")))
+    # cubic tie/group sums overflow int64 already at the 20× stress
+    # set (Σ n(n−1)(2n+5) ~ 3e19 for 1.1M-row discount groups) —
+    # promote each TERM to double before multiplying, both engines
     gs = (cells.groupBy("g").agg(F.sum("c").alias("n"))
+               .withColumn("nd", F.col("n").cast("double"))
                .agg(F.sum("n").alias("n_total"),
-                    F.sum(F.col("n") * F.col("n")).alias("sn2"),
-                    F.sum(F.col("n") * (F.col("n") - 1)
-                          * (2 * F.col("n") + 5)).alias("sn25"),
-                    F.sum(F.col("n") * (F.col("n") - 1)
-                          * (F.col("n") - 2)).alias("sn3"),
-                    F.sum(F.col("n") * (F.col("n") - 1)).alias("snn")))
+                    F.sum(F.col("nd") * F.col("nd")).alias("sn2"),
+                    F.sum(F.col("nd") * (F.col("nd") - 1)
+                          * (2 * F.col("nd") + 5)).alias("sn25"),
+                    F.sum(F.col("nd") * (F.col("nd") - 1)
+                          * (F.col("nd") - 2)).alias("sn3"),
+                    F.sum(F.col("nd") * (F.col("nd") - 1)).alias("snn")))
     ts = (cells.groupBy("v").agg(F.sum("c").alias("t"))
-               .agg(F.sum(F.col("t") * (F.col("t") - 1)
-                          * (2 * F.col("t") + 5)).alias("st25"),
-                    F.sum(F.col("t") * (F.col("t") - 1)
-                          * (F.col("t") - 2)).alias("st3"),
-                    F.sum(F.col("t") * (F.col("t") - 1)).alias("stt")))
+               .withColumn("td", F.col("t").cast("double"))
+               .agg(F.sum(F.col("td") * (F.col("td") - 1)
+                          * (2 * F.col("td") + 5)).alias("st25"),
+                    F.sum(F.col("td") * (F.col("td") - 1)
+                          * (F.col("td") - 2)).alias("st3"),
+                    F.sum(F.col("td") * (F.col("td") - 1)).alias("stt")))
     n = F.col("n_total").cast("double")
     mean = (n * n - F.col("sn2")) / 4.0
     # the tie-product terms exceed int64 (Σn³ · Σt³ ~ 1e23 already at
@@ -4422,26 +4427,27 @@ WITH cells AS (
   FROM cells a JOIN cells b ON a.g < b.g
 ), gs AS (
   SELECT CAST(sum(n) AS DOUBLE) AS n_total,
-         sum(n * n) AS sn2,
-         sum(n * (n - 1) * (2 * n + 5)) AS sn25,
-         sum(n * (n - 1) * (n - 2)) AS sn3,
-         sum(n * (n - 1)) AS snn
-  FROM (SELECT sum(c) AS n FROM cells GROUP BY g)
+         sum(nd * nd) AS sn2,
+         sum(nd * (nd - 1) * (2 * nd + 5)) AS sn25,
+         sum(nd * (nd - 1) * (nd - 2)) AS sn3,
+         sum(nd * (nd - 1)) AS snn
+  FROM (SELECT sum(c) AS n, CAST(sum(c) AS DOUBLE) AS nd
+        FROM cells GROUP BY g)
 ), ts AS (
-  SELECT sum(t * (t - 1) * (2 * t + 5)) AS st25,
-         sum(t * (t - 1) * (t - 2)) AS st3,
-         sum(t * (t - 1)) AS stt
-  FROM (SELECT sum(c) AS t FROM cells GROUP BY v)
+  SELECT sum(td * (td - 1) * (2 * td + 5)) AS st25,
+         sum(td * (td - 1) * (td - 2)) AS st3,
+         sum(td * (td - 1)) AS stt
+  FROM (SELECT CAST(sum(c) AS DOUBLE) AS td FROM cells GROUP BY v)
 )
 SELECT CAST(n_total AS BIGINT) AS n,
        round(jt, 2) AS jt_stat,
        round((n_total * n_total - sn2) / 4.0, 2) AS mean_jt,
        round((jt - (n_total * n_total - sn2) / 4.0)
              / sqrt((n_total * (n_total - 1) * (2 * n_total + 5)
-                     - CAST(sn25 AS DOUBLE) - CAST(st25 AS DOUBLE)) / 72.0
-                    + CAST(sn3 AS DOUBLE) * CAST(st3 AS DOUBLE)
+                     - sn25 - st25) / 72.0
+                    + sn3 * st3
                       / (36.0 * n_total * (n_total - 1) * (n_total - 2))
-                    + CAST(snn AS DOUBLE) * CAST(stt AS DOUBLE)
+                    + snn * stt
                       / (8.0 * n_total * (n_total - 1))), 4)
          AS z_stat
 FROM jt CROSS JOIN gs CROSS JOIN ts
