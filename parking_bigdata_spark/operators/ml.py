@@ -941,3 +941,21 @@ def lda_two_class_df(df: DataFrame, xs: list[str], label: str,
     return spark.createDataFrame(
         [tuple(v for _, v in cols)],
         ", ".join(f"{n} double" for n, _ in cols))
+
+
+def quantile_fit_df(df: DataFrame, x: str, y: str, tau: float = 0.9,
+                    eps: float = 1.0, n_iter: int = 2,
+                    round_to: int = 4) -> DataFrame:
+    """Quantile regression at level τ via IRLS (Koenker-Bassett 1978's
+    check-loss, public): weight |τ − 1(r<0)| / max(|r|, ε) re-targets
+    the squared-error solve at the τ-th conditional quantile —
+    `lad_fit_df` is the τ=0.5 special case. Both the sign branch and
+    the max() branch compare r built from identical 6-dp decimal
+    coefficients, so branch decisions are engine-stable. Same cost and
+    oracle contract as `lad_fit_df`.
+    """
+    def weight(b0, b1):
+        r = F.col(y) - (F.lit(b0) + F.lit(b1) * F.col(x))
+        a = F.when(r >= 0, F.lit(tau)).otherwise(F.lit(1.0 - tau))
+        return a / F.greatest(F.abs(r), F.lit(eps))
+    return _irls_line(df, x, y, weight, n_iter, round_to)

@@ -347,3 +347,43 @@ def gmm_em_sql(x: str, table: str, n_iter: int = 3,
             f"SELECT 2 AS component, round(1.0 - p1, {round_to}) AS weight,\n"
             f"       round(mu2, {round_to}) AS mean,"
             f" round(s2, {round_to}) AS std FROM {last}")
+
+
+def quantile_reg_sql(x: str, y: str, tau: float = 0.9, eps: float = 1.0,
+                     n_iter: int = 2, table: str = "lineitem",
+                     round_to: int = 4) -> str:
+    """Oracle for ml.quantile_fit_df: the asymmetric-check IRLS
+    unrolled into chained CTEs — lad_sql with the τ/(1−τ) sign weight."""
+    notnull = f"{x} IS NOT NULL AND {y} IS NOT NULL"
+    ctes = []
+    for it in range(n_iter + 1):
+        if it == 0:
+            w = "1.0"
+            src = table
+        else:
+            r = f"({y} - (c{it - 1}.b0 + c{it - 1}.b1 * {x}))"
+            w = (f"(CASE WHEN {r} >= 0 THEN {tau!r} ELSE {1.0 - tau!r} END"
+                 f" / greatest(abs({r}), {eps!r}))")
+            src = f"{table}, c{it - 1}"
+        ctes.append(
+            f"s{it} AS (\n"
+            f"  SELECT sum({w}) AS sw, sum(({w}) * {x}) AS swx,\n"
+            f"         sum(({w}) * {y}) AS swy,\n"
+            f"         sum(({w}) * {x} * {x}) AS swxx,\n"
+            f"         sum(({w}) * {x} * {y}) AS swxy\n"
+            f"  FROM {src} WHERE {notnull}\n)")
+        ctes.append(
+            f"c{it} AS (\n"
+            f"  SELECT round((sw * swxy - swx * swy)\n"
+            f"               / (sw * swxx - swx * swx), 6) AS b1,\n"
+            f"         round((swy - round((sw * swxy - swx * swy)\n"
+            f"                            / (sw * swxx - swx * swx), 6)\n"
+            f"                      * swx) / sw, 6) AS b0\n"
+            f"  FROM s{it}\n)")
+    last = f"c{n_iter}"
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            f"SELECT 'intercept' AS term, round(b0, {round_to}) AS estimate"
+            f" FROM {last}\n"
+            "UNION ALL\n"
+            f"SELECT 'coef_{x}' AS term, round(b1, {round_to}) AS estimate"
+            f" FROM {last}")
