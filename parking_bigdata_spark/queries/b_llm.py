@@ -3709,3 +3709,103 @@ FROM ks CROSS JOIN tot
 LEFT JOIN cum ON cum_nw - nw < k AND cum_nw >= k
 ORDER BY top_k
 """
+
+
+# --------------------------------------------------------------------------
+# B78. Cross-source exact-duplicate audit (syndication/mirror
+# detection — the provenance view of B1): how many exact-text
+# clusters span more than one source, and which source pairs share
+# the most duplicated text? Only 16-byte md5 digests shuffle; the
+# pair expansion runs on per-digest DISTINCT source lists (bounded by
+# #sources, in-row i<j expansion — never a self-join).
+# --------------------------------------------------------------------------
+
+def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(F.md5("text").alias("h"), "source")
+    per = (h.groupBy("h")
+            .agg(F.sort_array(F.collect_set("source")).alias("srcs"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .where(F.size("srcs") >= 2))
+    pairs = per.select(F.explode(F.expr(
+        "flatten(transform(sequence(1, size(srcs) - 1), "
+        "i -> transform(slice(srcs, i + 1, size(srcs) - i), "
+        "x -> struct(element_at(srcs, i) AS src_a, x AS src_b))))"
+    )).alias("p"), F.col("n_docs"))
+    return (pairs.groupBy(F.col("p.src_a").alias("src_a"),
+                          F.col("p.src_b").alias("src_b"))
+                 .agg(F.count(F.lit(1)).alias("n_shared_texts"),
+                      F.sum("n_docs").alias("n_docs_involved"))
+                 .orderBy(F.desc("n_shared_texts"), "src_a", "src_b"))
+
+CROSS_SOURCE_DUP_SQL = """
+WITH per AS (
+  SELECT md5(text) AS h, list_sort(list(DISTINCT source)) AS srcs,
+         count(*) AS n_docs
+  FROM documents GROUP BY md5(text)
+  HAVING len(list(DISTINCT source)) >= 2
+), pairs AS (
+  SELECT unnest(flatten(list_transform(range(1, len(srcs)),
+           i -> list_transform(srcs[i+1:],
+                x -> struct_pack(src_a := srcs[i], src_b := x))))) AS p,
+         n_docs
+  FROM per
+)
+SELECT p.src_a AS src_a, p.src_b AS src_b,
+       count(*) AS n_shared_texts,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs_involved
+FROM pairs GROUP BY 1, 2
+ORDER BY n_shared_texts DESC, src_a, src_b
+"""
+
+
+# --------------------------------------------------------------------------
+# B79. Character-level entropy per source (the compressibility proxy
+# gzip-filtering approximates — low-entropy docs are boilerplate/
+# spam): per-doc Shannon entropy over lowercase characters, averaged
+# per source. ONE char explode (linear in corpus chars, the same
+# regime as every tokenize op) + a (doc, char) count shuffle; the
+# per-doc entropy is an exact-integer-ratio log sum.
+# --------------------------------------------------------------------------
+
+def char_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ch = (docs.select("doc_id", "source",
+                      F.explode(F.split(F.lower("text"), "")).alias("c"))
+              .where(F.col("c") != ""))
+    cnt = (ch.groupBy("doc_id", "source", "c")
+             .agg(F.count(F.lit(1)).alias("k")))
+    tot = Window.partitionBy("doc_id")
+    p = F.col("k") / F.sum("k").over(tot).cast("double")
+    doc = (cnt.withColumn("term", -p * F.log(p))
+              .groupBy("doc_id", "source")
+              .agg(F.sum("term").alias("h"),
+                   F.count(F.lit(1)).alias("n_distinct_chars")))
+    return (doc.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.round(F.avg("h"), 6).alias("avg_char_entropy"),
+                    F.round(F.avg("n_distinct_chars"), 4)
+                     .alias("avg_distinct_chars"))
+               .orderBy("source"))
+
+CHAR_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, source, unnest(string_split(lower(text), '')) AS c
+  FROM documents
+), cnt AS (
+  SELECT doc_id, source, c, count(*) AS k
+  FROM ch WHERE c <> '' GROUP BY 1, 2, 3
+), withp AS (
+  SELECT doc_id, source,
+         k / CAST(sum(k) OVER (PARTITION BY doc_id) AS DOUBLE) AS p
+  FROM cnt
+), doc AS (
+  SELECT doc_id, source, sum(-p * ln(p)) AS h,
+         count(*) AS n_distinct_chars
+  FROM withp GROUP BY 1, 2
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(h), 6) AS avg_char_entropy,
+       round(avg(n_distinct_chars), 4) AS avg_distinct_chars
+FROM doc GROUP BY 1 ORDER BY 1
+"""

@@ -2734,3 +2734,78 @@ SELECT CAST(a.n AS BIGINT) AS n_weekend_days,
 FROM g a CROSS JOIN g b
 WHERE a.is_weekend = 1 AND b.is_weekend = 0
 """
+
+
+# --------------------------------------------------------------------------
+# C59. Lognormal fit of session durations (the canonical dwell-time
+# model): gap-based 30-min sessions (B13's construction), durations
+# in exact integer microseconds → seconds, lognormal MLE μ̂ = mean of
+# logs, σ̂ = sd of logs (closed form), plus the implied-vs-actual
+# mean ratio as the in-query goodness check (exp(μ+σ²/2)/x̄ ≈ 1 iff
+# lognormal fits). Zero-duration (single-event) sessions are excluded
+# — log undefined — and reported.
+# --------------------------------------------------------------------------
+
+def session_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = (ev.withColumn("us", us)
+              .withColumn("sess_id",
+                          F.sum(new_sess).over(
+                              w.rowsBetween(Window.unboundedPreceding, 0)))
+              .groupBy("user_id", "sess_id")
+              .agg(((F.max("us") - F.min("us")) / F.lit(1000000.0))
+                   .alias("dur")))
+    pos = sess.where(F.col("dur") > 0)
+    agg = pos.agg(F.count(F.lit(1)).alias("n_sessions"),
+                  F.avg(F.log("dur")).alias("mu"),
+                  F.stddev_samp(F.log("dur")).alias("sigma"),
+                  F.avg("dur").alias("actual_mean"))
+    zero = sess.where(F.col("dur") <= 0).agg(
+        F.count(F.lit(1)).alias("n_single_event"))
+    implied = F.exp(F.col("mu") + F.col("sigma") * F.col("sigma") / 2)
+    return (agg.crossJoin(F.broadcast(zero))
+               .select(F.col("n_sessions").cast("long").alias("n_sessions"),
+                       F.col("n_single_event").cast("long")
+                        .alias("n_single_event"),
+                       F.round("mu", 6).alias("mu_log_s"),
+                       F.round("sigma", 6).alias("sigma_log_s"),
+                       F.round("actual_mean", 4).alias("actual_mean_s"),
+                       F.round(implied / F.col("actual_mean"), 4)
+                        .alias("implied_over_actual")))
+
+SESSION_LOGNORM_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+), sess AS (
+  SELECT user_id, sess_id,
+         (max(us) - min(us)) / 1000000.0 AS dur
+  FROM s GROUP BY 1, 2
+), pos AS (
+  SELECT count(*) AS n_sessions, avg(ln(dur)) AS mu,
+         stddev_samp(ln(dur)) AS sigma, avg(dur) AS actual_mean
+  FROM sess WHERE dur > 0
+), z AS (SELECT count(*) AS n_single FROM sess WHERE dur <= 0)
+SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(n_single AS BIGINT) AS n_single_event,
+       round(mu, 6) AS mu_log_s,
+       round(sigma, 6) AS sigma_log_s,
+       round(actual_mean, 4) AS actual_mean_s,
+       round(exp(mu + sigma * sigma / 2) / actual_mean, 4)
+         AS implied_over_actual
+FROM pos CROSS JOIN z
+"""

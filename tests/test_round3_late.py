@@ -811,3 +811,104 @@ def test_weekend_lift_matches_pandas(spark, sf_dir):
     se2 = wk.n.var(ddof=1) / len(wk) + wd.n.var(ddof=1) / len(wd)
     t = (wk.n.mean() - wd.n.mean()) / np.sqrt(se2)
     assert abs(got["welch_t"] - t) < 1e-3
+
+
+def test_quantile_reg_reduces_check_loss(spark, sf_dir, lineitem):
+    """The τ=0.9 IRLS line must beat both the OLS line and the LAD
+    line on the τ=0.9 check loss (pinball), and its residuals must
+    leave roughly 10% of mass above... at least far less than 50%."""
+    got = {r["term"]: r["estimate"] for r in
+           Q.quantile_reg_90(spark, sf_dir).collect()}
+    x = lineitem.l_quantity.astype(float).to_numpy()
+    y = lineitem.l_extendedprice.astype(float).to_numpy()
+
+    def pinball(b0, b1, tau=0.9):
+        r = y - (b0 + b1 * x)
+        return np.where(r >= 0, tau * r, (tau - 1) * r).mean()
+
+    slope = np.cov(x, y, bias=True)[0, 1] / x.var()
+    ols = (y.mean() - slope * x.mean(), slope)
+    q = (got["intercept"], got["coef_x"])
+    assert pinball(*q) < pinball(*ols)
+    # the fitted line sits clearly above the median line (0.5 mass)
+    # and is still descending toward 0.1 at the fixed 8-scan budget
+    frac_above = (y > q[0] + q[1] * x).mean()
+    assert frac_above < 0.35
+
+
+def test_pivot_multi_matches_pandas(spark, sf_dir, orders):
+    got = {r["o_orderpriority"]: r for r in
+           Q.pivot_multi_metrics(spark, sf_dir).collect()}
+    for pri, g in orders.groupby("o_orderpriority"):
+        for s in ("F", "O", "P"):
+            sub = g[g.o_orderstatus == s]
+            assert got[pri][f"n_{s.lower()}"] == len(sub), (pri, s)
+            if len(sub):
+                assert abs(got[pri][f"avg_{s.lower()}"]
+                           - sub.o_totalprice.astype(float).mean()) < 0.02
+            else:
+                assert got[pri][f"avg_{s.lower()}"] is None
+
+
+def test_cross_source_duplication_matches_pandas(spark, sf_dir):
+    import hashlib
+    from itertools import combinations
+    from collections import Counter
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs["h"] = [hashlib.md5(t.encode()).hexdigest() for t in docs.text]
+    pair_texts, pair_docs = Counter(), Counter()
+    for h, g in docs.groupby("h"):
+        srcs = sorted(g.source.unique())
+        if len(srcs) < 2:
+            continue
+        for a, b in combinations(srcs, 2):
+            pair_texts[(a, b)] += 1
+            pair_docs[(a, b)] += len(g)
+    got = {(r["src_a"], r["src_b"]): r for r in
+           Q.cross_source_duplication(spark, sf_dir).collect()}
+    assert set(got) == set(pair_texts)
+    for k in pair_texts:
+        assert got[k]["n_shared_texts"] == pair_texts[k], k
+        assert got[k]["n_docs_involved"] == pair_docs[k], k
+
+
+def test_char_entropy_matches_pandas(spark, sf_dir):
+    from collections import Counter
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    got = {r["source"]: r for r in
+           Q.char_entropy_by_source(spark, sf_dir).collect()}
+    src = docs.source.iloc[0]
+    hs, dc = [], []
+    for t in docs[docs.source == src].text:
+        c = Counter(t.lower())
+        n = sum(c.values())
+        if n == 0:
+            continue
+        p = np.array(list(c.values())) / n
+        hs.append(float(-(p * np.log(p)).sum()))
+        dc.append(len(c))
+    assert got[src]["n_docs"] == len(hs)
+    assert abs(got[src]["avg_char_entropy"] - np.mean(hs)) < 1e-4
+    assert abs(got[src]["avg_distinct_chars"] - np.mean(dc)) < 1e-2
+
+
+def test_session_lognormal_matches_pandas(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev.ts.notna()].sort_values(["user_id", "ts", "event_id"])
+    durs = []
+    for uid, g in ev.groupby("user_id"):
+        us = g.ts.astype("datetime64[us]").astype("int64").to_numpy()
+        brk = np.concatenate([[True], np.diff(us) > 1800 * 1_000_000])
+        sid = np.cumsum(brk)
+        for s in np.unique(sid):
+            w = us[sid == s]
+            durs.append((w.max() - w.min()) / 1e6)
+    durs = np.array(durs)
+    pos = durs[durs > 0]
+    got = Q.session_lognormal_fit(spark, sf_dir).collect()[0]
+    assert got["n_sessions"] == len(pos)
+    assert got["n_single_event"] == int((durs <= 0).sum())
+    assert abs(got["mu_log_s"] - np.log(pos).mean()) < 1e-4
+    assert abs(got["sigma_log_s"] - np.log(pos).std(ddof=1)) < 1e-4
+    imp = np.exp(np.log(pos).mean() + np.log(pos).var(ddof=1) / 2)
+    assert abs(got["implied_over_actual"] - imp / pos.mean()) < 1e-3
