@@ -137,6 +137,10 @@ HEADLINE = [
     "cross_source_duplication",
     "char_entropy_by_source",
     "session_lognormal_fit",
+    "hosmer_lemeshow_status",
+    "hellinger_order_value",
+    "wavelet_energy_daily",
+    "dedup_savings_by_source",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

@@ -4899,3 +4899,126 @@ SELECT o_orderpriority,
        round(avg(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS avg_p
 FROM orders GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# A147. Hosmer-Lemeshow calibration χ² (Hosmer-Lemeshow 1980) on the
+# A110 probability score — the formal decile test behind A110's
+# calibration curve: group by DECILE OF PREDICTED RISK (equal-count,
+# the canonical construction — A110 uses fixed value bins) and sum
+# (O−E)²/(E(1−E/n)). Deciles ride the range-partitioned NTILE
+# construction (quality_lift / acctbal_deciles machinery — no global
+# sort); the oracle's ntile(10) over the same (score, key) order is
+# bucket-for-bucket identical.
+# --------------------------------------------------------------------------
+
+def hosmer_lemeshow_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    z = F.lit(-2.0) + F.col("o_totalprice") * F.lit(1e-5)
+    scored = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("p"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"))
+    s = (scored.repartitionByRange(F.col("p"), F.col("k"))
+               .withColumn("__pid", F.spark_partition_id()))
+    wl = Window.partitionBy("__pid").orderBy("p", "k")
+    local = s.withColumn("__rn", F.row_number().over(wl))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = (local.groupBy("__pid").agg(F.max("__rn").alias("__t"))
+           .withColumn("__off", F.coalesce(F.sum("__t").over(wo), F.lit(0))))
+    tot = off.agg(F.sum("__t").alias("__n"))
+    r = F.col("__off") + F.col("__rn")
+    q = F.floor(F.col("__n") / 10)
+    rem = F.col("__n") % 10
+    cutoff = rem * (q + 1)
+    decile = (F.when(F.col("__n") < 10, r)
+               .when(r <= cutoff, F.floor((r + q) / (q + 1)))
+               .otherwise(rem + F.floor((r - cutoff + q - 1) / q)))
+    dec = (local.join(F.broadcast(off.select("__pid", "__off")), "__pid")
+                .crossJoin(F.broadcast(tot))
+                .withColumn("decile", decile.cast("int")))
+    per = (dec.groupBy("decile")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("y").alias("obs"),
+                   F.sum("p").alias("exp")))
+    term = ((F.col("obs") - F.col("exp")) * (F.col("obs") - F.col("exp"))
+            / (F.col("exp") * (1.0 - F.col("exp") / F.col("n"))))
+    hl = per.agg(F.round(F.sum(term), 4).alias("chi2"))
+    return (per.crossJoin(F.broadcast(hl))
+               .select("decile", "n",
+                       F.col("obs").cast("long").alias("observed_f"),
+                       F.round("exp", 4).alias("expected_f"),
+                       F.col("chi2").alias("hl_chi2"))
+               .orderBy("decile"))
+
+HOSMER_LEMESHOW_SQL = """
+WITH scored AS (
+  SELECT o_orderkey AS k,
+         round(1.0 / (1.0 + exp(-(-2.0 + o_totalprice * 1e-5))), 6) AS p,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), dec AS (
+  SELECT p, y, ntile(10) OVER (ORDER BY p, k) AS decile FROM scored
+), per AS (
+  SELECT decile, count(*) AS n, sum(y) AS obs, sum(p) AS exp
+  FROM dec GROUP BY 1
+), hl AS (
+  SELECT round(sum((obs - exp) * (obs - exp)
+               / (exp * (1.0 - exp / n))), 4) AS chi2
+  FROM per
+)
+SELECT decile, n, CAST(obs AS BIGINT) AS observed_f,
+       round(exp, 4) AS expected_f, chi2 AS hl_chi2
+FROM per CROSS JOIN hl ORDER BY decile
+"""
+
+
+# --------------------------------------------------------------------------
+# A148. Hellinger / Bhattacharyya distance between the finished- and
+# open-order value distributions — the bounded-metric member of the
+# repo's distribution-distance family (KS A18g, AD A142, PSI B26,
+# KL B45): H² = 1 − Σ√(p_b·q_b) over a fixed-width histogram. One
+# groupBy builds both histograms; everything after is ≤#bins algebra.
+# --------------------------------------------------------------------------
+
+def hellinger_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (load_table(spark, sf_dir, "orders")
+         .where(F.col("o_orderstatus").isin("F", "O")))
+    b = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9))
+    cells = (o.groupBy(b.alias("bin"))
+              .agg(F.sum((F.col("o_orderstatus") == "F").cast("long"))
+                    .alias("nf"),
+                   F.sum((F.col("o_orderstatus") == "O").cast("long"))
+                    .alias("no")))
+    tot = cells.agg(F.sum("nf").alias("tf"), F.sum("no").alias("to"))
+    j = cells.crossJoin(F.broadcast(tot))
+    bc = F.sum(F.sqrt((F.col("nf") / F.col("tf").cast("double"))
+                      * (F.col("no") / F.col("to").cast("double"))))
+    return (j.agg(F.first("tf").alias("n_f"), F.first("to").alias("n_o"),
+                  bc.alias("bc"))
+             .select(F.col("n_f").cast("long").alias("n_finished"),
+                     F.col("n_o").cast("long").alias("n_open"),
+                     F.round(F.sqrt(1.0 - F.col("bc")), 6)
+                      .alias("hellinger"),
+                     F.round(-F.log("bc"), 6).alias("bhattacharyya")))
+
+HELLINGER_SQL = """
+WITH cells AS (
+  SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INT) AS bin,
+         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS nf,
+         sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS no
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+  GROUP BY 1
+), tot AS (SELECT sum(nf) AS tf, sum(no) AS to_ FROM cells),
+agg AS (
+  SELECT any_value(tf) AS tf, any_value(to_) AS to_,
+         sum(sqrt((nf / CAST(tf AS DOUBLE))
+                  * (no / CAST(to_ AS DOUBLE)))) AS bc
+  FROM cells CROSS JOIN tot
+)
+SELECT CAST(tf AS BIGINT) AS n_finished,
+       CAST(to_ AS BIGINT) AS n_open,
+       round(sqrt(1.0 - bc), 6) AS hellinger,
+       round(-ln(bc), 6) AS bhattacharyya
+FROM agg
+"""

@@ -3809,3 +3809,49 @@ SELECT source, count(*) AS n_docs,
        round(avg(n_distinct_chars), 4) AS avg_distinct_chars
 FROM doc GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# B80. Dedup savings report per source (the capacity-planning readout
+# of B1: how many bytes does exact dedup reclaim, and where?): per
+# source, docs beyond the first per md5(text) group and the n_chars
+# they carry. Only digests and counts shuffle; the "first" copy is
+# the min(doc_id) owner, so per-source attribution is deterministic.
+# --------------------------------------------------------------------------
+
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "source", F.col("n_chars").cast("long")
+                    .alias("nc"), F.md5("text").alias("h"))
+    keep = h.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    dup = (h.join(keep, "h")
+            .withColumn("is_dup",
+                        (F.col("doc_id") != F.col("keep_id")).cast("int")))
+    return (dup.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("is_dup").alias("n_dup_docs"),
+                    F.sum(F.col("is_dup") * F.col("nc"))
+                     .alias("chars_saved"),
+                    F.round(F.sum(F.col("is_dup") * F.col("nc"))
+                            / F.sum("nc").cast("double"), 6)
+                     .alias("savings_frac"))
+               .orderBy("source"))
+
+DEDUP_SAVINGS_SQL = """
+WITH h AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS nc,
+         md5(text) AS h
+  FROM documents
+), keep AS (SELECT h, min(doc_id) AS keep_id FROM h GROUP BY 1),
+dup AS (
+  SELECT source, nc,
+         CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END AS is_dup
+  FROM h JOIN keep USING (h)
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+       CAST(sum(is_dup * nc) AS BIGINT) AS chars_saved,
+       round(sum(is_dup * nc) / CAST(sum(nc) AS DOUBLE), 6)
+         AS savings_frac
+FROM dup GROUP BY 1 ORDER BY 1
+"""

@@ -2809,3 +2809,56 @@ SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
          AS implied_over_actual
 FROM pos CROSS JOIN z
 """
+
+
+# --------------------------------------------------------------------------
+# C60. Haar wavelet detail energy at dyadic scales 2/4/8 days — the
+# multi-resolution complement of C55's periodogram (WHERE in time the
+# variance lives, by scale band). Each scale's detail coefficient per
+# complete 2s-day block is (Σ first s − Σ second s)/√(2s); blocks
+# come from integer day-index arithmetic (no windows at all), one
+# bounded groupBy per plan.
+# --------------------------------------------------------------------------
+
+def wavelet_energy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_counts(spark, sf_dir)
+    ex = (daily.select("d", "n",
+                       F.explode(F.array(F.lit(2), F.lit(4), F.lit(8)))
+                        .alias("s")))
+    blk = (ex.groupBy("s", (F.col("d") - (F.col("d") % (2 * F.col("s"))))
+                           .alias("block"))
+             .agg(F.count(F.lit(1)).alias("nd"),
+                  F.sum(F.when(F.col("d") % (2 * F.col("s")) < F.col("s"),
+                               F.col("n")).otherwise(0)).alias("s1"),
+                  F.sum(F.when(F.col("d") % (2 * F.col("s")) >= F.col("s"),
+                               F.col("n")).otherwise(0)).alias("s2")))
+    coef = ((F.col("s1") - F.col("s2")).cast("double")
+            / F.sqrt(2.0 * F.col("s")))
+    return (blk.where(F.col("nd") == 2 * F.col("s"))
+               .groupBy("s")
+               .agg(F.count(F.lit(1)).alias("n_blocks"),
+                    F.round(F.sum(coef * coef), 4).alias("detail_energy"))
+               .select(F.col("s").cast("int").alias("scale_days"),
+                       "n_blocks", "detail_energy")
+               .orderBy("scale_days"))
+
+WAVELET_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), ex AS (
+  SELECT d, n, s FROM daily
+  CROSS JOIN (SELECT unnest([2, 4, 8]) AS s)
+), blk AS (
+  SELECT s, d - (d % (2 * s)) AS block, count(*) AS nd,
+         sum(CASE WHEN d % (2 * s) < s THEN n ELSE 0 END) AS s1,
+         sum(CASE WHEN d % (2 * s) >= s THEN n ELSE 0 END) AS s2
+  FROM ex GROUP BY 1, 2
+)
+SELECT CAST(s AS INT) AS scale_days, count(*) AS n_blocks,
+       round(sum(((s1 - s2) / sqrt(2.0 * s))
+                 * ((s1 - s2) / sqrt(2.0 * s))), 4) AS detail_energy
+FROM blk WHERE nd = 2 * s
+GROUP BY 1 ORDER BY 1
+"""

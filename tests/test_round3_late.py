@@ -912,3 +912,76 @@ def test_session_lognormal_matches_pandas(spark, sf_dir):
     assert abs(got["sigma_log_s"] - np.log(pos).std(ddof=1)) < 1e-4
     imp = np.exp(np.log(pos).mean() + np.log(pos).var(ddof=1) / 2)
     assert abs(got["implied_over_actual"] - imp / pos.mean()) < 1e-3
+
+
+def test_hosmer_lemeshow_matches_pandas_ntile(spark, sf_dir, orders):
+    o = orders.copy()
+    o["p"] = np.round(1 / (1 + np.exp(-(-2.0 + o.o_totalprice * 1e-5))), 6)
+    o["y"] = (o.o_orderstatus == "F").astype(int)
+    o = o.sort_values(["p", "o_orderkey"]).reset_index(drop=True)
+    n = len(o)
+    # SQL NTILE semantics: first (n % 10) buckets get one extra row
+    q, rem = divmod(n, 10)
+    sizes = [q + 1] * rem + [q] * (10 - rem)
+    dec = np.repeat(np.arange(1, 11), sizes)
+    o["decile"] = dec
+    got = {r["decile"]: r for r in
+           Q.hosmer_lemeshow_status(spark, sf_dir).collect()}
+    chi2 = 0.0
+    for d, g in o.groupby("decile"):
+        obs, exp, nd = g.y.sum(), g.p.sum(), len(g)
+        assert got[d]["n"] == nd, d
+        assert got[d]["observed_f"] == obs, d
+        assert abs(got[d]["expected_f"] - exp) < 1e-2, d
+        chi2 += (obs - exp) ** 2 / (exp * (1 - exp / nd))
+    assert abs(got[1]["hl_chi2"] - chi2) < 0.02
+
+
+def test_hellinger_matches_pandas(spark, sf_dir, orders):
+    o = orders[orders.o_orderstatus.isin(["F", "O"])].copy()
+    o["bin"] = np.minimum(np.floor(o.o_totalprice / 50000), 9)
+    f = o[o.o_orderstatus == "F"].bin.value_counts(normalize=True)
+    q = o[o.o_orderstatus == "O"].bin.value_counts(normalize=True)
+    bins = sorted(set(f.index) | set(q.index))
+    bc = sum(np.sqrt(f.get(b, 0) * q.get(b, 0)) for b in bins)
+    got = Q.hellinger_order_value(spark, sf_dir).collect()[0]
+    assert got["n_finished"] == (o.o_orderstatus == "F").sum()
+    assert abs(got["hellinger"] - np.sqrt(1 - bc)) < 1e-4
+    assert abs(got["bhattacharyya"] + np.log(bc)) < 1e-4
+    assert 0 <= got["hellinger"] <= 1
+
+
+def test_wavelet_energy_matches_numpy(spark, sf_dir):
+    ev = _daily_df(sf_dir)
+    daily = (ev.groupby("d").size().reset_index(name="n"))
+    idx = dict(zip(daily.d, daily.n))
+    got = {r["scale_days"]: r for r in
+           Q.wavelet_energy_daily(spark, sf_dir).collect()}
+    for s in (2, 4, 8):
+        e, nb = 0.0, 0
+        blocks = {}
+        for d, n in idx.items():
+            blocks.setdefault(d - d % (2 * s), []).append((d, n))
+        for b, rows in blocks.items():
+            if len(rows) != 2 * s:
+                continue
+            s1 = sum(n for d, n in rows if d % (2 * s) < s)
+            s2 = sum(n for d, n in rows if d % (2 * s) >= s)
+            e += ((s1 - s2) / np.sqrt(2 * s)) ** 2
+            nb += 1
+        assert got[s]["n_blocks"] == nb, s
+        assert abs(got[s]["detail_energy"] - e) < 1e-2, s
+
+
+def test_dedup_savings_matches_pandas(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    keep = docs.groupby(docs.text)["doc_id"].transform("min")
+    docs = docs.assign(is_dup=(docs.doc_id != keep).astype(int))
+    got = {r["source"]: r for r in
+           Q.dedup_savings_by_source(spark, sf_dir).collect()}
+    for src, g in docs.groupby("source"):
+        assert got[src]["n_docs"] == len(g)
+        assert got[src]["n_dup_docs"] == g.is_dup.sum(), src
+        assert got[src]["chars_saved"] == (g.is_dup * g.n_chars).sum()
+        assert abs(got[src]["savings_frac"]
+                   - (g.is_dup * g.n_chars).sum() / g.n_chars.sum()) < 1e-5
