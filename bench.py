@@ -141,6 +141,10 @@ HEADLINE = [
     "hellinger_order_value",
     "wavelet_energy_daily",
     "dedup_savings_by_source",
+    "contamination_profile",
+    "pacf_daily",
+    "breusch_godfrey_daily",
+    "spectral_entropy_daily",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

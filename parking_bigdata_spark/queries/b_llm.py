@@ -3855,3 +3855,74 @@ SELECT source, count(*) AS n_docs,
          AS savings_frac
 FROM dup GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# B81. Per-doc contamination fraction profile (the graded view of
+# B23's binary decontamination — GPT-3 appendix-C-style overlap
+# accounting): what FRACTION of each corpus doc's distinct 3-grams
+# appears anywhere in the held-out eval split, summarized per source?
+# Eval grams are distinct-collapsed before the join; only grams and
+# counts shuffle; the per-doc denominator comes from the same
+# tokenize pass.
+# --------------------------------------------------------------------------
+
+def contamination_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")),
+                r"\s+")
+    toks = docs.select("doc_id", "source", w.alias("t"))
+    n = F.size("t")
+    grams = (toks.where(n >= 3)
+                 .select("doc_id", "source",
+                         F.explode(F.array_distinct(F.transform(
+                             F.sequence(F.lit(0), n - 3),
+                             lambda i: F.concat_ws(
+                                 " ", F.slice("t", i + 1, 3)))))
+                          .alias("g")))
+    ev = (grams.where(F.col("doc_id") % 20 == 0)
+               .select("g").distinct())
+    corpus = grams.where(F.col("doc_id") % 20 != 0)
+    hit = (corpus.join(ev.withColumn("__hit", F.lit(1)), "g", "left")
+                 .groupBy("doc_id", "source")
+                 .agg(F.count(F.lit(1)).alias("n_grams"),
+                      F.sum(F.coalesce("__hit", F.lit(0)))
+                       .alias("n_contaminated")))
+    frac = F.col("n_contaminated") / F.col("n_grams").cast("double")
+    return (hit.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.round(F.avg(frac), 6).alias("avg_contam_frac"),
+                    F.round(F.max(frac), 6).alias("max_contam_frac"),
+                    F.sum((frac > 0.5).cast("int"))
+                     .alias("n_docs_over_half"))
+               .orderBy("source"))
+
+CONTAM_PROFILE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g')), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+  FROM toks WHERE len(t) >= 3
+), ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+hit AS (
+  SELECT c.doc_id, c.source, count(*) AS n_grams,
+         sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_contaminated
+  FROM (SELECT * FROM grams WHERE doc_id % 20 <> 0) c
+  LEFT JOIN ev ON c.g = ev.g
+  GROUP BY 1, 2
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(n_contaminated / CAST(n_grams AS DOUBLE)), 6)
+         AS avg_contam_frac,
+       round(max(n_contaminated / CAST(n_grams AS DOUBLE)), 6)
+         AS max_contam_frac,
+       CAST(sum(CASE WHEN n_contaminated / CAST(n_grams AS DOUBLE) > 0.5
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_over_half
+FROM hit GROUP BY 1 ORDER BY 1
+"""

@@ -2862,3 +2862,231 @@ SELECT CAST(s AS INT) AS scale_days, count(*) AS n_blocks,
 FROM blk WHERE nd = 2 * s
 GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# C61. Partial autocorrelation function, lags 1-3 (Durbin-Levinson
+# closed forms) — the AR-order identification companion of C24's ACF
+# and C57's AR(2): φ11 = r1, φ22 = (r2−r1²)/(1−r1²), φ33 by the
+# explicit order-3 Yule-Walker Cramer solve. Autocovariances are one
+# fused lag-join aggregate over the calendar table; everything after
+# is scalar algebra on identical inputs.
+# --------------------------------------------------------------------------
+
+def pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_counts(spark, sf_dir).localCheckpoint(eager=True)
+    mv = daily.agg(F.avg(F.col("n").cast("double")).alias("mu"),
+                   F.var_pop(F.col("n").cast("double")).alias("c0"),
+                   F.count(F.lit(1)).alias("nd"))
+    a, b = daily.alias("a"), daily.alias("b")
+    ck = (a.select("d", "n",
+                   F.explode(F.sequence(F.lit(1), F.lit(3))).alias("k"))
+           .join(b, F.col("b.d") == F.col("a.d") + F.col("k"))
+           .crossJoin(F.broadcast(mv))
+           .groupBy("k")
+           .agg((F.sum((F.col("a.n") - F.col("mu"))
+                       * (F.col("b.n") - F.col("mu")))
+                 / F.first(F.col("nd").cast("double"))).alias("c")))
+    wide = (ck.crossJoin(F.broadcast(mv))
+              .groupBy("nd", "c0")
+              .agg(*[F.max(F.when(F.col("k") == k, F.col("c")))
+                     .alias(f"c{k}") for k in (1, 2, 3)]))
+    r1 = F.col("c1") / F.col("c0")
+    r2 = F.col("c2") / F.col("c0")
+    r3 = F.col("c3") / F.col("c0")
+    p1 = r1
+    p2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    # order-3 Yule-Walker: φ33 = det(R3 with col3 → r)/det(R3), R3 the
+    # symmetric Toeplitz correlation matrix [1 r1 r2; r1 1 r1; r2 r1 1]
+    det3 = (1 * (1 - r1 * r1) - r1 * (r1 - r1 * r2)
+            + r2 * (r1 * r1 - r2))
+    # column-3 replacement [[1,r1,r1],[r1,1,r2],[r2,r1,r3]], expanded
+    # along the first row — identical parenthesization in the oracle
+    num3 = (1 * (r3 - r2 * r1) - r1 * (r1 * r3 - r2 * r2)
+            + r1 * (r1 * r1 - r2))
+    p3 = num3 / det3
+    return wide.select(
+        F.col("nd").cast("long").alias("n_days"),
+        F.round(p1, 6).alias("pacf_1"),
+        F.round(p2, 6).alias("pacf_2"),
+        F.round(p3, 6).alias("pacf_3"))
+
+PACF_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), mv AS (
+  SELECT avg(n) AS mu, var_pop(n) AS c0,
+         CAST(count(*) AS DOUBLE) AS nd
+  FROM daily
+), ck AS (
+  SELECT k, sum((a.n - mu) * (b.n - mu)) / any_value(nd) AS c
+  FROM daily a
+  CROSS JOIN (SELECT CAST(unnest(generate_series(1, 3)) AS INT) AS k)
+  JOIN daily b ON b.d = a.d + k
+  CROSS JOIN mv
+  GROUP BY k
+), wide AS (
+  SELECT nd, c0,
+         max(CASE WHEN k = 1 THEN c END) AS c1,
+         max(CASE WHEN k = 2 THEN c END) AS c2,
+         max(CASE WHEN k = 3 THEN c END) AS c3
+  FROM ck CROSS JOIN mv GROUP BY nd, c0
+), r AS (
+  SELECT nd, c1 / c0 AS r1, c2 / c0 AS r2, c3 / c0 AS r3 FROM wide
+)
+SELECT CAST(nd AS BIGINT) AS n_days,
+       round(r1, 6) AS pacf_1,
+       round((r2 - r1 * r1) / (1 - r1 * r1), 6) AS pacf_2,
+       round((1 * (r3 - r2 * r1) - r1 * (r1 * r3 - r2 * r2)
+              + r1 * (r1 * r1 - r2))
+             / (1 * (1 - r1 * r1) - r1 * (r1 - r1 * r2)
+                + r2 * (r1 * r1 - r2)), 6) AS pacf_3
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# C62. Breusch-Godfrey LM test, lag 1, on the daily-trend residuals —
+# the serial-correlation member of the residual-diagnostics family
+# (A18b has Durbin-Watson; BG is its regression-form generalization):
+# fit n ~ d, regress e_t on (d_t, e_{t−1}), LM = (n−1)·R². The lag
+# join is calendar-keyed (d−1), everything on the bounded daily table.
+# --------------------------------------------------------------------------
+
+def breusch_godfrey_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (_daily_counts(spark, sf_dir)
+             .select(F.col("d").cast("double").alias("d"),
+                     F.col("n").cast("double").alias("y"))
+             .localCheckpoint(eager=True))
+    fit = daily.agg((F.covar_pop("d", "y") / F.var_pop("d")).alias("b"),
+                    F.avg("y").alias("my"), F.avg("d").alias("md"))
+    e = (daily.crossJoin(F.broadcast(fit))
+              .select("d", (F.col("y") - (F.col("my") + F.col("b")
+                                          * (F.col("d") - F.col("md"))))
+                      .alias("e")))
+    cur, lag = e.alias("cur"), e.alias("lag")
+    rows = (cur.join(lag, F.col("lag.d") == F.col("cur.d") - 1)
+               .select(F.col("cur.e").alias("u"),
+                       F.col("cur.d").alias("z1"),
+                       F.col("lag.e").alias("z2")))
+    g = rows.agg(F.count(F.lit(1)).alias("n"),
+                 F.avg("u").alias("mu"), F.avg("z1").alias("m1"),
+                 F.avg("z2").alias("m2"),
+                 F.avg(F.col("u") * F.col("u")).alias("ruu"),
+                 F.avg(F.col("z1") * F.col("z1")).alias("r11"),
+                 F.avg(F.col("z2") * F.col("z2")).alias("r22"),
+                 F.avg(F.col("z1") * F.col("z2")).alias("r12"),
+                 F.avg(F.col("u") * F.col("z1")).alias("r1u"),
+                 F.avg(F.col("u") * F.col("z2")).alias("r2u"))
+    suu = F.col("ruu") - F.col("mu") * F.col("mu")
+    s11 = F.col("r11") - F.col("m1") * F.col("m1")
+    s22 = F.col("r22") - F.col("m2") * F.col("m2")
+    s12 = F.col("r12") - F.col("m1") * F.col("m2")
+    s1u = F.col("r1u") - F.col("m1") * F.col("mu")
+    s2u = F.col("r2u") - F.col("m2") * F.col("mu")
+    det = s11 * s22 - s12 * s12
+    b1 = (s1u * s22 - s2u * s12) / det
+    b2 = (s2u * s11 - s1u * s12) / det
+    r2 = (b1 * s1u + b2 * s2u) / suu
+    return g.select(F.col("n").cast("long").alias("n_obs"),
+                    F.round(b2, 6).alias("lag_resid_coef"),
+                    F.round(r2, 6).alias("r2_aux"),
+                    F.round(F.col("n") * r2, 4).alias("bg_lm"))
+
+BREUSCH_GODFREY_SQL = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE))
+              AS DOUBLE) AS d,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), fit AS (
+  SELECT covar_pop(d, y) / var_pop(d) AS b, avg(y) AS my, avg(d) AS md
+  FROM daily
+), e AS (
+  SELECT d, y - (my + b * (d - md)) AS e FROM daily CROSS JOIN fit
+), rows_t AS (
+  SELECT cur.e AS u, cur.d AS z1, lag.e AS z2
+  FROM e cur JOIN e lag ON lag.d = cur.d - 1
+), g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         avg(u) AS mu, avg(z1) AS m1, avg(z2) AS m2,
+         avg(u * u) AS ruu, avg(z1 * z1) AS r11, avg(z2 * z2) AS r22,
+         avg(z1 * z2) AS r12, avg(u * z1) AS r1u, avg(u * z2) AS r2u
+  FROM rows_t
+), s AS (
+  SELECT n, ruu - mu * mu AS suu, r11 - m1 * m1 AS s11,
+         r22 - m2 * m2 AS s22, r12 - m1 * m2 AS s12,
+         r1u - m1 * mu AS s1u, r2u - m2 * mu AS s2u
+  FROM g
+), fit2 AS (
+  SELECT n, suu, s1u, s2u,
+         (s1u * s22 - s2u * s12) / (s11 * s22 - s12 * s12) AS b1,
+         (s2u * s11 - s1u * s12) / (s11 * s22 - s12 * s12) AS b2
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_obs,
+       round(b2, 6) AS lag_resid_coef,
+       round((b1 * s1u + b2 * s2u) / suu, 6) AS r2_aux,
+       round(n * (b1 * s1u + b2 * s2u) / suu, 4) AS bg_lm
+FROM fit2
+"""
+
+
+# --------------------------------------------------------------------------
+# C63. Spectral entropy of the daily series (forecastability index —
+# white noise → entropy 1, a pure cycle → 0): C55's periodogram
+# powers at periods 2..14, normalized to a distribution, Shannon
+# entropy over it scaled by ln(#frequencies). Same bounded trig-sum
+# plan; one row out.
+# --------------------------------------------------------------------------
+
+def spectral_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    daily = _daily_counts(spark, sf_dir)
+    mv = daily.agg(F.avg(F.col("n").cast("double")).alias("mu"),
+                   F.count(F.lit(1)).alias("nd"))
+    x = F.col("n").cast("double") - F.col("mu")
+    theta = 2.0 * math.pi * F.col("d") / F.col("period")
+    per = (daily.crossJoin(F.broadcast(mv))
+                .select("d", "n", "mu", "nd",
+                        F.explode(F.sequence(F.lit(2), F.lit(14)))
+                         .alias("period"))
+                .groupBy("period")
+                .agg((F.sum(x * F.cos(theta)) * F.sum(x * F.cos(theta))
+                      + F.sum(x * F.sin(theta)) * F.sum(x * F.sin(theta)))
+                     .alias("pw")))
+    tot = per.agg(F.sum("pw").alias("tp"), F.count(F.lit(1)).alias("nf"))
+    p = F.col("pw") / F.col("tp")
+    ent = (per.crossJoin(F.broadcast(tot))
+              .agg(F.first("nf").alias("nf"),
+                   F.sum(-p * F.log(p)).alias("h")))
+    return ent.select(
+        F.col("nf").cast("int").alias("n_frequencies"),
+        F.round("h", 6).alias("entropy_nats"),
+        F.round(F.col("h") / F.log(F.col("nf").cast("double")), 6)
+         .alias("spectral_entropy_norm"))
+
+SPECTRAL_ENTROPY_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), mv AS (SELECT avg(n) AS mu FROM daily),
+per AS (
+  SELECT period,
+         pow(sum((n - mu) * cos(2 * pi() * d / period)), 2)
+         + pow(sum((n - mu) * sin(2 * pi() * d / period)), 2) AS pw
+  FROM daily CROSS JOIN mv
+  CROSS JOIN (SELECT CAST(unnest(generate_series(2, 14)) AS INT)
+              AS period)
+  GROUP BY period
+), tot AS (SELECT sum(pw) AS tp, count(*) AS nf FROM per)
+SELECT CAST(any_value(nf) AS INT) AS n_frequencies,
+       round(sum(-(pw / tp) * ln(pw / tp)), 6) AS entropy_nats,
+       round(sum(-(pw / tp) * ln(pw / tp))
+             / ln(CAST(any_value(nf) AS DOUBLE)), 6)
+         AS spectral_entropy_norm
+FROM per CROSS JOIN tot
+"""

@@ -985,3 +985,92 @@ def test_dedup_savings_matches_pandas(spark, sf_dir):
         assert got[src]["chars_saved"] == (g.is_dup * g.n_chars).sum()
         assert abs(got[src]["savings_frac"]
                    - (g.is_dup * g.n_chars).sum() / g.n_chars.sum()) < 1e-5
+
+
+def test_pacf_matches_statsmodels_free_recursion(spark, sf_dir):
+    ev = _daily_df(sf_dir)
+    daily = (ev.groupby("d").size().reset_index(name="n")
+               .sort_values("d"))
+    x = daily.n.to_numpy(dtype=float)
+    d = daily.d.to_numpy()
+    mu, c0, n = x.mean(), x.var(), len(x)
+    idx = {dd: i for i, dd in enumerate(d)}
+    r = {}
+    for k in (1, 2, 3):
+        pairs = [(i, idx[dd + k]) for i, dd in enumerate(d)
+                 if dd + k in idx]
+        r[k] = (sum((x[i] - mu) * (x[j] - mu) for i, j in pairs)
+                / n) / c0
+    R3 = np.array([[1, r[1], r[2]], [r[1], 1, r[1]], [r[2], r[1], 1]])
+    rhs = np.array([r[1], r[2], r[3]])
+    p3 = np.linalg.solve(R3, rhs)[2]
+    got = Q.pacf_daily(spark, sf_dir).collect()[0]
+    assert got["n_days"] == n
+    assert abs(got["pacf_1"] - r[1]) < 1e-5
+    assert abs(got["pacf_2"]
+               - (r[2] - r[1] ** 2) / (1 - r[1] ** 2)) < 1e-5
+    assert abs(got["pacf_3"] - p3) < 1e-4
+
+
+def test_breusch_godfrey_matches_numpy(spark, sf_dir):
+    ev = _daily_df(sf_dir)
+    daily = (ev.groupby("d").size().reset_index(name="y")
+               .sort_values("d"))
+    dd = daily.d.to_numpy(dtype=float)
+    y = daily.y.to_numpy(dtype=float)
+    b = np.cov(dd, y, bias=True)[0, 1] / dd.var()
+    e = y - (y.mean() + b * (dd - dd.mean()))
+    idx = {v: i for i, v in enumerate(dd)}
+    rows = [(e[idx[v]], v, e[idx[v - 1]]) for v in dd if v - 1 in idx]
+    u, z1, z2 = map(np.array, zip(*rows))
+    Z = np.column_stack([np.ones_like(z1), z1, z2])
+    bb = np.linalg.lstsq(Z, u, rcond=None)[0]
+    r2 = 1 - ((u - Z @ bb) ** 2).sum() / ((u - u.mean()) ** 2).sum()
+    got = Q.breusch_godfrey_daily(spark, sf_dir).collect()[0]
+    assert got["n_obs"] == len(u)
+    assert abs(got["r2_aux"] - r2) < 1e-5
+    assert abs(got["bg_lm"] - len(u) * r2) < 1e-2
+    assert abs(got["lag_resid_coef"] - bb[2]) < 1e-4
+
+
+def test_spectral_entropy_matches_numpy(spark, sf_dir):
+    ev = _daily_df(sf_dir)
+    daily = (ev.groupby("d").size().reset_index(name="n"))
+    x = daily.n.to_numpy(dtype=float)
+    d = daily.d.to_numpy(dtype=float)
+    xc = x - x.mean()
+    pw = np.array([
+        (xc * np.cos(2 * np.pi * d / p)).sum() ** 2
+        + (xc * np.sin(2 * np.pi * d / p)).sum() ** 2
+        for p in range(2, 15)])
+    q = pw / pw.sum()
+    h = float(-(q * np.log(q)).sum())
+    got = Q.spectral_entropy_daily(spark, sf_dir).collect()[0]
+    assert got["n_frequencies"] == 13
+    assert abs(got["entropy_nats"] - h) < 1e-4
+    assert abs(got["spectral_entropy_norm"] - h / np.log(13)) < 1e-5
+    assert 0 <= got["spectral_entropy_norm"] <= 1
+
+
+def test_contamination_profile_matches_pandas(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    def tri(text):
+        w = _doc_words(text)
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+    ev = set()
+    for r in docs[docs.doc_id % 20 == 0].itertuples():
+        ev |= tri(r.text)
+    per_src = {}
+    for r in docs[docs.doc_id % 20 != 0].itertuples():
+        g = tri(r.text)
+        if not g:
+            continue
+        per_src.setdefault(r.source, []).append(
+            len(g & ev) / len(g))
+    got = {r["source"]: r for r in
+           Q.contamination_profile(spark, sf_dir).collect()}
+    for src, fr in per_src.items():
+        assert got[src]["n_docs"] == len(fr), src
+        assert abs(got[src]["avg_contam_frac"] - np.mean(fr)) < 1e-4
+        assert abs(got[src]["max_contam_frac"] - max(fr)) < 1e-5
+        assert got[src]["n_docs_over_half"] == sum(f > 0.5 for f in fr)
