@@ -145,6 +145,10 @@ HEADLINE = [
     "pacf_daily",
     "breusch_godfrey_daily",
     "spectral_entropy_daily",
+    "deming_regression",
+    "epi_2x2_measures",
+    "arch_lm_daily",
+    "langid_confusion",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

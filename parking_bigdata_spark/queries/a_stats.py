@@ -5022,3 +5022,138 @@ SELECT CAST(tf AS BIGINT) AS n_finished,
        round(-ln(bc), 6) AS bhattacharyya
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# A149. Deming regression (errors-in-variables, λ=1; Deming 1943) —
+# the method-comparison fit the reference's lm can't express: both
+# variables carry noise (chars vs words as length proxies). Closed form
+# from ONE fused moment scan: β = (syy − λsxx + √((syy−λsxx)² +
+# 4λsxy²)) / (2sxy).
+# --------------------------------------------------------------------------
+
+def deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # chars vs words: both are noisy measurements of document length
+    # (the genuine errors-in-variables setting); r ≈ 0.998 on this
+    # corpus so the slope is well-conditioned, and x in char-hundreds
+    # puts slope/intercept at O(1-100) — far above engine sum noise
+    pairs = docs.select((F.col("n_chars") / 100.0).alias("x"),
+                        F.size(F.split(F.trim("text"), r"\s+"))
+                         .cast("double").alias("y"))
+    g = pairs.agg(F.count(F.lit(1)).alias("n"),
+                  F.avg("x").alias("mx"), F.avg("y").alias("my"),
+                  F.covar_pop("x", "y").alias("sxy"),
+                  F.var_pop("x").alias("sxx"),
+                  F.var_pop("y").alias("syy"))
+    d = F.col("syy") - F.col("sxx")
+    beta = (d + F.sqrt(d * d + 4 * F.col("sxy") * F.col("sxy"))) \
+        / (2 * F.col("sxy"))
+    return g.select(F.col("n").cast("long").alias("n_rows"),
+                    F.round(beta, 6).alias("deming_slope"),
+                    F.round(F.col("my") - beta * F.col("mx"), 4)
+                     .alias("deming_intercept"),
+                    F.round(F.col("sxy")
+                            / F.sqrt(F.col("sxx") * F.col("syy")), 6)
+                     .alias("pearson_r"))
+
+DEMING_SQL = """
+WITH pairs AS (
+  SELECT n_chars / 100.0 AS x,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS y
+  FROM documents
+), g AS (
+  SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+         covar_pop(x, y) AS sxy, var_pop(x) AS sxx, var_pop(y) AS syy
+  FROM pairs
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       round(((syy - sxx) + sqrt((syy - sxx) * (syy - sxx)
+                                 + 4 * sxy * sxy)) / (2 * sxy), 6)
+         AS deming_slope,
+       round(my - ((syy - sxx) + sqrt((syy - sxx) * (syy - sxx)
+                                      + 4 * sxy * sxy)) / (2 * sxy)
+                  * mx, 4) AS deming_intercept,
+       round(sxy / sqrt(sxx * syy), 6) AS pearson_r
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# A150. Epidemiological 2×2 effect measures (risk ratio, odds ratio,
+# risk difference, each with 95% log-CI; Katz 1978 / Woolf 1955) —
+# the effect-size completion of A18h's z-test and A115's Fisher
+# exact: exposure = negative account balance, outcome = BUILDING
+# segment. One fused scan builds the table; everything else is
+# scalar closed forms (1.959964 is the standard normal quantile, a
+# fixed decimal constant in both engines).
+# --------------------------------------------------------------------------
+
+def epi_2x2_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    exp_ = F.col("c_acctbal") < 0
+    out = F.col("c_mktsegment") == "BUILDING"
+    g = c.agg(F.sum((exp_ & out).cast("long")).alias("a"),
+              F.sum((exp_ & ~out).cast("long")).alias("b"),
+              F.sum((~exp_ & out).cast("long")).alias("c"),
+              F.sum((~exp_ & ~out).cast("long")).alias("d"))
+    a, b, cc, d = (F.col("a").cast("double"), F.col("b").cast("double"),
+                   F.col("c").cast("double"), F.col("d").cast("double"))
+    z = 1.959964
+    rr = (a / (a + b)) / (cc / (cc + d))
+    se_rr = F.sqrt(1 / a - 1 / (a + b) + 1 / cc - 1 / (cc + d))
+    orr = (a * d) / (b * cc)
+    se_or = F.sqrt(1 / a + 1 / b + 1 / cc + 1 / d)
+    rd = a / (a + b) - cc / (cc + d)
+    se_rd = F.sqrt(a * b / F.pow(a + b, 3) + cc * d / F.pow(cc + d, 3))
+    return g.select(
+        F.col("a").alias("n_exp_out"), F.col("b").alias("n_exp_noout"),
+        F.col("c").alias("n_unexp_out"),
+        F.col("d").alias("n_unexp_noout"),
+        F.round(rr, 6).alias("risk_ratio"),
+        F.round(F.exp(F.log(rr) - z * se_rr), 6).alias("rr_ci_lo"),
+        F.round(F.exp(F.log(rr) + z * se_rr), 6).alias("rr_ci_hi"),
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.exp(F.log(orr) - z * se_or), 6).alias("or_ci_lo"),
+        F.round(F.exp(F.log(orr) + z * se_or), 6).alias("or_ci_hi"),
+        F.round(rd, 6).alias("risk_diff"),
+        F.round(rd - z * se_rd, 6).alias("rd_ci_lo"),
+        F.round(rd + z * se_rd, 6).alias("rd_ci_hi"))
+
+EPI_2X2_SQL = """
+WITH g AS (
+  SELECT sum(CASE WHEN c_acctbal < 0 AND c_mktsegment = 'BUILDING'
+             THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN c_acctbal < 0 AND c_mktsegment <> 'BUILDING'
+             THEN 1 ELSE 0 END) AS b,
+         sum(CASE WHEN c_acctbal >= 0 AND c_mktsegment = 'BUILDING'
+             THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN c_acctbal >= 0 AND c_mktsegment <> 'BUILDING'
+             THEN 1 ELSE 0 END) AS d
+  FROM customer
+), m AS (
+  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+         CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+         (a / CAST(a + b AS DOUBLE)) / (c / CAST(c + d AS DOUBLE)) AS rr,
+         sqrt(1.0 / a - 1.0 / (a + b) + 1.0 / c - 1.0 / (c + d)) AS serr,
+         (a * CAST(d AS DOUBLE)) / (b * CAST(c AS DOUBLE)) AS orr,
+         sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS seor,
+         a / CAST(a + b AS DOUBLE) - c / CAST(c + d AS DOUBLE) AS rd,
+         sqrt(a * CAST(b AS DOUBLE) / pow(CAST(a + b AS DOUBLE), 3)
+              + c * CAST(d AS DOUBLE) / pow(CAST(c + d AS DOUBLE), 3))
+           AS serd
+  FROM g
+)
+SELECT a AS n_exp_out, b AS n_exp_noout, c AS n_unexp_out,
+       d AS n_unexp_noout,
+       round(rr, 6) AS risk_ratio,
+       round(exp(ln(rr) - 1.959964 * serr), 6) AS rr_ci_lo,
+       round(exp(ln(rr) + 1.959964 * serr), 6) AS rr_ci_hi,
+       round(orr, 6) AS odds_ratio,
+       round(exp(ln(orr) - 1.959964 * seor), 6) AS or_ci_lo,
+       round(exp(ln(orr) + 1.959964 * seor), 6) AS or_ci_hi,
+       round(rd, 6) AS risk_diff,
+       round(rd - 1.959964 * serd, 6) AS rd_ci_lo,
+       round(rd + 1.959964 * serd, 6) AS rd_ci_hi
+FROM m
+"""

@@ -3926,3 +3926,41 @@ SELECT source, count(*) AS n_docs,
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_over_half
 FROM hit GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# B82. Language-ID confusion matrix (the EVALUATION of B7's stopword
+# classifier against the generator's true lang labels — accuracy,
+# per-language recall, and every (true, predicted) cell). One
+# codegen scan computes the prediction; the matrix is ≤|langs|²
+# cells.
+# --------------------------------------------------------------------------
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text_ops.lang_id(docs).select("doc_id", "pred_lang")
+    j = docs.select("doc_id", "lang").join(pred, "doc_id")
+    cells = (j.groupBy(F.col("lang").alias("true_lang"),
+                       F.col("pred_lang"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    wt = Window.partitionBy("true_lang")
+    return (cells.select("true_lang", "pred_lang", "n",
+                         F.round(F.col("n")
+                                 / F.sum("n").over(wt).cast("double"), 6)
+                          .alias("row_frac"))
+                 .orderBy("true_lang", "pred_lang"))
+
+LANGID_CONFUSION_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang, {_LANGID_HITS_SQL}
+  FROM documents
+), p AS (
+  SELECT doc_id, lang AS true_lang, {_LANGID_PRED} AS pred_lang FROM h
+), cells AS (
+  SELECT true_lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2
+)
+SELECT true_lang, pred_lang, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY true_lang) AS DOUBLE), 6)
+         AS row_frac
+FROM cells ORDER BY true_lang, pred_lang
+"""

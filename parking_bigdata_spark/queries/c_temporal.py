@@ -3090,3 +3090,57 @@ SELECT CAST(any_value(nf) AS INT) AS n_frequencies,
          AS spectral_entropy_norm
 FROM per CROSS JOIN tot
 """
+
+
+# --------------------------------------------------------------------------
+# C64. Engle's ARCH LM test, lag 1 (Engle 1982) — volatility
+# clustering in the daily series: regress squared detrended residuals
+# on their own lag, LM = n·R². The volatility companion of C62's
+# Breusch-Godfrey (which tests the residual LEVEL); same
+# calendar-keyed lag join, closed simple-regression R².
+# --------------------------------------------------------------------------
+
+def arch_lm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (_daily_counts(spark, sf_dir)
+             .select(F.col("d").cast("double").alias("d"),
+                     F.col("n").cast("double").alias("y"))
+             .localCheckpoint(eager=True))
+    fit = daily.agg((F.covar_pop("d", "y") / F.var_pop("d")).alias("b"),
+                    F.avg("y").alias("my"), F.avg("d").alias("md"))
+    e2 = (daily.crossJoin(F.broadcast(fit))
+               .select("d", F.pow(F.col("y") - (F.col("my") + F.col("b")
+                                                * (F.col("d") - F.col("md"))),
+                                  2).alias("u")))
+    cur, lag = e2.alias("cur"), e2.alias("lag")
+    rows = (cur.join(lag, F.col("lag.d") == F.col("cur.d") - 1)
+               .select(F.col("cur.u").alias("u"),
+                       F.col("lag.u").alias("ul")))
+    g = rows.agg(F.count(F.lit(1)).alias("n"),
+                 F.corr("u", "ul").alias("r"))
+    return g.select(F.col("n").cast("long").alias("n_obs"),
+                    F.round("r", 6).alias("lag1_corr_sq_resid"),
+                    F.round(F.col("n") * F.col("r") * F.col("r"), 4)
+                     .alias("arch_lm"))
+
+ARCH_LM_SQL = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE))
+              AS DOUBLE) AS d,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), fit AS (
+  SELECT covar_pop(d, y) / var_pop(d) AS b, avg(y) AS my, avg(d) AS md
+  FROM daily
+), e2 AS (
+  SELECT d, pow(y - (my + b * (d - md)), 2) AS u
+  FROM daily CROSS JOIN fit
+), rows_t AS (
+  SELECT cur.u AS u, lag.u AS ul
+  FROM e2 cur JOIN e2 lag ON lag.d = cur.d - 1
+), g AS (SELECT CAST(count(*) AS DOUBLE) AS n, corr(u, ul) AS r
+         FROM rows_t)
+SELECT CAST(n AS BIGINT) AS n_obs,
+       round(r, 6) AS lag1_corr_sq_resid,
+       round(n * r * r, 4) AS arch_lm
+FROM g
+"""

@@ -1074,3 +1074,76 @@ def test_contamination_profile_matches_pandas(spark, sf_dir):
         assert abs(got[src]["avg_contam_frac"] - np.mean(fr)) < 1e-4
         assert abs(got[src]["max_contam_frac"] - max(fr)) < 1e-5
         assert got[src]["n_docs_over_half"] == sum(f > 0.5 for f in fr)
+
+
+def test_deming_matches_numpy_closed_form(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    x = docs.n_chars.astype(float).to_numpy() / 100.0
+    y = np.array([len(t.strip().split()) for t in docs.text],
+                 dtype=float)
+    sxx, syy = x.var(), y.var()
+    sxy = np.cov(x, y, bias=True)[0, 1]
+    beta = ((syy - sxx) + np.sqrt((syy - sxx) ** 2 + 4 * sxy ** 2)) \
+        / (2 * sxy)
+    got = Q.deming_regression(spark, sf_dir).collect()[0]
+    assert got["n_rows"] == len(x)
+    assert abs(got["deming_slope"] - beta) < 1e-4
+    assert abs(got["deming_intercept"]
+               - (y.mean() - beta * x.mean())) < 1e-3
+    # Deming slope must exceed the OLS slope (attenuation correction)
+    assert got["deming_slope"] >= sxy / sxx - 1e-9
+
+
+def test_epi_2x2_matches_closed_forms(spark, sf_dir, customer):
+    e = customer.c_acctbal < 0
+    o = customer.c_mktsegment == "BUILDING"
+    a = int((e & o).sum()); b = int((e & ~o).sum())
+    c = int((~e & o).sum()); d = int((~e & ~o).sum())
+    rr = (a / (a + b)) / (c / (c + d))
+    orr = a * d / (b * c)
+    rd = a / (a + b) - c / (c + d)
+    got = Q.epi_2x2_measures(spark, sf_dir).collect()[0]
+    assert (got["n_exp_out"], got["n_exp_noout"],
+            got["n_unexp_out"], got["n_unexp_noout"]) == (a, b, c, d)
+    assert abs(got["risk_ratio"] - rr) < 1e-5
+    assert abs(got["odds_ratio"] - orr) < 1e-5
+    assert abs(got["risk_diff"] - rd) < 1e-6
+    assert got["rr_ci_lo"] <= rr <= got["rr_ci_hi"]
+    assert got["or_ci_lo"] <= orr <= got["or_ci_hi"]
+    assert got["rd_ci_lo"] <= rd <= got["rd_ci_hi"]
+
+
+def test_arch_lm_matches_numpy(spark, sf_dir):
+    ev = _daily_df(sf_dir)
+    daily = (ev.groupby("d").size().reset_index(name="y")
+               .sort_values("d"))
+    dd = daily.d.to_numpy(dtype=float)
+    y = daily.y.to_numpy(dtype=float)
+    b = np.cov(dd, y, bias=True)[0, 1] / dd.var()
+    u = (y - (y.mean() + b * (dd - dd.mean()))) ** 2
+    idx = {v: i for i, v in enumerate(dd)}
+    rows = [(u[idx[v]], u[idx[v - 1]]) for v in dd if v - 1 in idx]
+    cu, lu = map(np.array, zip(*rows))
+    r = np.corrcoef(cu, lu)[0, 1]
+    got = Q.arch_lm_daily(spark, sf_dir).collect()[0]
+    assert got["n_obs"] == len(cu)
+    assert abs(got["lag1_corr_sq_resid"] - r) < 1e-5
+    assert abs(got["arch_lm"] - len(cu) * r * r) < 1e-2
+
+
+def test_langid_confusion_consistency(spark, sf_dir):
+    rows = Q.langid_confusion(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    # totals per true language must cover every doc exactly once
+    per_true = {}
+    for r in rows:
+        per_true[r["true_lang"]] = per_true.get(r["true_lang"], 0) + r["n"]
+        assert 0 <= r["row_frac"] <= 1
+    assert per_true == docs.lang.value_counts().to_dict()
+    # row fractions sum to 1 per true language
+    from collections import defaultdict
+    fs = defaultdict(float)
+    for r in rows:
+        fs[r["true_lang"]] += r["row_frac"]
+    for v in fs.values():
+        assert abs(v - 1.0) < 1e-3
