@@ -149,6 +149,9 @@ HEADLINE = [
     "epi_2x2_measures",
     "arch_lm_daily",
     "langid_confusion",
+    "weighted_kappa_orders",
+    "psi_monthly_orders",
+    "embedding_effective_rank",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

@@ -5157,3 +5157,63 @@ SELECT a AS n_exp_out, b AS n_exp_noout, c AS n_unexp_out,
        round(rd + 1.959964 * serd, 6) AS rd_ci_hi
 FROM m
 """
+
+
+# --------------------------------------------------------------------------
+# A151. Quadratic-weighted Cohen's kappa (Cohen 1968) between two
+# ORDINAL raters — the ordinal upgrade of A119's plain kappa: rater A
+# = the order-priority level (its numeral prefix), rater B = a fixed
+# price band. κw = 1 − Σ(i−j)²O_ij / Σ(i−j)²E_ij over the ≤5×5
+# contingency table; one fused scan builds it, margins ride window
+# sums over the bounded cell table.
+# --------------------------------------------------------------------------
+
+def weighted_kappa_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ra = (F.substring("o_orderpriority", 1, 1).cast("int") - 1)
+    rb = F.least(F.floor(F.col("o_totalprice") / 100000), F.lit(4)) \
+        .cast("int")
+    cells = (o.groupBy(ra.alias("i"), rb.alias("j"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    wi = Window.partitionBy("i")
+    wj = Window.partitionBy("j")
+    wall = Window.partitionBy()
+    t = (cells.withColumn("ri", F.sum("n").over(wi))
+              .withColumn("cj", F.sum("n").over(wj))
+              .withColumn("nn", F.sum("n").over(wall)))
+    d2 = (F.col("i") - F.col("j")) * (F.col("i") - F.col("j"))
+    agg = t.agg(F.first("nn").alias("n_total"),
+                F.sum(d2 * F.col("n")).alias("wo"),
+                F.sum(d2 * F.col("ri").cast("double") * F.col("cj")
+                      / F.col("nn")).alias("we"))
+    return agg.select(
+        F.col("n_total").cast("long").alias("n_orders"),
+        F.round(F.col("wo").cast("double"), 2).alias("weighted_observed"),
+        F.round("we", 2).alias("weighted_expected"),
+        F.round(1.0 - F.col("wo") / F.col("we"), 6)
+         .alias("weighted_kappa"))
+
+WEIGHTED_KAPPA_SQL = """
+WITH cells AS (
+  SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) - 1 AS i,
+         CAST(least(floor(o_totalprice / 100000), 4) AS INT) AS j,
+         count(*) AS n
+  FROM orders GROUP BY 1, 2
+), t AS (
+  SELECT i, j, n,
+         sum(n) OVER (PARTITION BY i) AS ri,
+         sum(n) OVER (PARTITION BY j) AS cj,
+         sum(n) OVER () AS nn
+  FROM cells
+), agg AS (
+  SELECT any_value(nn) AS n_total,
+         sum((i - j) * (i - j) * n) AS wo,
+         sum((i - j) * (i - j) * ri * CAST(cj AS DOUBLE) / nn) AS we
+  FROM t
+)
+SELECT CAST(n_total AS BIGINT) AS n_orders,
+       round(CAST(wo AS DOUBLE), 2) AS weighted_observed,
+       round(we, 2) AS weighted_expected,
+       round(1.0 - wo / we, 6) AS weighted_kappa
+FROM agg
+"""

@@ -3964,3 +3964,87 @@ SELECT true_lang, pred_lang, n,
          AS row_frac
 FROM cells ORDER BY true_lang, pred_lang
 """
+
+
+# --------------------------------------------------------------------------
+# B83. Embedding effective rank (participation ratio, Gao et al. /
+# random-matrix usage; the dimensionality-collapse diagnostic next to
+# B76's isotropy): PR = tr(C)² / ‖C‖_F² for the covariance C —
+# computable WITHOUT any eigendecomposition because tr(C) = Σ var_i
+# and ‖C‖_F² = Σ C_ij². The Gram matrix comes from ONE mapInPandas
+# GEMM pass emitting dim²-bounded partials (the kmeans partial-sum
+# discipline); nothing driver-side scales with rows.
+# --------------------------------------------------------------------------
+
+def embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select(F.col("embedding").cast("array<double>").alias("v")))
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            G = X.T @ X
+            d = G.shape[0]
+            i, j = np.triu_indices(d)
+            yield pd.DataFrame({
+                "i": np.concatenate([i, [-1] * d, [-2]]).astype("int32"),
+                "j": np.concatenate([j, list(range(d)), [-2]])
+                      .astype("int32"),
+                "s": np.concatenate([G[i, j], X.sum(axis=0),
+                                     [float(len(X))]])})
+
+    parts = (emb.mapInPandas(part, "i int, j int, s double")
+                .groupBy("i", "j").agg(F.sum("s").alias("s"))
+                .collect())
+    gram, mean_s, n = {}, {}, 0.0
+    for r in parts:
+        if r["i"] == -2:
+            n = r["s"]
+        elif r["i"] == -1:
+            mean_s[r["j"]] = r["s"]
+        else:
+            gram[(r["i"], r["j"])] = r["s"]
+    d = max(j for _, j in gram) + 1
+    import numpy as np
+    C = np.zeros((d, d))
+    mu = np.array([mean_s[k] / n for k in range(d)])
+    for (i, j), s in gram.items():
+        C[i, j] = C[j, i] = s / n - mu[i] * mu[j]
+    tr = float(np.trace(C))
+    fro2 = float((C ** 2).sum())
+    return spark.createDataFrame(
+        [(int(n), d, round(tr, 6), round(fro2, 6),
+          round(tr * tr / fro2, 4))],
+        "n_vectors long, dim int, trace_cov double, "
+        "frobenius_sq double, effective_rank_pr double")
+
+EFFECTIVE_RANK_SQL = """
+WITH cells AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+), mu AS (SELECT dim, avg(val) AS m FROM cells GROUP BY 1),
+cov AS (
+  SELECT a.dim AS i, b.dim AS j,
+         avg(a.val * b.val) - any_value(ma.m) * any_value(mb.m) AS c
+  FROM cells a
+  JOIN cells b ON a.vec_id = b.vec_id
+  JOIN mu ma ON ma.dim = a.dim
+  JOIN mu mb ON mb.dim = b.dim
+  GROUP BY 1, 2
+), agg AS (
+  SELECT sum(CASE WHEN i = j THEN c ELSE 0 END) AS tr,
+         sum(c * c) AS fro2
+  FROM cov
+), nv AS (SELECT count(*) AS n, max(len(embedding)) AS d
+          FROM embeddings)
+SELECT CAST(n AS BIGINT) AS n_vectors, CAST(d AS INT) AS dim,
+       round(tr, 6) AS trace_cov,
+       round(fro2, 6) AS frobenius_sq,
+       round(tr * tr / fro2, 4) AS effective_rank_pr
+FROM agg CROSS JOIN nv
+"""

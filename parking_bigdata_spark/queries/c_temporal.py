@@ -3144,3 +3144,61 @@ SELECT CAST(n AS BIGINT) AS n_obs,
        round(n * r * r, 4) AS arch_lm
 FROM g
 """
+
+
+# --------------------------------------------------------------------------
+# C65. Month-over-month population stability index of the order-value
+# distribution (the TEMPORAL drift monitor — B26's PSI watches
+# sources; this watches time, the standard model-monitoring setup):
+# PSI of each month's value-band mix against the PREVIOUS month.
+# Bands are fixed-width (deterministic); the month×band grid is
+# calendar-bounded, the month self-join is on the tiny aggregate.
+# Laplace-smoothed shares so empty bands stay finite.
+# --------------------------------------------------------------------------
+
+def psi_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (load_table(spark, sf_dir, "orders")
+         .where(F.col("o_orderdate").isNotNull()))
+    month = F.trunc("o_orderdate", "month")
+    band = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9))
+    cells = (o.groupBy(month.alias("m"), band.alias("b"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    tot = cells.groupBy("m").agg(F.sum("n").alias("nm"))
+    grid = (tot.crossJoin(F.broadcast(
+                cells.select("b").distinct()))
+               .join(cells, ["m", "b"], "left")
+               .withColumn("n", F.coalesce("n", F.lit(0)))
+               .withColumn("p", (F.col("n") + 0.5)
+                           / (F.col("nm") + 5.0)))
+    cur, prev = grid.alias("cur"), grid.alias("prev")
+    j = cur.join(prev, (F.col("prev.m") == F.add_months(F.col("cur.m"), -1))
+                 & (F.col("prev.b") == F.col("cur.b")))
+    term = ((F.col("cur.p") - F.col("prev.p"))
+            * F.log(F.col("cur.p") / F.col("prev.p")))
+    return (j.groupBy(F.date_format(F.col("cur.m"), "yyyy-MM")
+                       .alias("month"))
+             .agg(F.first(F.col("cur.nm")).alias("n_orders"),
+                  F.round(F.sum(term), 6).alias("psi_vs_prev_month"))
+             .orderBy("month"))
+
+PSI_MONTHLY_SQL = """
+WITH cells AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         least(floor(o_totalprice / 50000), 9) AS b,
+         count(*) AS n
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
+), tot AS (SELECT m, sum(n) AS nm FROM cells GROUP BY 1),
+grid AS (
+  SELECT t.m, bb.b, t.nm, coalesce(c.n, 0) AS n,
+         (coalesce(c.n, 0) + 0.5) / (t.nm + 5.0) AS p
+  FROM tot t CROSS JOIN (SELECT DISTINCT b FROM cells) bb
+  LEFT JOIN cells c ON c.m = t.m AND c.b = bb.b
+)
+SELECT strftime(cur.m, '%Y-%m') AS month,
+       CAST(any_value(cur.nm) AS BIGINT) AS n_orders,
+       round(sum((cur.p - prev.p) * ln(cur.p / prev.p)), 6)
+         AS psi_vs_prev_month
+FROM grid cur JOIN grid prev
+  ON prev.m = cur.m - INTERVAL 1 MONTH AND prev.b = cur.b
+GROUP BY cur.m ORDER BY month
+"""

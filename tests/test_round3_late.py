@@ -1147,3 +1147,62 @@ def test_langid_confusion_consistency(spark, sf_dir):
         fs[r["true_lang"]] += r["row_frac"]
     for v in fs.values():
         assert abs(v - 1.0) < 1e-3
+
+
+def test_weighted_kappa_matches_pandas(spark, sf_dir, orders):
+    i = orders.o_orderpriority.str[0].astype(int) - 1
+    j = np.minimum(np.floor(orders.o_totalprice / 100000), 4).astype(int)
+    n = len(orders)
+    tab = pd.crosstab(i, j)
+    wo = sum(((a - b) ** 2) * tab.loc[a, b]
+             for a in tab.index for b in tab.columns)
+    ri, cj = tab.sum(axis=1), tab.sum(axis=0)
+    we = sum(((a - b) ** 2) * ri[a] * cj[b] / n
+             for a in tab.index for b in tab.columns)
+    got = Q.weighted_kappa_orders(spark, sf_dir).collect()[0]
+    assert got["n_orders"] == n
+    assert abs(got["weighted_observed"] - wo) < 0.6
+    assert abs(got["weighted_expected"] - we) < 0.6
+    assert abs(got["weighted_kappa"] - (1 - wo / we)) < 1e-5
+
+
+def test_psi_monthly_matches_pandas(spark, sf_dir, orders):
+    o = orders[orders.o_orderdate.notna()].copy()
+    o["m"] = pd.to_datetime(o.o_orderdate).dt.to_period("M")
+    o["b"] = np.minimum(np.floor(o.o_totalprice / 50000), 9).astype(int)
+    bands = sorted(o.b.unique())
+    months = sorted(o.m.unique())
+    shares = {}
+    for m in months:
+        g = o[o.m == m]
+        shares[m] = {b: ((g.b == b).sum() + 0.5) / (len(g) + 5.0)
+                     for b in bands}
+    got = {r["month"]: r for r in
+           Q.psi_monthly_orders(spark, sf_dir).collect()}
+    checked = 0
+    for prev, cur in zip(months, months[1:]):
+        if (cur - prev).n != 1:
+            continue
+        psi = sum((shares[cur][b] - shares[prev][b])
+                  * np.log(shares[cur][b] / shares[prev][b])
+                  for b in bands)
+        key = str(cur)
+        assert key in got, key
+        assert abs(got[key]["psi_vs_prev_month"] - psi) < 1e-5, key
+        checked += 1
+    assert checked >= 10
+
+
+def test_effective_rank_matches_numpy_eigen(spark, sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    V = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    C = np.cov(V, rowvar=False, bias=True)
+    lam = np.linalg.eigvalsh(C)
+    pr = lam.sum() ** 2 / (lam ** 2).sum()
+    got = Q.embedding_effective_rank(spark, sf_dir).collect()[0]
+    assert got["n_vectors"] == len(V)
+    assert got["dim"] == V.shape[1]
+    assert abs(got["trace_cov"] - np.trace(C)) < 1e-4
+    assert abs(got["frobenius_sq"] - (C ** 2).sum()) < 1e-4
+    assert abs(got["effective_rank_pr"] - pr) < 1e-2
+    assert 1 <= got["effective_rank_pr"] <= got["dim"]
