@@ -152,6 +152,9 @@ HEADLINE = [
     "weighted_kappa_orders",
     "psi_monthly_orders",
     "embedding_effective_rank",
+    "gehan_wilcoxon_churn",
+    "brier_decomposition",
+    "records_trend_daily",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

@@ -5217,3 +5217,207 @@ SELECT CAST(n_total AS BIGINT) AS n_orders,
        round(1.0 - wo / we, 6) AS weighted_kappa
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# A152. Gehan-Wilcoxon weighted log-rank (Gehan 1965; weight = the
+# at-risk count, so EARLY churn differences dominate — the companion
+# reading of A141's unweighted log-rank on the same md5 A/B arms).
+# Identical two-strata life-table plan; only the weight in the O/E/V
+# sums changes.
+# --------------------------------------------------------------------------
+
+def gehan_wilcoxon_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    mx = ev.agg(F.max(F.to_date("ts")).alias("m"))
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    wlead = Window.partitionBy("user_id").orderBy("d")
+    g = ud.withColumn("nxt", F.lead("d").over(wlead))
+    arm = (F.substring(F.md5(F.concat(F.lit("arm:"),
+                                      F.col("user_id").cast("string"))),
+                       1, 1) < "8").cast("int")
+    per_user = (g.groupBy("user_id")
+                 .agg(F.min(F.when(F.datediff("nxt", "d") >= 3,
+                                   F.col("d"))).alias("ichurn"),
+                      F.min("d").alias("fd"), F.max("d").alias("ld"))
+                 .crossJoin(F.broadcast(mx))
+                 .withColumn("cd", F.coalesce(
+                     "ichurn",
+                     F.when(F.datediff("m", "ld") >= 3, F.col("ld"))))
+                 .select(F.datediff(F.coalesce("cd", "m"), "fd")
+                          .alias("dur"),
+                         F.col("cd").isNotNull().cast("int")
+                          .alias("churned"),
+                         arm.alias("b")))
+    counts = (per_user.groupBy("dur")
+              .agg(F.sum(F.col("churned") * F.col("b")).alias("d1"),
+                   F.sum((1 - F.col("churned")) * F.col("b")).alias("c1"),
+                   F.sum(F.col("churned") * (1 - F.col("b"))).alias("d0"),
+                   F.sum((1 - F.col("churned")) * (1 - F.col("b")))
+                    .alias("c0"))
+              .localCheckpoint(eager=True))
+    tot = counts.agg((F.sum("d1") + F.sum("c1")).alias("n1_total"),
+                     (F.sum("d0") + F.sum("c0")).alias("n0_total"))
+    cum = (stats.range_cumsum(counts, "dur", ["d1", "c1", "d0", "c0"])
+           .crossJoin(F.broadcast(tot))
+           .withColumn("n1at", F.col("n1_total")
+                       - (F.col("cum_d1") + F.col("cum_c1"))
+                       + F.col("d1") + F.col("c1"))
+           .withColumn("n0at", F.col("n0_total")
+                       - (F.col("cum_d0") + F.col("cum_c0"))
+                       + F.col("d0") + F.col("c0")))
+    d = F.col("d1") + F.col("d0")
+    nat = (F.col("n1at") + F.col("n0at")).cast("double")
+    wgt = nat  # Gehan weight = at-risk count
+    ok = (d > 0) & (F.col("n1at") + F.col("n0at") > 1)
+    agg = (cum.where(ok)
+              .agg(F.first("n1_total").alias("n_arm_a"),
+                   F.first("n0_total").alias("n_arm_b"),
+                   F.sum(wgt * F.col("d1")).alias("wo1"),
+                   F.sum(wgt * d * F.col("n1at") / nat).alias("we1"),
+                   F.sum(F.when(ok, wgt * wgt * d
+                                * (F.col("n1at") / nat)
+                                * (F.col("n0at") / nat)
+                                * (nat - d) / (nat - 1))
+                          .otherwise(F.lit(0.0))).alias("v")))
+    z = F.when(F.col("v") > 0,
+               (F.col("wo1") - F.col("we1")) / F.sqrt(F.col("v")))
+    return agg.select(
+        F.col("n_arm_a").cast("long").alias("n_arm_a"),
+        F.col("n_arm_b").cast("long").alias("n_arm_b"),
+        F.round("wo1", 2).alias("weighted_observed_a"),
+        F.round("we1", 4).alias("weighted_expected_a"),
+        F.round(z, 4).alias("z_stat"),
+        F.round(z * z, 4).alias("chi2_stat"))
+
+GEHAN_SQL = """
+WITH mx AS (SELECT CAST(max(ts) AS DATE) AS m
+            FROM events WHERE ts IS NOT NULL),
+ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+       FROM events WHERE ts IS NOT NULL),
+g AS (SELECT user_id, d,
+             lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nxt
+      FROM ud),
+f AS (SELECT user_id,
+             min(CASE WHEN date_diff('day', d, nxt) >= 3 THEN d END)
+               AS ichurn,
+             min(d) AS fd, max(d) AS ld
+      FROM g GROUP BY 1),
+per_user AS (
+  SELECT date_diff('day', fd,
+                   coalesce(coalesce(ichurn,
+                            CASE WHEN date_diff('day', ld, m) >= 3
+                                 THEN ld END), m)) AS dur,
+         (coalesce(ichurn,
+                   CASE WHEN date_diff('day', ld, m) >= 3
+                        THEN ld END) IS NOT NULL)::INT AS churned,
+         (substring(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 1)
+          < '8')::INT AS b
+  FROM f CROSS JOIN mx
+), counts AS (
+  SELECT dur,
+         sum(churned * b) AS d1, sum((1 - churned) * b) AS c1,
+         sum(churned * (1 - b)) AS d0,
+         sum((1 - churned) * (1 - b)) AS c0
+  FROM per_user GROUP BY 1
+), tot AS (SELECT sum(d1) + sum(c1) AS n1_total,
+                  sum(d0) + sum(c0) AS n0_total FROM counts),
+cum AS (
+  SELECT dur, d1, d0, n1_total, n0_total,
+         n1_total - (sum(d1) OVER w + sum(c1) OVER w) + d1 + c1 AS n1at,
+         n0_total - (sum(d0) OVER w + sum(c0) OVER w) + d0 + c0 AS n0at
+  FROM counts CROSS JOIN tot
+  WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), agg AS (
+  SELECT any_value(n1_total) AS n_arm_a,
+         any_value(n0_total) AS n_arm_b,
+         sum((n1at + n0at) * d1) AS wo1,
+         sum((n1at + n0at) * (d1 + d0) * n1at
+             / CAST(n1at + n0at AS DOUBLE)) AS we1,
+         sum(CAST(n1at + n0at AS DOUBLE) * (n1at + n0at)
+             * (d1 + d0) * (n1at / CAST(n1at + n0at AS DOUBLE))
+             * (n0at / CAST(n1at + n0at AS DOUBLE))
+             * (n1at + n0at - d1 - d0)
+             / CAST(n1at + n0at - 1 AS DOUBLE)) AS v
+  FROM cum WHERE d1 + d0 > 0 AND n1at + n0at > 1
+)
+SELECT CAST(n_arm_a AS BIGINT) AS n_arm_a,
+       CAST(n_arm_b AS BIGINT) AS n_arm_b,
+       round(CAST(wo1 AS DOUBLE), 2) AS weighted_observed_a,
+       round(we1, 4) AS weighted_expected_a,
+       round(CASE WHEN v > 0 THEN (wo1 - we1) / sqrt(v) END, 4)
+         AS z_stat,
+       round(CASE WHEN v > 0 THEN (wo1 - we1) * (wo1 - we1) / v END, 4)
+         AS chi2_stat
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# A153. Brier-score decomposition (Murphy 1973): reliability −
+# resolution + uncertainty, on A110's score/bin construction — the
+# three-way reading of WHY the Brier score is what it is. Per-bin
+# sums ride the same single scan; the identity Brier = REL − RES +
+# UNC holds exactly for bin-averaged forecasts and within-rounding
+# here (per-bin mean p̄ stands in for each p).
+# --------------------------------------------------------------------------
+
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    z = F.lit(-2.0) + F.col("o_totalprice") * F.lit(1e-5)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    y = (F.col("o_orderstatus") == "F").cast("int")
+    binned = o.select(
+        F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9))
+         .cast("int").alias("bin"),
+        score.alias("p"), y.alias("y"))
+    bins = (binned.groupBy("bin")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.avg("p").alias("pb"),
+                       F.avg(F.col("y").cast("double")).alias("ob")))
+    tot = bins.agg(F.sum("n").alias("nn"),
+                   (F.sum(F.col("ob") * F.col("n")) / F.sum("n"))
+                   .alias("obar"))
+    j = bins.crossJoin(F.broadcast(tot))
+    rel = F.sum(F.col("n") * (F.col("pb") - F.col("ob"))
+                * (F.col("pb") - F.col("ob"))) / F.first("nn")
+    res = F.sum(F.col("n") * (F.col("ob") - F.col("obar"))
+                * (F.col("ob") - F.col("obar"))) / F.first("nn")
+    unc = F.first(F.col("obar") * (1.0 - F.col("obar")))
+    agg = j.agg(F.first("nn").alias("n"), rel.alias("rel"),
+                res.alias("res"), unc.alias("unc"))
+    return agg.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.round("rel", 6).alias("reliability"),
+        F.round("res", 6).alias("resolution"),
+        F.round("unc", 6).alias("uncertainty"),
+        F.round(F.col("rel") - F.col("res") + F.col("unc"), 6)
+         .alias("brier_from_decomposition"))
+
+BRIER_DECOMP_SQL = """
+WITH s AS (
+  SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INT) AS bin,
+         round(1.0 / (1.0 + exp(-(-2.0 + o_totalprice * 1e-5))), 6) AS p,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), bins AS (
+  SELECT bin, count(*) AS n, avg(p) AS pb,
+         avg(CAST(y AS DOUBLE)) AS ob
+  FROM s GROUP BY 1
+), tot AS (
+  SELECT sum(n) AS nn, sum(ob * n) / sum(n) AS obar FROM bins
+), agg AS (
+  SELECT any_value(nn) AS n,
+         sum(n * (pb - ob) * (pb - ob)) / any_value(nn) AS rel,
+         sum(n * (ob - obar) * (ob - obar)) / any_value(nn) AS res,
+         any_value(obar * (1.0 - obar)) AS unc
+  FROM bins CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       round(rel, 6) AS reliability,
+       round(res, 6) AS resolution,
+       round(unc, 6) AS uncertainty,
+       round(rel - res + unc, 6) AS brier_from_decomposition
+FROM agg
+"""

@@ -3202,3 +3202,67 @@ FROM grid cur JOIN grid prev
   ON prev.m = cur.m - INTERVAL 1 MONTH AND prev.b = cur.b
 GROUP BY cur.m ORDER BY month
 """
+
+
+# --------------------------------------------------------------------------
+# C66. Records test for trend (Foster-Stuart family): the count of
+# strict running-maximum days in the daily series vs the iid
+# expectation H_n (harmonic number) — a distribution-free trend
+# check next to C44's Mann-Kendall. The running max is computed with
+# the range-partition + broadcast-prefix construction (per-partition
+# cummax in parallel, #partitions-bounded offset frame) — never a
+# single-task global window.
+# --------------------------------------------------------------------------
+
+def records_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_counts(spark, sf_dir)
+    d = (daily.repartitionByRange(F.col("d"))
+              .withColumn("__pid", F.spark_partition_id()))
+    wl = (Window.partitionBy("__pid").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    local = d.withColumn("__prevmax", F.max("n").over(wl))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = (local.groupBy("__pid").agg(F.max("n").alias("__t"))
+           .withColumn("__offmax", F.max("__t").over(wo)))
+    j = local.join(F.broadcast(off.select("__pid", "__offmax")), "__pid")
+    prev = F.greatest(F.coalesce("__prevmax", F.lit(float("-inf"))),
+                      F.coalesce("__offmax", F.lit(float("-inf"))))
+    agg = j.agg(F.count(F.lit(1)).alias("n_days"),
+                F.sum((F.col("n") > prev).cast("int")).alias("n_records"))
+    row = agg.collect()[0]
+    nd, nr = row["n_days"], row["n_records"]
+    h = sum(1.0 / k for k in range(1, nd + 1))
+    h2 = sum(1.0 / (k * k) for k in range(1, nd + 1))
+    var = h - h2
+    z = (nr - h) / (var ** 0.5) if var > 0 else None
+    spark_ = spark
+    return spark_.createDataFrame(
+        [(int(nd), int(nr), round(h, 4),
+          round(z, 4) if z is not None else None)],
+        "n_days long, n_records long, expected_records double, "
+        "z_stat double")
+
+RECORDS_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), rm AS (
+  SELECT d, n,
+         max(n) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prevmax
+  FROM daily
+), cnt AS (
+  SELECT count(*) AS nd,
+         sum(CASE WHEN prevmax IS NULL OR n > prevmax
+             THEN 1 ELSE 0 END) AS nr
+  FROM rm
+), h AS (
+  SELECT sum(1.0 / k) AS h1, sum(1.0 / (k * k)) AS h2
+  FROM (SELECT unnest(range(1, (SELECT nd FROM cnt) + 1)) AS k)
+)
+SELECT CAST(nd AS BIGINT) AS n_days, CAST(nr AS BIGINT) AS n_records,
+       round(h1, 4) AS expected_records,
+       round((nr - h1) / sqrt(h1 - h2), 4) AS z_stat
+FROM cnt CROSS JOIN h
+"""

@@ -1206,3 +1206,81 @@ def test_effective_rank_matches_numpy_eigen(spark, sf_dir):
     assert abs(got["frobenius_sq"] - (C ** 2).sum()) < 1e-4
     assert abs(got["effective_rank_pr"] - pr) < 1e-2
     assert 1 <= got["effective_rank_pr"] <= got["dim"]
+
+
+def test_gehan_matches_pandas_life_table(spark, sf_dir):
+    import hashlib
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev.ts.notna()]
+    ev["d"] = pd.to_datetime(ev.ts).dt.normalize()
+    mx = ev.d.max()
+    rows = []
+    for uid, gd in ev.groupby("user_id"):
+        days = pd.to_datetime(np.sort(gd.d.unique()))
+        gaps = np.diff(days.values).astype("timedelta64[D]").astype(int)
+        ich = None
+        for i, gp in enumerate(gaps):
+            if gp >= 3:
+                ich = days[i]
+                break
+        cd = ich
+        if cd is None and (mx - days[-1]).days >= 3:
+            cd = days[-1]
+        dur = ((cd if cd is not None else mx) - days[0]).days
+        arm = int(hashlib.md5(f"arm:{uid}".encode()).hexdigest()[0] < "8")
+        rows.append((dur, int(cd is not None), arm))
+    lt = pd.DataFrame(rows, columns=["dur", "churned", "b"])
+    wo = we = vv = 0.0
+    for dur in sorted(lt.dur.unique()):
+        at = lt[lt.dur >= dur]
+        ev_t = lt[(lt.dur == dur) & (lt.churned == 1)]
+        dd, nat = len(ev_t), float(len(at))
+        n1, d1 = float((at.b == 1).sum()), float((ev_t.b == 1).sum())
+        if dd == 0 or nat <= 1:
+            continue
+        wo += nat * d1
+        we += nat * dd * n1 / nat
+        vv += (nat ** 2) * dd * (n1 / nat) * ((nat - n1) / nat) \
+            * (nat - dd) / (nat - 1)
+    got = Q.gehan_wilcoxon_churn(spark, sf_dir).collect()[0]
+    assert abs(got["weighted_observed_a"] - wo) < 0.51
+    assert abs(got["weighted_expected_a"] - we) < 1e-2
+    if vv > 0:
+        assert abs(got["z_stat"] - (wo - we) / np.sqrt(vv)) < 1e-3
+
+
+def test_brier_decomposition_identity(spark, sf_dir, orders):
+    got = Q.brier_decomposition(spark, sf_dir).collect()[0]
+    p = np.round(1 / (1 + np.exp(-(-2.0 + orders.o_totalprice * 1e-5))), 6)
+    y = (orders.o_orderstatus == "F").astype(int).to_numpy()
+    b = np.minimum(np.floor(orders.o_totalprice / 50000), 9).astype(int)
+    nn = len(orders)
+    rel = res = 0.0
+    obar = y.mean()
+    for bb in np.unique(b):
+        m = b == bb
+        rel += m.sum() * (p[m].mean() - y[m].mean()) ** 2
+        res += m.sum() * (y[m].mean() - obar) ** 2
+    rel, res = rel / nn, res / nn
+    assert got["n_orders"] == nn
+    assert abs(got["reliability"] - rel) < 1e-5
+    assert abs(got["resolution"] - res) < 1e-5
+    assert abs(got["uncertainty"] - obar * (1 - obar)) < 1e-6
+    assert abs(got["brier_from_decomposition"]
+               - (rel - res + obar * (1 - obar))) < 1e-5
+
+
+def test_records_matches_pandas_cummax(spark, sf_dir):
+    ev = _daily_df(sf_dir)
+    daily = (ev.groupby("d").size().reset_index(name="n")
+               .sort_values("d"))
+    x = daily.n.to_numpy()
+    prevmax = np.maximum.accumulate(np.concatenate([[-1], x]))[:-1]
+    prevmax[0] = -10**9
+    nr = int((x > prevmax).sum())
+    nd = len(x)
+    h = sum(1 / k for k in range(1, nd + 1))
+    got = Q.records_trend_daily(spark, sf_dir).collect()[0]
+    assert got["n_days"] == nd
+    assert got["n_records"] == nr
+    assert abs(got["expected_records"] - h) < 1e-3
