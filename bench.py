@@ -155,6 +155,8 @@ HEADLINE = [
     "gehan_wilcoxon_churn",
     "brier_decomposition",
     "records_trend_daily",
+    "source_js_matrix",
+    "label_cohesion_embeddings",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

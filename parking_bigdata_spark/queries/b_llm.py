@@ -4048,3 +4048,148 @@ SELECT CAST(n AS BIGINT) AS n_vectors, CAST(d AS INT) AS dim,
        round(tr * tr / fro2, 4) AS effective_rank_pr
 FROM agg CROSS JOIN nv
 """
+
+
+# --------------------------------------------------------------------------
+# B84. Pairwise source-similarity matrix (Jensen-Shannon distance
+# between every source PAIR — the corpus-cartography extension of
+# B61's source-vs-corpus view; √JS is a proper metric, Endres-
+# Schindelin 2003): token mass hashes into the same 64-way grids as
+# B61, so the pairwise compute is |sources|²·64 cells regardless of
+# corpus size. Missing buckets are completed on a literal 0..63 grid
+# with the same +1 smoothing on both engines.
+# --------------------------------------------------------------------------
+
+def source_js_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.regexp_replace(
+            F.lower(F.col("text")), "[^a-z0-9]+", " ")), " "))
+         .alias("tok"))
+        .where(F.col("tok") != ""))
+    md5 = F.md5(F.col("tok").cast("binary"))
+    bucket = F.pmod(F.conv(F.substring(md5, 1, 2), 16, 10).cast("int"),
+                    F.lit(64))
+    per = (toks.select("source", bucket.alias("b"))
+               .groupBy("source", "b").agg(F.count(F.lit(1)).alias("c")))
+    src_tot = per.groupBy("source").agg(F.sum("c").alias("st"))
+    buckets = spark.range(64).select(F.col("id").cast("int").alias("b"))
+    grid = (src_tot.crossJoin(F.broadcast(buckets))
+                   .join(per, ["source", "b"], "left")
+                   .withColumn("p", (F.coalesce("c", F.lit(0)) + 1)
+                               / (F.col("st") + 64).cast("double")))
+    a = grid.select(F.col("source").alias("src_a"), "b",
+                    F.col("p").alias("pa"))
+    bb = grid.select(F.col("source").alias("src_b"), "b",
+                     F.col("p").alias("pb"))
+    j = a.join(bb, "b").where(F.col("src_a") < F.col("src_b"))
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = (0.5 * F.col("pa") * F.log(F.col("pa") / m)
+            + 0.5 * F.col("pb") * F.log(F.col("pb") / m))
+    return (j.groupBy("src_a", "src_b")
+             .agg(F.round(F.sum(term), 6).alias("js_divergence"),
+                  F.round(F.sqrt(F.sum(term)), 6).alias("js_distance"))
+             .orderBy("src_a", "src_b"))
+
+SOURCE_JS_MATRIX_SQL = """
+WITH toks AS (
+  SELECT source,
+         unnest(string_split(trim(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), tb AS (
+  SELECT source,
+         ((strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1))
+         % 64 AS b
+  FROM toks WHERE tok <> ''
+), per AS (SELECT source, b, count(*) AS c FROM tb GROUP BY 1, 2),
+src_tot AS (SELECT source, sum(c) AS st FROM per GROUP BY 1),
+grid AS (
+  SELECT s.source, bk.b,
+         (coalesce(p.c, 0) + 1) / CAST(s.st + 64 AS DOUBLE) AS p
+  FROM src_tot s
+  CROSS JOIN (SELECT CAST(unnest(range(64)) AS INT) AS b) bk
+  LEFT JOIN per p ON p.source = s.source AND p.b = bk.b
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       round(sum(0.5 * a.p * ln(a.p / ((a.p + b.p) / 2))
+                 + 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2))), 6)
+         AS js_divergence,
+       round(sqrt(sum(0.5 * a.p * ln(a.p / ((a.p + b.p) / 2))
+                      + 0.5 * b.p * ln(b.p / ((a.p + b.p) / 2)))), 6)
+         AS js_distance
+FROM grid a JOIN grid b ON a.b = b.b AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# B85. Per-label embedding cohesion (the clustering-quality readout
+# of B17's centroids): mean intra-label pairwise cosine WITHOUT any
+# pairwise work — B76's identity applied per label: Σᵢ≠ⱼ v̂ᵢ·v̂ⱼ =
+# ‖Σv̂‖² − n within each label — plus each label centroid's cosine to
+# the global mean direction. One dim shuffle (labels × 64 groups).
+# --------------------------------------------------------------------------
+
+def label_cohesion_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("label", F.col("embedding").cast("array<double>")
+                   .alias("e")))
+    nrm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                             F.lit(0.0), lambda a, v: a + v))
+    d = (emb.withColumn("nrm", nrm).where(F.col("nrm") > 0)
+            .withColumn("vhat", F.transform("e",
+                                            lambda x: x / F.col("nrm"))))
+    dims = (d.select("label", F.posexplode("vhat").alias("dim", "val"))
+             .groupBy("label", "dim").agg(F.sum("val").alias("s"),
+                                          F.count(F.lit(1)).alias("n")))
+    gdim = dims.groupBy("dim").agg(F.sum("s").alias("gs"))
+    gnorm = gdim.agg(F.sqrt(F.sum(F.col("gs") * F.col("gs")))
+                     .alias("gn"))
+    lab = (dims.join(F.broadcast(gdim), "dim")
+               .groupBy("label")
+               .agg(F.first("n").alias("n"),
+                    F.sum(F.col("s") * F.col("s")).alias("ss"),
+                    F.sum(F.col("s") * F.col("gs")).alias("sg")))
+    nn = F.col("n").cast("double")
+    lnorm = F.sqrt(F.col("ss"))
+    return (lab.crossJoin(F.broadcast(gnorm))
+               .select("label",
+                       F.col("n").cast("long").alias("n_vectors"),
+                       F.round((F.col("ss") - nn) / (nn * (nn - 1)), 6)
+                        .alias("mean_intra_cosine"),
+                       F.round(F.col("sg") / (lnorm * F.col("gn")), 6)
+                        .alias("centroid_cos_to_global"))
+               .orderBy("label"))
+
+LABEL_COHESION_SQL = """
+WITH e AS (
+  SELECT label, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), d AS (
+  SELECT label, list_transform(e, x -> x / nrm) AS vhat
+  FROM e WHERE nrm > 0
+), dims AS (
+  SELECT label, dim, sum(val) AS s, count(*) AS n
+  FROM (SELECT label, unnest(vhat) AS val,
+               generate_subscripts(vhat, 1) - 1 AS dim FROM d)
+  GROUP BY 1, 2
+), gdim AS (SELECT dim, sum(s) AS gs FROM dims GROUP BY 1),
+gnorm AS (SELECT sqrt(sum(gs * gs)) AS gn FROM gdim),
+lab AS (
+  SELECT label, any_value(n) AS n, sum(s * s) AS ss,
+         sum(s * gs) AS sg
+  FROM dims JOIN gdim USING (dim)
+  GROUP BY label
+)
+SELECT label, CAST(n AS BIGINT) AS n_vectors,
+       round((ss - n) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+         AS mean_intra_cosine,
+       round(sg / (sqrt(ss) * gn), 6) AS centroid_cos_to_global
+FROM lab CROSS JOIN gnorm
+ORDER BY label
+"""

@@ -1284,3 +1284,53 @@ def test_records_matches_pandas_cummax(spark, sf_dir):
     assert got["n_days"] == nd
     assert got["n_records"] == nr
     assert abs(got["expected_records"] - h) < 1e-3
+
+
+def test_source_js_matrix_matches_pandas(spark, sf_dir):
+    import hashlib, re
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    counts = {}
+    for r in docs.itertuples():
+        toks = [t for t in re.sub(r"[^a-z0-9]+", " ",
+                                  r.text.lower()).strip().split(" ")
+                if t]
+        arr = counts.setdefault(r.source, np.zeros(64))
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            arr[(int(h[0], 16) * 16 + int(h[1], 16)) % 64] += 1
+    probs = {s: (a + 1) / (a.sum() + 64) for s, a in counts.items()}
+    got = {(r["src_a"], r["src_b"]): r for r in
+           Q.source_js_matrix(spark, sf_dir).collect()}
+    srcs = sorted(probs)
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+    for i, a in enumerate(srcs[:4]):
+        for b in srcs[i + 1:i + 4]:
+            if b <= a:
+                continue
+            pa, pb = probs[a], probs[b]
+            m = (pa + pb) / 2
+            js = float(0.5 * (pa * np.log(pa / m)).sum()
+                       + 0.5 * (pb * np.log(pb / m)).sum())
+            assert abs(got[(a, b)]["js_divergence"] - js) < 1e-5, (a, b)
+            assert abs(got[(a, b)]["js_distance"] - np.sqrt(js)) < 1e-4
+
+
+def test_label_cohesion_matches_bruteforce(spark, sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    V = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(V, axis=1)
+    Vh = V / nrm[:, None]
+    g = Vh.sum(axis=0)
+    got = {r["label"]: r for r in
+           Q.label_cohesion_embeddings(spark, sf_dir).collect()}
+    for lab in emb.label.unique():
+        m = (emb.label == lab).to_numpy()
+        X = Vh[m]
+        n = len(X)
+        S = X @ X.T
+        intra = (S.sum() - np.trace(S)) / (n * (n - 1))
+        c = X.sum(axis=0)
+        cos_g = c @ g / (np.linalg.norm(c) * np.linalg.norm(g))
+        assert got[lab]["n_vectors"] == n, lab
+        assert abs(got[lab]["mean_intra_cosine"] - intra) < 1e-5, lab
+        assert abs(got[lab]["centroid_cos_to_global"] - cos_g) < 1e-5
