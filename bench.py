@@ -157,6 +157,9 @@ HEADLINE = [
     "records_trend_daily",
     "source_js_matrix",
     "label_cohesion_embeddings",
+    "sign_test_price",
+    "cmh_orders",
+    "session_event_cooccurrence",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

@@ -5421,3 +5421,129 @@ SELECT CAST(n AS BIGINT) AS n_orders,
        round(rel - res + unc, 6) AS brier_from_decomposition
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# A154. Paired sign test (the distribution-free floor under A136's
+# Wilcoxon — uses only signs, so it is valid under ANY asymmetric
+# alternative): realized peak unit price vs catalog retail price per
+# part, normal approximation with continuity correction. One
+# aggregate over the A136 pair construction.
+# --------------------------------------------------------------------------
+
+def sign_test_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (li.join(p, li.l_partkey == p.p_partkey)
+               .groupBy("p_partkey", "p_retailprice")
+               .agg(F.max(F.col("l_extendedprice") / F.col("l_quantity"))
+                     .alias("peak"))
+               .select((F.col("peak") - F.col("p_retailprice"))
+                       .alias("d"))
+               .where(F.col("d") != 0))
+    g = pairs.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum((F.col("d") > 0).cast("long")).alias("npos"))
+    n = F.col("n").cast("double")
+    z = (F.col("npos") - n / 2
+         - F.when(F.col("npos") > n / 2, 0.5)
+            .when(F.col("npos") < n / 2, -0.5).otherwise(0.0)) \
+        / F.sqrt(n / 4.0)
+    return g.select(F.col("n").cast("long").alias("n_pairs"),
+                    F.col("npos").cast("long").alias("n_positive"),
+                    F.round(F.col("npos") / n, 6).alias("frac_positive"),
+                    F.round(z, 4).alias("z_stat"))
+
+SIGN_TEST_SQL = """
+WITH pairs AS (
+  SELECT max(l.l_extendedprice / l.l_quantity) - p.p_retailprice AS d
+  FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_partkey, p.p_retailprice
+), nz AS (SELECT d FROM pairs WHERE d <> 0),
+g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS npos
+  FROM nz
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CAST(npos AS BIGINT) AS n_positive,
+       round(npos / n, 6) AS frac_positive,
+       round((npos - n / 2
+              - CASE WHEN npos > n / 2 THEN 0.5
+                     WHEN npos < n / 2 THEN -0.5 ELSE 0.0 END)
+             / sqrt(n / 4.0), 4) AS z_stat
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# A155. Cochran-Mantel-Haenszel stratified 2×2 test (Mantel-Haenszel
+# 1959) + MH pooled odds ratio: does high order value associate with
+# finished status CONSISTENTLY across priority strata (the
+# confounder-adjusted view A115's single-table Fisher can't give)?
+# One fused scan builds all strata cells; the CMH sums are ≤#strata
+# algebra.
+# --------------------------------------------------------------------------
+
+def cmh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    exp_ = F.col("o_totalprice") > 150000
+    out = F.col("o_orderstatus") == "F"
+    cells = (o.groupBy("o_orderpriority")
+              .agg(F.sum((exp_ & out).cast("long")).alias("a"),
+                   F.sum((exp_ & ~out).cast("long")).alias("b"),
+                   F.sum((~exp_ & out).cast("long")).alias("c"),
+                   F.sum((~exp_ & ~out).cast("long")).alias("d")))
+    a, b, cc, d = (F.col("a").cast("double"), F.col("b").cast("double"),
+                   F.col("c").cast("double"), F.col("d").cast("double"))
+    nk = a + b + cc + d
+    ek = (a + b) * (a + cc) / nk
+    vk = ((a + b) * (cc + d) * (a + cc) * (b + d)
+          / (nk * nk * (nk - 1)))
+    agg = cells.agg(F.count(F.lit(1)).alias("k_strata"),
+                    F.sum(a).alias("sa"), F.sum(ek).alias("se"),
+                    F.sum(vk).alias("sv"),
+                    F.sum(a * d / nk).alias("srn"),
+                    F.sum(b * cc / nk).alias("srd"))
+    num = F.abs(F.col("sa") - F.col("se")) - 0.5
+    return agg.select(
+        F.col("k_strata").cast("int").alias("k_strata"),
+        F.round(F.col("sa"), 2).alias("sum_observed"),
+        F.round("se", 4).alias("sum_expected"),
+        F.round(num * num / F.col("sv"), 4).alias("cmh_chi2"),
+        F.round(F.col("srn") / F.col("srd"), 6).alias("mh_odds_ratio"))
+
+CMH_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_totalprice > 150000
+                  AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS a,
+         CAST(sum(CASE WHEN o_totalprice > 150000
+                  AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS b,
+         CAST(sum(CASE WHEN o_totalprice <= 150000
+                  AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS c,
+         CAST(sum(CASE WHEN o_totalprice <= 150000
+                  AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS d
+  FROM orders GROUP BY 1
+), agg AS (
+  SELECT count(*) AS k_strata,
+         sum(a) AS sa,
+         sum((a + b) * (a + c) / (a + b + c + d)) AS se,
+         sum((a + b) * (c + d) * (a + c) * (b + d)
+             / ((a + b + c + d) * (a + b + c + d)
+                * (a + b + c + d - 1))) AS sv,
+         sum(a * d / (a + b + c + d)) AS srn,
+         sum(b * c / (a + b + c + d)) AS srd
+  FROM cells
+)
+SELECT CAST(k_strata AS INT) AS k_strata,
+       round(sa, 2) AS sum_observed,
+       round(se, 4) AS sum_expected,
+       round((abs(sa - se) - 0.5) * (abs(sa - se) - 0.5) / sv, 4)
+         AS cmh_chi2,
+       round(srn / srd, 6) AS mh_odds_ratio
+FROM agg
+"""

@@ -3266,3 +3266,82 @@ SELECT CAST(nd AS BIGINT) AS n_days, CAST(nr AS BIGINT) AS n_records,
        round((nr - h1) / sqrt(h1 - h2), 4) AS z_stat
 FROM cnt CROSS JOIN h
 """
+
+
+# --------------------------------------------------------------------------
+# C67. Event-type co-occurrence within sessions (support + lift over
+# B13's gap sessions — the behavioral twin of A78's order-basket
+# lift): which event types appear in the SAME session more often
+# than independence predicts? Session ids ride the per-user
+# cumulative-break window; everything after the distinct
+# (session, type) shuffle is an |event-types|²-bounded join.
+# --------------------------------------------------------------------------
+
+def session_event_cooccurrence(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1) \
+        .otherwise(0)
+    st = (ev.withColumn("sess",
+                        F.sum(new_sess).over(
+                            w.rowsBetween(Window.unboundedPreceding, 0)))
+            .select("user_id", "sess", "event_type").distinct()
+            .localCheckpoint(eager=True))
+    nsess = st.select("user_id", "sess").distinct().count()
+    per = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("nt"))
+    a = st.select("user_id", "sess", F.col("event_type").alias("ta"))
+    b = st.select("user_id", "sess", F.col("event_type").alias("tb"))
+    pairs = (a.join(b, ["user_id", "sess"])
+              .where(F.col("ta") < F.col("tb"))
+              .groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("n_both")))
+    pa = per.select(F.col("event_type").alias("ta"),
+                    F.col("nt").alias("na"))
+    pb = per.select(F.col("event_type").alias("tb"),
+                    F.col("nt").alias("nb"))
+    j = pairs.join(F.broadcast(pa), "ta").join(F.broadcast(pb), "tb")
+    ns = float(nsess)
+    lift = (F.col("n_both") / F.lit(ns)) \
+        / ((F.col("na") / F.lit(ns)) * (F.col("nb") / F.lit(ns)))
+    return (j.select(F.col("ta").alias("type_a"),
+                     F.col("tb").alias("type_b"),
+                     "n_both",
+                     F.round(F.col("n_both") / F.lit(ns), 6)
+                      .alias("support"),
+                     F.round(lift, 4).alias("lift"))
+             .orderBy("type_a", "type_b"))
+
+SESSION_COOC_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT DISTINCT user_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+), ns AS (SELECT CAST(count(DISTINCT (user_id, sess)) AS DOUBLE) AS n
+          FROM s),
+per AS (SELECT event_type, count(*) AS nt FROM s GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM s a JOIN s b ON a.user_id = b.user_id AND a.sess = b.sess
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       round(n_both / n, 6) AS support,
+       round((n_both / n) / ((pa.nt / n) * (pb.nt / n)), 4) AS lift
+FROM pairs CROSS JOIN ns
+JOIN per pa ON pa.event_type = type_a
+JOIN per pb ON pb.event_type = type_b
+ORDER BY type_a, type_b
+"""

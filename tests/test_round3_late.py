@@ -1334,3 +1334,67 @@ def test_label_cohesion_matches_bruteforce(spark, sf_dir):
         assert got[lab]["n_vectors"] == n, lab
         assert abs(got[lab]["mean_intra_cosine"] - intra) < 1e-5, lab
         assert abs(got[lab]["centroid_cos_to_global"] - cos_g) < 1e-5
+
+
+def test_sign_test_matches_pandas(spark, sf_dir, lineitem):
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    li = lineitem.assign(unit=lineitem.l_extendedprice
+                         / lineitem.l_quantity)
+    peak = li.groupby("l_partkey")["unit"].max()
+    d = (peak - part.set_index("p_partkey")["p_retailprice"]).dropna()
+    d = d[d != 0]
+    n, npos = len(d), int((d > 0).sum())
+    cc = 0.5 if npos > n / 2 else (-0.5 if npos < n / 2 else 0.0)
+    z = (npos - n / 2 - cc) / np.sqrt(n / 4)
+    got = Q.sign_test_price(spark, sf_dir).collect()[0]
+    assert got["n_pairs"] == n and got["n_positive"] == npos
+    assert abs(got["z_stat"] - z) < 1e-3
+
+
+def test_cmh_matches_pandas(spark, sf_dir, orders):
+    sa = se = sv = srn = srd = 0.0
+    for pri, g in orders.groupby("o_orderpriority"):
+        e = g.o_totalprice > 150000
+        o = g.o_orderstatus == "F"
+        a = float((e & o).sum()); b = float((e & ~o).sum())
+        c = float((~e & o).sum()); d = float((~e & ~o).sum())
+        n = a + b + c + d
+        sa += a
+        se += (a + b) * (a + c) / n
+        sv += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        srn += a * d / n
+        srd += b * c / n
+    chi2 = (abs(sa - se) - 0.5) ** 2 / sv
+    got = Q.cmh_orders(spark, sf_dir).collect()[0]
+    assert got["k_strata"] == orders.o_orderpriority.nunique()
+    assert abs(got["cmh_chi2"] - chi2) < 1e-3
+    assert abs(got["mh_odds_ratio"] - srn / srd) < 1e-5
+
+
+def test_session_cooccurrence_matches_pandas(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev.ts.notna()].sort_values(["user_id", "ts", "event_id"])
+    from itertools import combinations
+    from collections import Counter
+    sess_types = []
+    for uid, g in ev.groupby("user_id"):
+        us = g.ts.astype("datetime64[us]").astype("int64").to_numpy()
+        brk = np.concatenate([[True], np.diff(us) > 1800 * 1_000_000])
+        sid = np.cumsum(brk)
+        for s in np.unique(sid):
+            sess_types.append(frozenset(g.event_type.to_numpy()[sid == s]))
+    ns = len(sess_types)
+    per = Counter()
+    pairs = Counter()
+    for ts_ in sess_types:
+        for t in ts_:
+            per[t] += 1
+        for a, b in combinations(sorted(ts_), 2):
+            pairs[(a, b)] += 1
+    got = {(r["type_a"], r["type_b"]): r for r in
+           Q.session_event_cooccurrence(spark, sf_dir).collect()}
+    assert set(got) == set(pairs)
+    for k, v in pairs.items():
+        assert got[k]["n_both"] == v, k
+        lift = (v / ns) / ((per[k[0]] / ns) * (per[k[1]] / ns))
+        assert abs(got[k]["lift"] - lift) < 1e-2, k
