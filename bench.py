@@ -160,6 +160,9 @@ HEADLINE = [
     "sign_test_price",
     "cmh_orders",
     "session_event_cooccurrence",
+    "rank_stability_nations",
+    "dedup_threshold_curve",
+    "hourly_entropy_by_type",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

@@ -2138,3 +2138,73 @@ WHERE p_brand <> 'Brand#45'
   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p_brand, p_type, p_size
 """
+
+
+# --------------------------------------------------------------------------
+# A156. Year-over-year rank stability of nation revenue (Spearman rho
+# + Spearman footrule between consecutive years' nation rankings —
+# the BI "did the league table reshuffle?" readout): revenue ranks
+# come off the ≤(years × 25)-row aggregate, so every rank window is
+# bounded by the dimension, never the fact.
+# --------------------------------------------------------------------------
+
+def rank_stability_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import money
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .where(F.col("o_orderdate").isNotNull())
+             .groupBy(F.year("o_orderdate").alias("yr"),
+                      F.col("n_name"))
+             .agg(F.sum(money("l_extendedprice")).alias("rev")))
+    w = Window.partitionBy("yr").orderBy(F.desc("rev"), "n_name")
+    ranked = rev.withColumn("r", F.row_number().over(w))
+    cur = ranked.select(F.col("yr").alias("y"), "n_name",
+                        F.col("r").alias("rc"))
+    prv = ranked.select((F.col("yr") + 1).alias("y"), "n_name",
+                        F.col("r").alias("rp"))
+    j = cur.join(prv, ["y", "n_name"])
+    k = F.count(F.lit(1)).cast("double")
+    d2 = F.sum((F.col("rc") - F.col("rp"))
+               * (F.col("rc") - F.col("rp"))).cast("double")
+    foot = F.sum(F.abs(F.col("rc") - F.col("rp")))
+    return (j.groupBy("y")
+             .agg(F.count(F.lit(1)).alias("n_nations"),
+                  F.round(1 - 6 * d2 / (k * (k * k - 1)), 6)
+                   .alias("spearman_vs_prev_year"),
+                  F.round(foot.cast("double"), 1).alias("footrule"))
+             .select(F.col("y").alias("year"), "n_nations",
+                     "spearman_vs_prev_year", "footrule")
+             .orderBy("year"))
+
+RANK_STABILITY_SQL = """
+WITH rev AS (
+  SELECT year(o_orderdate) AS yr, n_name,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderdate IS NOT NULL
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT yr, n_name,
+         row_number() OVER (PARTITION BY yr
+                            ORDER BY rev DESC, n_name) AS r
+  FROM rev
+)
+SELECT cur.yr AS year,
+       count(*) AS n_nations,
+       round(1 - 6 * CAST(sum((cur.r - prv.r) * (cur.r - prv.r))
+                          AS DOUBLE)
+             / (count(*) * (CAST(count(*) AS DOUBLE) * count(*) - 1)), 6)
+         AS spearman_vs_prev_year,
+       round(CAST(sum(abs(cur.r - prv.r)) AS DOUBLE), 1) AS footrule
+FROM ranked cur JOIN ranked prv
+  ON prv.yr = cur.yr - 1 AND prv.n_name = cur.n_name
+GROUP BY 1 ORDER BY 1
+"""

@@ -4193,3 +4193,64 @@ SELECT label, CAST(n AS BIGINT) AS n_vectors,
 FROM lab CROSS JOIN gnorm
 ORDER BY label
 """
+
+
+# --------------------------------------------------------------------------
+# B86. Dedup threshold sensitivity curve (how aggressive is near-dup
+# removal at each Jaccard cutoff? — the tuning readout every dedup
+# pipeline needs before committing a threshold): pair counts and the
+# number of distinct docs involved at thresholds 0.1..0.9, computed
+# in ONE pass over B4's bounded candidate-pair list (explode over the
+# ≤9-step grid; map-side combine collapses it).
+# --------------------------------------------------------------------------
+
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, group_col="source",
+                                          ngram=3, threshold=0.05)
+    grid = (pairs.select("doc_id_a", "doc_id_b", "jaccard",
+                         F.explode(F.sequence(F.lit(1), F.lit(9)))
+                          .alias("t10"))
+                 .where(F.col("jaccard") >= F.col("t10") / 10.0))
+    per = (grid.groupBy("t10")
+               .agg(F.count(F.lit(1)).alias("n_pairs"),
+                    F.countDistinct("doc_id_b").alias("n_docs_removable")))
+    return (per.select(F.round(F.col("t10") / 10.0, 1).alias("threshold"),
+                       "n_pairs", "n_docs_removable")
+               .orderBy("threshold"))
+
+DEDUP_CURVE_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+  FROM toks
+), exploded AS (
+  SELECT doc_id, source, unnest(g) AS gram FROM grams
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_inter
+  FROM exploded a JOIN exploded b
+    ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_id_a, doc_id_b,
+         round(n_inter / (len(ga.g) + len(gb.g) - n_inter), 4) AS jaccard
+  FROM inter
+  JOIN grams ga ON ga.doc_id = doc_id_a
+  JOIN grams gb ON gb.doc_id = doc_id_b
+  WHERE n_inter / (len(ga.g) + len(gb.g) - n_inter) >= 0.05
+), grid AS (
+  SELECT doc_id_b, jaccard, t10
+  FROM pairs CROSS JOIN (SELECT unnest(range(1, 10)) AS t10)
+  WHERE jaccard >= t10 / 10.0
+)
+SELECT round(t10 / 10.0, 1) AS threshold,
+       count(*) AS n_pairs,
+       CAST(count(DISTINCT doc_id_b) AS BIGINT) AS n_docs_removable
+FROM grid GROUP BY 1 ORDER BY 1
+"""

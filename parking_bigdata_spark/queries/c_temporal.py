@@ -3345,3 +3345,65 @@ JOIN per pa ON pa.event_type = type_a
 JOIN per pb ON pb.event_type = type_b
 ORDER BY type_a, type_b
 """
+
+
+# --------------------------------------------------------------------------
+# C68. Hour-of-day concentration per event type: Shannon entropy of
+# each type's 24-bucket hourly profile (normalized by ln 24) plus its
+# peak hour — which behaviors are clock-driven? Hour comes from the
+# absolute microsecond timestamp (engine-timezone-free integer
+# arithmetic); the profile table is |types|×24.
+# --------------------------------------------------------------------------
+
+def hourly_entropy_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    hour = F.floor(F.unix_micros("ts") / F.lit(3600 * 1_000_000)) % 24
+    cells = (ev.groupBy("event_type", hour.cast("int").alias("h"))
+               .agg(F.count(F.lit(1)).alias("c")))
+    tot = cells.groupBy("event_type").agg(F.sum("c").alias("nt"))
+    j = cells.join(tot, "event_type")
+    p = F.col("c") / F.col("nt").cast("double")
+    wpk = Window.partitionBy("event_type").orderBy(F.desc("c"), "h")
+    ent = (j.groupBy("event_type")
+            .agg(F.first("nt").alias("n_events"),
+                 F.round(F.sum(-p * F.log(p)) / math.log(24.0), 6)
+                  .alias("hourly_entropy_norm")))
+    peak = (j.withColumn("__r", F.row_number().over(wpk))
+             .where(F.col("__r") == 1)
+             .select("event_type", F.col("h").alias("peak_hour"),
+                     F.round(F.col("c") / F.col("nt").cast("double"), 6)
+                      .alias("peak_hour_share")))
+    return (ent.join(peak, "event_type")
+               .select("event_type",
+                       F.col("n_events").cast("long").alias("n_events"),
+                       "hourly_entropy_norm", "peak_hour",
+                       "peak_hour_share")
+               .orderBy("event_type"))
+
+HOURLY_ENTROPY_SQL = """
+WITH cells AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 3600000000.0) % 24 AS INT) AS h,
+         count(*) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), tot AS (SELECT event_type, sum(c) AS nt FROM cells GROUP BY 1),
+j AS (SELECT cells.*, nt FROM cells JOIN tot USING (event_type)),
+ent AS (
+  SELECT event_type, any_value(nt) AS n_events,
+         round(sum(-(c / CAST(nt AS DOUBLE))
+                   * ln(c / CAST(nt AS DOUBLE))) / ln(24.0), 6)
+           AS hourly_entropy_norm
+  FROM j GROUP BY 1
+), peak AS (
+  SELECT event_type, h AS peak_hour,
+         round(c / CAST(nt AS DOUBLE), 6) AS peak_hour_share
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY c DESC, h) AS r FROM j)
+  WHERE r = 1
+)
+SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+       hourly_entropy_norm, peak_hour, peak_hour_share
+FROM ent JOIN peak USING (event_type)
+ORDER BY event_type
+"""

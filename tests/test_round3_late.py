@@ -1398,3 +1398,72 @@ def test_session_cooccurrence_matches_pandas(spark, sf_dir):
         assert got[k]["n_both"] == v, k
         lift = (v / ns) / ((per[k[0]] / ns) * (per[k[1]] / ns))
         assert abs(got[k]["lift"] - lift) < 1e-2, k
+
+
+def test_rank_stability_matches_pandas(spark, sf_dir, lineitem, orders):
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    df = (lineitem.merge(orders, left_on="l_orderkey",
+                         right_on="o_orderkey")
+                  .merge(c, left_on="o_custkey", right_on="c_custkey")
+                  .merge(n, left_on="c_nationkey",
+                         right_on="n_nationkey"))
+    df = df[df.o_orderdate.notna()]
+    df["yr"] = pd.to_datetime(df.o_orderdate).dt.year
+    rev = (df.groupby(["yr", "n_name"])["l_extendedprice"].sum()
+             .reset_index())
+    got = {r["year"]: r for r in
+           Q.rank_stability_nations(spark, sf_dir).collect()}
+    yrs = sorted(rev.yr.unique())
+    for prev, cur in zip(yrs, yrs[1:]):
+        if cur - prev != 1:
+            continue
+        a = rev[rev.yr == prev].sort_values(
+            ["l_extendedprice", "n_name"],
+            ascending=[False, True]).reset_index()
+        b = rev[rev.yr == cur].sort_values(
+            ["l_extendedprice", "n_name"],
+            ascending=[False, True]).reset_index()
+        ra = {r.n_name: i + 1 for i, r in a.iterrows()}
+        rb = {r.n_name: i + 1 for i, r in b.iterrows()}
+        common = set(ra) & set(rb)
+        k = len(common)
+        d2 = sum((rb[x] - ra[x]) ** 2 for x in common)
+        rho = 1 - 6 * d2 / (k * (k * k - 1))
+        assert got[cur]["n_nations"] == k, cur
+        assert abs(got[cur]["spearman_vs_prev_year"] - rho) < 1e-4, cur
+        assert got[cur]["footrule"] == sum(
+            abs(rb[x] - ra[x]) for x in common)
+
+
+def test_dedup_curve_monotone_and_consistent(spark, sf_dir):
+    rows = {r["threshold"]: r for r in
+            Q.dedup_threshold_curve(spark, sf_dir).collect()}
+    pairs = Q.ngram_jaccard(spark, sf_dir).toPandas()
+    ts = sorted(rows)
+    # monotone non-increasing in the threshold
+    for a, b in zip(ts, ts[1:]):
+        assert rows[a]["n_pairs"] >= rows[b]["n_pairs"]
+        assert rows[a]["n_docs_removable"] >= rows[b]["n_docs_removable"]
+    for t in ts:
+        sub = pairs[pairs.jaccard >= t]
+        assert rows[t]["n_pairs"] == len(sub), t
+        assert rows[t]["n_docs_removable"] == sub.doc_id_b.nunique(), t
+
+
+def test_hourly_entropy_matches_pandas(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev.ts.notna()].copy()
+    us = ev.ts.astype("datetime64[us]").astype("int64")
+    ev["h"] = (us // (3600 * 1_000_000)) % 24
+    got = {r["event_type"]: r for r in
+           Q.hourly_entropy_by_type(spark, sf_dir).collect()}
+    for t, g in ev.groupby("event_type"):
+        c = g.h.value_counts()
+        p = c / c.sum()
+        h = float(-(p * np.log(p)).sum()) / np.log(24)
+        assert got[t]["n_events"] == len(g)
+        assert abs(got[t]["hourly_entropy_norm"] - h) < 1e-4, t
+        top = c.reset_index().sort_values(["count", "h"],
+                                          ascending=[False, True])
+        assert got[t]["peak_hour"] == int(top.h.iloc[0]), t
