@@ -163,6 +163,9 @@ HEADLINE = [
     "rank_stability_nations",
     "dedup_threshold_curve",
     "hourly_entropy_by_type",
+    "anova_effect_sizes",
+    "dup_cluster_size_histogram",
+    "purchase_cadence",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

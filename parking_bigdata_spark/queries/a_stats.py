@@ -5547,3 +5547,70 @@ SELECT CAST(k_strata AS INT) AS k_strata,
        round(srn / srd, 6) AS mh_odds_ratio
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# A157. ANOVA effect sizes + intraclass correlation for the A18
+# one-way design (acctbal ~ mktsegment): η² (Pearson 1911),
+# less-biased ω² (Hays 1963), and ICC(1,1) (Shrout-Fleiss 1979) —
+# the "how MUCH does the factor matter" companion to A18's F. All
+# from ONE fused group-moment scan; k̄ uses the unequal-group-size
+# harmonic adjustment n0 = (N − Σn²/N)/(k−1).
+# --------------------------------------------------------------------------
+
+def anova_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    g = (c.groupBy("c_mktsegment")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum(F.col("c_acctbal").cast("double")).alias("s"),
+               F.sum(F.col("c_acctbal").cast("double")
+                     * F.col("c_acctbal")).alias("ss")))
+    agg = g.agg(F.count(F.lit(1)).alias("k"),
+                F.sum("n").alias("nn"),
+                F.sum("s").alias("ts"), F.sum("ss").alias("tss"),
+                F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sb"),
+                F.sum(F.col("n") * F.col("n")).alias("sn2"))
+    nn = F.col("nn").cast("double")
+    k = F.col("k").cast("double")
+    sst = F.col("tss") - F.col("ts") * F.col("ts") / nn
+    ssb = F.col("sb") - F.col("ts") * F.col("ts") / nn
+    ssw = sst - ssb
+    msb = ssb / (k - 1)
+    msw = ssw / (nn - k)
+    n0 = (nn - F.col("sn2") / nn) / (k - 1)
+    icc = (msb - msw) / (msb + (n0 - 1) * msw)
+    omega = (ssb - (k - 1) * msw) / (sst + msw)
+    return agg.select(
+        F.col("k").cast("int").alias("k_groups"),
+        F.col("nn").cast("long").alias("n"),
+        F.round(ssb / sst, 6).alias("eta_squared"),
+        F.round(omega, 6).alias("omega_squared"),
+        F.round(icc, 6).alias("icc_1_1"))
+
+ANOVA_EFFECT_SQL = """
+WITH g AS (
+  SELECT c_mktsegment, count(*) AS n,
+         sum(CAST(c_acctbal AS DOUBLE)) AS s,
+         sum(CAST(c_acctbal AS DOUBLE) * c_acctbal) AS ss
+  FROM customer GROUP BY 1
+), agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k, CAST(sum(n) AS DOUBLE) AS nn,
+         sum(s) AS ts, sum(ss) AS tss,
+         sum(s * s / n) AS sb, sum(CAST(n AS DOUBLE) * n) AS sn2
+  FROM g
+), m AS (
+  SELECT k, nn,
+         tss - ts * ts / nn AS sst,
+         sb - ts * ts / nn AS ssb,
+         (tss - ts * ts / nn) - (sb - ts * ts / nn) AS ssw,
+         (sb - ts * ts / nn) / (k - 1) AS msb,
+         ((tss - ts * ts / nn) - (sb - ts * ts / nn)) / (nn - k) AS msw,
+         (nn - sn2 / nn) / (k - 1) AS n0
+  FROM agg
+)
+SELECT CAST(k AS INT) AS k_groups, CAST(nn AS BIGINT) AS n,
+       round(ssb / sst, 6) AS eta_squared,
+       round((ssb - (k - 1) * msw) / (sst + msw), 6) AS omega_squared,
+       round((msb - msw) / (msb + (n0 - 1) * msw), 6) AS icc_1_1
+FROM m
+"""

@@ -4254,3 +4254,52 @@ SELECT round(t10 / 10.0, 1) AS threshold,
        CAST(count(DISTINCT doc_id_b) AS BIGINT) AS n_docs_removable
 FROM grid GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# B87. Duplicate-cluster size histogram (the shape report on B22's
+# connected components — do near-dups come in pairs or in giant
+# template families? drives the keep-best retention budget): size
+# distribution of the non-singleton clusters plus singleton count.
+# One aggregation over the component labels; histogram is bounded by
+# the largest family.
+# --------------------------------------------------------------------------
+
+def dup_cluster_size_histogram(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, group_col="source",
+                                          ngram=3, threshold=0.05)
+    comp = dedup_ops.connected_components(pairs, src="doc_id_a",
+                                          dst="doc_id_b")
+    sizes = comp.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
+    tot_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    hist = (sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("n_clusters"))
+                 .crossJoin(F.broadcast(tot_docs)))
+    in_clusters = F.sum(F.col("sz") * F.col("n_clusters")) \
+        .over(Window.partitionBy())
+    return (hist.select(F.col("sz").cast("int").alias("cluster_size"),
+                        "n_clusters",
+                        (F.col("sz") * F.col("n_clusters")).cast("long")
+                         .alias("n_docs_in_size"),
+                        (F.col("nd") - in_clusters).cast("long")
+                         .alias("n_singleton_docs"))
+                .orderBy("cluster_size"))
+
+DUP_SIZE_HIST_SQL = (
+    DEDUP_CLUSTERS_SQL.rsplit("SELECT node, min(lbl) AS lbl", 1)[0]
+    .rstrip().rstrip(")").rstrip()  # reopen the CTE list (the
+                                    # CLUSTER_KEEP_BEST splice)
+    + """)
+, comp AS (
+  SELECT node, min(lbl) AS lbl FROM reach GROUP BY node
+), sizes AS (SELECT lbl, count(*) AS sz FROM comp GROUP BY 1),
+hist AS (SELECT sz, count(*) AS n_clusters FROM sizes GROUP BY 1),
+tot AS (SELECT count(*) AS nd FROM documents),
+ic AS (SELECT sum(sz * n_clusters) AS n_in FROM hist)
+SELECT CAST(sz AS INT) AS cluster_size, n_clusters,
+       CAST(sz * n_clusters AS BIGINT) AS n_docs_in_size,
+       CAST(nd - n_in AS BIGINT) AS n_singleton_docs
+FROM hist CROSS JOIN tot CROSS JOIN ic
+ORDER BY cluster_size
+""")

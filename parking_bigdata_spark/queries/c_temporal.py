@@ -3407,3 +3407,49 @@ SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
 FROM ent JOIN peak USING (event_type)
 ORDER BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# C69. Repeat-purchase cadence: exact quantiles of per-user gaps
+# between consecutive PURCHASE events (the replenishment-cycle
+# readout behind C40's LTV). Gaps are exact integer microseconds →
+# days; quantiles use the exact interpolated percentile on the gap
+# multiset (identical definition in both engines).
+# --------------------------------------------------------------------------
+
+def purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull()
+                 & (F.col("event_type") == "purchase")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_days = ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+                / F.lit(86400.0 * 1_000_000)).alias("g")
+    gaps = (ev.select("user_id", gap_days)
+              .where(F.col("g").isNotNull()))
+    return gaps.agg(
+        F.countDistinct("user_id").cast("long")
+         .alias("n_repeat_purchasers"),
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.percentile("g", F.lit(0.5)), 4)
+         .alias("median_gap_days"),
+        F.round(F.percentile("g", F.lit(0.9)), 4).alias("p90_gap_days"),
+        F.round(F.avg("g"), 4).alias("mean_gap_days"))
+
+PURCHASE_CADENCE_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE ts IS NOT NULL AND event_type = 'purchase'
+), gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)))
+         / 86400000000.0 AS g
+  FROM p
+), nz AS (SELECT user_id, g FROM gaps WHERE g IS NOT NULL)
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_repeat_purchasers,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(quantile_cont(g, 0.5), 4) AS median_gap_days,
+       round(quantile_cont(g, 0.9), 4) AS p90_gap_days,
+       round(avg(g), 4) AS mean_gap_days
+FROM nz
+"""

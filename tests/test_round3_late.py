@@ -1467,3 +1467,54 @@ def test_hourly_entropy_matches_pandas(spark, sf_dir):
         top = c.reset_index().sort_values(["count", "h"],
                                           ascending=[False, True])
         assert got[t]["peak_hour"] == int(top.h.iloc[0]), t
+
+
+def test_anova_effect_sizes_match_pandas(spark, sf_dir, customer):
+    g = customer.groupby("c_mktsegment")["c_acctbal"]
+    x = customer.c_acctbal.astype(float)
+    nn, k = float(len(x)), g.ngroups
+    sst = float(((x - x.mean()) ** 2).sum())
+    ssb = float((g.count() * (g.mean() - x.mean()) ** 2).sum())
+    ssw = sst - ssb
+    msb, msw = ssb / (k - 1), ssw / (nn - k)
+    n0 = (nn - (g.count() ** 2).sum() / nn) / (k - 1)
+    got = Q.anova_effect_sizes(spark, sf_dir).collect()[0]
+    assert got["k_groups"] == k and got["n"] == int(nn)
+    assert abs(got["eta_squared"] - ssb / sst) < 1e-5
+    assert abs(got["omega_squared"]
+               - (ssb - (k - 1) * msw) / (sst + msw)) < 1e-5
+    assert abs(got["icc_1_1"]
+               - (msb - msw) / (msb + (n0 - 1) * msw)) < 1e-5
+
+
+def test_dup_cluster_histogram_consistent(spark, sf_dir):
+    hist = Q.dup_cluster_size_histogram(spark, sf_dir).toPandas()
+    comp = Q.dedup_clusters(spark, sf_dir).toPandas()
+    sizes = comp.groupby("lbl").size()
+    want = sizes.value_counts().sort_index()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert list(hist.cluster_size) == list(want.index)
+    assert list(hist.n_clusters) == list(want.values)
+    assert (hist.n_singleton_docs == len(docs) - len(comp)).all()
+    assert (hist.cluster_size >= 2).all()
+
+
+def test_purchase_cadence_matches_pandas(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[(ev.ts.notna()) & (ev.event_type == "purchase")]
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    gaps, users = [], set()
+    for uid, g in ev.groupby("user_id"):
+        us = g.ts.astype("datetime64[us]").astype("int64").to_numpy()
+        if len(us) >= 2:
+            gaps.extend(np.diff(us) / 86400e6)
+            users.add(uid)
+    gaps = np.array(gaps)
+    got = Q.purchase_cadence(spark, sf_dir).collect()[0]
+    assert got["n_repeat_purchasers"] == len(users)
+    assert got["n_gaps"] == len(gaps)
+    assert abs(got["median_gap_days"]
+               - np.percentile(gaps, 50, method="linear")) < 1e-3
+    assert abs(got["p90_gap_days"]
+               - np.percentile(gaps, 90, method="linear")) < 1e-3
+    assert abs(got["mean_gap_days"] - gaps.mean()) < 1e-3
