@@ -166,6 +166,9 @@ HEADLINE = [
     "anova_effect_sizes",
     "dup_cluster_size_histogram",
     "purchase_cadence",
+    "stratified_ht_estimate",
+    "median_ci_order_value",
+    "kendalls_w_dow",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

@@ -5614,3 +5614,152 @@ SELECT CAST(k AS INT) AS k_groups, CAST(nn AS BIGINT) AS n,
        round((msb - msw) / (msb + (n0 - 1) * msw), 6) AS icc_1_1
 FROM m
 """
+
+
+# --------------------------------------------------------------------------
+# A158. Stratified Bernoulli sample + Horvitz-Thompson total (Horvitz-
+# Thompson 1952): deterministic md5 inclusion at per-priority rates,
+# HT total = Σ y_i/π_i per stratum, with the Bernoulli-design SE
+# Σ y²(1−π)/π². The full-population comparison column makes the
+# estimator's coverage auditable in-query. Seed-free md5 inclusion =
+# the repo's standard engine-portable randomization.
+# --------------------------------------------------------------------------
+
+_HT_RATES = {"1-URGENT": 0.5, "2-HIGH": 0.25, "3-MEDIUM": 0.125,
+             "4-NOT SPECIFIED": 0.125, "5-LOW": 0.25}
+
+
+def stratified_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rate = F.create_map(*[F.lit(x) for kv in _HT_RATES.items()
+                          for x in kv])[F.col("o_orderpriority")]
+    # md5 first 4 hex chars → uniform int in [0, 65536)
+    u = F.conv(F.substring(F.md5(F.concat(
+        F.lit("ht:"), F.col("o_orderkey").cast("string"))), 1, 4),
+        16, 10).cast("int")
+    d = (o.select("o_orderpriority",
+                  F.col("o_totalprice").cast("double").alias("y"),
+                  rate.alias("pi"), u.alias("u"))
+          .withColumn("take", (F.col("u") < F.col("pi") * 65536)
+                      .cast("int")))
+    g = (d.groupBy("o_orderpriority")
+          .agg(F.count(F.lit(1)).alias("n_stratum"),
+               F.sum("take").alias("n_sampled"),
+               F.sum(F.col("take") * F.col("y") / F.col("pi"))
+                .alias("ht_total"),
+               F.sum(F.col("take") * F.col("y") * F.col("y")
+                     * (1 - F.col("pi")) / (F.col("pi") * F.col("pi")))
+                .alias("v"),
+               F.sum("y").alias("true_total")))
+    return (g.select("o_orderpriority", "n_stratum", "n_sampled",
+                     F.round("ht_total", 2).alias("ht_total"),
+                     F.round(F.sqrt("v"), 2).alias("ht_se"),
+                     F.round("true_total", 2).alias("true_total"),
+                     F.round((F.col("ht_total") - F.col("true_total"))
+                             / F.sqrt("v"), 4).alias("z_error"))
+             .orderBy("o_orderpriority"))
+
+HT_ESTIMATE_SQL = """
+WITH d AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS y,
+         CASE o_orderpriority
+           WHEN '1-URGENT' THEN 0.5 WHEN '2-HIGH' THEN 0.25
+           WHEN '3-MEDIUM' THEN 0.125
+           WHEN '4-NOT SPECIFIED' THEN 0.125 ELSE 0.25 END AS pi,
+         ((strpos('0123456789abcdef',
+                  substring(md5('ht:' || CAST(o_orderkey AS VARCHAR)),
+                            1, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef',
+                    substring(md5('ht:' || CAST(o_orderkey AS VARCHAR)),
+                              2, 1)) - 1) * 256
+          + (strpos('0123456789abcdef',
+                    substring(md5('ht:' || CAST(o_orderkey AS VARCHAR)),
+                              3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef',
+                    substring(md5('ht:' || CAST(o_orderkey AS VARCHAR)),
+                              4, 1)) - 1)) AS u
+  FROM orders
+), t AS (
+  SELECT *, CASE WHEN u < pi * 65536 THEN 1 ELSE 0 END AS take FROM d
+), g AS (
+  SELECT o_orderpriority, count(*) AS n_stratum,
+         sum(take) AS n_sampled,
+         sum(take * y / pi) AS ht_total,
+         sum(take * y * y * (1 - pi) / (pi * pi)) AS v,
+         sum(y) AS true_total
+  FROM t GROUP BY 1
+)
+SELECT o_orderpriority, n_stratum,
+       CAST(n_sampled AS BIGINT) AS n_sampled,
+       round(ht_total, 2) AS ht_total,
+       round(sqrt(v), 2) AS ht_se,
+       round(true_total, 2) AS true_total,
+       round((ht_total - true_total) / sqrt(v), 4) AS z_error
+FROM g ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# A159. Distribution-free median CI via binomial order statistics
+# (the textbook exact-coverage interval — no resampling, unlike A82's
+# bootstrap): the (l, u) order-statistic ranks come from the normal
+# approximation to Binomial(n, ½); the two order statistics are then
+# READ OFF the distinct-value cumulative table via range_cumsum —
+# never a global sort.
+# --------------------------------------------------------------------------
+
+def median_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    o = load_table(spark, sf_dir, "orders")
+    vals = (o.groupBy(F.col("o_totalprice").cast("double").alias("v"))
+             .agg(F.count(F.lit(1)).alias("t")))
+    cum = stats.range_cumsum(vals, "v", ["t"]).localCheckpoint(eager=True)
+    n = cum.agg(F.sum("t")).collect()[0][0]
+    z = 1.959964
+    lo = int(math.floor(n / 2.0 - z * math.sqrt(n) / 2.0))
+    hi = int(math.ceil(1 + n / 2.0 + z * math.sqrt(n) / 2.0))
+    lo, hi = max(lo, 1), min(hi, n)
+
+    def kth(k):
+        return (cum.where(F.col("cum_t") >= k)
+                   .agg(F.min("v").alias("v")))
+    med_k1 = (n + 1) // 2
+    med_k2 = (n + 2) // 2
+    row_lo = kth(lo).collect()[0]["v"]
+    row_hi = kth(hi).collect()[0]["v"]
+    m1 = kth(med_k1).collect()[0]["v"]
+    m2 = kth(med_k2).collect()[0]["v"]
+    spark_ = spark
+    return spark_.createDataFrame(
+        [(int(n), round((m1 + m2) / 2.0, 4), int(lo), int(hi),
+          round(row_lo, 4), round(row_hi, 4))],
+        "n long, median double, rank_lo long, rank_hi long, "
+        "ci_lo double, ci_hi double")
+
+MEDIAN_CI_SQL = """
+WITH vals AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v, count(*) AS t
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT v, t, sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS cum_t
+  FROM vals
+), nn AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM vals),
+ks AS (
+  SELECT n,
+         greatest(CAST(floor(n / 2.0 - 1.959964 * sqrt(n) / 2.0)
+                       AS BIGINT), 1) AS lo,
+         CAST(least(CAST(ceil(1 + n / 2.0 + 1.959964 * sqrt(n) / 2.0)
+                         AS BIGINT), n) AS BIGINT) AS hi,
+         (n + 1) // 2 AS k1, (n + 2) // 2 AS k2
+  FROM nn
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(((SELECT min(v) FROM cum WHERE cum_t >= k1)
+              + (SELECT min(v) FROM cum WHERE cum_t >= k2)) / 2.0, 4)
+         AS median,
+       lo AS rank_lo, hi AS rank_hi,
+       round((SELECT min(v) FROM cum WHERE cum_t >= lo), 4) AS ci_lo,
+       round((SELECT min(v) FROM cum WHERE cum_t >= hi), 4) AS ci_hi
+FROM ks
+"""

@@ -3453,3 +3453,73 @@ SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_repeat_purchasers,
        round(avg(g), 4) AS mean_gap_days
 FROM nz
 """
+
+
+# --------------------------------------------------------------------------
+# C70. Kendall's W coefficient of concordance over week×dow blocks
+# (Kendall-Babington Smith 1939): W = Q/(n(k−1)) — the EFFECT-SIZE
+# normalization of C51's Friedman Q (how strongly do weeks agree on
+# the weekly shape, 0..1). Identical complete-week rank construction
+# (7-row per-week windows, scale-safe by construction).
+# --------------------------------------------------------------------------
+
+def kendalls_w_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+               .agg(F.count(F.lit(1)).cast("double").alias("y")))
+    d = daily.select(
+        "y", F.weekofyear("day").alias("wk"),
+        F.year("day").alias("yr"),
+        ((F.dayofweek("day") + 5) % 7 + 1).alias("dow"))
+    blocks = (d.groupBy("yr", "wk")
+                .agg(F.count(F.lit(1)).alias("ndays")))
+    full = d.join(F.broadcast(blocks.where(F.col("ndays") == 7)
+                              .select("yr", "wk")), ["yr", "wk"])
+    wb = Window.partitionBy("yr", "wk").orderBy("y", "dow")
+    ranked = full.withColumn("r", F.row_number().over(wb))
+    per_dow = ranked.groupBy("dow").agg(F.sum("r").alias("rsum"))
+    tot = ranked.agg(F.countDistinct("yr", "wk").alias("n"))
+    k = 7
+    n = F.max("n").cast("double")
+    q = (per_dow.crossJoin(F.broadcast(tot))
+         .agg(F.max("n").alias("n_blocks"),
+              (12.0 / (n * k * (k + 1))
+               * F.sum(F.col("rsum") * F.col("rsum"))
+               - 3.0 * n * (k + 1)).alias("__q")))
+    return q.select(
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.lit(k).alias("k_treatments"),
+        F.round("__q", 4).alias("friedman_q"),
+        F.round(F.col("__q") / (F.col("n_blocks") * (k - 1)), 6)
+         .alias("kendalls_w"))
+
+KENDALLS_W_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), d AS (
+  SELECT y, weekofyear(day) AS wk, year(day) AS yr,
+         (dayofweek(day) + 6) % 7 + 1 AS dow
+  FROM daily
+), blocks AS (
+  SELECT yr, wk FROM d GROUP BY 1, 2 HAVING count(*) = 7
+), full_w AS (
+  SELECT d.* FROM d JOIN blocks USING (yr, wk)
+), ranked AS (
+  SELECT dow,
+         row_number() OVER (PARTITION BY yr, wk ORDER BY y, dow) AS r
+  FROM full_w
+), per_dow AS (SELECT dow, sum(r) AS rsum FROM ranked GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM blocks),
+q AS (
+  SELECT any_value(n) AS n_blocks,
+         12.0 / (any_value(n) * 7 * 8) * sum(rsum * rsum)
+         - 3.0 * any_value(n) * 8 AS qq
+  FROM per_dow CROSS JOIN tot
+)
+SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+       7 AS k_treatments,
+       round(qq, 4) AS friedman_q,
+       round(qq / (n_blocks * 6), 6) AS kendalls_w
+FROM q
+"""

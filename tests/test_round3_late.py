@@ -1518,3 +1518,52 @@ def test_purchase_cadence_matches_pandas(spark, sf_dir):
     assert abs(got["p90_gap_days"]
                - np.percentile(gaps, 90, method="linear")) < 1e-3
     assert abs(got["mean_gap_days"] - gaps.mean()) < 1e-3
+
+
+def test_ht_estimate_matches_pandas(spark, sf_dir, orders):
+    import hashlib
+    rates = {"1-URGENT": 0.5, "2-HIGH": 0.25, "3-MEDIUM": 0.125,
+             "4-NOT SPECIFIED": 0.125, "5-LOW": 0.25}
+    got = {r["o_orderpriority"]: r for r in
+           Q.stratified_ht_estimate(spark, sf_dir).collect()}
+    for pri, g in orders.groupby("o_orderpriority"):
+        pi = rates[pri]
+        u = np.array([int(hashlib.md5(f"ht:{k}".encode())
+                          .hexdigest()[:4], 16)
+                      for k in g.o_orderkey])
+        take = u < pi * 65536
+        y = g.o_totalprice.astype(float).to_numpy()
+        ht = (y[take] / pi).sum()
+        v = (y[take] ** 2 * (1 - pi) / pi ** 2).sum()
+        assert got[pri]["n_sampled"] == int(take.sum()), pri
+        assert abs(got[pri]["ht_total"] - ht) < 0.5, pri
+        assert abs(got[pri]["ht_se"] - np.sqrt(v)) < 0.5
+        assert abs(got[pri]["true_total"] - y.sum()) < 0.5
+        # sanity: estimator within ~5 SEs of truth
+        assert abs(got[pri]["z_error"]) < 5
+
+
+def test_median_ci_matches_numpy_order_stats(spark, sf_dir, orders):
+    v = np.sort(orders.o_totalprice.astype(float).to_numpy())
+    n = len(v)
+    z = 1.959964
+    lo = max(int(np.floor(n / 2 - z * np.sqrt(n) / 2)), 1)
+    hi = min(int(np.ceil(1 + n / 2 + z * np.sqrt(n) / 2)), n)
+    med = (v[(n + 1) // 2 - 1] + v[(n + 2) // 2 - 1]) / 2
+    got = Q.median_ci_order_value(spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    assert abs(got["median"] - med) < 1e-2
+    assert got["rank_lo"] == lo and got["rank_hi"] == hi
+    assert abs(got["ci_lo"] - v[lo - 1]) < 1e-2
+    assert abs(got["ci_hi"] - v[hi - 1]) < 1e-2
+    assert got["ci_lo"] <= got["median"] <= got["ci_hi"]
+
+
+def test_kendalls_w_consistent_with_friedman(spark, sf_dir):
+    w = Q.kendalls_w_dow(spark, sf_dir).collect()[0]
+    f = Q.friedman_dow_test(spark, sf_dir).collect()[0]
+    assert w["n_blocks"] == f["n_blocks"]
+    assert abs(w["friedman_q"] - f["friedman_q"]) < 1e-3
+    assert abs(w["kendalls_w"]
+               - f["friedman_q"] / (f["n_blocks"] * 6)) < 1e-5
+    assert 0 <= w["kendalls_w"] <= 1
