@@ -169,6 +169,9 @@ HEADLINE = [
     "stratified_ht_estimate",
     "median_ci_order_value",
     "kendalls_w_dow",
+    "conversion_by_session_depth",
+    "generalized_esd_daily",
+    "leverage_audit",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

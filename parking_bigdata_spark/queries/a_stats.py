@@ -5763,3 +5763,50 @@ SELECT CAST(n AS BIGINT) AS n,
        round((SELECT min(v) FROM cum WHERE cum_t >= hi), 4) AS ci_hi
 FROM ks
 """
+
+
+# --------------------------------------------------------------------------
+# A160. OLS leverage audit (hat values h_i = 1/n + (x−x̄)²/Sxx for the
+# simple regression design): how many rows exceed the 2p/n
+# high-leverage rule, the max leverage, and the exact-identity check
+# mean(h) = p/n (p = 2). One moment pass + one codegen re-scan —
+# the influence-diagnostics companion of A121's Cook's distance.
+# --------------------------------------------------------------------------
+
+def leverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(F.col("l_quantity").cast("double").alias("x"))
+    mv = d.agg(F.count(F.lit(1)).alias("n"), F.avg("x").alias("mx"),
+               (F.var_pop("x") * F.count(F.lit(1))).alias("sxx"))
+    j = d.crossJoin(F.broadcast(mv))
+    h = 1.0 / F.col("n") + (F.col("x") - F.col("mx")) \
+        * (F.col("x") - F.col("mx")) / F.col("sxx")
+    thr = 2.0 * 2.0 / F.col("n")
+    return (j.agg(F.first("n").alias("nn"),
+                  F.sum((h > thr).cast("long")).alias("n_high"),
+                  F.max(h).alias("hmax"),
+                  F.avg(h).alias("hmean"))
+             .select(F.col("nn").cast("long").alias("n"),
+                     F.col("n_high").alias("n_high_leverage"),
+                     F.round("hmax", 8).alias("max_leverage"),
+                     F.round("hmean", 8).alias("mean_leverage"),
+                     F.round(F.col("hmean") * F.col("nn"), 4)
+                      .alias("mean_times_n")))
+
+LEVERAGE_SQL = """
+WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x FROM lineitem),
+mv AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(x) AS mx,
+         var_pop(x) * count(*) AS sxx
+  FROM d
+), j AS (
+  SELECT n, 1.0 / n + (x - mx) * (x - mx) / sxx AS h FROM d CROSS JOIN mv
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN h > 4.0 / n THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high_leverage,
+       round(max(h), 8) AS max_leverage,
+       round(avg(h), 8) AS mean_leverage,
+       round(avg(h) * any_value(n), 4) AS mean_times_n
+FROM j
+"""

@@ -3523,3 +3523,128 @@ SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
        round(qq / (n_blocks * 6), 6) AS kendalls_w
 FROM q
 """
+
+
+# --------------------------------------------------------------------------
+# C71. Conversion rate by session depth (the engagement-funnel
+# readout: do longer sessions convert more?): B13's gap sessions
+# bucketed by event count; per bucket, the share of sessions
+# containing a purchase. Session stats collapse in the same per-user
+# window pass; the bucket table is ≤#buckets rows.
+# --------------------------------------------------------------------------
+
+def conversion_by_session_depth(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1) \
+        .otherwise(0)
+    sess = (ev.withColumn("sess",
+                          F.sum(new_sess).over(
+                              w.rowsBetween(Window.unboundedPreceding,
+                                            0)))
+              .groupBy("user_id", "sess")
+              .agg(F.count(F.lit(1)).alias("depth"),
+                   F.max((F.col("event_type") == "purchase")
+                         .cast("int")).alias("converted")))
+    bucket = (F.when(F.col("depth") == 1, "1")
+               .when(F.col("depth") <= 2, "2")
+               .when(F.col("depth") <= 4, "3-4")
+               .when(F.col("depth") <= 8, "5-8")
+               .otherwise("9+"))
+    return (sess.groupBy(bucket.alias("depth_bucket"))
+                .agg(F.count(F.lit(1)).alias("n_sessions"),
+                     F.sum("converted").alias("n_converted"),
+                     F.round(F.avg(F.col("converted").cast("double")), 6)
+                      .alias("conversion_rate"))
+                .orderBy("depth_bucket"))
+
+CONVERSION_DEPTH_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+), sess AS (
+  SELECT user_id, sess, count(*) AS depth,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM s GROUP BY 1, 2
+), b AS (
+  SELECT CASE WHEN depth = 1 THEN '1' WHEN depth <= 2 THEN '2'
+              WHEN depth <= 4 THEN '3-4' WHEN depth <= 8 THEN '5-8'
+              ELSE '9+' END AS depth_bucket,
+         converted
+  FROM sess
+)
+SELECT depth_bucket, count(*) AS n_sessions,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       round(avg(CAST(converted AS DOUBLE)), 6) AS conversion_rate
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# C72. Generalized ESD multi-outlier test, 3 rounds (Rosner 1983) on
+# the daily count series — the multi-outlier upgrade of C34's
+# single-Grubbs: each round reports the most extreme remaining day's
+# studentized deviation and removes it. Each round is one bounded
+# aggregate + one deterministic argmax (|z| DESC, day ASC) over the
+# ≤#days table; the oracle unrolls the same three rounds as CTEs.
+# --------------------------------------------------------------------------
+
+def generalized_esd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_counts(spark, sf_dir).localCheckpoint(eager=True)
+    rows = []
+    cur = daily
+    for r in range(1, 4):
+        mv = cur.agg(F.avg(F.col("n").cast("double")).alias("mu"),
+                     F.stddev_samp(F.col("n").cast("double")).alias("sd"))
+        top = (cur.crossJoin(F.broadcast(mv))
+                  .withColumn("__z", F.abs(F.col("n") - F.col("mu"))
+                              / F.col("sd"))
+                  .orderBy(F.desc("__z"), "d").limit(1)
+                  .collect()[0])
+        rows.append((r, int(top["d"]), int(top["n"]),
+                     round(float(top["__z"]), 4)))
+        cur = cur.where(F.col("d") != int(top["d"]))
+    return spark.createDataFrame(
+        rows, "round int, day_index long, count long, r_stat double")
+
+ESD_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS d,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), m1 AS (SELECT avg(n) AS mu, stddev_samp(n) AS sd FROM daily),
+t1 AS (
+  SELECT d, n, abs(n - mu) / sd AS z FROM daily CROSS JOIN m1
+  ORDER BY z DESC, d LIMIT 1
+), d2 AS (SELECT * FROM daily WHERE d <> (SELECT d FROM t1)),
+m2 AS (SELECT avg(n) AS mu, stddev_samp(n) AS sd FROM d2),
+t2 AS (
+  SELECT d, n, abs(n - mu) / sd AS z FROM d2 CROSS JOIN m2
+  ORDER BY z DESC, d LIMIT 1
+), d3 AS (SELECT * FROM d2 WHERE d <> (SELECT d FROM t2)),
+m3 AS (SELECT avg(n) AS mu, stddev_samp(n) AS sd FROM d3),
+t3 AS (
+  SELECT d, n, abs(n - mu) / sd AS z FROM d3 CROSS JOIN m3
+  ORDER BY z DESC, d LIMIT 1
+)
+SELECT 1 AS round, CAST(d AS BIGINT) AS day_index,
+       CAST(n AS BIGINT) AS count, round(z, 4) AS r_stat FROM t1
+UNION ALL
+SELECT 2, CAST(d AS BIGINT), CAST(n AS BIGINT), round(z, 4) FROM t2
+UNION ALL
+SELECT 3, CAST(d AS BIGINT), CAST(n AS BIGINT), round(z, 4) FROM t3
+"""

@@ -1567,3 +1567,60 @@ def test_kendalls_w_consistent_with_friedman(spark, sf_dir):
     assert abs(w["kendalls_w"]
                - f["friedman_q"] / (f["n_blocks"] * 6)) < 1e-5
     assert 0 <= w["kendalls_w"] <= 1
+
+
+def test_conversion_by_depth_matches_pandas(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev.ts.notna()].sort_values(["user_id", "ts", "event_id"])
+    buckets = {}
+    for uid, g in ev.groupby("user_id"):
+        us = g.ts.astype("datetime64[us]").astype("int64").to_numpy()
+        brk = np.concatenate([[True], np.diff(us) > 1800 * 1_000_000])
+        sid = np.cumsum(brk)
+        types = g.event_type.to_numpy()
+        for s in np.unique(sid):
+            m = sid == s
+            depth = int(m.sum())
+            conv = int((types[m] == "purchase").any())
+            b = ("1" if depth == 1 else "2" if depth <= 2
+                 else "3-4" if depth <= 4 else "5-8" if depth <= 8
+                 else "9+")
+            n, c = buckets.get(b, (0, 0))
+            buckets[b] = (n + 1, c + conv)
+    got = {r["depth_bucket"]: r for r in
+           Q.conversion_by_session_depth(spark, sf_dir).collect()}
+    assert set(got) == set(buckets)
+    for b, (n, c) in buckets.items():
+        assert got[b]["n_sessions"] == n, b
+        assert got[b]["n_converted"] == c, b
+
+
+def test_generalized_esd_matches_iterative_numpy(spark, sf_dir):
+    ev = _daily_df(sf_dir)
+    daily = ev.groupby("d").size().reset_index(name="n")
+    d = daily.d.to_numpy().astype(int)
+    x = daily.n.to_numpy().astype(float)
+    got = Q.generalized_esd_daily(spark, sf_dir).collect()
+    assert [r["round"] for r in got] == [1, 2, 3]
+    for r in got:
+        mu, sd = x.mean(), x.std(ddof=1)
+        z = np.abs(x - mu) / sd
+        best = np.lexsort((d, -z))[0]
+        assert r["day_index"] == d[best], r["round"]
+        assert abs(r["r_stat"] - z[best]) < 1e-3
+        keep = d != d[best]
+        d, x = d[keep], x[keep]
+    # rounds strictly shrink the series
+    assert len(d) == len(daily) - 3
+
+
+def test_leverage_audit_identity(spark, sf_dir, lineitem):
+    x = lineitem.l_quantity.astype(float).to_numpy()
+    n = len(x)
+    h = 1 / n + (x - x.mean()) ** 2 / (x.var() * n)
+    got = Q.leverage_audit(spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    assert got["n_high_leverage"] == int((h > 4 / n).sum())
+    assert abs(got["max_leverage"] - h.max()) < 1e-8
+    # exact identity: Σh = p = 2 for simple regression with intercept
+    assert abs(got["mean_times_n"] - 2.0) < 1e-6
