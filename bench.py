@@ -172,6 +172,8 @@ HEADLINE = [
     "conversion_by_session_depth",
     "generalized_esd_daily",
     "leverage_audit",
+    "retention_half_life",
+    "wilson_ci_event_reach",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

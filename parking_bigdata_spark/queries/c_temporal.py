@@ -3648,3 +3648,138 @@ SELECT 2, CAST(d AS BIGINT), CAST(n AS BIGINT), round(z, 4) FROM t2
 UNION ALL
 SELECT 3, CAST(d AS BIGINT), CAST(n AS BIGINT), round(z, 4) FROM t3
 """
+
+
+# --------------------------------------------------------------------------
+# C73. Retention half-life (exponential-decay fit to the pooled
+# retention curve — the single-number summary of C13's cohort
+# matrix): pooled retention r(w) = active users at offset w / cohort
+# size, log-linear fit ln r ~ w over offsets ≥ 1 (closed simple-OLS
+# form on the ≤#weeks curve), half-life = −ln 2 / slope.
+# --------------------------------------------------------------------------
+
+def retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id")
+    d = (ev.withColumn("first_ts", F.min("ts").over(w))
+           .select("user_id",
+                   F.date_format(F.date_trunc("week", "first_ts"),
+                                 "yyyy-MM-dd").alias("cw"),
+                   ((F.datediff(F.date_trunc("week", "ts").cast("date"),
+                                F.date_trunc("week", "first_ts")
+                                .cast("date")) / 7)
+                    .cast("long").alias("wo"))))
+    cells = (d.groupBy("cw", "wo")
+              .agg(F.countDistinct("user_id").alias("nu")))
+    base = (cells.where(F.col("wo") == 0)
+                 .select(F.col("cw").alias("cwb"),
+                         F.col("nu").alias("n0")))
+    curve = (cells.join(base, cells.cw == base.cwb)
+                  .groupBy("wo")
+                  .agg(F.sum("nu").alias("active"),
+                       F.sum("n0").alias("base")))
+    pts = (curve.where(F.col("wo") >= 1)
+                .select(F.col("wo").cast("double").alias("x"),
+                        F.log(F.col("active")
+                              / F.col("base").cast("double")).alias("y")))
+    # a one-offset curve has var(x)=0: propagate NULL (matching the
+    # oracle's CASE) instead of an ANSI divide-by-zero
+    g = pts.agg(F.count(F.lit(1)).alias("n"),
+                F.covar_pop("x", "y").alias("cxy"),
+                F.var_pop("x").alias("vx"))
+    # try_divide, not CASE: common-subexpression elimination hoists a
+    # CASE-guarded division out of its branch under ANSI (the logrank
+    # lesson); try_divide yields NULL exactly like the oracle's CASE
+    slope = F.try_divide(F.col("cxy"), F.col("vx"))
+    hl = F.try_divide(F.lit(-0.6931471805599453), slope)
+    return g.select(F.col("n").cast("int").alias("n_offsets"),
+                    F.round(slope, 6).alias("log_decay_slope"),
+                    F.round(hl, 4).alias("half_life_weeks"))
+
+RETENTION_HL_SQL = """
+WITH d AS (
+  SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS first_ts
+  FROM events WHERE ts IS NOT NULL
+), g AS (
+  SELECT user_id,
+         strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cw,
+         CAST(datediff('day', CAST(date_trunc('week', first_ts) AS DATE),
+                       CAST(date_trunc('week', ts) AS DATE)) / 7
+              AS BIGINT) AS wo
+  FROM d
+), cells AS (
+  SELECT cw, wo, count(DISTINCT user_id) AS nu FROM g GROUP BY 1, 2
+), base AS (SELECT cw, nu AS n0 FROM cells WHERE wo = 0),
+curve AS (
+  SELECT wo, sum(nu) AS active, sum(n0) AS base
+  FROM cells JOIN base USING (cw)
+  GROUP BY 1
+), pts AS (
+  SELECT CAST(wo AS DOUBLE) AS x,
+         ln(active / CAST(base AS DOUBLE)) AS y
+  FROM curve WHERE wo >= 1
+), f AS (
+  SELECT count(*) AS n,
+         CASE WHEN var_pop(x) > 0
+              THEN covar_pop(x, y) / var_pop(x) END AS slope
+  FROM pts
+)
+SELECT CAST(n AS INT) AS n_offsets,
+       round(slope, 6) AS log_decay_slope,
+       round(-0.6931471805599453 / slope, 4) AS half_life_weeks
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
+# C74. Wilson score intervals for per-event-type reach (Wilson 1927 —
+# the CI that stays inside [0,1], unlike the Wald interval A18h
+# implies): share of users who ever fired each event type, with 95%
+# Wilson bounds. One distinct shuffle; closed forms per type.
+# --------------------------------------------------------------------------
+
+def wilson_ci_event_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    nu = ev.agg(F.countDistinct("user_id").alias("nu"))
+    per = (ev.select("event_type", "user_id").distinct()
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("k")))
+    z = 1.959964
+    j = per.crossJoin(F.broadcast(nu))
+    n = F.col("nu").cast("double")
+    p = F.col("k") / n
+    den = 1 + z * z / n
+    ctr = (p + z * z / (2 * n)) / den
+    hw = z / den * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    return (j.select("event_type",
+                     F.col("k").cast("long").alias("n_users_reached"),
+                     F.col("nu").cast("long").alias("n_users_total"),
+                     F.round(p, 6).alias("reach"),
+                     F.round(ctr - hw, 6).alias("wilson_lo"),
+                     F.round(ctr + hw, 6).alias("wilson_hi"))
+             .orderBy("event_type"))
+
+WILSON_CI_SQL = """
+WITH nu AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS nu
+            FROM events WHERE ts IS NOT NULL),
+per AS (
+  SELECT event_type, count(DISTINCT user_id) AS k
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+)
+SELECT event_type,
+       CAST(k AS BIGINT) AS n_users_reached,
+       CAST(nu AS BIGINT) AS n_users_total,
+       round(k / nu, 6) AS reach,
+       round(((k / nu + 1.959964 * 1.959964 / (2 * nu))
+              - 1.959964 * sqrt((k / nu) * (1 - k / nu) / nu
+                                + 1.959964 * 1.959964
+                                  / (4 * nu * nu)))
+             / (1 + 1.959964 * 1.959964 / nu), 6) AS wilson_lo,
+       round(((k / nu + 1.959964 * 1.959964 / (2 * nu))
+              + 1.959964 * sqrt((k / nu) * (1 - k / nu) / nu
+                                + 1.959964 * 1.959964
+                                  / (4 * nu * nu)))
+             / (1 + 1.959964 * 1.959964 / nu), 6) AS wilson_hi
+FROM per CROSS JOIN nu
+ORDER BY event_type
+"""

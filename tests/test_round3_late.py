@@ -1624,3 +1624,53 @@ def test_leverage_audit_identity(spark, sf_dir, lineitem):
     assert abs(got["max_leverage"] - h.max()) < 1e-8
     # exact identity: Σh = p = 2 for simple regression with intercept
     assert abs(got["mean_times_n"] - 2.0) < 1e-6
+
+
+def test_retention_half_life_matches_pandas(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev.ts.notna()].copy()
+    ts = pd.to_datetime(ev.ts)
+    first = ts.groupby(ev.user_id).transform("min")
+    cw = first.dt.to_period("W").dt.start_time
+    wo = ((ts.dt.to_period("W").dt.start_time - cw).dt.days // 7)
+    df = pd.DataFrame({"u": ev.user_id, "cw": cw, "wo": wo})
+    cells = (df.drop_duplicates().groupby(["cw", "wo"])["u"]
+               .nunique().reset_index(name="nu"))
+    base = cells[cells.wo == 0].set_index("cw")["nu"]
+    curve = (cells.assign(n0=cells.cw.map(base))
+                  .groupby("wo").agg(active=("nu", "sum"),
+                                     b=("n0", "sum")))
+    pts = curve[curve.index >= 1]
+    x = pts.index.to_numpy(dtype=float)
+    y = np.log(pts.active / pts.b).to_numpy()
+    got = Q.retention_half_life(spark, sf_dir).collect()[0]
+    assert got["n_offsets"] == len(pts)
+    if len(x) >= 2 and x.var() > 0:
+        slope = np.cov(x, y, bias=True)[0, 1] / x.var()
+        assert abs(got["log_decay_slope"] - slope) < 1e-4
+        if abs(slope) > 1e-12:  # flat curve -> NULL half-life by design
+            assert abs(got["half_life_weeks"] + np.log(2) / slope) < 1e-2
+        else:
+            assert got["half_life_weeks"] is None \
+                or not np.isfinite(got["half_life_weeks"])
+
+
+def test_wilson_ci_matches_closed_form(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev.ts.notna()]
+    nu = ev.user_id.nunique()
+    got = {r["event_type"]: r for r in
+           Q.wilson_ci_event_reach(spark, sf_dir).collect()}
+    z = 1.959964
+    for t, g in ev.groupby("event_type"):
+        k = g.user_id.nunique()
+        p = k / nu
+        den = 1 + z * z / nu
+        ctr = (p + z * z / (2 * nu)) / den
+        hw = z / den * np.sqrt(p * (1 - p) / nu
+                               + z * z / (4 * nu * nu))
+        assert got[t]["n_users_reached"] == k, t
+        assert abs(got[t]["wilson_lo"] - (ctr - hw)) < 1e-5
+        assert abs(got[t]["wilson_hi"] - (ctr + hw)) < 1e-5
+        assert 0 <= got[t]["wilson_lo"] <= got[t]["reach"] \
+            <= got[t]["wilson_hi"] <= 1
