@@ -174,6 +174,8 @@ HEADLINE = [
     "leverage_audit",
     "retention_half_life",
     "wilson_ci_event_reach",
+    "cohens_h_priority",
+    "newey_west_trend",
     "wilcoxon_signed_rank",
     "ordinal_assoc_qty_discount",
     "ljung_box_daily",

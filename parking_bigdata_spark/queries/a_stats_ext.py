@@ -1657,3 +1657,53 @@ SELECT CAST(any_value(n) AS BIGINT) AS n,
        round(avg(h) * any_value(n), 4) AS mean_times_n
 FROM j
 """
+
+
+# --------------------------------------------------------------------------
+# A161. Cohen's h for two proportions (Cohen 1988, arcsine effect
+# size — the MAGNITUDE companion of A18h's two-proportion z-test,
+# which only gives significance): h = 2·asin√p₁ − 2·asin√p₂ for the
+# finished-order rate of urgent vs low priority. One fused scan.
+# --------------------------------------------------------------------------
+
+def cohens_h_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    isf = (F.col("o_orderstatus") == "F").cast("double")
+    g = o.agg(
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1.0)
+               .otherwise(0.0)).alias("n1"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", isf)
+               .otherwise(0.0)).alias("k1"),
+        F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1.0)
+               .otherwise(0.0)).alias("n2"),
+        F.sum(F.when(F.col("o_orderpriority") == "5-LOW", isf)
+               .otherwise(0.0)).alias("k2"))
+    p1 = F.col("k1") / F.col("n1")
+    p2 = F.col("k2") / F.col("n2")
+    h = 2 * F.asin(F.sqrt(p1)) - 2 * F.asin(F.sqrt(p2))
+    return g.select(
+        F.col("n1").cast("long").alias("n_urgent"),
+        F.col("n2").cast("long").alias("n_low"),
+        F.round(p1, 6).alias("p_urgent_finished"),
+        F.round(p2, 6).alias("p_low_finished"),
+        F.round(h, 6).alias("cohens_h"))
+
+COHENS_H_SQL = """
+WITH g AS (
+  SELECT sum(CASE WHEN o_orderpriority = '1-URGENT'
+             THEN 1.0 ELSE 0.0 END) AS n1,
+         sum(CASE WHEN o_orderpriority = '1-URGENT'
+                  AND o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS k1,
+         sum(CASE WHEN o_orderpriority = '5-LOW'
+             THEN 1.0 ELSE 0.0 END) AS n2,
+         sum(CASE WHEN o_orderpriority = '5-LOW'
+                  AND o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS k2
+  FROM orders
+)
+SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_low,
+       round(k1 / n1, 6) AS p_urgent_finished,
+       round(k2 / n2, 6) AS p_low_finished,
+       round(2 * asin(sqrt(k1 / n1)) - 2 * asin(sqrt(k2 / n2)), 6)
+         AS cohens_h
+FROM g
+"""

@@ -1493,3 +1493,76 @@ SELECT event_type,
 FROM per CROSS JOIN nu
 ORDER BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# C75. Newey-West (HAC, lag 1) trend inference for the daily linear
+# fit (Newey-West 1987): the naive OLS slope SE understates
+# uncertainty when residuals autocorrelate (C62/C64 test exactly
+# that); the Bartlett-weighted lag-1 correction fixes the t-stat.
+# Var(β̂) = (Σv²)⁻²[Σv²e² + 2·½·Σ vₜeₜvₜ₋₁eₜ₋₁], v = d − d̄ — one
+# moment pass + one calendar-keyed lag join on the bounded daily
+# table.
+# --------------------------------------------------------------------------
+
+def newey_west_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (_daily_counts(spark, sf_dir)
+             .select(F.col("d").cast("double").alias("d"),
+                     F.col("n").cast("double").alias("y"))
+             .localCheckpoint(eager=True))
+    fit = daily.agg((F.covar_pop("d", "y") / F.var_pop("d")).alias("b"),
+                    F.avg("y").alias("my"), F.avg("d").alias("md"))
+    ve = (daily.crossJoin(F.broadcast(fit))
+               .select("d", F.col("b").alias("b"),
+                       (F.col("d") - F.col("md")).alias("v"),
+                       (F.col("y") - (F.col("my") + F.col("b")
+                                      * (F.col("d") - F.col("md"))))
+                       .alias("e")))
+    cur, lag = ve.alias("cur"), ve.alias("lag")
+    cross = (cur.join(lag, F.col("lag.d") == F.col("cur.d") - 1)
+                .agg(F.sum(F.col("cur.v") * F.col("cur.e")
+                           * F.col("lag.v") * F.col("lag.e"))
+                      .alias("s1")))
+    base = ve.agg(F.count(F.lit(1)).alias("n"),
+                  F.first("b").alias("b"),
+                  F.sum(F.col("v") * F.col("v")).alias("svv"),
+                  F.sum(F.col("v") * F.col("v") * F.col("e") * F.col("e"))
+                   .alias("s0"))
+    j = base.crossJoin(F.broadcast(cross))
+    var_hac = (F.col("s0") + 2 * 0.5 * F.col("s1")) \
+        / (F.col("svv") * F.col("svv"))
+    var_naive = (F.col("s0") / (F.col("svv") * F.col("svv")))
+    return j.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round("b", 6).alias("slope"),
+        F.round(F.sqrt(var_naive), 6).alias("se_white"),
+        F.round(F.sqrt(var_hac), 6).alias("se_newey_west"),
+        F.round(F.col("b") / F.sqrt(var_hac), 4).alias("t_hac"))
+
+NEWEY_WEST_SQL = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE))
+              AS DOUBLE) AS d,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), fit AS (
+  SELECT covar_pop(d, y) / var_pop(d) AS b, avg(y) AS my, avg(d) AS md
+  FROM daily
+), ve AS (
+  SELECT d, b, d - md AS v, y - (my + b * (d - md)) AS e
+  FROM daily CROSS JOIN fit
+), cross_t AS (
+  SELECT sum(cur.v * cur.e * lag.v * lag.e) AS s1
+  FROM ve cur JOIN ve lag ON lag.d = cur.d - 1
+), base AS (
+  SELECT count(*) AS n, any_value(b) AS b,
+         sum(v * v) AS svv, sum(v * v * e * e) AS s0
+  FROM ve
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(b, 6) AS slope,
+       round(sqrt(s0 / (svv * svv)), 6) AS se_white,
+       round(sqrt((s0 + s1) / (svv * svv)), 6) AS se_newey_west,
+       round(b / sqrt((s0 + s1) / (svv * svv)), 4) AS t_hac
+FROM base CROSS JOIN cross_t
+"""

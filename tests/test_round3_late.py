@@ -1674,3 +1674,39 @@ def test_wilson_ci_matches_closed_form(spark, sf_dir):
         assert abs(got[t]["wilson_hi"] - (ctr + hw)) < 1e-5
         assert 0 <= got[t]["wilson_lo"] <= got[t]["reach"] \
             <= got[t]["wilson_hi"] <= 1
+
+
+def test_cohens_h_matches_closed_form(spark, sf_dir, orders):
+    u = orders[orders.o_orderpriority == "1-URGENT"]
+    lo = orders[orders.o_orderpriority == "5-LOW"]
+    p1 = (u.o_orderstatus == "F").mean()
+    p2 = (lo.o_orderstatus == "F").mean()
+    h = 2 * np.arcsin(np.sqrt(p1)) - 2 * np.arcsin(np.sqrt(p2))
+    got = Q.cohens_h_priority(spark, sf_dir).collect()[0]
+    assert got["n_urgent"] == len(u) and got["n_low"] == len(lo)
+    assert abs(got["p_urgent_finished"] - p1) < 1e-5
+    assert abs(got["cohens_h"] - h) < 1e-5
+
+
+def test_newey_west_matches_numpy(spark, sf_dir):
+    ev = _daily_df(sf_dir)
+    daily = (ev.groupby("d").size().reset_index(name="y")
+               .sort_values("d"))
+    d = daily.d.to_numpy(dtype=float)
+    y = daily.y.to_numpy(dtype=float)
+    b = np.cov(d, y, bias=True)[0, 1] / d.var()
+    v = d - d.mean()
+    e = y - (y.mean() + b * v)
+    svv = (v ** 2).sum()
+    s0 = (v ** 2 * e ** 2).sum()
+    idx = {dd: i for i, dd in enumerate(d)}
+    s1 = sum(v[idx[dd]] * e[idx[dd]] * v[idx[dd - 1]] * e[idx[dd - 1]]
+             for dd in d if dd - 1 in idx)
+    se_w = np.sqrt(s0 / svv ** 2)
+    se_nw = np.sqrt((s0 + s1) / svv ** 2)
+    got = Q.newey_west_trend(spark, sf_dir).collect()[0]
+    assert got["n_days"] == len(d)
+    assert abs(got["slope"] - b) < 1e-4
+    assert abs(got["se_white"] - se_w) < 1e-4
+    assert abs(got["se_newey_west"] - se_nw) < 1e-4
+    assert abs(got["t_hac"] - b / se_nw) < 1e-2
