@@ -147,12 +147,26 @@ def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None,
 
 def read_clean_csv(spark: SparkSession, path: str, schema=None,
                    numeric_sentinel_cols: list[str] | None = None,
-                   renames: dict[str, str] | None = None) -> DataFrame:
+                   renames: dict[str, str] | None = None,
+                   encoding: str = "UTF-8") -> DataFrame:
     """CSV source with the reference's full ingest pipeline:
-    header, UTF-8, optional explicit schema (no sampling pass at scale),
+    header, optional explicit schema (no sampling pass at scale),
     sentinel-null cleaning, and column renaming (R:133-139).
+
+    ``encoding`` passes through to Spark's CSV reader — the reference
+    guesses UTF-8 vs EUC-KR before reading its Korean-government CSVs
+    (R:68-73); pass ``encoding="EUC-KR"`` for those (any charset the
+    JVM knows is accepted). Default UTF-8.
     """
-    reader = spark.read.option("header", "true").option("encoding", "UTF-8")
+    # Spark 4 whitelists only the unicode/latin charsets by default;
+    # anything else (EUC-KR included) needs the documented
+    # javaCharsets escape hatch — a runtime SQL conf, scoped here so
+    # only sessions that actually read such files flip it.
+    if encoding.lower() not in {"utf-8", "utf-16", "utf-16be", "utf-16le",
+                                "utf-32", "us-ascii", "iso-8859-1"}:
+        spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    reader = (spark.read.option("header", "true")
+              .option("encoding", encoding))
     if schema is not None:
         reader = reader.schema(schema)
     else:

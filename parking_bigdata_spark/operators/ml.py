@@ -921,6 +921,16 @@ def lda_two_class_df(df: DataFrame, xs: list[str], label: str,
                         .alias(f"pb_{i}_{j}"))
     row = d.agg(*aggs).collect()[0].asDict()
     na, nb = row["na"], row["nb"]
+    schema = ", ".join(f"{n} double"
+                       for n in ["n_a", "n_b",
+                                 *[f"w_{c}" for c in xs],
+                                 "mahalanobis_sep"])
+    # degenerate input (an absent class, or n_a+n_b <= 2 leaving Sw
+    # undefined) mirrors the oracle's NULL propagation — same contract
+    # as _irls_line / poisson_glm_df / gmm_em_1d
+    if not na or not nb or (na + nb) <= 2:
+        return spark.createDataFrame(
+            [(float(na or 0), float(nb or 0), *([None] * (k + 1)))], schema)
     import numpy as np
     Sw = np.zeros((k, k))
     dvec = np.zeros(k)
@@ -931,16 +941,19 @@ def lda_two_class_df(df: DataFrame, xs: list[str], label: str,
                 (row[f"pa_{i}_{j}"] - row[f"sa_{i}"] * row[f"sa_{j}"] / na)
                 + (row[f"pb_{i}_{j}"] - row[f"sb_{i}"] * row[f"sb_{j}"] / nb)
             ) / (na + nb - 2)
-    w = np.linalg.solve(Sw, dvec)
+    try:
+        w = np.linalg.solve(Sw, dvec)
+    except np.linalg.LinAlgError:
+        # singular within-class scatter (constant/collinear features):
+        # NULL-valued direction, counts still reported
+        return spark.createDataFrame(
+            [(float(na), float(nb), *([None] * (k + 1)))], schema)
     sep = float(np.sqrt(w @ dvec))
     wn = w / np.linalg.norm(w)
-    cols = ([("n_a", float(na)), ("n_b", float(nb))]
-            + [(f"w_{c}", round(float(v), round_to))
-               for c, v in zip(xs, wn)]
-            + [("mahalanobis_sep", round(sep, 4))])
     return spark.createDataFrame(
-        [tuple(v for _, v in cols)],
-        ", ".join(f"{n} double" for n, _ in cols))
+        [(float(na), float(nb),
+          *[round(float(v), round_to) for v in wn],
+          round(sep, 4))], schema)
 
 
 def quantile_fit_df(df: DataFrame, x: str, y: str, tau: float = 0.9,

@@ -36,6 +36,14 @@ def describe_table(df: DataFrame, cols: list[str], round_to: int = 4,
     jobs are submitted concurrently from a thread pool.
     Output is unpivoted to one row per column via ``stack``.
 
+    EAGER-ACTION SEMANTICS: the per-column distinct jobs run at
+    DataFrame-CONSTRUCTION time (this call blocks on N Spark jobs) and
+    their counts are inlined as literals — if the underlying table
+    changes between this call and the frame's execution, n_distinct
+    reflects construction time while the fused moment columns reflect
+    execution time. Call it when you are about to materialize the
+    profile (the registered queries do), not to build a deferred plan.
+
     Quartiles reuse `stats.grouped_quantiles`' bracket-refine (approx
     bracket pass + in-bracket exact interpolation — never a per-group
     sort buffer, unlike the exact ``percentile`` aggregate which

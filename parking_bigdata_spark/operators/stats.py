@@ -336,6 +336,29 @@ def range_cumsum(df: DataFrame, order_col: str,
                     *[f"__off_{c}" for c in sum_cols])
 
 
+#: Driver-side collect bound for per-group bracket tables: below this
+#: the one-row-per-group frame collects and re-parallelizes (cheapest
+#: single materialization); above it the frame stays distributed via
+#: localCheckpoint so an unboundedly-high-cardinality group column can
+#: never OOM the driver (ADVICE r03).
+_BRACKET_COLLECT_MAX = 100_000
+
+
+def _materialize_groups(br: DataFrame):
+    """Materialize a one-row-per-group helper frame exactly once for
+    its multiple consumers, bounded driver-side (see
+    _BRACKET_COLLECT_MAX). Returns ``(frame, hint)`` where ``hint`` is
+    ``F.broadcast`` while the group table is provably small and the
+    identity above the bound — broadcast relations are driver-built,
+    so a forced broadcast of an unbounded group table is the same OOM
+    in different clothes; past the bound AQE picks the join strategy."""
+    head = br.limit(_BRACKET_COLLECT_MAX + 1).collect()
+    if len(head) <= _BRACKET_COLLECT_MAX:
+        return (br.sparkSession.createDataFrame(head, schema=br.schema),
+                F.broadcast)
+    return br.localCheckpoint(eager=True), (lambda df: df)
+
+
 def grouped_median(df: DataFrame, group_col: str, value_col: str,
                    alias: str = "med", accuracy: int = 10000) -> DataFrame:
     """Exact per-group median (percentile_cont(0.5) semantics: even n
@@ -389,13 +412,14 @@ def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
     # materialize the bracket table (one row per group) ONCE: it feeds
     # two joins (below-counts and candidates), and the sketch aggregate
     # under a broadcast exchange is NOT reuse-merged across them — left
-    # lazy, the expensive percentile_approx scan runs per consumer
-    spark = df.sparkSession
-    br = spark.createDataFrame(br.collect(), schema=br.schema)
+    # lazy, the expensive percentile_approx scan runs per consumer.
+    # The driver-side collect is BOUNDED (see _materialize_groups): a
+    # high-cardinality group column cannot OOM the driver.
+    br, hint = _materialize_groups(br)
     # NULL filter before candidacy — same rationale as grouped_median
     j = (df.select(group_col, value_col)
            .where(F.col(value_col).isNotNull())
-           .join(F.broadcast(br), group_col))
+           .join(hint(br), group_col))
     # sub-row cushion guard: small groups take every row as candidate
     # (bounded by `accuracy` rows) with a zero below-count
     small = F.col("__n") <= accuracy
@@ -419,7 +443,7 @@ def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
                 .agg(F.count(F.lit(1)).alias("__c")))
     w = Window.partitionBy(group_col, "__i").orderBy(value_col)
     ranked = (runs.withColumn("__hi", F.sum("__c").over(w))
-                  .join(F.broadcast(below), group_col))
+                  .join(hint(below), group_col))
     nb = F.element_at(F.array(*[F.col(f"__b{i}") for i in range(k)]),
                       F.col("__i") + 1)
     p_i = F.element_at(F.array(*[F.lit(float(p)) for p in fractions]),
@@ -483,11 +507,12 @@ def grouped_trimmed_mean(df: DataFrame, group_col: str, value_col: str,
                  F.count(value_col).alias("__n")))
     # materialize the per-group bracket row ONCE — it feeds four
     # consumers (side counts, two candidate filters, the final cuts
-    # join) and the sketch aggregate is not reuse-merged across them
-    br = df.sparkSession.createDataFrame(br.collect(), schema=br.schema)
+    # join) and the sketch aggregate is not reuse-merged across them;
+    # driver transfer bounded by _materialize_groups
+    br, hint = _materialize_groups(br)
     j = (df.select(group_col, value_col)
            .where(v.isNotNull())
-           .join(F.broadcast(br), group_col))
+           .join(hint(br), group_col))
     small = F.col("__n") <= accuracy
     k = F.floor(F.col("__n") * trim)
     sides = (j.groupBy(group_col)
@@ -513,11 +538,11 @@ def grouped_trimmed_mean(df: DataFrame, group_col: str, value_col: str,
                       .withColumn("__hi", F.sum("__c").over(w_hi)))
     need_lo = k - F.col("__clo")
     need_hi = k - F.col("__chi")
-    L = (lo_runs.join(F.broadcast(sides), group_col)
+    L = (lo_runs.join(hint(sides), group_col)
                 .where((need_lo > F.col("__hi") - F.col("__c"))
                        & (need_lo <= F.col("__hi")))
                 .select(group_col, v.alias("__L")))
-    H = (hi_runs.join(F.broadcast(sides), group_col)
+    H = (hi_runs.join(hint(sides), group_col)
                 .where((need_hi > F.col("__hi") - F.col("__c"))
                        & (need_hi <= F.col("__hi")))
                 .select(group_col, v.alias("__H")))

@@ -904,7 +904,7 @@ def deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.sqrt(F.col("sxx") * F.col("syy")), 6)
                      .alias("pearson_r"))
 
-DEMING_SQL = """
+DEMING_SQL = r"""
 WITH pairs AS (
   SELECT n_chars / 100.0 AS x,
          CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS y

@@ -206,6 +206,33 @@ def test_pagerank_star_graph_and_mass_conservation(spark):
     assert abs(sum(pr.values()) - 5.0) < 1e-9                 # mass
 
 
+def test_pagerank_auto_state_strategy_switches_at_threshold(spark):
+    """VERDICT r03 #3: broadcast_state=None auto-selects from the
+    materialized node count — ≤ limit broadcasts rank state, above it
+    the join rides the pre-shuffled edge partitioning. Both paths must
+    agree on values; the switch must key on the threshold."""
+    from parking_bigdata_spark.operators import graph
+    spokes = ["b", "c", "d", "e"]
+    edges = ([("a", s, 1.0) for s in spokes]
+             + [(s, "a", 1.0) for s in spokes])
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    hi = graph.pagerank(df, n_iter=3)  # 5 nodes << default limit
+    assert hi._pbs_broadcast_state is True
+    lo = graph.pagerank(df, n_iter=3, broadcast_node_limit=4)  # 5 > 4
+    assert lo._pbs_broadcast_state is False
+    at = graph.pagerank(df, n_iter=3, broadcast_node_limit=5)  # 5 <= 5
+    assert at._pbs_broadcast_state is True
+    ranks_hi = {r["node"]: r["rank"] for r in hi.collect()}
+    ranks_lo = {r["node"]: r["rank"] for r in lo.collect()}
+    assert ranks_hi.keys() == ranks_lo.keys()
+    for k in ranks_hi:
+        assert abs(ranks_hi[k] - ranks_lo[k]) < 1e-12
+    # explicit override still wins over auto
+    forced = graph.pagerank(df, n_iter=3, broadcast_state=True,
+                            broadcast_node_limit=1)
+    assert forced._pbs_broadcast_state is True
+
+
 def test_gbt_importance_runs_and_sums_to_one(spark, sf_dir):
     from parking_bigdata_spark.io import load_table
     from parking_bigdata_spark.operators import ml

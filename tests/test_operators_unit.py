@@ -27,6 +27,24 @@ def test_read_clean_csv_sentinels(spark, tmp_path):
     assert rows[4]["deposit"] == 200.0 and rows[4]["rent"] == 75.0
 
 
+def test_read_clean_csv_euc_kr_roundtrip(spark, tmp_path):
+    # the reference detects UTF-8 vs EUC-KR before reading its Korean
+    # CSVs (R:68-73) — write an EUC-KR file, read with encoding=, and
+    # assert the Korean values survive byte-exact
+    p = tmp_path / "kr.csv"
+    rows = [("1", "아파트", "100"), ("2", "상가", "200")]
+    body = "code,유형,보증금\n" + "\n".join(",".join(r) for r in rows)
+    p.write_bytes(body.encode("euc-kr"))
+    df = read_clean_csv(spark, str(p), encoding="EUC-KR",
+                        renames={"유형": "kind", "보증금": "deposit"})
+    got = {r["code"]: (r["kind"], r["deposit"]) for r in df.collect()}
+    assert got == {1: ("아파트", 100), 2: ("상가", 200)}
+    # same bytes read as the UTF-8 default mojibake (sanity: the
+    # encoding option is load-bearing, not a no-op)
+    bad = read_clean_csv(spark, str(p))
+    assert "아파트" not in {r[1] for r in bad.collect()}
+
+
 def test_bin_clamp_matches_reference_semantics(spark):
     # R: round(x, -1) then pmin(100) pmax(10)  (R:292-296)
     df = spark.createDataFrame([(4.0,), (15.0,), (104.0,), (55.0,)], ["x"])
