@@ -234,11 +234,75 @@ HEADLINE = [
     "basket_triples",
     "catalog_profile",
     "funnel_latency_quantiles",
+    # round 4: streaming batch twins, approx-ECDF twins, bounded
+    # forest metrics (VERDICT r03 #4/#5/#7)
+    "stream_session_windows_batch",
+    "stream_hopping_windows_batch",
+    "ks_approx_order_value_priority",
+    "ad_ksample_approx_priority",
+    "median_ci_approx_order_value",
+    "rf_holdout_metrics",
 ]
+
+
+def _foreign_spark_drivers() -> list[str]:
+    """Other live Spark drivers / gate runs on this box (VERDICT r03
+    #6): two rounds running, in-bench outliers turned out to be
+    concurrency inflation from gate runs sharing the machine. Scan
+    /proc BEFORE our own JVM exists; anything matching a Spark driver
+    or a repo harness that owns one counts."""
+    import glob
+    me = {os.getpid(), os.getppid()}
+    hits = []
+    for p in glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            pid = int(p.split("/")[2])
+            if pid in me:
+                continue
+            argv = [a.decode("utf-8", "replace")
+                    for a in open(p, "rb").read().split(b"\0") if a]
+        except (OSError, ValueError):
+            continue
+        # EXACT argv-token matching only: substring scans false-positive
+        # on unrelated processes whose arguments merely mention these
+        # names (e.g. an orchestration prompt quoting "pytest")
+        spark_jvm = any(a == "org.apache.spark.deploy.SparkSubmit"
+                        or a == "pyspark-shell" for a in argv)
+        harness = any(a.endswith(("/driver_gate_local.py",
+                                  "/gen_expected.py", "/check_expected.py",
+                                  "/make_stress.py", "/bench.py"))
+                      or a.rsplit("/", 1)[-1] in
+                      ("driver_gate_local.py", "gen_expected.py",
+                       "check_expected.py", "make_stress.py", "bench.py",
+                       "pytest")
+                      for a in argv)
+        pytest_mod = any(argv[i] == "-m" and argv[i + 1] == "pytest"
+                         for i in range(len(argv) - 1))
+        if spark_jvm or harness or pytest_mod:
+            cmd = " ".join(argv)
+            hits.append(f"pid {pid}: {cmd[:120]}")
+    return hits
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # load-honesty gate (VERDICT r03 #6): bench numbers are only
+    # meaningful solo. When another Spark driver / gate / test run is
+    # alive the output is STAMPED "contended" (and the canonical
+    # BENCH_DETAIL.json sidecar is NOT overwritten) so an inflated run
+    # can never masquerade as solo; SPARK_GRAFT_BENCH_STRICT=1 turns
+    # the stamp into a refusal (exit 2) for local discipline. The
+    # default stays stamp-not-refuse so the build driver's per-round
+    # bench can never be lost to a stray process.
+    foreign = _foreign_spark_drivers()
+    if foreign:
+        print("# WARNING bench contended — other Spark drivers alive:",
+              file=sys.stderr)
+        for h in foreign:
+            print(f"#   {h}", file=sys.stderr)
+        if os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+            print("# refusing (SPARK_GRAFT_BENCH_STRICT=1)", file=sys.stderr)
+            sys.exit(2)
     spark = get_spark("bench")
     registry = Q.queries()
 
@@ -305,11 +369,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if foreign:
+        detail["contended"] = foreign
     print(json.dumps(detail), file=sys.stderr)
     # sidecar detail is the committed record of the driver's default
-    # tier — only overwrite it for sf0.1 runs, so a quick smoke at
-    # another SF can't clobber the canonical numbers
-    if sf_val == 0.1:
+    # tier — only overwrite it for SOLO sf0.1 runs, so neither a smoke
+    # at another SF nor a contended run can clobber canonical numbers
+    if sf_val == 0.1 and not foreign:
         try:
             here = os.path.dirname(os.path.abspath(__file__))
             with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
@@ -317,14 +383,17 @@ def main() -> None:
         except OSError:
             pass
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
-    print(json.dumps({
+    compact = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": slowest,
         "n_queries": len(timings),
         "sf": sf_val,
-    }, separators=(",", ":")))
+    }
+    if foreign:
+        compact["contended"] = True
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -997,6 +997,117 @@ FROM d
 
 
 # --------------------------------------------------------------------------
+# A18gb. Approximate two-sample KS on a fixed uniform value grid
+# (VERDICT r03 #4 — the 100 TB path for A18g): the exact form's
+# distinct-value cumulative table is O(rows) on a continuous column;
+# here both ECDFs are evaluated ONLY at the G=128 edges of a uniform
+# [min, max] grid — one bounded groupBy, grid-sized state, one pass.
+# Two guarantees ship IN the output: the edge evaluations are EXACT
+# ECDF values (binning adds no error at an edge), so
+# ks_d_approx ≤ ks_d_exact always; and within bucket k each ECDF can
+# move by at most its bucket mass, so
+# ks_d_exact ≤ ks_d_upper = max_k max(diff_k + f2_k/t2, −diff_k + f1_k/t1)
+# — the bracket [ks_d_approx, ks_d_upper] is asserted against the
+# exact A18g at two SFs in tests/test_round4.py. Unlike a
+# percentile_approx grid this grid is engine-reproducible (exact
+# min/max + IEEE arithmetic in identical op order), so the query keeps
+# a full VALUE-LEVEL oracle. The cumulative window runs over ≤G rows
+# (a constant), never over data.
+# --------------------------------------------------------------------------
+
+_KS_GRID = 128
+
+
+def ks_approx_order_value_priority(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    G = _KS_GRID
+    g1, g2 = "1-URGENT", "5-LOW"
+    o = load_table(spark, sf_dir, "orders")
+    d = (o.where(F.col("o_orderpriority").isin(g1, g2))
+          .select(F.col("o_totalprice").cast("double").alias("v"),
+                  (F.col("o_orderpriority") == g1).cast("int").alias("i1")))
+    mm = d.agg(F.min("v").alias("mn"), F.max("v").alias("mx"),
+               F.sum("i1").alias("t1"),
+               F.sum(1 - F.col("i1")).alias("t2"))
+    # 1-row frame feeding two consumers — materialize once
+    mm = spark.createDataFrame(mm.collect(), schema=mm.schema)
+    j = d.crossJoin(F.broadcast(mm))
+    raw = F.floor((F.col("v") - F.col("mn"))
+                  / (F.col("mx") - F.col("mn")) * G)
+    b = (F.when(F.col("mx") > F.col("mn"),
+                F.least(F.lit(G - 1), F.greatest(F.lit(0), raw)))
+          .otherwise(F.lit(0))).cast("int")
+    counts = (j.groupBy(b.alias("b"))
+                .agg(F.sum("i1").alias("f1"),
+                     F.sum(1 - F.col("i1")).alias("f2")))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "f1", "f2",
+        F.sum("f1").over(w).alias("c1"), F.sum("f2").over(w).alias("c2"))
+    t1d = F.col("t1").cast("double")
+    t2d = F.col("t2").cast("double")
+    diff = F.col("c1") / t1d - F.col("c2") / t2d
+    fin = (cum.crossJoin(F.broadcast(mm))
+              .agg(F.any_value("t1").alias("t1"),
+                   F.any_value("t2").alias("t2"),
+                   F.max(F.abs(diff)).alias("d"),
+                   F.max(F.greatest(diff + F.col("f2") / t2d,
+                                    -diff + F.col("f1") / t1d))
+                    .alias("du")))
+    return fin.select(
+        F.col("t1").alias("n_urgent"), F.col("t2").alias("n_low"),
+        F.lit(G).alias("grid_size"),
+        F.round("d", 4).alias("ks_d_approx"),
+        F.round("du", 4).alias("ks_d_upper"),
+        # doubles BEFORE the product: t1·t2 would overflow int64 at
+        # ~3e9 rows per arm (the 100 TB regime)
+        F.round(F.sqrt(F.col("t1").cast("double")
+                       * F.col("t2").cast("double")
+                       / (F.col("t1") + F.col("t2")).cast("double"))
+                * F.col("d"), 4).alias("ks_stat_approx"))
+
+KS_APPROX_SQL = f"""
+WITH d AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS i1
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), mm AS (
+  SELECT min(v) AS mn, max(v) AS mx,
+         sum(i1) AS t1, sum(1 - i1) AS t2
+  FROM d
+), counts AS (
+  SELECT CASE WHEN mx > mn
+              THEN CAST(least({_KS_GRID - 1}, greatest(0,
+                        floor((v - mn) / (mx - mn) * {_KS_GRID}))) AS INT)
+              ELSE 0 END AS b,
+         sum(i1) AS f1, sum(1 - i1) AS f2
+  FROM d CROSS JOIN mm GROUP BY 1
+), cum AS (
+  SELECT f1, f2,
+         sum(f1) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS c1,
+         sum(f2) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS c2
+  FROM counts
+)
+SELECT CAST(any_value(t1) AS BIGINT) AS n_urgent,
+       CAST(any_value(t2) AS BIGINT) AS n_low,
+       {_KS_GRID} AS grid_size,
+       round(max(abs(c1 / CAST(t1 AS DOUBLE) - c2 / CAST(t2 AS DOUBLE))), 4)
+         AS ks_d_approx,
+       round(max(greatest(
+           c1 / CAST(t1 AS DOUBLE) - c2 / CAST(t2 AS DOUBLE)
+             + f2 / CAST(t2 AS DOUBLE),
+           c2 / CAST(t2 AS DOUBLE) - c1 / CAST(t1 AS DOUBLE)
+             + f1 / CAST(t1 AS DOUBLE))), 4) AS ks_d_upper,
+       round(sqrt(CAST(any_value(t1) AS DOUBLE)
+                  * CAST(any_value(t2) AS DOUBLE)
+                  / CAST(any_value(t1) + any_value(t2) AS DOUBLE))
+             * max(abs(c1 / CAST(t1 AS DOUBLE) - c2 / CAST(t2 AS DOUBLE))),
+             4) AS ks_stat_approx
+FROM cum CROSS JOIN mm
+"""
+
+
+# --------------------------------------------------------------------------
 # A80. RFM customer segmentation (recency / frequency / monetary
 # quartile scores — the classic CRM cohorting). One orders shuffle
 # builds the per-customer metric table; each metric's quartile bounds
@@ -1723,6 +1834,30 @@ def rf_score_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A87c. Forest holdout metrics (VERDICT r03 #7): the bounded-output
+# twin of `rf_score_holdout` — the per-row prediction frame is the
+# reference's deliverable (R:1280-1373) but grows with the data (12M
+# rows at 20×, dominated by harness collect); this fuses the SAME
+# scoring projection into ONE RMSE/MAPE/R² aggregate (the A23
+# machinery), so the result is 1 row at any scale. Oracle: DuckDB
+# computes the identical metrics over the committed expected-parquet
+# predictions (hash-verified by the driver in r03), on the ROUNDED
+# 4-dp predictions both sides share.
+# --------------------------------------------------------------------------
+
+def rf_holdout_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = rf_score_holdout(spark, sf_dir)
+    y, p = F.col("actual"), F.col("predicted")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sqrt(F.avg((y - p) * (y - p))), 4).alias("rmse"),
+        F.round(F.avg(F.abs((y - p) / y)), 4).alias("mape"),
+        F.round(1.0 - F.sum((y - p) * (y - p))
+                / (F.sum(y * y) - F.sum(y) * F.sum(y) / F.count(F.lit(1))),
+                4).alias("r2"))
+
+
+# --------------------------------------------------------------------------
 # A88. Gradient-boosted trees (the reference loads xgboost, R:57):
 # deterministic squared-loss boosting on the histogram-split engine —
 # integer residuals survive every round, so the importances earn an
@@ -1780,6 +1915,19 @@ WITH lab AS (
 SELECT query_id AS vec_id, round(avg(label), 4) AS imputed_label,
        count(*) AS n_neighbors
 FROM ranked WHERE rank <= 5 GROUP BY query_id
+"""
+
+
+RF_HOLDOUT_METRICS_SQL_TEMPLATE = """
+WITH e AS ({expected})
+SELECT count(*) AS n,
+       round(sqrt(avg((actual - predicted) * (actual - predicted))), 4)
+         AS rmse,
+       round(avg(abs((actual - predicted) / actual)), 4) AS mape,
+       round(1.0 - sum((actual - predicted) * (actual - predicted))
+             / (sum(actual * actual)
+                - sum(actual) * sum(actual) / count(*)), 4) AS r2
+FROM e
 """
 
 

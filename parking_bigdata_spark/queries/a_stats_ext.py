@@ -530,6 +530,122 @@ FROM terms WHERE den > 0
 
 
 # --------------------------------------------------------------------------
+# A142b. Approximate k-sample Anderson-Darling on a fixed uniform
+# value grid (VERDICT r03 #4 — the 100 TB path for A142): the exact
+# A²akN walks the distinct-value grid, which is O(rows) on a
+# continuous column. Here values first bin to a G=256 uniform
+# [min, max] grid (exact min/max + IEEE arithmetic in identical op
+# order on both engines), and the SAME ties-adjusted Scholz-Stephens
+# statistic runs on the binned distributions — every count is integer,
+# every window is ≤G (or k·G) rows, state is grid-bounded. The result
+# is the exact A²akN OF THE BINNED DATA (a legitimate ties-adjusted
+# statistic), converging to A142 as G grows; closeness to the exact
+# form is asserted at two SFs in tests/test_round4.py. Full
+# value-level oracle (integer-exact inputs to the closed form).
+# --------------------------------------------------------------------------
+
+_AD_GRID = 256
+
+
+def ad_ksample_approx_priority(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    G = _AD_GRID
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(F.col("o_orderpriority").alias("g"),
+                 F.col("o_totalprice").cast("double").alias("v"))
+    mm = d.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    # 1-row frame feeding the bin join — materialize once
+    mm = spark.createDataFrame(mm.collect(), schema=mm.schema)
+    j = d.crossJoin(F.broadcast(mm))
+    raw = F.floor((F.col("v") - F.col("mn"))
+                  / (F.col("mx") - F.col("mn")) * G)
+    b = (F.when(F.col("mx") > F.col("mn"),
+                F.least(F.lit(G - 1), F.greatest(F.lit(0), raw)))
+          .otherwise(F.lit(0))).cast("int")
+    cells = (j.groupBy("g", b.alias("b"))
+               .agg(F.count(F.lit(1)).alias("f"))
+               .localCheckpoint(eager=True))
+    sizes = cells.groupBy("g").agg(F.sum("f").alias("ni"))
+    vals = cells.groupBy("b").agg(F.sum("f").alias("l"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    bcum = vals.select("b", "l", F.sum("l").over(wb).alias("cum_l"))
+    grid = (bcum.crossJoin(F.broadcast(sizes))
+                .join(cells, ["g", "b"], "left")
+                .withColumn("f", F.coalesce("f", F.lit(0))))
+    wg = (Window.partitionBy("g").orderBy("b")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    mcum = grid.withColumn("cum_f", F.sum("f").over(wg))
+    tot = sizes.agg(F.sum("ni").alias("N"), F.count(F.lit(1)).alias("k"))
+    j2 = mcum.crossJoin(F.broadcast(tot))
+    nn = F.col("N").cast("double")
+    ma = F.col("cum_f").cast("double") - F.col("f") / 2.0
+    ba = F.col("cum_l").cast("double") - F.col("l") / 2.0
+    den = ba * (nn - ba) - nn * F.col("l") / 4.0
+    inner = (F.col("l") * (nn * ma - F.col("ni") * ba)
+             * (nn * ma - F.col("ni") * ba) / den / F.col("ni"))
+    agg = (j2.where(den > 0)
+             .agg(F.first("N").alias("n"), F.first("k").alias("k"),
+                  F.sum(inner).alias("s")))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("int").alias("k_groups"),
+        F.lit(G).alias("grid_size"),
+        F.round((F.col("n") - 1) / F.col("n").cast("double")
+                * F.col("s"), 4).alias("a2_akn_approx"),
+        (F.col("k") - 1).cast("double").alias("mean_h0"))
+
+AD_KSAMPLE_APPROX_SQL = f"""
+WITH d AS (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+), mm AS (SELECT min(v) AS mn, max(v) AS mx FROM d),
+cells AS (
+  SELECT g,
+         CASE WHEN mx > mn
+              THEN CAST(least({_AD_GRID - 1}, greatest(0,
+                        floor((v - mn) / (mx - mn) * {_AD_GRID}))) AS INT)
+              ELSE 0 END AS b,
+         count(*) AS f
+  FROM d CROSS JOIN mm GROUP BY 1, 2
+), sizes AS (SELECT g, sum(f) AS ni FROM cells GROUP BY 1),
+vals AS (
+  SELECT b, sum(f) AS l,
+         sum(sum(f)) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_l
+  FROM cells GROUP BY b
+), grid AS (
+  SELECT s.g, va.b, va.l, va.cum_l, s.ni, coalesce(c.f, 0) AS f
+  FROM vals va CROSS JOIN sizes s
+  LEFT JOIN cells c ON c.g = s.g AND c.b = va.b
+), mcum AS (
+  SELECT g, b, l, cum_l, ni, f,
+         sum(f) OVER (PARTITION BY g ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_f
+  FROM grid
+), tot AS (SELECT CAST(sum(ni) AS DOUBLE) AS nn, count(*) AS k
+           FROM sizes),
+terms AS (
+  SELECT nn, k,
+         l * (nn * (cum_f - f / 2.0) - ni * (cum_l - l / 2.0))
+           * (nn * (cum_f - f / 2.0) - ni * (cum_l - l / 2.0))
+           / ((cum_l - l / 2.0) * (nn - (cum_l - l / 2.0)) - nn * l / 4.0)
+           / ni AS inner_term,
+         (cum_l - l / 2.0) * (nn - (cum_l - l / 2.0)) - nn * l / 4.0
+           AS den
+  FROM mcum CROSS JOIN tot
+)
+SELECT CAST(any_value(nn) AS BIGINT) AS n,
+       CAST(any_value(k) AS INT) AS k_groups,
+       {_AD_GRID} AS grid_size,
+       round((any_value(nn) - 1) / any_value(nn)
+             * sum(inner_term), 4) AS a2_akn_approx,
+       CAST(any_value(k) - 1 AS DOUBLE) AS mean_h0
+FROM terms WHERE den > 0
+"""
+
+
+# --------------------------------------------------------------------------
 # A143. White test for heteroskedasticity (White 1980) — the
 # general-form companion of A18b's Breusch-Pagan (which only tests
 # the linear term): regress squared OLS residuals on x and x², LM =
@@ -1610,6 +1726,44 @@ SELECT CAST(n AS BIGINT) AS n,
        round((SELECT min(v) FROM cum WHERE cum_t >= hi), 4) AS ci_hi
 FROM ks
 """
+
+
+# --------------------------------------------------------------------------
+# A159b. Approximate median CI via the GK sketch (VERDICT r03 #4 —
+# the 100 TB path for A159): the exact form's distinct-value
+# cumulative table is O(rows) on a continuous column; this reads the
+# SAME binomial order-statistic ranks off ONE percentile_approx pass
+# (mergeable sketch state, rank error ≤ n/accuracy by the GK
+# guarantee — at accuracy 10000 the rank slack is well inside the
+# ~z·√n/2 half-width of the interval itself for n ≥ ~4·(10⁴/z)²·...,
+# i.e. any production n). NO SQL oracle by design: DuckDB's
+# approx_quantile is a different sketch (t-digest), so estimates
+# differ engine-to-engine — the driver records rows-only, and
+# tests/test_round4.py bound-checks every output against the exact
+# A159 at two SFs (approx median must land inside the exact CI; the
+# approx CI endpoints must bracket the exact median). Follows the
+# `catalog_profile_approx` rows-only pattern.
+# --------------------------------------------------------------------------
+
+def median_ci_approx_order_value(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    import math
+    acc = 10000
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(F.col("o_totalprice").cast("double").alias("v")) \
+         .where(F.col("v").isNotNull())
+    n = d.count()
+    z = 1.959964
+    lo = max(int(math.floor(n / 2.0 - z * math.sqrt(n) / 2.0)), 1)
+    hi = min(int(math.ceil(1 + n / 2.0 + z * math.sqrt(n) / 2.0)), n)
+    fracs = [lo / n, 0.5, hi / n]
+    row = d.agg(F.percentile_approx("v", fracs, acc).alias("q")) \
+           .collect()[0]["q"]
+    return spark.createDataFrame(
+        [(int(n), round(row[1], 4), int(lo), int(hi),
+          round(row[0], 4), round(row[2], 4), acc)],
+        "n long, median_approx double, rank_lo long, rank_hi long, "
+        "ci_lo_approx double, ci_hi_approx double, accuracy long")
 
 
 # --------------------------------------------------------------------------

@@ -94,6 +94,76 @@ FROM v JOIN p
 
 
 # --------------------------------------------------------------------------
+# B11h-batch. Native session windows, batch twin (VERDICT r03 #5):
+# calls the SAME `session_window_counts` builder the streaming
+# pipeline runs (`F.session_window` merges a user's events within the
+# 30-min gap into one dynamically-sized window; the watermark is a
+# no-op on static input), so the driver's DuckDB oracle value-checks
+# the engine's session merge/gap semantics — a new event at EXACTLY
+# last_ts + gap starts a new session (end-exclusive window), which the
+# oracle's `>= gap` island break reproduces. At scale this is one
+# shuffle on user_id with engine-managed merge state.
+# --------------------------------------------------------------------------
+
+def stream_session_windows_batch(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from ..streaming.events import session_window_counts
+    return session_window_counts(load_table(spark, sf_dir, "events"))
+
+STREAM_SESSION_WINDOWS_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS sess_start_us,
+       epoch_us(max(ts)) + 1800 * 1000000 AS sess_end_us,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------------------
+# B11c-batch. Streaming hopping windows, batch twin (VERDICT r03 #5):
+# calls the SAME `windowed_counts` builder with a 30-min slide — every
+# event fans out to exactly 2 of the 1-hour windows. The oracle
+# reproduces the fan-out with an explicit 2-offset unnest over the
+# slide-aligned bucket index (the C10 technique). Map-side combined
+# 2× fan-out, one shuffle, window-count-bounded output.
+# --------------------------------------------------------------------------
+
+def stream_hopping_windows_batch(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from ..streaming.events import windowed_counts
+    return windowed_counts(load_table(spark, sf_dir, "events"),
+                           window="1 hour", slide="30 minutes")
+
+STREAM_HOPPING_WINDOWS_SQL = """
+WITH x AS (
+  SELECT event_type, value, epoch_us(ts) // 1800000000 AS k
+  FROM events
+), ex AS (
+  SELECT event_type, value,
+         make_timestamp((k - i) * 1800000000) AS wstart
+  FROM x CROSS JOIN (SELECT unnest([0, 1]) AS i)
+)
+SELECT wstart, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM ex GROUP BY wstart, event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # B13. Gap-based sessionization (30-min inactivity).
 # --------------------------------------------------------------------------
 
