@@ -1037,10 +1037,12 @@ def ks_approx_order_value_priority(spark: SparkSession,
     b = (F.when(F.col("mx") > F.col("mn"),
                 F.least(F.lit(G - 1), F.greatest(F.lit(0), raw)))
           .otherwise(F.lit(0))).cast("int")
-    counts = (j.groupBy(b.alias("b"))
+    counts = (j.groupBy(b.alias("__gbkt"))
                 .agg(F.sum("i1").alias("f1"),
                      F.sum(1 - F.col("i1")).alias("f2")))
-    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    # __gbkt is grid-bounded (<= _KS_GRID rows) by construction — the
+    # plan-hygiene allowlist admits it as a non-data-sized window key
+    w = Window.orderBy("__gbkt").rowsBetween(Window.unboundedPreceding, 0)
     cum = counts.select(
         "f1", "f2",
         F.sum("f1").over(w).alias("c1"), F.sum("f2").over(w).alias("c2"))

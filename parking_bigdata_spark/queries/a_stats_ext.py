@@ -562,17 +562,18 @@ def ad_ksample_approx_priority(spark: SparkSession,
     b = (F.when(F.col("mx") > F.col("mn"),
                 F.least(F.lit(G - 1), F.greatest(F.lit(0), raw)))
           .otherwise(F.lit(0))).cast("int")
-    cells = (j.groupBy("g", b.alias("b"))
+    cells = (j.groupBy("g", b.alias("__gbkt"))
                .agg(F.count(F.lit(1)).alias("f"))
                .localCheckpoint(eager=True))
     sizes = cells.groupBy("g").agg(F.sum("f").alias("ni"))
-    vals = cells.groupBy("b").agg(F.sum("f").alias("l"))
-    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-    bcum = vals.select("b", "l", F.sum("l").over(wb).alias("cum_l"))
+    vals = cells.groupBy("__gbkt").agg(F.sum("f").alias("l"))
+    # __gbkt is grid-bounded (<= _AD_GRID rows) by construction
+    wb = Window.orderBy("__gbkt").rowsBetween(Window.unboundedPreceding, 0)
+    bcum = vals.select("__gbkt", "l", F.sum("l").over(wb).alias("cum_l"))
     grid = (bcum.crossJoin(F.broadcast(sizes))
-                .join(cells, ["g", "b"], "left")
+                .join(cells, ["g", "__gbkt"], "left")
                 .withColumn("f", F.coalesce("f", F.lit(0))))
-    wg = (Window.partitionBy("g").orderBy("b")
+    wg = (Window.partitionBy("g").orderBy("__gbkt")
                 .rowsBetween(Window.unboundedPreceding, 0))
     mcum = grid.withColumn("cum_f", F.sum("f").over(wg))
     tot = sizes.agg(F.sum("ni").alias("N"), F.count(F.lit(1)).alias("k"))

@@ -485,6 +485,29 @@ def test_range_cumsum_matches_naive_window(spark):
     assert set(got.columns) == {"v", "a", "b", "cum_a", "cum_b"}
 
 
+def test_grouped_quantiles_high_cardinality_fallback(spark, monkeypatch):
+    """ADVICE r03: above _BRACKET_COLLECT_MAX groups the bracket table
+    must stay distributed (no unbounded driver collect) AND still
+    produce exact quantiles. Force the fallback by shrinking the bound."""
+    from parking_bigdata_spark.operators import stats
+
+    monkeypatch.setattr(stats, "_BRACKET_COLLECT_MAX", 3)
+    rows = [(f"g{g}", float(v)) for g in range(10) for v in range(1, 20)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(5)
+    got = {r["g"]: (r["p25"], r["p50"], r["p75"])
+           for r in stats.grouped_quantiles(
+               df, "g", "v", [0.25, 0.5, 0.75],
+               ["p25", "p50", "p75"]).collect()}
+    assert len(got) == 10
+    # percentile_cont over 1..19: p25=5.5, p50=10, p75=14.5
+    for g in got:
+        assert got[g] == (5.5, 10.0, 14.5), (g, got[g])
+    tm = {r["g"]: r["trimmed_mean"]
+          for r in stats.grouped_trimmed_mean(df, "g", "v").collect()}
+    # trim=0.1: floor(19*0.1)=1 row off each end -> mean(2..18) = 10
+    assert all(abs(v - 10.0) < 1e-9 for v in tm.values())
+
+
 def test_operators_handle_empty_input(spark):
     """Empty-input hardening: the round-2 operators must return empty
     (or all-NULL-fit) frames, never throw, when the source is empty."""

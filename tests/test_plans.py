@@ -117,8 +117,11 @@ def test_plan_hygiene_all_queries(spark, sf_dir):
     import re
     # "decile": cumulative windows over a post-aggregation decile table
     # (exactly 10 rows by construction — quality_lift_table's cum-lift);
-    # "lag_k": ljung_box_daily's cumulative Q over the 7-row lag table
-    allowed_global_order_cols = {"__pid", "wk", "d", "decile", "lag_k"}
+    # "lag_k": ljung_box_daily's cumulative Q over the 7-row lag table;
+    # "__gbkt": the approx-ECDF uniform-grid bucket tables (<= 128/256
+    # rows by construction — A18gb/A142b)
+    allowed_global_order_cols = {"__pid", "wk", "d", "decile", "lag_k",
+                                 "__gbkt"}
     for name in Q.queries():
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
