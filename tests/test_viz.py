@@ -1,0 +1,102 @@
+"""Distribution-plot rendering (viz.py) — the reference's per-column
+hist+boxplot images (R:363-379) and corrplot (R:387-392), re-expressed
+as bounded distributed aggregates + driver-side SVG. SVG is asserted
+structurally (geometry from known statistics), never by pixels."""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import functions as F
+
+from parking_bigdata_spark import viz
+from parking_bigdata_spark.io import load_table
+
+NS = "{http://www.w3.org/2000/svg}"
+
+
+def _classes(root, cls):
+    return [e for e in root.iter()
+            if e.get("class") == cls]
+
+
+def test_distribution_stats_exact_on_known_data(spark):
+    # 1..100: quartiles 25.75/50.5/75.25 (percentile_cont), no outliers
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], ["x"])
+    st = viz.distribution_stats(df, ["x"], n_buckets=10)["x"]
+    assert st["n"] == 100 and st["min"] == 1.0 and st["max"] == 100.0
+    assert (st["p25"], st["p50"], st["p75"]) == (25.75, 50.5, 75.25)
+    assert st["n_lo_out"] == 0 and st["n_hi_out"] == 0
+    assert st["lo_whisker"] == 1.0 and st["hi_whisker"] == 100.0
+    assert sum(n for _, n in st["hist"]) == 100
+    assert len(st["hist"]) == 10          # uniform data fills every bucket
+    # outliers counted, not rendered: add extreme points
+    df2 = df.union(spark.createDataFrame([(1e6,), (1e6,), (-1e6,)], ["x"]))
+    st2 = viz.distribution_stats(df2, ["x"], n_buckets=10)["x"]
+    assert st2["n_hi_out"] == 2 and st2["n_lo_out"] == 1
+
+
+def test_save_distribution_plots_renders_geometry(spark, tmp_path, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").limit(2000)
+    paths = viz.save_distribution_plots(
+        li, ["l_quantity", "l_extendedprice"], str(tmp_path),
+        n_buckets=12)
+    assert [os.path.basename(p) for p in paths] == [
+        "training_l_quantity.svg", "training_l_extendedprice.svg"]
+    for p in paths:
+        root = ET.parse(p).getroot()          # well-formed XML
+        bars = _classes(root, "bar")
+        assert 1 <= len(bars) <= 12
+        heights = [float(b.get("height")) for b in bars]
+        assert max(heights) > 0
+        # bar heights proportional to bucket counts (desc carries them)
+        counts = [int(b.find(f"{NS}desc").text.rsplit(" ", 1)[-1])
+                  for b in bars]
+        peak = max(counts)
+        for h, n in zip(heights, counts):
+            assert abs(h - heights[counts.index(peak)] * n / peak) < 0.11
+        assert len(_classes(root, "box")) == 1
+        assert len(_classes(root, "median")) == 1
+        assert len(_classes(root, "whisker")) == 2
+        assert "outliers:" in _classes(root, "outliers")[0].text
+
+
+def test_box_geometry_matches_quartiles(spark, tmp_path):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], ["x"])
+    [p] = viz.save_distribution_plots(df, ["x"], str(tmp_path))
+    root = ET.parse(p).getroot()
+    box = _classes(root, "box")[0]
+    med = _classes(root, "median")[0]
+    y75, h = float(box.get("y")), float(box.get("height"))
+    ym = float(med.get("y1"))
+    # median line inside the box, halfway for symmetric data
+    assert y75 < ym < y75 + h
+    assert abs((ym - y75) / h - 0.5) < 0.02
+
+
+def test_all_null_column_renders_placeholder(spark, tmp_path):
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    [p] = viz.save_distribution_plots(df, ["x"], str(tmp_path))
+    root = ET.parse(p).getroot()
+    assert not _classes(root, "bar")
+    assert any("no non-null values" in (e.text or "")
+               for e in root.iter(f"{NS}text"))
+
+
+def test_corr_heatmap_cells_and_values(spark, tmp_path, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    out = viz.save_corr_heatmap(li, cols, str(tmp_path / "corr.svg"))
+    root = ET.parse(out).getroot()
+    cells = _classes(root, "cell")
+    assert len(cells) == 9
+    # diagonal must be the saturated positive color (r = 1)
+    reds = [c for c in cells if c.get("fill") == "rgb(255,0,0)"]
+    assert len(reds) == 3
+    # annotated values match the fused corr_matrix operator
+    from parking_bigdata_spark.operators import stats
+    want = {f"{r['corr']:.2f}" for r in stats.corr_matrix(li, cols).collect()
+            if r["corr"] is not None}
+    texts = {e.text for e in root.iter(f"{NS}text") if e.text}
+    assert want <= texts, want - texts
