@@ -252,7 +252,22 @@ def _foreign_spark_drivers() -> list[str]:
     /proc BEFORE our own JVM exists; anything matching a Spark driver
     or a repo harness that owns one counts."""
     import glob
-    me = {os.getpid(), os.getppid()}
+    # exclude the WHOLE ancestor chain, not just the parent: the build
+    # driver may invoke `sh -c '... python /path/bench.py'` through
+    # nested shells whose cmdline also ends in /bench.py — flagging an
+    # ancestor would stamp every driver run contended
+    me = {os.getpid()}
+    pid = os.getpid()
+    for _ in range(64):
+        try:
+            stat = open(f"/proc/{pid}/stat").read()
+            pid = int(stat.rsplit(")", 1)[1].split()[1])  # field 4: ppid
+        except (OSError, ValueError, IndexError):
+            break
+        if pid <= 1 or pid in me:
+            me.add(max(pid, 1))
+            break
+        me.add(pid)
     hits = []
     for p in glob.glob("/proc/[0-9]*/cmdline"):
         try:

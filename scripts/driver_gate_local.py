@@ -34,6 +34,20 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/gate.json"
     spark = get_spark("driver-gate-local")
+    if os.environ.get("SPARK_GRAFT_HOSTILE"):
+        # foreign-session ritual: the build driver supplies its OWN
+        # session — simulate the hostile variant (wrong timezone, odd
+        # shuffle partitioning, nanos conf unset) for the whole gate
+        spark = spark.newSession()
+        spark.conf.set("spark.sql.session.timeZone",
+                       "America/Los_Angeles")
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        try:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        except Exception:  # noqa: BLE001 — conf may be absent already
+            pass
+        print("# HOSTILE session: America/Los_Angeles, 13 shuffle "
+              "partitions, nanosAsLong unset", flush=True)
     reg, oracles = Q.queries(), Q.oracle_sql()
     if len(sys.argv) > 3:
         only = set(sys.argv[3].split(","))

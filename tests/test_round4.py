@@ -87,6 +87,39 @@ def test_stream_batch_twins_match_native_batch_plans(spark, sf_dir):
     assert total == 2 * ev.count()
 
 
+def test_bench_contention_scanner_detects_and_self_excludes():
+    """bench.py's load-honesty scan (VERDICT r03 #6): flags a foreign
+    'pytest'-named process by exact argv token, while the test's own
+    pytest process (and its ancestor chain) stays excluded."""
+    import importlib.util
+    import os
+    import subprocess
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", os.path.join(repo, "bench.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    baseline = m._foreign_spark_drivers()
+    # we ARE a pytest process, yet must not flag ourselves
+    assert not any(f"pid {os.getpid()}:" in h for h in baseline)
+    decoy = subprocess.Popen(["bash", "-c", "exec -a pytest sleep 15"])
+    try:
+        deadline = time.time() + 5
+        hits = []
+        while time.time() < deadline:
+            hits = [h for h in m._foreign_spark_drivers()
+                    if f"pid {decoy.pid}:" in h]
+            if hits:
+                break
+            time.sleep(0.2)
+        assert hits, "decoy pytest process not detected"
+    finally:
+        decoy.terminate()
+        decoy.wait()
+
+
 def test_rf_holdout_metrics_match_scored_frame(spark, sf_dir):
     from pyspark.sql import functions as F
     scored = Q.rf_score_holdout(spark, sf_dir)
