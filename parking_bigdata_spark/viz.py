@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from .operators import profile, stats
 
 __all__ = ["distribution_stats", "save_distribution_plots",
-           "save_corr_heatmap"]
+           "save_loess_plot", "save_corr_heatmap"]
 
 
 # --------------------------------------------------------------------------
@@ -209,6 +209,78 @@ def save_distribution_plots(df: DataFrame, cols: list[str], out_dir: str,
             f.write("\n".join(lines))
         paths.append(path)
     return paths
+
+
+def save_loess_plot(df: DataFrame, x: str, y: str, out_path: str,
+                    n_grid: int = 25, n_points: int = 2000,
+                    bandwidth: float | None = None) -> str:
+    """R's repeated ``geom_smooth(method="loess")`` EDA panels
+    (R:607,656,701,1114,1153): scatter + smoothing curve.
+
+    Scale-safe construction: the CURVE comes from the fused one-pass
+    LOESS aggregate (operators/stats.loess_curve — G×5 conditional
+    sums in one scan) over ALL rows; the SCATTER is a deterministic
+    md5-thresholded sample of ≤ ``n_points`` rows (plotting every
+    point at 100 TB is neither possible nor useful — the curve is the
+    statistic, the dots are context). Grid and bandwidth derive from
+    the exact min/max."""
+    xc, yc = F.col(x).cast("double"), F.col(y).cast("double")
+    d = (df.where(xc.isNotNull() & yc.isNotNull())
+           .select(xc.alias("__x"), yc.alias("__y")))
+    mm = d.agg(F.min("__x").alias("xmn"), F.max("__x").alias("xmx"),
+               F.min("__y").alias("ymn"), F.max("__y").alias("ymx"),
+               F.count(F.lit(1)).alias("n")).collect()[0]
+    if mm["n"] == 0:
+        lines = _svg_header(f"{y} ~ {x} (n=0)") + ["</svg>"]
+        with open(out_path, "w") as f:
+            f.write("\n".join(lines))
+        return out_path
+    xmn, xmx = mm["xmn"], mm["xmx"]
+    span = (xmx - xmn) or 1.0
+    grid = [xmn + span * i / (n_grid - 1) for i in range(n_grid)]
+    bw = bandwidth if bandwidth is not None else span / 4.0
+    from .operators import stats as _stats
+    curve = {r["grid_x"]: r["loess_fit"] for r in
+             _stats.loess_curve(d, "__x", "__y", grid, bw).collect()}
+    # deterministic sample: md5 of the row content, threshold scaled
+    # by an exact count — no sample() RNG, reproducible across runs
+    frac = min(1.0, n_points / mm["n"])
+    thr = int(frac * (1 << 31))
+    pts = (d.where(F.conv(F.substring(F.md5(
+                F.concat_ws("|", F.col("__x"), F.col("__y"))), 1, 8),
+                16, 10).cast("long") % (1 << 31) < thr)
+             .limit(n_points).collect())
+    ymn = min(mm["ymn"], *(v for v in curve.values() if v is not None))
+    ymx = max(mm["ymx"], *(v for v in curve.values() if v is not None))
+    yspan = (ymx - ymn) or 1.0
+    top, bot, x0, x1 = 50, _H - _PAD, _PAD, _W - _PAD
+
+    def px(v):
+        return x0 + (x1 - x0) * (v - xmn) / span
+
+    def py(v):
+        return bot - (bot - top) * (v - ymn) / yspan
+
+    lines = _svg_header(f"{y} ~ {x} (loess, n={mm['n']}, "
+                        f"{len(pts)} sampled)")
+    for r in pts:
+        lines.append(f'<circle class="pt" cx="{px(r["__x"]):.1f}" '
+                     f'cy="{py(r["__y"]):.1f}" r="1.6" fill="#7aa6c2" '
+                     f'fill-opacity="0.5"/>')
+    path = " ".join(
+        f'{"M" if i == 0 else "L"} {px(g):.1f} {py(curve[g]):.1f}'
+        for i, g in enumerate(grid) if curve.get(g) is not None)
+    lines.append(f'<path class="loess" d="{path}" fill="none" '
+                 f'stroke="#c24b4b" stroke-width="2.5"/>')
+    lines.append(f'<line x1="{x0}" y1="{bot}" x2="{x1}" y2="{bot}" '
+                 f'stroke="black"/>')
+    lines.append(f'<line x1="{x0}" y1="{top}" x2="{x0}" y2="{bot}" '
+                 f'stroke="black"/>')
+    lines.append("</svg>")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines))
+    return out_path
 
 
 def save_corr_heatmap(df: DataFrame, cols: list[str],

@@ -84,6 +84,26 @@ def test_all_null_column_renders_placeholder(spark, tmp_path):
                for e in root.iter(f"{NS}text"))
 
 
+def test_loess_plot_curve_tracks_known_line(spark, tmp_path):
+    """y = 3x: the rendered LOESS path must be monotonically rising in
+    pixel space (SVG y decreases as value grows) and the scatter must
+    be bounded by n_points."""
+    df = spark.createDataFrame([(float(i), 3.0 * i) for i in range(200)],
+                               ["x", "y"])
+    out = viz.save_loess_plot(df, "x", "y", str(tmp_path / "loess.svg"),
+                              n_grid=11, n_points=50)
+    root = ET.parse(out).getroot()
+    pts = _classes(root, "pt")
+    assert 1 <= len(pts) <= 50
+    [path] = _classes(root, "loess")
+    coords = path.get("d").replace("M", "").replace("L", "").split()
+    ys = [float(v) for v in coords[1::2]]
+    xs = [float(v) for v in coords[0::2]]
+    assert xs == sorted(xs)
+    assert ys == sorted(ys, reverse=True)      # rising line, falling pixels
+    assert len(ys) == 11
+
+
 def test_corr_heatmap_cells_and_values(spark, tmp_path, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
