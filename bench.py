@@ -341,9 +341,13 @@ def main() -> None:
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
         # iterative queries plan differently at the target SF (AQE picks
         # other join strategies), so their whole-stage codegen would
-        # otherwise compile inside the timed run (~1.5x first-run skew)
+        # otherwise compile inside the timed run (~1.5x first-run skew).
+        # rf_holdout_metrics belongs here too: its scoring projection is
+        # DATA-DEPENDENT codegen (the fitted forest renders to nested
+        # CASE expressions), so the sf0.001 warmup compiles a different
+        # forest — measured 13.8 s first-run vs 7.2 s steady at sf0.1
         for name in ("pagerank_suppliers", "dedup_clusters",
-                     "kmeans_embeddings"):
+                     "kmeans_embeddings", "rf_holdout_metrics"):
             if name in HEADLINE:
                 (registry[name](spark, sf_dir)
                  .write.format("noop").mode("overwrite").save())

@@ -371,6 +371,32 @@ def grouped_median(df: DataFrame, group_col: str, value_col: str,
                              accuracy=accuracy)
 
 
+def grouped_quantiles_approx(df: DataFrame, group_col: str,
+                             value_col: str, fractions: list[float],
+                             aliases: list[str],
+                             accuracy: int = 10000) -> DataFrame:
+    """Sketch-only scale path for :func:`grouped_quantiles` — the
+    switch the exact operators' docstrings point to for 100 TB
+    continuous columns: ONE mergeable GK pass (rank error ≤
+    n/accuracy), no bracket refine, no candidate scan, output shape
+    identical to the exact form so callers can swap per tier."""
+    q = F.percentile_approx(value_col, list(map(float, fractions)),
+                            accuracy).alias("__q")
+    g = df.groupBy(group_col).agg(q)
+    return g.select(group_col,
+                    *[F.element_at("__q", i + 1).alias(a)
+                      for i, a in enumerate(aliases)])
+
+
+def grouped_median_approx(df: DataFrame, group_col: str, value_col: str,
+                          alias: str = "med",
+                          accuracy: int = 10000) -> DataFrame:
+    """Scale twin of :func:`grouped_median` (see
+    :func:`grouped_quantiles_approx`)."""
+    return grouped_quantiles_approx(df, group_col, value_col, [0.5],
+                                    [alias], accuracy=accuracy)
+
+
 def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
                       fractions: list[float], aliases: list[str],
                       accuracy: int = 10000) -> DataFrame:

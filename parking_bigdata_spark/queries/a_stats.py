@@ -46,8 +46,9 @@ FROM r WHERE rn = 1
 # A63. Median absolute deviation (robust dispersion) per group: the
 # outlier-resistant companion to stddev for quality gating. Per-group
 # medians are a TINY aggregate broadcast back to the fact (which never
-# shuffles for the join); at 100 TB both medians switch to
-# approx_percentile. Exact `median` matches DuckDB on doubles.
+# shuffles for the join); at 100 TB both medians switch to the
+# sketch-only stats.grouped_median_approx (same output shape — swap
+# per tier). Exact `median` matches DuckDB on doubles.
 # --------------------------------------------------------------------------
 
 def mad_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:

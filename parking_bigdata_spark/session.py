@@ -33,6 +33,13 @@ def get_spark(app_name: str = "parking_bigdata_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # whole-stage-codegen cache: the default 100 entries thrashes on
+        # a 200+-query workload (bench measured rf_holdout_metrics
+        # oscillating 7 s / 14 s run-to-run purely on cache eviction of
+        # its data-dependent forest CASE codegen). 2000 entries keeps
+        # every plan of a full registry sweep compiled once; metaspace
+        # cost is tens of MB — negligible against executor memory.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # driver testdata stores events.ts as parquet TIMESTAMP(NANOS),

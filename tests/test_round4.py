@@ -87,6 +87,28 @@ def test_stream_batch_twins_match_native_batch_plans(spark, sf_dir):
     assert total == 2 * ev.count()
 
 
+def test_grouped_quantiles_approx_within_rank_tolerance(spark, sf_dir):
+    """The sketch-only scale path (the switch the exact operators'
+    docstrings promise at 100 TB) must agree with the exact
+    bracket-refine within the GK rank guarantee."""
+    from parking_bigdata_spark.io import load_table
+    from parking_bigdata_spark.operators import stats as S
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+             for r in S.grouped_quantiles(
+                 li, "l_returnflag", "l_extendedprice",
+                 [0.25, 0.5, 0.75], ["p25", "p50", "p75"]).collect()}
+    approx = {r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+              for r in S.grouped_quantiles_approx(
+                  li, "l_returnflag", "l_extendedprice",
+                  [0.25, 0.5, 0.75], ["p25", "p50", "p75"]).collect()}
+    assert approx.keys() == exact.keys()
+    for g in exact:
+        for e, a in zip(exact[g], approx[g]):
+            assert abs(a - e) / max(1.0, abs(e)) < 0.02, (g, e, a)
+
+
 def test_bench_contention_scanner_detects_and_self_excludes():
     """bench.py's load-honesty scan (VERDICT r03 #6): flags a foreign
     'pytest'-named process by exact argv token, while the test's own
