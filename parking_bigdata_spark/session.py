@@ -40,6 +40,14 @@ def get_spark(app_name: str = "parking_bigdata_spark",
         # every plan of a full registry sweep compiled once; metaspace
         # cost is tens of MB — negligible against executor memory.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # Arrow batch size for the pandas-UDF kernels: 50k rows per
+        # batch A/B-measured 10-28% faster than the 10k default on the
+        # GEMM paths (dedup_embedding 4.11→3.39 s, ann_ivf 1.70→1.23,
+        # kmeans 2.14→1.92, multimodal 0.63→0.45 at sf0.1) — fewer
+        # Arrow transfers, larger matrix ops. Memory: 50k × 64-dim
+        # doubles ≈ 25 MB/batch/task; binary-heavy pipelines (KB-sized
+        # payloads ⇒ ~100-200 MB/batch) should lower this per-session.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
