@@ -51,6 +51,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # DELIBERATELY no automatic re-layout of single-row-group inputs,
+    # although it measurably helps the local bench (a one-row-group
+    # parquet scans as ONE task, so pre-shuffle stages run
+    # single-threaded; an A/B repartition cut gram/hash-heavy text ops
+    # 25-45%): a round-robin exchange reorders FLOAT partial sums, and
+    # a 4-dp-rounded aggregate sitting on a half-tick then flips vs the
+    # single-order DuckDB oracle (observed: q1_pricing_summary
+    # hash-mismatch). The oracle contract outranks local scan
+    # parallelism — at production scale inputs shard by row group and
+    # the bottleneck doesn't exist. Operators whose downstream math is
+    # integer/hash-exact opt in explicitly (trees._ensure_parallel).
     return df
 
 
