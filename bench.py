@@ -283,16 +283,24 @@ def _foreign_spark_drivers() -> list[str]:
         # names (e.g. an orchestration prompt quoting "pytest")
         spark_jvm = any(a == "org.apache.spark.deploy.SparkSubmit"
                         or a == "pyspark-shell" for a in argv)
-        harness = any(a.endswith(("/driver_gate_local.py",
-                                  "/gen_expected.py", "/check_expected.py",
-                                  "/make_stress.py", "/bench.py"))
-                      or a.rsplit("/", 1)[-1] in
-                      ("driver_gate_local.py", "gen_expected.py",
-                       "check_expected.py", "make_stress.py", "bench.py",
-                       "pytest")
-                      for a in argv)
-        pytest_mod = any(argv[i] == "-m" and argv[i + 1] == "pytest"
-                         for i in range(len(argv) - 1))
+        # the harness/pytest patterns only count when the process IS a
+        # python interpreter actually running that script — otherwise
+        # 'vim bench.py' / 'less bench.py' / a 'tail -f' on a gate log
+        # would stamp a genuinely solo run as contended (ADVICE r04)
+        argv0 = argv[0].rsplit("/", 1)[-1] if argv else ""
+        is_python = argv0.startswith(("python", "pypy")) or argv0 == "pytest"
+        harness = is_python and any(
+            a.endswith(("/driver_gate_local.py",
+                        "/gen_expected.py", "/check_expected.py",
+                        "/make_stress.py", "/bench.py"))
+            or a.rsplit("/", 1)[-1] in
+            ("driver_gate_local.py", "gen_expected.py",
+             "check_expected.py", "make_stress.py", "bench.py",
+             "pytest")
+            for a in argv)
+        pytest_mod = is_python and any(
+            argv[i] == "-m" and argv[i + 1] == "pytest"
+            for i in range(len(argv) - 1))
         if spark_jvm or harness or pytest_mod:
             cmd = " ".join(argv)
             hits.append(f"pid {pid}: {cmd[:120]}")

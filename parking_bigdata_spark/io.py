@@ -168,11 +168,21 @@ def read_clean_csv(spark: SparkSession, path: str, schema=None,
     guesses UTF-8 vs EUC-KR before reading its Korean-government CSVs
     (R:68-73); pass ``encoding="EUC-KR"`` for those (any charset the
     JVM knows is accepted). Default UTF-8.
+
+    NOTE: for a non-whitelisted charset this sets
+    ``spark.sql.legacy.javaCharsets=true`` and the conf STAYS SET for
+    the session's lifetime. It cannot be snapshot/restored around this
+    call: the returned DataFrame is lazy and CSVOptions re-validates
+    the charset against the conf at ACTION time (verified on Spark
+    4.1 — restoring before ``.collect()`` fails the read with
+    INVALID_PARAMETER_VALUE.CHARSET). The conf only relaxes charset
+    validation; it changes no query semantics.
     """
-    # Spark 4 whitelists only the unicode/latin charsets by default;
-    # anything else (EUC-KR included) needs the documented
-    # javaCharsets escape hatch — a runtime SQL conf, scoped here so
-    # only sessions that actually read such files flip it.
+    # Spark 4 whitelists exactly {iso-8859-1, us-ascii, utf-16,
+    # utf-16be, utf-16le, utf-32, utf-8} (utf-32be/utf-32le are NOT
+    # whitelisted); anything else (EUC-KR included) needs the
+    # documented javaCharsets escape hatch — a runtime SQL conf,
+    # flipped only by sessions that actually read such files.
     if encoding.lower() not in {"utf-8", "utf-16", "utf-16be", "utf-16le",
                                 "utf-32", "us-ascii", "iso-8859-1"}:
         spark.conf.set("spark.sql.legacy.javaCharsets", "true")

@@ -352,11 +352,15 @@ def _materialize_groups(br: DataFrame):
     identity above the bound — broadcast relations are driver-built,
     so a forced broadcast of an unbounded group table is the same OOM
     in different clothes; past the bound AQE picks the join strategy."""
-    head = br.limit(_BRACKET_COLLECT_MAX + 1).collect()
+    # Checkpoint FIRST so the expensive per-group sketch aggregate runs
+    # exactly once on both paths — the size probe then reads the
+    # checkpointed blocks instead of re-running the scan (ADVICE r04).
+    cp = br.localCheckpoint(eager=True)
+    head = cp.limit(_BRACKET_COLLECT_MAX + 1).collect()
     if len(head) <= _BRACKET_COLLECT_MAX:
         return (br.sparkSession.createDataFrame(head, schema=br.schema),
                 F.broadcast)
-    return br.localCheckpoint(eager=True), (lambda df: df)
+    return cp, (lambda df: df)
 
 
 def grouped_median(df: DataFrame, group_col: str, value_col: str,

@@ -1754,6 +1754,14 @@ def median_ci_approx_order_value(spark: SparkSession,
     d = o.select(F.col("o_totalprice").cast("double").alias("v")) \
          .where(F.col("v").isNotNull())
     n = d.count()
+    schema = ("n long, median_approx double, rank_lo long, rank_hi long, "
+              "ci_lo_approx double, ci_hi_approx double, accuracy long")
+    if n == 0:
+        # empty-input hardening: degrade to a one-row all-NULL frame
+        # (same NULL-propagation contract as the exact A159 and
+        # lda_two_class_df) instead of dividing by n below
+        return spark.createDataFrame(
+            [(0, None, None, None, None, None, acc)], schema)
     z = 1.959964
     lo = max(int(math.floor(n / 2.0 - z * math.sqrt(n) / 2.0)), 1)
     hi = min(int(math.ceil(1 + n / 2.0 + z * math.sqrt(n) / 2.0)), n)
@@ -1762,9 +1770,7 @@ def median_ci_approx_order_value(spark: SparkSession,
            .collect()[0]["q"]
     return spark.createDataFrame(
         [(int(n), round(row[1], 4), int(lo), int(hi),
-          round(row[0], 4), round(row[2], 4), acc)],
-        "n long, median_approx double, rank_lo long, rank_hi long, "
-        "ci_lo_approx double, ci_hi_approx double, accuracy long")
+          round(row[0], 4), round(row[2], 4), acc)], schema)
 
 
 # --------------------------------------------------------------------------

@@ -102,7 +102,7 @@ def distribution_stats(df: DataFrame, cols: list[str],
                 .orderBy("bucket").collect()]
         out[c] = {
             "n": int(n), "min": mn, "max": mx, "width": width,
-            "hist": hist,
+            "n_buckets": n_buckets, "hist": hist,
             "p25": q[c]["p25"], "p50": q[c]["p50"], "p75": q[c]["p75"],
             "lo_whisker": w[f"{c}__lw"], "hi_whisker": w[f"{c}__hw"],
             "n_lo_out": int(w[f"{c}__nlo"]), "n_hi_out": int(w[f"{c}__nhi"]),
@@ -131,16 +131,22 @@ def _render_hist(lines: list[str], st: dict, x0: int, panel_w: int) -> None:
     top, bot = 50, _H - _PAD
     hist = st["hist"]
     peak = max((n for _, n in hist), default=1)
-    span = st["width"] * len(hist) if hist else 1.0
-    bw = panel_w / max(len(hist), 1)
-    for i, (blo, n) in enumerate(hist):
+    # The bucket aggregation omits EMPTY buckets, so bar x must come
+    # from each row's value range, not its position in the collected
+    # list — otherwise any gap in the distribution compacts the bars
+    # leftward and x stops corresponding to the value axis.
+    nb = max(st.get("n_buckets", len(hist)), 1)
+    bw = panel_w / nb
+    for blo, n in hist:
+        idx = min(max(int(round((blo - st["min"]) / st["width"])), 0),
+                  nb - 1)
         h = (bot - top) * n / peak
         lines.append(
-            f'<rect class="bar" x="{x0 + i * bw:.1f}" '
+            f'<rect class="bar" x="{x0 + idx * bw:.1f}" '
             f'y="{bot - h:.1f}" width="{bw:.1f}" height="{h:.1f}" '
             f'fill="#7aa6c2" stroke="white" stroke-width="0.5">'
             f'<desc>[{blo:g}, {blo + st["width"]:g}): {n}</desc></rect>')
-    # x axis + min/max tick labels
+    # x axis + min/max tick labels (right tick = true axis end)
     lines.append(f'<line x1="{x0}" y1="{bot}" x2="{x0 + panel_w}" '
                  f'y2="{bot}" stroke="black"/>')
     lines.append(f'<text x="{x0}" y="{bot + 18}" font-size="11" '
@@ -148,7 +154,7 @@ def _render_hist(lines: list[str], st: dict, x0: int, panel_w: int) -> None:
     lines.append(f'<text x="{x0 + panel_w}" y="{bot + 18}" '
                  f'text-anchor="end" font-size="11" '
                  f'font-family="sans-serif">'
-                 f'{st["min"] + span:g}</text>')
+                 f'{st["min"] + st["width"] * nb:g}</text>')
 
 
 def _render_box(lines: list[str], st: dict, x0: int, panel_w: int) -> None:
