@@ -242,6 +242,13 @@ HEADLINE = [
     "ad_ksample_approx_priority",
     "median_ci_approx_order_value",
     "rf_holdout_metrics",
+    # round-5 rank-statistic approx twins (VERDICT r04 #2/#3)
+    "spearman_approx_qty_price",
+    "roc_auc_approx_order_status",
+    "kruskal_approx_acctbal_by_segment",
+    "mannwhitney_approx_order_value",
+    "gini_approx_acctbal_by_segment",
+    "mad_approx_price_by_flag",
 ]
 
 

@@ -1,0 +1,511 @@
+"""Query registry — a_scale_twins module (round-5 VERDICT asks #2/#3):
+approx 100 TB scale twins for the rank-statistic family.
+
+The exact forms (A56 spearman, A102 ROC-AUC, A18d Kruskal-Wallis,
+A18f Mann-Whitney, A79 Gini, A63 MAD) all ride the exact
+distinct-value table (`operators/stats.tie_avg_ranks`) — O(distinct
+values) state, which is O(rows) on a continuous column at 100 TB.
+Each twin here re-expresses the SAME statistic on a fixed
+``_TWIN_GRID``-bucket uniform grid (the A18gb recipe,
+queries/a_stats.py:1022): state is grid-bounded by construction, every
+window runs over ≤ G (or k·G) rows, and the bin rule is plain IEEE
+arithmetic both engines reproduce bit-identically — so five of the six
+carry FULL value-level DuckDB oracles. The results are the exact
+statistics OF THE BINNED DATA (legitimate tie-adjusted forms,
+converging to the exact ones as G grows); where the binning admits a
+closed bracket (ROC-AUC, Mann-Whitney U: cross-bucket pairs are
+provably strictly ordered, within-bucket pairs are the only unknown)
+the output carries the PROOF bracket and tests assert the exact value
+lands inside it. The MAD twin is the one sketch-based member
+(percentile_approx/GK — engine-specific estimates, so rows-only by
+design like A159b) and is bound-asserted against the exact A63 at two
+SFs in tests/test_round5.py.
+
+Reference parity: these formalize the scale path for R's
+``cor(method="spearman")`` companion to L388 and the nonparametric
+tests around L700-775 (20210803_이승하.R), per the r04 verdict's #2/#3
+next-round asks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import stats
+
+#: One grid constant for the whole family — 256 edges hold every
+#: binned statistic within ~1% of its exact form at the driver SFs
+#: (asserted in tests/test_round5.py) while bounding shuffle/window
+#: state at 256 (or k·256) rows regardless of data size.
+_TWIN_GRID = 256
+
+
+def _bucket_expr(v, mn, mx, G: int):
+    """The shared engine-reproducible bin rule: floor((v-mn)/(mx-mn)*G)
+    clamped to [0, G-1], bucket 0 when the column is constant. Written
+    with the same operator order as the SQL oracles so both engines
+    bin bit-identically."""
+    raw = F.floor((v - mn) / (mx - mn) * G)
+    return (F.when(mx > mn,
+                   F.least(F.lit(G - 1), F.greatest(F.lit(0), raw)))
+             .otherwise(F.lit(0))).cast("int")
+
+
+_BUCKET_SQL = ("CASE WHEN {mx} > {mn} THEN CAST(least({gm1}, greatest(0, "
+               "floor(({v} - {mn}) / ({mx} - {mn}) * {g}))) AS INT) "
+               "ELSE 0 END")
+
+
+def _sql_bucket(v: str, mn: str, mx: str, G: int) -> str:
+    return _BUCKET_SQL.format(v=v, mn=mn, mx=mx, g=G, gm1=G - 1)
+
+
+# --------------------------------------------------------------------------
+# A56b. Approx Spearman on a fixed uniform grid (100 TB path for A56):
+# both axes bin to G buckets, the G×G contingency cells carry the
+# counts, and rho is the weighted Pearson correlation of the buckets'
+# tie-averaged ranks — exactly Spearman of the DISCRETIZED pair.
+# State: ≤ G² cells + two ≤ G-row marginal rank tables (broadcast);
+# the only windows run over ≤ G rows. The exact A56's rank tables are
+# O(distinct values) = O(rows) on these near-unique columns.
+# --------------------------------------------------------------------------
+
+def spearman_approx_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    G = _TWIN_GRID
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(F.col("l_quantity").cast("double").alias("x"),
+                  F.col("l_extendedprice").cast("double").alias("y"))
+    mm = d.agg(F.min("x").alias("xmn"), F.max("x").alias("xmx"),
+               F.min("y").alias("ymn"), F.max("y").alias("ymx"))
+    # 1-row frame feeding the bin join — materialize once
+    mm = spark.createDataFrame(mm.collect(), schema=mm.schema)
+    j = d.crossJoin(F.broadcast(mm))
+    bx = _bucket_expr(F.col("x"), F.col("xmn"), F.col("xmx"), G)
+    by = _bucket_expr(F.col("y"), F.col("ymn"), F.col("ymx"), G)
+    cells = (j.groupBy(bx.alias("bx"), by.alias("by"))
+               .agg(F.count(F.lit(1)).alias("w"))
+               .localCheckpoint(eager=True))
+
+    def marg_ranks(bcol: str, alias: str) -> DataFrame:
+        # __gbkt is grid-bounded (≤ _TWIN_GRID rows) by construction —
+        # the plan-hygiene allowlist admits it as a non-data-sized
+        # window key
+        m = (cells.groupBy(F.col(bcol).alias("__gbkt"))
+                  .agg(F.sum("w").alias("t")))
+        w = Window.orderBy("__gbkt").rowsBetween(
+            Window.unboundedPreceding, 0)
+        return m.select(F.col("__gbkt").alias(bcol),
+                        (F.sum("t").over(w) - (F.col("t") - 1) / 2.0)
+                        .alias(alias))
+
+    jj = (cells.join(F.broadcast(marg_ranks("bx", "r_x")), "bx")
+               .join(F.broadcast(marg_ranks("by", "r_y")), "by"))
+    # weighted Pearson over the ≤ G² cells; doubles BEFORE the products
+    # (w·r² would overflow int64 in the 100 TB regime)
+    wd = F.col("w").cast("double")
+    agg = jj.agg(F.sum("w").alias("n"),
+                 F.sum(wd * F.col("r_x")).alias("sx"),
+                 F.sum(wd * F.col("r_y")).alias("sy"),
+                 F.sum(wd * F.col("r_x") * F.col("r_x")).alias("sxx"),
+                 F.sum(wd * F.col("r_y") * F.col("r_y")).alias("syy"),
+                 F.sum(wd * F.col("r_x") * F.col("r_y")).alias("sxy"))
+    nd = F.col("n").cast("double")
+    num = F.col("sxy") - F.col("sx") * F.col("sy") / nd
+    den = F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / nd)
+                 * (F.col("syy") - F.col("sy") * F.col("sy") / nd))
+    return agg.select(F.col("n").cast("long").alias("n_rows"),
+                      F.lit(G).alias("grid_size"),
+                      F.round(num / den, 4).alias("spearman_rho_approx"))
+
+SPEARMAN_APPROX_SQL = f"""
+WITH d AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+), mm AS (
+  SELECT min(x) AS xmn, max(x) AS xmx, min(y) AS ymn, max(y) AS ymx
+  FROM d
+), cells AS (
+  SELECT {_sql_bucket('x', 'xmn', 'xmx', _TWIN_GRID)} AS bx,
+         {_sql_bucket('y', 'ymn', 'ymx', _TWIN_GRID)} AS by,
+         count(*) AS w
+  FROM d CROSS JOIN mm GROUP BY 1, 2
+), rx AS (
+  SELECT bx,
+         sum(sum(w)) OVER (ORDER BY bx ROWS UNBOUNDED PRECEDING)
+           - (sum(w) - 1) / 2.0 AS r_x
+  FROM cells GROUP BY bx
+), ry AS (
+  SELECT by,
+         sum(sum(w)) OVER (ORDER BY by ROWS UNBOUNDED PRECEDING)
+           - (sum(w) - 1) / 2.0 AS r_y
+  FROM cells GROUP BY by
+), jj AS (
+  SELECT CAST(w AS DOUBLE) AS w, r_x, r_y
+  FROM cells JOIN rx USING (bx) JOIN ry USING (by)
+)
+SELECT CAST(sum(w) AS BIGINT) AS n_rows,
+       {_TWIN_GRID} AS grid_size,
+       round((sum(w * r_x * r_y) - sum(w * r_x) * sum(w * r_y) / sum(w))
+             / sqrt((sum(w * r_x * r_x)
+                     - sum(w * r_x) * sum(w * r_x) / sum(w))
+                    * (sum(w * r_y * r_y)
+                       - sum(w * r_y) * sum(w * r_y) / sum(w))), 4)
+         AS spearman_rho_approx
+FROM jj
+"""
+
+
+# --------------------------------------------------------------------------
+# A102b. Approx ROC-AUC on a fixed uniform grid (100 TB path for
+# A102): scores bin to G buckets; cross-bucket (pos, neg) pairs are
+# PROVABLY strictly ordered (a higher bucket's values all exceed a
+# lower bucket's), only within-bucket pairs are unknown — so the
+# output carries the proof bracket [auc_lo, auc_hi] that must contain
+# the exact AUC (asserted at two SFs), with the tie-averaged midpoint
+# as the estimate. One bounded groupBy + one ≤ G-row window.
+# --------------------------------------------------------------------------
+
+def roc_auc_approx_order_status(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    G = _TWIN_GRID
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select((F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+                 F.col("o_totalprice").cast("double").alias("v"))
+    mm = d.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    mm = spark.createDataFrame(mm.collect(), schema=mm.schema)
+    j = d.crossJoin(F.broadcast(mm))
+    b = _bucket_expr(F.col("v"), F.col("mn"), F.col("mx"), G)
+    cells = (j.groupBy(b.alias("__gbkt"))
+              .agg(F.sum("pos").alias("f1"),
+                   F.sum(1 - F.col("pos")).alias("f0")))
+    # __gbkt is grid-bounded (≤ _TWIN_GRID rows) by construction
+    w = Window.orderBy("__gbkt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select("f1", "f0", F.sum("f0").over(w).alias("c0"))
+    f1d, f0d = F.col("f1").cast("double"), F.col("f0").cast("double")
+    agg = cum.agg(F.sum("f1").alias("np"), F.sum("f0").alias("nn"),
+                  F.sum(f1d * (F.col("c0").cast("double") - f0d))
+                   .alias("lo_pairs"),
+                  F.sum(f1d * f0d).alias("tie_pairs"))
+    den = F.col("np").cast("double") * F.col("nn").cast("double")
+    auc_lo = F.col("lo_pairs") / den
+    auc_mid = (F.col("lo_pairs") + 0.5 * F.col("tie_pairs")) / den
+    auc_hi = (F.col("lo_pairs") + F.col("tie_pairs")) / den
+    return agg.select(F.col("np").cast("long").alias("n_pos"),
+                      F.col("nn").cast("long").alias("n_neg"),
+                      F.lit(G).alias("grid_size"),
+                      F.round(auc_mid, 4).alias("auc_approx"),
+                      F.round(auc_lo, 4).alias("auc_lo"),
+                      F.round(auc_hi, 4).alias("auc_hi"),
+                      F.round(2 * auc_mid - 1, 4).alias("gini_approx"))
+
+ROC_AUC_APPROX_SQL = f"""
+WITH d AS (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+         CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+), mm AS (SELECT min(v) AS mn, max(v) AS mx FROM d),
+cells AS (
+  SELECT {_sql_bucket('v', 'mn', 'mx', _TWIN_GRID)} AS b,
+         sum(pos) AS f1, sum(1 - pos) AS f0
+  FROM d CROSS JOIN mm GROUP BY 1
+), cum AS (
+  SELECT f1, f0,
+         sum(f0) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS c0
+  FROM cells
+), agg AS (
+  SELECT CAST(sum(f1) AS BIGINT) AS np, CAST(sum(f0) AS BIGINT) AS nn,
+         sum(CAST(f1 AS DOUBLE) * (CAST(c0 AS DOUBLE)
+                                   - CAST(f0 AS DOUBLE))) AS lo_pairs,
+         sum(CAST(f1 AS DOUBLE) * CAST(f0 AS DOUBLE)) AS tie_pairs
+  FROM cum
+)
+SELECT np AS n_pos, nn AS n_neg, {_TWIN_GRID} AS grid_size,
+       round((lo_pairs + 0.5 * tie_pairs)
+             / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 4) AS auc_approx,
+       round(lo_pairs / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 4)
+         AS auc_lo,
+       round((lo_pairs + tie_pairs)
+             / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 4) AS auc_hi,
+       round(2 * ((lo_pairs + 0.5 * tie_pairs)
+                  / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))) - 1, 4)
+         AS gini_approx
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# A18db. Approx Kruskal-Wallis on a fixed uniform grid (100 TB path
+# for A18d): the SAME tie-corrected H closed form, with each bucket's
+# total count playing the tie-run role — H of the binned data. State:
+# k·G cells + one ≤ G-row rank window; the exact A18d's distinct-value
+# table is O(rows) on a continuous column. Cubes promoted to double
+# BEFORE the product (a bucket can hold ~1e12 rows at 100 TB; 1e36
+# overflows int64, doubles carry the ratio fine).
+# --------------------------------------------------------------------------
+
+def kruskal_approx_acctbal_by_segment(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    G = _TWIN_GRID
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_mktsegment",
+                    F.col("c_acctbal").cast("double").alias("v"))
+            .where(F.col("v").isNotNull()))
+    mm = cust.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    mm = spark.createDataFrame(mm.collect(), schema=mm.schema)
+    j = cust.crossJoin(F.broadcast(mm))
+    b = _bucket_expr(F.col("v"), F.col("mn"), F.col("mx"), G)
+    cells = (j.groupBy("c_mktsegment", b.alias("__gbkt"))
+               .agg(F.count(F.lit(1)).alias("f"))
+               .localCheckpoint(eager=True))
+    buckets = cells.groupBy("__gbkt").agg(F.sum("f").alias("l"))
+    # __gbkt is grid-bounded (≤ _TWIN_GRID rows) by construction
+    w = Window.orderBy("__gbkt").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = buckets.select(
+        "__gbkt", "l",
+        (F.sum("l").over(w) - (F.col("l") - 1) / 2.0).alias("r"))
+    grp = (cells.join(F.broadcast(ranked.select("__gbkt", "r")), "__gbkt")
+                .groupBy("c_mktsegment")
+                .agg(F.sum(F.col("r") * F.col("f")).alias("rg"),
+                     F.sum("f").alias("ng")))
+    tot = grp.agg(F.sum("ng").alias("n"), F.count(F.lit(1)).alias("k"),
+                  F.sum(F.col("rg") * F.col("rg") / F.col("ng"))
+                   .alias("s"))
+    ld = F.col("l").cast("double")
+    ties = ranked.agg(F.sum(ld * ld * ld - ld).alias("tie3"))
+    n, k, s, tie3 = F.col("n"), F.col("k"), F.col("s"), F.col("tie3")
+    nd = n.cast("double")
+    h = ((F.lit(12.0) * s / (nd * (nd + 1)) - 3 * (nd + 1))
+         / (1 - tie3 / (nd * nd * nd - nd)))
+    return tot.crossJoin(ties).select(
+        n.cast("long").alias("n"), k.cast("long").alias("k"),
+        F.lit(G).alias("grid_size"),
+        F.round(h, 4).alias("h_stat_approx"))
+
+KRUSKAL_APPROX_SQL = f"""
+WITH c AS (
+  SELECT c_mktsegment, CAST(c_acctbal AS DOUBLE) AS v
+  FROM customer WHERE c_acctbal IS NOT NULL
+), mm AS (SELECT min(v) AS mn, max(v) AS mx FROM c),
+cells AS (
+  SELECT c_mktsegment, {_sql_bucket('v', 'mn', 'mx', _TWIN_GRID)} AS b,
+         count(*) AS f
+  FROM c CROSS JOIN mm GROUP BY 1, 2
+), buckets AS (
+  SELECT b, sum(f) AS l,
+         sum(sum(f)) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+           - (sum(f) - 1) / 2.0 AS r
+  FROM cells GROUP BY b
+), grp AS (
+  SELECT c_mktsegment, sum(r * f) AS rg, CAST(sum(f) AS BIGINT) AS ng
+  FROM cells JOIN buckets USING (b) GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(ng) AS BIGINT) AS n, count(*) AS k,
+         sum(rg * rg / ng) AS s
+  FROM grp
+), ties AS (
+  SELECT sum(CAST(l AS DOUBLE) * CAST(l AS DOUBLE) * CAST(l AS DOUBLE)
+             - CAST(l AS DOUBLE)) AS tie3
+  FROM buckets
+)
+SELECT n, CAST(k AS BIGINT) AS k, {_TWIN_GRID} AS grid_size,
+       round((12.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * (n + 1))
+              - 3 * (CAST(n AS DOUBLE) + 1))
+             / (1 - tie3 / (CAST(n AS DOUBLE) * n * n - n)), 4)
+         AS h_stat_approx
+FROM tot, ties
+"""
+
+
+# --------------------------------------------------------------------------
+# A18fb. Approx Mann-Whitney U on a fixed uniform grid (100 TB path
+# for A18f): U by pair counting over the binned arms — cross-bucket
+# pairs are strictly ordered (see A102b; U and AUC share the
+# Hanley-McNeil identity), so [u_lo, u_hi] is a proof bracket for the
+# exact strict-pair count and u_approx is the tie-averaged binned U
+# (identical to the rank formula on binned data). z uses the standard
+# tie correction with bucket totals as tie runs.
+# --------------------------------------------------------------------------
+
+def mannwhitney_approx_order_value(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    G = _TWIN_GRID
+    g1, g2 = "1-URGENT", "5-LOW"
+    o = load_table(spark, sf_dir, "orders")
+    d = (o.where(F.col("o_orderpriority").isin(g1, g2))
+          .select((F.col("o_orderpriority") == g1).cast("int").alias("i1"),
+                  F.col("o_totalprice").cast("double").alias("v")))
+    mm = d.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    mm = spark.createDataFrame(mm.collect(), schema=mm.schema)
+    j = d.crossJoin(F.broadcast(mm))
+    b = _bucket_expr(F.col("v"), F.col("mn"), F.col("mx"), G)
+    cells = (j.groupBy(b.alias("__gbkt"))
+              .agg(F.sum("i1").alias("f1"),
+                   F.sum(1 - F.col("i1")).alias("f2")))
+    # __gbkt is grid-bounded (≤ _TWIN_GRID rows) by construction
+    w = Window.orderBy("__gbkt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select("f1", "f2", F.sum("f2").over(w).alias("c2"))
+    f1d, f2d = F.col("f1").cast("double"), F.col("f2").cast("double")
+    ld = f1d + f2d
+    agg = cum.agg(F.sum("f1").alias("n1"), F.sum("f2").alias("n2"),
+                  F.sum(f1d * (F.col("c2").cast("double") - f2d))
+                   .alias("u_lo"),
+                  F.sum(f1d * f2d).alias("tie_pairs"),
+                  F.sum(ld * ld * ld - ld).alias("tie3"))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = n1d + n2d
+    u_mid = F.col("u_lo") + 0.5 * F.col("tie_pairs")
+    mu = n1d * n2d / 2.0
+    sig2 = (n1d * n2d / 12.0) * ((nd + 1)
+                                 - F.col("tie3") / (nd * (nd - 1)))
+    return agg.select(F.col("n1").cast("long").alias("n_urgent"),
+                      F.col("n2").cast("long").alias("n_low"),
+                      F.lit(G).alias("grid_size"),
+                      F.round(u_mid, 4).alias("u_approx"),
+                      F.round(F.col("u_lo"), 4).alias("u_lo"),
+                      F.round(F.col("u_lo") + F.col("tie_pairs"), 4)
+                       .alias("u_hi"),
+                      F.round((u_mid - mu) / F.sqrt(sig2), 4)
+                       .alias("z_approx"))
+
+MANNWHITNEY_APPROX_SQL = f"""
+WITH d AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS i1,
+         CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), mm AS (SELECT min(v) AS mn, max(v) AS mx FROM d),
+cells AS (
+  SELECT {_sql_bucket('v', 'mn', 'mx', _TWIN_GRID)} AS b,
+         sum(i1) AS f1, sum(1 - i1) AS f2
+  FROM d CROSS JOIN mm GROUP BY 1
+), cum AS (
+  SELECT f1, f2,
+         sum(f2) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS c2
+  FROM cells
+), agg AS (
+  SELECT CAST(sum(f1) AS BIGINT) AS n1, CAST(sum(f2) AS BIGINT) AS n2,
+         sum(CAST(f1 AS DOUBLE) * (CAST(c2 AS DOUBLE)
+                                   - CAST(f2 AS DOUBLE))) AS u_lo,
+         sum(CAST(f1 AS DOUBLE) * CAST(f2 AS DOUBLE)) AS tie_pairs,
+         sum((CAST(f1 AS DOUBLE) + CAST(f2 AS DOUBLE))
+             * (CAST(f1 AS DOUBLE) + CAST(f2 AS DOUBLE))
+             * (CAST(f1 AS DOUBLE) + CAST(f2 AS DOUBLE))
+             - (CAST(f1 AS DOUBLE) + CAST(f2 AS DOUBLE))) AS tie3
+  FROM cum
+)
+SELECT n1 AS n_urgent, n2 AS n_low, {_TWIN_GRID} AS grid_size,
+       round(u_lo + 0.5 * tie_pairs, 4) AS u_approx,
+       round(u_lo, 4) AS u_lo,
+       round(u_lo + tie_pairs, 4) AS u_hi,
+       round((u_lo + 0.5 * tie_pairs
+              - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+             / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                    * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1)
+                       - tie3 / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                 * (CAST(n1 AS DOUBLE)
+                                    + CAST(n2 AS DOUBLE) - 1)))), 4)
+         AS z_approx
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# A79b. Approx per-segment Gini on a fixed uniform grid (100 TB path
+# for A79): per-(segment, bucket) cells keep the EXACT value sums; the
+# only approximation is rank coarsening — every value in a bucket gets
+# the bucket's tie-averaged within-segment rank. Gini's rank formula
+# then runs on k·G cells, with per-segment cumulative windows over ≤ G
+# rows each (the window INPUT is grid-bounded, so the low-cardinality
+# partition trap the exact form dodges via tie_avg_ranks_by_group
+# cannot bite). Full value-level oracle.
+# --------------------------------------------------------------------------
+
+def gini_approx_acctbal_by_segment(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    G = _TWIN_GRID
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_mktsegment",
+                    F.col("c_acctbal").cast("double").alias("v"))
+            .where(F.col("v") > 0))
+    mm = cust.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    mm = spark.createDataFrame(mm.collect(), schema=mm.schema)
+    j = cust.crossJoin(F.broadcast(mm))
+    b = _bucket_expr(F.col("v"), F.col("mn"), F.col("mx"), G)
+    cells = (j.groupBy("c_mktsegment", b.alias("__gbkt"))
+               .agg(F.count(F.lit(1)).alias("f"),
+                    F.sum("v").alias("sx")))
+    # per-segment cumulative rank over the ≤ G-row grid (bounded input)
+    w = (Window.partitionBy("c_mktsegment").orderBy("__gbkt")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    ranked = cells.withColumn(
+        "r", F.sum("f").over(w) - (F.col("f") - 1) / 2.0)
+    per = (ranked.groupBy("c_mktsegment")
+                 .agg(F.sum("f").alias("n"), F.sum("sx").alias("sv"),
+                      F.sum(F.col("r") * F.col("sx")).alias("srx")))
+    nd = F.col("n").cast("double")
+    return per.select(
+        "c_mktsegment", F.col("n").cast("long").alias("n_customers"),
+        F.lit(G).alias("grid_size"),
+        F.round(2.0 * F.col("srx") / (nd * F.col("sv"))
+                - (nd + 1.0) / nd, 4).alias("gini_approx"))
+
+GINI_APPROX_SQL = f"""
+WITH c AS (
+  SELECT c_mktsegment, CAST(c_acctbal AS DOUBLE) AS v
+  FROM customer WHERE c_acctbal > 0
+), mm AS (SELECT min(v) AS mn, max(v) AS mx FROM c),
+cells AS (
+  SELECT c_mktsegment, {_sql_bucket('v', 'mn', 'mx', _TWIN_GRID)} AS b,
+         count(*) AS f, sum(v) AS sx
+  FROM c CROSS JOIN mm GROUP BY 1, 2
+), ranked AS (
+  SELECT c_mktsegment, f, sx,
+         sum(f) OVER (PARTITION BY c_mktsegment ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (f - 1) / 2.0 AS r
+  FROM cells
+)
+SELECT c_mktsegment, CAST(sum(f) AS BIGINT) AS n_customers,
+       {_TWIN_GRID} AS grid_size,
+       round(2.0 * sum(r * sx) / (CAST(sum(f) AS DOUBLE) * sum(sx))
+             - (CAST(sum(f) AS DOUBLE) + 1.0) / CAST(sum(f) AS DOUBLE),
+             4) AS gini_approx
+FROM ranked GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A63b. Approx MAD per group via the GK sketch (100 TB path for A63 —
+# VERDICT r04 #3): both median passes ride
+# stats.grouped_median_approx (ONE mergeable percentile_approx
+# aggregate each, rank error ≤ n/accuracy, no bracket refine / no
+# candidate scan). NO SQL oracle by design: DuckDB's approx_quantile
+# is a t-digest, a different sketch, so estimates differ
+# engine-to-engine — the driver records rows-only and
+# tests/test_round5.py bound-asserts every output against the exact
+# A63 at two SFs (the A159b/catalog_profile_approx pattern).
+# --------------------------------------------------------------------------
+
+def mad_approx_price_by_flag(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    acc = 10000
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("v"))
+    # materialize the 3-row median table: the deviation pass otherwise
+    # replays the first sketch scan's lineage
+    med = (stats.grouped_median_approx(li, "l_returnflag", "v",
+                                       accuracy=acc)
+           .localCheckpoint(eager=True))
+    dev = (li.join(F.broadcast(med), "l_returnflag")
+             .select("l_returnflag",
+                     F.abs(F.col("v") - F.col("med")).alias("adev"),
+                     "med"))
+    mad = stats.grouped_median_approx(dev, "l_returnflag", "adev",
+                                      alias="mad", accuracy=acc)
+    return (med.join(F.broadcast(mad), "l_returnflag")
+               .select("l_returnflag",
+                       F.round("med", 4).alias("median_price_approx"),
+                       F.round("mad", 4).alias("mad_approx"),
+                       F.lit(acc).alias("accuracy")))
