@@ -249,6 +249,9 @@ HEADLINE = [
     "mannwhitney_approx_order_value",
     "gini_approx_acctbal_by_segment",
     "mad_approx_price_by_flag",
+    # round-5 CMS-prefilter twins (VERDICT r04 #7)
+    "gram_novelty_bloom_by_source",
+    "duplicate_chunks_bloom",
 ]
 
 

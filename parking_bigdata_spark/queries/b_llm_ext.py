@@ -13,8 +13,10 @@ from ..operators import stats
 from ..operators import text as text_ops
 from .b_llm import (
     DEDUP_CLUSTERS_SQL,
+    DUPLICATE_CHUNKS_SQL,
     _LANGID_HITS_SQL,
     _LANGID_PRED,
+    _bloom_positions,
 )
 
 
@@ -1340,3 +1342,131 @@ SELECT CAST(sz AS INT) AS cluster_size, n_clusters,
 FROM hist CROSS JOIN tot CROSS JOIN ic
 ORDER BY cluster_size
 """)
+
+
+# --------------------------------------------------------------------------
+# B64b. CMS-prefiltered gram novelty (100 TB path for B64 — VERDICT
+# r04 #7, extending the B54 relational-Bloom pattern): B64's digest
+# shuffle is O(tokens). This twin splits the grams with a bounded
+# count-min pass FIRST: each per-doc-distinct gram digest sets 3
+# seeded 16-bit cells; per-cell totals are a map-side-combined
+# aggregate whose STATE IS O(cells) (3·2^16 rows) no matter the
+# corpus size. A gram whose minimum cell count is 1 is PROVABLY
+# corpus-unique (one row anywhere — its own), so it never shuffles by
+# digest: per-source counts of these rows come straight off the scan.
+# Only the candidates (all cells ≥ 2: true duplicates + CMS false
+# positives) feed B64's exact (g, source) aggregate. Zero false
+# negatives + an exact second pass ⇒ the output is IDENTICAL to B64,
+# so the oracle IS B64's one-pass SQL — the driver hash-match
+# verifies the lossless-prefilter theorem end-to-end. At a real
+# 100 TB corpus the cell space scales with the corpus (2^16 → 2^32:
+# state stays O(cells)); saturation only degrades gracefully toward
+# the exact plan. Two corpus scans, zero O(corpus) materialization.
+# --------------------------------------------------------------------------
+
+def _word8_grams(docs: DataFrame) -> DataFrame:
+    """B64's gram builder (kept inline there to leave the verified
+    query untouched): per-doc DISTINCT md5 digests of word 8-grams."""
+    w = F.split(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")),
+                r"\s+")
+    toks = docs.select("doc_id", "source", w.alias("t"))
+    n = F.size("t")
+    return (toks.where(n >= 8)
+                .select("doc_id", "source",
+                        F.explode(F.array_distinct(F.transform(
+                            F.sequence(F.lit(0), n - 8),
+                            lambda i: F.md5(F.concat_ws(
+                                " ", F.slice("t", i + 1, 8)))))).alias("g")))
+
+
+def _cms_cells(tagged: DataFrame):
+    """The 3 per-seed cell-count tables (each ≤ 2^16 rows by
+    construction — broadcast-sized at any corpus size)."""
+    return [F.broadcast(tagged.groupBy(F.col(f"p{i}").alias(f"cp{i}"))
+                              .agg(F.count(F.lit(1)).alias(f"c{i}")))
+            for i in range(3)]
+
+
+def gram_novelty_bloom_by_source(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _word8_grams(docs)
+    tagged = grams.select("doc_id", "source", "g", *_bloom_positions("g"))
+    cells = _cms_cells(tagged)
+    j = tagged
+    for i, c in enumerate(cells):
+        j = j.join(c, F.col(f"p{i}") == F.col(f"cp{i}"))
+    mincell = F.least(F.col("c0"), F.col("c1"), F.col("c2"))
+    j = j.select("doc_id", "source", "g", mincell.alias("mc"))
+    # definitely-unique grams: one row corpus-wide — count rows per
+    # source, no digest shuffle
+    du = (j.where(F.col("mc") == 1)
+           .groupBy("source").agg(F.count(F.lit(1)).alias("n_du")))
+    # candidates: the exact B64 machinery, restricted to survivors
+    gs = (j.where(F.col("mc") >= 2)
+           .groupBy("g", "source")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .localCheckpoint(eager=True))
+    stats_g = gs.groupBy("g").agg(F.sum("nd").alias("n_docs"),
+                                  F.min("source").alias("one_source"))
+    per_cand = gs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_cand_grams"))
+    uniq_cand = (stats_g.where(F.col("n_docs") == 1)
+                        .groupBy(F.col("one_source").alias("source"))
+                        .agg(F.count(F.lit(1)).alias("n_uniq_cand")))
+    nd = (per_cand.join(du, "source", "full")
+                  .join(uniq_cand, "source", "full")
+                  .select("source",
+                          (F.coalesce("n_du", F.lit(0))
+                           + F.coalesce("n_cand_grams", F.lit(0)))
+                          .alias("n_distinct_grams"),
+                          (F.coalesce("n_du", F.lit(0))
+                           + F.coalesce("n_uniq_cand", F.lit(0)))
+                          .alias("n_unique_grams")))
+    return (nd.select("source", "n_distinct_grams", "n_unique_grams",
+                      F.round(F.col("n_unique_grams")
+                              / F.col("n_distinct_grams").cast("double"), 6)
+                       .alias("novelty_rate"))
+              .orderBy("source"))
+
+
+#: oracle = the exact one-pass B64 SQL: the twin's output is equal BY
+#: THEOREM (zero false negatives + exact candidate pass), and the
+#: driver hash-match checks exactly that
+GRAM_NOVELTY_BLOOM_SQL = GRAM_NOVELTY_SQL
+
+
+# --------------------------------------------------------------------------
+# B43b. CMS-prefiltered duplicate passages (100 TB path for B43 —
+# VERDICT r04 #7): B43 shuffles EVERY chunk digest to find repeated
+# passages; at 100 TB that shuffle is O(chunks) while true duplicates
+# are rare. Same split as B64b: 3 seeded 16-bit cell counts
+# (map-side-combined, state O(cells)); a chunk occurring ≥ 2 times has
+# every cell ≥ 2, so chunks with any cell count of 1 drop BEFORE the
+# digest shuffle and only candidates feed B43's exact aggregate.
+# Output identical to B43 ⇒ oracle is B43's SQL (the lossless-
+# prefilter theorem, driver-verified). Cell space scales with the
+# corpus at production size; two scans, no O(corpus) materialization.
+# --------------------------------------------------------------------------
+
+def duplicate_chunks_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ch = (text_ops.chunk_tokens(docs, size=3, stride=3)
+          .select("doc_id", "chunk_md5"))
+    tagged = ch.select("doc_id", "chunk_md5",
+                       *_bloom_positions("chunk_md5"))
+    cells = _cms_cells(tagged)
+    j = tagged
+    for i, c in enumerate(cells):
+        j = j.join(c, F.col(f"p{i}") == F.col(f"cp{i}"))
+    cand = j.where(F.least(F.col("c0"), F.col("c1"), F.col("c2")) >= 2)
+    return (cand.groupBy("chunk_md5")
+                .agg(F.count(F.lit(1)).alias("n_total"),
+                     F.countDistinct("doc_id").alias("n_docs"),
+                     F.min("doc_id").alias("first_doc"))
+                .where(F.col("n_docs") > 1)
+                .orderBy(F.col("n_total").desc(), F.col("chunk_md5").asc())
+                .limit(50))
+
+
+DUPLICATE_CHUNKS_BLOOM_SQL = DUPLICATE_CHUNKS_SQL

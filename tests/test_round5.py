@@ -94,3 +94,42 @@ def test_mad_approx_close_to_exact(spark, sf):
         assert abs(row["median_price_approx"] - e["median_price"]) \
             / e["median_price"] < 0.01, flag
         assert abs(row["mad_approx"] - e["mad"]) / e["mad"] < 0.01, flag
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_cms_prefilter_twins_equal_exact(spark, sf):
+    """The CMS prefilter is lossless BY THEOREM (zero false negatives
+    + exact candidate pass): both twins must equal their exact forms
+    row-for-row."""
+    for exact_fn, twin_fn, key in (
+            (Q.gram_novelty_by_source, Q.gram_novelty_bloom_by_source,
+             "source"),
+            (Q.duplicate_chunks, Q.duplicate_chunks_bloom, "chunk_md5")):
+        exact = sorted(map(tuple, exact_fn(spark, sf).collect()))
+        twin = sorted(map(tuple, twin_fn(spark, sf).collect()))
+        assert twin == exact, key
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_cms_prefilter_actually_prunes(spark, sf):
+    """The prefilter must DROP rows at driver SFs (the scale claim:
+    only candidates reach the digest shuffle) — guards against a
+    saturated cell table silently degrading to the exact plan."""
+    from pyspark.sql import functions as F
+    from parking_bigdata_spark.io import load_table
+    from parking_bigdata_spark.operators import text as text_ops
+    from parking_bigdata_spark.queries.b_llm import _bloom_positions
+    from parking_bigdata_spark.queries.b_llm_ext import _cms_cells
+
+    docs = load_table(spark, sf, "documents")
+    ch = (text_ops.chunk_tokens(docs, size=3, stride=3)
+          .select("doc_id", "chunk_md5"))
+    tagged = ch.select("doc_id", "chunk_md5",
+                       *_bloom_positions("chunk_md5"))
+    j = tagged
+    for i, c in enumerate(_cms_cells(tagged)):
+        j = j.join(c, F.col(f"p{i}") == F.col(f"cp{i}"))
+    total = tagged.count()
+    cand = j.where(
+        F.least(F.col("c0"), F.col("c1"), F.col("c2")) >= 2).count()
+    assert cand < total, (cand, total)
