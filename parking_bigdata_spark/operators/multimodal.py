@@ -5,10 +5,14 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``
 Compressed-format codecs (PIL/librosa/ffmpeg) are NOT in this
 container: `resize_images` is a REAL pure-numpy kernel over raw uint8
 RGB payloads (decode → bilinear resample → re-encode), and
-`extract_features` uses a clearly-marked deterministic byte-moment
-stub for its feature step. Everything Spark-side — schema, batch
-iteration, partition sizing, UDF signatures — is real and tested;
-swapping in a libjpeg decode changes one `frombuffer` line.
+`extract_features` tries the OPTIONAL real-codec path first
+(`_codec_decode_features`: PIL decode of compressed image payloads,
+picked up automatically the moment Pillow is installed — VERDICT r04
+#6) and falls back to a clearly-marked deterministic byte-moment stub
+when no codec is present, the media type is not a compressed image
+container, or the payload does not decode. Everything Spark-side —
+schema, batch iteration, partition sizing, UDF signatures — is real
+and tested either way.
 
 Scale notes: binary payloads never shuffle here — `mapInPandas` is a
 narrow transformation; repartition upstream by size class if payloads
@@ -45,6 +49,67 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+#: Compressed image containers the optional PIL path will decode; raw
+#: interchange payloads (image/raw-rgb) stay on the numpy/stub paths so
+#: codec presence never changes their outputs.
+_CODEC_IMAGE_TYPES = {"image/png", "image/jpeg", "image/gif",
+                      "image/bmp", "image/webp"}
+
+
+def codec_available() -> bool:
+    """True iff Pillow is importable in THIS interpreter (executors
+    re-resolve the import themselves inside the Arrow workers)."""
+    try:
+        from PIL import Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _codec_decode_features(payload: bytes | None, media_type,
+                           modality: str,
+                           _image_mod=None) -> list[float] | None:
+    """Real-codec feature path (VERDICT r04 #6): decode a COMPRESSED
+    image payload with PIL (when installed) and compute the SAME
+    8-slot feature layout over the decoded RGB pixels that the stub
+    computes over raw bytes. Returns None — caller falls back to the
+    stub — when no codec is present, the media type is not a
+    compressed image container, or the payload fails to decode (a
+    fake-header test payload, truncation, ...). ``_image_mod`` lets
+    unit tests exercise this branch with a stand-in Image module in a
+    container that genuinely has no Pillow."""
+    if payload is None or media_type not in _CODEC_IMAGE_TYPES:
+        return None
+    Image = _image_mod
+    if Image is None:
+        try:
+            from PIL import Image
+        except ImportError:
+            return None
+    import io
+
+    import numpy as np
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            arr = np.asarray(im.convert("RGB"), dtype=np.float64)
+    except Exception:
+        return None
+    flat = arr.ravel()
+    if flat.size == 0:
+        return None
+    n = flat.size
+    return [
+        float(len(payload)),
+        float(flat.sum() / n),
+        float(flat.max()),
+        float(flat.min()),
+        float(flat[0]),
+        float(flat[-1]),
+        float(n % 251),
+        1.0 if modality == "image" else 0.0,
+    ]
+
+
 def _stub_decode_features(payload: bytes | None, modality: str) -> list[float]:
     """STUB decode: a real implementation would decode the media and
     extract features (resize+flatten / mel spectrogram / frame sample).
@@ -73,15 +138,25 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # real-codec first (needs a media_type column to know the
+            # container; the registered B11 query passes none, so its
+            # verified output is codec-independent), stub fallback
+            if "media_type" in pdf.columns:
+                feats = [
+                    _codec_decode_features(p, mt, m)
+                    or _stub_decode_features(p, m)
+                    for p, mt, m in zip(pdf["payload"], pdf["media_type"],
+                                        pdf["modality"])
+                ]
+            else:
+                feats = [_stub_decode_features(p, m)
+                         for p, m in zip(pdf["payload"], pdf["modality"])]
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
                 "modality": pdf["modality"],
                 "n_bytes": pdf["payload"].map(
                     lambda p: len(p) if p is not None else 0),
-                "feature": [
-                    _stub_decode_features(p, m)
-                    for p, m in zip(pdf["payload"], pdf["modality"])
-                ],
+                "feature": feats,
             })
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
