@@ -1345,24 +1345,65 @@ ORDER BY cluster_size
 
 
 # --------------------------------------------------------------------------
-# B64b. CMS-prefiltered gram novelty (100 TB path for B64 — VERDICT
-# r04 #7, extending the B54 relational-Bloom pattern): B64's digest
-# shuffle is O(tokens). This twin splits the grams with a bounded
-# count-min pass FIRST: each per-doc-distinct gram digest sets 3
-# seeded 16-bit cells; per-cell totals are a map-side-combined
-# aggregate whose STATE IS O(cells) (3·2^16 rows) no matter the
-# corpus size. A gram whose minimum cell count is 1 is PROVABLY
-# corpus-unique (one row anywhere — its own), so it never shuffles by
-# digest: per-source counts of these rows come straight off the scan.
-# Only the candidates (all cells ≥ 2: true duplicates + CMS false
-# positives) feed B64's exact (g, source) aggregate. Zero false
-# negatives + an exact second pass ⇒ the output is IDENTICAL to B64,
-# so the oracle IS B64's one-pass SQL — the driver hash-match
-# verifies the lossless-prefilter theorem end-to-end. At a real
-# 100 TB corpus the cell space scales with the corpus (2^16 → 2^32:
-# state stays O(cells)); saturation only degrades gracefully toward
-# the exact plan. Two corpus scans, zero O(corpus) materialization.
+# B64b. Counting-filter-prefiltered gram novelty (100 TB path for B64
+# — VERDICT r04 #7, the B54 relational-Bloom idea as a depth-1
+# counting filter): B64's digest shuffle is O(tokens). This twin
+# splits the grams with ONE bounded cell-count pass first: each
+# per-doc-distinct gram digest maps to a 20-bit cell (md5-derived);
+# per-cell totals are a map-side-combined aggregate whose STATE IS
+# O(cells) (2^20 rows) no matter the corpus size, and only the HOT
+# cells (count >= 2, still <= 2^20 rows) broadcast back. A gram in a
+# COLD cell is PROVABLY corpus-unique (its row is the cell's only
+# one), so it never shuffles by digest — per-source counts of those
+# rows come straight off the scan. Only candidates (hot cells: true
+# duplicates + hash-collision false positives) feed B64's exact
+# (g, source) aggregate. Zero false negatives + an exact second pass
+# => output IDENTICAL to B64, so the oracle IS B64's one-pass SQL —
+# the driver hash-match verifies the lossless-prefilter theorem
+# end-to-end. Cost shape: two corpus scans + one bounded aggregate +
+# one broadcast join, zero O(corpus) materialization; the win scales
+# with the UNIQUE fraction (the production regime — most 8-grams are
+# unique), while on an adversarially all-duplicated corpus (the
+# replicated stress set) the candidate set is necessarily the corpus
+# and the twin degrades to ~2x the exact form, measured in SCALE.md.
+# At a real 100 TB corpus the cell space scales with the corpus
+# (2^20 -> 2^32: state stays O(cells)).
 # --------------------------------------------------------------------------
+
+#: 16^5 = 2^20 cells — the hot-cell broadcast stays <= ~10 MB even
+#: fully saturated; raise with corpus size (the knob is the state).
+_CMS_HEX_CHARS = 5
+
+
+def _cms_pos(col: str):
+    """The 20-bit counting-filter cell for a digest column (md5-based
+    like B54; no SQL mirror needed — the oracle is the exact query)."""
+    return F.conv(F.substring(
+        F.md5(F.concat(F.lit("cms|"), F.col(col))), 1, _CMS_HEX_CHARS),
+        16, 10).cast("long")
+
+
+#: Auto-materialization bound for the tagged digest table (the
+#: pagerank auto-state pattern): the cell-count pass and the filtered
+#: continuation both consume it, so below this many DOCUMENTS the
+#:  table localCheckpoints (one scan, cheap at driver/stress sizes);
+#: above it the scan re-runs instead — at corpus scale recomputing a
+#: projection beats materializing O(corpus) state.
+_CMS_MATERIALIZE_MAX_DOCS = 10_000_000
+
+
+def _cms_split(tagged: DataFrame, n_docs: int):
+    """One bounded cell-count pass + one broadcast left join: returns
+    the input with ``__hot`` (cell count, NULL iff the row's cell is
+    cold i.e. the row is provably globally unique). ``tagged`` must
+    carry ``__cpos``."""
+    if n_docs <= _CMS_MATERIALIZE_MAX_DOCS:
+        tagged = tagged.localCheckpoint(eager=True)
+    hot = (tagged.groupBy("__cpos")
+                 .agg(F.count(F.lit(1)).alias("__hot"))
+                 .where(F.col("__hot") >= 2))   # <= 2^20 rows
+    return tagged.join(F.broadcast(hot), "__cpos", "left")
+
 
 def _word8_grams(docs: DataFrame) -> DataFrame:
     """B64's gram builder (kept inline there to leave the verified
@@ -1379,31 +1420,17 @@ def _word8_grams(docs: DataFrame) -> DataFrame:
                                 " ", F.slice("t", i + 1, 8)))))).alias("g")))
 
 
-def _cms_cells(tagged: DataFrame):
-    """The 3 per-seed cell-count tables (each ≤ 2^16 rows by
-    construction — broadcast-sized at any corpus size)."""
-    return [F.broadcast(tagged.groupBy(F.col(f"p{i}").alias(f"cp{i}"))
-                              .agg(F.count(F.lit(1)).alias(f"c{i}")))
-            for i in range(3)]
-
-
 def gram_novelty_bloom_by_source(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    grams = _word8_grams(docs)
-    tagged = grams.select("doc_id", "source", "g", *_bloom_positions("g"))
-    cells = _cms_cells(tagged)
-    j = tagged
-    for i, c in enumerate(cells):
-        j = j.join(c, F.col(f"p{i}") == F.col(f"cp{i}"))
-    mincell = F.least(F.col("c0"), F.col("c1"), F.col("c2"))
-    j = j.select("doc_id", "source", "g", mincell.alias("mc"))
+    grams = _word8_grams(docs).withColumn("__cpos", _cms_pos("g"))
+    j = _cms_split(grams, docs.count())
     # definitely-unique grams: one row corpus-wide — count rows per
     # source, no digest shuffle
-    du = (j.where(F.col("mc") == 1)
+    du = (j.where(F.col("__hot").isNull())
            .groupBy("source").agg(F.count(F.lit(1)).alias("n_du")))
     # candidates: the exact B64 machinery, restricted to survivors
-    gs = (j.where(F.col("mc") >= 2)
+    gs = (j.where(F.col("__hot").isNotNull())
            .groupBy("g", "source")
            .agg(F.countDistinct("doc_id").alias("nd"))
            .localCheckpoint(eager=True))
@@ -1437,14 +1464,14 @@ GRAM_NOVELTY_BLOOM_SQL = GRAM_NOVELTY_SQL
 
 
 # --------------------------------------------------------------------------
-# B43b. CMS-prefiltered duplicate passages (100 TB path for B43 —
-# VERDICT r04 #7): B43 shuffles EVERY chunk digest to find repeated
-# passages; at 100 TB that shuffle is O(chunks) while true duplicates
-# are rare. Same split as B64b: 3 seeded 16-bit cell counts
-# (map-side-combined, state O(cells)); a chunk occurring ≥ 2 times has
-# every cell ≥ 2, so chunks with any cell count of 1 drop BEFORE the
-# digest shuffle and only candidates feed B43's exact aggregate.
-# Output identical to B43 ⇒ oracle is B43's SQL (the lossless-
+# B43b. Counting-filter-prefiltered duplicate passages (100 TB path
+# for B43 — VERDICT r04 #7): B43 shuffles EVERY chunk digest to find
+# repeated passages; at 100 TB that shuffle is O(chunks) while true
+# duplicates are rare. Same split as B64b: one bounded 2^20-cell
+# count (map-side-combined, state O(cells)); a chunk occurring >= 2
+# times always lands in a hot cell, so cold-cell chunks drop BEFORE
+# the digest shuffle and only candidates feed B43's exact aggregate.
+# Output identical to B43 => oracle is B43's SQL (the lossless-
 # prefilter theorem, driver-verified). Cell space scales with the
 # corpus at production size; two scans, no O(corpus) materialization.
 # --------------------------------------------------------------------------
@@ -1452,14 +1479,9 @@ GRAM_NOVELTY_BLOOM_SQL = GRAM_NOVELTY_SQL
 def duplicate_chunks_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ch = (text_ops.chunk_tokens(docs, size=3, stride=3)
-          .select("doc_id", "chunk_md5"))
-    tagged = ch.select("doc_id", "chunk_md5",
-                       *_bloom_positions("chunk_md5"))
-    cells = _cms_cells(tagged)
-    j = tagged
-    for i, c in enumerate(cells):
-        j = j.join(c, F.col(f"p{i}") == F.col(f"cp{i}"))
-    cand = j.where(F.least(F.col("c0"), F.col("c1"), F.col("c2")) >= 2)
+          .select("doc_id", "chunk_md5")
+          .withColumn("__cpos", _cms_pos("chunk_md5")))
+    cand = _cms_split(ch, docs.count()).where(F.col("__hot").isNotNull())
     return (cand.groupBy("chunk_md5")
                 .agg(F.count(F.lit(1)).alias("n_total"),
                      F.countDistinct("doc_id").alias("n_docs"),

@@ -118,18 +118,14 @@ def test_cms_prefilter_actually_prunes(spark, sf):
     from pyspark.sql import functions as F
     from parking_bigdata_spark.io import load_table
     from parking_bigdata_spark.operators import text as text_ops
-    from parking_bigdata_spark.queries.b_llm import _bloom_positions
-    from parking_bigdata_spark.queries.b_llm_ext import _cms_cells
+    from parking_bigdata_spark.queries.b_llm_ext import (_cms_pos,
+                                                         _cms_split)
 
     docs = load_table(spark, sf, "documents")
     ch = (text_ops.chunk_tokens(docs, size=3, stride=3)
-          .select("doc_id", "chunk_md5"))
-    tagged = ch.select("doc_id", "chunk_md5",
-                       *_bloom_positions("chunk_md5"))
-    j = tagged
-    for i, c in enumerate(_cms_cells(tagged)):
-        j = j.join(c, F.col(f"p{i}") == F.col(f"cp{i}"))
-    total = tagged.count()
-    cand = j.where(
-        F.least(F.col("c0"), F.col("c1"), F.col("c2")) >= 2).count()
+          .select("doc_id", "chunk_md5")
+          .withColumn("__cpos", _cms_pos("chunk_md5")))
+    j = _cms_split(ch, docs.count())
+    total = ch.count()
+    cand = j.where(F.col("__hot").isNotNull()).count()
     assert cand < total, (cand, total)
