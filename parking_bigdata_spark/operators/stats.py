@@ -138,15 +138,19 @@ def residual_diagnostics(df: DataFrame, x: str, y: str,
     e = F.col(y) - (F.col("my") + F.col("slope") * (F.col(x) - F.col("mx")))
     d = (d.withColumn("__e", e)
           .repartitionByRange(*[F.col(c) for c in order_cols])
-          .withColumn("__pid", F.spark_partition_id()))
+          .withColumn("__pid", F.spark_partition_id())
+          # pin ONE evaluation (round-5 class fix): the two consumers
+          # (global moments + the boundary-stitch frame) MUST read the
+          # same physical layout — __pid and the per-partition lag
+          # boundaries are layout-dependent, and AQE may plan a re-read
+          # of an un-pinned exchange differently per consumer (observed
+          # at sf0.1 in the hosmer-lemeshow twin of this construction:
+          # 1- vs 64-partition layouts between branches). An earlier
+          # A/B kept the stateless double-branch for lineage safety
+          # (5.7 s vs 6.0 s at 20×, no perf win) — the layout-coherence
+          # requirement overrides it.
+          .localCheckpoint(eager=True))
     wl = Window.partitionBy("__pid").orderBy(*order_cols)
-    # NOTE two consumers read the windowed frame (global moments + the
-    # boundary bounds) and Catalyst replays the scan/shuffle per branch.
-    # A localCheckpoint to share it was A/B'ed on the 20× stress set:
-    # no win (5.7 s vs 6.0 s min-of-3 — the block write cancels the
-    # saved shuffle locally) and checkpoint blocks lose lineage, so an
-    # executor loss kills the job on a real cluster. The stateless
-    # double-branch form is kept deliberately.
     d = d.withColumn("__elag", F.lag("__e").over(wl))
     agg = d.agg(
         F.count(F.lit(1)).alias("n"),
@@ -253,7 +257,14 @@ def tie_avg_ranks(counts: DataFrame, value_col: str,
                .withColumn("__pid", F.spark_partition_id()))
     wl = (Window.partitionBy("__pid").orderBy(value_col)
           .rowsBetween(Window.unboundedPreceding, 0))
-    local = d.withColumn("__cum", F.sum(count_col).over(wl))
+    # pin ONE evaluation: __pid is only meaningful within a single
+    # physical layout — AQE may plan a re-read of this exchange
+    # differently per consumer (observed at sf0.1: 1- vs 64-partition
+    # layouts between the offset agg and the rank join dropped rows),
+    # so the offset table and the join must read the SAME materialized
+    # frame (round-5 class fix; every __pid offset-join site pins)
+    local = d.withColumn("__cum", F.sum(count_col).over(wl)) \
+             .localCheckpoint(eager=True)
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     off = (local.groupBy("__pid").agg(F.max("__cum").alias("__t"))
            .withColumn("__off", F.coalesce(F.sum("__t").over(wo), F.lit(0))))
@@ -285,7 +296,9 @@ def tie_avg_ranks_by_group(counts: DataFrame, group_col: str,
                .withColumn("__pid", F.spark_partition_id()))
     wl = (Window.partitionBy("__pid", group_col).orderBy(value_col)
           .rowsBetween(Window.unboundedPreceding, 0))
-    local = d.withColumn("__cum", F.sum(count_col).over(wl))
+    # pin ONE evaluation (see tie_avg_ranks)
+    local = d.withColumn("__cum", F.sum(count_col).over(wl)) \
+             .localCheckpoint(eager=True)
     wo = (Window.partitionBy(group_col).orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1))
     off = (local.groupBy("__pid", group_col)
@@ -320,6 +333,8 @@ def range_cumsum(df: DataFrame, order_col: str,
     local = d
     for c in sum_cols:
         local = local.withColumn(f"__cum_{c}", F.sum(c).over(wl))
+    # pin ONE evaluation (see tie_avg_ranks)
+    local = local.localCheckpoint(eager=True)
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     off = local.groupBy("__pid").agg(
         *[F.sum(c).alias(f"__t_{c}") for c in sum_cols])
@@ -678,6 +693,8 @@ def range_cumsum_by_group(df: DataFrame, group_col: str, order_col: str,
     local = d
     for c in sum_cols:
         local = local.withColumn(f"__cum_{c}", F.sum(c).over(wl))
+    # pin ONE evaluation (see tie_avg_ranks)
+    local = local.localCheckpoint(eager=True)
     wo = (Window.partitionBy(group_col).orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1))
     off = local.groupBy("__pid", group_col).agg(

@@ -299,9 +299,13 @@ def customer_value_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
            .withColumn("avg_order_value",
                        F.floor(F.col("spend") / F.col("n_orders") * 10000
                                + 0.5) / 10000)
+           # + 0.0 normalizes IEEE negative zero: at sf0.1 a tiny
+           # negative ratio rounds to -0.0 in DuckDB and 0.0 in Spark
+           # ("-0.0" != "0.0" under the canonical string compare)
            .withColumn("balance_to_spend",
                        F.when(F.col("spend") != 0,
-                              F.round(F.col("c_acctbal") / F.col("spend"), 6))))
+                              F.round(F.col("c_acctbal") / F.col("spend"), 6)
+                              + 0.0)))
     return out.select("c_custkey", "n_orders",
                       F.round("spend", 4).alias("total_spend"),
                       "avg_order_value", "balance_to_spend")
@@ -312,7 +316,7 @@ SELECT c_custkey, count(*) AS n_orders,
        floor(CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_order_value,
        CASE WHEN sum(o_totalprice::DECIMAL(18,2)) <> 0
             THEN round(any_value(c_acctbal) / CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE), 6)
-       END AS balance_to_spend
+       END + 0.0 AS balance_to_spend
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey
 """
@@ -1144,7 +1148,9 @@ def acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
              .repartitionByRange(F.col("c_acctbal"), F.col("c_custkey"))
              .withColumn("__pid", F.spark_partition_id()))
     wl = Window.partitionBy("__pid").orderBy("c_acctbal", "c_custkey")
-    local = d.withColumn("__rn", F.row_number().over(wl))
+    local = d.withColumn("__rn", F.row_number().over(wl)) \
+             .localCheckpoint(eager=True)  # pin ONE evaluation (__pid
+    # offset-join class fix, round 5 — see stats.tie_avg_ranks)
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     off = (local.groupBy("__pid").agg(F.max("__rn").alias("__t"))
            .withColumn("__off", F.coalesce(F.sum("__t").over(wo), F.lit(0))))
@@ -1715,7 +1721,9 @@ def acctbal_relative_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("__pid", F.spark_partition_id()))
     wl = (Window.partitionBy("__pid", "c_mktsegment")
                 .orderBy("c_acctbal", "c_custkey"))
-    local = d.withColumn("__rn", F.row_number().over(wl))
+    local = d.withColumn("__rn", F.row_number().over(wl)) \
+             .localCheckpoint(eager=True)  # pin ONE evaluation (__pid
+    # offset-join class fix, round 5 — see stats.tie_avg_ranks)
     wo = (Window.partitionBy("c_mktsegment").orderBy("__pid")
                 .rowsBetween(Window.unboundedPreceding, -1))
     off = (local.groupBy("__pid", "c_mktsegment")

@@ -793,7 +793,9 @@ def lorenz_curve_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (spend.repartitionByRange(F.col("sp"), F.col("o_custkey"))
               .withColumn("__pid", F.spark_partition_id()))
     wl = Window.partitionBy("__pid").orderBy("sp", "o_custkey")
-    local = d.withColumn("__rn", F.row_number().over(wl))
+    local = d.withColumn("__rn", F.row_number().over(wl)) \
+             .localCheckpoint(eager=True)  # pin ONE evaluation (__pid
+    # offset-join class fix, round 5 — see stats.tie_avg_ranks)
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     off = (local.groupBy("__pid").agg(F.max("__rn").alias("__t"))
            .withColumn("__off", F.coalesce(F.sum("__t").over(wo), F.lit(0))))

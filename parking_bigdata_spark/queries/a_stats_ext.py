@@ -886,7 +886,12 @@ def hosmer_lemeshow_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (scored.repartitionByRange(F.col("p"), F.col("k"))
                .withColumn("__pid", F.spark_partition_id()))
     wl = Window.partitionBy("__pid").orderBy("p", "k")
-    local = s.withColumn("__rn", F.row_number().over(wl))
+    # pin ONE evaluation (__pid offset-join class fix, round 5 — see
+    # stats.tie_avg_ranks; THIS query surfaced the bug at sf0.1: the
+    # offset agg and the rank join read 64- vs 1-partition layouts and
+    # the inner join dropped ~half the rows)
+    local = s.withColumn("__rn", F.row_number().over(wl)) \
+             .localCheckpoint(eager=True)
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     off = (local.groupBy("__pid").agg(F.max("__rn").alias("__t"))
            .withColumn("__off", F.coalesce(F.sum("__t").over(wo), F.lit(0))))

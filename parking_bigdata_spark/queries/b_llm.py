@@ -1605,7 +1605,12 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.countDistinct("tok").alias("__v")))
     feat = per_src.select(F.round(F.log("__n"), 6).alias("ln_n"),
                           F.round(F.log("__v"), 6).alias("ln_v"))
-    return ml.ols_fit_df(feat, ["ln_n"], "ln_v")
+    # + 0.0 normalizes IEEE negative zero: the synthetic corpus's
+    # slope is ~0, so float-sum order decides the pre-rounding SIGN
+    # (±1e-16) and round(., 4) lands on -0.0 or 0.0 run-to-run —
+    # observed as an sf0.1 gate flake (round-5)
+    return (ml.ols_fit_df(feat, ["ln_n"], "ln_v")
+              .select("term", (F.col("estimate") + 0.0).alias("estimate")))
 
 HEAPS_SQL = oracles.normal_eq_sql(
     ["ln_n"], "ln_v",
@@ -1616,6 +1621,9 @@ HEAPS_SQL = oracles.normal_eq_sql(
                unnest(string_split_regex(trim(text), '\s+')) AS tok
         FROM documents) __toks
   GROUP BY source) __t""")
+#: negative-zero normalization mirrored on the oracle side
+HEAPS_SQL = (f"SELECT term, estimate + 0.0 AS estimate "
+             f"FROM ({HEAPS_SQL}) __hz")
 
 
 # --------------------------------------------------------------------------
@@ -2776,7 +2784,9 @@ def quality_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                .repartitionByRange(F.col("__neg"), F.col("doc_id"))
                .withColumn("__pid", F.spark_partition_id()))
     wl = Window.partitionBy("__pid").orderBy("__neg", "doc_id")
-    local = s.withColumn("__rn", F.row_number().over(wl))
+    local = s.withColumn("__rn", F.row_number().over(wl)) \
+             .localCheckpoint(eager=True)  # pin ONE evaluation (__pid
+    # offset-join class fix, round 5 — see stats.tie_avg_ranks)
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     off = (local.groupBy("__pid").agg(F.max("__rn").alias("__t"))
            .withColumn("__off", F.coalesce(F.sum("__t").over(wo), F.lit(0))))

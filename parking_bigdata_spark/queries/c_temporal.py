@@ -1079,8 +1079,9 @@ def priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "mkey", "o_orderpriority", "n",
         F.round("share", 4).alias("share"),
-        F.round(F.when(F.col("prev_mkey") == F.col("mkey") - 1,
-                       F.col("share") - F.col("prev_share")), 4)
+        # + 0.0 normalizes IEEE negative zero (see balance_to_spend)
+        (F.round(F.when(F.col("prev_mkey") == F.col("mkey") - 1,
+                        F.col("share") - F.col("prev_share")), 4) + 0.0)
          .alias("share_delta_mom"))
 
 MIX_SHIFT_SQL = """
@@ -1103,7 +1104,7 @@ WITH cell AS (
 SELECT mkey, o_orderpriority, CAST(n AS BIGINT) AS n,
        round(share, 4) AS share,
        round(CASE WHEN prev_mkey = mkey - 1
-                  THEN share - prev_share END, 4) AS share_delta_mom
+                  THEN share - prev_share END, 4) + 0.0 AS share_delta_mom
 FROM d
 """
 

@@ -930,7 +930,9 @@ def records_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("__pid", F.spark_partition_id()))
     wl = (Window.partitionBy("__pid").orderBy("d")
           .rowsBetween(Window.unboundedPreceding, -1))
-    local = d.withColumn("__prevmax", F.max("n").over(wl))
+    local = d.withColumn("__prevmax", F.max("n").over(wl)) \
+             .localCheckpoint(eager=True)  # pin ONE evaluation (__pid
+    # offset-join class fix, round 5 — see stats.tie_avg_ranks)
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     off = (local.groupBy("__pid").agg(F.max("n").alias("__t"))
            .withColumn("__offmax", F.max("__t").over(wo)))

@@ -45,7 +45,8 @@ def main() -> int:
     spark.conf.set("spark.sql.shuffle.partitions", "7")
     reg = Q.queries()
     failures = 0
-    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"):
         tag = os.path.basename(sf_dir)
         for name in EXPECTED_ORACLE_QUERIES:
             path = os.path.join(REPO, "expected", tag, f"{name}.parquet")

