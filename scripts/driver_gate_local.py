@@ -75,8 +75,13 @@ def main() -> int:
                     f"/expected/{os.path.basename(sf_dir.rstrip('/'))}/")
                 con = duckdb.connect()
                 for t in TABLES:
+                    tp = f"{sf_dir}/{t}.parquet"
+                    # stress tables are Spark output DIRECTORIES of
+                    # part files — DuckDB needs the glob form there
+                    if os.path.isdir(tp):
+                        tp = f"{tp}/*.parquet"
                     con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                                f"'{sf_dir}/{t}.parquet'")
+                                f"'{tp}'")
                 exp = con.execute(sql).df()
                 rec["oracle_rows"] = len(exp)
                 rec["rows_match"] = len(got) == len(exp)
