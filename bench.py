@@ -376,6 +376,18 @@ def main() -> None:
     # intermediates; leaked blocks from 59 queries distort later timings
     # via heap pressure) and let each timed query pay for its own cache.
     spark.catalog.clearCache()
+    # The fitted-forest memo is a driver-side Python dict that
+    # clearCache() cannot evict — the target-SF warmup above trained
+    # and cached the forest, so without this reset BOTH timed forest
+    # queries would measure scoring only and the training cube scan
+    # (the dominant cost) would vanish from the headline wall-clock.
+    # Clearing here makes exactly one timed query pay for the fit, the
+    # same discipline every other query's cache follows. The warmup
+    # still serves its codegen purpose: the re-trained forest is
+    # deterministic, so the scoring projection compiles to the
+    # identical whole-stage source and hits the Janino cache.
+    from parking_bigdata_spark.queries import a_stats as _a_stats
+    _a_stats._RF_HOLDOUT_CACHE.clear()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

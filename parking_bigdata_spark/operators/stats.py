@@ -373,6 +373,15 @@ def _materialize_groups(br: DataFrame):
     cp = br.localCheckpoint(eager=True)
     head = cp.limit(_BRACKET_COLLECT_MAX + 1).collect()
     if len(head) <= _BRACKET_COLLECT_MAX:
+        # the collected rows replace cp on this path — free its
+        # executor blocks NOW instead of waiting for driver GC +
+        # ContextCleaner (repeated bracket calls would otherwise
+        # accumulate orphaned checkpoint blocks between GCs, ADVICE
+        # r05). Best-effort: the blocks are reclaimed on GC anyway.
+        try:
+            cp._jdf.queryExecution().logical().rdd().unpersist(False)
+        except Exception:
+            pass
         return (br.sparkSession.createDataFrame(head, schema=br.schema),
                 F.broadcast)
     return cp, (lambda df: df)

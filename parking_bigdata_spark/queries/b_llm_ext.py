@@ -16,7 +16,6 @@ from .b_llm import (
     DUPLICATE_CHUNKS_SQL,
     _LANGID_HITS_SQL,
     _LANGID_PRED,
-    _bloom_positions,
 )
 
 
