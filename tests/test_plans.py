@@ -380,3 +380,60 @@ def test_bloom_and_dsir_broadcast_only(spark, sf_dir):
                 ._jdf.queryExecution().executedPlan().toString())
         assert "SortMergeJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_pid_offset_sites_are_pinned():
+    """Source audit for the round-5 wrong-answer class (VERDICT r05
+    #4): ``spark_partition_id()`` over an un-pinned range exchange is
+    only meaningful within ONE physical evaluation — AQE may plan a
+    re-read differently per consumer, so every site that derives a
+    ``__pid`` column and joins per-partition offsets back MUST pin one
+    evaluation with ``localCheckpoint(eager=True)`` before the offsets
+    derive (observed at sf0.1: hosmer_lemeshow dropped ~half its rows,
+    ad_ksample diverged 600x). This test fails the moment a FUTURE
+    spark_partition_id offset site forgets the pin — convention is no
+    longer the only guard.
+
+    Mechanical rule: inside any function whose body mentions
+    ``spark_partition_id``, deriving a ``__pid`` COLUMN (the
+    offset-join construction) requires ``localCheckpoint`` in the same
+    function. Using spark_partition_id purely inline as a window
+    PARTITION key (the two-phase local-prune top-k sites — no column,
+    single consumer, nothing joined on layout identity) needs no pin.
+    """
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(Q.__file__).resolve().parent.parent
+    offenders: list[str] = []
+    pinned_sites = 0
+    keyonly_sites = 0
+    for py in sorted(pkg.rglob("*.py")):
+        src = py.read_text()
+        if "spark_partition_id" not in src:
+            continue
+        lines = src.splitlines()
+        for node in ast.walk(ast.parse(src)):
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            seg = "\n".join(lines[node.lineno - 1:node.end_lineno])
+            if "spark_partition_id" not in seg:
+                continue
+            if "__pid" not in seg:
+                keyonly_sites += 1
+                continue
+            if "localCheckpoint" in seg:
+                pinned_sites += 1
+            else:
+                offenders.append(
+                    f"{py.relative_to(pkg)}:{node.lineno} {node.name}()")
+    # the audit must actually be seeing the known sites (4 stats
+    # helpers + residual_diagnostics + the query-local offset joins,
+    # and the 2 window-key-only top-k sites) — if these counts drop to
+    # zero the scan itself broke, not the code under audit
+    assert pinned_sites >= 9, f"audit saw only {pinned_sites} pinned sites"
+    assert keyonly_sites >= 2, f"audit saw only {keyonly_sites} key-only sites"
+    assert not offenders, (
+        "spark_partition_id offset-join site(s) missing the "
+        "localCheckpoint layout pin (round-5 class bug): "
+        + "; ".join(offenders))
