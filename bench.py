@@ -252,6 +252,11 @@ HEADLINE = [
     # round-5 CMS-prefilter twins (VERDICT r04 #7)
     "gram_novelty_bloom_by_source",
     "duplicate_chunks_bloom",
+    # round-6 grid twins + PCR (VERDICT r05 #2/#5)
+    "pr_auc_approx_order_status",
+    "dunn_approx_segments",
+    "wilcoxon_approx_signed_rank",
+    "pcr_holdout",
 ]
 
 

@@ -479,33 +479,318 @@ FROM ranked GROUP BY 1
 # --------------------------------------------------------------------------
 # A63b. Approx MAD per group via the GK sketch (100 TB path for A63 —
 # VERDICT r04 #3): both median passes ride
-# stats.grouped_median_approx (ONE mergeable percentile_approx
+# stats.grouped_quantiles_approx (ONE mergeable percentile_approx
 # aggregate each, rank error ≤ n/accuracy, no bracket refine / no
 # candidate scan). NO SQL oracle by design: DuckDB's approx_quantile
 # is a t-digest, a different sketch, so estimates differ
 # engine-to-engine — the driver records rows-only and
 # tests/test_round5.py bound-asserts every output against the exact
 # A63 at two SFs (the A159b/catalog_profile_approx pattern).
+#
+# PROOF BRACKETS (VERDICT r05 #7, the ROC/Mann-Whitney discipline):
+# each sketch pass also probes fractions 0.5 ± 4/accuracy — the same
+# 4× rank-error cushion grouped_quantiles' exact refine is built on —
+# so [med_lo, med_hi] is GUARANTEED to contain the group's exact
+# percentile_cont median (GK returns a value whose rank is within
+# n/accuracy of the probe; the ±4/accuracy probes therefore sit
+# strictly below/above the true median rank), and [mad_lo, mad_hi]
+# likewise brackets the exact median of |v − median_price_approx|
+# (the deviation median around the EMITTED center). Both brackets are
+# asserted against the exact A63 machinery at two SFs in
+# tests/test_round6.py — a driver-checkable invariant in the output
+# even though the point estimates stay rows-only.
 # --------------------------------------------------------------------------
 
 def mad_approx_price_by_flag(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     acc = 10000
+    eps = 4.0 / acc
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").cast("double").alias("v"))
     # materialize the 3-row median table: the deviation pass otherwise
     # replays the first sketch scan's lineage
-    med = (stats.grouped_median_approx(li, "l_returnflag", "v",
-                                       accuracy=acc)
+    med = (stats.grouped_quantiles_approx(
+               li, "l_returnflag", "v", [0.5 - eps, 0.5, 0.5 + eps],
+               ["med_lo", "med", "med_hi"], accuracy=acc)
            .localCheckpoint(eager=True))
     dev = (li.join(F.broadcast(med), "l_returnflag")
              .select("l_returnflag",
-                     F.abs(F.col("v") - F.col("med")).alias("adev"),
-                     "med"))
-    mad = stats.grouped_median_approx(dev, "l_returnflag", "adev",
-                                      alias="mad", accuracy=acc)
+                     F.abs(F.col("v") - F.col("med")).alias("adev")))
+    mad = stats.grouped_quantiles_approx(
+        dev, "l_returnflag", "adev", [0.5 - eps, 0.5, 0.5 + eps],
+        ["mad_lo", "mad", "mad_hi"], accuracy=acc)
+    # bracket edges round OUTWARD (floor/ceil at 4 dp) — a half-even
+    # round could nudge an edge past an exact value sitting within
+    # 5e-5 of it and silently void the containment guarantee
+    def _floor4(c):
+        return F.floor(F.col(c) * 1e4) / 1e4
+
+    def _ceil4(c):
+        return F.ceil(F.col(c) * 1e4) / 1e4
+
     return (med.join(F.broadcast(mad), "l_returnflag")
                .select("l_returnflag",
                        F.round("med", 4).alias("median_price_approx"),
+                       _floor4("med_lo").alias("med_lo"),
+                       _ceil4("med_hi").alias("med_hi"),
                        F.round("mad", 4).alias("mad_approx"),
+                       _floor4("mad_lo").alias("mad_lo"),
+                       _ceil4("mad_hi").alias("mad_hi"),
                        F.lit(acc).alias("accuracy")))
+
+
+# --------------------------------------------------------------------------
+# A123b. Approx PR-AUC / average precision on a fixed uniform grid
+# (100 TB path for A123 — VERDICT r05 #2): the exact form's
+# score-block table is O(distinct scores) = O(rows) on a continuous
+# column; here scores bin to G buckets and the SAME Davis-Goadrich
+# tie-block AP formula runs over the ≤ G-row block table (each bucket
+# IS a score block: AP of the binned data, a legitimate tie-handled
+# average precision converging to the exact one as G grows). One
+# bounded groupBy + one descending cumulative window over ≤ G rows.
+# Full value-level oracle (same bit-identical bin rule both engines).
+# --------------------------------------------------------------------------
+
+def pr_auc_approx_order_status(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    G = _TWIN_GRID
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select((F.col("o_orderstatus") == "P").cast("long").alias("pos"),
+                 F.col("o_totalprice").cast("double").alias("v"))
+    mm = d.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    mm = spark.createDataFrame(mm.collect(), schema=mm.schema)
+    j = d.crossJoin(F.broadcast(mm))
+    b = _bucket_expr(F.col("v"), F.col("mn"), F.col("mx"), G)
+    cells = (j.groupBy(b.alias("__gbkt"))
+              .agg(F.sum("pos").alias("tp_b"),
+                   F.count(F.lit(1)).alias("n_b")))
+    # descending-score blocks: higher buckets rank first; the window
+    # input is grid-bounded (≤ _TWIN_GRID rows) by construction
+    w = (Window.orderBy(F.desc("__gbkt"))
+               .rowsBetween(Window.unboundedPreceding, 0))
+    cum = cells.select("tp_b", "n_b",
+                       F.sum("tp_b").over(w).alias("ctp"),
+                       F.sum("n_b").over(w).alias("cn"))
+    tot = cum.agg(F.sum("tp_b").alias("P"),
+                  F.sum("n_b").alias("N"),
+                  F.sum(F.col("tp_b").cast("double")
+                        * (F.col("ctp").cast("double")
+                           / F.col("cn").cast("double"))).alias("s"))
+    return tot.select(
+        F.col("P").cast("long").alias("n_pos"),
+        (F.col("N") - F.col("P")).cast("long").alias("n_neg"),
+        F.lit(G).alias("grid_size"),
+        F.round(F.col("s") / F.col("P").cast("double"), 6)
+         .alias("average_precision_approx"))
+
+PR_AUC_APPROX_SQL = f"""
+WITH d AS (
+  SELECT CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS pos,
+         CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+), mm AS (SELECT min(v) AS mn, max(v) AS mx FROM d),
+cells AS (
+  SELECT {_sql_bucket('v', 'mn', 'mx', _TWIN_GRID)} AS b,
+         sum(pos) AS tp_b, count(*) AS n_b
+  FROM d CROSS JOIN mm GROUP BY 1
+), cum AS (
+  SELECT tp_b, n_b,
+         sum(tp_b) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS ctp,
+         sum(n_b) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS cn
+  FROM cells
+)
+SELECT CAST(sum(tp_b) AS BIGINT) AS n_pos,
+       CAST(sum(n_b) - sum(tp_b) AS BIGINT) AS n_neg,
+       {_TWIN_GRID} AS grid_size,
+       round(sum(CAST(tp_b AS DOUBLE) * (CAST(ctp AS DOUBLE)
+                                         / CAST(cn AS DOUBLE)))
+             / CAST(sum(tp_b) AS DOUBLE), 6) AS average_precision_approx
+FROM cum
+"""
+
+
+# --------------------------------------------------------------------------
+# A139b. Approx Dunn's post-hoc pairwise rank test on a fixed uniform
+# grid (100 TB path for A139 — VERDICT r05 #2): the exact form's
+# global rank table is O(distinct acctbals); here every value gets
+# its bucket's tie-averaged rank (the A18db recipe), per-segment mean
+# ranks come off k·G cells, and the |segments|²-bounded pairwise z
+# uses the standard tie correction with bucket totals as tie runs —
+# Dunn's test OF THE BINNED DATA. Full value-level oracle.
+# --------------------------------------------------------------------------
+
+def dunn_approx_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    G = _TWIN_GRID
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", F.col("c_acctbal").cast("double").alias("v"))
+    mm = cust.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    mm = spark.createDataFrame(mm.collect(), schema=mm.schema)
+    j = cust.crossJoin(F.broadcast(mm))
+    b = _bucket_expr(F.col("v"), F.col("mn"), F.col("mx"), G)
+    cells = (j.groupBy("c_mktsegment", b.alias("__gbkt"))
+               .agg(F.count(F.lit(1)).alias("f"))
+               .localCheckpoint(eager=True))
+    buckets = cells.groupBy("__gbkt").agg(F.sum("f").alias("l"))
+    # __gbkt is grid-bounded (≤ _TWIN_GRID rows) by construction
+    w = Window.orderBy("__gbkt").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = buckets.select(
+        "__gbkt", "l",
+        (F.sum("l").over(w) - (F.col("l") - 1) / 2.0).alias("r"))
+    grp = (cells.join(F.broadcast(ranked.select("__gbkt", "r")), "__gbkt")
+                .groupBy("c_mktsegment")
+                .agg(F.sum(F.col("r") * F.col("f")).alias("rsum"),
+                     F.sum("f").alias("ng")))
+    ld = F.col("l").cast("double")
+    glob = (buckets.agg(F.sum("l").alias("n_total"),
+                        F.sum(ld * ld * ld - ld).alias("tie3")))
+    a = grp.select(F.col("c_mktsegment").alias("seg_a"),
+                   (F.col("rsum") / F.col("ng")).alias("mr_a"),
+                   F.col("ng").alias("na"))
+    b2 = grp.select(F.col("c_mktsegment").alias("seg_b"),
+                    (F.col("rsum") / F.col("ng")).alias("mr_b"),
+                    F.col("ng").alias("nb"))
+    nn = F.col("n_total").cast("double")
+    sig2 = (nn * (nn + 1) / 12.0 - F.col("tie3") / (12.0 * (nn - 1)))
+    z = ((F.col("mr_a") - F.col("mr_b"))
+         / F.sqrt(sig2 * (1.0 / F.col("na") + 1.0 / F.col("nb"))))
+    return (a.join(b2, a.seg_a < b2.seg_b).crossJoin(F.broadcast(glob))
+             .select("seg_a", "seg_b",
+                     F.lit(G).alias("grid_size"),
+                     F.round("mr_a", 4).alias("mean_rank_a_approx"),
+                     F.round("mr_b", 4).alias("mean_rank_b_approx"),
+                     F.round(z, 4).alias("z_approx"))
+             .orderBy("seg_a", "seg_b"))
+
+DUNN_APPROX_SQL = f"""
+WITH c AS (
+  SELECT c_mktsegment, CAST(c_acctbal AS DOUBLE) AS v FROM customer
+), mm AS (SELECT min(v) AS mn, max(v) AS mx FROM c),
+cells AS (
+  SELECT c_mktsegment, {_sql_bucket('v', 'mn', 'mx', _TWIN_GRID)} AS b,
+         count(*) AS f
+  FROM c CROSS JOIN mm GROUP BY 1, 2
+), buckets AS (
+  SELECT b, sum(f) AS l,
+         sum(sum(f)) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+           - (sum(f) - 1) / 2.0 AS r
+  FROM cells GROUP BY b
+), grp AS (
+  SELECT c_mktsegment, sum(r * f) AS rsum, CAST(sum(f) AS BIGINT) AS ng
+  FROM cells JOIN buckets USING (b) GROUP BY 1
+), gtot AS (
+  SELECT CAST(sum(l) AS DOUBLE) AS n_total,
+         sum(CAST(l AS DOUBLE) * CAST(l AS DOUBLE) * CAST(l AS DOUBLE)
+             - CAST(l AS DOUBLE)) AS tie3
+  FROM buckets
+)
+SELECT a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+       {_TWIN_GRID} AS grid_size,
+       round(a.rsum / a.ng, 4) AS mean_rank_a_approx,
+       round(b.rsum / b.ng, 4) AS mean_rank_b_approx,
+       round((a.rsum / a.ng - b.rsum / b.ng)
+             / sqrt((n_total * (n_total + 1) / 12.0
+                     - tie3 / (12.0 * (n_total - 1)))
+                    * (1.0 / a.ng + 1.0 / b.ng)), 4) AS z_approx
+FROM grp a JOIN grp b ON a.c_mktsegment < b.c_mktsegment
+CROSS JOIN gtot
+ORDER BY seg_a, seg_b
+"""
+
+
+# --------------------------------------------------------------------------
+# A136b. Approx Wilcoxon signed-rank on a fixed uniform grid (100 TB
+# path for A136 — VERDICT r05 #2): the exact form ranks O(#parts)
+# distinct |d| values; here |d| bins to G buckets and W⁺ is the
+# tie-averaged rank sum over ≤ G cells. PROOF BRACKET: equal d values
+# share a bucket and buckets partition by value range, so each
+# bucket's pairs occupy exactly the global rank positions
+# (cum_before, cum_before + l]; tie-averaging within a bucket is a
+# rank-preserving smoothing, so the exact W⁺ (exact-resolution tie
+# averages) lies between "positives take the lowest positions" and
+# "positives take the highest positions":
+#   w_lo = Σ_b tpos·cb + tpos(tpos+1)/2
+#   w_hi = Σ_b tpos·cb + tpos·l − tpos(tpos−1)/2
+# [w_lo, w_hi] MUST contain the exact A136 w_plus (asserted at two
+# SFs in tests/test_round6.py). z uses the standard tie correction
+# with bucket totals as tie runs. Full value-level oracle.
+# --------------------------------------------------------------------------
+
+def wilcoxon_approx_signed_rank(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    G = _TWIN_GRID
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (li.join(p, li.l_partkey == p.p_partkey)
+               .groupBy("p_partkey", "p_retailprice")
+               .agg(F.max(F.col("l_extendedprice") / F.col("l_quantity"))
+                     .alias("peak"))
+               .select((F.col("peak") - F.col("p_retailprice")).alias("d"))
+               .where(F.col("d") != 0)
+               .select("d", F.abs("d").alias("ad")))
+    mm = pairs.agg(F.min("ad").alias("mn"), F.max("ad").alias("mx"))
+    mm = spark.createDataFrame(mm.collect(), schema=mm.schema)
+    j = pairs.crossJoin(F.broadcast(mm))
+    b = _bucket_expr(F.col("ad"), F.col("mn"), F.col("mx"), G)
+    cells = (j.groupBy(b.alias("__gbkt"))
+              .agg(F.count(F.lit(1)).alias("l"),
+                   F.sum((F.col("d") > 0).cast("long")).alias("tpos")))
+    # __gbkt is grid-bounded (≤ _TWIN_GRID rows) by construction
+    w = Window.orderBy("__gbkt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "l", "tpos",
+        (F.sum("l").over(w) - F.col("l")).alias("cb"))
+    ld = F.col("l").cast("double")
+    tp = F.col("tpos").cast("double")
+    cb = F.col("cb").cast("double")
+    agg = cum.agg(
+        F.sum("l").alias("n"),
+        F.sum(tp * (cb + (ld + 1) / 2.0)).alias("wplus"),
+        F.sum(tp * cb + tp * (tp + 1) / 2.0).alias("w_lo"),
+        F.sum(tp * cb + tp * ld - tp * (tp - 1) / 2.0).alias("w_hi"),
+        F.sum(ld * ld * ld - ld).alias("tsum"))
+    n = F.col("n").cast("double")
+    var = (n * (n + 1) * (2 * n + 1) / 24.0 - F.col("tsum") / 48.0)
+    return agg.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.lit(G).alias("grid_size"),
+        F.round("wplus", 2).alias("w_plus_approx"),
+        F.round("w_lo", 2).alias("w_lo"),
+        F.round("w_hi", 2).alias("w_hi"),
+        F.round((F.col("wplus") - n * (n + 1) / 4.0) / F.sqrt(var), 6)
+         .alias("z_approx"))
+
+WILCOXON_APPROX_SQL = f"""
+WITH pairs AS (
+  SELECT max(l.l_extendedprice / l.l_quantity) - p.p_retailprice AS d
+  FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_partkey, p.p_retailprice
+), nz AS (
+  SELECT d, abs(d) AS ad FROM pairs WHERE d <> 0
+), mm AS (SELECT min(ad) AS mn, max(ad) AS mx FROM nz),
+cells AS (
+  SELECT {_sql_bucket('ad', 'mn', 'mx', _TWIN_GRID)} AS b,
+         count(*) AS l,
+         sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS tpos
+  FROM nz CROSS JOIN mm GROUP BY 1
+), cum AS (
+  SELECT CAST(l AS DOUBLE) AS l, CAST(tpos AS DOUBLE) AS tp,
+         CAST(sum(l) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - l
+              AS DOUBLE) AS cb
+  FROM cells
+), agg AS (
+  SELECT CAST(sum(l) AS BIGINT) AS n,
+         sum(tp * (cb + (l + 1) / 2.0)) AS wplus,
+         sum(tp * cb + tp * (tp + 1) / 2.0) AS w_lo,
+         sum(tp * cb + tp * l - tp * (tp - 1) / 2.0) AS w_hi,
+         sum(l * l * l - l) AS tsum
+  FROM cum
+)
+SELECT n AS n_pairs, {_TWIN_GRID} AS grid_size,
+       round(wplus, 2) AS w_plus_approx,
+       round(w_lo, 2) AS w_lo,
+       round(w_hi, 2) AS w_hi,
+       round((wplus - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+             / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2.0 * n + 1) / 24.0
+                    - tsum / 48.0), 6) AS z_approx
+FROM agg
+"""

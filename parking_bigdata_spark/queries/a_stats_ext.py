@@ -1873,3 +1873,73 @@ SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_low,
          AS cohens_h
 FROM g
 """
+
+
+# --------------------------------------------------------------------------
+# A163. Principal-component regression (reference R:575-621, the
+# 주성분 회귀 모형 section — the one reference modeling section
+# without a registry twin until round 6; VERDICT r05 #5): PCA on the
+# TRAIN fold's standardized features (the A22 machinery — one fused
+# covariance scan, driver-side k×k eigh), OLS of the target on the
+# top-2 PC scores (the A21 Gram pass — the scores are codegen'd
+# linear maps, so the Gram scan streams, nothing materializes), then
+# deterministic holdout scoring with 4-dp coefficients and the A23
+# metrics aggregate. Output is ONE row at any scale; total cost is
+# three scans of fixed-size sufficient statistics. The split is the
+# same pmod(orderkey, 5) hash as score_holdout / rf_score_holdout so
+# all three holdout families are comparable side by side.
+#
+# Oracle: expected-parquet (the A22 discipline) — the eigenvectors
+# come from driver-side eigh, not SQL-expressible; determinism across
+# execution geometries is audited by scripts/check_expected.py. The
+# metrics are sign-invariant in the PCs (a flipped eigenvector flips
+# the matching OLS coefficient; predictions are unchanged).
+# --------------------------------------------------------------------------
+
+def pcr_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately COLLINEAR predictors (qty and its net/taxed
+    # variants): PCR's reference use-case is regression under the
+    # multicollinearity its VIF section diagnoses (R:527, 575-621) —
+    # the top-2 PCs absorb >99.9% of the variance with well-separated
+    # eigenvalues (λ ≈ [3.0, 1.0, 2e-3, 4e-4] at the driver SFs), so
+    # component ORDER is robust to execution-geometry FP noise and the
+    # expected-parquet oracle is stable
+    li = (load_table(spark, sf_dir, "lineitem")
+          .withColumn("qty_net", F.col("l_quantity")
+                      * (1 - F.col("l_discount")))
+          .withColumn("qty_taxed", F.col("l_quantity")
+                      * (1 + F.col("l_tax"))))
+    xs = ["l_quantity", "qty_net", "qty_taxed", "l_discount"]
+    y, k = "l_extendedprice", 2
+    train = li.where(F.pmod(F.col("l_orderkey"), F.lit(5)) != 0)
+    vals, vecs, means, stds = ml.pca_fit(train, xs, scale=True)
+
+    def pc_expr(pc: int):
+        expr = F.lit(0.0)
+        for i, c in enumerate(xs):
+            expr = expr + ((F.col(c) - float(means[i])) / float(stds[i])
+                           ) * float(vecs[i, pc])
+        return expr
+
+    scores = train.select(F.col(y),
+                          *[pc_expr(i).alias(f"pc{i + 1}")
+                            for i in range(k)])
+    fit = ml.ols_fit(scores, [f"pc{i + 1}" for i in range(k)], y)
+    b = [round(fit["intercept"], 4)] + [round(fit[f"coef_pc{i + 1}"], 4)
+                                        for i in range(k)]
+    pred = F.lit(b[0])
+    for i in range(k):
+        pred = pred + F.lit(b[i + 1]) * pc_expr(i)
+    test = li.where(F.pmod(F.col("l_orderkey"), F.lit(5)) == 0)
+    explained = float(vals[:k].sum() / vals.sum())
+    m = ml.eval_metrics(test, y, pred)
+    # r2 sits at ~0 on this synthetic data (corr(qty, price) ≈ 0.003
+    # by generator design — score_holdout shares this) and the rounded
+    # value can land on IEEE −0.0 under one summation order and +0.0
+    # under another; normalize with + 0.0 (round-5 standing rule for
+    # near-zero rounded outputs)
+    return m.select(F.col("n").alias("n_test"),
+                    F.lit(k).alias("k_components"),
+                    F.lit(round(explained, 4)).alias("explained_ratio"),
+                    "rmse", "mape",
+                    (F.col("r2") + F.lit(0.0)).alias("r2"))

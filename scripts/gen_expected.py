@@ -83,6 +83,12 @@ EXPECTED_ORACLE_QUERIES = [
     "gbt_feature_importance",
     "bagged_trees_importance",
     "rf_score_holdout",
+    # PCR (round 6): fused covariance scan -> driver eigh -> Gram-pass
+    # OLS on the scores -> one metrics aggregate; the retained
+    # eigenvalues are well separated (3.0 / 1.0 vs 2e-3) so component
+    # order is geometry-stable, and the metrics are sign-invariant in
+    # the eigenvectors
+    "pcr_holdout",
 ]
 
 

@@ -1,0 +1,96 @@
+"""Round-6 additions (VERDICT r05 next-round asks #2/#5/#7): proof
+brackets on the GK MAD twin, grid twins for the last exact-rank
+operators (PR-AUC / Dunn / Wilcoxon signed-rank), and the
+principal-component-regression composition — each bound-checked
+against its exact counterpart at TWO SFs (the A18gb discipline)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from parking_bigdata_spark import queries as Q
+from parking_bigdata_spark.io import load_table
+from parking_bigdata_spark.operators import stats
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_mad_approx_brackets_contain_exact(spark, sf):
+    """VERDICT r05 #7: the GK twin's [med_lo, med_hi] must CONTAIN the
+    exact A63 median (the ±4/accuracy probe cushion — same guarantee
+    grouped_quantiles' exact refine is built on), and [mad_lo, mad_hi]
+    must contain the exact median of |v − median_price_approx| (the
+    deviation median around the emitted center). Brackets must also be
+    tight enough to be useful, not vacuous."""
+    exact = {r["l_returnflag"]: r
+             for r in Q.mad_price_by_flag(spark, sf).collect()}
+    ap = {r["l_returnflag"]: r
+          for r in Q.mad_approx_price_by_flag(spark, sf).collect()}
+    assert set(ap) == set(exact)
+
+    # exact deviation median AROUND THE EMITTED approx center
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("v"))
+    centers = spark.createDataFrame(
+        [(k, float(v["median_price_approx"])) for k, v in ap.items()],
+        "l_returnflag string, c double")
+    dev = (li.join(F.broadcast(centers), "l_returnflag")
+             .select("l_returnflag",
+                     F.abs(F.col("v") - F.col("c")).alias("adev")))
+    dev_med = {r["l_returnflag"]: r["m"]
+               for r in stats.grouped_median(dev, "l_returnflag", "adev",
+                                             alias="m").collect()}
+
+    for flag, row in ap.items():
+        e = exact[flag]
+        assert row["med_lo"] <= e["median_price"] <= row["med_hi"], flag
+        assert row["mad_lo"] <= dev_med[flag] <= row["mad_hi"], flag
+        # tightness: the cushion is ±4/accuracy in rank — on these
+        # smooth distributions that is well under 1% in value
+        assert (row["med_hi"] - row["med_lo"]) / e["median_price"] < 0.01
+        assert (row["mad_hi"] - row["mad_lo"]) / e["mad"] < 0.02, flag
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_pr_auc_approx_close_to_exact(spark, sf):
+    """Average precision of the 256-bucket binned blocks converges to
+    the exact tie-block AP; measured |delta| <= 2e-4 at the driver
+    SFs, asserted within 2e-3."""
+    exact = Q.pr_auc_order_status(spark, sf).collect()[0]
+    ap = Q.pr_auc_approx_order_status(spark, sf).collect()[0]
+    assert ap["n_pos"] == exact["n_pos"]
+    assert ap["n_neg"] == exact["n_neg"]
+    assert abs(ap["average_precision_approx"]
+               - exact["average_precision"]) < 2e-3
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_dunn_approx_close_to_exact(spark, sf):
+    """Dunn's pairwise z on the binned ranks tracks the exact test;
+    measured |delta z| <= 0.01 per pair at the driver SFs, asserted
+    within 0.05 (the same decision at any sane alpha)."""
+    exact = {(r["seg_a"], r["seg_b"]): r
+             for r in Q.dunn_posthoc_segments(spark, sf).collect()}
+    ap = {(r["seg_a"], r["seg_b"]): r
+          for r in Q.dunn_approx_segments(spark, sf).collect()}
+    assert set(ap) == set(exact)
+    for pair, row in ap.items():
+        e = exact[pair]
+        assert abs(row["z_approx"] - e["z_stat"]) < 0.05, pair
+        assert abs(row["mean_rank_a_approx"] - e["mean_rank_a"]) \
+            / e["mean_rank_a"] < 0.005, pair
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_wilcoxon_approx_brackets_exact(spark, sf):
+    """[w_lo, w_hi] is a PROOF bracket for the exact W+ (tie-averaging
+    within a bucket is rank-preserving smoothing — see the A136b
+    docstring), and the tie-averaged midpoint tracks the exact z."""
+    exact = Q.wilcoxon_signed_rank(spark, sf).collect()[0]
+    ap = Q.wilcoxon_approx_signed_rank(spark, sf).collect()[0]
+    assert ap["n_pairs"] == exact["n_pairs"]
+    assert ap["w_lo"] - 1e-2 <= exact["w_plus"] <= ap["w_hi"] + 1e-2
+    assert abs(ap["z_approx"] - exact["z_stat"]) < 0.05
