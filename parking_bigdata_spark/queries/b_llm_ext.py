@@ -1348,10 +1348,10 @@ ORDER BY cluster_size
 # — VERDICT r04 #7, the B54 relational-Bloom idea as a depth-1
 # counting filter): B64's digest shuffle is O(tokens). This twin
 # splits the grams with ONE bounded cell-count pass first: each
-# per-doc-distinct gram digest maps to a 20-bit cell (md5-derived);
-# per-cell totals are a map-side-combined aggregate whose STATE IS
-# O(cells) (2^20 rows) no matter the corpus size, and only the HOT
-# cells (count >= 2, still <= 2^20 rows) broadcast back. A gram in a
+# per-doc-distinct gram digest maps to a corpus-sized md5 cell
+# (16^5..16^8 — _cms_hex_chars); per-cell totals are a map-side-
+# combined aggregate whose STATE IS O(cells) no matter the corpus
+# size, and only the HOT cells (count >= 2) broadcast back. A gram in a
 # COLD cell is PROVABLY corpus-unique (its row is the cell's only
 # one), so it never shuffles by digest — per-source counts of those
 # rows come straight off the scan. Only candidates (hot cells: true
@@ -1365,42 +1365,84 @@ ORDER BY cluster_size
 # unique), while on an adversarially all-duplicated corpus (the
 # replicated stress set) the candidate set is necessarily the corpus
 # and the twin degrades to ~2x the exact form, measured in SCALE.md.
-# At a real 100 TB corpus the cell space scales with the corpus
-# (2^20 -> 2^32: state stays O(cells)).
+# The cell space scales with the corpus (round 6: 16^5 -> 16^8 ~
+# 2^20 -> 2^32 by estimated tagged rows, load factor <= 1/4 — see
+# _cms_hex_chars); the hot-cell broadcast is bounded by occupied->=2
+# cells, never the cell count.
 # --------------------------------------------------------------------------
 
-#: 16^5 = 2^20 cells — the hot-cell broadcast stays <= ~10 MB even
-#: fully saturated; raise with corpus size (the knob is the state).
-_CMS_HEX_CHARS = 5
+#: Corpus-aware cell-space bounds (VERDICT r05 #3 — the fixed 2^20
+#: constant saturated by design at true corpus scale: with ~10^12
+#: distinct grams every 20-bit cell holds >= 2 rows and the prefilter
+#: prunes nothing). Cells now scale with the ESTIMATED tagged-row
+#: count: the smallest hex-prefix width whose 16^h cell space is >=
+#: _CMS_LOAD_FACTOR x the estimate, clamped to [5, 8] (2^20 .. 2^32).
+#: At load <= 1/4 a globally-unique row is alone in its cell with
+#: probability ~e^(-1/4) ~ 78%, so the filter keeps most of its
+#: pruning power as the corpus grows. The HOT-cell broadcast is
+#: bounded by OCCUPIED >= 2 cells — at most (distinct duplicated
+#: digests + expected hash-collision pairs ~ rows^2 / 2·cells), never
+#: by the total cell count, so generous cell spaces cost nothing:
+#: measured hot-cell relations stay well under 1M rows through the
+#: 100x stress tiers in both the all-dup and unique-heavy regimes
+#: (SCALE.md round-6). Non-saturation (cold fraction > 0) is asserted
+#: at the driver SFs in tests/test_round6.py and at the 20x/100x
+#: unique-heavy stress tiers in SCALE.md.
+_CMS_MIN_HEX = 5
+_CMS_MAX_HEX = 8
+_CMS_LOAD_FACTOR = 4
+#: Tagged-row estimates per document, padded ~35% above the measured
+#: testdata shape (~54 tokens/doc => ~47 distinct word 8-grams and
+#: ~18 stride-3 chunks): the estimate only sizes the cell space and
+#: the materialization gate — CORRECTNESS NEVER DEPENDS ON IT (the
+#: split is lossless at any cell count; a low estimate only costs
+#: pruning power, a high one only cells).
+_CMS_GRAMS_PER_DOC = 64
+_CMS_CHUNKS_PER_DOC = 32
 
 
-def _cms_pos(col: str):
-    """The 20-bit counting-filter cell for a digest column (md5-based
-    like B54; no SQL mirror needed — the oracle is the exact query)."""
+def _cms_hex_chars(est_rows: int) -> int:
+    """Smallest md5 hex-prefix width h with 16^h >= _CMS_LOAD_FACTOR x
+    est_rows, clamped to [_CMS_MIN_HEX, _CMS_MAX_HEX] — integer
+    arithmetic, no float log edge cases."""
+    need = max(1, _CMS_LOAD_FACTOR * est_rows)
+    h = _CMS_MIN_HEX
+    while h < _CMS_MAX_HEX and 16 ** h < need:
+        h += 1
+    return h
+
+
+def _cms_pos(col: str, hex_chars: int):
+    """The counting-filter cell for a digest column (md5-based like
+    B54; no SQL mirror needed — the oracle is the exact query)."""
     return F.conv(F.substring(
-        F.md5(F.concat(F.lit("cms|"), F.col(col))), 1, _CMS_HEX_CHARS),
+        F.md5(F.concat(F.lit("cms|"), F.col(col))), 1, hex_chars),
         16, 10).cast("long")
 
 
 #: Auto-materialization bound for the tagged digest table (the
-#: pagerank auto-state pattern): the cell-count pass and the filtered
-#: continuation both consume it, so below this many DOCUMENTS the
-#:  table localCheckpoints (one scan, cheap at driver/stress sizes);
+#: pagerank auto-state pattern), gated on the ESTIMATED EXPLODED ROW
+#: count — not the document count (ADVICE r05: the frame being
+#: materialized is the per-doc-distinct gram/chunk table, 1-2 orders
+#: of magnitude more rows than docs): below this many tagged rows the
+#: table localCheckpoints (one scan, cheap at driver/stress sizes);
 #: above it the scan re-runs instead — at corpus scale recomputing a
 #: projection beats materializing O(corpus) state.
-_CMS_MATERIALIZE_MAX_DOCS = 10_000_000
+_CMS_MATERIALIZE_MAX_ROWS = 50_000_000
 
 
-def _cms_split(tagged: DataFrame, n_docs: int):
-    """One bounded cell-count pass + one broadcast left join: returns
-    the input with ``__hot`` (cell count, NULL iff the row's cell is
-    cold i.e. the row is provably globally unique). ``tagged`` must
-    carry ``__cpos``."""
-    if n_docs <= _CMS_MATERIALIZE_MAX_DOCS:
+def _cms_split(frame: DataFrame, digest_col: str, est_rows: int):
+    """Tag ``frame`` with its corpus-sized counting-filter cell, then
+    one bounded cell-count pass + one broadcast left join: returns the
+    input with ``__hot`` (cell count, NULL iff the row's cell is cold,
+    i.e. the row is provably globally unique)."""
+    tagged = frame.withColumn(
+        "__cpos", _cms_pos(digest_col, _cms_hex_chars(est_rows)))
+    if est_rows <= _CMS_MATERIALIZE_MAX_ROWS:
         tagged = tagged.localCheckpoint(eager=True)
     hot = (tagged.groupBy("__cpos")
                  .agg(F.count(F.lit(1)).alias("__hot"))
-                 .where(F.col("__hot") >= 2))   # <= 2^20 rows
+                 .where(F.col("__hot") >= 2))  # occupied->=2 cells only
     return tagged.join(F.broadcast(hot), "__cpos", "left")
 
 
@@ -1419,11 +1461,44 @@ def _word8_grams(docs: DataFrame) -> DataFrame:
                                 " ", F.slice("t", i + 1, 8)))))).alias("g")))
 
 
+def cms_prefilter_stats(spark: SparkSession, sf_dir: str,
+                        kind: str = "grams") -> DataFrame:
+    """Instrumentation for the counting-filter twins (NOT a registered
+    query — test/stress evidence only): one row with the chosen cell
+    width, tagged-row count, provably-unique (cold) rows and fraction,
+    and the hot-cell broadcast size. ``cold_fraction`` is the twins'
+    pruning power — the non-saturation assertion (cold_fraction > 0 in
+    the unique-heavy regime) lives on this output in
+    tests/test_round6.py and the SCALE.md stress ledger."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    if kind == "grams":
+        frame, col, est = (_word8_grams(docs), "g",
+                           n_docs * _CMS_GRAMS_PER_DOC)
+    else:
+        from ..operators import text as text_ops
+        frame, col, est = (text_ops.chunk_tokens(docs, size=3, stride=3)
+                           .select("doc_id", "chunk_md5"),
+                           "chunk_md5", n_docs * _CMS_CHUNKS_PER_DOC)
+    j = _cms_split(frame, col, est)
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("__hot").isNull().cast("long")).alias("n_cold"),
+        F.countDistinct(F.when(F.col("__hot").isNotNull(),
+                               F.col("__cpos"))).alias("n_hot_cells"))
+    return agg.select(
+        F.lit(_cms_hex_chars(est)).alias("hex_chars"),
+        "n_rows", "n_cold",
+        F.round(F.col("n_cold") / F.col("n_rows").cast("double"), 4)
+         .alias("cold_fraction"),
+        "n_hot_cells")
+
+
 def gram_novelty_bloom_by_source(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    grams = _word8_grams(docs).withColumn("__cpos", _cms_pos("g"))
-    j = _cms_split(grams, docs.count())
+    grams = _word8_grams(docs)
+    j = _cms_split(grams, "g", docs.count() * _CMS_GRAMS_PER_DOC)
     # definitely-unique grams: one row corpus-wide — count rows per
     # source, no digest shuffle
     du = (j.where(F.col("__hot").isNull())
@@ -1466,8 +1541,8 @@ GRAM_NOVELTY_BLOOM_SQL = GRAM_NOVELTY_SQL
 # B43b. Counting-filter-prefiltered duplicate passages (100 TB path
 # for B43 — VERDICT r04 #7): B43 shuffles EVERY chunk digest to find
 # repeated passages; at 100 TB that shuffle is O(chunks) while true
-# duplicates are rare. Same split as B64b: one bounded 2^20-cell
-# count (map-side-combined, state O(cells)); a chunk occurring >= 2
+# duplicates are rare. Same split as B64b: one bounded corpus-sized
+# cell count (map-side-combined, state O(cells)); a chunk occurring >= 2
 # times always lands in a hot cell, so cold-cell chunks drop BEFORE
 # the digest shuffle and only candidates feed B43's exact aggregate.
 # Output identical to B43 => oracle is B43's SQL (the lossless-
@@ -1478,9 +1553,10 @@ GRAM_NOVELTY_BLOOM_SQL = GRAM_NOVELTY_SQL
 def duplicate_chunks_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ch = (text_ops.chunk_tokens(docs, size=3, stride=3)
-          .select("doc_id", "chunk_md5")
-          .withColumn("__cpos", _cms_pos("chunk_md5")))
-    cand = _cms_split(ch, docs.count()).where(F.col("__hot").isNotNull())
+          .select("doc_id", "chunk_md5"))
+    cand = (_cms_split(ch, "chunk_md5",
+                       docs.count() * _CMS_CHUNKS_PER_DOC)
+            .where(F.col("__hot").isNotNull()))
     return (cand.groupBy("chunk_md5")
                 .agg(F.count(F.lit(1)).alias("n_total"),
                      F.countDistinct("doc_id").alias("n_docs"),

@@ -24,6 +24,13 @@ from parking_bigdata_spark.session import get_spark  # noqa: E402
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stress"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    # "unique" mode (VERDICT r05 #3): salt every document token with
+    # the replica index, so replicated docs share NO word n-grams /
+    # chunks — the production-shaped UNIQUE-HEAVY corpus the counting-
+    # filter prefilters are designed for (the default replicated mode
+    # is all-duplicate: adversarial for any prefilter, since every
+    # candidate is a true duplicate nothing can prune)
+    unique_docs = len(sys.argv) > 3 and sys.argv[3] == "unique"
     sf = os.environ.get("SPARK_GRAFT_BASE_SF", "/root/testdata/sf0.1")
     spark = get_spark("make_stress")
     reps = spark.range(factor).withColumnRenamed("id", "rep")
@@ -53,9 +60,18 @@ def main() -> None:
     corpus_factor = max(2, factor // 4)
     creps = spark.range(corpus_factor).withColumnRenamed("id", "rep")
 
-    docs = load_table(spark, sf, "documents")
-    (docs.crossJoin(creps)
-         .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+    docs = load_table(spark, sf, "documents").crossJoin(creps)
+    if unique_docs:
+        # append the replica tag to EVERY token: every word n-gram and
+        # every token chunk becomes replica-distinct, while the base
+        # corpus's intra-replica duplicate structure is preserved
+        salted = F.array_join(
+            F.transform(F.split("text", " "),
+                        lambda t: F.concat(t, F.lit("u"),
+                                           F.col("rep").cast("string"))),
+            " ")
+        docs = docs.withColumn("text", salted)
+    (docs.withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
          .drop("rep").repartition(16)
          .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
 

@@ -118,14 +118,13 @@ def test_cms_prefilter_actually_prunes(spark, sf):
     from pyspark.sql import functions as F
     from parking_bigdata_spark.io import load_table
     from parking_bigdata_spark.operators import text as text_ops
-    from parking_bigdata_spark.queries.b_llm_ext import (_cms_pos,
-                                                         _cms_split)
+    from parking_bigdata_spark.queries.b_llm_ext import (
+        _CMS_CHUNKS_PER_DOC, _cms_split)
 
     docs = load_table(spark, sf, "documents")
     ch = (text_ops.chunk_tokens(docs, size=3, stride=3)
-          .select("doc_id", "chunk_md5")
-          .withColumn("__cpos", _cms_pos("chunk_md5")))
-    j = _cms_split(ch, docs.count())
+          .select("doc_id", "chunk_md5"))
+    j = _cms_split(ch, "chunk_md5", docs.count() * _CMS_CHUNKS_PER_DOC)
     total = ch.count()
     cand = j.where(F.col("__hot").isNotNull()).count()
     assert cand < total, (cand, total)
