@@ -715,18 +715,14 @@ ORDER BY seg_a, seg_b
 # with bucket totals as tie runs. Full value-level oracle.
 # --------------------------------------------------------------------------
 
-def wilcoxon_approx_signed_rank(spark: SparkSession,
-                                sf_dir: str) -> DataFrame:
-    G = _TWIN_GRID
-    p = load_table(spark, sf_dir, "part")
-    li = load_table(spark, sf_dir, "lineitem")
-    pairs = (li.join(p, li.l_partkey == p.p_partkey)
-               .groupBy("p_partkey", "p_retailprice")
-               .agg(F.max(F.col("l_extendedprice") / F.col("l_quantity"))
-                     .alias("peak"))
-               .select((F.col("peak") - F.col("p_retailprice")).alias("d"))
-               .where(F.col("d") != 0)
-               .select("d", F.abs("d").alias("ad")))
+def _wilcoxon_grid(pairs: DataFrame, G: int) -> DataFrame:
+    """The grid-binned signed-rank core over a (d, ad) pair frame —
+    parametrized by G so the bracket THEOREM is testable on coarse
+    grids (tests/test_round6.py randomized containment tests drive
+    G=4..8, where brackets are wide and actually exercised; the
+    registered query uses _TWIN_GRID, where this corpus degenerates
+    to exact)."""
+    spark = pairs.sparkSession
     mm = pairs.agg(F.min("ad").alias("mn"), F.max("ad").alias("mx"))
     mm = spark.createDataFrame(mm.collect(), schema=mm.schema)
     j = pairs.crossJoin(F.broadcast(mm))
@@ -758,6 +754,21 @@ def wilcoxon_approx_signed_rank(spark: SparkSession,
         F.round("w_hi", 2).alias("w_hi"),
         F.round((F.col("wplus") - n * (n + 1) / 4.0) / F.sqrt(var), 6)
          .alias("z_approx"))
+
+
+def wilcoxon_approx_signed_rank(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (li.join(p, li.l_partkey == p.p_partkey)
+               .groupBy("p_partkey", "p_retailprice")
+               .agg(F.max(F.col("l_extendedprice") / F.col("l_quantity"))
+                     .alias("peak"))
+               .select((F.col("peak") - F.col("p_retailprice")).alias("d"))
+               .where(F.col("d") != 0)
+               .select("d", F.abs("d").alias("ad")))
+    return _wilcoxon_grid(pairs, _TWIN_GRID)
+
 
 WILCOXON_APPROX_SQL = f"""
 WITH pairs AS (

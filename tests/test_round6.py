@@ -141,3 +141,80 @@ def test_cms_twins_still_equal_exact_after_resize(spark, sf):
         exact = sorted(map(tuple, exact_fn(spark, sf).collect()))
         twin = sorted(map(tuple, twin_fn(spark, sf).collect()))
         assert twin == exact, key
+
+
+def _exact_wplus(d):
+    """Reference W+ (tie-averaged ranks of |d|, summed over d>0) in
+    plain numpy — the textbook definition, independent of any Spark
+    machinery."""
+    import numpy as np
+    d = np.asarray(d, dtype=float)
+    ad = np.abs(d)
+    order = np.argsort(ad, kind="mergesort")
+    ranks = np.empty(len(d))
+    sad = ad[order]
+    i, r = 0, 1
+    while i < len(d):
+        j = i
+        while j < len(d) and sad[j] == sad[i]:
+            j += 1
+        ranks[order[i:j]] = (r + (r + (j - i) - 1)) / 2.0
+        r += j - i
+        i = j
+    return float(ranks[d > 0].sum())
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("grid", [4, 8])
+def test_wilcoxon_bracket_theorem_randomized(spark, seed, grid):
+    """The containment theorem itself, exercised where it is NOT
+    degenerate: random signed data (continuous + heavy-tie mixtures)
+    on deliberately COARSE grids (G=4/8), where many pairs share a
+    bucket and [w_lo, w_hi] is genuinely wide — the exact W+ must
+    land inside for every draw."""
+    import numpy as np
+    from parking_bigdata_spark.queries.a_scale_twins import _wilcoxon_grid
+    rng = np.random.default_rng(seed)
+    if seed % 2 == 0:
+        d = np.round(rng.normal(0.3, 1.0, 150), 1)   # rounded: many ties
+    else:
+        d = rng.choice([-3.0, -1.5, -0.5, 0.5, 1.5, 2.5, 4.0], 150)
+    d = d[d != 0.0]
+    df = spark.createDataFrame(
+        [(float(x), float(abs(x))) for x in d], "d double, ad double")
+    row = _wilcoxon_grid(df, grid).collect()[0]
+    exact = _exact_wplus(d)
+    assert row["n_pairs"] == len(d)
+    assert row["w_lo"] - 1e-2 <= exact <= row["w_hi"] + 1e-2, (
+        seed, grid, exact, row)
+    # coarse grids must produce genuinely wide brackets for the
+    # continuous mixture — the theorem is being exercised, not
+    # trivially satisfied
+    if seed % 2 == 0:
+        assert row["w_hi"] > row["w_lo"]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_gk_median_bracket_randomized(spark, seed):
+    """The ±4/accuracy GK probe cushion must bracket the exact
+    percentile_cont median on arbitrary shapes — heavy ties, skew,
+    and a group smaller than the sketch accuracy (where GK stores
+    everything and the bracket degenerates to exact)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    acc = 1000
+    eps = 4.0 / acc
+    groups = {
+        "ties": rng.choice([1.0, 2.0, 2.0, 3.0, 50.0], 5000),
+        "skew": np.exp(rng.normal(0, 2, 5000)),
+        "tiny": rng.normal(10, 1, 37),
+    }
+    rows = [(g, float(v)) for g, vals in groups.items() for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    br = {r["g"]: r for r in stats.grouped_quantiles_approx(
+        df, "g", "v", [0.5 - eps, 0.5, 0.5 + eps],
+        ["lo", "mid", "hi"], accuracy=acc).collect()}
+    exact = {r["g"]: r["m"] for r in stats.grouped_median(
+        df, "g", "v", alias="m", accuracy=acc).collect()}
+    for g in groups:
+        assert br[g]["lo"] <= exact[g] <= br[g]["hi"], (g, br[g], exact[g])
