@@ -218,3 +218,48 @@ def test_gk_median_bracket_randomized(spark, seed):
         df, "g", "v", alias="m", accuracy=acc).collect()}
     for g in groups:
         assert br[g]["lo"] <= exact[g] <= br[g]["hi"], (g, br[g], exact[g])
+
+
+def test_pcr_holdout_matches_numpy(spark):
+    """Semantic cross-check for the PCR composition (the
+    expected-parquet oracle pins determinism, not semantics): the
+    whole pipeline — standardized train-fold PCA, OLS on top-2 PC
+    scores with 4-dp coefficients, holdout metrics — re-derived in
+    pure numpy from the collected sf0.001 fold must reproduce the
+    registered query's rmse/mape/r2 (sign-invariance of the metrics
+    in the eigenvectors makes the comparison well-posed)."""
+    import numpy as np
+    sf = "/root/testdata/sf0.001"
+    row = Q.pcr_holdout(spark, sf).collect()[0]
+
+    li = (load_table(spark, sf, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_discount", "l_tax",
+                  "l_extendedprice").toPandas())
+    X = np.column_stack([
+        li["l_quantity"],
+        li["l_quantity"] * (1 - li["l_discount"]),
+        li["l_quantity"] * (1 + li["l_tax"]),
+        li["l_discount"]]).astype(float)
+    y = li["l_extendedprice"].to_numpy(dtype=float)
+    train = (li["l_orderkey"] % 5 != 0).to_numpy()
+    mu, sd = X[train].mean(0), X[train].std(0, ddof=1)
+    C = np.corrcoef(X[train], rowvar=False)
+    # match pca_fit: covariance of standardized == correlation matrix
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1]
+    V = vecs[:, order][:, :2]
+    S_train = ((X[train] - mu) / sd) @ V
+    A = np.column_stack([np.ones(len(S_train)), S_train])
+    beta = np.linalg.solve(A.T @ A, A.T @ y[train])
+    b = np.round(beta, 4)
+    S_test = ((X[~train] - mu) / sd) @ V
+    pred = b[0] + S_test @ b[1:]
+    yt = y[~train]
+    rmse = float(np.sqrt(np.mean((yt - pred) ** 2)))
+    mape = float(np.mean(np.abs((yt - pred) / yt)))
+    sst = float((yt ** 2).sum() - yt.sum() ** 2 / len(yt))
+    r2 = 1.0 - float(((yt - pred) ** 2).sum()) / sst
+    assert row["n_test"] == int((~train).sum())
+    assert abs(row["rmse"] - rmse) < max(1e-2, 1e-5 * rmse)
+    assert abs(row["mape"] - mape) < 1e-3
+    assert abs(row["r2"] - r2) < 1e-3
