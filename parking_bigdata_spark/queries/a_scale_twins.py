@@ -168,12 +168,12 @@ FROM jj
 # as the estimate. One bounded groupBy + one ≤ G-row window.
 # --------------------------------------------------------------------------
 
-def roc_auc_approx_order_status(spark: SparkSession,
-                                sf_dir: str) -> DataFrame:
-    G = _TWIN_GRID
-    o = load_table(spark, sf_dir, "orders")
-    d = o.select((F.col("o_orderstatus") == "F").cast("int").alias("pos"),
-                 F.col("o_totalprice").cast("double").alias("v"))
+def _roc_grid(d: DataFrame, G: int) -> DataFrame:
+    """Grid-binned ROC core over a (pos, v) frame — parametrized by G
+    so the [auc_lo, auc_hi] bracket theorem is testable on coarse
+    grids where the bracket is genuinely wide
+    (tests/test_round6.py randomized containment tests)."""
+    spark = d.sparkSession
     mm = d.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
     mm = spark.createDataFrame(mm.collect(), schema=mm.schema)
     j = d.crossJoin(F.broadcast(mm))
@@ -200,6 +200,15 @@ def roc_auc_approx_order_status(spark: SparkSession,
                       F.round(auc_lo, 4).alias("auc_lo"),
                       F.round(auc_hi, 4).alias("auc_hi"),
                       F.round(2 * auc_mid - 1, 4).alias("gini_approx"))
+
+
+def roc_auc_approx_order_status(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select((F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+                 F.col("o_totalprice").cast("double").alias("v"))
+    return _roc_grid(d, _TWIN_GRID)
+
 
 ROC_AUC_APPROX_SQL = f"""
 WITH d AS (
@@ -329,14 +338,12 @@ FROM tot, ties
 # tie correction with bucket totals as tie runs.
 # --------------------------------------------------------------------------
 
-def mannwhitney_approx_order_value(spark: SparkSession,
-                                   sf_dir: str) -> DataFrame:
-    G = _TWIN_GRID
-    g1, g2 = "1-URGENT", "5-LOW"
-    o = load_table(spark, sf_dir, "orders")
-    d = (o.where(F.col("o_orderpriority").isin(g1, g2))
-          .select((F.col("o_orderpriority") == g1).cast("int").alias("i1"),
-                  F.col("o_totalprice").cast("double").alias("v")))
+def _mw_grid(d: DataFrame, G: int, n1_alias: str = "n1",
+             n2_alias: str = "n2") -> DataFrame:
+    """Grid-binned Mann-Whitney core over an (i1, v) frame —
+    parametrized by G so the [u_lo, u_hi] bracket theorem is testable
+    on coarse grids (tests/test_round6.py)."""
+    spark = d.sparkSession
     mm = d.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
     mm = spark.createDataFrame(mm.collect(), schema=mm.schema)
     j = d.crossJoin(F.broadcast(mm))
@@ -360,8 +367,8 @@ def mannwhitney_approx_order_value(spark: SparkSession,
     mu = n1d * n2d / 2.0
     sig2 = (n1d * n2d / 12.0) * ((nd + 1)
                                  - F.col("tie3") / (nd * (nd - 1)))
-    return agg.select(F.col("n1").cast("long").alias("n_urgent"),
-                      F.col("n2").cast("long").alias("n_low"),
+    return agg.select(F.col("n1").cast("long").alias(n1_alias),
+                      F.col("n2").cast("long").alias(n2_alias),
                       F.lit(G).alias("grid_size"),
                       F.round(u_mid, 4).alias("u_approx"),
                       F.round(F.col("u_lo"), 4).alias("u_lo"),
@@ -369,6 +376,17 @@ def mannwhitney_approx_order_value(spark: SparkSession,
                        .alias("u_hi"),
                       F.round((u_mid - mu) / F.sqrt(sig2), 4)
                        .alias("z_approx"))
+
+
+def mannwhitney_approx_order_value(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    g1, g2 = "1-URGENT", "5-LOW"
+    o = load_table(spark, sf_dir, "orders")
+    d = (o.where(F.col("o_orderpriority").isin(g1, g2))
+          .select((F.col("o_orderpriority") == g1).cast("int").alias("i1"),
+                  F.col("o_totalprice").cast("double").alias("v")))
+    return _mw_grid(d, _TWIN_GRID, "n_urgent", "n_low")
+
 
 MANNWHITNEY_APPROX_SQL = f"""
 WITH d AS (

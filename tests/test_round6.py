@@ -263,3 +263,55 @@ def test_pcr_holdout_matches_numpy(spark):
     assert abs(row["rmse"] - rmse) < max(1e-2, 1e-5 * rmse)
     assert abs(row["mape"] - mape) < 1e-3
     assert abs(row["r2"] - r2) < 1e-3
+
+
+def _tie_avg_ranks_np(v):
+    import numpy as np
+    v = np.asarray(v, dtype=float)
+    order = np.argsort(v, kind="mergesort")
+    ranks = np.empty(len(v))
+    sv = v[order]
+    i, r = 0, 1
+    while i < len(v):
+        j = i
+        while j < len(v) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (r + (r + (j - i) - 1)) / 2.0
+        r += j - i
+        i = j
+    return ranks
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("grid", [4, 8])
+def test_roc_mw_brackets_theorem_randomized(spark, seed, grid):
+    """[auc_lo, auc_hi] and [u_lo, u_hi] must contain the exact
+    tie-averaged AUC / U on random labeled data at COARSE grids —
+    exercising the strictly-ordered-cross-bucket argument where
+    within-bucket pairs (the unknown) dominate."""
+    import numpy as np
+    from parking_bigdata_spark.queries.a_scale_twins import (_mw_grid,
+                                                             _roc_grid)
+    rng = np.random.default_rng(seed)
+    lab = (rng.random(200) < 0.4).astype(int)
+    if seed % 2 == 0:
+        v = np.round(rng.normal(0, 1, 200) + 0.8 * lab, 1)  # ties
+    else:
+        v = rng.normal(0, 1, 200) + 0.5 * lab               # continuous
+    ranks = _tie_avg_ranks_np(v)
+    n1, n0 = int(lab.sum()), int((1 - lab).sum())
+    u_exact = float(ranks[lab == 1].sum()) - n1 * (n1 + 1) / 2.0
+    auc_exact = u_exact / (n1 * n0)
+
+    df = spark.createDataFrame(
+        [(int(p), float(x)) for p, x in zip(lab, v)], "pos int, v double")
+    r = _roc_grid(df, grid).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (n1, n0)
+    assert r["auc_lo"] - 1e-4 <= auc_exact <= r["auc_hi"] + 1e-4, (
+        seed, grid, auc_exact, r)
+    assert r["auc_hi"] > r["auc_lo"]  # coarse grid: bracket is real
+
+    m = _mw_grid(df.withColumnRenamed("pos", "i1"), grid).collect()[0]
+    assert (m["n1"], m["n2"]) == (n1, n0)
+    assert m["u_lo"] - 1e-2 <= u_exact <= m["u_hi"] + 1e-2, (
+        seed, grid, u_exact, m)
