@@ -1019,14 +1019,13 @@ FROM d
 _KS_GRID = 128
 
 
-def ks_approx_order_value_priority(spark: SparkSession,
-                                   sf_dir: str) -> DataFrame:
-    G = _KS_GRID
-    g1, g2 = "1-URGENT", "5-LOW"
-    o = load_table(spark, sf_dir, "orders")
-    d = (o.where(F.col("o_orderpriority").isin(g1, g2))
-          .select(F.col("o_totalprice").cast("double").alias("v"),
-                  (F.col("o_orderpriority") == g1).cast("int").alias("i1")))
+def _ks_grid(d: DataFrame, G: int, n1_alias: str = "n1",
+             n2_alias: str = "n2") -> DataFrame:
+    """Grid-binned two-sample-KS core over a (v, i1) frame —
+    parametrized by G so the [ks_d_approx, ks_d_upper] bracket
+    theorem is testable on coarse grids (tests/test_round6.py
+    randomized containment tests)."""
+    spark = d.sparkSession
     mm = d.agg(F.min("v").alias("mn"), F.max("v").alias("mx"),
                F.sum("i1").alias("t1"),
                F.sum(1 - F.col("i1")).alias("t2"))
@@ -1058,7 +1057,7 @@ def ks_approx_order_value_priority(spark: SparkSession,
                                     -diff + F.col("f1") / t1d))
                     .alias("du")))
     return fin.select(
-        F.col("t1").alias("n_urgent"), F.col("t2").alias("n_low"),
+        F.col("t1").alias(n1_alias), F.col("t2").alias(n2_alias),
         F.lit(G).alias("grid_size"),
         F.round("d", 4).alias("ks_d_approx"),
         F.round("du", 4).alias("ks_d_upper"),
@@ -1068,6 +1067,17 @@ def ks_approx_order_value_priority(spark: SparkSession,
                        * F.col("t2").cast("double")
                        / (F.col("t1") + F.col("t2")).cast("double"))
                 * F.col("d"), 4).alias("ks_stat_approx"))
+
+
+def ks_approx_order_value_priority(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    g1, g2 = "1-URGENT", "5-LOW"
+    o = load_table(spark, sf_dir, "orders")
+    d = (o.where(F.col("o_orderpriority").isin(g1, g2))
+          .select(F.col("o_totalprice").cast("double").alias("v"),
+                  (F.col("o_orderpriority") == g1).cast("int").alias("i1")))
+    return _ks_grid(d, _KS_GRID, "n_urgent", "n_low")
+
 
 KS_APPROX_SQL = f"""
 WITH d AS (

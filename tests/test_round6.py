@@ -315,3 +315,33 @@ def test_roc_mw_brackets_theorem_randomized(spark, seed, grid):
     assert (m["n1"], m["n2"]) == (n1, n0)
     assert m["u_lo"] - 1e-2 <= u_exact <= m["u_hi"] + 1e-2, (
         seed, grid, u_exact, m)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("grid", [4, 8])
+def test_ks_bracket_theorem_randomized(spark, seed, grid):
+    """[ks_d_approx, ks_d_upper] must contain the exact two-sample D
+    on random draws at COARSE grids: edge evaluations are exact ECDF
+    values (lower bound), and within a bucket each ECDF moves by at
+    most its bucket mass (upper bound)."""
+    import numpy as np
+    from parking_bigdata_spark.queries.a_stats import _ks_grid
+    rng = np.random.default_rng(seed)
+    lab = (rng.random(250) < 0.45).astype(int)
+    if seed % 2 == 0:
+        v = np.round(rng.normal(0, 1, 250) + 0.6 * lab, 1)
+    else:
+        v = np.exp(rng.normal(0, 1, 250)) + 0.3 * lab
+    x1, x2 = np.sort(v[lab == 1]), np.sort(v[lab == 0])
+    pooled = np.unique(v)
+    e1 = np.searchsorted(x1, pooled, side="right") / len(x1)
+    e2 = np.searchsorted(x2, pooled, side="right") / len(x2)
+    d_exact = float(np.max(np.abs(e1 - e2)))
+
+    df = spark.createDataFrame(
+        [(float(x), int(p)) for x, p in zip(v, lab)], "v double, i1 int")
+    r = _ks_grid(df, grid).collect()[0]
+    assert (r["n1"], r["n2"]) == (int(lab.sum()), int((1 - lab).sum()))
+    assert r["ks_d_approx"] - 1e-4 <= d_exact <= r["ks_d_upper"] + 1e-4, (
+        seed, grid, d_exact, r)
+    assert r["ks_d_upper"] > r["ks_d_approx"]  # bracket is real at G=4/8
