@@ -345,3 +345,19 @@ def test_ks_bracket_theorem_randomized(spark, seed, grid):
     assert r["ks_d_approx"] - 1e-4 <= d_exact <= r["ks_d_upper"] + 1e-4, (
         seed, grid, d_exact, r)
     assert r["ks_d_upper"] > r["ks_d_approx"]  # bracket is real at G=4/8
+
+
+def test_cms_recompute_path_equals_exact(spark, monkeypatch):
+    """The corpus-scale branch of _cms_split (estimated rows above the
+    materialization bound → NO localCheckpoint, the tagged projection
+    recomputes per consumer) must still satisfy the lossless theorem —
+    exercised by forcing the bound to 0, which no driver SF reaches
+    naturally."""
+    from parking_bigdata_spark.queries import b_llm_ext
+    monkeypatch.setattr(b_llm_ext, "_CMS_MATERIALIZE_MAX_ROWS", 0)
+    sf = "/root/testdata/sf0.001"
+    exact = sorted(map(tuple, Q.gram_novelty_by_source(spark, sf).collect()))
+    twin = sorted(map(tuple,
+                      b_llm_ext.gram_novelty_bloom_by_source(spark, sf)
+                      .collect()))
+    assert twin == exact
