@@ -113,8 +113,14 @@ def spearman_approx_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(wd * F.col("r_x") * F.col("r_y")).alias("sxy"))
     nd = F.col("n").cast("double")
     num = F.col("sxy") - F.col("sx") * F.col("sy") / nd
-    den = F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / nd)
-                 * (F.col("syy") - F.col("sy") * F.col("sy") / nd))
+    # nullif: a CONSTANT axis has zero rank variance — rho is
+    # undefined and must come back NULL, not an ANSI DIVIDE_BY_ZERO
+    # job abort (the loess_curve precedent; caught by the round-6
+    # degenerate-input test)
+    den = F.nullif(
+        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / nd)
+               * (F.col("syy") - F.col("sy") * F.col("sy") / nd)),
+        F.lit(0.0))
     return agg.select(F.col("n").cast("long").alias("n_rows"),
                       F.lit(G).alias("grid_size"),
                       F.round(num / den, 4).alias("spearman_rho_approx"))
@@ -149,10 +155,11 @@ WITH d AS (
 SELECT CAST(sum(w) AS BIGINT) AS n_rows,
        {_TWIN_GRID} AS grid_size,
        round((sum(w * r_x * r_y) - sum(w * r_x) * sum(w * r_y) / sum(w))
-             / sqrt((sum(w * r_x * r_x)
-                     - sum(w * r_x) * sum(w * r_x) / sum(w))
-                    * (sum(w * r_y * r_y)
-                       - sum(w * r_y) * sum(w * r_y) / sum(w))), 4)
+             / nullif(sqrt((sum(w * r_x * r_x)
+                            - sum(w * r_x) * sum(w * r_x) / sum(w))
+                           * (sum(w * r_y * r_y)
+                              - sum(w * r_y) * sum(w * r_y) / sum(w))),
+                      0), 4)
          AS spearman_rho_approx
 FROM jj
 """
@@ -189,7 +196,10 @@ def _roc_grid(d: DataFrame, G: int) -> DataFrame:
                   F.sum(f1d * (F.col("c0").cast("double") - f0d))
                    .alias("lo_pairs"),
                   F.sum(f1d * f0d).alias("tie_pairs"))
-    den = F.col("np").cast("double") * F.col("nn").cast("double")
+    # nullif: a single-class input (no positives or no negatives) has
+    # no (pos, neg) pairs — AUC undefined, NULL not a job abort
+    den = F.nullif(F.col("np").cast("double") * F.col("nn").cast("double"),
+                   F.lit(0.0))
     auc_lo = F.col("lo_pairs") / den
     auc_mid = (F.col("lo_pairs") + 0.5 * F.col("tie_pairs")) / den
     auc_hi = (F.col("lo_pairs") + F.col("tie_pairs")) / den
@@ -233,14 +243,16 @@ cells AS (
 )
 SELECT np AS n_pos, nn AS n_neg, {_TWIN_GRID} AS grid_size,
        round((lo_pairs + 0.5 * tie_pairs)
-             / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 4) AS auc_approx,
-       round(lo_pairs / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 4)
-         AS auc_lo,
+             / nullif(CAST(np AS DOUBLE) * CAST(nn AS DOUBLE), 0), 4)
+         AS auc_approx,
+       round(lo_pairs / nullif(CAST(np AS DOUBLE) * CAST(nn AS DOUBLE), 0),
+             4) AS auc_lo,
        round((lo_pairs + tie_pairs)
-             / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 4) AS auc_hi,
+             / nullif(CAST(np AS DOUBLE) * CAST(nn AS DOUBLE), 0), 4)
+         AS auc_hi,
        round(2 * ((lo_pairs + 0.5 * tie_pairs)
-                  / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))) - 1, 4)
-         AS gini_approx
+                  / nullif(CAST(np AS DOUBLE) * CAST(nn AS DOUBLE), 0))
+             - 1, 4) AS gini_approx
 FROM agg
 """
 
@@ -286,8 +298,13 @@ def kruskal_approx_acctbal_by_segment(spark: SparkSession,
     ties = ranked.agg(F.sum(ld * ld * ld - ld).alias("tie3"))
     n, k, s, tie3 = F.col("n"), F.col("k"), F.col("s"), F.col("tie3")
     nd = n.cast("double")
+    # nullif: an ALL-TIED input (constant column => one occupied
+    # bucket) drives the tie correction to exactly 1 - 1 = 0 — H is
+    # undefined there and must come back NULL, not an ANSI
+    # DIVIDE_BY_ZERO job abort
     h = ((F.lit(12.0) * s / (nd * (nd + 1)) - 3 * (nd + 1))
-         / (1 - tie3 / (nd * nd * nd - nd)))
+         / F.nullif(1 - tie3 / F.nullif(nd * nd * nd - nd, F.lit(0.0)),
+                    F.lit(0.0)))
     return tot.crossJoin(ties).select(
         n.cast("long").alias("n"), k.cast("long").alias("k"),
         F.lit(G).alias("grid_size"),
@@ -322,8 +339,8 @@ cells AS (
 SELECT n, CAST(k AS BIGINT) AS k, {_TWIN_GRID} AS grid_size,
        round((12.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * (n + 1))
               - 3 * (CAST(n AS DOUBLE) + 1))
-             / (1 - tie3 / (CAST(n AS DOUBLE) * n * n - n)), 4)
-         AS h_stat_approx
+             / nullif(1 - tie3 / nullif(CAST(n AS DOUBLE) * n * n - n, 0),
+                      0), 4) AS h_stat_approx
 FROM tot, ties
 """
 
@@ -367,6 +384,8 @@ def _mw_grid(d: DataFrame, G: int, n1_alias: str = "n1",
     mu = n1d * n2d / 2.0
     sig2 = (n1d * n2d / 12.0) * ((nd + 1)
                                  - F.col("tie3") / (nd * (nd - 1)))
+    # nullif: an all-tied input zeroes the tie-corrected variance —
+    # z undefined => NULL, not an ANSI DIVIDE_BY_ZERO job abort
     return agg.select(F.col("n1").cast("long").alias(n1_alias),
                       F.col("n2").cast("long").alias(n2_alias),
                       F.lit(G).alias("grid_size"),
@@ -374,7 +393,8 @@ def _mw_grid(d: DataFrame, G: int, n1_alias: str = "n1",
                       F.round(F.col("u_lo"), 4).alias("u_lo"),
                       F.round(F.col("u_lo") + F.col("tie_pairs"), 4)
                        .alias("u_hi"),
-                      F.round((u_mid - mu) / F.sqrt(sig2), 4)
+                      F.round((u_mid - mu)
+                              / F.nullif(F.sqrt(sig2), F.lit(0.0)), 4)
                        .alias("z_approx"))
 
 
@@ -419,11 +439,11 @@ SELECT n1 AS n_urgent, n2 AS n_low, {_TWIN_GRID} AS grid_size,
        round(u_lo + tie_pairs, 4) AS u_hi,
        round((u_lo + 0.5 * tie_pairs
               - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
-             / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+             / nullif(sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
                     * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1)
                        - tie3 / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
                                  * (CAST(n1 AS DOUBLE)
-                                    + CAST(n2 AS DOUBLE) - 1)))), 4)
+                                    + CAST(n2 AS DOUBLE) - 1)))), 0), 4)
          AS z_approx
 FROM agg
 """
@@ -594,11 +614,13 @@ def pr_auc_approx_order_status(spark: SparkSession,
                   F.sum(F.col("tp_b").cast("double")
                         * (F.col("ctp").cast("double")
                            / F.col("cn").cast("double"))).alias("s"))
+    # nullif: zero positives => AP undefined, NULL not a job abort
     return tot.select(
         F.col("P").cast("long").alias("n_pos"),
         (F.col("N") - F.col("P")).cast("long").alias("n_neg"),
         F.lit(G).alias("grid_size"),
-        F.round(F.col("s") / F.col("P").cast("double"), 6)
+        F.round(F.col("s")
+                / F.nullif(F.col("P").cast("double"), F.lit(0.0)), 6)
          .alias("average_precision_approx"))
 
 PR_AUC_APPROX_SQL = f"""
@@ -622,7 +644,8 @@ SELECT CAST(sum(tp_b) AS BIGINT) AS n_pos,
        {_TWIN_GRID} AS grid_size,
        round(sum(CAST(tp_b AS DOUBLE) * (CAST(ctp AS DOUBLE)
                                          / CAST(cn AS DOUBLE)))
-             / CAST(sum(tp_b) AS DOUBLE), 6) AS average_precision_approx
+             / nullif(CAST(sum(tp_b) AS DOUBLE), 0), 6)
+         AS average_precision_approx
 FROM cum
 """
 
@@ -669,8 +692,12 @@ def dunn_approx_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ng").alias("nb"))
     nn = F.col("n_total").cast("double")
     sig2 = (nn * (nn + 1) / 12.0 - F.col("tie3") / (12.0 * (nn - 1)))
+    # nullif: an all-tied input (one occupied bucket) zeroes sig2 —
+    # z undefined => NULL, not an ANSI DIVIDE_BY_ZERO job abort
     z = ((F.col("mr_a") - F.col("mr_b"))
-         / F.sqrt(sig2 * (1.0 / F.col("na") + 1.0 / F.col("nb"))))
+         / F.nullif(
+             F.sqrt(sig2 * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+             F.lit(0.0)))
     return (a.join(b2, a.seg_a < b2.seg_b).crossJoin(F.broadcast(glob))
              .select("seg_a", "seg_b",
                      F.lit(G).alias("grid_size"),
@@ -706,9 +733,9 @@ SELECT a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
        round(a.rsum / a.ng, 4) AS mean_rank_a_approx,
        round(b.rsum / b.ng, 4) AS mean_rank_b_approx,
        round((a.rsum / a.ng - b.rsum / b.ng)
-             / sqrt((n_total * (n_total + 1) / 12.0
-                     - tie3 / (12.0 * (n_total - 1)))
-                    * (1.0 / a.ng + 1.0 / b.ng)), 4) AS z_approx
+             / nullif(sqrt((n_total * (n_total + 1) / 12.0
+                            - tie3 / (12.0 * (n_total - 1)))
+                           * (1.0 / a.ng + 1.0 / b.ng)), 0), 4) AS z_approx
 FROM grp a JOIN grp b ON a.c_mktsegment < b.c_mktsegment
 CROSS JOIN gtot
 ORDER BY seg_a, seg_b

@@ -361,3 +361,70 @@ def test_cms_recompute_path_equals_exact(spark, monkeypatch):
                       b_llm_ext.gram_novelty_bloom_by_source(spark, sf)
                       .collect()))
     assert twin == exact
+
+
+def test_grid_twins_constant_column(spark, tmp_path):
+    """The degenerate bucket branch (mx == mn → every row in bucket 0)
+    that no driver corpus exercises: a CONSTANT value column must flow
+    through the registered twins without an ANSI error. Gini of a
+    constant positive column is exactly 0 (perfect equality); rank
+    statistics of an all-tied column are undefined and must come back
+    as a row (NaN/None), never an exception."""
+    import math
+    import pandas as pd
+    cust = pd.DataFrame({
+        "c_custkey": range(1, 101),
+        "c_mktsegment": ["BUILDING" if i % 2 else "MACHINERY"
+                         for i in range(100)],
+        "c_acctbal": [500.0] * 100,
+    })
+    cust.to_parquet(str(tmp_path / "customer.parquet"), index=False)
+    sf = str(tmp_path)
+
+    g = {r["c_mktsegment"]: r
+         for r in Q.gini_approx_acctbal_by_segment(spark, sf).collect()}
+    assert set(g) == {"BUILDING", "MACHINERY"}
+    for seg, row in g.items():
+        assert row["gini_approx"] == 0.0, (seg, row)
+
+    k = Q.kruskal_approx_acctbal_by_segment(spark, sf).collect()
+    assert len(k) == 1 and k[0]["n"] == 100
+    assert k[0]["h_stat_approx"] is None  # all-tied: undefined => NULL
+
+    d = Q.dunn_approx_segments(spark, sf).collect()
+    assert len(d) == 1  # one segment pair
+    assert d[0]["mean_rank_a_approx"] == d[0]["mean_rank_b_approx"]
+    assert d[0]["z_approx"] is None  # all-tied: undefined => NULL
+
+
+def test_grid_twins_single_class_and_constant_axis(spark, tmp_path):
+    """More undefined-statistic inputs that must degrade to NULL, not
+    an ANSI job abort: a single-class orders table (no 'P'/'F' rows
+    for PR-AUC/ROC; only one priority arm for Mann-Whitney) and a
+    constant lineitem axis for the Spearman twin."""
+    import pandas as pd
+    orders = pd.DataFrame({
+        "o_orderkey": range(1, 51),
+        "o_orderstatus": ["O"] * 50,          # never 'P', never 'F'
+        "o_orderpriority": ["3-MEDIUM"] * 50,  # neither MW arm
+        "o_totalprice": [100.0 + i for i in range(50)],
+    })
+    orders.to_parquet(str(tmp_path / "orders.parquet"), index=False)
+    li = pd.DataFrame({
+        "l_quantity": [7.0] * 40,             # constant x axis
+        "l_extendedprice": [float(i) for i in range(40)],
+    })
+    li.to_parquet(str(tmp_path / "lineitem.parquet"), index=False)
+    sf = str(tmp_path)
+
+    pr = Q.pr_auc_approx_order_status(spark, sf).collect()[0]
+    assert pr["n_pos"] == 0
+    assert pr["average_precision_approx"] is None
+
+    roc = Q.roc_auc_approx_order_status(spark, sf).collect()[0]
+    assert roc["n_pos"] == 0
+    assert roc["auc_approx"] is None and roc["gini_approx"] is None
+
+    sp = Q.spearman_approx_qty_price(spark, sf).collect()[0]
+    assert sp["n_rows"] == 40
+    assert sp["spearman_rho_approx"] is None
