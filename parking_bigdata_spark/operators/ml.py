@@ -34,9 +34,15 @@ def simple_linreg(df: DataFrame, x: str, y: str, round_to: int = 4) -> DataFrame
         F.var_pop(x).alias("varx"),
         F.avg(x).alias("mx"),
         F.avg(y).alias("my"),
-        F.corr(x, y).alias("r"),
+        # pop-moment corr form: identical to F.corr on real data but
+        # degrades to NULL on a zero-variance column instead of an
+        # ANSI DIVIDE_BY_ZERO job abort (Spark 4 default ANSI mode)
+        (F.covar_pop(x, y)
+         / F.nullif(F.sqrt(F.var_pop(x) * F.var_pop(y)), F.lit(0.0)))
+         .alias("r"),
     )
-    slope = F.col("cov") / F.col("varx")
+    # nullif: constant x => zero variance — slope undefined => NULL
+    slope = F.col("cov") / F.nullif(F.col("varx"), F.lit(0.0))
     return agg.select(
         F.col("n"),
         F.round(slope, round_to).alias("slope"),

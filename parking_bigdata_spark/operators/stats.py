@@ -16,8 +16,22 @@ from __future__ import annotations
 
 from itertools import combinations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def safe_corr(x, y) -> Column:
+    """Pearson correlation that degrades to NULL instead of an ANSI
+    DIVIDE_BY_ZERO job abort when either column has zero variance
+    (Spark 4's ``corr`` aggregate divides by sqrt(M2x·M2y) inside
+    codegen, so a constant column aborts the whole job under the
+    default ANSI mode; DuckDB's ``corr`` returns NULL on the same
+    input). Algebraically identical to ``F.corr`` — corr =
+    covar_samp/(sd_x·sd_y); both forms reduce to ck/sqrt(xMk·yMk)
+    over the same co-moments, so rounded outputs (4-6 dp) are
+    unchanged on non-degenerate data (gate-verified at three SFs)."""
+    return F.covar_samp(x, y) / F.nullif(
+        F.stddev_samp(x) * F.stddev_samp(y), F.lit(0.0))
 
 
 def corr_matrix(df: DataFrame, cols: list[str], round_to: int = 4) -> DataFrame:
@@ -29,7 +43,8 @@ def corr_matrix(df: DataFrame, cols: list[str], round_to: int = 4) -> DataFrame:
     (col_x, col_y, corr), upper triangle + diagonal.
     """
     aggs = [
-        F.round(F.corr(F.col(a), F.col(b)), round_to).alias(f"{a}__{b}")
+        F.round(safe_corr(F.col(a), F.col(b)), round_to)
+         .alias(f"{a}__{b}")
         for a, b in combinations(cols, 2)
     ]
     wide = df.agg(*aggs)
@@ -57,10 +72,14 @@ def welch_ttest(df: DataFrame, group_col: str, value_col: str,
     b = moments.where(F.col(group_col) == group_b).alias("b")
     j = a.crossJoin(b)  # both sides are 1 row
     se2 = F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
-    t = (F.col("a.mean") - F.col("b.mean")) / F.sqrt(se2)
-    dof = (se2 * se2) / (
+    # nullif: two constant groups zero the pooled SE — t and the
+    # Welch-Satterthwaite df are undefined => NULL, never an ANSI abort
+    t = ((F.col("a.mean") - F.col("b.mean"))
+         / F.nullif(F.sqrt(se2), F.lit(0.0)))
+    dof = (se2 * se2) / F.nullif(
         (F.col("a.var") / F.col("a.n")) ** 2 / (F.col("a.n") - 1)
-        + (F.col("b.var") / F.col("b.n")) ** 2 / (F.col("b.n") - 1))
+        + (F.col("b.var") / F.col("b.n")) ** 2 / (F.col("b.n") - 1),
+        F.lit(0.0))
     return j.select(
         F.lit(str(group_a)).alias("group_a"),
         F.lit(str(group_b)).alias("group_b"),
@@ -129,15 +148,30 @@ def residual_diagnostics(df: DataFrame, x: str, y: str,
     single-sort form because every consecutive pair is either within a
     partition or a boundary pair, never both, and moments/sums are
     order-free aggregates.
+
+    The residual ``__e`` is appended to ``order_cols`` as a final
+    tiebreaker in BOTH the range partitioner and the lag windows (and
+    the oracle mirrors it): the driver testdata has thousands of
+    duplicate (l_orderkey, l_linenumber) keys, and without the
+    tiebreaker the DW pair sum depends on nondeterministic shuffle
+    tie order — observed as a 4th-decimal flip at sf0.01 (1.9919 vs
+    1.9920) between runs of the SAME build. With it, rows that still
+    compare equal have identical ``__e``, so every (e_t − e_{t−1})²
+    term — including across a partition split inside a tied run — is
+    order-invariant and the statistic is well-defined.
     """
     d = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+    # nullif: constant x has zero variance — the slope (and every
+    # residual statistic) is undefined => NULL, never an ANSI abort
     fit = d.agg(
-        (F.covar_pop(x, y) / F.var_pop(x)).alias("slope"),
+        (F.covar_pop(x, y) / F.nullif(F.var_pop(x), F.lit(0.0)))
+         .alias("slope"),
         F.avg(y).alias("my"), F.avg(x).alias("mx"))
     d = d.crossJoin(F.broadcast(fit))
     e = F.col(y) - (F.col("my") + F.col("slope") * (F.col(x) - F.col("mx")))
+    tie_cols = order_cols + ["__e"]
     d = (d.withColumn("__e", e)
-          .repartitionByRange(*[F.col(c) for c in order_cols])
+          .repartitionByRange(*[F.col(c) for c in tie_cols])
           .withColumn("__pid", F.spark_partition_id())
           # pin ONE evaluation (round-5 class fix): the two consumers
           # (global moments + the boundary-stitch frame) MUST read the
@@ -150,7 +184,7 @@ def residual_diagnostics(df: DataFrame, x: str, y: str,
           # (5.7 s vs 6.0 s at 20×, no perf win) — the layout-coherence
           # requirement overrides it.
           .localCheckpoint(eager=True))
-    wl = Window.partitionBy("__pid").orderBy(*order_cols)
+    wl = Window.partitionBy("__pid").orderBy(*tie_cols)
     d = d.withColumn("__elag", F.lag("__e").over(wl))
     agg = d.agg(
         F.count(F.lit(1)).alias("n"),
@@ -161,7 +195,7 @@ def residual_diagnostics(df: DataFrame, x: str, y: str,
         F.sum(F.when(F.col("__elag").isNotNull(),
                      (F.col("__e") - F.col("__elag")) ** 2)).alias("sdiff"),
         F.sum(F.col("__e") ** 2).alias("se2"),
-        F.corr(F.col("__e") * F.col("__e"), F.col(x)).alias("r_e2x"),
+        safe_corr(F.col("__e") * F.col("__e"), F.col(x)).alias("r_e2x"),
     )
     # boundary stitching: one row per non-empty partition; range
     # partition ids ascend with the order key, so each partition's
@@ -169,7 +203,7 @@ def residual_diagnostics(df: DataFrame, x: str, y: str,
     # pid. That "previous row" is found with a triangle join over the
     # ≤ #shuffle-partitions bounds frame instead of a global-order
     # window — same result, no WindowExec-single-partition path at all.
-    key = F.struct(*[F.col(c) for c in order_cols])
+    key = F.struct(*[F.col(c) for c in tie_cols])
     bounds = d.groupBy("__pid").agg(F.min_by("__e", key).alias("__first"),
                                     F.max_by("__e", key).alias("__last"))
     prev = (bounds.alias("a")
@@ -183,10 +217,10 @@ def residual_diagnostics(df: DataFrame, x: str, y: str,
     agg = (agg.crossJoin(F.broadcast(bsum))
               .withColumn("sdiff", F.coalesce(F.col("sdiff"), F.lit(0.0))
                           + F.col("bsum")))
-    g1 = F.col("m3") / (F.col("m2") ** F.lit(1.5))
-    g2 = F.col("m4") / (F.col("m2") ** 2) - 3
+    g1 = F.col("m3") / F.nullif(F.col("m2") ** F.lit(1.5), F.lit(0.0))
+    g2 = F.col("m4") / F.nullif(F.col("m2") ** 2, F.lit(0.0)) - 3
     jb = F.col("n") / 6 * (g1 * g1 + g2 * g2 / 4)
-    dw = F.col("sdiff") / F.col("se2")
+    dw = F.col("sdiff") / F.nullif(F.col("se2"), F.lit(0.0))
     bp = F.col("n") * F.col("r_e2x") * F.col("r_e2x")
     return agg.select(
         F.col("n"),
@@ -225,8 +259,14 @@ def anova_oneway(df: DataFrame, group_col: str, value_col: str,
                  F.count(F.lit(1)).alias("k"),
                  F.sum(F.col("n_g") * dev * dev).alias("ssb"),
                  F.sum((F.col("n_g") - 1) * F.col("var_g")).alias("ssw")))
-    fstat = ((F.col("ssb") / (F.col("k") - 1))
-             / (F.col("ssw") / (F.col("n") - F.col("k"))))
+    # nullif: a constant value column zeroes SSW (and k=1 or n=k zero
+    # the dfs) — F is undefined => NULL, never an ANSI job abort
+    fstat = ((F.col("ssb") / F.nullif((F.col("k") - 1).cast("double"),
+                                      F.lit(0.0)))
+             / F.nullif(F.col("ssw")
+                        / F.nullif((F.col("n") - F.col("k"))
+                                   .cast("double"), F.lit(0.0)),
+                        F.lit(0.0)))
     return tot.select(
         F.col("n").alias("n_obs"), F.col("k").alias("n_groups"),
         F.round(F.col("ssb"), round_to).alias("ss_between"),

@@ -583,7 +583,10 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.corr_matrix(load_table(spark, sf_dir, "lineitem"),
                              _DESCRIBE_COLS)
 CORR_SQL = "\nUNION ALL\n".join(
-    f"SELECT '{a}' AS col_x, '{b}' AS col_y, round(corr({a}, {b}), 4) AS corr FROM lineitem"
+    f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+    f"round(covar_samp({a}, {b})"
+    f" / nullif(stddev_samp({a}) * stddev_samp({b}), 0), 4) AS corr "
+    f"FROM lineitem"
     for a, b in _combos(_DESCRIBE_COLS, 2))
 
 
@@ -603,9 +606,11 @@ WITH g AS (
 ), a AS (SELECT * FROM g WHERE grp = 'R'), b AS (SELECT * FROM g WHERE grp = 'A')
 SELECT 'R' AS group_a, 'A' AS group_b, a.n AS n_a, b.n AS n_b,
        round(a.mean, 4) AS mean_a, round(b.mean, 4) AS mean_b,
-       round((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 4) AS t_stat,
+       round((a.mean - b.mean)
+             / nullif(sqrt(a.var / a.n + b.var / b.n), 0), 4) AS t_stat,
        round(pow(a.var / a.n + b.var / b.n, 2) /
-             (pow(a.var / a.n, 2) / (a.n - 1) + pow(b.var / b.n, 2) / (b.n - 1)), 4) AS df
+             nullif(pow(a.var / a.n, 2) / (a.n - 1)
+                    + pow(b.var / b.n, 2) / (b.n - 1), 0), 4) AS df
 FROM a, b
 """
 
@@ -634,7 +639,8 @@ WITH g AS (
 SELECT CAST(n AS BIGINT) AS n_obs, k AS n_groups,
        round(ssb, 4) AS ss_between,
        round(ssw, 4) AS ss_within,
-       round((ssb / (k - 1)) / (ssw / (n - k)), 4) AS f_stat
+       round((ssb / nullif(k - 1, 0))
+             / nullif(ssw / nullif(n - k, 0), 0), 4) AS f_stat
 FROM t
 """
 
@@ -681,28 +687,38 @@ def residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RESIDUAL_DIAG_SQL = """
 WITH fit AS (
-  SELECT covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) AS slope,
+  SELECT covar_pop(l_quantity, l_extendedprice)
+           / nullif(var_pop(l_quantity), 0) AS slope,
          avg(l_extendedprice) AS my, avg(l_quantity) AS mx
   FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
 ), r AS (
+  -- the residual is the final ORDER BY tiebreaker: the testdata has
+  -- duplicate (l_orderkey, l_linenumber) keys, and without it the DW
+  -- lag pairing is tie-order-ambiguous (mirrors the Spark side)
   SELECT l_extendedprice - (my + slope * (l_quantity - mx)) AS e, l_quantity,
          lag(l_extendedprice - (my + slope * (l_quantity - mx)))
-           OVER (ORDER BY l_orderkey, l_linenumber) AS elag
+           OVER (ORDER BY l_orderkey, l_linenumber,
+                 l_extendedprice - (my + slope * (l_quantity - mx)))
+           AS elag
   FROM lineitem, fit
   WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
 ), m AS (
   SELECT count(*) AS n, avg(e) AS m1, avg(e*e) AS m2, avg(e*e*e) AS m3,
          avg(e*e*e*e) AS m4,
          sum(CASE WHEN elag IS NOT NULL THEN (e - elag) * (e - elag) END) AS sdiff,
-         sum(e*e) AS se2, corr(e*e, l_quantity) AS r_e2x
+         sum(e*e) AS se2,
+         covar_samp(e*e, l_quantity)
+           / nullif(stddev_samp(e*e) * stddev_samp(l_quantity), 0)
+           AS r_e2x
   FROM r
 )
 SELECT CAST(n AS BIGINT) AS n,
-       round(m3 / pow(m2, 1.5), 4) AS skewness,
-       round(m4 / (m2 * m2) - 3, 4) AS ex_kurtosis,
-       round(n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
-             + pow(m4 / (m2 * m2) - 3, 2) / 4), 4) AS jarque_bera,
-       round(sdiff / se2, 4) AS durbin_watson,
+       round(m3 / nullif(pow(m2, 1.5), 0), 4) AS skewness,
+       round(m4 / nullif(m2 * m2, 0) - 3, 4) AS ex_kurtosis,
+       round(n / 6.0 * (pow(m3 / nullif(pow(m2, 1.5), 0), 2)
+             + pow(m4 / nullif(m2 * m2, 0) - 3, 2) / 4), 4)
+         AS jarque_bera,
+       round(sdiff / nullif(se2, 0), 4) AS durbin_watson,
        round(n * r_e2x * r_e2x, 4) AS breusch_pagan
 FROM m
 """
@@ -725,15 +741,18 @@ def zscore_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = (cust.groupBy("c_mktsegment")
               .agg(F.avg("c_acctbal").alias("__mu"),
                    F.stddev_samp("c_acctbal").alias("__sd")))
+    # nullif: a constant segment has sd = 0 — z undefined => NULL,
+    # never an ANSI DIVIDE_BY_ZERO job abort
     return (cust.join(F.broadcast(st), "c_mktsegment")
                 .select("c_custkey", "c_mktsegment",
                         F.round((F.col("c_acctbal") - F.col("__mu"))
-                                / F.col("__sd"), 4).alias("bal_z")))
+                                / F.nullif(F.col("__sd"), F.lit(0.0)),
+                                4).alias("bal_z")))
 
 ZSCORE_SQL = """
 SELECT c_custkey, c_mktsegment,
        round((c_acctbal - avg(c_acctbal) OVER w)
-             / stddev_samp(c_acctbal) OVER w, 4) AS bal_z
+             / nullif(stddev_samp(c_acctbal) OVER w, 0), 4) AS bal_z
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment)
 """
@@ -774,10 +793,15 @@ def simple_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LINREG_SQL = """
 SELECT count(*) AS n,
-       round(covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity), 4) AS slope,
+       round(covar_pop(l_quantity, l_extendedprice)
+             / nullif(var_pop(l_quantity), 0), 4) AS slope,
        round(avg(l_extendedprice)
-             - covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) * avg(l_quantity), 4) AS intercept,
-       round(corr(l_quantity, l_extendedprice), 4) AS r
+             - covar_pop(l_quantity, l_extendedprice)
+               / nullif(var_pop(l_quantity), 0) * avg(l_quantity), 4)
+         AS intercept,
+       round(covar_pop(l_quantity, l_extendedprice)
+             / nullif(sqrt(var_pop(l_quantity)
+                           * var_pop(l_extendedprice)), 0), 4) AS r
 FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
 """
 
@@ -792,21 +816,28 @@ def corr_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = li.where(F.col("l_quantity").isNotNull()
                    & F.col("l_extendedprice").isNotNull()).agg(
         F.count(F.lit(1)).alias("n"),
-        F.corr("l_quantity", "l_extendedprice").alias("r_raw"))
+        stats.safe_corr("l_quantity", "l_extendedprice").alias("r_raw"))
+    # nullif: |r| = 1 zeroes 1 − r² — t undefined => NULL, never an
+    # ANSI abort (safe_corr already NULLs the constant-column case)
     t = F.col("r_raw") * F.sqrt((F.col("n") - 2) /
-                                (1 - F.col("r_raw") * F.col("r_raw")))
+                                F.nullif(1 - F.col("r_raw")
+                                         * F.col("r_raw"), F.lit(0.0)))
     return agg.select(F.col("n"),
                       F.round("r_raw", 4).alias("r"),
                       F.round(t, 4).alias("t_stat"))
 
 CORR_TEST_SQL = """
 WITH a AS (
-  SELECT count(*) AS n, corr(l_quantity, l_extendedprice) AS r_raw
+  SELECT count(*) AS n,
+         covar_samp(l_quantity, l_extendedprice)
+           / nullif(stddev_samp(l_quantity)
+                    * stddev_samp(l_extendedprice), 0) AS r_raw
   FROM lineitem
   WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
 )
 SELECT n, round(r_raw, 4) AS r,
-       round(r_raw * sqrt((n - 2) / (1 - r_raw * r_raw)), 4) AS t_stat
+       round(r_raw * sqrt((n - 2) / nullif(1 - r_raw * r_raw, 0)), 4)
+         AS t_stat
 FROM a
 """
 
@@ -1242,8 +1273,13 @@ def kruskal_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
          .alias("tie3"))
     n, k, s, tie3 = F.col("n"), F.col("k"), F.col("s"), F.col("tie3")
+    # nullif: an ALL-TIED column has tie3 = n³−n, zeroing the tie
+    # correction — H is undefined and must come back NULL, not as an
+    # ANSI DIVIDE_BY_ZERO job abort (same guard as the A18db twin)
     h = ((F.lit(12.0) * s / (n * (n + 1)) - 3 * (n + 1))
-         / (1 - tie3 / (n * n * n - n).cast("double")))
+         / F.nullif(1 - tie3 / F.nullif((n * n * n - n).cast("double"),
+                                        F.lit(0.0)),
+                    F.lit(0.0)))
     return tot.crossJoin(ties).select(n, k, F.round(h, 4).alias("h_stat"))
 
 KRUSKAL_SQL = """
@@ -1274,7 +1310,8 @@ WITH c AS (
 )
 SELECT n, k,
        round((12.0 * s / (n * (n + 1)) - 3 * (n + 1))
-             / (1 - tie3 / CAST(n*n*n - n AS DOUBLE)), 4) AS h_stat
+             / nullif(1 - tie3 / nullif(CAST(n*n*n - n AS DOUBLE), 0), 0),
+             4) AS h_stat
 FROM tot, ties
 """
 
@@ -1831,7 +1868,11 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(rank_tab("l_quantity", "r_q"), "l_quantity")
                 .join(rank_tab("l_extendedprice", "r_p"),
                       "l_extendedprice"))
-    return ranked.agg(F.round(F.corr("r_q", "r_p"), 4).alias("spearman_rho"),
+    # safe_corr: a CONSTANT axis has zero rank variance — rho is
+    # undefined => NULL, while Spark's corr aggregate would abort the
+    # job under ANSI (the A56b twin's guard; oracle mirrors the form)
+    return ranked.agg(F.round(stats.safe_corr("r_q", "r_p"), 4)
+                       .alias("spearman_rho"),
                       F.count(F.lit(1)).alias("n_rows"))
 
 SPEARMAN_SQL = """
@@ -1846,7 +1887,10 @@ WITH rq AS (
            - (n - 1) / 2.0 AS r_p
   FROM (SELECT l_extendedprice, count(*) AS n FROM lineitem GROUP BY 1)
 )
-SELECT round(corr(r_q, r_p), 4) AS spearman_rho, count(*) AS n_rows
+SELECT round(covar_samp(r_q, r_p)
+             / nullif(stddev_samp(r_q) * stddev_samp(r_p), 0), 4)
+         AS spearman_rho,
+       count(*) AS n_rows
 FROM lineitem JOIN rq USING (l_quantity) JOIN rp USING (l_extendedprice)
 """
 

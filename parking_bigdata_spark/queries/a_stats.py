@@ -625,9 +625,16 @@ def levene_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * (F.col("mean_g") - F.col("grand_mean"))).alias("ssb"),
                F.sum((F.col("n_g") - 1) * F.col("var_g")).alias("ssw")))
     n, k = F.col("n"), F.col("k")
+    # nullif: a constant column collapses every |v − median| to 0 —
+    # SSW = 0 makes W undefined => NULL, never an ANSI job abort
     return t.select(
         n.cast("long").alias("n_obs"), k.alias("n_groups"),
-        F.round((F.col("ssb") / (k - 1)) / (F.col("ssw") / (n - k)), 4)
+        F.round((F.col("ssb") / F.nullif((k - 1).cast("double"),
+                                         F.lit(0.0)))
+                / F.nullif(F.col("ssw")
+                           / F.nullif((n - k).cast("double"),
+                                      F.lit(0.0)),
+                           F.lit(0.0)), 4)
          .alias("w_stat"))
 
 LEVENE_SQL = """
@@ -651,7 +658,8 @@ WITH c AS (
   FROM g, gm
 )
 SELECT CAST(n AS BIGINT) AS n_obs, k AS n_groups,
-       round((ssb / (k - 1)) / (ssw / (n - k)), 4) AS w_stat
+       round((ssb / nullif(k - 1, 0))
+             / nullif(ssw / nullif(n - k, 0), 0), 4) AS w_stat
 FROM t
 """
 
@@ -694,7 +702,9 @@ def mannwhitney_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = n1 * n2 / F.lit(2.0)
     sig2 = (n1 * n2 / F.lit(12.0)) * ((n + 1)
             - tie3 / ((n * (n - 1)).cast("double")))
-    zed = (u1 - mu) / F.sqrt(sig2)
+    # nullif: an all-tied input zeroes the tie-corrected variance — z
+    # is undefined => NULL, never an ANSI abort (A18fb twin's guard)
+    zed = (u1 - mu) / F.nullif(F.sqrt(sig2), F.lit(0.0))
     return (g1.crossJoin(g2).crossJoin(ties)
               .select(n1.cast("long").alias("n_urgent"),
                       n2.cast("long").alias("n_low"),
@@ -731,9 +741,10 @@ WITH o AS (
 SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_low,
        round(r1 - (n1 * (n1 + 1)) / 2.0, 4) AS u_stat,
        round((r1 - (n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
-             / sqrt((n1 * n2 / 12.0)
+             / nullif(sqrt((n1 * n2 / 12.0)
                     * ((n1 + n2 + 1)
                        - tie3 / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))),
+                      0),
              4) AS z_stat
 FROM g1, g2, ties
 """

@@ -973,8 +973,10 @@ def kendall_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     n0 = (n * n - n) / 2
     n1 = (F.col("sr2").cast("double") - n) / 2
     n2 = (F.col("ss2").cast("double") - n) / 2
+    # nullif: a CONSTANT axis makes n1 (or n2) = n0 — tau-b undefined
+    # => NULL, never an ANSI DIVIDE_BY_ZERO job abort
     tau = ((F.col("C") - F.col("D")).cast("double")
-           / F.sqrt((n0 - n1) * (n0 - n2)))
+           / F.nullif(F.sqrt((n0 - n1) * (n0 - n2)), F.lit(0.0)))
     return j.select(
         F.col("n").cast("long").alias("n"),
         F.col("C").cast("long").alias("concordant"),
@@ -1003,10 +1005,10 @@ SELECT CAST(n AS BIGINT) AS n,
        CAST(C AS BIGINT) AS concordant,
        CAST(D AS BIGINT) AS discordant,
        round(CAST(C - D AS DOUBLE)
-             / sqrt(((CAST(n AS DOUBLE) * n - n) / 2
+             / nullif(sqrt(((CAST(n AS DOUBLE) * n - n) / 2
                      - (CAST(sr2 AS DOUBLE) - n) / 2)
                     * ((CAST(n AS DOUBLE) * n - n) / 2
-                       - (CAST(ss2 AS DOUBLE) - n) / 2)), 6) AS tau_b
+                       - (CAST(ss2 AS DOUBLE) - n) / 2)), 0), 6) AS tau_b
 FROM pairs CROSS JOIN margins CROSS JOIN rx CROSS JOIN cy
 """
 
@@ -1030,7 +1032,9 @@ def tukey_hsd_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("tot_n"), F.count(F.lit(1)).alias("n_groups"),
         F.sum(F.col("s2") - F.col("n") * F.col("m") * F.col("m"))
          .alias("ssw"))
-    mse = F.col("ssw") / (F.col("tot_n") - F.col("n_groups"))
+    # nullif: n=k zeroes the error df — MSE (and q) undefined => NULL
+    mse = F.col("ssw") / F.nullif(
+        (F.col("tot_n") - F.col("n_groups")).cast("double"), F.lit(0.0))
     a, b2 = g.alias("a"), g.alias("b")
     pair = (a.crossJoin(b2)
              .where(F.col("a.c_mktsegment") < F.col("b.c_mktsegment"))
@@ -1042,7 +1046,9 @@ def tukey_hsd_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.c_mktsegment").alias("segment_b"),
         F.round(diff, 4).alias("mean_diff"),
         F.round(se, 4).alias("se"),
-        F.round(diff / se, 4).alias("q_stat"))
+        # nullif: constant groups zero the pooled SE — q undefined
+        # => NULL, never an ANSI DIVIDE_BY_ZERO job abort
+        F.round(diff / F.nullif(se, F.lit(0.0)), 4).alias("q_stat"))
 
 TUKEY_SQL = """
 WITH g AS (
@@ -1056,11 +1062,11 @@ WITH g AS (
 )
 SELECT a.c_mktsegment AS segment_a, b.c_mktsegment AS segment_b,
        round(a.m - b.m, 4) AS mean_diff,
-       round(sqrt(ssw / (tot_n - n_groups) / 2
+       round(sqrt(ssw / nullif(tot_n - n_groups, 0) / 2
                   * (1.0 / a.n + 1.0 / b.n)), 4) AS se,
        round((a.m - b.m)
-             / sqrt(ssw / (tot_n - n_groups) / 2
-                    * (1.0 / a.n + 1.0 / b.n)), 4) AS q_stat
+             / nullif(sqrt(ssw / nullif(tot_n - n_groups, 0) / 2
+                    * (1.0 / a.n + 1.0 / b.n)), 0), 4) AS q_stat
 FROM g a CROSS JOIN g b CROSS JOIN tot
 WHERE a.c_mktsegment < b.c_mktsegment
 """
@@ -1300,19 +1306,32 @@ def partial_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = _DESCRIBE_COLS
     k = len(cols)
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = [F.round(F.corr(cols[a], cols[b]), 6).alias(f"c_{a}_{b}")
+    # safe_corr: a zero-variance column must yield NULL partial
+    # correlations, not an ANSI DIVIDE_BY_ZERO job abort (same rounded
+    # values as F.corr on real data — gate-verified at three SFs)
+    aggs = [F.round(stats.safe_corr(cols[a], cols[b]), 6)
+             .alias(f"c_{a}_{b}")
             for a in range(k) for b in range(a + 1, k)]
     row = li.agg(*aggs).collect()[0]
+    degenerate = any(row[f"c_{a}_{b}"] is None
+                     for a in range(k) for b in range(a + 1, k))
     R = [[1.0] * k for _ in range(k)]
-    for a in range(k):
-        for b in range(a + 1, k):
-            R[a][b] = R[b][a] = float(row[f"c_{a}_{b}"])
+    if not degenerate:
+        for a in range(k):
+            for b in range(a + 1, k):
+                R[a][b] = R[b][a] = float(row[f"c_{a}_{b}"])
     import math
     out = []
     for i in range(k):
         for j in range(i + 1, k):
-            pc = (-_cof_f(R, i, j)
-                  / math.sqrt(_cof_f(R, i, i) * _cof_f(R, j, j)))
+            if degenerate:
+                # every partial corr conditions on ALL columns, so one
+                # degenerate column voids the whole matrix
+                out.append((cols[i], cols[j], None))
+                continue
+            den2 = _cof_f(R, i, i) * _cof_f(R, j, j)
+            pc = (-_cof_f(R, i, j) / math.sqrt(den2)
+                  if den2 > 0 else None)
             out.append((cols[i], cols[j], pc))
     # final rounding via Spark's HALF_UP round (Python round is
     # banker's — would drift from the oracle on exact halves)
@@ -1334,7 +1353,9 @@ def _partial_corr_sql(cols: list[str], table: str = "lineitem") -> str:
         return f"(-{d})" if (i + j) % 2 else d
 
     corr_exprs = ", ".join(
-        f"round(corr({cols[a]}, {cols[b]}), 6) AS c_{a}_{b}"
+        f"round(covar_samp({cols[a]}, {cols[b]})"
+        f" / nullif(stddev_samp({cols[a]}) * stddev_samp({cols[b]}), 0),"
+        f" 6) AS c_{a}_{b}"
         for a in range(k) for b in range(a + 1, k))
     selects = []
     for i in range(k):
@@ -1342,7 +1363,7 @@ def _partial_corr_sql(cols: list[str], table: str = "lineitem") -> str:
             selects.append(
                 f"SELECT '{cols[i]}' AS col_x, '{cols[j]}' AS col_y,\n"
                 f"  round(-({cof(i, j)})\n"
-                f"    / sqrt(({cof(i, i)}) * ({cof(j, j)})), 4)"
+                f"    / nullif(sqrt(({cof(i, i)}) * ({cof(j, j)})), 0), 4)"
                 f" AS partial_corr FROM r")
     return (f"WITH r AS (SELECT {corr_exprs} FROM {table})\n"
             + "\nUNION ALL\n".join(selects))
@@ -1368,7 +1389,10 @@ def cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.var_samp(total).alias("vt"),
         F.count(F.lit(1)).alias("n"))
     item_sum = sum((F.col(f"v{i}") for i in range(1, k)), F.col("v0"))
-    alpha = (F.lit(float(k)) / (k - 1)) * (1 - item_sum / F.col("vt"))
+    # nullif: an all-constant item set zeroes var(total) — alpha
+    # undefined => NULL, never an ANSI DIVIDE_BY_ZERO job abort
+    alpha = ((F.lit(float(k)) / (k - 1))
+             * (1 - item_sum / F.nullif(F.col("vt"), F.lit(0.0))))
     return agg.select(
         F.col("n").alias("n_rows"), F.lit(k).alias("n_items"),
         F.round(alpha, 6).alias("cronbach_alpha"))
@@ -1385,7 +1409,7 @@ SELECT n AS n_rows, {len(_DESCRIBE_COLS)} AS n_items,
        round({float(len(_DESCRIBE_COLS))} / {len(_DESCRIBE_COLS) - 1}
              * (1 - ({" + ".join(f"v{i}"
                                  for i in range(len(_DESCRIBE_COLS)))})
-                / vt), 6) AS cronbach_alpha
+                / nullif(vt, 0)), 6) AS cronbach_alpha
 FROM a
 """
 
@@ -1588,10 +1612,14 @@ def higher_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     m3 = F.col("r3") - 3 * m1 * F.col("r2") + 2 * m1 * m1 * m1
     m4 = (F.col("r4") - 4 * m1 * F.col("r3")
           + 6 * m1 * m1 * F.col("r2") - 3 * m1 * m1 * m1 * m1)
+    # nullif: a constant group zeroes m2 — g1/g2 undefined => NULL,
+    # never an ANSI DIVIDE_BY_ZERO job abort
     return g.select(
         "l_returnflag", "n",
-        F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness_g1"),
-        F.round(m4 / (m2 * m2) - 3, 4).alias("excess_kurtosis_g2"))
+        F.round(m3 / F.nullif(F.pow(m2, 1.5), F.lit(0.0)), 4)
+         .alias("skewness_g1"),
+        F.round(m4 / F.nullif(m2 * m2, F.lit(0.0)) - 3, 4)
+         .alias("excess_kurtosis_g2"))
 
 HIGHER_MOMENTS_SQL = """
 WITH g AS (
@@ -1610,10 +1638,10 @@ WITH g AS (
 )
 SELECT l_returnflag, n,
        round((r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1)
-             / pow(r2 - m1 * m1, 1.5), 4) AS skewness_g1,
+             / nullif(pow(r2 - m1 * m1, 1.5), 0), 4) AS skewness_g1,
        round((r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2
               - 3 * m1 * m1 * m1 * m1)
-             / ((r2 - m1 * m1) * (r2 - m1 * m1)) - 3, 4)
+             / nullif((r2 - m1 * m1) * (r2 - m1 * m1), 0) - 3, 4)
          AS excess_kurtosis_g2
 FROM g
 """
@@ -1832,9 +1860,12 @@ def effect_sizes_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (a.crossJoin(b2)
              .where(F.col("a.c_mktsegment") < F.col("b.c_mktsegment")))
     dfree = F.col("a.n") + F.col("b.n") - 2
+    # nullif: two constant groups zero the pooled sd (and n=1+n=1
+    # zeroes the df) — d undefined => NULL, never an ANSI job abort
     sp = F.sqrt(((F.col("a.n") - 1) * F.col("a.s2")
-                 + (F.col("b.n") - 1) * F.col("b.s2")) / dfree)
-    d = (F.col("a.m") - F.col("b.m")) / sp
+                 + (F.col("b.n") - 1) * F.col("b.s2"))
+                / F.nullif(dfree.cast("double"), F.lit(0.0)))
+    d = (F.col("a.m") - F.col("b.m")) / F.nullif(sp, F.lit(0.0))
     j = 1 - 3 / (4 * dfree - 1)
     return pair.select(
         F.col("a.c_mktsegment").alias("segment_a"),
@@ -1850,11 +1881,11 @@ WITH g AS (
 )
 SELECT a.c_mktsegment AS segment_a, b.c_mktsegment AS segment_b,
        round((a.m - b.m)
-             / sqrt(((a.n - 1) * a.s2 + (b.n - 1) * b.s2)
-                    / (a.n + b.n - 2)), 6) AS cohens_d,
+             / nullif(sqrt(((a.n - 1) * a.s2 + (b.n - 1) * b.s2)
+                    / nullif(a.n + b.n - 2, 0)), 0), 6) AS cohens_d,
        round((a.m - b.m)
-             / sqrt(((a.n - 1) * a.s2 + (b.n - 1) * b.s2)
-                    / (a.n + b.n - 2))
+             / nullif(sqrt(((a.n - 1) * a.s2 + (b.n - 1) * b.s2)
+                    / nullif(a.n + b.n - 2, 0)), 0)
              * (1 - 3.0 / (4 * (a.n + b.n - 2) - 1)), 6) AS hedges_g
 FROM g a CROSS JOIN g b
 WHERE a.c_mktsegment < b.c_mktsegment
@@ -2017,15 +2048,20 @@ def ordinal_assoc_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = (F.col("ss2").cast("double") - n) / 2
     cd = (F.col("C") - F.col("D")).cast("double")
     m = F.least(F.col("nx"), F.col("ny")).cast("double")
+    # nullif on every denominator: constant axes zero C+D / n0−n1 /
+    # n0−n2 / (m−1) — each statistic degrades to NULL, never an ANSI
+    # DIVIDE_BY_ZERO job abort
     return j.select(
         F.col("n").cast("long").alias("n"),
         F.col("C").cast("long").alias("concordant"),
         F.col("D").cast("long").alias("discordant"),
-        F.round(cd / (F.col("C") + F.col("D")).cast("double"), 6)
+        F.round(cd / F.nullif((F.col("C") + F.col("D")).cast("double"),
+                              F.lit(0.0)), 6)
          .alias("gk_gamma"),
-        F.round(cd / (n0 - n1), 6).alias("somers_d_yx"),
-        F.round(cd / (n0 - n2), 6).alias("somers_d_xy"),
-        F.round(cd * 2 * m / (n * n * (m - 1)), 6).alias("stuart_tau_c"))
+        F.round(cd / F.nullif(n0 - n1, F.lit(0.0)), 6).alias("somers_d_yx"),
+        F.round(cd / F.nullif(n0 - n2, F.lit(0.0)), 6).alias("somers_d_xy"),
+        F.round(cd * 2 * m / F.nullif(n * n * (m - 1), F.lit(0.0)), 6)
+         .alias("stuart_tau_c"))
 
 ORDINAL_ASSOC_SQL = """
 WITH cells AS (
@@ -2049,15 +2085,17 @@ WITH cells AS (
 SELECT CAST(n AS BIGINT) AS n,
        CAST(C AS BIGINT) AS concordant,
        CAST(D AS BIGINT) AS discordant,
-       round(CAST(C - D AS DOUBLE) / (C + D), 6) AS gk_gamma,
+       round(CAST(C - D AS DOUBLE) / nullif(C + D, 0), 6) AS gk_gamma,
        round(CAST(C - D AS DOUBLE)
-             / ((CAST(n AS DOUBLE) * n - n) / 2 - (sr2 - n) / 2.0), 6)
+             / nullif((CAST(n AS DOUBLE) * n - n) / 2 - (sr2 - n) / 2.0,
+                      0), 6)
          AS somers_d_yx,
        round(CAST(C - D AS DOUBLE)
-             / ((CAST(n AS DOUBLE) * n - n) / 2 - (ss2 - n) / 2.0), 6)
+             / nullif((CAST(n AS DOUBLE) * n - n) / 2 - (ss2 - n) / 2.0,
+                      0), 6)
          AS somers_d_xy,
        round(CAST(C - D AS DOUBLE) * 2 * least(nx, ny)
-             / (CAST(n AS DOUBLE) * n * (least(nx, ny) - 1)), 6)
+             / nullif(CAST(n AS DOUBLE) * n * (least(nx, ny) - 1), 0), 6)
          AS stuart_tau_c
 FROM pairs CROSS JOIN margins CROSS JOIN rx CROSS JOIN cy
 """

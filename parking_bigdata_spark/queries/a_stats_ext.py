@@ -158,10 +158,16 @@ def dunn_posthoc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (F.col("rsum") / F.col("ng")).alias("mr_b"),
                    F.col("ng").alias("nb"))
     nn = F.col("n_total").cast("double")
+    # nullif: all-tied input → tie3 = n³−n zeroes sig2 (and n=1 zeroes
+    # the inner denominator) — z undefined => NULL, never an ANSI
+    # abort (the A139b twin's guard)
     sig2 = (nn * (nn + 1) / 12.0
-            - F.col("tie3").cast("double") / (12.0 * (nn - 1)))
+            - F.col("tie3").cast("double")
+              / F.nullif(12.0 * (nn - 1), F.lit(0.0)))
     z = ((F.col("mr_a") - F.col("mr_b"))
-         / F.sqrt(sig2 * (1.0 / F.col("na") + 1.0 / F.col("nb"))))
+         / F.nullif(
+             F.sqrt(sig2 * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+             F.lit(0.0)))
     return (a.join(b, a.seg_a < b.seg_b).crossJoin(F.broadcast(glob))
              .select("seg_a", "seg_b",
                      F.round("mr_a", 4).alias("mean_rank_a"),
@@ -189,9 +195,9 @@ SELECT a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
        round(a.rsum / a.ng, 4) AS mean_rank_a,
        round(b.rsum / b.ng, 4) AS mean_rank_b,
        round((a.rsum / a.ng - b.rsum / b.ng)
-             / sqrt((n_total * (n_total + 1) / 12.0
-                     - tie3 / (12.0 * (n_total - 1)))
-                    * (1.0 / a.ng + 1.0 / b.ng)), 4) AS z_stat
+             / nullif(sqrt((n_total * (n_total + 1) / 12.0
+                     - tie3 / nullif(12.0 * (n_total - 1), 0))
+                    * (1.0 / a.ng + 1.0 / b.ng)), 0), 4) AS z_stat
 FROM grp a JOIN grp b ON a.c_mktsegment < b.c_mktsegment
 CROSS JOIN ties
 ORDER BY seg_a, seg_b
@@ -1069,22 +1075,28 @@ def epi_2x2_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b, cc, d = (F.col("a").cast("double"), F.col("b").cast("double"),
                    F.col("c").cast("double"), F.col("d").cast("double"))
     z = 1.959964
-    rr = (a / (a + b)) / (cc / (cc + d))
-    se_rr = F.sqrt(1 / a - 1 / (a + b) + 1 / cc - 1 / (cc + d))
-    orr = (a * d) / (b * cc)
-    se_or = F.sqrt(1 / a + 1 / b + 1 / cc + 1 / d)
-    rd = a / (a + b) - cc / (cc + d)
-    se_rd = F.sqrt(a * b / F.pow(a + b, 3) + cc * d / F.pow(cc + d, 3))
+    # nullif on every cell-derived denominator (and inside the logs):
+    # an EMPTY 2x2 cell makes each measure undefined — degrade to NULL
+    # instead of an ANSI DIVIDE_BY_ZERO / log(0) job abort
+    nz = lambda e: F.nullif(e, F.lit(0.0))  # noqa: E731 — local guard
+    rr = (a / nz(a + b)) / nz(cc / nz(cc + d))
+    se_rr = F.sqrt(1 / nz(a) - 1 / nz(a + b) + 1 / nz(cc)
+                   - 1 / nz(cc + d))
+    orr = (a * d) / nz(b * cc)
+    se_or = F.sqrt(1 / nz(a) + 1 / nz(b) + 1 / nz(cc) + 1 / nz(d))
+    rd = a / nz(a + b) - cc / nz(cc + d)
+    se_rd = F.sqrt(a * b / nz(F.pow(a + b, 3))
+                   + cc * d / nz(F.pow(cc + d, 3)))
     return g.select(
         F.col("a").alias("n_exp_out"), F.col("b").alias("n_exp_noout"),
         F.col("c").alias("n_unexp_out"),
         F.col("d").alias("n_unexp_noout"),
         F.round(rr, 6).alias("risk_ratio"),
-        F.round(F.exp(F.log(rr) - z * se_rr), 6).alias("rr_ci_lo"),
-        F.round(F.exp(F.log(rr) + z * se_rr), 6).alias("rr_ci_hi"),
+        F.round(F.exp(F.log(nz(rr)) - z * se_rr), 6).alias("rr_ci_lo"),
+        F.round(F.exp(F.log(nz(rr)) + z * se_rr), 6).alias("rr_ci_hi"),
         F.round(orr, 6).alias("odds_ratio"),
-        F.round(F.exp(F.log(orr) - z * se_or), 6).alias("or_ci_lo"),
-        F.round(F.exp(F.log(orr) + z * se_or), 6).alias("or_ci_hi"),
+        F.round(F.exp(F.log(nz(orr)) - z * se_or), 6).alias("or_ci_lo"),
+        F.round(F.exp(F.log(nz(orr)) + z * se_or), 6).alias("or_ci_hi"),
         F.round(rd, 6).alias("risk_diff"),
         F.round(rd - z * se_rd, 6).alias("rd_ci_lo"),
         F.round(rd + z * se_rd, 6).alias("rd_ci_hi"))
@@ -1103,24 +1115,31 @@ WITH g AS (
 ), m AS (
   SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
          CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
-         (a / CAST(a + b AS DOUBLE)) / (c / CAST(c + d AS DOUBLE)) AS rr,
-         sqrt(1.0 / a - 1.0 / (a + b) + 1.0 / c - 1.0 / (c + d)) AS serr,
-         (a * CAST(d AS DOUBLE)) / (b * CAST(c AS DOUBLE)) AS orr,
-         sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS seor,
-         a / CAST(a + b AS DOUBLE) - c / CAST(c + d AS DOUBLE) AS rd,
-         sqrt(a * CAST(b AS DOUBLE) / pow(CAST(a + b AS DOUBLE), 3)
-              + c * CAST(d AS DOUBLE) / pow(CAST(c + d AS DOUBLE), 3))
+         (a / nullif(CAST(a + b AS DOUBLE), 0))
+           / nullif(c / nullif(CAST(c + d AS DOUBLE), 0), 0) AS rr,
+         sqrt(1.0 / nullif(a, 0) - 1.0 / nullif(a + b, 0)
+              + 1.0 / nullif(c, 0) - 1.0 / nullif(c + d, 0)) AS serr,
+         (a * CAST(d AS DOUBLE)) / nullif(b * CAST(c AS DOUBLE), 0)
+           AS orr,
+         sqrt(1.0 / nullif(a, 0) + 1.0 / nullif(b, 0)
+              + 1.0 / nullif(c, 0) + 1.0 / nullif(d, 0)) AS seor,
+         a / nullif(CAST(a + b AS DOUBLE), 0)
+           - c / nullif(CAST(c + d AS DOUBLE), 0) AS rd,
+         sqrt(a * CAST(b AS DOUBLE)
+                / nullif(pow(CAST(a + b AS DOUBLE), 3), 0)
+              + c * CAST(d AS DOUBLE)
+                / nullif(pow(CAST(c + d AS DOUBLE), 3), 0))
            AS serd
   FROM g
 )
 SELECT a AS n_exp_out, b AS n_exp_noout, c AS n_unexp_out,
        d AS n_unexp_noout,
        round(rr, 6) AS risk_ratio,
-       round(exp(ln(rr) - 1.959964 * serr), 6) AS rr_ci_lo,
-       round(exp(ln(rr) + 1.959964 * serr), 6) AS rr_ci_hi,
+       round(exp(ln(nullif(rr, 0)) - 1.959964 * serr), 6) AS rr_ci_lo,
+       round(exp(ln(nullif(rr, 0)) + 1.959964 * serr), 6) AS rr_ci_hi,
        round(orr, 6) AS odds_ratio,
-       round(exp(ln(orr) - 1.959964 * seor), 6) AS or_ci_lo,
-       round(exp(ln(orr) + 1.959964 * seor), 6) AS or_ci_hi,
+       round(exp(ln(nullif(orr, 0)) - 1.959964 * seor), 6) AS or_ci_lo,
+       round(exp(ln(nullif(orr, 0)) + 1.959964 * seor), 6) AS or_ci_hi,
        round(rd, 6) AS risk_diff,
        round(rd - 1.959964 * serd, 6) AS rd_ci_lo,
        round(rd + 1.959964 * serd, 6) AS rd_ci_hi
@@ -1544,15 +1563,18 @@ def anova_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     sst = F.col("tss") - F.col("ts") * F.col("ts") / nn
     ssb = F.col("sb") - F.col("ts") * F.col("ts") / nn
     ssw = sst - ssb
-    msb = ssb / (k - 1)
-    msw = ssw / (nn - k)
-    n0 = (nn - F.col("sn2") / nn) / (k - 1)
-    icc = (msb - msw) / (msb + (n0 - 1) * msw)
-    omega = (ssb - (k - 1) * msw) / (sst + msw)
+    # nullif on every ratio: a constant column zeroes SST (and the
+    # variance components) — every effect size is undefined => NULL,
+    # never an ANSI DIVIDE_BY_ZERO job abort
+    msb = ssb / F.nullif(k - 1, F.lit(0.0))
+    msw = ssw / F.nullif(nn - k, F.lit(0.0))
+    n0 = (nn - F.col("sn2") / nn) / F.nullif(k - 1, F.lit(0.0))
+    icc = (msb - msw) / F.nullif(msb + (n0 - 1) * msw, F.lit(0.0))
+    omega = (ssb - (k - 1) * msw) / F.nullif(sst + msw, F.lit(0.0))
     return agg.select(
         F.col("k").cast("int").alias("k_groups"),
         F.col("nn").cast("long").alias("n"),
-        F.round(ssb / sst, 6).alias("eta_squared"),
+        F.round(ssb / F.nullif(sst, F.lit(0.0)), 6).alias("eta_squared"),
         F.round(omega, 6).alias("omega_squared"),
         F.round(icc, 6).alias("icc_1_1"))
 
@@ -1572,15 +1594,17 @@ WITH g AS (
          tss - ts * ts / nn AS sst,
          sb - ts * ts / nn AS ssb,
          (tss - ts * ts / nn) - (sb - ts * ts / nn) AS ssw,
-         (sb - ts * ts / nn) / (k - 1) AS msb,
-         ((tss - ts * ts / nn) - (sb - ts * ts / nn)) / (nn - k) AS msw,
-         (nn - sn2 / nn) / (k - 1) AS n0
+         (sb - ts * ts / nn) / nullif(k - 1, 0) AS msb,
+         ((tss - ts * ts / nn) - (sb - ts * ts / nn))
+           / nullif(nn - k, 0) AS msw,
+         (nn - sn2 / nn) / nullif(k - 1, 0) AS n0
   FROM agg
 )
 SELECT CAST(k AS INT) AS k_groups, CAST(nn AS BIGINT) AS n,
-       round(ssb / sst, 6) AS eta_squared,
-       round((ssb - (k - 1) * msw) / (sst + msw), 6) AS omega_squared,
-       round((msb - msw) / (msb + (n0 - 1) * msw), 6) AS icc_1_1
+       round(ssb / nullif(sst, 0), 6) AS eta_squared,
+       round((ssb - (k - 1) * msw) / nullif(sst + msw, 0), 6)
+         AS omega_squared,
+       round((msb - msw) / nullif(msb + (n0 - 1) * msw, 0), 6) AS icc_1_1
 FROM m
 """
 

@@ -1,0 +1,230 @@
+"""Degenerate-input sweep of the EXACT statistical family.
+
+Round 6 gave the grid twins NULL-degrade guards on all-tied /
+single-class inputs; this module extends the same contract to their
+EXACT counterparts (the r06 ledger's stated boundary): any input that
+makes a statistic mathematically undefined — a constant value column
+(all-tied ranks, zero variance), a single-class label, an empty 2x2
+cell — must produce a row with a NULL statistic, never an ANSI
+DIVIDE_BY_ZERO job abort (Spark 4 default ANSI mode) and never a
+driver-side TypeError/ZeroDivisionError.
+
+Every guard is a `nullif` around a provably-sometimes-zero
+denominator, mirrored verbatim in the DuckDB oracle SQL, so both
+engines stay bit-identical on real data (gate-verified at sf0.001,
+sf0.01, sf0.1) AND on degenerate data (both NULL).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from parking_bigdata_spark import queries as Q
+
+
+def _assert_no_nan(rows):
+    for r in rows:
+        for k, v in r.asDict().items():
+            assert not (isinstance(v, float) and math.isnan(v)), (k, r)
+
+
+@pytest.fixture(scope="module")
+def degen_dir(tmp_path_factory):
+    """All-tied value columns with BOTH groups/classes/arms present —
+    the regime that zeroes tie corrections and pooled variances while
+    every branch of each query still has data."""
+    tmp = tmp_path_factory.mktemp("degen_tied")
+    pd.DataFrame({
+        "c_custkey": range(1, 101),
+        "c_name": [f"Customer#{i}" for i in range(1, 101)],
+        "c_nationkey": [i % 5 for i in range(100)],
+        "c_mktsegment": ["BUILDING" if i % 2 else "MACHINERY"
+                         for i in range(100)],
+        "c_acctbal": [500.0] * 100,
+    }).to_parquet(str(tmp / "customer.parquet"), index=False)
+    pd.DataFrame({
+        "o_orderkey": range(1, 101),
+        "o_custkey": [(i % 100) + 1 for i in range(100)],
+        "o_orderstatus": (["F"] * 40 + ["O"] * 40 + ["P"] * 20),
+        "o_orderpriority": (["1-URGENT"] * 50 + ["5-LOW"] * 50),
+        "o_totalprice": [1000.0] * 100,
+        "o_orderdate": pd.to_datetime(["2024-01-01"] * 100).date,
+    }).to_parquet(str(tmp / "orders.parquet"), index=False)
+    pd.DataFrame({
+        "l_orderkey": range(1, 81),
+        "l_linenumber": [1] * 80,
+        "l_quantity": [7.0] * 80,
+        "l_extendedprice": [100.0] * 80,
+        "l_discount": [0.05] * 80,
+        "l_tax": [0.02] * 80,
+        "l_returnflag": (["R"] * 40 + ["A"] * 40),
+        "l_linestatus": ["F"] * 80,
+        "l_shipdate": pd.to_datetime(["2024-01-02"] * 80).date,
+        "l_partkey": [(i % 10) + 1 for i in range(80)],
+        "l_suppkey": [(i % 4) + 1 for i in range(80)],
+    }).to_parquet(str(tmp / "lineitem.parquet"), index=False)
+    return str(tmp)
+
+
+# --- rank family (exact counterparts of the r06 grid twins) ---------
+
+
+def test_kruskal_exact_all_tied(spark, degen_dir):
+    rows = Q.queries()["kruskal_acctbal_by_segment"](spark,
+                                                     degen_dir).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 100
+    assert rows[0]["h_stat"] is None
+    _assert_no_nan(rows)
+
+
+def test_mannwhitney_exact_all_tied(spark, degen_dir):
+    rows = Q.queries()["mannwhitney_order_value"](spark,
+                                                  degen_dir).collect()
+    assert len(rows) == 1
+    assert (rows[0]["n_urgent"], rows[0]["n_low"]) == (50, 50)
+    # U is still defined (rank sums exist); only the tie-corrected
+    # normal approximation degenerates
+    assert rows[0]["z_stat"] is None
+    _assert_no_nan(rows)
+
+
+def test_dunn_exact_all_tied(spark, degen_dir):
+    rows = Q.queries()["dunn_posthoc_segments"](spark, degen_dir).collect()
+    assert len(rows) == 1  # one segment pair
+    assert rows[0]["mean_rank_a"] == rows[0]["mean_rank_b"]
+    assert rows[0]["z_stat"] is None
+    _assert_no_nan(rows)
+
+
+def test_spearman_exact_constant_axis(spark, degen_dir):
+    rows = Q.queries()["spearman_qty_price"](spark, degen_dir).collect()
+    assert len(rows) == 1 and rows[0]["n_rows"] == 80
+    assert rows[0]["spearman_rho"] is None
+    _assert_no_nan(rows)
+
+
+def test_kendall_exact_constant_axes(spark, degen_dir):
+    rows = Q.queries()["kendall_tau_qty_discount"](spark,
+                                                   degen_dir).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 80
+    assert rows[0]["concordant"] == 0 and rows[0]["discordant"] == 0
+    assert rows[0]["tau_b"] is None
+    _assert_no_nan(rows)
+
+
+def test_ordinal_assoc_exact_constant_axes(spark, degen_dir):
+    r = Q.queries()["ordinal_assoc_qty_discount"](spark,
+                                                  degen_dir).collect()[0]
+    for c in ("gk_gamma", "somers_d_yx", "somers_d_xy", "stuart_tau_c"):
+        assert r[c] is None, c
+
+
+# --- ANOVA / variance family ----------------------------------------
+
+
+def test_anova_exact_constant_column(spark, degen_dir):
+    r = Q.queries()["anova_mktsegment"](spark, degen_dir).collect()[0]
+    assert r["n_obs"] == 100 and r["ss_within"] == 0.0
+    assert r["f_stat"] is None
+
+
+def test_levene_exact_constant_column(spark, degen_dir):
+    r = Q.queries()["levene_acctbal_by_segment"](spark,
+                                                 degen_dir).collect()[0]
+    assert r["n_obs"] == 100
+    assert r["w_stat"] is None
+
+
+def test_ttest_exact_constant_column(spark, degen_dir):
+    r = Q.queries()["ttest_returnflag"](spark, degen_dir).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (40, 40)
+    assert r["t_stat"] is None and r["df"] is None
+
+
+def test_tukey_hsd_constant_column(spark, degen_dir):
+    r = Q.queries()["tukey_hsd_segments"](spark, degen_dir).collect()[0]
+    assert r["mean_diff"] == 0.0 and r["se"] == 0.0
+    assert r["q_stat"] is None
+
+
+def test_effect_sizes_constant_column(spark, degen_dir):
+    r = Q.queries()["effect_sizes_segments"](spark, degen_dir).collect()[0]
+    assert r["cohens_d"] is None and r["hedges_g"] is None
+
+
+def test_anova_effect_sizes_constant_column(spark, degen_dir):
+    r = Q.queries()["anova_effect_sizes"](spark, degen_dir).collect()[0]
+    assert r["n"] == 100
+    assert r["eta_squared"] is None
+    assert r["omega_squared"] is None
+    assert r["icc_1_1"] is None
+
+
+def test_higher_moments_constant_column(spark, degen_dir):
+    rows = Q.queries()["higher_moments_by_flag"](spark,
+                                                 degen_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["skewness_g1"] is None
+        assert r["excess_kurtosis_g2"] is None
+
+
+def test_zscore_constant_segment(spark, degen_dir):
+    rows = Q.queries()["zscore_by_segment"](spark, degen_dir).collect()
+    assert len(rows) == 100
+    assert all(r["bal_z"] is None for r in rows)
+
+
+# --- correlation / regression family --------------------------------
+
+
+def test_corr_matrix_constant_columns(spark, degen_dir):
+    rows = Q.queries()["corr_matrix"](spark, degen_dir).collect()
+    assert len(rows) == 6
+    assert all(r["corr"] is None for r in rows)
+
+
+def test_corr_test_constant_axis(spark, degen_dir):
+    r = Q.queries()["corr_test"](spark, degen_dir).collect()[0]
+    assert r["n"] == 80
+    assert r["r"] is None and r["t_stat"] is None
+
+
+def test_simple_linreg_constant_x(spark, degen_dir):
+    r = Q.queries()["simple_linreg"](spark, degen_dir).collect()[0]
+    assert r["n"] == 80
+    assert r["slope"] is None and r["intercept"] is None
+    assert r["r"] is None
+
+
+def test_partial_corr_constant_columns(spark, degen_dir):
+    rows = Q.queries()["partial_corr_matrix"](spark, degen_dir).collect()
+    assert len(rows) == 6
+    assert all(r["partial_corr"] is None for r in rows)
+
+
+def test_cronbach_constant_items(spark, degen_dir):
+    r = Q.queries()["cronbach_alpha"](spark, degen_dir).collect()[0]
+    assert r["cronbach_alpha"] is None
+
+
+def test_residual_diagnostics_constant_x(spark, degen_dir):
+    r = Q.queries()["residual_diagnostics"](spark, degen_dir).collect()[0]
+    assert r["n"] == 80
+    # constant x => slope undefined => every residual statistic NULL
+    for c in ("skewness", "ex_kurtosis", "jarque_bera",
+              "durbin_watson", "breusch_pagan"):
+        assert r[c] is None, c
+
+
+def test_epi_2x2_empty_cell(spark, degen_dir):
+    # no negative-acctbal customers => the 'exposed' row of the 2x2 is
+    # empty; every ratio / CI is undefined => NULL
+    r = Q.queries()["epi_2x2_measures"](spark, degen_dir).collect()[0]
+    assert r["n_exp_out"] == 0 and r["n_exp_noout"] == 0
+    for c in ("risk_ratio", "rr_ci_lo", "rr_ci_hi", "odds_ratio",
+              "or_ci_lo", "or_ci_hi", "risk_diff"):
+        assert r[c] is None, c
