@@ -1154,18 +1154,26 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("mon_dec").cast("double").alias("mon"),
                   F.datediff(F.to_date("rd"), F.to_date("last_o"))
                    .cast("double").alias("rec")))
-    # materialize the customer-sized metric table: the three quantile
-    # probes + scoring otherwise replay the orders scan+shuffle ~8x
-    pc = pc.withColumn("__g", F.lit(1)).localCheckpoint(eager=True)
-    bounds = {}
-    for m in ("rec", "freq", "mon"):
-        bounds[m] = stats.grouped_quantiles(
-            pc.withColumn(m, F.col(m).cast("double")), "__g", m,
-            [0.25, 0.5, 0.75], [f"{m}_q1", f"{m}_q2", f"{m}_q3"]
-        ).drop("__g")
-    scored = pc
-    for m in ("rec", "freq", "mon"):
-        scored = scored.crossJoin(F.broadcast(bounds[m]))
+    # materialize the customer-sized metric table: the quantile probe
+    # + scoring otherwise replay the orders scan+shuffle ~4x
+    pc = pc.localCheckpoint(eager=True)
+    # ONE fused quantile pass for all three metrics: melt to
+    # (metric, value) and let grouped_quantiles bracket the three
+    # groups together — three separate probes cost 3x the jobs for
+    # identical values (each group runs the same exact refine)
+    melted = pc.select(
+        F.explode(F.map_from_arrays(
+            F.array(F.lit("rec"), F.lit("freq"), F.lit("mon")),
+            F.array(F.col("rec").cast("double"),
+                    F.col("freq").cast("double"),
+                    F.col("mon").cast("double"))))
+        .alias("__m", "__v"))
+    b3 = stats.grouped_quantiles(melted, "__m", "__v",
+                                 [0.25, 0.5, 0.75], ["q1", "q2", "q3"])
+    bounds_wide = b3.agg(*[
+        F.max(F.when(F.col("__m") == m, F.col(q))).alias(f"{m}_{q}")
+        for m in ("rec", "freq", "mon") for q in ("q1", "q2", "q3")])
+    scored = pc.crossJoin(F.broadcast(bounds_wide))
     up = lambda m: ((F.col(m) > F.col(f"{m}_q1")).cast("int")
                     + (F.col(m) > F.col(f"{m}_q2")).cast("int")
                     + (F.col(m) > F.col(f"{m}_q3")).cast("int"))
@@ -1339,35 +1347,37 @@ FROM km WHERE d > 0
 
 # --------------------------------------------------------------------------
 # A82. Deterministic half-sample bootstrap CI for the mean order
-# value: 32 replicates, each keeping rows whose md5(key:replicate)
-# prefix clears a 50% threshold (engine-portable, seed-free — same
-# construction as deterministic_sample_orders). The fact is scanned
-# ONCE; the explode is codegen'd and map-side partial aggregation
-# collapses the 32x row fan-out to 32 partials per task, so the
-# shuffle is replicate-count-sized. Replicate means use exact-decimal
-# sums (one deterministic division each).
+# value: 32 replicates; replicate b keeps the rows whose b-th hex
+# char of md5(orderkey) clears a 50% threshold (engine-portable,
+# seed-free — one md5 digest per ROW supplies all 32 independent
+# inclusion bits; hashing 32 separate md5(key:b) strings per row cost
+# 2.5x the wall-clock for the same design). The fact is scanned ONCE:
+# the 32 replicate sums/counts and the full-corpus mean are 65
+# conditional aggregates in a single pass — no row fan-out, no
+# shuffle beyond the 1-row partial merge. Replicate means use
+# exact-decimal sums (one deterministic division each).
 # --------------------------------------------------------------------------
 
 def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import money
     orders = load_table(spark, sf_dir, "orders")
-    rep = (orders.select(money("o_totalprice").alias("p"),
-                         F.col("o_orderkey").cast("string").alias("k"),
-                         F.explode(F.sequence(F.lit(1), F.lit(32)))
-                          .alias("b"))
-           .where(F.substring(
-               F.md5(F.concat_ws(":", "k", F.col("b").cast("string"))),
-               1, 1) < "8")
-           .groupBy("b")
-           .agg((F.sum("p").cast("double") / F.count(F.lit(1)))
-                .alias("rep_mean")))
-    full = orders.agg(
-        F.round(F.sum(money("o_totalprice")).cast("double")
-                / F.count(F.lit(1)), 4).alias("full_mean"))
-    return (rep.agg(F.count(F.lit(1)).alias("n_replicates"),
+    p = money("o_totalprice")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    aggs = []
+    for b in range(1, 33):
+        keep = F.substring(h, b, 1) < "8"
+        aggs.append(F.sum(F.when(keep, p)).alias(f"s{b}"))
+        aggs.append(F.sum(keep.cast("long")).alias(f"c{b}"))
+    aggs.append(F.round(F.sum(p).cast("double") / F.count(F.lit(1)), 4)
+                 .alias("full_mean"))
+    one = orders.agg(*aggs)
+    means = F.array(*[F.col(f"s{b}").cast("double") / F.col(f"c{b}")
+                      for b in range(1, 33)])
+    rep = one.select(F.explode(means).alias("rep_mean"), "full_mean")
+    return (rep.groupBy("full_mean")
+               .agg(F.count(F.lit(1)).alias("n_replicates"),
                     F.avg("rep_mean").alias("bm"),
                     F.stddev_samp("rep_mean").alias("sd"))
-               .crossJoin(F.broadcast(full))
                .select("n_replicates",
                        F.round("bm", 4).alias("boot_mean"),
                        F.round(F.col("bm") - 1.96 * F.col("sd"), 4)
@@ -1376,30 +1386,34 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("ci_hi"),
                        "full_mean"))
 
-BOOTSTRAP_SQL = """
-WITH rep AS (
-  SELECT b,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-           / count(*) AS rep_mean
+BOOTSTRAP_SQL = f"""
+WITH one AS (
+  SELECT
+    {", ".join(
+        f"sum(CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), "
+        f"{b}, 1) < '8' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) "
+        f"AS s{b}, "
+        f"sum(CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), "
+        f"{b}, 1) < '8' THEN 1 ELSE 0 END) AS c{b}"
+        for b in range(1, 33))},
+    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          / count(*), 4) AS full_mean
   FROM orders
-  CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS b)
-  WHERE substring(md5(concat_ws(':', CAST(o_orderkey AS VARCHAR),
-                                CAST(b AS VARCHAR))), 1, 1) < '8'
-  GROUP BY 1
+), rep AS (
+  SELECT unnest([{", ".join(f"CAST(s{b} AS DOUBLE) / c{b}"
+                            for b in range(1, 33))}]) AS rep_mean,
+         full_mean
+  FROM one
 ), s AS (
-  SELECT count(*) AS n_replicates, avg(rep_mean) AS bm,
+  SELECT full_mean, count(*) AS n_replicates, avg(rep_mean) AS bm,
          stddev_samp(rep_mean) AS sd
-  FROM rep
-), fs AS (
-  SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-               / count(*), 4) AS full_mean
-  FROM orders
+  FROM rep GROUP BY full_mean
 )
 SELECT n_replicates, round(bm, 4) AS boot_mean,
        round(bm - 1.96 * sd, 4) AS ci_lo,
        round(bm + 1.96 * sd, 4) AS ci_hi,
        full_mean
-FROM s CROSS JOIN fs
+FROM s
 """
 
 

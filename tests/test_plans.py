@@ -290,10 +290,10 @@ def test_basket_lift_broadcasts_part_and_marginals(spark, sf_dir):
 
 def test_bootstrap_single_scan_partial_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "bootstrap_ci_order_value")
-    # the 32-replicate fan-out must not multiply scans
-    assert plan.count("FileScan") == 2  # replicate pass + full-mean pass
-    # map-side partial aggregation collapses the explode before the
-    # replicate shuffle
+    # the 32 replicate sums/counts AND the full mean ride ONE scan
+    # (65 conditional aggregates — no fan-out, no second pass)
+    assert plan.count("FileScan") == 1
+    # map-side partial aggregation collapses the scan to 1-row partials
     assert "partial_" in plan
 
 
