@@ -20,6 +20,30 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def pin(df: DataFrame) -> DataFrame:
+    """Pin ONE physical evaluation of ``df`` so every consumer reads
+    the same layout (the round-5 ``__pid`` coherence requirement).
+
+    Local mode / no checkpoint dir: ``localCheckpoint(eager=True)`` —
+    fast, but lineage-truncating to executor-local storage, so on a
+    real cluster a single executor loss fails the job (the documented
+    fault-tolerance tradeoff in SCALE.md). When the application has
+    configured a RELIABLE checkpoint directory
+    (``sc.setCheckpointDir(...)`` — HDFS/object store on a cluster),
+    the pin automatically upgrades to ``checkpoint(eager=True)``:
+    same layout-pinning semantics, executor-loss-safe. This is the
+    switch the r05 ADVICE asked for instead of comment-only guidance.
+    """
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+    except Exception:  # noqa: BLE001 — connect-mode or API drift
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def safe_corr(x, y) -> Column:
     """Pearson correlation that degrades to NULL instead of an ANSI
     DIVIDE_BY_ZERO job abort when either column has zero variance
@@ -170,20 +194,19 @@ def residual_diagnostics(df: DataFrame, x: str, y: str,
     d = d.crossJoin(F.broadcast(fit))
     e = F.col(y) - (F.col("my") + F.col("slope") * (F.col(x) - F.col("mx")))
     tie_cols = order_cols + ["__e"]
-    d = (d.withColumn("__e", e)
-          .repartitionByRange(*[F.col(c) for c in tie_cols])
-          .withColumn("__pid", F.spark_partition_id())
-          # pin ONE evaluation (round-5 class fix): the two consumers
-          # (global moments + the boundary-stitch frame) MUST read the
-          # same physical layout — __pid and the per-partition lag
-          # boundaries are layout-dependent, and AQE may plan a re-read
-          # of an un-pinned exchange differently per consumer (observed
-          # at sf0.1 in the hosmer-lemeshow twin of this construction:
-          # 1- vs 64-partition layouts between branches). An earlier
-          # A/B kept the stateless double-branch for lineage safety
-          # (5.7 s vs 6.0 s at 20×, no perf win) — the layout-coherence
-          # requirement overrides it.
-          .localCheckpoint(eager=True))
+    # pin ONE evaluation (round-5 class fix): the two consumers
+    # (global moments + the boundary-stitch frame) MUST read the
+    # same physical layout — __pid and the per-partition lag
+    # boundaries are layout-dependent, and AQE may plan a re-read
+    # of an un-pinned exchange differently per consumer (observed
+    # at sf0.1 in the hosmer-lemeshow twin of this construction:
+    # 1- vs 64-partition layouts between branches). An earlier
+    # A/B kept the stateless double-branch for lineage safety
+    # (5.7 s vs 6.0 s at 20×, no perf win) — the layout-coherence
+    # requirement overrides it.
+    d = pin(d.withColumn("__e", e)
+             .repartitionByRange(*[F.col(c) for c in tie_cols])
+             .withColumn("__pid", F.spark_partition_id()))
     wl = Window.partitionBy("__pid").orderBy(*tie_cols)
     d = d.withColumn("__elag", F.lag("__e").over(wl))
     agg = d.agg(
@@ -303,8 +326,7 @@ def tie_avg_ranks(counts: DataFrame, value_col: str,
     # layouts between the offset agg and the rank join dropped rows),
     # so the offset table and the join must read the SAME materialized
     # frame (round-5 class fix; every __pid offset-join site pins)
-    local = d.withColumn("__cum", F.sum(count_col).over(wl)) \
-             .localCheckpoint(eager=True)
+    local = pin(d.withColumn("__cum", F.sum(count_col).over(wl)))
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     off = (local.groupBy("__pid").agg(F.max("__cum").alias("__t"))
            .withColumn("__off", F.coalesce(F.sum("__t").over(wo), F.lit(0))))
@@ -337,8 +359,7 @@ def tie_avg_ranks_by_group(counts: DataFrame, group_col: str,
     wl = (Window.partitionBy("__pid", group_col).orderBy(value_col)
           .rowsBetween(Window.unboundedPreceding, 0))
     # pin ONE evaluation (see tie_avg_ranks)
-    local = d.withColumn("__cum", F.sum(count_col).over(wl)) \
-             .localCheckpoint(eager=True)
+    local = pin(d.withColumn("__cum", F.sum(count_col).over(wl)))
     wo = (Window.partitionBy(group_col).orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1))
     off = (local.groupBy("__pid", group_col)
@@ -374,7 +395,7 @@ def range_cumsum(df: DataFrame, order_col: str,
     for c in sum_cols:
         local = local.withColumn(f"__cum_{c}", F.sum(c).over(wl))
     # pin ONE evaluation (see tie_avg_ranks)
-    local = local.localCheckpoint(eager=True)
+    local = pin(local)
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     off = local.groupBy("__pid").agg(
         *[F.sum(c).alias(f"__t_{c}") for c in sum_cols])
@@ -410,7 +431,7 @@ def _materialize_groups(br: DataFrame):
     # Checkpoint FIRST so the expensive per-group sketch aggregate runs
     # exactly once on both paths — the size probe then reads the
     # checkpointed blocks instead of re-running the scan (ADVICE r04).
-    cp = br.localCheckpoint(eager=True)
+    cp = pin(br)
     head = cp.limit(_BRACKET_COLLECT_MAX + 1).collect()
     if len(head) <= _BRACKET_COLLECT_MAX:
         # the collected rows replace cp on this path — free its
@@ -743,7 +764,7 @@ def range_cumsum_by_group(df: DataFrame, group_col: str, order_col: str,
     for c in sum_cols:
         local = local.withColumn(f"__cum_{c}", F.sum(c).over(wl))
     # pin ONE evaluation (see tie_avg_ranks)
-    local = local.localCheckpoint(eager=True)
+    local = pin(local)
     wo = (Window.partitionBy(group_col).orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1))
     off = local.groupBy("__pid", group_col).agg(

@@ -422,7 +422,12 @@ def test_pid_offset_sites_are_pinned():
             if "__pid" not in seg:
                 keyonly_sites += 1
                 continue
-            if "localCheckpoint" in seg:
+            # a site is pinned if it materializes one evaluation
+            # before the offsets derive: directly (localCheckpoint)
+            # or through the stats.pin helper (localCheckpoint in
+            # local mode, reliable checkpoint when a checkpoint dir
+            # is configured). `def pin` itself is the helper body.
+            if "localCheckpoint" in seg or "pin(" in seg:
                 pinned_sites += 1
             else:
                 offenders.append(
@@ -437,3 +442,35 @@ def test_pid_offset_sites_are_pinned():
         "spark_partition_id offset-join site(s) missing the "
         "localCheckpoint layout pin (round-5 class bug): "
         + "; ".join(offenders))
+
+
+def test_pin_upgrades_to_reliable_checkpoint(spark, sf_dir, tmp_path):
+    """stats.pin must use executor-local checkpointing by default and
+    automatically upgrade to RELIABLE checkpointing (executor-loss-
+    safe; the r05 ADVICE cluster-scale ask) when the application has
+    configured sc.setCheckpointDir — with identical values either way."""
+    from parking_bigdata_spark.operators import stats as S
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("v"))
+    base = sorted(r["id"] for r in S.pin(df).collect())
+
+    sc = spark.sparkContext
+    assert not sc._jsc.sc().getCheckpointDir().isDefined()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        pinned = S.pin(df)
+        assert sorted(r["id"] for r in pinned.collect()) == base
+        # the reliable path actually wrote checkpoint files
+        import os
+        wrote = any(files for _, _, files in os.walk(tmp_path / "ckpt"))
+        assert wrote, "reliable checkpoint dir is empty"
+        # a __pid machinery consumer still works end-to-end
+        ranked = S.tie_avg_ranks(
+            df.groupBy("v").agg(F.count(F.lit(1)).alias("t")), "v", "t")
+        assert ranked.count() == 7
+    finally:
+        # unset for the rest of the session (None clears it on the JVM)
+        sc._jsc.sc().setCheckpointDir(None)
+        assert not sc._jsc.sc().getCheckpointDir().isDefined()
