@@ -749,8 +749,11 @@ def cuped_experiment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                             .otherwise(0.0)).alias("pre"),
                      F.sum(F.when(day >= F.col("mid"), F.col("value"))
                             .otherwise(0.0)).alias("post")))
+    # nullif: identical per-user pre-periods zero var(pre) — theta
+    # (and the adjusted series) undefined => NULL, never an ANSI abort
     st = per_user.agg(
-        (F.covar_pop("pre", "post") / F.var_pop("pre")).alias("theta"),
+        (F.covar_pop("pre", "post")
+         / F.nullif(F.var_pop("pre"), F.lit(0.0))).alias("theta"),
         F.avg("pre").alias("pre_bar"))
     adj = (per_user.crossJoin(F.broadcast(st))
            .select((F.col("user_id") % 2).cast("int").alias("grp"), "post",
@@ -760,7 +763,8 @@ def cuped_experiment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("n_users"),
                     F.round(F.avg("post"), 4).alias("mean_post"),
                     F.round(F.avg("adj"), 4).alias("mean_adj"),
-                    F.round(F.var_pop("adj") / F.var_pop("post"), 4)
+                    F.round(F.var_pop("adj")
+                            / F.nullif(F.var_pop("post"), F.lit(0.0)), 4)
                      .alias("var_ratio")))
 
 CUPED_SQL = """
@@ -777,7 +781,7 @@ WITH ev AS (
          sum(CASE WHEN day_num >= mid THEN value ELSE 0 END) AS post
   FROM ev CROSS JOIN mid GROUP BY 1
 ), st AS (
-  SELECT covar_pop(pre, post) / var_pop(pre) AS theta,
+  SELECT covar_pop(pre, post) / nullif(var_pop(pre), 0) AS theta,
          avg(pre) AS pre_bar
   FROM per_user
 ), adj AS (
@@ -788,7 +792,7 @@ WITH ev AS (
 SELECT grp, count(*) AS n_users,
        round(avg(post), 4) AS mean_post,
        round(avg(adj), 4) AS mean_adj,
-       round(var_pop(adj) / var_pop(post), 4) AS var_ratio
+       round(var_pop(adj) / nullif(var_pop(post), 0), 4) AS var_ratio
 FROM adj GROUP BY 1
 """
 
@@ -813,10 +817,13 @@ def acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.explode(F.sequence(F.lit(1), F.lit(7)))
                         .alias("lag_k"))
                .join(b, F.col("b.d") == F.col("a.d") + F.col("lag_k")))
+    # safe_corr: a constant daily series has zero variance — the ACF
+    # is undefined => NULL, never an ANSI abort (oracle mirrors)
     return (lagged.groupBy("lag_k")
                   .agg(F.count(F.lit(1)).alias("n_pairs"),
-                       F.round(F.corr(F.col("a.n").cast("double"),
-                                      F.col("b.n").cast("double")), 4)
+                       F.round(stats.safe_corr(
+                           F.col("a.n").cast("double"),
+                           F.col("b.n").cast("double")), 4)
                         .alias("acf")))
 
 ACF_SQL = """
@@ -826,7 +833,8 @@ WITH daily AS (
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ), ks AS (SELECT CAST(unnest(generate_series(1, 7)) AS INT) AS lag_k)
 SELECT lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
-       round(corr(a.n, b.n), 4) AS acf
+       round(covar_samp(a.n, b.n)
+             / nullif(stddev_samp(a.n) * stddev_samp(b.n), 0), 4) AS acf
 FROM daily a CROSS JOIN ks JOIN daily b ON b.d = a.d + lag_k
 GROUP BY 1
 """
@@ -1274,11 +1282,15 @@ def grubbs_daily_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.stddev_samp("n").alias("__sd"),
                    F.count(F.lit(1)).alias("n_days"))
     dev = F.abs(F.col("n") - F.col("__mu"))
+    # nullif: a constant series has sd = 0 — G undefined => NULL,
+    # never an ANSI DIVIDE_BY_ZERO job abort
     return (daily.crossJoin(F.broadcast(st))
                  .orderBy(dev.desc(), F.col("d").asc())
                  .limit(1)
                  .select("n_days",
-                         F.round(dev / F.col("__sd"), 4).alias("g_stat"),
+                         F.round(dev / F.nullif(F.col("__sd"),
+                                                F.lit(0.0)), 4)
+                          .alias("g_stat"),
                          F.col("d").cast("int").alias("outlier_day"),
                          F.col("n").alias("outlier_n")))
 
@@ -1287,7 +1299,7 @@ WITH daily AS ({_DAILY_SQL}),
 st AS (SELECT avg(n) AS mu, stddev_samp(n) AS sd, count(*) AS n_days
        FROM daily)
 SELECT st.n_days,
-       round(abs(daily.n - st.mu) / st.sd, 4) AS g_stat,
+       round(abs(daily.n - st.mu) / nullif(st.sd, 0), 4) AS g_stat,
        CAST(daily.d AS INT) AS outlier_day,
        daily.n AS outlier_n
 FROM daily, st
@@ -1491,7 +1503,10 @@ def robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = (daily.crossJoin(F.broadcast(med))
                 .withColumn("__ad", F.abs(F.col("n") - F.col("__med"))))
     mad = dev.agg(F.percentile("__ad", F.lit(0.5)).alias("__mad"))
-    z = F.lit(0.6745) * (F.col("n") - F.col("__med")) / F.col("__mad")
+    # nullif: a constant series has MAD = 0 — modified z undefined =>
+    # NULL, never an ANSI DIVIDE_BY_ZERO job abort
+    z = (F.lit(0.6745) * (F.col("n") - F.col("__med"))
+         / F.nullif(F.col("__mad"), F.lit(0.0)))
     return (dev.crossJoin(F.broadcast(mad))
                .orderBy(F.abs(z).desc(), F.col("d").asc())
                .limit(5)
@@ -1508,9 +1523,9 @@ dev AS (
 ),
 mad AS (SELECT quantile_cont(ad, 0.5) AS mad FROM dev)
 SELECT CAST(d AS INT) AS day_num, n AS n_events,
-       round(0.6745 * (n - med) / mad.mad, 4) AS modified_z
+       round(0.6745 * (n - med) / nullif(mad.mad, 0), 4) AS modified_z
 FROM dev, mad
-ORDER BY abs(0.6745 * (n - med) / mad.mad) DESC, d ASC
+ORDER BY abs(0.6745 * (n - med) / nullif(mad.mad, 0)) DESC, d ASC
 LIMIT 5
 """
 
@@ -1997,10 +2012,13 @@ def dow_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss_total = F.col("ss_raw") - F.col("n_days") * F.col("gm") * F.col("gm")
     ss_between = (F.col("ss_groups")
                   - F.col("n_days") * F.col("gm") * F.col("gm"))
+    # nullif: a constant daily series zeroes SS_total — eta² undefined
+    # => NULL, never an ANSI DIVIDE_BY_ZERO job abort
     return tot.select(
         F.col("n_days").cast("long").alias("n_days"),
         F.round(F.col("gm"), 4).alias("mean_daily"),
-        F.round(ss_between / ss_total, 6).alias("eta_sq_dow"))
+        F.round(ss_between / F.nullif(ss_total, F.lit(0.0)), 6)
+         .alias("eta_sq_dow"))
 
 DOW_STRENGTH_SQL = """
 WITH daily AS (
@@ -2021,7 +2039,7 @@ WITH daily AS (
 SELECT CAST(n_days AS BIGINT) AS n_days,
        round(gm, 4) AS mean_daily,
        round((ss_groups - n_days * gm * gm)
-             / (ss_raw - n_days * gm * gm), 6) AS eta_sq_dow
+             / nullif(ss_raw - n_days * gm * gm, 0), 6) AS eta_sq_dow
 FROM tot
 """
 
@@ -2199,8 +2217,10 @@ def ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.sum((F.col("a.x") - F.col("xbar"))
                           * (F.col("b.x") - F.col("xbar"))).alias("ck")))
     n = F.col("n").cast("double")
+    # nullif: a constant series zeroes c0 — every r_k undefined =>
+    # NULL, never an ANSI DIVIDE_BY_ZERO job abort
     c0 = F.col("sxx") - n * F.col("xbar") * F.col("xbar")
-    rk = F.col("ck") / c0
+    rk = F.col("ck") / F.nullif(c0, F.lit(0.0))
     term = rk * rk / (n - F.col("lag_k"))
     w = Window.orderBy("lag_k").rowsBetween(Window.unboundedPreceding, 0)
     return (lagged.select("lag_k", rk.alias("__rk"), (n * (n + 2) * term)
@@ -2227,8 +2247,9 @@ lagged AS (
   GROUP BY lag_k
 )
 SELECT lag_k,
-       round(ck / (sxx - n * xbar * xbar), 6) AS r_k,
-       round(sum(n * (n + 2.0) * (ck / (sxx - n * xbar * xbar)) ** 2
+       round(ck / nullif(sxx - n * xbar * xbar, 0), 6) AS r_k,
+       round(sum(n * (n + 2.0)
+                 * (ck / nullif(sxx - n * xbar * xbar, 0)) ** 2
                  / (n - lag_k))
              OVER (ORDER BY lag_k ROWS UNBOUNDED PRECEDING), 4) AS q_cum
 FROM lagged

@@ -32,10 +32,13 @@ def ccf_count_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.explode(F.sequence(F.lit(-3), F.lit(3)))
                         .alias("lag_k"))
                .join(b, F.col("b.d") == F.col("a.d") + F.col("lag_k")))
+    # safe_corr: a constant count (or value) series has zero variance
+    # — the CCF is undefined => NULL, never an ANSI abort
     return (lagged.groupBy("lag_k")
                   .agg(F.count(F.lit(1)).alias("n_pairs"),
-                       F.round(F.corr(F.col("a.n").cast("double"),
-                                      F.col("b.v")), 4).alias("ccf"))
+                       F.round(stats.safe_corr(
+                           F.col("a.n").cast("double"),
+                           F.col("b.v")), 4).alias("ccf"))
                   .orderBy("lag_k"))
 
 CCF_SQL = """
@@ -45,7 +48,8 @@ WITH daily AS (
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ), ks AS (SELECT CAST(unnest(generate_series(-3, 3)) AS INT) AS lag_k)
 SELECT lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
-       round(corr(a.n, b.v), 4) AS ccf
+       round(covar_samp(a.n, b.v)
+             / nullif(stddev_samp(a.n) * stddev_samp(b.v), 0), 4) AS ccf
 FROM daily a CROSS JOIN ks JOIN daily b ON b.d = a.d + lag_k
 GROUP BY 1 ORDER BY 1
 """
@@ -87,12 +91,17 @@ def granger_count_to_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     s12 = F.col("r12") - F.col("m1") * F.col("m2")
     s1y = F.col("r1y") - F.col("m1") * F.col("my")
     s2y = F.col("r2y") - F.col("m2") * F.col("my")
-    rss_r = syy - s1y * s1y / s11
-    det = s11 * s22 - s12 * s12
+    # nullif on every closed-form denominator: constant series zero
+    # s11 / the determinant / the residual MS — the fit is undefined
+    # => NULL, never an ANSI DIVIDE_BY_ZERO job abort
+    rss_r = syy - s1y * s1y / F.nullif(s11, F.lit(0.0))
+    det = F.nullif(s11 * s22 - s12 * s12, F.lit(0.0))
     b1 = (s1y * s22 - s2y * s12) / det
     b2 = (s2y * s11 - s1y * s12) / det
     rss_f = syy - b1 * s1y - b2 * s2y
-    fstat = (rss_r - rss_f) / (rss_f / (n - 3))
+    fstat = (rss_r - rss_f) / F.nullif(rss_f / F.nullif(n - 3,
+                                                        F.lit(0.0)),
+                                       F.lit(0.0))
     return g.select(F.col("n").cast("long").alias("n_obs"),
                     F.round(b2 * n, 6).alias("lag_count_coef_scaled"),
                     F.round(rss_r * n, 4).alias("rss_restricted"),
@@ -121,17 +130,22 @@ WITH daily AS (
   FROM g
 ), fit AS (
   SELECT n, syy, s1y, s11,
-         (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1,
-         (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2,
+         (s1y * s22 - s2y * s12)
+           / nullif(s11 * s22 - s12 * s12, 0) AS b1,
+         (s2y * s11 - s1y * s12)
+           / nullif(s11 * s22 - s12 * s12, 0) AS b2,
          s2y
   FROM s
 )
 SELECT CAST(n AS BIGINT) AS n_obs,
        round(b2 * n, 6) AS lag_count_coef_scaled,
-       round((syy - s1y * s1y / s11) * n, 4) AS rss_restricted,
+       round((syy - s1y * s1y / nullif(s11, 0)) * n, 4)
+         AS rss_restricted,
        round((syy - b1 * s1y - b2 * s2y) * n, 4) AS rss_full,
-       round(((syy - s1y * s1y / s11) - (syy - b1 * s1y - b2 * s2y))
-             / ((syy - b1 * s1y - b2 * s2y) / (n - 3)), 4) AS f_stat
+       round(((syy - s1y * s1y / nullif(s11, 0))
+              - (syy - b1 * s1y - b2 * s2y))
+             / nullif((syy - b1 * s1y - b2 * s2y)
+                      / nullif(n - 3, 0), 0), 4) AS f_stat
 FROM fit
 """
 
@@ -227,8 +241,10 @@ def periodogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.first("nd").alias("nd"), F.first("s2").alias("s2"),
                      F.sum(x * F.cos(theta)).alias("sc"),
                      F.sum(x * F.sin(theta)).alias("ss")))
+    # nullif: a constant series has zero variance — normalized power
+    # is undefined => NULL, never an ANSI DIVIDE_BY_ZERO job abort
     power = ((F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
-             / (F.col("nd") * F.col("s2")))
+             / F.nullif(F.col("nd") * F.col("s2"), F.lit(0.0)))
     return (per.select("period",
                        F.col("nd").cast("long").alias("n_days"),
                        F.round(power, 4).alias("power_norm"))
@@ -247,7 +263,7 @@ WITH daily AS (
 SELECT period, CAST(nd AS BIGINT) AS n_days,
        round((pow(sum((n - mu) * cos(2 * pi() * d / period)), 2)
               + pow(sum((n - mu) * sin(2 * pi() * d / period)), 2))
-             / (nd * s2), 4) AS power_norm
+             / nullif(nd * s2, 0), 4) AS power_norm
 FROM daily CROSS JOIN mv CROSS JOIN grid
 GROUP BY period, nd, s2
 ORDER BY period
@@ -349,10 +365,13 @@ def ar2_yule_walker_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("nd", "mu", "c0")
               .agg(F.max(F.when(F.col("k") == 1, F.col("c"))).alias("c1"),
                    F.max(F.when(F.col("k") == 2, F.col("c"))).alias("c2")))
-    r1 = F.col("c1") / F.col("c0")
-    r2 = F.col("c2") / F.col("c0")
-    phi1 = r1 * (1 - r2) / (1 - r1 * r1)
-    phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    # nullif: a constant series zeroes c0 (and |r1| = 1 zeroes the
+    # Yule-Walker denominator) — the fit is undefined => NULL, never
+    # an ANSI DIVIDE_BY_ZERO job abort
+    r1 = F.col("c1") / F.nullif(F.col("c0"), F.lit(0.0))
+    r2 = F.col("c2") / F.nullif(F.col("c0"), F.lit(0.0))
+    phi1 = r1 * (1 - r2) / F.nullif(1 - r1 * r1, F.lit(0.0))
+    phi2 = (r2 - r1 * r1) / F.nullif(1 - r1 * r1, F.lit(0.0))
     return wide.select(
         F.col("nd").cast("long").alias("n_days"),
         F.round(r1, 6).alias("r1"),
@@ -383,13 +402,14 @@ WITH daily AS (
          max(CASE WHEN k = 1 THEN c END) AS c1,
          max(CASE WHEN k = 2 THEN c END) AS c2
   FROM ck CROSS JOIN mv GROUP BY nd, c0
-), r AS (SELECT nd, c0, c1 / c0 AS r1, c2 / c0 AS r2 FROM wide)
+), r AS (SELECT nd, c0, c1 / nullif(c0, 0) AS r1,
+                c2 / nullif(c0, 0) AS r2 FROM wide)
 SELECT CAST(nd AS BIGINT) AS n_days,
        round(r1, 6) AS r1, round(r2, 6) AS r2,
-       round(r1 * (1 - r2) / (1 - r1 * r1), 6) AS phi1,
-       round((r2 - r1 * r1) / (1 - r1 * r1), 6) AS phi2,
-       round(c0 * (1 - (r1 * (1 - r2) / (1 - r1 * r1)) * r1
-                   - ((r2 - r1 * r1) / (1 - r1 * r1)) * r2), 4)
+       round(r1 * (1 - r2) / nullif(1 - r1 * r1, 0), 6) AS phi1,
+       round((r2 - r1 * r1) / nullif(1 - r1 * r1, 0), 6) AS phi2,
+       round(c0 * (1 - (r1 * (1 - r2) / nullif(1 - r1 * r1, 0)) * r1
+                   - ((r2 - r1 * r1) / nullif(1 - r1 * r1, 0)) * r2), 4)
          AS innovation_var
 FROM r
 """
@@ -416,13 +436,19 @@ def weekend_lift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("nd"), F.col("m").alias("md"),
         F.col("v").alias("vd"))
     se2 = F.col("vw") / F.col("nw") + F.col("vd") / F.col("nd")
+    # nullif: two constant arms zero the pooled SE (and a zero weekday
+    # mean zeroes the lift denominator) — undefined => NULL, never an
+    # ANSI DIVIDE_BY_ZERO job abort
     return (a.crossJoin(b)
              .select(F.col("nw").cast("long").alias("n_weekend_days"),
                      F.col("nd").cast("long").alias("n_weekday_days"),
                      F.round("mw", 4).alias("mean_weekend"),
                      F.round("md", 4).alias("mean_weekday"),
-                     F.round(F.col("mw") / F.col("md"), 4).alias("lift"),
-                     F.round((F.col("mw") - F.col("md")) / F.sqrt(se2), 4)
+                     F.round(F.col("mw") / F.nullif(F.col("md"),
+                                                    F.lit(0.0)), 4)
+                      .alias("lift"),
+                     F.round((F.col("mw") - F.col("md"))
+                             / F.nullif(F.sqrt(se2), F.lit(0.0)), 4)
                       .alias("welch_t")))
 
 WEEKEND_LIFT_SQL = """
@@ -439,8 +465,9 @@ SELECT CAST(a.n AS BIGINT) AS n_weekend_days,
        CAST(b.n AS BIGINT) AS n_weekday_days,
        round(a.m, 4) AS mean_weekend,
        round(b.m, 4) AS mean_weekday,
-       round(a.m / b.m, 4) AS lift,
-       round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS welch_t
+       round(a.m / nullif(b.m, 0), 4) AS lift,
+       round((a.m - b.m) / nullif(sqrt(a.v / a.n + b.v / b.n), 0), 4)
+         AS welch_t
 FROM g a CROSS JOIN g b
 WHERE a.is_weekend = 1 AND b.is_weekend = 0
 """
@@ -601,11 +628,14 @@ def pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("nd", "c0")
               .agg(*[F.max(F.when(F.col("k") == k, F.col("c")))
                      .alias(f"c{k}") for k in (1, 2, 3)]))
-    r1 = F.col("c1") / F.col("c0")
-    r2 = F.col("c2") / F.col("c0")
-    r3 = F.col("c3") / F.col("c0")
+    # nullif: a constant series zeroes c0 (and |r1| = 1 zeroes the
+    # Durbin-Levinson denominators) — PACF undefined => NULL, never an
+    # ANSI DIVIDE_BY_ZERO job abort
+    r1 = F.col("c1") / F.nullif(F.col("c0"), F.lit(0.0))
+    r2 = F.col("c2") / F.nullif(F.col("c0"), F.lit(0.0))
+    r3 = F.col("c3") / F.nullif(F.col("c0"), F.lit(0.0))
     p1 = r1
-    p2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    p2 = (r2 - r1 * r1) / F.nullif(1 - r1 * r1, F.lit(0.0))
     # order-3 Yule-Walker: φ33 = det(R3 with col3 → r)/det(R3), R3 the
     # symmetric Toeplitz correlation matrix [1 r1 r2; r1 1 r1; r2 r1 1]
     det3 = (1 * (1 - r1 * r1) - r1 * (r1 - r1 * r2)
@@ -614,7 +644,7 @@ def pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # along the first row — identical parenthesization in the oracle
     num3 = (1 * (r3 - r2 * r1) - r1 * (r1 * r3 - r2 * r2)
             + r1 * (r1 * r1 - r2))
-    p3 = num3 / det3
+    p3 = num3 / F.nullif(det3, F.lit(0.0))
     return wide.select(
         F.col("nd").cast("long").alias("n_days"),
         F.round(p1, 6).alias("pacf_1"),
@@ -644,15 +674,16 @@ WITH daily AS (
          max(CASE WHEN k = 3 THEN c END) AS c3
   FROM ck CROSS JOIN mv GROUP BY nd, c0
 ), r AS (
-  SELECT nd, c1 / c0 AS r1, c2 / c0 AS r2, c3 / c0 AS r3 FROM wide
+  SELECT nd, c1 / nullif(c0, 0) AS r1, c2 / nullif(c0, 0) AS r2,
+         c3 / nullif(c0, 0) AS r3 FROM wide
 )
 SELECT CAST(nd AS BIGINT) AS n_days,
        round(r1, 6) AS pacf_1,
-       round((r2 - r1 * r1) / (1 - r1 * r1), 6) AS pacf_2,
+       round((r2 - r1 * r1) / nullif(1 - r1 * r1, 0), 6) AS pacf_2,
        round((1 * (r3 - r2 * r1) - r1 * (r1 * r3 - r2 * r2)
               + r1 * (r1 * r1 - r2))
-             / (1 * (1 - r1 * r1) - r1 * (r1 - r1 * r2)
-                + r2 * (r1 * r1 - r2)), 6) AS pacf_3
+             / nullif(1 * (1 - r1 * r1) - r1 * (r1 - r1 * r2)
+                + r2 * (r1 * r1 - r2), 0), 6) AS pacf_3
 FROM r
 """
 
@@ -670,7 +701,10 @@ def breusch_godfrey_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("d").cast("double").alias("d"),
                      F.col("n").cast("double").alias("y"))
              .localCheckpoint(eager=True))
-    fit = daily.agg((F.covar_pop("d", "y") / F.var_pop("d")).alias("b"),
+    # nullif: a single-day series zeroes var(d) — the slope (and the
+    # dependent statistic) is undefined => NULL, never an ANSI abort
+    fit = daily.agg((F.covar_pop("d", "y")
+                     / F.nullif(F.var_pop("d"), F.lit(0.0))).alias("b"),
                     F.avg("y").alias("my"), F.avg("d").alias("md"))
     e = (daily.crossJoin(F.broadcast(fit))
               .select("d", (F.col("y") - (F.col("my") + F.col("b")
@@ -696,10 +730,10 @@ def breusch_godfrey_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     s12 = F.col("r12") - F.col("m1") * F.col("m2")
     s1u = F.col("r1u") - F.col("m1") * F.col("mu")
     s2u = F.col("r2u") - F.col("m2") * F.col("mu")
-    det = s11 * s22 - s12 * s12
+    det = F.nullif(s11 * s22 - s12 * s12, F.lit(0.0))
     b1 = (s1u * s22 - s2u * s12) / det
     b2 = (s2u * s11 - s1u * s12) / det
-    r2 = (b1 * s1u + b2 * s2u) / suu
+    r2 = (b1 * s1u + b2 * s2u) / F.nullif(suu, F.lit(0.0))
     return g.select(F.col("n").cast("long").alias("n_obs"),
                     F.round(b2, 6).alias("lag_resid_coef"),
                     F.round(r2, 6).alias("r2_aux"),
@@ -712,7 +746,8 @@ WITH daily AS (
          CAST(count(*) AS DOUBLE) AS y
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ), fit AS (
-  SELECT covar_pop(d, y) / var_pop(d) AS b, avg(y) AS my, avg(d) AS md
+  SELECT covar_pop(d, y) / nullif(var_pop(d), 0) AS b,
+         avg(y) AS my, avg(d) AS md
   FROM daily
 ), e AS (
   SELECT d, y - (my + b * (d - md)) AS e FROM daily CROSS JOIN fit
@@ -732,14 +767,16 @@ WITH daily AS (
   FROM g
 ), fit2 AS (
   SELECT n, suu, s1u, s2u,
-         (s1u * s22 - s2u * s12) / (s11 * s22 - s12 * s12) AS b1,
-         (s2u * s11 - s1u * s12) / (s11 * s22 - s12 * s12) AS b2
+         (s1u * s22 - s2u * s12)
+           / nullif(s11 * s22 - s12 * s12, 0) AS b1,
+         (s2u * s11 - s1u * s12)
+           / nullif(s11 * s22 - s12 * s12, 0) AS b2
   FROM s
 )
 SELECT CAST(n AS BIGINT) AS n_obs,
        round(b2, 6) AS lag_resid_coef,
-       round((b1 * s1u + b2 * s2u) / suu, 6) AS r2_aux,
-       round(n * (b1 * s1u + b2 * s2u) / suu, 4) AS bg_lm
+       round((b1 * s1u + b2 * s2u) / nullif(suu, 0), 6) AS r2_aux,
+       round(n * (b1 * s1u + b2 * s2u) / nullif(suu, 0), 4) AS bg_lm
 FROM fit2
 """
 
@@ -768,7 +805,10 @@ def spectral_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                       + F.sum(x * F.sin(theta)) * F.sum(x * F.sin(theta)))
                      .alias("pw")))
     tot = per.agg(F.sum("pw").alias("tp"), F.count(F.lit(1)).alias("nf"))
-    p = F.col("pw") / F.col("tp")
+    # nullif: a constant series has zero total spectral power — the
+    # distribution (and its entropy) is undefined => NULL, never an
+    # ANSI DIVIDE_BY_ZERO job abort
+    p = F.col("pw") / F.nullif(F.col("tp"), F.lit(0.0))
     ent = (per.crossJoin(F.broadcast(tot))
               .agg(F.first("nf").alias("nf"),
                    F.sum(-p * F.log(p)).alias("h")))
@@ -794,8 +834,9 @@ per AS (
   GROUP BY period
 ), tot AS (SELECT sum(pw) AS tp, count(*) AS nf FROM per)
 SELECT CAST(any_value(nf) AS INT) AS n_frequencies,
-       round(sum(-(pw / tp) * ln(pw / tp)), 6) AS entropy_nats,
-       round(sum(-(pw / tp) * ln(pw / tp))
+       round(sum(-(pw / nullif(tp, 0)) * ln(pw / nullif(tp, 0))), 6)
+         AS entropy_nats,
+       round(sum(-(pw / nullif(tp, 0)) * ln(pw / nullif(tp, 0)))
              / ln(CAST(any_value(nf) AS DOUBLE)), 6)
          AS spectral_entropy_norm
 FROM per CROSS JOIN tot
@@ -815,7 +856,10 @@ def arch_lm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("d").cast("double").alias("d"),
                      F.col("n").cast("double").alias("y"))
              .localCheckpoint(eager=True))
-    fit = daily.agg((F.covar_pop("d", "y") / F.var_pop("d")).alias("b"),
+    # nullif: a single-day series zeroes var(d) — the slope (and the
+    # dependent statistic) is undefined => NULL, never an ANSI abort
+    fit = daily.agg((F.covar_pop("d", "y")
+                     / F.nullif(F.var_pop("d"), F.lit(0.0))).alias("b"),
                     F.avg("y").alias("my"), F.avg("d").alias("md"))
     e2 = (daily.crossJoin(F.broadcast(fit))
                .select("d", F.pow(F.col("y") - (F.col("my") + F.col("b")
@@ -825,8 +869,10 @@ def arch_lm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = (cur.join(lag, F.col("lag.d") == F.col("cur.d") - 1)
                .select(F.col("cur.u").alias("u"),
                        F.col("lag.u").alias("ul")))
+    # safe_corr: constant squared residuals have zero variance — the
+    # LM statistic is undefined => NULL, never an ANSI abort
     g = rows.agg(F.count(F.lit(1)).alias("n"),
-                 F.corr("u", "ul").alias("r"))
+                 stats.safe_corr("u", "ul").alias("r"))
     return g.select(F.col("n").cast("long").alias("n_obs"),
                     F.round("r", 6).alias("lag1_corr_sq_resid"),
                     F.round(F.col("n") * F.col("r") * F.col("r"), 4)
@@ -839,7 +885,8 @@ WITH daily AS (
          CAST(count(*) AS DOUBLE) AS y
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ), fit AS (
-  SELECT covar_pop(d, y) / var_pop(d) AS b, avg(y) AS my, avg(d) AS md
+  SELECT covar_pop(d, y) / nullif(var_pop(d), 0) AS b,
+         avg(y) AS my, avg(d) AS md
   FROM daily
 ), e2 AS (
   SELECT d, pow(y - (my + b * (d - md)), 2) AS u
@@ -847,7 +894,9 @@ WITH daily AS (
 ), rows_t AS (
   SELECT cur.u AS u, lag.u AS ul
   FROM e2 cur JOIN e2 lag ON lag.d = cur.d - 1
-), g AS (SELECT CAST(count(*) AS DOUBLE) AS n, corr(u, ul) AS r
+), g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                covar_samp(u, ul)
+                  / nullif(stddev_samp(u) * stddev_samp(ul), 0) AS r
          FROM rows_t)
 SELECT CAST(n AS BIGINT) AS n_obs,
        round(r, 6) AS lag1_corr_sq_resid,
@@ -1322,13 +1371,17 @@ def generalized_esd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in range(1, 4):
         mv = cur.agg(F.avg(F.col("n").cast("double")).alias("mu"),
                      F.stddev_samp(F.col("n").cast("double")).alias("sd"))
+        # nullif: a constant remaining series has sd = 0 — R undefined
+        # => NULL row (desc NULLs sort last in both engines, so the
+        # deterministic d-asc tiebreak picks the same day)
         top = (cur.crossJoin(F.broadcast(mv))
                   .withColumn("__z", F.abs(F.col("n") - F.col("mu"))
-                              / F.col("sd"))
+                              / F.nullif(F.col("sd"), F.lit(0.0)))
                   .orderBy(F.desc("__z"), "d").limit(1)
                   .collect()[0])
         rows.append((r, int(top["d"]), int(top["n"]),
-                     round(float(top["__z"]), 4)))
+                     round(float(top["__z"]), 4)
+                     if top["__z"] is not None else None))
         cur = cur.where(F.col("d") != int(top["d"]))
     return spark.createDataFrame(
         rows, "round int, day_index long, count long, r_stat double")
@@ -1340,17 +1393,17 @@ WITH daily AS (
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ), m1 AS (SELECT avg(n) AS mu, stddev_samp(n) AS sd FROM daily),
 t1 AS (
-  SELECT d, n, abs(n - mu) / sd AS z FROM daily CROSS JOIN m1
+  SELECT d, n, abs(n - mu) / nullif(sd, 0) AS z FROM daily CROSS JOIN m1
   ORDER BY z DESC, d LIMIT 1
 ), d2 AS (SELECT * FROM daily WHERE d <> (SELECT d FROM t1)),
 m2 AS (SELECT avg(n) AS mu, stddev_samp(n) AS sd FROM d2),
 t2 AS (
-  SELECT d, n, abs(n - mu) / sd AS z FROM d2 CROSS JOIN m2
+  SELECT d, n, abs(n - mu) / nullif(sd, 0) AS z FROM d2 CROSS JOIN m2
   ORDER BY z DESC, d LIMIT 1
 ), d3 AS (SELECT * FROM d2 WHERE d <> (SELECT d FROM t2)),
 m3 AS (SELECT avg(n) AS mu, stddev_samp(n) AS sd FROM d3),
 t3 AS (
-  SELECT d, n, abs(n - mu) / sd AS z FROM d3 CROSS JOIN m3
+  SELECT d, n, abs(n - mu) / nullif(sd, 0) AS z FROM d3 CROSS JOIN m3
   ORDER BY z DESC, d LIMIT 1
 )
 SELECT 1 AS round, CAST(d AS BIGINT) AS day_index,
@@ -1512,7 +1565,10 @@ def newey_west_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("d").cast("double").alias("d"),
                      F.col("n").cast("double").alias("y"))
              .localCheckpoint(eager=True))
-    fit = daily.agg((F.covar_pop("d", "y") / F.var_pop("d")).alias("b"),
+    # nullif: a single-day series zeroes var(d) — the slope (and the
+    # dependent statistic) is undefined => NULL, never an ANSI abort
+    fit = daily.agg((F.covar_pop("d", "y")
+                     / F.nullif(F.var_pop("d"), F.lit(0.0))).alias("b"),
                     F.avg("y").alias("my"), F.avg("d").alias("md"))
     ve = (daily.crossJoin(F.broadcast(fit))
                .select("d", F.col("b").alias("b"),
@@ -1531,15 +1587,18 @@ def newey_west_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(F.col("v") * F.col("v") * F.col("e") * F.col("e"))
                    .alias("s0"))
     j = base.crossJoin(F.broadcast(cross))
-    var_hac = (F.col("s0") + 2 * 0.5 * F.col("s1")) \
-        / (F.col("svv") * F.col("svv"))
-    var_naive = (F.col("s0") / (F.col("svv") * F.col("svv")))
+    # nullif: a single-day series zeroes Σv² and zero residuals zero
+    # the HAC variance — SEs/t undefined => NULL, never an ANSI abort
+    svv2 = F.nullif(F.col("svv") * F.col("svv"), F.lit(0.0))
+    var_hac = (F.col("s0") + 2 * 0.5 * F.col("s1")) / svv2
+    var_naive = F.col("s0") / svv2
     return j.select(
         F.col("n").cast("long").alias("n_days"),
         F.round("b", 6).alias("slope"),
         F.round(F.sqrt(var_naive), 6).alias("se_white"),
         F.round(F.sqrt(var_hac), 6).alias("se_newey_west"),
-        F.round(F.col("b") / F.sqrt(var_hac), 4).alias("t_hac"))
+        F.round(F.col("b") / F.nullif(F.sqrt(var_hac), F.lit(0.0)), 4)
+         .alias("t_hac"))
 
 NEWEY_WEST_SQL = """
 WITH daily AS (
@@ -1548,7 +1607,8 @@ WITH daily AS (
          CAST(count(*) AS DOUBLE) AS y
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ), fit AS (
-  SELECT covar_pop(d, y) / var_pop(d) AS b, avg(y) AS my, avg(d) AS md
+  SELECT covar_pop(d, y) / nullif(var_pop(d), 0) AS b,
+         avg(y) AS my, avg(d) AS md
   FROM daily
 ), ve AS (
   SELECT d, b, d - md AS v, y - (my + b * (d - md)) AS e
@@ -1563,8 +1623,10 @@ WITH daily AS (
 )
 SELECT CAST(n AS BIGINT) AS n_days,
        round(b, 6) AS slope,
-       round(sqrt(s0 / (svv * svv)), 6) AS se_white,
-       round(sqrt((s0 + s1) / (svv * svv)), 6) AS se_newey_west,
-       round(b / sqrt((s0 + s1) / (svv * svv)), 4) AS t_hac
+       round(sqrt(s0 / nullif(svv * svv, 0)), 6) AS se_white,
+       round(sqrt((s0 + s1) / nullif(svv * svv, 0)), 6)
+         AS se_newey_west,
+       round(b / nullif(sqrt((s0 + s1) / nullif(svv * svv, 0)), 0), 4)
+         AS t_hac
 FROM base CROSS JOIN cross_t
 """

@@ -228,3 +228,67 @@ def test_epi_2x2_empty_cell(spark, degen_dir):
     for c in ("risk_ratio", "rr_ci_lo", "rr_ci_hi", "odds_ratio",
               "or_ci_lo", "or_ci_hi", "risk_diff"):
         assert r[c] is None, c
+
+
+# --- temporal (C) family: constant daily series ----------------------
+
+
+@pytest.fixture(scope="module")
+def degen_events_dir(tmp_path_factory):
+    """An events table whose DAILY series is constant (24 identical
+    events every day for 30 days, value constant, uniform spacing) —
+    zero variance on every daily statistic."""
+    tmp = tmp_path_factory.mktemp("degen_events")
+    rows = []
+    eid = 0
+    for d in range(30):
+        for h in range(24):
+            rows.append({
+                "event_id": eid,
+                "ts": (pd.Timestamp("2024-01-01")
+                       + pd.Timedelta(days=d, hours=h)),
+                "user_id": h % 5,
+                "event_type": ["view", "click", "purchase",
+                               "signup"][h % 4],
+                "value": 100.0,
+                "props": '{"k": 1}',
+            })
+            eid += 1
+    pd.DataFrame(rows).to_parquet(str(tmp / "events.parquet"),
+                                  index=False)
+    return str(tmp)
+
+
+@pytest.mark.parametrize("key,null_cols", [
+    ("grubbs_daily_outlier", ["g_stat"]),
+    ("acf_daily_events", ["acf"]),
+    ("pacf_daily", ["pacf_1", "pacf_2", "pacf_3"]),
+    ("ljung_box_daily", ["r_k", "q_cum"]),
+    ("dow_seasonality_strength", ["eta_sq_dow"]),
+    ("ccf_count_value", ["ccf"]),
+    ("granger_count_to_value", ["f_stat"]),
+    ("periodogram_daily", ["power_norm"]),
+    ("ar2_yule_walker_daily", ["r1", "r2", "phi1", "phi2"]),
+    ("weekend_lift_daily", ["welch_t"]),
+    ("breusch_godfrey_daily", ["lag_resid_coef", "r2_aux", "bg_lm"]),
+    ("spectral_entropy_daily", ["entropy_nats",
+                                "spectral_entropy_norm"]),
+    ("arch_lm_daily", ["lag1_corr_sq_resid", "arch_lm"]),
+    ("generalized_esd_daily", ["r_stat"]),
+    # newey_west on a constant series: residuals are exactly zero, so
+    # the SEs are a DEFINED 0.0 — only t = 0/0 degrades to NULL
+    ("newey_west_trend", ["t_hac"]),
+    # cuped: per-user post sums differ (users see different event
+    # counts), so theta/var_ratio stay defined — no-abort check only
+    ("cuped_experiment_events", []),
+    ("robust_outlier_days", ["modified_z"]),
+])
+def test_c_family_constant_series_degrades_to_null(spark,
+                                                   degen_events_dir,
+                                                   key, null_cols):
+    rows = Q.queries()[key](spark, degen_events_dir).collect()
+    assert rows, key  # a row (or rows) comes back, never an abort
+    for r in rows:
+        for c in null_cols:
+            assert r[c] is None, (key, c, r)
+    _assert_no_nan(rows)
