@@ -57,7 +57,8 @@ def cosine_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
     if len(qpdf) == 0:
         return spark.createDataFrame([], out_schema + ", rank int")
     Qm = np.stack(qpdf["qv"].to_numpy())
-    Qm = Qm / np.linalg.norm(Qm, axis=1, keepdims=True)
+    # zero-norm clamp (see bucket_pairs): cosine-0, never NaN poison
+    Qm = Qm / np.maximum(np.linalg.norm(Qm, axis=1, keepdims=True), 1e-300)
     q_ids = qpdf["query_id"].to_numpy()
     bc = spark.sparkContext.broadcast((q_ids, Qm))
 
@@ -68,7 +69,7 @@ def cosine_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
             if not len(pdf):
                 continue
             V = np.stack(pdf["cv"].to_numpy())
-            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
             S = np.round(V @ Qb.T, round_to)          # (batch, nq)
             c_ids = pdf["cand_id"].to_numpy()
             out_q, out_c, out_s = [], [], []
@@ -125,7 +126,7 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.4,
         return spark.createDataFrame(
             [], f"id_a {id_type}, id_b {id_type}, cosine double")
     B = np.stack(pdf["__v"].to_numpy())
-    B = B / np.linalg.norm(B, axis=1, keepdims=True)
+    B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
     b_ids = pdf["__id"].to_numpy()
     bc = spark.sparkContext.broadcast((b_ids, B))
 
@@ -137,7 +138,7 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.4,
             if len(batch) == 0:
                 continue
             A = np.stack(batch["__v"].to_numpy())
-            A = A / np.linalg.norm(A, axis=1, keepdims=True)
+            A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
             S = A @ M.T
             ia, ib = np.where(np.round(S, round_to) >= threshold)
             a_ids = batch["__id"].to_numpy()[ia]
@@ -201,7 +202,7 @@ def embedding_near_dup_pairs_lsh(df: DataFrame, threshold: float = 0.4,
         if len(pdf) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         V = np.stack(pdf["__v"].to_numpy())
-        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
         # GEMM pre-selects with a margin; the EMITTED cosine is a
         # per-pair einsum recompute whose value is independent of the
         # bucket's shape (BLAS blocking varies with matrix size, so a
@@ -330,10 +331,14 @@ def ivf_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
            .select("query_id", "qv", "cell"))
     scored = (corpus.join(F.broadcast(qc), "cell")
               .where(F.col(id_col) != F.col("query_id"))
+              # nullif: a zero-norm vector has undefined cosine — its
+              # rows score NULL (sorting last, never top-k) instead of
+              # aborting the job under ANSI
               .withColumn("score",
                           F.round(_dot(F.col("qv"), _as_double(F.col(vec_col))) /
-                                  (_norm(F.col("qv")) *
-                                   _norm(_as_double(F.col(vec_col)))),
+                                  F.nullif(_norm(F.col("qv")) *
+                                           _norm(_as_double(F.col(vec_col))),
+                                           F.lit(0.0)),
                                   round_to)))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col))
@@ -407,9 +412,12 @@ def ann_lsh_topk(df: DataFrame, query_df: DataFrame, k: int = 3,
                         bucket.alias("bucket"))
     scored = (c.join(F.broadcast(q), "bucket")
                .where(F.col("cand_id") != F.col("query_id"))
+               # nullif: zero-norm cosine undefined => NULL, not abort
                .withColumn("score",
                            F.round(_dot(F.col("qv"), F.col("cv")) /
-                                   (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                                   F.nullif(_norm(F.col("qv"))
+                                            * _norm(F.col("cv")),
+                                            F.lit(0.0)),
                                    round_to)))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("cand_id"))

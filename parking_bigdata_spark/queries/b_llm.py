@@ -2814,11 +2814,14 @@ def quality_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = (per.withColumn("cum_pass", F.sum("n_pass").over(wc))
               .withColumn("cum_docs", F.sum("n_docs").over(wc))
               .crossJoin(F.broadcast(tot)))
+    # nullif: a corpus where NO document passes gopher has base_rate 0
+    # — lift undefined => NULL, never an ANSI DIVIDE_BY_ZERO abort
     return cum.select(
         "decile", "n_docs",
         F.round(F.col("n_pass") / F.col("n_docs"), 4).alias("pass_rate"),
         F.round((F.col("cum_pass") / F.col("cum_docs"))
-                / F.col("base_rate"), 4).alias("cum_lift"))
+                / F.nullif(F.col("base_rate"), F.lit(0.0)), 4)
+         .alias("cum_lift"))
 
 QUALITY_LIFT_SQL = r"""
 WITH f AS (
@@ -2857,7 +2860,7 @@ SELECT decile, n_docs,
               AS DOUBLE)
               / sum(n_docs) OVER (ORDER BY decile
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-             / base_rate, 4) AS cum_lift
+             / nullif(base_rate, 0), 4) AS cum_lift
 FROM per CROSS JOIN tot
 """
 

@@ -469,7 +469,9 @@ def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.lit(0.0), lambda acc, v: acc + v))
         nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
                                 F.lit(0.0), lambda acc, v: acc + v))
-        return F.round(dot / (na * nb), 6)
+        # nullif: a zero-norm (truncated) vector has undefined cosine
+        # — NULL scores sort last, never an ANSI job abort
+        return F.round(dot / F.nullif(na * nb, F.lit(0.0)), 6)
     scored = pairs.select("qid", "vec_id", "dim",
                           cos(F.col("dim")).alias("score"))
     # two-phase exact top-5 (the cosine_topk discipline): a per-task
@@ -511,9 +513,11 @@ WITH emb AS (
 scored AS (
   SELECT c.vec_id, q.qid, d.dim,
          round(list_dot_product(c.e[1:d.dim], q.qe[1:d.dim])
-               / (sqrt(list_dot_product(c.e[1:d.dim], c.e[1:d.dim]))
+               / nullif(sqrt(list_dot_product(c.e[1:d.dim],
+                                              c.e[1:d.dim]))
                   * sqrt(list_dot_product(q.qe[1:d.dim],
-                                          q.qe[1:d.dim]))), 6) AS score
+                                          q.qe[1:d.dim])), 0), 6)
+           AS score
   FROM emb c CROSS JOIN q CROSS JOIN dims d
   WHERE c.vec_id <> q.qid
 ), top AS (
@@ -626,10 +630,14 @@ def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("embedding").cast("array<double>").alias("e")))
     nrm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
                              F.lit(0.0), lambda a, v: a + v))
+    # nullif INSIDE the division too: the nrm>0 filter does not stop
+    # ANSI codegen from evaluating the normalization for zero-norm
+    # rows in the same stage — observed job abort on an all-zero-
+    # vector corpus despite the preceding where()
     d = (emb.withColumn("nrm", nrm)
             .where(F.col("nrm") > 0)
             .withColumn("vhat", F.transform(
-                "e", lambda x: x / F.col("nrm"))))
+                "e", lambda x: x / F.nullif(F.col("nrm"), F.lit(0.0)))))
     stats_n = d.agg(F.count(F.lit(1)).alias("n"),
                     F.avg("nrm").alias("mean_norm"),
                     F.stddev_pop("nrm").alias("sd_norm"))
@@ -642,9 +650,14 @@ def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("n").cast("long").alias("n_vectors"),
                     F.col("dim").cast("int").alias("dim"),
                     F.round("mean_norm", 6).alias("mean_norm"),
-                    F.round(F.col("sd_norm") / F.col("mean_norm"), 6)
-                     .alias("norm_cv"),
-                    F.round((F.col("ss") - nn) / (nn * (nn - 1)), 6)
+                    # nullif: an all-zero-vector corpus leaves NO rows
+                    # after the nrm>0 filter — n(n−1) = 0 => NULL, not
+                    # an ANSI DIVIDE_BY_ZERO job abort
+                    F.round(F.col("sd_norm")
+                            / F.nullif(F.col("mean_norm"), F.lit(0.0)),
+                            6).alias("norm_cv"),
+                    F.round((F.col("ss") - nn)
+                            / F.nullif(nn * (nn - 1), F.lit(0.0)), 6)
                      .alias("mean_pairwise_cosine")))
 
 EMB_ISOTROPY_SQL = """
@@ -669,8 +682,9 @@ WITH e AS (
 SELECT CAST(n AS BIGINT) AS n_vectors,
        CAST(dim AS INT) AS dim,
        round(mean_norm, 6) AS mean_norm,
-       round(sd_norm / mean_norm, 6) AS norm_cv,
-       round((ss - n) / (n * (n - 1)), 6) AS mean_pairwise_cosine
+       round(sd_norm / nullif(mean_norm, 0), 6) AS norm_cv,
+       round((ss - n) / nullif(n * (n - 1), 0), 6)
+         AS mean_pairwise_cosine
 FROM stats_n CROSS JOIN ss
 """
 
@@ -1054,9 +1068,12 @@ def embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         C[i, j] = C[j, i] = s / n - mu[i] * mu[j]
     tr = float(np.trace(C))
     fro2 = float((C ** 2).sum())
+    # a constant-embedding corpus has an all-zero covariance — the
+    # participation ratio is undefined => NULL, never a driver-side
+    # ZeroDivisionError
+    pr = round(tr * tr / fro2, 4) if fro2 > 0 else None
     return spark.createDataFrame(
-        [(int(n), d, round(tr, 6), round(fro2, 6),
-          round(tr * tr / fro2, 4))],
+        [(int(n), d, round(tr, 6), round(fro2, 6), pr)],
         "n_vectors long, dim int, trace_cov double, "
         "frobenius_sq double, effective_rank_pr double")
 
@@ -1177,9 +1194,11 @@ def label_cohesion_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("e")))
     nrm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
                              F.lit(0.0), lambda a, v: a + v))
+    # nullif inside the division (see embedding_isotropy: the filter
+    # does not protect ANSI codegen from the zero-norm rows)
     d = (emb.withColumn("nrm", nrm).where(F.col("nrm") > 0)
-            .withColumn("vhat", F.transform("e",
-                                            lambda x: x / F.col("nrm"))))
+            .withColumn("vhat", F.transform(
+                "e", lambda x: x / F.nullif(F.col("nrm"), F.lit(0.0)))))
     dims = (d.select("label", F.posexplode("vhat").alias("dim", "val"))
              .groupBy("label", "dim").agg(F.sum("val").alias("s"),
                                           F.count(F.lit(1)).alias("n")))
@@ -1194,11 +1213,17 @@ def label_cohesion_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = F.col("n").cast("double")
     lnorm = F.sqrt(F.col("ss"))
     return (lab.crossJoin(F.broadcast(gnorm))
+               # nullif: a single-vector label zeroes n(n−1); an all-
+               # zero-vector label zeroes the norms — undefined =>
+               # NULL, never an ANSI DIVIDE_BY_ZERO job abort
                .select("label",
                        F.col("n").cast("long").alias("n_vectors"),
-                       F.round((F.col("ss") - nn) / (nn * (nn - 1)), 6)
+                       F.round((F.col("ss") - nn)
+                               / F.nullif(nn * (nn - 1), F.lit(0.0)), 6)
                         .alias("mean_intra_cosine"),
-                       F.round(F.col("sg") / (lnorm * F.col("gn")), 6)
+                       F.round(F.col("sg")
+                               / F.nullif(lnorm * F.col("gn"),
+                                          F.lit(0.0)), 6)
                         .alias("centroid_cos_to_global"))
                .orderBy("label"))
 
@@ -1225,9 +1250,10 @@ lab AS (
   GROUP BY label
 )
 SELECT label, CAST(n AS BIGINT) AS n_vectors,
-       round((ss - n) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+       round((ss - n) / nullif(CAST(n AS DOUBLE) * (n - 1), 0), 6)
          AS mean_intra_cosine,
-       round(sg / (sqrt(ss) * gn), 6) AS centroid_cos_to_global
+       round(sg / nullif(sqrt(ss) * gn, 0), 6)
+         AS centroid_cos_to_global
 FROM lab CROSS JOIN gnorm
 ORDER BY label
 """

@@ -292,3 +292,69 @@ def test_c_family_constant_series_degrades_to_null(spark,
         for c in null_cols:
             assert r[c] is None, (key, c, r)
     _assert_no_nan(rows)
+
+
+# --- LLM-pipeline (B) family: all-duplicate docs, zero embeddings ----
+
+
+@pytest.fixture(scope="module")
+def degen_docs_dir(tmp_path_factory):
+    """Every document identical (one short all-fail-gopher text, one
+    source, one lang); every embedding the 64-d zero vector (cosine
+    undefined everywhere) with a single label."""
+    tmp = tmp_path_factory.mktemp("degen_docs")
+    txt = "the cat sat on the mat and the dog sat on the log"
+    pd.DataFrame({
+        "doc_id": range(1, 41),
+        "text": [txt] * 40,
+        "lang": ["en"] * 40,
+        "source": ["src0"] * 40,
+        "n_chars": [len(txt)] * 40,
+    }).to_parquet(str(tmp / "documents.parquet"), index=False)
+    pd.DataFrame({
+        "vec_id": range(1, 41),
+        "embedding": [[0.0] * 64 for _ in range(40)],
+        "label": [1] * 40,
+    }).to_parquet(str(tmp / "embeddings.parquet"), index=False)
+    return str(tmp)
+
+
+def test_ann_zero_norm_vectors_never_abort(spark, degen_docs_dir):
+    # zero-norm cosine is undefined: NULL scores must sort last (and
+    # thus can still fill ranks), but the job must never abort
+    for key in ("ann_lsh", "ann_ivf", "cosine_topk",
+                "ann_truncation_recall"):
+        rows = Q.queries()[key](spark, degen_docs_dir).collect()
+        _assert_no_nan(rows)
+
+
+def test_embedding_diagnostics_zero_vectors(spark, degen_docs_dir):
+    iso = Q.queries()["embedding_isotropy"](spark,
+                                            degen_docs_dir).collect()
+    assert len(iso) == 1  # all rows filtered (nrm > 0) => empty stats
+    er = Q.queries()["embedding_effective_rank"](
+        spark, degen_docs_dir).collect()[0]
+    assert er["frobenius_sq"] == 0.0
+    assert er["effective_rank_pr"] is None
+    coh = Q.queries()["label_cohesion_embeddings"](
+        spark, degen_docs_dir).collect()
+    assert coh == []  # every vector zero-norm => nothing survives
+
+
+def test_quality_lift_all_fail_gopher(spark, degen_docs_dir):
+    rows = Q.queries()["quality_lift_table"](spark,
+                                             degen_docs_dir).collect()
+    assert rows  # deciles still come back
+    for r in rows:
+        assert r["pass_rate"] == 0.0
+        assert r["cum_lift"] is None  # base_rate 0 => lift undefined
+
+
+def test_dedup_family_identical_docs(spark, degen_docs_dir):
+    # all-duplicate corpora are the dedup operators' DESIGN case —
+    # they must return, not abort
+    exact = Q.queries()["dedup_exact"](spark, degen_docs_dir).collect()
+    assert len(exact) >= 1
+    clusters = Q.queries()["dedup_clusters"](spark,
+                                             degen_docs_dir).collect()
+    assert clusters
