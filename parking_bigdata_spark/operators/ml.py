@@ -87,7 +87,13 @@ def ols_fit(df: DataFrame, xs: list[str], y: str) -> dict[str, float]:
     (k+1)-dim solve happens on the driver. Returns {intercept, coef_*}.
     """
     G, Xty, _ = _gram_aggregate(df, xs, y)
-    beta = np.linalg.solve(G, Xty)
+    try:
+        beta = np.linalg.solve(G, Xty)
+    except np.linalg.LinAlgError:
+        raise ValueError(
+            f"ols_fit: singular normal equations — constant/collinear "
+            f"feature(s) among {xs}; drop degenerate columns"
+        ) from None
     out = {"intercept": float(beta[0])}
     out.update({f"coef_{c}": float(b) for c, b in zip(xs, beta[1:])})
     return out
@@ -136,13 +142,17 @@ def eval_metrics(df: DataFrame, y_true: str, y_pred, round_to: int = 4) -> DataF
     agg = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(err * err).alias("mse"),
-        F.avg(F.abs(err / F.col(y_true))).alias("mape"),
+        # nullif: zero actuals / constant y would ANSI-throw — MAPE
+        # excludes zero-actual rows, R2 degrades to NULL on zero SST
+        F.avg(F.abs(err / F.nullif(F.col(y_true), F.lit(0.0))))
+         .alias("mape"),
         F.avg(F.col(y_true)).alias("my"),
         F.sum(err * err).alias("sse"),
         F.sum(F.col(y_true) * F.col(y_true)).alias("syy"),
         F.sum(F.col(y_true)).alias("sy"),
     )
-    sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    sst = F.nullif(F.col("syy") - F.col("sy") * F.col("sy")
+                   / F.col("n"), F.lit(0.0))
     return agg.select(
         F.col("n"),
         F.round(F.sqrt(F.col("mse")), round_to).alias("rmse"),
@@ -314,20 +324,34 @@ def stepwise_aic(df: DataFrame, xs: list[str], y: str) -> DataFrame:
     G, Xty, syy = _gram_aggregate(df, xs, y)  # yᵀy rides the same scan
     n = G[0, 0]
 
-    def sse_of(subset: list[int]) -> float:
-        # indices into [intercept] + xs
+    def sse_of(subset: list[int]) -> float | None:
+        # indices into [intercept] + xs; a singular submatrix
+        # (constant/collinear features) makes the candidate
+        # infeasible — None, never a LinAlgError or NaN leak
         idx = [0] + [i + 1 for i in subset]
         A = G[np.ix_(idx, idx)]
         b = Xty[idx]
-        beta = np.linalg.solve(A, b)
+        try:
+            beta = np.linalg.solve(A, b)
+        except np.linalg.LinAlgError:
+            return None
         return float(syy - b @ beta)
 
-    def aic_of(subset: list[int]) -> float:
+    def aic_of(subset: list[int]) -> float | None:
         p = len(subset) + 2  # + intercept + variance
-        return float(n * np.log(sse_of(subset) / n) + 2 * p)
+        s = sse_of(subset)
+        if s is None or not np.isfinite(s) or s <= 0:
+            return None  # degenerate fit: AIC undefined
+        return float(n * np.log(s / n) + 2 * p)
+
+    def lt(a: float | None, b: float | None) -> bool:
+        # a < b with None treated as +inf (an undefined AIC never wins)
+        return a is not None and (b is None or a < b)
 
     current = list(range(len(xs)))
-    history = [("<full>", round(aic_of(current), 4), len(current))]
+    a0 = aic_of(current)
+    history = [("<full>", round(a0, 4) if a0 is not None else None,
+                len(current))]
     improved = True
     while improved and current:
         improved = False
@@ -336,7 +360,7 @@ def stepwise_aic(df: DataFrame, xs: list[str], y: str) -> DataFrame:
         for j in current:
             cand = [i for i in current if i != j]
             a = aic_of(cand)
-            if a < best_aic:
+            if lt(a, best_aic):
                 best_drop, best_aic = j, a
         if best_drop is not None:
             current = [i for i in current if i != best_drop]
@@ -344,7 +368,9 @@ def stepwise_aic(df: DataFrame, xs: list[str], y: str) -> DataFrame:
                             len(current)))
             improved = True
     selected = ",".join(xs[i] for i in current)
-    history.append((f"selected:{selected}", round(aic_of(current), 4),
+    a_sel = aic_of(current)
+    history.append((f"selected:{selected}",
+                    round(a_sel, 4) if a_sel is not None else None,
                     len(current)))
     return spark.createDataFrame(
         history, "step string, aic double, n_features int")
@@ -451,7 +477,15 @@ def logreg_irls(df: DataFrame, xs: list[str], y: str,
                 H[i, j] = H[j, i] = row[f"h_{i}_{j}"]
         if l2:
             H = H + l2 * np.eye(k)
-        beta = beta + np.linalg.solve(H, g)
+        try:
+            beta = beta + np.linalg.solve(H, g)
+        except np.linalg.LinAlgError:
+            d.unpersist()
+            raise ValueError(
+                "logreg_irls: singular Hessian — constant/collinear "
+                f"feature(s) among {xs} or a perfectly separable "
+                "label; drop degenerate columns or pass l2 > 0"
+            ) from None
     d.unpersist()
     rows = [("intercept", round(float(beta[0]), round_to))]
     rows += [(f"coef_{c}", round(float(b), round_to))
@@ -576,11 +610,15 @@ def kfold_cv_simple_linreg(df: DataFrame, x: str, y: str,
     tr_sy = F.col("tsy") - F.col("sy")
     tr_sxx = F.col("tsxx") - F.col("sxx")
     tr_sxy = F.col("tsxy") - F.col("sxy")
-    slope = ((tr_sxy - tr_sx * tr_sy / tr_n)
-             / (tr_sxx - tr_sx * tr_sx / tr_n))
+    # nullif: a single-fold corpus zeroes the training size and a
+    # constant x zeroes the training Sxx — the fold fit is undefined
+    # => NULL coefficients, never an ANSI job abort
+    trn = F.nullif(tr_n, F.lit(0.0))
+    slope = ((tr_sxy - tr_sx * tr_sy / trn)
+             / F.nullif(tr_sxx - tr_sx * tr_sx / trn, F.lit(0.0)))
     coefs = (per.crossJoin(F.broadcast(tot))
                 .select("__fold", slope.alias("__b"),
-                        ((tr_sy - slope * tr_sx) / tr_n).alias("__a")))
+                        ((tr_sy - slope * tr_sx) / trn).alias("__a")))
     err = F.col("__y") - (F.col("__a") + F.col("__b") * F.col("__x"))
     out = (d.join(F.broadcast(coefs), "__fold")
             .groupBy("__fold")
@@ -595,7 +633,8 @@ def kfold_cv_simple_linreg(df: DataFrame, x: str, y: str,
                  F.sum(err * err).alias("sse"),
                  F.sum(F.col("__y") * F.col("__y")).alias("syy"),
                  F.sum("__y").alias("sy")))
-    sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    sst = F.nullif(F.col("syy") - F.col("sy") * F.col("sy")
+                   / F.col("n"), F.lit(0.0))
     return (out.select(
         F.col("__fold").alias("fold"), "n",
         F.round("slope_raw", round_to).alias("slope"),

@@ -258,9 +258,16 @@ def _leaf_int(tree: dict[int, _Node], bins_i: tuple) -> int:
         if node is None or node.feature is None:
             anc = nid
             src = tree.get(anc)
-            while src is None or src.value_int is None:
+            # bounded at the root: an EMPTY tree (possible when a
+            # degenerate corpus collapses the hash-bootstrap draws to
+            # one shared weight that lands 0) must raise, not spin
+            # forever at anc = -1 (observed nontermination)
+            while (src is None or src.value_int is None) and anc > 0:
                 anc = (anc - 1) // 2
                 src = tree.get(anc)
+            if src is None or src.value_int is None:
+                raise ValueError("empty tree has no leaf value — "
+                                 "callers must skip unfitted trees")
             return src.value_int
         nid = (2 * nid + 1 if bins_i[node.feature] <= node.bin_thr
                else 2 * nid + 2)
@@ -283,11 +290,18 @@ def _leaf_case(tree: dict[int, _Node], leaf_val) -> Column:
         node = tree.get(nid)
         if node is None or node.feature is None:
             src = tree.get(nid)
-            # unreachable empty node: inherit nearest ancestor value
+            # unreachable empty node: inherit nearest ancestor value.
+            # Bounded at the root — an EMPTY tree would otherwise spin
+            # forever at anc = -1 (observed nontermination on a
+            # degenerate corpus whose collapsed hash-bootstrap left
+            # some trees with zero total weight)
             anc = nid
-            while src is None or src.value_int is None:
+            while (src is None or src.value_int is None) and anc > 0:
                 anc = (anc - 1) // 2
                 src = tree.get(anc)
+            if src is None or src.value_int is None:
+                raise ValueError("empty tree has no leaf value — "
+                                 "callers must skip unfitted trees")
             return leaf_val(src)
         return F.when(F.col(f"__b{node.feature}") <= F.lit(node.bin_thr),
                       walk(2 * nid + 1, depth + 1)) \
@@ -339,17 +353,23 @@ class ForestModel:
         (call `_bin_cols` first): mean of leaf values for rf/bagged
         (fixed-point → currency), base + sum of shrunken contributions
         for gbt."""
+        # unfitted (empty) trees — possible only on degenerate corpora
+        # whose collapsed hash-bootstrap zeroes a tree's total weight —
+        # carry no information and are excluded from the ensemble
+        live = [t for t in self.trees if t]
         if self.kind == "gbt":
             total = F.lit(self.base_int).cast("long")
-            for tree in self.trees:
+            for tree in live:
                 total = total + _leaf_case(
                     tree, lambda nd: F.lit(nd.value_int).cast("long"))
             return total.cast("double") / F.lit(float(self.scale))
+        if not live:
+            return F.lit(None).cast("double")
         total = F.lit(0).cast("long")
-        for tree in self.trees:
+        for tree in live:
             total = total + _leaf_case(
                 tree, lambda nd: F.lit(nd.value_int).cast("long"))
-        return total.cast("double") / F.lit(float(len(self.trees)
+        return total.cast("double") / F.lit(float(len(live)
                                                   * self.scale))
 
     def importances(self, round_to: int = 4) -> list[tuple[str, float]]:
@@ -451,6 +471,8 @@ def fit_gbt(df: DataFrame, xs: list[str], y: str, *, n_trees: int = 5,
                     node.value_int * shrinkage.numerator,
                     shrinkage.denominator)
         all_trees.append(tree)
+        if not tree:
+            continue  # unfitted round: zero contribution, no residual
         for i in range(len(bins)):
             wr[i][0] -= _leaf_int(tree, bins[i]) * w[i][0]
     return ForestModel(all_trees, xs, edges, n_bins, scale, "gbt",

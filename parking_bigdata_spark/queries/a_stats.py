@@ -1436,9 +1436,14 @@ def prop_ztest_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((is2 & hit).cast("int")).alias("x2"))
     n1, x1 = F.col("n1"), F.col("x1")
     n2, x2 = F.col("n2"), F.col("x2")
-    p1, p2 = x1 / n1, x2 / n2
-    pp = (x1 + x2) / (n1 + n2)
-    zed = (p1 - p2) / F.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+    # nullif: an absent arm (or an all-hit/no-hit pooled rate) zeroes
+    # the denominators — undefined => NULL, never an ANSI abort
+    p1 = x1 / F.nullif(n1.cast("double"), F.lit(0.0))
+    p2 = x2 / F.nullif(n2.cast("double"), F.lit(0.0))
+    pp = (x1 + x2) / F.nullif((n1 + n2).cast("double"), F.lit(0.0))
+    zed = ((p1 - p2)
+           / F.nullif(F.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2)),
+                      F.lit(0.0)))
     return agg.select(
         n1.cast("long").alias("n_urgent"), n2.cast("long").alias("n_low"),
         F.round(p1, 4).alias("rate_urgent"),
@@ -1456,11 +1461,12 @@ WITH agg AS (
   FROM orders
 )
 SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_low,
-       round(x1 / n1, 4) AS rate_urgent,
-       round(x2 / n2, 4) AS rate_low,
-       round((x1 / n1 - x2 / n2)
-             / sqrt(((x1 + x2) / (n1 + n2)) * (1 - (x1 + x2) / (n1 + n2))
-                    * (1.0 / n1 + 1.0 / n2)), 4) AS z_stat
+       round(x1 / nullif(n1, 0), 4) AS rate_urgent,
+       round(x2 / nullif(n2, 0), 4) AS rate_low,
+       round((x1 / nullif(n1, 0) - x2 / nullif(n2, 0))
+             / nullif(sqrt(((x1 + x2) / nullif(n1 + n2, 0))
+                    * (1 - (x1 + x2) / nullif(n1 + n2, 0))
+                    * (1.0 / n1 + 1.0 / n2)), 0), 4) AS z_stat
 FROM agg
 """
 
@@ -1562,7 +1568,11 @@ def chisq_cell_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the tiny cell table via size(collect_set())
     nrow = F.size(F.collect_set("o_orderstatus").over(wt))
     ncol = F.size(F.collect_set("o_orderpriority").over(wt))
-    v = F.sqrt(chi2 / (F.col("nt") * (F.least(nrow, ncol) - 1)))
+    # nullif: a 1xK (or 1x1) table zeroes min(rows,cols)−1 — V is
+    # undefined => NULL, never an ANSI DIVIDE_BY_ZERO job abort
+    v = F.sqrt(chi2 / F.nullif(
+        (F.col("nt") * (F.least(nrow, ncol) - 1)).cast("double"),
+        F.lit(0.0)))
     return d.select(
         "o_orderstatus", "o_orderpriority", "n",
         F.round("exp", 4).alias("expected"),
@@ -1590,7 +1600,8 @@ SELECT o_orderstatus, o_orderpriority, CAST(n AS BIGINT) AS n,
        round(exp, 4) AS expected,
        round((n - exp) / sqrt(exp), 4) AS std_residual,
        round(sqrt(sum(pow(n - exp, 2) / exp) OVER ()
-                  / (nt * (least(nrow, ncol) - 1))), 4) AS cramers_v
+                  / nullif(nt * (least(nrow, ncol) - 1), 0)), 4)
+         AS cramers_v
 FROM e
 """
 
@@ -1712,11 +1723,15 @@ WITH d AS (
   FROM per
 ), coef AS (
   SELECT fold,
-         ((tsxy - sxy) - (tsx - sx) * (tsy - sy) / (tn - n))
-         / ((tsxx - sxx) - (tsx - sx) * (tsx - sx) / (tn - n)) AS b,
-         ((tsy - sy) - ((tsxy - sxy) - (tsx - sx) * (tsy - sy) / (tn - n))
-          / ((tsxx - sxx) - (tsx - sx) * (tsx - sx) / (tn - n)) * (tsx - sx))
-         / (tn - n) AS a
+         ((tsxy - sxy) - (tsx - sx) * (tsy - sy) / nullif(tn - n, 0))
+         / nullif((tsxx - sxx)
+                  - (tsx - sx) * (tsx - sx) / nullif(tn - n, 0), 0) AS b,
+         ((tsy - sy)
+          - ((tsxy - sxy) - (tsx - sx) * (tsy - sy) / nullif(tn - n, 0))
+          / nullif((tsxx - sxx)
+                   - (tsx - sx) * (tsx - sx) / nullif(tn - n, 0), 0)
+          * (tsx - sx))
+         / nullif(tn - n, 0) AS a
   FROM per, tot
 ), e AS (
   SELECT d.fold, d.y, c.a, c.b, d.y - (c.a + c.b * d.x) AS err
@@ -1728,7 +1743,8 @@ SELECT {head}fold, count(*) AS n,
        round(sqrt(avg(err * err)), 4) AS rmse,
        round(avg(abs(err / nullif(y, 0.0))), 4) AS mape,
        round(1.0 - sum(err * err)
-             / (sum(y * y) - sum(y) * sum(y) / count(*)), 4) + 0.0 AS r2
+             / nullif(sum(y * y) - sum(y) * sum(y) / count(*), 0), 4)
+         + 0.0 AS r2
 FROM e GROUP BY fold
 """
 
@@ -1912,12 +1928,18 @@ def rf_score_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rf_holdout_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = rf_score_holdout(spark, sf_dir)
     y, p = F.col("actual"), F.col("predicted")
+    # nullif: zero actuals / a constant holdout response would
+    # ANSI-throw — MAPE excludes zero-actual rows, R2 degrades to
+    # NULL on zero SST (the ml.eval_metrics contract)
     return scored.agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sqrt(F.avg((y - p) * (y - p))), 4).alias("rmse"),
-        F.round(F.avg(F.abs((y - p) / y)), 4).alias("mape"),
+        F.round(F.avg(F.abs((y - p) / F.nullif(y, F.lit(0.0)))), 4)
+         .alias("mape"),
         F.round(1.0 - F.sum((y - p) * (y - p))
-                / (F.sum(y * y) - F.sum(y) * F.sum(y) / F.count(F.lit(1))),
+                / F.nullif(F.sum(y * y)
+                           - F.sum(y) * F.sum(y) / F.count(F.lit(1)),
+                           F.lit(0.0)),
                 4).alias("r2"))
 
 
@@ -2295,12 +2317,17 @@ def poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - is_p).alias("n_error"),
         F.countDistinct(F.to_date("ts")).alias("n_days"))
     n1, n2, dd = F.col("n_purchase"), F.col("n_error"), F.col("n_days")
+    # nullif: an absent arm (or an empty events table) zeroes the
+    # denominators — rates/ratio/z undefined => NULL, never an abort
+    ddn = F.nullif(dd.cast("double"), F.lit(0.0))
     return agg.select(
         "n_purchase", "n_error", "n_days",
-        F.round(n1 / dd, 4).alias("rate_purchase"),
-        F.round(n2 / dd, 4).alias("rate_error"),
-        F.round(n1 / n2, 4).alias("rate_ratio"),
-        F.round((n1 - n2) / F.sqrt((n1 + n2).cast("double")), 4)
+        F.round(n1 / ddn, 4).alias("rate_purchase"),
+        F.round(n2 / ddn, 4).alias("rate_error"),
+        F.round(n1 / F.nullif(n2.cast("double"), F.lit(0.0)), 4)
+         .alias("rate_ratio"),
+        F.round((n1 - n2) / F.nullif(F.sqrt((n1 + n2).cast("double")),
+                                     F.lit(0.0)), 4)
          .alias("z_stat"))
 
 POISSON_RATE_SQL = """
@@ -2314,10 +2341,12 @@ WITH f AS (
   WHERE ts IS NOT NULL AND event_type IN ('purchase', 'error')
 )
 SELECT n1 AS n_purchase, n2 AS n_error, n_days,
-       round(CAST(n1 AS DOUBLE) / n_days, 4) AS rate_purchase,
-       round(CAST(n2 AS DOUBLE) / n_days, 4) AS rate_error,
-       round(CAST(n1 AS DOUBLE) / n2, 4) AS rate_ratio,
-       round((n1 - n2) / sqrt(CAST(n1 + n2 AS DOUBLE)), 4) AS z_stat
+       round(CAST(n1 AS DOUBLE) / nullif(n_days, 0), 4)
+         AS rate_purchase,
+       round(CAST(n2 AS DOUBLE) / nullif(n_days, 0), 4) AS rate_error,
+       round(CAST(n1 AS DOUBLE) / nullif(n2, 0), 4) AS rate_ratio,
+       round((n1 - n2) / nullif(sqrt(CAST(n1 + n2 AS DOUBLE)), 0), 4)
+         AS z_stat
 FROM f
 """
 

@@ -43,11 +43,14 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, swn, swwn = F.col("__t"), F.col("__swn"), F.col("__swwn")
     # 1.0 * promotes BEFORE the square: swn² overflows BIGINT at
     # ~1e9 orders while the double is exact to 2^53 (code-review r02)
+    # nullif: a single-class / single-priority corpus zeroes the
+    # trend variance — z undefined => NULL, never an ANSI abort
     var = pbar * (1 - pbar) * (swwn - (1.0 * swn) * swn / n)
     return agg.select(
         n.alias("n_orders"), r.alias("n_finished"),
         F.round(pbar, 4).alias("p_finished"),
-        F.round((t - pbar * swn) / F.sqrt(var), 4).alias("z_trend"))
+        F.round((t - pbar * swn) / F.nullif(F.sqrt(var), F.lit(0.0)), 4)
+         .alias("z_trend"))
 
 COCHRAN_ARMITAGE_SQL = """
 WITH f AS (
@@ -67,8 +70,10 @@ WITH f AS (
 SELECT n AS n_orders, r AS n_finished,
        round(CAST(r AS DOUBLE) / n, 4) AS p_finished,
        round((t - (CAST(r AS DOUBLE) / n) * swn)
-             / sqrt((CAST(r AS DOUBLE) / n) * (1 - CAST(r AS DOUBLE) / n)
-                    * (swwn - CAST(swn AS DOUBLE) * swn / n)), 4) AS z_trend
+             / nullif(sqrt((CAST(r AS DOUBLE) / n)
+                    * (1 - CAST(r AS DOUBLE) / n)
+                    * (swwn - CAST(swn AS DOUBLE) * swn / n)), 0), 4)
+         AS z_trend
 FROM f
 """
 
@@ -591,13 +596,22 @@ def woe_iv_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.sum("y").alias("n_pos"),
                        F.sum(1 - F.col("y")).alias("n_neg")))
     tot = bins.agg(F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn"))
-    ps = F.col("n_pos") / F.col("tp")
-    ns = F.col("n_neg") / F.col("tn")
-    woe = F.round(F.log(ps / ns), 6)
+    # mirror the oracle's empty-cell semantics: a bin with zero
+    # positives or negatives has undefined WoE => NULL (and the total
+    # guards keep a single-class corpus from ANSI-aborting)
+    ps = F.col("n_pos") / F.nullif(F.col("tp").cast("double"),
+                                   F.lit(0.0))
+    ns = F.col("n_neg") / F.nullif(F.col("tn").cast("double"),
+                                   F.lit(0.0))
+    degen = (F.col("n_pos") == 0) | (F.col("n_neg") == 0)
+    woe = F.when(degen, F.lit(None).cast("double")) \
+           .otherwise(F.round(F.log(ps / ns), 6))
     return (bins.crossJoin(F.broadcast(tot))
                 .select("segment", "n_pos", "n_neg",
                         woe.alias("woe"),
-                        F.round((ps - ns) * woe, 6).alias("iv_contrib")))
+                        F.when(degen, F.lit(None).cast("double"))
+                         .otherwise(F.round((ps - ns) * woe, 6))
+                         .alias("iv_contrib")))
 
 WOE_IV_SQL = """
 WITH o AS (
@@ -704,10 +718,19 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("sxx"),
                   F.sum(F.col("l_quantity") * F.col("l_extendedprice"))
                    .alias("sxy")).collect()[0]
-    b1 = round((r.n * r.sxy - r.sx * r.sy) / (r.n * r.sxx - r.sx * r.sx), 6)
-    b0 = round((r.sy - b1 * r.sx) / r.n, 6)
+    # a constant x (or empty train fold) makes the fit undefined —
+    # NULL coefficients propagate to NULL intervals/coverage (exactly
+    # the oracle's NULL arithmetic), never a ZeroDivisionError
+    den = (r.n * r.sxx - r.sx * r.sx) if r.n else 0
+    if den:
+        b1 = round((r.n * r.sxy - r.sx * r.sy) / den, 6)
+        b0 = round((r.sy - b1 * r.sx) / r.n, 6)
+    else:
+        b1 = b0 = None
+    lit_b0 = F.lit(b0).cast("double")
+    lit_b1 = F.lit(b1).cast("double")
     resid = F.abs(F.col("l_extendedprice")
-                  - (F.lit(b0) + F.lit(b1) * F.col("l_quantity")))
+                  - (lit_b0 + lit_b1 * F.col("l_quantity")))
     cal = (li.where(fold == 4)
              .select(F.lit("all").alias("g"), resid.alias("ar")))
     q = stats.grouped_quantiles(cal, "g", "ar", [0.9], ["q90"])
@@ -718,7 +741,9 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("n_covered"),
                     F.round(F.max("q90"), 4).alias("q90")))
     out = cov.select("n_test", "n_covered", "q90",
-                     F.round(F.col("n_covered") / F.col("n_test"), 4)
+                     F.round(F.col("n_covered")
+                             / F.nullif(F.col("n_test").cast("double"),
+                                        F.lit(0.0)), 4)
                       .alias("coverage")).localCheckpoint(eager=True)
     li.unpersist()
     return out
@@ -733,9 +758,11 @@ WITH li AS (
          sum(x * x) AS sxx, sum(x * y) AS sxy
   FROM li WHERE l_orderkey % 5 NOT IN (0, 4)
 ), c AS (
-  SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS b1,
+  SELECT round((n * sxy - sx * sy)
+               / nullif(n * sxx - sx * sx, 0), 6) AS b1,
          round((sy - round((n * sxy - sx * sy)
-                           / (n * sxx - sx * sx), 6) * sx) / n, 6) AS b0
+                           / nullif(n * sxx - sx * sx, 0), 6) * sx)
+               / nullif(n, 0), 6) AS b0
   FROM tr
 ), cal AS (
   SELECT abs(y - (c.b0 + c.b1 * x)) AS ar
@@ -750,7 +777,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_test,
          AS n_covered,
        round(max(q.q90), 4) AS q90,
        round(CAST(sum(CASE WHEN ar <= q.q90 THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 4) AS coverage
+             / nullif(count(*), 0), 4) AS coverage
 FROM test CROSS JOIN q
 """
 
@@ -1094,11 +1121,17 @@ def cooks_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.covar_pop("x", "y") * F.count(F.lit(1))).alias("sxy"),
         (F.var_pop("y") * F.count(F.lit(1))).alias("syy"))
     j = d.crossJoin(F.broadcast(fit))
-    slope = F.col("sxy") / F.col("sxx")
+    # nullif: a constant x (sxx = 0), n = 2, zero residual variance,
+    # or a leverage-1 point all zero a denominator — the diagnostics
+    # are undefined => NULL, never an ANSI job abort
+    slope = F.col("sxy") / F.nullif(F.col("sxx"), F.lit(0.0))
     e = F.col("y") - (F.col("my") + slope * (F.col("x") - F.col("mx")))
-    s2 = (F.col("syy") - slope * F.col("sxy")) / (F.col("n") - 2)
-    h = 1 / F.col("n") + ((F.col("x") - F.col("mx")) ** 2) / F.col("sxx")
-    dist = e * e * h / (2 * s2 * (1 - h) * (1 - h))
+    s2 = ((F.col("syy") - slope * F.col("sxy"))
+          / F.nullif((F.col("n") - 2).cast("double"), F.lit(0.0)))
+    h = (1 / F.col("n") + ((F.col("x") - F.col("mx")) ** 2)
+         / F.nullif(F.col("sxx"), F.lit(0.0)))
+    dist = (e * e * h
+            / F.nullif(2 * s2 * (1 - h) * (1 - h), F.lit(0.0)))
     return (j.select("l_orderkey", "l_linenumber",
                      F.round(e, 4).alias("residual"),
                      F.round(h, 8).alias("leverage"),
@@ -1120,16 +1153,17 @@ WITH d AS (
          var_pop(y) * count(*) AS syy
   FROM d
 ), s AS (
-  SELECT d.*, n, mx, my, sxy / sxx AS slope,
-         (syy - (sxy / sxx) * sxy) / (n - 2) AS s2,
-         1.0 / n + (x - mx) * (x - mx) / sxx AS h
+  SELECT d.*, n, mx, my, sxy / nullif(sxx, 0) AS slope,
+         (syy - (sxy / nullif(sxx, 0)) * sxy) / nullif(n - 2, 0) AS s2,
+         1.0 / n + (x - mx) * (x - mx) / nullif(sxx, 0) AS h
   FROM d CROSS JOIN fit
 )
 SELECT l_orderkey, l_linenumber,
        round(y - (my + slope * (x - mx)), 4) AS residual,
        round(h, 8) AS leverage,
        round((y - (my + slope * (x - mx))) * (y - (my + slope * (x - mx)))
-             * h / (2 * s2 * (1 - h) * (1 - h)), 8) AS cooks_d
+             * h / nullif(2 * s2 * (1 - h) * (1 - h), 0), 8)
+         AS cooks_d
 FROM s
 ORDER BY cooks_d DESC, l_orderkey, l_linenumber
 LIMIT 20
@@ -1225,8 +1259,13 @@ def pr_auc_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("cum_n_b").alias("cn")))
     tot = o.agg(F.sum("pos").alias("P"),
                 F.count(F.lit(1)).alias("N"))
+    # nullif: a single-class corpus (no positives) zeroes P — AP is
+    # undefined => NULL, never an ANSI job abort (the A123b twin's
+    # guard, extended to the exact form)
     ap = (cum.crossJoin(F.broadcast(tot))
-             .agg(F.round(F.sum(F.col("tp_b") / F.col("P")
+             .agg(F.round(F.sum(F.col("tp_b")
+                                / F.nullif(F.col("P").cast("double"),
+                                           F.lit(0.0))
                                 * (F.col("ctp") / F.col("cn"))), 6)
                    .alias("average_precision"),
                   F.max("P").alias("n_pos"),
@@ -1255,7 +1294,8 @@ WITH o AS (
 )
 SELECT CAST(max(P) AS BIGINT) AS n_pos,
        CAST(max(N - P) AS BIGINT) AS n_neg,
-       round(sum(CAST(tp_b AS DOUBLE) / P * (CAST(ctp AS DOUBLE) / cn)),
+       round(sum(CAST(tp_b AS DOUBLE) / nullif(P, 0)
+                 * (CAST(ctp AS DOUBLE) / cn)),
              6) AS average_precision
 FROM cum CROSS JOIN tot
 """
@@ -1438,7 +1478,10 @@ def cohen_kappa_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n"),
         F.round(po, 6).alias("p_observed"),
         F.round(pe, 6).alias("p_expected"),
-        F.round((po - pe) / (1 - pe), 6).alias("kappa"))
+        # nullif: a degenerate table with pe = 1 (all mass in one
+        # margin pair) makes kappa undefined => NULL, not an abort
+        F.round((po - pe) / F.nullif(1 - pe, F.lit(0.0)), 6)
+         .alias("kappa"))
 
 KAPPA_SQL = """
 WITH cells AS (
@@ -1461,7 +1504,8 @@ SELECT CAST(n AS BIGINT) AS n,
          AS p_expected,
        round(((a + d) / n - ((a + b) * (a + c) + (c + d) * (b + d))
               / (n * n))
-             / (1 - ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)),
+             / nullif(1 - ((a + b) * (a + c) + (c + d) * (b + d))
+                      / (n * n), 0),
              6) AS kappa
 FROM m
 """
@@ -1520,7 +1564,9 @@ def mcnemar_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((r1 & ~r2).cast("long")).alias("b"),
         F.sum((~r1 & r2).cast("long")).alias("c"))
     b, c = F.col("b").cast("double"), F.col("c").cast("double")
-    chi2 = (F.abs(b - c) - 1) * (F.abs(b - c) - 1) / (b + c)
+    # nullif: no discordant pairs (b = c = 0) => chi2 undefined
+    chi2 = ((F.abs(b - c) - 1) * (F.abs(b - c) - 1)
+            / F.nullif(b + c, F.lit(0.0)))
     return agg.select("b", "c", F.round(chi2, 4).alias("chi2_corrected"))
 
 MCNEMAR_SQL = """
@@ -1535,7 +1581,7 @@ WITH cells AS (
 SELECT b, c,
        round((abs(CAST(b AS DOUBLE) - c) - 1)
              * (abs(CAST(b AS DOUBLE) - c) - 1)
-             / (CAST(b AS DOUBLE) + c), 4) AS chi2_corrected
+             / nullif(CAST(b AS DOUBLE) + c, 0), 4) AS chi2_corrected
 FROM cells
 """
 
@@ -1680,7 +1726,9 @@ def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in range(k):
         for b in range(k):
             quad = quad + F.lit(adj[a][b]) * v[a] * v[b]
-    d2 = quad / F.lit(det)
+    # a singular covariance (constant column) zeroes the determinant —
+    # d2 is undefined => NULL, never an ANSI DIVIDE_BY_ZERO abort
+    d2 = (quad / F.lit(det)) if det != 0 else F.lit(None).cast("double")
     return (li.select("l_orderkey", "l_linenumber",
                       F.round(d2, 6).alias("mahalanobis_d2"))
               .orderBy(F.col("mahalanobis_d2").desc(), "l_orderkey",
@@ -1716,7 +1764,7 @@ WITH m AS (
   SELECT {mu_sel}, {cov_sel} FROM {table}
 )
 SELECT t.l_orderkey, t.l_linenumber,
-       round(({quad}) / ({det}), 6) AS mahalanobis_d2
+       round(({quad}) / nullif(({det}), 0), 6) AS mahalanobis_d2
 FROM {table} t CROSS JOIN m
 ORDER BY mahalanobis_d2 DESC, t.l_orderkey, t.l_linenumber
 LIMIT 20
@@ -1745,14 +1793,21 @@ def qq_deciles_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = {r["o_orderpriority"]: r
          for r in stats.grouped_quantiles(
              o, "o_orderpriority", "o_totalprice", fr, al).collect()}
-    hi, lo = q["1-URGENT"], q["5-LOW"]
-    rows = [(i, float(hi[f"d{i}"]), float(lo[f"d{i}"]))
+    # an ABSENT arm (single-priority corpus) has no quantile row —
+    # its deciles are NULL, matching the oracle's quantile over an
+    # empty CASE branch (never a driver-side KeyError)
+    hi, lo = q.get("1-URGENT"), q.get("5-LOW")
+    rows = [(i,
+             float(hi[f"d{i}"]) if hi is not None else None,
+             float(lo[f"d{i}"]) if lo is not None else None)
             for i in range(1, 10)]
     return (spark.createDataFrame(rows, "decile int, h double, l double")
             .select("decile",
                     F.round("h", 4).alias("urgent_value"),
                     F.round("l", 4).alias("low_value"),
-                    F.round(F.col("h") / F.col("l"), 6).alias("qq_ratio")))
+                    F.round(F.col("h") / F.nullif(F.col("l"),
+                                                  F.lit(0.0)), 6)
+                     .alias("qq_ratio")))
 
 QQ_DECILES_SQL = "\nUNION ALL\n".join(
     f"""SELECT {i} AS decile,
@@ -1788,17 +1843,24 @@ def chow_test_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.covar_pop(x, y) * F.count(F.lit(1))).alias("sxy"),
             (F.var_pop(y) * F.count(F.lit(1))).alias("syy")]
     g = li.groupBy("l_returnflag").agg(*aggs)
-    ssr_g = F.col("syy") - F.col("sxy") * F.col("sxy") / F.col("sxx")
+    # nullif: a constant x (sxx = 0) / zero residuals make every
+    # ratio undefined => NULL, never an ANSI job abort
+    ssr_g = (F.col("syy") - F.col("sxy") * F.col("sxy")
+             / F.nullif(F.col("sxx"), F.lit(0.0)))
     parts = g.agg(F.sum("n").alias("n"),
                   F.count(F.lit(1)).alias("k"),
                   F.sum(ssr_g).alias("ssr_groups"))
     pooled = li.agg(*aggs).select(
-        (F.col("syy") - F.col("sxy") * F.col("sxy") / F.col("sxx"))
+        (F.col("syy") - F.col("sxy") * F.col("sxy")
+         / F.nullif(F.col("sxx"), F.lit(0.0)))
         .alias("ssr_pooled"))
     jn = parts.crossJoin(pooled)
     num = (F.col("ssr_pooled") - F.col("ssr_groups")) \
-        / ((F.col("k") - 1) * 2)
-    den = F.col("ssr_groups") / (F.col("n") - F.col("k") * 2)
+        / F.nullif(((F.col("k") - 1) * 2).cast("double"), F.lit(0.0))
+    den = F.nullif(F.col("ssr_groups")
+                   / F.nullif((F.col("n") - F.col("k") * 2)
+                              .cast("double"), F.lit(0.0)),
+                   F.lit(0.0))
     # emit MEAN squared residuals, not raw SSRs: at corpus scale the
     # SSR magnitude (~1e13+) exceeds the double ulp at 2 decimals, so
     # a fixed-decimal round of the raw sum is not engine-stable
@@ -1820,7 +1882,7 @@ WITH g AS (
   FROM lineitem GROUP BY 1
 ), parts AS (
   SELECT sum(n) AS n, count(*) AS k,
-         sum(syy - sxy * sxy / sxx) AS ssr_groups
+         sum(syy - sxy * sxy / nullif(sxx, 0)) AS ssr_groups
   FROM g
 ), pooled AS (
   SELECT var_pop(CAST(l_extendedprice AS DOUBLE)) * count(*)
@@ -1828,15 +1890,17 @@ WITH g AS (
                       CAST(l_extendedprice AS DOUBLE)) * count(*))
            * (covar_pop(CAST(l_quantity AS DOUBLE),
                         CAST(l_extendedprice AS DOUBLE)) * count(*))
-           / (var_pop(CAST(l_quantity AS DOUBLE)) * count(*))
+           / nullif(var_pop(CAST(l_quantity AS DOUBLE)) * count(*),
+                    0)
            AS ssr_pooled
   FROM lineitem
 )
 SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_regimes,
        round(ssr_pooled / n, 4) AS mse_pooled,
        round(ssr_groups / n, 4) AS mse_by_regime,
-       round(((ssr_pooled - ssr_groups) / ((k - 1) * 2))
-             / (ssr_groups / (n - k * 2)), 4) AS chow_f,
+       round(((ssr_pooled - ssr_groups) / nullif((k - 1) * 2, 0))
+             / nullif(ssr_groups / nullif(n - k * 2, 0), 0), 4)
+         AS chow_f,
        CAST((k - 1) * 2 AS BIGINT) AS df1,
        CAST(n - k * 2 AS BIGINT) AS df2
 FROM parts CROSS JOIN pooled
@@ -1910,12 +1974,20 @@ def gamma_mom_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.count(F.lit(1)).alias("n"), F.avg(x).alias("m"),
                F.var_pop(x).alias("v"),
                F.avg(F.log(x)).alias("mlog")).collect()[0])
-    n, m, v, mlog = int(r["n"]), float(r["m"]), float(r["v"]), float(r["mlog"])
-    k = m * m / v
-    theta = v / m
-    # mean log-likelihood: (k-1) E[ln x] - E[x]/theta - k ln theta - ln G(k)
-    mll = ((k - 1) * mlog - m / theta - k * math.log(theta)
-           - math.lgamma(k))
+    # a constant (or empty) column has zero variance — the MoM fit is
+    # undefined => NULL columns, never a driver-side TypeError /
+    # ZeroDivisionError (scale v/m stays defined: 0 for a constant)
+    n = int(r["n"]) if r["n"] is not None else 0
+    if n and float(r["v"]) > 0:
+        m, v, mlog = float(r["m"]), float(r["v"]), float(r["mlog"])
+        k = m * m / v
+        theta = v / m
+        # mean log-lik: (k-1) E[ln x] - E[x]/theta - k ln theta - ln G(k)
+        mll = ((k - 1) * mlog - m / theta - k * math.log(theta)
+               - math.lgamma(k))
+    else:
+        k = mll = None
+        theta = (float(r["v"]) / float(r["m"])) if n else None
     return (spark.createDataFrame(
         [(n, k, theta, mll)],
         "n long, shape_k double, scale_theta double, mean_loglik double")
@@ -1931,10 +2003,12 @@ WITH a AS (
   FROM orders WHERE o_totalprice > 0
 )
 SELECT n,
-       round(m * m / v, 6) AS shape_k,
+       round(m * m / nullif(v, 0), 6) AS shape_k,
        round(v / m, 4) AS scale_theta,
-       round((m * m / v - 1) * mlog - m / (v / m)
-             - (m * m / v) * ln(v / m) - lgamma(m * m / v), 6)
+       round((m * m / nullif(v, 0) - 1) * mlog
+             - m / nullif(v / m, 0)
+             - (m * m / nullif(v, 0)) * ln(nullif(v, 0) / m)
+             - lgamma(m * m / nullif(v, 0)), 6)
          AS mean_loglik
 FROM a
 """

@@ -39,8 +39,13 @@ def dagostino_k2_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     m3 = F.col("r3") - 3 * m1 * F.col("r2") + 2 * m1 * m1 * m1
     m4 = (F.col("r4") - 4 * m1 * F.col("r3")
           + 6 * m1 * m1 * F.col("r2") - 3 * m1 * m1 * m1 * m1)
-    g1 = m3 / F.pow(m2, 1.5)
-    b2 = m4 / (m2 * m2)
+    # nullif: a constant column zeroes m2 — the moments (and both z
+    # transforms) are undefined => NULL; the z columns additionally
+    # go through nanvl below because a NEAR-constant column (m2 at
+    # float-noise scale) drives the transforms to NaN rather than a
+    # division error
+    g1 = m3 / F.nullif(F.pow(m2, 1.5), F.lit(0.0))
+    b2 = m4 / F.nullif(m2 * m2, F.lit(0.0))
     # skewness transform (D'Agostino 1970)
     y = g1 * F.sqrt((n + 1) * (n + 3) / (6 * (n - 2)))
     beta2 = (3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
@@ -60,13 +65,14 @@ def dagostino_k2_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     z2 = ((1 - 2.0 / (9 * a))
           - F.cbrt((1 - 2.0 / a) / (1 + xk * F.sqrt(2.0 / (a - 4))))
           ) / F.sqrt(2.0 / (9 * a))
+    nan_null = lambda c: F.nanvl(c, F.lit(None).cast("double"))  # noqa: E731
     return g.select(
         F.col("n").cast("long").alias("n"),
-        F.round(g1, 6).alias("skewness_g1"),
-        F.round(b2, 6).alias("kurtosis_b2"),
-        F.round(z1, 4).alias("z_skew"),
-        F.round(z2, 4).alias("z_kurt"),
-        F.round(z1 * z1 + z2 * z2, 4).alias("k2_stat"))
+        F.round(nan_null(g1), 6).alias("skewness_g1"),
+        F.round(nan_null(b2), 6).alias("kurtosis_b2"),
+        F.round(nan_null(z1), 4).alias("z_skew"),
+        F.round(nan_null(z2), 4).alias("z_kurt"),
+        F.round(nan_null(z1 * z1 + z2 * z2), 4).alias("k2_stat"))
 
 DAGOSTINO_SQL = """
 WITH g AS (
@@ -80,9 +86,9 @@ WITH g AS (
 ), mom AS (
   SELECT n,
          (r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1)
-           / pow(r2 - m1 * m1, 1.5) AS g1,
+           / nullif(pow(r2 - m1 * m1, 1.5), 0) AS g1,
          (r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1)
-           / ((r2 - m1 * m1) * (r2 - m1 * m1)) AS b2
+           / nullif((r2 - m1 * m1) * (r2 - m1 * m1), 0) AS b2
   FROM g
 ), sk AS (
   SELECT n, g1, b2,
@@ -117,11 +123,14 @@ WITH g AS (
   FROM ac
 )
 SELECT CAST(n AS BIGINT) AS n,
-       round(g1, 6) AS skewness_g1,
-       round(b2, 6) AS kurtosis_b2,
-       round(z1, 4) AS z_skew,
-       round(z2, 4) AS z_kurt,
-       round(z1 * z1 + z2 * z2, 4) AS k2_stat
+       round(CASE WHEN isnan(g1) THEN NULL ELSE g1 END, 6)
+         AS skewness_g1,
+       round(CASE WHEN isnan(b2) THEN NULL ELSE b2 END, 6)
+         AS kurtosis_b2,
+       round(CASE WHEN isnan(z1) THEN NULL ELSE z1 END, 4) AS z_skew,
+       round(CASE WHEN isnan(z2) THEN NULL ELSE z2 END, 4) AS z_kurt,
+       round(CASE WHEN isnan(z1 * z1 + z2 * z2) THEN NULL
+             ELSE z1 * z1 + z2 * z2 END, 4) AS k2_stat
 FROM z2c
 """
 
@@ -666,7 +675,11 @@ def white_test_hetero(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("l_quantity").cast("double")
     y = F.col("l_extendedprice").cast("double")
     d = li.select(x.alias("x"), y.alias("y"))
-    fit = d.agg((F.covar_pop("x", "y") / F.var_pop("x")).alias("slope"),
+    # nullif on every closed-form denominator: a constant x zeroes
+    # var(x)/the determinant, constant residuals zero suu — the LM
+    # statistic is undefined => NULL, never an ANSI job abort
+    fit = d.agg((F.covar_pop("x", "y")
+                 / F.nullif(F.var_pop("x"), F.lit(0.0))).alias("slope"),
                 F.avg("y").alias("my"), F.avg("x").alias("mx"))
     e = (F.col("y") - (F.col("my") + F.col("slope")
                        * (F.col("x") - F.col("mx"))))
@@ -689,10 +702,10 @@ def white_test_hetero(spark: SparkSession, sf_dir: str) -> DataFrame:
     s12 = F.col("r12") - F.col("m1") * F.col("m2")
     s1u = F.col("r1u") - F.col("m1") * F.col("mu")
     s2u = F.col("r2u") - F.col("m2") * F.col("mu")
-    det = s11 * s22 - s12 * s12
+    det = F.nullif(s11 * s22 - s12 * s12, F.lit(0.0))
     b1 = (s1u * s22 - s2u * s12) / det
     b2 = (s2u * s11 - s1u * s12) / det
-    r2 = (b1 * s1u + b2 * s2u) / suu
+    r2 = (b1 * s1u + b2 * s2u) / F.nullif(suu, F.lit(0.0))
     return g.select(F.col("n").cast("long").alias("n"),
                     F.round(r2, 6).alias("r2_aux"),
                     F.round(F.col("n") * r2, 4).alias("white_lm"),
@@ -704,7 +717,7 @@ WITH d AS (
          CAST(l_extendedprice AS DOUBLE) AS y
   FROM lineitem
 ), fit AS (
-  SELECT covar_pop(x, y) / var_pop(x) AS slope,
+  SELECT covar_pop(x, y) / nullif(var_pop(x), 0) AS slope,
          avg(y) AS my, avg(x) AS mx
   FROM d
 ), aux AS (
@@ -725,13 +738,16 @@ WITH d AS (
   FROM g
 ), fit2 AS (
   SELECT n, suu, s1u, s2u,
-         (s1u * s22 - s2u * s12) / (s11 * s22 - s12 * s12) AS b1,
-         (s2u * s11 - s1u * s12) / (s11 * s22 - s12 * s12) AS b2
+         (s1u * s22 - s2u * s12)
+           / nullif(s11 * s22 - s12 * s12, 0) AS b1,
+         (s2u * s11 - s1u * s12)
+           / nullif(s11 * s22 - s12 * s12, 0) AS b2
   FROM s
 )
 SELECT CAST(n AS BIGINT) AS n,
-       round((b1 * s1u + b2 * s2u) / suu, 6) AS r2_aux,
-       round(n * (b1 * s1u + b2 * s2u) / suu, 4) AS white_lm,
+       round((b1 * s1u + b2 * s2u) / nullif(suu, 0), 6) AS r2_aux,
+       round(n * (b1 * s1u + b2 * s2u) / nullif(suu, 0), 4)
+         AS white_lm,
        2 AS df
 FROM fit2
 """
@@ -967,15 +983,21 @@ def hellinger_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("no")))
     tot = cells.agg(F.sum("nf").alias("tf"), F.sum("no").alias("to"))
     j = cells.crossJoin(F.broadcast(tot))
-    bc = F.sum(F.sqrt((F.col("nf") / F.col("tf").cast("double"))
-                      * (F.col("no") / F.col("to").cast("double"))))
+    # nullif: a single-class corpus zeroes one arm's total (and the
+    # Bhattacharyya coefficient) — the distances are undefined =>
+    # NULL, never an ANSI DIVIDE_BY_ZERO / log(0) job abort
+    bc = F.sum(F.sqrt(
+        (F.col("nf") / F.nullif(F.col("tf").cast("double"), F.lit(0.0)))
+        * (F.col("no") / F.nullif(F.col("to").cast("double"),
+                                  F.lit(0.0)))))
     return (j.agg(F.first("tf").alias("n_f"), F.first("to").alias("n_o"),
                   bc.alias("bc"))
              .select(F.col("n_f").cast("long").alias("n_finished"),
                      F.col("n_o").cast("long").alias("n_open"),
                      F.round(F.sqrt(1.0 - F.col("bc")), 6)
                       .alias("hellinger"),
-                     F.round(-F.log("bc"), 6).alias("bhattacharyya")))
+                     F.round(-F.log(F.nullif(F.col("bc"), F.lit(0.0))),
+                             6).alias("bhattacharyya")))
 
 HELLINGER_SQL = """
 WITH cells AS (
@@ -987,14 +1009,14 @@ WITH cells AS (
 ), tot AS (SELECT sum(nf) AS tf, sum(no) AS to_ FROM cells),
 agg AS (
   SELECT any_value(tf) AS tf, any_value(to_) AS to_,
-         sum(sqrt((nf / CAST(tf AS DOUBLE))
-                  * (no / CAST(to_ AS DOUBLE)))) AS bc
+         sum(sqrt((nf / nullif(CAST(tf AS DOUBLE), 0))
+                  * (no / nullif(CAST(to_ AS DOUBLE), 0)))) AS bc
   FROM cells CROSS JOIN tot
 )
 SELECT CAST(tf AS BIGINT) AS n_finished,
        CAST(to_ AS BIGINT) AS n_open,
        round(sqrt(1.0 - bc), 6) AS hellinger,
-       round(-ln(bc), 6) AS bhattacharyya
+       round(-ln(nullif(bc, 0)), 6) AS bhattacharyya
 FROM agg
 """
 
@@ -1022,14 +1044,18 @@ def deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.var_pop("x").alias("sxx"),
                   F.var_pop("y").alias("syy"))
     d = F.col("syy") - F.col("sxx")
+    # nullif: constant measurement columns zero sxy (and the norm
+    # product) — the fit is undefined => NULL, never an ANSI abort
     beta = (d + F.sqrt(d * d + 4 * F.col("sxy") * F.col("sxy"))) \
-        / (2 * F.col("sxy"))
+        / F.nullif(2 * F.col("sxy"), F.lit(0.0))
     return g.select(F.col("n").cast("long").alias("n_rows"),
                     F.round(beta, 6).alias("deming_slope"),
                     F.round(F.col("my") - beta * F.col("mx"), 4)
                      .alias("deming_intercept"),
                     F.round(F.col("sxy")
-                            / F.sqrt(F.col("sxx") * F.col("syy")), 6)
+                            / F.nullif(F.sqrt(F.col("sxx")
+                                              * F.col("syy")),
+                                       F.lit(0.0)), 6)
                      .alias("pearson_r"))
 
 DEMING_SQL = r"""
@@ -1044,12 +1070,14 @@ WITH pairs AS (
 )
 SELECT CAST(n AS BIGINT) AS n_rows,
        round(((syy - sxx) + sqrt((syy - sxx) * (syy - sxx)
-                                 + 4 * sxy * sxy)) / (2 * sxy), 6)
+                                 + 4 * sxy * sxy))
+             / nullif(2 * sxy, 0), 6)
          AS deming_slope,
        round(my - ((syy - sxx) + sqrt((syy - sxx) * (syy - sxx)
-                                      + 4 * sxy * sxy)) / (2 * sxy)
+                                      + 4 * sxy * sxy))
+                  / nullif(2 * sxy, 0)
                   * mx, 4) AS deming_intercept,
-       round(sxy / sqrt(sxx * syy), 6) AS pearson_r
+       round(sxy / nullif(sqrt(sxx * syy), 0), 6) AS pearson_r
 FROM g
 """
 
@@ -1484,9 +1512,12 @@ def cmh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b, cc, d = (F.col("a").cast("double"), F.col("b").cast("double"),
                    F.col("c").cast("double"), F.col("d").cast("double"))
     nk = a + b + cc + d
+    # nullif: a singleton stratum zeroes nk−1, and degenerate margins
+    # (single-class corpus) zero the pooled variance / denominator
+    # sums — the statistics are undefined => NULL, never an ANSI abort
     ek = (a + b) * (a + cc) / nk
     vk = ((a + b) * (cc + d) * (a + cc) * (b + d)
-          / (nk * nk * (nk - 1)))
+          / F.nullif(nk * nk * (nk - 1), F.lit(0.0)))
     agg = cells.agg(F.count(F.lit(1)).alias("k_strata"),
                     F.sum(a).alias("sa"), F.sum(ek).alias("se"),
                     F.sum(vk).alias("sv"),
@@ -1497,8 +1528,10 @@ def cmh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k_strata").cast("int").alias("k_strata"),
         F.round(F.col("sa"), 2).alias("sum_observed"),
         F.round("se", 4).alias("sum_expected"),
-        F.round(num * num / F.col("sv"), 4).alias("cmh_chi2"),
-        F.round(F.col("srn") / F.col("srd"), 6).alias("mh_odds_ratio"))
+        F.round(num * num / F.nullif(F.col("sv"), F.lit(0.0)), 4)
+         .alias("cmh_chi2"),
+        F.round(F.col("srn") / F.nullif(F.col("srd"), F.lit(0.0)), 6)
+         .alias("mh_odds_ratio"))
 
 CMH_SQL = """
 WITH cells AS (
@@ -1521,8 +1554,8 @@ WITH cells AS (
          sum(a) AS sa,
          sum((a + b) * (a + c) / (a + b + c + d)) AS se,
          sum((a + b) * (c + d) * (a + c) * (b + d)
-             / ((a + b + c + d) * (a + b + c + d)
-                * (a + b + c + d - 1))) AS sv,
+             / nullif((a + b + c + d) * (a + b + c + d)
+                * (a + b + c + d - 1), 0)) AS sv,
          sum(a * d / (a + b + c + d)) AS srn,
          sum(b * c / (a + b + c + d)) AS srd
   FROM cells
@@ -1530,9 +1563,10 @@ WITH cells AS (
 SELECT CAST(k_strata AS INT) AS k_strata,
        round(sa, 2) AS sum_observed,
        round(se, 4) AS sum_expected,
-       round((abs(sa - se) - 0.5) * (abs(sa - se) - 0.5) / sv, 4)
+       round((abs(sa - se) - 0.5) * (abs(sa - se) - 0.5)
+             / nullif(sv, 0), 4)
          AS cmh_chi2,
-       round(srn / srd, 6) AS mh_odds_ratio
+       round(srn / nullif(srd, 0), 6) AS mh_odds_ratio
 FROM agg
 """
 
@@ -1816,8 +1850,10 @@ def leverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = d.agg(F.count(F.lit(1)).alias("n"), F.avg("x").alias("mx"),
                (F.var_pop("x") * F.count(F.lit(1))).alias("sxx"))
     j = d.crossJoin(F.broadcast(mv))
+    # nullif: a constant x zeroes Sxx — leverage undefined => NULL
     h = 1.0 / F.col("n") + (F.col("x") - F.col("mx")) \
-        * (F.col("x") - F.col("mx")) / F.col("sxx")
+        * (F.col("x") - F.col("mx")) / F.nullif(F.col("sxx"),
+                                                F.lit(0.0))
     thr = 2.0 * 2.0 / F.col("n")
     return (j.agg(F.first("n").alias("nn"),
                   F.sum((h > thr).cast("long")).alias("n_high"),
@@ -1837,7 +1873,8 @@ mv AS (
          var_pop(x) * count(*) AS sxx
   FROM d
 ), j AS (
-  SELECT n, 1.0 / n + (x - mx) * (x - mx) / sxx AS h FROM d CROSS JOIN mv
+  SELECT n, 1.0 / n + (x - mx) * (x - mx) / nullif(sxx, 0) AS h
+  FROM d CROSS JOIN mv
 )
 SELECT CAST(any_value(n) AS BIGINT) AS n,
        CAST(sum(CASE WHEN h > 4.0 / n THEN 1 ELSE 0 END)
@@ -1868,8 +1905,10 @@ def cohens_h_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                .otherwise(0.0)).alias("n2"),
         F.sum(F.when(F.col("o_orderpriority") == "5-LOW", isf)
                .otherwise(0.0)).alias("k2"))
-    p1 = F.col("k1") / F.col("n1")
-    p2 = F.col("k2") / F.col("n2")
+    # nullif: an absent priority arm zeroes its n — p (and h)
+    # undefined => NULL, never an ANSI DIVIDE_BY_ZERO job abort
+    p1 = F.col("k1") / F.nullif(F.col("n1"), F.lit(0.0))
+    p2 = F.col("k2") / F.nullif(F.col("n2"), F.lit(0.0))
     h = 2 * F.asin(F.sqrt(p1)) - 2 * F.asin(F.sqrt(p2))
     return g.select(
         F.col("n1").cast("long").alias("n_urgent"),
@@ -1891,9 +1930,10 @@ WITH g AS (
   FROM orders
 )
 SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_low,
-       round(k1 / n1, 6) AS p_urgent_finished,
-       round(k2 / n2, 6) AS p_low_finished,
-       round(2 * asin(sqrt(k1 / n1)) - 2 * asin(sqrt(k2 / n2)), 6)
+       round(k1 / nullif(n1, 0), 6) AS p_urgent_finished,
+       round(k2 / nullif(n2, 0), 6) AS p_low_finished,
+       round(2 * asin(sqrt(k1 / nullif(n1, 0)))
+             - 2 * asin(sqrt(k2 / nullif(n2, 0))), 6)
          AS cohens_h
 FROM g
 """

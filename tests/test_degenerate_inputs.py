@@ -358,3 +358,113 @@ def test_dedup_family_identical_docs(spark, degen_docs_dir):
     clusters = Q.queries()["dedup_clusters"](spark,
                                              degen_docs_dir).collect()
     assert clusters
+
+
+# --- single-class corpus: the full-registry sweep's remaining finds --
+
+
+@pytest.fixture(scope="module")
+def degen_single_dir(tmp_path_factory):
+    """SINGLE-class orders (one status, one priority, constant price)
+    plus constant lineitem — the regime that empties 2x2 cells,
+    zeroes class margins, and makes every model fit singular."""
+    tmp = tmp_path_factory.mktemp("degen_single")
+    pd.DataFrame({
+        "o_orderkey": range(1, 201),
+        "o_custkey": [(i % 100) + 1 for i in range(200)],
+        "o_orderstatus": ["O"] * 200,
+        "o_orderpriority": ["3-MEDIUM"] * 200,
+        "o_totalprice": [1000.0] * 200,
+        "o_orderdate": pd.to_datetime(
+            [f"2024-0{1 + (i % 3)}-15" for i in range(200)]).date,
+    }).to_parquet(str(tmp / "orders.parquet"), index=False)
+    pd.DataFrame({
+        "l_orderkey": [(i % 200) + 1 for i in range(400)],
+        "l_linenumber": [1 + (i // 200) for i in range(400)],
+        "l_quantity": [7.0] * 400,
+        "l_extendedprice": [100.0] * 400,
+        "l_discount": [0.05] * 400,
+        "l_tax": [0.02] * 400,
+        "l_returnflag": ["N"] * 400,
+        "l_shipdate": pd.to_datetime(["2024-02-01"] * 400).date,
+        "l_partkey": [(i % 20) + 1 for i in range(400)],
+        "l_suppkey": [(i % 10) + 1 for i in range(400)],
+    }).to_parquet(str(tmp / "lineitem.parquet"), index=False)
+    txt = "the cat sat on the mat and the dog sat on the log"
+    pd.DataFrame({
+        "doc_id": range(1, 41), "text": [txt] * 40, "lang": ["en"] * 40,
+        "source": ["src0"] * 40, "n_chars": [len(txt)] * 40,
+    }).to_parquet(str(tmp / "documents.parquet"), index=False)
+    pd.DataFrame({
+        "c_custkey": range(1, 101),
+        "c_name": [f"Customer#{i}" for i in range(1, 101)],
+        "c_nationkey": [i % 5 for i in range(100)],
+        "c_mktsegment": ["BUILDING" if i % 2 else "MACHINERY"
+                         for i in range(100)],
+        "c_acctbal": [500.0] * 100,
+    }).to_parquet(str(tmp / "customer.parquet"), index=False)
+    return str(tmp)
+
+
+@pytest.mark.parametrize("key", [
+    "cmh_orders", "leverage_audit", "cohens_h_priority",
+    "prop_ztest_order_status", "chisq_cell_residuals", "eval_metrics",
+    "cooks_distance_outliers", "pr_auc_order_status",
+    "cohen_kappa_orders", "mcnemar_orders", "mahalanobis_outliers",
+    "chow_test_by_flag", "gamma_mom_fit", "qq_deciles_priority",
+    "white_test_hetero", "hellinger_order_value", "deming_regression",
+    "cv_metrics_by_fold", "dagostino_k2_price",
+    "stepwise_aic_selection",
+])
+def test_single_class_corpus_never_aborts(spark, degen_single_dir, key):
+    """Every statistic a single-class/constant corpus makes undefined
+    must come back NULL in a returned row — never an ANSI
+    DIVIDE_BY_ZERO job abort, a driver crash, or a NaN leak."""
+    rows = Q.queries()[key](spark, degen_single_dir).collect()
+    assert rows is not None
+    _assert_no_nan(rows)
+
+
+def test_model_fits_raise_informative_errors(spark, degen_single_dir):
+    """The model FITS keep their documented informative-contract
+    behavior on degenerate input: a clear ValueError naming the
+    problem (zero-variance / singular), never a bare numpy
+    LinAlgError after the expensive scan."""
+    with pytest.raises(ValueError, match="singular Hessian"):
+        Q.queries()["logreg_returnflag"](spark,
+                                         degen_single_dir).collect()
+    with pytest.raises(ValueError, match="zero-variance"):
+        Q.queries()["pca_explained_variance"](spark,
+                                              degen_single_dir).collect()
+
+
+def test_forest_with_empty_trees_terminates(spark, degen_single_dir):
+    """Regression: on a corpus whose collapsed hash-bootstrap zeroes
+    some trees' total weight, the forest fit produces EMPTY trees and
+    the scorer's ancestor walk used to spin forever at node -1
+    (observed nontermination). Empty trees are now excluded from the
+    ensemble and scoring/metrics complete in seconds."""
+    rows = Q.queries()["rf_score_holdout"](spark,
+                                           degen_single_dir).collect()
+    assert rows  # holdout frame comes back
+    m = Q.queries()["rf_holdout_metrics"](spark,
+                                          degen_single_dir).collect()[0]
+    # constant response => rmse 0, R2 undefined (zero SST) => NULL
+    assert m["rmse"] == 0.0
+    assert m["r2"] is None
+    _assert_no_nan(rows)
+
+
+def test_rate_and_screen_queries_single_arm(spark, degen_single_dir):
+    # woe/iv: no urgent orders => every bin all-negative => NULL woe
+    rows = Q.queries()["woe_iv_mktsegment"](spark,
+                                            degen_single_dir).collect()
+    assert rows and all(r["woe"] is None for r in rows)
+    # cochran-armitage: single priority/status zeroes the variance
+    r = Q.queries()["cochran_armitage_trend"](spark,
+                                              degen_single_dir).collect()[0]
+    assert r["z_trend"] is None
+    # conformal: constant x => NULL fit propagates to NULL coverage
+    c = Q.queries()["conformal_interval_coverage"](
+        spark, degen_single_dir).collect()[0]
+    assert c["coverage"] is None
