@@ -914,8 +914,10 @@ WITH e AS (
 )
 SELECT count(*) AS n,
        round(sqrt(avg((y - p) * (y - p))), 4) AS rmse,
-       round(avg(abs((y - p) / y)), 4) AS mape,
-       round(1.0 - sum((y - p) * (y - p)) / (sum(y * y) - sum(y) * sum(y) / count(*)), 4) AS r2
+       round(avg(abs((y - p) / nullif(y, 0))), 4) AS mape,
+       round(1.0 - sum((y - p) * (y - p))
+             / nullif(sum(y * y) - sum(y) * sum(y) / count(*), 0), 4)
+         AS r2
 FROM e
 """
 
