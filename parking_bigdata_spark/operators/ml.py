@@ -22,6 +22,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from parking_bigdata_spark.operators.stats import noise_floor
+
 
 def simple_linreg(df: DataFrame, x: str, y: str, round_to: int = 4) -> DataFrame:
     """Single-feature OLS slope/intercept/r (R:740) from closed-form
@@ -151,8 +153,11 @@ def eval_metrics(df: DataFrame, y_true: str, y_pred, round_to: int = 4) -> DataF
         F.sum(F.col(y_true) * F.col(y_true)).alias("syy"),
         F.sum(F.col(y_true)).alias("sy"),
     )
-    sst = F.nullif(F.col("syy") - F.col("sy") * F.col("sy")
-                   / F.col("n"), F.lit(0.0))
+    # noise_floor (r06 ADVICE #2): a NEAR-constant response leaves the
+    # cancelled SST at float-noise scale rather than exactly zero —
+    # relative-epsilon guard instead of nullif(·, 0), scale = Σy²
+    sst = noise_floor(F.col("syy") - F.col("sy") * F.col("sy")
+                      / F.col("n"), F.col("syy"))
     return agg.select(
         F.col("n"),
         F.round(F.sqrt(F.col("mse")), round_to).alias("rmse"),
@@ -633,8 +638,10 @@ def kfold_cv_simple_linreg(df: DataFrame, x: str, y: str,
                  F.sum(err * err).alias("sse"),
                  F.sum(F.col("__y") * F.col("__y")).alias("syy"),
                  F.sum("__y").alias("sy")))
-    sst = F.nullif(F.col("syy") - F.col("sy") * F.col("sy")
-                   / F.col("n"), F.lit(0.0))
+    # noise_floor (r06 ADVICE #2): near-constant per-fold response —
+    # see eval_metrics; scale = per-fold Σy²
+    sst = noise_floor(F.col("syy") - F.col("sy") * F.col("sy")
+                      / F.col("n"), F.col("syy"))
     return (out.select(
         F.col("__fold").alias("fold"), "n",
         F.round("slope_raw", round_to).alias("slope"),

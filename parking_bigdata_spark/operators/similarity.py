@@ -29,6 +29,23 @@ def _norm(a) -> F.Column:
                               F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _unit_nonzero(M: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unit-normalize rows; flag which rows have a nonzero norm.
+
+    A zero-norm vector has UNDEFINED cosine (0/0). The numpy kernels
+    used to clamp it to cosine-0 while the SQL paths (``ivf_topk``,
+    ``ann_lsh_topk``, truncation recall) emit NULL for the same input
+    — an inconsistent degenerate contract (r06 ADVICE #3). One
+    semantics now, everywhere: zero-norm rows are EXCLUDED from
+    scoring/pairing — the relational outcome of a NULL score (never
+    ≥ threshold, never in a top-k). Callers drop rows where the mask
+    is False; the clamp below only keeps the excluded rows finite so
+    the single vectorized divide never emits NaN.
+    """
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    return M / np.maximum(norms, 1e-300), norms[:, 0] > 0.0
+
+
 def cosine_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 round_to: int = 4) -> DataFrame:
@@ -57,9 +74,10 @@ def cosine_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
     if len(qpdf) == 0:
         return spark.createDataFrame([], out_schema + ", rank int")
     Qm = np.stack(qpdf["qv"].to_numpy())
-    # zero-norm clamp (see bucket_pairs): cosine-0, never NaN poison
-    Qm = Qm / np.maximum(np.linalg.norm(Qm, axis=1, keepdims=True), 1e-300)
-    q_ids = qpdf["query_id"].to_numpy()
+    # zero-norm queries are excluded (cosine undefined — _unit_nonzero)
+    Qm, qok = _unit_nonzero(Qm)
+    Qm = Qm[qok]
+    q_ids = qpdf["query_id"].to_numpy()[qok]
     bc = spark.sparkContext.broadcast((q_ids, Qm))
 
     def part(batches):
@@ -69,9 +87,12 @@ def cosine_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
             if not len(pdf):
                 continue
             V = np.stack(pdf["cv"].to_numpy())
-            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            V, vok = _unit_nonzero(V)
+            V = V[vok]
+            c_ids = pdf["cand_id"].to_numpy()[vok]
+            if not len(V):
+                continue
             S = np.round(V @ Qb.T, round_to)          # (batch, nq)
-            c_ids = pdf["cand_id"].to_numpy()
             out_q, out_c, out_s = [], [], []
             for j in range(nq):
                 col = S[:, j]
@@ -126,8 +147,10 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.4,
         return spark.createDataFrame(
             [], f"id_a {id_type}, id_b {id_type}, cosine double")
     B = np.stack(pdf["__v"].to_numpy())
-    B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
-    b_ids = pdf["__id"].to_numpy()
+    # zero-norm rows excluded (cosine undefined — _unit_nonzero)
+    B, bok = _unit_nonzero(B)
+    B = B[bok]
+    b_ids = pdf["__id"].to_numpy()[bok]
     bc = spark.sparkContext.broadcast((b_ids, B))
 
     out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
@@ -138,10 +161,14 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.4,
             if len(batch) == 0:
                 continue
             A = np.stack(batch["__v"].to_numpy())
-            A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+            A, aok = _unit_nonzero(A)
+            A = A[aok]
+            batch_ids = batch["__id"].to_numpy()[aok]
+            if not len(A):
+                continue
             S = A @ M.T
             ia, ib = np.where(np.round(S, round_to) >= threshold)
-            a_ids = batch["__id"].to_numpy()[ia]
+            a_ids = batch_ids[ia]
             cand_b = ids_b[ib]
             keep = a_ids < cand_b
             yield pd.DataFrame({
@@ -202,7 +229,12 @@ def embedding_near_dup_pairs_lsh(df: DataFrame, threshold: float = 0.4,
         if len(pdf) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         V = np.stack(pdf["__v"].to_numpy())
-        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        # zero-norm rows excluded (cosine undefined — _unit_nonzero)
+        V, vok = _unit_nonzero(V)
+        V = V[vok]
+        pdf = pdf[vok]
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         # GEMM pre-selects with a margin; the EMITTED cosine is a
         # per-pair einsum recompute whose value is independent of the
         # bucket's shape (BLAS blocking varies with matrix size, so a
@@ -466,12 +498,13 @@ def semdedup(df: DataFrame, n_cells: int = 16, threshold: float = 0.4,
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         V = np.stack([np.asarray(v, dtype=np.float64)
                       for v in pdf[vec_col]])
-        # zero-norm guard: an all-zero embedding would otherwise turn
-        # its row into NaN and poison every cosine in this cell's GEMM;
-        # clamping leaves it cosine-0 vs everything (never a duplicate)
-        norms = np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
-                           1e-300)
-        V = V / norms
+        # zero-norm rows excluded (cosine undefined — _unit_nonzero):
+        # an all-zero embedding can never be a duplicate of anything
+        V, vok = _unit_nonzero(V)
+        V = V[vok]
+        pdf = pdf[vok]
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         S = V @ V.T
         margin = 0.5 * 10.0 ** (-round_to) + 1e-9
         ia, ib = np.where(np.triu(S >= threshold - margin, k=1))

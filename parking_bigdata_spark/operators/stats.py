@@ -34,14 +34,38 @@ def pin(df: DataFrame) -> DataFrame:
     same layout-pinning semantics, executor-loss-safe. This is the
     switch the r05 ADVICE asked for instead of comment-only guidance.
     """
-    sc = df.sparkSession.sparkContext
     try:
+        # sparkContext itself raises under Spark Connect — keep the
+        # attribute access inside the guard so connect-mode falls back.
+        sc = df.sparkSession.sparkContext
         has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
     except Exception:  # noqa: BLE001 — connect-mode or API drift
         has_dir = False
     if has_dir:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def noise_floor(val: Column, scale: Column, eps: float = 1e-12) -> Column:
+    """``val`` when it exceeds float-noise scale, else NULL.
+
+    Central second-moment forms (SST = Σy² − (Σy)²/n, m2 = r2 − m1²)
+    cancel two ~Σy² magnitudes; near-constant data leaves the result at
+    engine sum-order noise (~1e-14 relative after tree aggregation)
+    rather than exactly zero, so an exact ``nullif(·, 0)`` passes
+    garbage downstream (r06 ADVICE #2) — e.g. an R² of ±1e9 instead of
+    NULL. Statistics derived from such a value are numerically
+    meaningless, so degrade to NULL below a RELATIVE threshold:
+    ``val > scale·eps`` keeps any analytically meaningful ratio
+    (relative variance ≥ 1e-12 ⇔ CV ≥ 1e-6) and nulls the
+    cancellation-noise regime with two orders of margin. Negative
+    float-noise values null as well (the old nullif let them through
+    as NaN^1.5 etc.). Both engines evaluate their OWN val/scale, and
+    the DuckDB oracles mirror the same CASE expression — away from the
+    measure-zero threshold boundary the predicate agrees, so rounded
+    outputs stay bit-identical on non-degenerate data (gate-verified).
+    """
+    return F.when(val > scale * F.lit(eps), val)
 
 
 def safe_corr(x, y) -> Column:
@@ -215,6 +239,7 @@ def residual_diagnostics(df: DataFrame, x: str, y: str,
         F.avg(F.col("__e") ** 2).alias("m2"),
         F.avg(F.col("__e") ** 3).alias("m3"),
         F.avg(F.col("__e") ** 4).alias("m4"),
+        F.avg(F.col(y) * F.col(y)).alias("sy2"),
         F.sum(F.when(F.col("__elag").isNotNull(),
                      (F.col("__e") - F.col("__elag")) ** 2)).alias("sdiff"),
         F.sum(F.col("__e") ** 2).alias("se2"),
@@ -240,8 +265,18 @@ def residual_diagnostics(df: DataFrame, x: str, y: str,
     agg = (agg.crossJoin(F.broadcast(bsum))
               .withColumn("sdiff", F.coalesce(F.col("sdiff"), F.lit(0.0))
                           + F.col("bsum")))
-    g1 = F.col("m3") / F.nullif(F.col("m2") ** F.lit(1.5), F.lit(0.0))
-    g2 = F.col("m4") / F.nullif(F.col("m2") ** 2, F.lit(0.0)) - 3
+    # noise_floor (r06 ADVICE #2): a perfect/near-exact fit leaves the
+    # residuals at fp-roundoff of y − fit (e ~ 1e-15·|y|, so m2 ~
+    # 1e-30·avg(y²)); the moment ratios are then quotients of noise.
+    # g1/g2 are scale-INVARIANT for genuine small residuals, so the
+    # threshold separates "genuinely tiny residual" (fine at any
+    # magnitude) from "roundoff noise": eps 1e-24 sits six orders
+    # above the noise floor and twelve below a relative residual of
+    # 1e-6. m2 = avg(e²) is not a cancellation, hence the tighter eps
+    # than the SST sites.
+    m2g = noise_floor(F.col("m2"), F.col("sy2"), eps=1e-24)
+    g1 = F.col("m3") / F.nullif(m2g ** F.lit(1.5), F.lit(0.0))
+    g2 = F.col("m4") / F.nullif(m2g ** 2, F.lit(0.0)) - 3
     jb = F.col("n") / 6 * (g1 * g1 + g2 * g2 / 4)
     dw = F.col("sdiff") / F.nullif(F.col("se2"), F.lit(0.0))
     bp = F.col("n") * F.col("r_e2x") * F.col("r_e2x")

@@ -696,6 +696,7 @@ WITH fit AS (
   -- duplicate (l_orderkey, l_linenumber) keys, and without it the DW
   -- lag pairing is tie-order-ambiguous (mirrors the Spark side)
   SELECT l_extendedprice - (my + slope * (l_quantity - mx)) AS e, l_quantity,
+         l_extendedprice,
          lag(l_extendedprice - (my + slope * (l_quantity - mx)))
            OVER (ORDER BY l_orderkey, l_linenumber,
                  l_extendedprice - (my + slope * (l_quantity - mx)))
@@ -703,7 +704,13 @@ WITH fit AS (
   FROM lineitem, fit
   WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
 ), m AS (
-  SELECT count(*) AS n, avg(e) AS m1, avg(e*e) AS m2, avg(e*e*e) AS m3,
+  SELECT count(*) AS n, avg(e) AS m1,
+         -- relative noise floor mirrors stats.noise_floor: a
+         -- near-exact fit leaves e at fp-roundoff of the response
+         CASE WHEN avg(e*e) > 1e-24 * avg(l_extendedprice
+                                          * l_extendedprice)
+              THEN avg(e*e) END AS m2,
+         avg(e*e*e) AS m3,
          avg(e*e*e*e) AS m4,
          sum(CASE WHEN elag IS NOT NULL THEN (e - elag) * (e - elag) END) AS sdiff,
          sum(e*e) AS se2,
@@ -915,8 +922,11 @@ WITH e AS (
 SELECT count(*) AS n,
        round(sqrt(avg((y - p) * (y - p))), 4) AS rmse,
        round(avg(abs((y - p) / nullif(y, 0))), 4) AS mape,
+       -- relative-epsilon SST guard mirrors ml.noise_floor
        round(1.0 - sum((y - p) * (y - p))
-             / nullif(sum(y * y) - sum(y) * sum(y) / count(*), 0), 4)
+             / (CASE WHEN sum(y * y) - sum(y) * sum(y) / count(*)
+                          > 1e-12 * sum(y * y)
+                THEN sum(y * y) - sum(y) * sum(y) / count(*) END), 4)
          AS r2
 FROM e
 """

@@ -1374,8 +1374,13 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     means = F.array(*[F.col(f"s{b}").cast("double") / F.col(f"c{b}")
                       for b in range(1, 33)])
     rep = one.select(F.explode(means).alias("rep_mean"), "full_mean")
+    # count("rep_mean") not count(*): an EMPTY replicate (possible only
+    # on tiny/degenerate corpora — a bit column selecting zero rows)
+    # yields a NULL rep_mean that avg/stddev skip; the reported
+    # replicate count must match the sample the CI is computed from
+    # (r06 ADVICE #4; the oracle mirrors count(rep_mean))
     return (rep.groupBy("full_mean")
-               .agg(F.count(F.lit(1)).alias("n_replicates"),
+               .agg(F.count("rep_mean").alias("n_replicates"),
                     F.avg("rep_mean").alias("bm"),
                     F.stddev_samp("rep_mean").alias("sd"))
                .select("n_replicates",
@@ -1405,7 +1410,7 @@ WITH one AS (
          full_mean
   FROM one
 ), s AS (
-  SELECT full_mean, count(*) AS n_replicates, avg(rep_mean) AS bm,
+  SELECT full_mean, count(rep_mean) AS n_replicates, avg(rep_mean) AS bm,
          stddev_samp(rep_mean) AS sd
   FROM rep GROUP BY full_mean
 )
@@ -1743,7 +1748,9 @@ SELECT {head}fold, count(*) AS n,
        round(sqrt(avg(err * err)), 4) AS rmse,
        round(avg(abs(err / nullif(y, 0.0))), 4) AS mape,
        round(1.0 - sum(err * err)
-             / nullif(sum(y * y) - sum(y) * sum(y) / count(*), 0), 4)
+             / (CASE WHEN sum(y * y) - sum(y) * sum(y) / count(*)
+                          > 1e-12 * sum(y * y)
+                THEN sum(y * y) - sum(y) * sum(y) / count(*) END), 4)
          + 0.0 AS r2
 FROM e GROUP BY fold
 """
@@ -1937,9 +1944,10 @@ def rf_holdout_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.abs((y - p) / F.nullif(y, F.lit(0.0)))), 4)
          .alias("mape"),
         F.round(1.0 - F.sum((y - p) * (y - p))
-                / F.nullif(F.sum(y * y)
-                           - F.sum(y) * F.sum(y) / F.count(F.lit(1)),
-                           F.lit(0.0)),
+                / stats.noise_floor(
+                    F.sum(y * y)
+                    - F.sum(y) * F.sum(y) / F.count(F.lit(1)),
+                    F.sum(y * y)),
                 4).alias("r2"))
 
 
@@ -2011,8 +2019,11 @@ SELECT count(*) AS n,
          AS rmse,
        round(avg(abs((actual - predicted) / actual)), 4) AS mape,
        round(1.0 - sum((actual - predicted) * (actual - predicted))
-             / (sum(actual * actual)
-                - sum(actual) * sum(actual) / count(*)), 4) AS r2
+             / (CASE WHEN sum(actual * actual)
+                          - sum(actual) * sum(actual) / count(*)
+                          > 1e-12 * sum(actual * actual)
+                THEN sum(actual * actual)
+                     - sum(actual) * sum(actual) / count(*) END), 4) AS r2
 FROM e
 """
 

@@ -1654,12 +1654,14 @@ def higher_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg(x * x * x).alias("r3"),
                 F.avg(x * x * x * x).alias("r4")))
     m1 = F.col("m1")
-    m2 = F.col("r2") - m1 * m1
+    # noise_floor (r06 ADVICE #2): m2 = r2 − m1² is a cancellation —
+    # a NEAR-constant group leaves it at sum-order noise, not exactly
+    # zero, so nullif(·, 0) alone passed garbage ratios; relative
+    # guard at 1e-12 of the raw second moment, mirrored in the oracle
+    m2 = stats.noise_floor(F.col("r2") - m1 * m1, F.col("r2"))
     m3 = F.col("r3") - 3 * m1 * F.col("r2") + 2 * m1 * m1 * m1
     m4 = (F.col("r4") - 4 * m1 * F.col("r3")
           + 6 * m1 * m1 * F.col("r2") - 3 * m1 * m1 * m1 * m1)
-    # nullif: a constant group zeroes m2 — g1/g2 undefined => NULL,
-    # never an ANSI DIVIDE_BY_ZERO job abort
     return g.select(
         "l_returnflag", "n",
         F.round(m3 / F.nullif(F.pow(m2, 1.5), F.lit(0.0)), 4)
@@ -1682,14 +1684,21 @@ WITH g AS (
              * CAST(l_extendedprice AS DOUBLE)) AS r4
   FROM lineitem GROUP BY 1
 )
+, mg AS (
+  -- relative noise floor mirrors stats.noise_floor (cancellation m2)
+  SELECT l_returnflag, n, m1, r2, r3, r4,
+         CASE WHEN r2 - m1 * m1 > 1e-12 * r2
+              THEN r2 - m1 * m1 END AS m2
+  FROM g
+)
 SELECT l_returnflag, n,
        round((r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1)
-             / nullif(pow(r2 - m1 * m1, 1.5), 0), 4) AS skewness_g1,
+             / nullif(pow(m2, 1.5), 0), 4) AS skewness_g1,
        round((r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2
               - 3 * m1 * m1 * m1 * m1)
-             / nullif((r2 - m1 * m1) * (r2 - m1 * m1), 0) - 3, 4)
+             / nullif(m2 * m2, 0) - 3, 4)
          AS excess_kurtosis_g2
-FROM g
+FROM mg
 """
 
 

@@ -35,7 +35,9 @@ def dagostino_k2_price(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.avg(x * x * x * x).alias("r4"))
     n = F.col("n").cast("double")
     m1 = F.col("m1")
-    m2 = F.col("r2") - m1 * m1
+    # noise_floor (r06 ADVICE #2 consistency): POSITIVE cancellation
+    # noise in m2 slipped past both nullif and nanvl — relative guard
+    m2 = stats.noise_floor(F.col("r2") - m1 * m1, F.col("r2"))
     m3 = F.col("r3") - 3 * m1 * F.col("r2") + 2 * m1 * m1 * m1
     m4 = (F.col("r4") - 4 * m1 * F.col("r3")
           + 6 * m1 * m1 * F.col("r2") - 3 * m1 * m1 * m1 * m1)
@@ -83,13 +85,19 @@ WITH g AS (
          avg(ln(o_totalprice) * ln(o_totalprice)
              * ln(o_totalprice) * ln(o_totalprice)) AS r4
   FROM orders
+), mg AS (
+  -- relative noise floor mirrors stats.noise_floor (cancellation m2)
+  SELECT n, m1, r2, r3, r4,
+         CASE WHEN r2 - m1 * m1 > 1e-12 * r2
+              THEN r2 - m1 * m1 END AS m2
+  FROM g
 ), mom AS (
   SELECT n,
          (r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1)
-           / nullif(pow(r2 - m1 * m1, 1.5), 0) AS g1,
+           / nullif(pow(m2, 1.5), 0) AS g1,
          (r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1)
-           / nullif((r2 - m1 * m1) * (r2 - m1 * m1), 0) AS b2
-  FROM g
+           / nullif(m2 * m2, 0) AS b2
+  FROM mg
 ), sk AS (
   SELECT n, g1, b2,
          g1 * sqrt((n + 1) * (n + 3) / (6 * (n - 2))) AS y,

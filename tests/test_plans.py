@@ -403,6 +403,7 @@ def test_pid_offset_sites_are_pinned():
     """
     import ast
     import pathlib
+    import re
 
     pkg = pathlib.Path(Q.__file__).resolve().parent.parent
     offenders: list[str] = []
@@ -427,7 +428,9 @@ def test_pid_offset_sites_are_pinned():
             # or through the stats.pin helper (localCheckpoint in
             # local mode, reliable checkpoint when a checkpoint dir
             # is configured). `def pin` itself is the helper body.
-            if "localCheckpoint" in seg or "pin(" in seg:
+            # \b: substring "pin(" also matches spin(/unpin( — require
+            # a word-boundary call of the pin helper (r06 ADVICE #5)
+            if "localCheckpoint" in seg or re.search(r"\bpin\(", seg):
                 pinned_sites += 1
             else:
                 offenders.append(
