@@ -257,6 +257,14 @@ HEADLINE = [
     "dunn_approx_segments",
     "wilcoxon_approx_signed_rank",
     "pcr_holdout",
+    # round-7 GK proof-bracket twins for the exact-quantile family
+    # (VERDICT r06 #2) — measured next to their exact counterparts
+    "trimmed_mean_approx_price",
+    "winsorized_approx_price_stats",
+    "outlier_fences_approx",
+    "quantile_summary_approx",
+    "rfm_bounds_approx",
+    "funnel_latency_approx_quantiles",
 ]
 
 

@@ -542,9 +542,13 @@ FROM ranked GROUP BY 1
 def mad_approx_price_by_flag(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     acc = 10000
-    eps = 4.0 / acc
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").cast("double").alias("v"))
+    # r07: the fixed ±4/acc offset is SUB-RANK at small group n, where
+    # both probes can collapse onto the same order statistic below the
+    # interpolated percentile_cont target — _probe_eps floors the
+    # offset at 3 ranks of the smallest group (no-op at production n)
+    eps = _probe_eps(li, "l_returnflag")
     # materialize the 3-row median table: the deviation pass otherwise
     # replays the first sketch scan's lineage
     med = (stats.grouped_quantiles_approx(
@@ -850,3 +854,304 @@ SELECT n AS n_pairs, {_TWIN_GRID} AS grid_size,
                     - tsum / 48.0), 6) AS z_approx
 FROM agg
 """
+
+
+# ==========================================================================
+# Round-7 additions (VERDICT r06 next-round #2): GK proof-bracket twins
+# for the exact-quantile family. The exact forms (A64 trimmed mean, A92
+# winsorized stats, A44 fences, C2 quantile summary, A80 RFM bounds,
+# C38 funnel latency) all ride `stats.grouped_quantiles`' exact
+# bracket-refine machinery, whose RLE candidate table is O(distinct
+# values) — O(rows) on continuous columns at 100 TB. Each twin below
+# replaces that stage with ONE mergeable-GK `grouped_quantiles_approx`
+# pass carrying ±4/accuracy PROOF probes (the A63b/A159b recipe,
+# mad_approx_price_by_flag above): by the GK rank guarantee (error ≤
+# n/accuracy, 4× inside the probe offset) the probe at p−eps returns a
+# value whose rank sits strictly below the exact quantile's and p+eps
+# strictly above — so every emitted [*_lo, *_hi] bracket PROVABLY
+# contains the exact percentile_cont value. Bracket edges round
+# OUTWARD (floor/ceil at 4 dp) so rounding can never void containment.
+# No SQL oracles by design: GK estimates are engine-specific (DuckDB
+# uses t-digest), so the driver records rows-only and
+# tests/test_round7.py asserts bracket containment + point-estimate
+# closeness against the exact counterparts at three SFs.
+# ==========================================================================
+
+_GK_ACC = 10000
+
+
+def _floor4(c):
+    return F.floor(F.col(c) * 1e4) / 1e4
+
+
+def _ceil4(c):
+    return F.ceil(F.col(c) * 1e4) / 1e4
+
+
+def _probe_eps(df: DataFrame, group_col: str | None = None) -> float:
+    """±probe offset: 4/accuracy (the GK rank-slack cushion), but never
+    less than 3 ranks of the smallest group. At small n the ±4/acc
+    offset is SUB-RANK: both probes collapse onto the same order
+    statistic, which can sit strictly below the interpolated
+    percentile_cont target (observed at sf0.001: probe ranks 196/197
+    around an exact position of 196.1 — the hi probe missed the
+    ceiling value). eps ≥ 3/n pushes each probe ≥ 1 full rank past the
+    interpolation floor/ceiling, restoring the containment PROOF at
+    every n; at production n (n ≥ 30000·…) the max() constant-folds to
+    4/accuracy, so the scale path is untouched. The count is one
+    row-count aggregate (parquet-metadata cheap next to the GK scan)."""
+    if group_col is None:
+        nmin = df.count()
+    else:
+        nmin = (df.groupBy(group_col).count()
+                  .agg(F.min("count")).collect()[0][0])
+    return max(4.0 / _GK_ACC, 3.0 / max(int(nmin or 1), 1))
+
+
+def _probe_fracs(ps: list[float], eps: float) -> list[float]:
+    """[p−eps, p, p+eps] per target fraction, clamped to [0, 1]."""
+    out: list[float] = []
+    for p in ps:
+        out += [max(0.0, p - eps), p, min(1.0, p + eps)]
+    return out
+
+
+def _probe_names(names: list[str]) -> list[str]:
+    out: list[str] = []
+    for a in names:
+        out += [f"{a}_lo", a, f"{a}_hi"]
+    return out
+
+
+# --------------------------------------------------------------------------
+# A64b. Approx trimmed mean via GK cutoffs (100 TB path for A64): the
+# exact form cuts at per-group ranks ±floor(0.1·n); here the 10%/90%
+# cutoffs come from ONE GK pass and the mean is a conditional
+# aggregate between them — a quantile-trimmed mean whose cutoffs carry
+# proof brackets. The rank slack shifts which ≤ 8n/accuracy boundary
+# rows enter the average, so the point estimate drifts O(1/accuracy)
+# relative; brackets + drift asserted in tests/test_round7.py.
+# --------------------------------------------------------------------------
+
+def trimmed_mean_approx_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("v"))
+    eps = _probe_eps(li, "l_returnflag")
+    # materialize the 3-row cutoff table: the mean pass otherwise
+    # replays the sketch scan's lineage (the A63b pattern)
+    cuts = (stats.grouped_quantiles_approx(
+                li, "l_returnflag", "v",
+                _probe_fracs([0.1, 0.9], eps), _probe_names(["c10", "c90"]),
+                accuracy=_GK_ACC)
+            .localCheckpoint(eager=True))
+    j = li.join(F.broadcast(cuts), "l_returnflag")
+    inside = (F.col("v") >= F.col("c10")) & (F.col("v") <= F.col("c90"))
+    return (j.groupBy("l_returnflag")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(inside.cast("long")).alias("n_kept"),
+                  F.round(F.avg(F.when(inside, F.col("v"))), 4)
+                   .alias("trimmed_mean_approx"),
+                  # group-constant (broadcast cutoffs): min = the value
+                  F.min(_floor4("c10_lo")).alias("c10_lo"),
+                  F.min(_ceil4("c10_hi")).alias("c10_hi"),
+                  F.min(_floor4("c90_lo")).alias("c90_lo"),
+                  F.min(_ceil4("c90_hi")).alias("c90_hi"))
+             .withColumn("accuracy", F.lit(_GK_ACC)))
+
+
+# --------------------------------------------------------------------------
+# A92b. Approx winsorized statistics via GK cutoffs (100 TB path for
+# A92): identical clamp aggregate, p01/p99 from ONE GK pass with proof
+# brackets. Clamp decisions flip only for rows between a cutoff's
+# bracket edges (≤ 8n/accuracy of them), bounding the moment drift.
+# --------------------------------------------------------------------------
+
+def winsorized_approx_price_stats(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_extendedprice").isNotNull())
+          .select("l_returnflag",
+                  F.col("l_extendedprice").cast("double").alias("v")))
+    eps = _probe_eps(li, "l_returnflag")
+    q = (stats.grouped_quantiles_approx(
+             li, "l_returnflag", "v",
+             _probe_fracs([0.01, 0.99], eps), _probe_names(["p01", "p99"]),
+             accuracy=_GK_ACC)
+         .localCheckpoint(eager=True))
+    w = li.join(F.broadcast(q), "l_returnflag")
+    v = F.col("v")
+    clamped = F.least(F.greatest(v, F.col("p01")), F.col("p99"))
+    return (w.groupBy("l_returnflag")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.avg(clamped), 4).alias("winsorized_mean_approx"),
+                  F.round(F.stddev_samp(clamped), 4)
+                   .alias("winsorized_sd_approx"),
+                  F.sum(((v < F.col("p01")) | (v > F.col("p99")))
+                        .cast("long")).alias("n_clamped"),
+                  F.round(F.first("p01"), 4).alias("p01_approx"),
+                  # group-constant (broadcast cutoffs): min = the value
+                  F.min(_floor4("p01_lo")).alias("p01_lo"),
+                  F.min(_ceil4("p01_hi")).alias("p01_hi"),
+                  F.round(F.first("p99"), 4).alias("p99_approx"),
+                  F.min(_floor4("p99_lo")).alias("p99_lo"),
+                  F.min(_ceil4("p99_hi")).alias("p99_hi"))
+             .withColumn("accuracy", F.lit(_GK_ACC)))
+
+
+# --------------------------------------------------------------------------
+# A44b. Approx Tukey fences via GK quartiles (100 TB path for A44 —
+# the swap its docstring has promised since round 1, now registered):
+# q1/q3 from ONE GK pass with proof brackets; fences and the
+# conditional outlier/whisker aggregate are unchanged.
+# --------------------------------------------------------------------------
+
+def outlier_fences_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    proj = cust.select("c_mktsegment",
+                       F.col("c_acctbal").cast("double").alias("v"))
+    eps = _probe_eps(proj, "c_mktsegment")
+    q = (stats.grouped_quantiles_approx(
+             proj, "c_mktsegment", "v",
+             _probe_fracs([0.25, 0.75], eps), _probe_names(["q1", "q3"]),
+             accuracy=_GK_ACC)
+         .localCheckpoint(eager=True))
+    fences = q.select(
+        "c_mktsegment",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+        _floor4("q1_lo").alias("q1_lo"), _ceil4("q1_hi").alias("q1_hi"),
+        _floor4("q3_lo").alias("q3_lo"), _ceil4("q3_hi").alias("q3_hi"))
+    x = F.col("v")
+    return (proj.join(F.broadcast(fences), "c_mktsegment")
+                .groupBy("c_mktsegment")
+                .agg(F.round(F.min("lo"), 4).alias("fence_lo_approx"),
+                     F.round(F.min("hi"), 4).alias("fence_hi_approx"),
+                     F.sum(((x < F.col("lo")) | (x > F.col("hi")))
+                           .cast("int")).cast("long").alias("n_outliers"),
+                     F.round(F.min(F.when(x >= F.col("lo"), x)), 4)
+                      .alias("whisker_lo"),
+                     F.round(F.max(F.when(x <= F.col("hi"), x)), 4)
+                      .alias("whisker_hi"),
+                     F.min("q1_lo").alias("q1_lo"),
+                     F.min("q1_hi").alias("q1_hi"),
+                     F.min("q3_lo").alias("q3_lo"),
+                     F.min("q3_hi").alias("q3_hi"))
+                .withColumn("accuracy", F.lit(_GK_ACC)))
+
+
+# --------------------------------------------------------------------------
+# C2b. Approx boxplot summary via GK (100 TB path for C2): four
+# percentiles from ONE GK pass with proof brackets; min/max stay a
+# plain codegen aggregate.
+# --------------------------------------------------------------------------
+
+def quantile_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    proj = orders.select("o_orderpriority",
+                         F.col("o_totalprice").cast("double").alias("v"))
+    eps = _probe_eps(proj, "o_orderpriority")
+    q = stats.grouped_quantiles_approx(
+        proj, "o_orderpriority", "v",
+        _probe_fracs([0.25, 0.5, 0.75, 0.95], eps),
+        _probe_names(["p25", "p50", "p75", "p95"]), accuracy=_GK_ACC)
+    mm = (proj.groupBy("o_orderpriority")
+              .agg(F.round(F.min("v"), 4).alias("lo"),
+                   F.round(F.max("v"), 4).alias("hi")))
+    sel = ["o_orderpriority"]
+    for a in ("p25", "p50", "p75", "p95"):
+        sel += [F.round(a, 4).alias(f"{a}_approx"),
+                _floor4(f"{a}_lo").alias(f"{a}_lo"),
+                _ceil4(f"{a}_hi").alias(f"{a}_hi")]
+    return (q.join(F.broadcast(mm), "o_orderpriority")
+             .select(*sel, "lo", "hi")
+             .withColumn("accuracy", F.lit(_GK_ACC)))
+
+
+# --------------------------------------------------------------------------
+# A80b. Approx RFM cut points via GK (100 TB path for A80's ONLY
+# rows-state stage): the exact A80 melts the customer metric table and
+# runs grouped_quantiles over (metric, value); everything downstream
+# (scoring, segment rollup) is already bounded. This twin emits that
+# quantile stage — the three R/F/M tertile cut points with proof
+# brackets — from ONE GK pass over the same melted frame. Scoring
+# consumes these bounds unchanged, so bracket containment here is the
+# scale proof for the whole segmentation.
+# --------------------------------------------------------------------------
+
+def rfm_bounds_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import money
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("rd"))
+    pc = (orders.groupBy("o_custkey")
+          .agg(F.max("o_orderdate").alias("last_o"),
+               F.count(F.lit(1)).alias("freq"),
+               F.sum(money("o_totalprice")).alias("mon_dec"))
+          .crossJoin(F.broadcast(ref))
+          .select(F.col("freq").cast("double").alias("freq"),
+                  F.col("mon_dec").cast("double").alias("mon"),
+                  F.datediff(F.to_date("rd"), F.to_date("last_o"))
+                   .cast("double").alias("rec")))
+    melted = pc.select(
+        F.explode(F.map_from_arrays(
+            F.array(F.lit("rec"), F.lit("freq"), F.lit("mon")),
+            F.array("rec", "freq", "mon"))).alias("metric", "__v"))
+    eps = _probe_eps(melted, "metric")
+    q = stats.grouped_quantiles_approx(
+        melted, "metric", "__v",
+        _probe_fracs([0.25, 0.5, 0.75], eps),
+        _probe_names(["q1", "q2", "q3"]), accuracy=_GK_ACC)
+    sel = ["metric"]
+    for a in ("q1", "q2", "q3"):
+        sel += [F.round(a, 4).alias(f"{a}_approx"),
+                _floor4(f"{a}_lo").alias(f"{a}_lo"),
+                _ceil4(f"{a}_hi").alias(f"{a}_hi")]
+    return (q.select(*sel)
+             .withColumn("accuracy", F.lit(_GK_ACC))
+             .orderBy("metric"))
+
+
+# --------------------------------------------------------------------------
+# C38b. Approx funnel latency quantiles via GK (100 TB path for C38):
+# the per-user funnel windows are already user-bounded; only the
+# global p50/p90 rode the exact distinct-value machinery. ONE GK pass
+# with proof probes replaces it.
+# --------------------------------------------------------------------------
+
+def funnel_latency_approx_quantiles(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t, ty = F.col("ts"), F.col("event_type")
+    d = ev.withColumn("t_view", F.min(F.when(ty == "view", t)).over(w))
+    d = d.withColumn(
+        "t_click", F.min(F.when((ty == "click")
+                                & (t >= F.col("t_view")), t)).over(w))
+    d = d.withColumn(
+        "t_purchase", F.min(F.when((ty == "purchase")
+                                   & (t >= F.col("t_click")), t)).over(w))
+    lat = (d.groupBy("user_id")
+             .agg(F.max("t_purchase").alias("tp"),
+                  F.max("t_view").alias("tv"))
+             .where(F.col("tp").isNotNull())
+             .select(F.lit("all").alias("g"),
+                     ((F.unix_micros("tp") - F.unix_micros("tv"))
+                      / F.lit(1_000_000.0)).alias("latency_s")))
+    # single group: the latency frame is small (converted users), but
+    # it feeds TWO consumers (probe-count + quantiles + n) — pin one
+    # evaluation so the window construction runs once
+    lat = lat.localCheckpoint(eager=True)
+    eps = _probe_eps(lat)
+    q = stats.grouped_quantiles_approx(
+        lat, "g", "latency_s",
+        _probe_fracs([0.5, 0.9], eps), _probe_names(["p50", "p90"]),
+        accuracy=_GK_ACC)
+    n = lat.groupBy("g").agg(F.count(F.lit(1)).alias("n_converted"))
+    return (q.join(n, "g")
+             .select("n_converted",
+                     F.round("p50", 4).alias("p50_s_approx"),
+                     _floor4("p50_lo").alias("p50_lo"),
+                     _ceil4("p50_hi").alias("p50_hi"),
+                     F.round("p90", 4).alias("p90_s_approx"),
+                     _floor4("p90_lo").alias("p90_lo"),
+                     _ceil4("p90_hi").alias("p90_hi"))
+             .withColumn("accuracy", F.lit(_GK_ACC)))

@@ -1280,23 +1280,60 @@ FROM r WHERE sample_rank <= 100
 # distinct-counting pattern (sketches are tiny, associative, and
 # shuffle as bytes; the exact answer would shuffle every fingerprint).
 # The union row is exactly what a 1000-executor rollup would ship to a
-# dashboard. No SQL oracle: DuckDB's HLL implementation differs —
-# accuracy is asserted against exact counts in unit tests instead.
+# dashboard.
+#
+# Oracle contract (VERDICT r06 #3 — this was the one rows-only key
+# with neither a value-level oracle nor a stable output): raw HLL
+# estimates are merge-order-sensitive and engine-specific, so instead
+# of EMITTING the estimate the query emits the exact countDistinct
+# AUDIT column plus the in-query accuracy bound |est − exact| ≤
+# 5%·exact as a boolean (DataSketches rsd at the default lgK=12 is
+# ~1.6%, so 5% is a ≥3σ band; the companion unit test has held it at
+# every SF since r01). DuckDB's oracle computes the same exact counts
+# and asserts the bound as a TRUE literal — a sketch drifting out of
+# band now FAILS the driver's value hash instead of hiding behind a
+# rows-only row, and the output is deterministic (the boolean absorbs
+# the sub-band merge-order wobble), so the key leaves both the
+# rows-only list and the determinism scan's EXPECTED_UNSTABLE set.
+# At 100 TB the exact audit columns are dropped and the sketch is the
+# product; they exist here to make the contract value-checkable.
 # --------------------------------------------------------------------------
 
 def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.regexp_replace(F.col("text"), r"\s+", " "))
-    per_source = (docs.select("source", fp.alias("fp"))
-                      .groupBy("source")
-                      .agg(F.hll_sketch_agg("fp").alias("sk")))
+    base = docs.select("source", fp.alias("fp"))
+    per_source = (base.groupBy("source")
+                      .agg(F.hll_sketch_agg("fp").alias("sk"),
+                           F.countDistinct("fp").alias("n_exact")))
     union_all = (per_source
                  .agg(F.hll_union_agg("sk").alias("sk"))
-                 .select(F.lit("__all__").alias("source"),
-                         F.hll_sketch_estimate("sk").alias("est_distinct")))
-    return (per_source.select("source",
-                              F.hll_sketch_estimate("sk").alias("est_distinct"))
+                 .crossJoin(F.broadcast(
+                     base.agg(F.countDistinct("fp").alias("n_exact"))))
+                 .select(F.lit("__all__").alias("source"), "sk", "n_exact"))
+    both = (per_source.select("source", "sk", "n_exact")
                       .unionByName(union_all))
+    est = F.hll_sketch_estimate("sk").cast("double")
+    exact = F.col("n_exact").cast("double")
+    return both.select(
+        "source",
+        F.col("n_exact").cast("long").alias("n_distinct_exact"),
+        (F.abs(est - exact) <= 0.05 * exact).alias("hll_within_5pct"))
+
+SKETCH_HLL_UNION_SQL = r"""
+WITH fps AS (
+  SELECT source, md5(regexp_replace(text, '\s+', ' ', 'g')) AS fp
+  FROM documents
+)
+SELECT source, CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_exact,
+       TRUE AS hll_within_5pct
+FROM fps GROUP BY source
+UNION ALL
+SELECT '__all__' AS source,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_exact,
+       TRUE AS hll_within_5pct
+FROM fps
+"""
 
 
 # --------------------------------------------------------------------------

@@ -35,14 +35,10 @@ from scripts.check_expected import _canon  # noqa: E402
 
 # Documented exceptions: queries whose VALUES legitimately depend on
 # the physical layout. Each needs a reason a reviewer can check.
-EXPECTED_UNSTABLE = {
-    # DataSketches HLL union estimates are merge-order-dependent (a
-    # published property of the sketch's sparse->dense promotion);
-    # the query is rows-only in the oracle gate for the same reason,
-    # and its estimate is bound-asserted against the exact distinct
-    # count in tests.
-    "sketch_hll_union",
-}
+# (empty since round 7 — sketch_hll_union no longer emits the raw
+# merge-order-sensitive HLL estimate; its output is the exact audit
+# count plus the in-band boolean, stable across layouts)
+EXPECTED_UNSTABLE: set[str] = set()
 
 LAYOUTS = (
     # (shuffle partitions, files.maxPartitionBytes): one layout forces
