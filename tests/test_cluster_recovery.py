@@ -1,0 +1,129 @@
+"""Executor-loss recovery proof (VERDICT r06 #5): stats.pin upgrades
+localCheckpoint → RELIABLE checkpoint when a checkpoint dir is set
+(operators/stats.py) — r06 unit-tested the value parity of that switch
+but never demonstrated the fault-tolerance claim itself. This test
+runs a real multi-process `local-cluster[2,1,1024]`, pins a frame
+through the reliable-checkpoint path, SIGKILLs one executor JVM, and
+asserts the consuming aggregate still completes with exact values
+(the checkpoint files, not executor-local blocks, serve the re-read).
+
+The cluster runs in a SUBPROCESS: pytest's session fixture owns this
+process's one-per-JVM SparkContext, and an in-process local-cluster
+would collide with it. Skipped (not failed) where local-cluster
+cannot start — e.g. no loopback worker spawn in a sandbox.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The in-cluster scenario. Prints exactly one of:
+#   CLUSTER_UNAVAILABLE <why>   → the harness skips
+#   RECOVERY_OK                 → pass
+# anything else / nonzero exit  → fail
+_SCRIPT = r"""
+import glob, os, signal, subprocess, sys, time
+
+sys.path.insert(0, sys.argv[1])
+ckpt = sys.argv[2]
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+try:
+    spark = (SparkSession.builder
+             .master("local-cluster[2,1,1024]")
+             .appName("recovery-test")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.executor.memory", "1g")
+             .config("spark.network.timeout", "60s")
+             .getOrCreate())
+    sc = spark.sparkContext
+    sc.setCheckpointDir(ckpt)
+    # wait for both executors to register (bounded)
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        execs = [str(e) for e in
+                 sc._jsc.sc().statusTracker().getExecutorInfos()]
+        if len(execs) >= 3:  # driver + 2 executors
+            break
+        time.sleep(1)
+    else:
+        print("CLUSTER_UNAVAILABLE executors never registered")
+        sys.exit(0)
+except Exception as exc:  # noqa: BLE001 — env cannot start a cluster
+    print(f"CLUSTER_UNAVAILABLE {type(exc).__name__}: {exc}")
+    sys.exit(0)
+
+from parking_bigdata_spark.operators import stats
+
+N = 200_000
+df = (spark.range(0, N, 1, 8)
+      .select((F.col("id") % 97).alias("g"),
+              F.col("id").cast("double").alias("v")))
+pinned = stats.pin(df)  # checkpoint dir is set => RELIABLE checkpoint
+
+# the pin must have materialized reliable checkpoint files
+files = glob.glob(os.path.join(ckpt, "**", "part-*"), recursive=True)
+assert files, "reliable checkpoint wrote no files — pin took the wrong path"
+
+# SIGKILL one executor JVM (not the driver). The backend class name is
+# assembled at runtime so OUR OWN `python -c <script>` command line
+# never contains the literal — pgrep -f would otherwise match this
+# driver process and the kill would be suicide (observed: rc=-9).
+pat = "CoarseGrained" + "ExecutorBackend"
+out = subprocess.run(["pgrep", "-f", pat], capture_output=True, text=True)
+pids = []
+for p in out.stdout.split():
+    p = int(p)
+    if p == os.getpid():
+        continue
+    try:
+        with open(f"/proc/{p}/cmdline", "rb") as fh:
+            cmd = fh.read().decode(errors="replace").split("\x00")
+    except OSError:
+        continue
+    if cmd and "java" in os.path.basename(cmd[0]) and any(pat in c for c in cmd):
+        pids.append(p)
+assert len(pids) >= 2, f"expected 2 executor JVMs, saw {pids}"
+os.kill(pids[0], signal.SIGKILL)
+time.sleep(3)  # let the loss propagate
+
+# the consuming aggregate must still complete, serving the dead
+# executor's partitions from the checkpoint files — and exactly
+row = (pinned.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("v").alias("s")).collect()[0])
+assert row["n"] == N, row
+assert row["s"] == float(N * (N - 1) // 2), row
+
+# sanity: grouped path too (a shuffle over the recovered frame)
+k = pinned.groupBy("g").count().count()
+assert k == 97, k
+print("RECOVERY_OK")
+spark.stop()
+"""
+
+
+def test_reliable_pin_survives_executor_kill(tmp_path):
+    # (subprocess.run carries its own 340 s timeout — no pytest-timeout
+    # dependency needed)
+    env = dict(os.environ)
+    env.pop("PYSPARK_GATEWAY_PORT", None)
+    env.pop("PYSPARK_GATEWAY_SECRET", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT, _REPO, str(tmp_path / "ckpt")],
+        capture_output=True, text=True, timeout=340, env=env,
+        cwd=_REPO)
+    tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-30:])
+    marker = [ln for ln in proc.stdout.splitlines()
+              if ln.startswith(("RECOVERY_OK", "CLUSTER_UNAVAILABLE"))]
+    if marker and marker[-1].startswith("CLUSTER_UNAVAILABLE"):
+        pytest.skip(marker[-1])
+    assert proc.returncode == 0 and marker, (
+        f"recovery scenario failed (rc={proc.returncode}):\n{tail}")
