@@ -468,3 +468,53 @@ def test_rate_and_screen_queries_single_arm(spark, degen_single_dir):
     c = Q.queries()["conformal_interval_coverage"](
         spark, degen_single_dir).collect()[0]
     assert c["coverage"] is None
+
+
+# --- round-7 GK proof-bracket twins on all-tied inputs --------------
+
+
+def test_quantile_twins_all_tied(spark, degen_dir):
+    """Every GK twin on an all-constant value column: all probes hit
+    the single value, brackets collapse onto it (containment trivially
+    holds), and nothing aborts. Also exercises the small-n probe
+    floor (_probe_eps) — 3/n here is 60x the 4/accuracy cushion."""
+    tm = {r["l_returnflag"]: r
+          for r in Q.queries()["trimmed_mean_approx_price"](
+              spark, degen_dir).collect()}
+    for flag, r in tm.items():
+        assert r["trimmed_mean_approx"] == 100.0, flag
+        assert r["c10_lo"] <= 100.0 <= r["c90_hi"], flag
+        assert r["n_kept"] == r["n"], flag  # nothing outside the cuts
+    ws = Q.queries()["winsorized_approx_price_stats"](
+        spark, degen_dir).collect()
+    for r in ws:
+        assert r["winsorized_mean_approx"] == 100.0
+        assert r["n_clamped"] == 0
+        assert r["winsorized_sd_approx"] == 0.0
+    of = Q.queries()["outlier_fences_approx"](spark, degen_dir).collect()
+    for r in of:
+        assert r["n_outliers"] == 0
+        assert r["fence_lo_approx"] <= 500.0 <= r["fence_hi_approx"]
+    qs = Q.queries()["quantile_summary_approx"](spark, degen_dir).collect()
+    for r in qs:
+        assert r["lo"] == r["hi"] == 1000.0
+        for p in ("p25", "p50", "p75", "p95"):
+            assert r[f"{p}_approx"] == 1000.0, p
+    rb = {r["metric"]: r
+          for r in Q.queries()["rfm_bounds_approx"](
+              spark, degen_dir).collect()}
+    # mon is constant (1000.0/customer); rec constant (one date)
+    assert rb["mon"]["q2_approx"] == 1000.0
+    assert rb["rec"]["q2_approx"] == 0.0
+    _assert_no_nan(tm.values())
+    _assert_no_nan(ws)
+
+
+def test_hll_contract_identical_docs(spark, degen_docs_dir):
+    """40 byte-identical documents: exact distinct = 1 per source and
+    corpus-wide; the HLL bound boolean must hold at the degenerate
+    extreme too."""
+    rows = Q.queries()["sketch_hll_union"](spark, degen_docs_dir).collect()
+    for r in rows:
+        assert r["n_distinct_exact"] == 1, r["source"]
+        assert r["hll_within_5pct"] is True, r["source"]
