@@ -364,14 +364,18 @@ def ivf_topk(df: DataFrame, query_df: DataFrame, k: int = 5,
     scored = (corpus.join(F.broadcast(qc), "cell")
               .where(F.col(id_col) != F.col("query_id"))
               # nullif: a zero-norm vector has undefined cosine — its
-              # rows score NULL (sorting last, never top-k) instead of
-              # aborting the job under ANSI
+              # rows score NULL instead of aborting the job under ANSI
               .withColumn("score",
                           F.round(_dot(F.col("qv"), _as_double(F.col(vec_col))) /
                                   F.nullif(_norm(F.col("qv")) *
                                            _norm(_as_double(F.col(vec_col))),
                                            F.lit(0.0)),
-                                  round_to)))
+                                  round_to))
+              # NULL scores are EXCLUDED before ranking (not merely
+              # sorted last — row_number would still hand them ranks
+              # and pad under-filled top-ks): one zero-norm contract
+              # with the numpy kernels (_unit_nonzero) and the oracles
+              .where(F.col("score").isNotNull()))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -450,7 +454,9 @@ def ann_lsh_topk(df: DataFrame, query_df: DataFrame, k: int = 3,
                                    F.nullif(_norm(F.col("qv"))
                                             * _norm(F.col("cv")),
                                             F.lit(0.0)),
-                                   round_to)))
+                                   round_to))
+               # NULL scores excluded before ranking (see ivf_topk)
+               .where(F.col("score").isNotNull()))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

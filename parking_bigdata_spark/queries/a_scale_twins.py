@@ -548,7 +548,7 @@ def mad_approx_price_by_flag(spark: SparkSession,
     # both probes can collapse onto the same order statistic below the
     # interpolated percentile_cont target — _probe_eps floors the
     # offset at 3 ranks of the smallest group (no-op at production n)
-    eps = _probe_eps(li, "l_returnflag")
+    eps = _probe_eps(li, "l_returnflag", value_col="v")
     # materialize the 3-row median table: the deviation pass otherwise
     # replays the first sketch scan's lineage
     med = (stats.grouped_quantiles_approx(
@@ -889,7 +889,8 @@ def _ceil4(c):
 
 
 def _probe_eps(df: DataFrame, group_col: str | None = None,
-               acc: int = _GK_ACC) -> float:
+               acc: int = _GK_ACC, value_col: str | None = None,
+               nmin: int | None = None) -> float:
     """±probe offset: 4/accuracy (the GK rank-slack cushion), but never
     less than 3 ranks of the smallest group. At small n the ±4/acc
     offset is SUB-RANK: both probes collapse onto the same order
@@ -901,11 +902,17 @@ def _probe_eps(df: DataFrame, group_col: str | None = None,
     every n; at production n (n ≥ 30000·…) the max() constant-folds to
     4/accuracy, so the scale path is untouched. The count is one
     row-count aggregate (parquet-metadata cheap next to the GK scan)."""
-    if group_col is None:
-        nmin = df.count()
-    else:
-        nmin = (df.groupBy(group_col).count()
-                  .agg(F.min("count")).collect()[0][0])
+    # count NON-NULL values (F.count(col)), not rows: percentile_approx
+    # ranks only non-null values, so a mostly-NULL group's effective n
+    # is smaller than its row count and a row-based floor could still
+    # leave the probes sub-rank (code-review r07)
+    cnt = F.count(value_col) if value_col else F.count(F.lit(1))
+    if nmin is None:
+        if group_col is None:
+            nmin = df.agg(cnt.alias("n")).collect()[0][0]
+        else:
+            nmin = (df.groupBy(group_col).agg(cnt.alias("n"))
+                      .agg(F.min("n")).collect()[0][0])
     return max(4.0 / acc, 3.0 / max(int(nmin or 1), 1))
 
 
@@ -937,7 +944,7 @@ def _probe_names(names: list[str]) -> list[str]:
 def trimmed_mean_approx_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").cast("double").alias("v"))
-    eps = _probe_eps(li, "l_returnflag")
+    eps = _probe_eps(li, "l_returnflag", value_col="v")
     # materialize the 3-row cutoff table: the mean pass otherwise
     # replays the sketch scan's lineage (the A63b pattern)
     cuts = (stats.grouped_quantiles_approx(
@@ -973,7 +980,7 @@ def winsorized_approx_price_stats(spark: SparkSession,
           .where(F.col("l_extendedprice").isNotNull())
           .select("l_returnflag",
                   F.col("l_extendedprice").cast("double").alias("v")))
-    eps = _probe_eps(li, "l_returnflag")
+    eps = _probe_eps(li, "l_returnflag", value_col="v")
     q = (stats.grouped_quantiles_approx(
              li, "l_returnflag", "v",
              _probe_fracs([0.01, 0.99], eps), _probe_names(["p01", "p99"]),
@@ -1010,7 +1017,7 @@ def outlier_fences_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     proj = cust.select("c_mktsegment",
                        F.col("c_acctbal").cast("double").alias("v"))
-    eps = _probe_eps(proj, "c_mktsegment")
+    eps = _probe_eps(proj, "c_mktsegment", value_col="v")
     q = (stats.grouped_quantiles_approx(
              proj, "c_mktsegment", "v",
              _probe_fracs([0.25, 0.75], eps), _probe_names(["q1", "q3"]),
@@ -1050,14 +1057,25 @@ def quantile_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     proj = orders.select("o_orderpriority",
                          F.col("o_totalprice").cast("double").alias("v"))
-    eps = _probe_eps(proj, "o_orderpriority")
+    # ONE fused pass supplies min/max AND the non-null probe counts —
+    # its tiny result is collected for eps and rebuilt locally, so the
+    # twin scans orders exactly twice (this pass + the GK pass), same
+    # as the exact C2 (code-review r07: the separate count scan is
+    # fused away, and no pin is needed for a bare 2-col scan — the
+    # exact form's documented tradeoff)
+    mm_rows = (proj.groupBy("o_orderpriority")
+                   .agg(F.round(F.min("v"), 4).alias("lo"),
+                        F.round(F.max("v"), 4).alias("hi"),
+                        F.count("v").alias("n")).collect())
+    nmin = min((r["n"] for r in mm_rows), default=0)
+    eps = _probe_eps(proj, "o_orderpriority", nmin=nmin)
+    mm = spark.createDataFrame(
+        [(r["o_orderpriority"], r["lo"], r["hi"]) for r in mm_rows],
+        "o_orderpriority string, lo double, hi double")
     q = stats.grouped_quantiles_approx(
         proj, "o_orderpriority", "v",
         _probe_fracs([0.25, 0.5, 0.75, 0.95], eps),
         _probe_names(["p25", "p50", "p75", "p95"]), accuracy=_GK_ACC)
-    mm = (proj.groupBy("o_orderpriority")
-              .agg(F.round(F.min("v"), 4).alias("lo"),
-                   F.round(F.max("v"), 4).alias("hi")))
     sel = ["o_orderpriority"]
     for a in ("p25", "p50", "p75", "p95"):
         sel += [F.round(a, 4).alias(f"{a}_approx"),
@@ -1107,7 +1125,7 @@ def rfm_bounds_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cut points, not tightness — brackets stay provable at any
     # accuracy, just ~5× wider in rank (still < 0.5% of n)
     acc = 2000
-    eps = _probe_eps(melted, "metric", acc=acc)
+    eps = _probe_eps(melted, "metric", acc=acc, value_col="__v")
     q = stats.grouped_quantiles_approx(
         melted, "metric", "__v",
         _probe_fracs([0.25, 0.5, 0.75], eps),
@@ -1152,7 +1170,7 @@ def funnel_latency_approx_quantiles(spark: SparkSession,
     # it feeds TWO consumers (probe-count + quantiles + n) — pin one
     # evaluation so the window construction runs once
     lat = lat.localCheckpoint(eager=True)
-    eps = _probe_eps(lat)
+    eps = _probe_eps(lat, value_col="latency_s")
     q = stats.grouped_quantiles_approx(
         lat, "g", "latency_s",
         _probe_fracs([0.5, 0.9], eps), _probe_names(["p50", "p90"]),

@@ -1987,11 +1987,14 @@ def knn_impute_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_IMPUTE_SQL = """
 WITH lab AS (
+  -- zero-norm exclusion mirrors similarity._unit_nonzero
   SELECT vec_id, embedding::DOUBLE[] AS e, label
   FROM embeddings WHERE vec_id % 10 <> 0
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
   FROM embeddings WHERE vec_id % 10 = 0
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), scored AS (
   SELECT q.query_id, lab.label,
          round(list_dot_product(q.qv, lab.e) /

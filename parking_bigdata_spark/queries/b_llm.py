@@ -276,7 +276,11 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COSINE_TOPK_SQL = """
 WITH q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+  -- zero-norm vectors are excluded from scoring on BOTH sides
+  -- (mirrors similarity._unit_nonzero: cosine undefined)
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < 10 AND list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[]) > 0
 ), scored AS (
   SELECT q.query_id, c.vec_id AS cand_id,
          round(list_dot_product(q.qv, c.embedding::DOUBLE[]) /
@@ -284,6 +288,7 @@ WITH q AS (
                 sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4) AS score
   FROM q CROSS JOIN embeddings c
   WHERE c.vec_id <> q.query_id
+    AND list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
 ), ranked AS (
   SELECT query_id, cand_id, score,
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS INT) AS rank
@@ -330,13 +335,16 @@ WITH v AS (
 ), b AS (
   SELECT vec_id, e, {_hyperplane_bucket_sql(8, 64, 42)} AS bucket FROM v
 ), q AS (
-  SELECT vec_id AS query_id, e AS qv, bucket FROM b WHERE vec_id < 10
+  -- zero-norm exclusion mirrors similarity.ann_lsh_topk's score filter
+  SELECT vec_id AS query_id, e AS qv, bucket FROM b
+  WHERE vec_id < 10 AND list_dot_product(e, e) > 0
 ), scored AS (
   SELECT q.query_id, c.vec_id AS cand_id,
          round(list_dot_product(q.qv, c.e) /
                (sqrt(list_dot_product(q.qv, q.qv)) *
                 sqrt(list_dot_product(c.e, c.e))), 4) AS score
   FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+  WHERE list_dot_product(c.e, c.e) > 0
 ), ranked AS (
   SELECT query_id, cand_id, score,
          CAST(row_number() OVER (PARTITION BY query_id
@@ -1315,10 +1323,15 @@ def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .unionByName(union_all))
     est = F.hll_sketch_estimate("sk").cast("double")
     exact = F.col("n_exact").cast("double")
+    # coalesce: an EMPTY corpus leaves the union sketch NULL (est NULL
+    # => NULL boolean) while the oracle's literal is TRUE — an empty
+    # corpus trivially satisfies the bound (exact = 0), so say so
+    within = F.coalesce(F.abs(est - exact) <= 0.05 * exact,
+                        exact == F.lit(0.0))
     return both.select(
         "source",
         F.col("n_exact").cast("long").alias("n_distinct_exact"),
-        (F.abs(est - exact) <= 0.05 * exact).alias("hll_within_5pct"))
+        within.alias("hll_within_5pct"))
 
 SKETCH_HLL_UNION_SQL = r"""
 WITH fps AS (

@@ -470,7 +470,13 @@ def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
                                 F.lit(0.0), lambda acc, v: acc + v))
         # nullif: a zero-norm (truncated) vector has undefined cosine
-        # — NULL scores sort last, never an ANSI job abort
+        # — NULL scores sort last, never an ANSI job abort. This is
+        # the one cosine site that KEEPS NULL-score rows rather than
+        # excluding them (similarity._unit_nonzero): here zero norms
+        # arise from PREFIX truncation of nonzero vectors, the metric
+        # is recall of the full-dim ranking, and both engines rank
+        # NULLs last identically — excluding would silently shrink
+        # the recall denominator
         return F.round(dot / F.nullif(na * nb, F.lit(0.0)), 6)
     scored = pairs.select("qid", "vec_id", "dim",
                           cos(F.col("dim")).alias("score"))
