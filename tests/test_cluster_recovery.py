@@ -78,6 +78,27 @@ assert files, "reliable checkpoint wrote no files — pin took the wrong path"
 # never contains the literal — pgrep -f would otherwise match this
 # driver process and the kill would be suicide (observed: rc=-9).
 pat = "CoarseGrained" + "ExecutorBackend"
+
+
+# Only OUR cluster's executors are kill candidates: walk the ppid
+# chain to this driver (a machine-wide pgrep could otherwise kill a
+# concurrently-running foreign Spark job's executor — and leave our
+# own cluster untouched, passing the test without exercising recovery).
+def _is_descendant(pid: int) -> bool:
+    me = os.getpid()
+    for _ in range(32):
+        if pid == me:
+            return True
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                pid = int(fh.read().split(")")[-1].split()[1])
+        except (OSError, ValueError, IndexError):
+            return False
+        if pid <= 1:
+            return False
+    return False
+
+
 out = subprocess.run(["pgrep", "-f", pat], capture_output=True, text=True)
 pids = []
 for p in out.stdout.split():
@@ -89,9 +110,10 @@ for p in out.stdout.split():
             cmd = fh.read().decode(errors="replace").split("\x00")
     except OSError:
         continue
-    if cmd and "java" in os.path.basename(cmd[0]) and any(pat in c for c in cmd):
+    if (cmd and "java" in os.path.basename(cmd[0])
+            and any(pat in c for c in cmd) and _is_descendant(p)):
         pids.append(p)
-assert len(pids) >= 2, f"expected 2 executor JVMs, saw {pids}"
+assert len(pids) >= 2, f"expected 2 executor JVMs of THIS driver, saw {pids}"
 os.kill(pids[0], signal.SIGKILL)
 time.sleep(3)  # let the loss propagate
 
