@@ -355,6 +355,38 @@ def main() -> None:
     # Warm up the JVM / parquet footer cache with a trivial action.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Machine-speed calibration (round 7): identical code measured
+    # 216 s vs 307 s solo on the SAME day because the host slows over
+    # hours (proven by an A/B of the unchanged previous-round tree —
+    # VERIFICATION_r07.md). Two fixed-work probes give every record
+    # its own speed context so cross-round walls can be normalized
+    # instead of misread as code regressions: one pure-JVM Spark
+    # aggregate (codegen + 32-way parallelism) and one single-process
+    # numpy GEMM. Probes run AFTER JVM warmup, min of 2.
+    calibration = {}
+    try:
+        import numpy as _np
+        import pyspark.sql.functions as _F
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            # pmod keeps the running sum far from long overflow
+            # (ANSI would abort on a raw 50M-hash sum)
+            spark.range(0, 50_000_000, 1, 32).agg(
+                _F.sum(_F.pmod(_F.xxhash64("id"), _F.lit(1024)))).collect()
+            best = min(best or 9e9, time.perf_counter() - t0)
+        calibration["spark_hash_agg_sec"] = round(best, 3)
+        a = _np.ones((1024, 1024))
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _i in range(8):
+                a = a @ a % 7 + 1.0
+            best = min(best or 9e9, time.perf_counter() - t0)
+        calibration["numpy_gemm_sec"] = round(best, 3)
+    except Exception:  # noqa: BLE001 — calibration must never kill bench
+        pass
+
     # Steady-state warmup: execute every headline query once at the
     # smallest SF (untimed). The plans generate the same whole-stage
     # codegen sources as at the target SF, so Janino compilation and JIT
@@ -433,6 +465,8 @@ def main() -> None:
     }
     if foreign:
         detail["contended"] = foreign
+    if calibration:
+        detail["calibration"] = calibration
     print(json.dumps(detail), file=sys.stderr)
     # sidecar detail is the committed record of the driver's default
     # tier — only overwrite it for SOLO sf0.1 runs, so neither a smoke
@@ -455,6 +489,8 @@ def main() -> None:
     }
     if foreign:
         compact["contended"] = True
+    if calibration:
+        compact["calibration"] = calibration
     print(json.dumps(compact, separators=(",", ":")))
 
 
