@@ -550,26 +550,22 @@ def mad_approx_price_by_flag(spark: SparkSession,
     # offset at 3 ranks of the smallest group (no-op at production n)
     eps = _probe_eps(li, "l_returnflag", value_col="v")
     # materialize the 3-row median table: the deviation pass otherwise
-    # replays the first sketch scan's lineage
+    # replays the first sketch scan's lineage. _probe_fracs clamps to
+    # [0, 1] — with the small-n floor, eps can exceed 0.5 on tiny
+    # groups and an unclamped 0.5 ± eps would abort percentile_approx
     med = (stats.grouped_quantiles_approx(
-               li, "l_returnflag", "v", [0.5 - eps, 0.5, 0.5 + eps],
-               ["med_lo", "med", "med_hi"], accuracy=acc)
+               li, "l_returnflag", "v", _probe_fracs([0.5], eps),
+               _probe_names(["med"]), accuracy=acc)
            .localCheckpoint(eager=True))
     dev = (li.join(F.broadcast(med), "l_returnflag")
              .select("l_returnflag",
                      F.abs(F.col("v") - F.col("med")).alias("adev")))
     mad = stats.grouped_quantiles_approx(
-        dev, "l_returnflag", "adev", [0.5 - eps, 0.5, 0.5 + eps],
-        ["mad_lo", "mad", "mad_hi"], accuracy=acc)
-    # bracket edges round OUTWARD (floor/ceil at 4 dp) — a half-even
-    # round could nudge an edge past an exact value sitting within
-    # 5e-5 of it and silently void the containment guarantee
-    def _floor4(c):
-        return F.floor(F.col(c) * 1e4) / 1e4
-
-    def _ceil4(c):
-        return F.ceil(F.col(c) * 1e4) / 1e4
-
+        dev, "l_returnflag", "adev", _probe_fracs([0.5], eps),
+        _probe_names(["mad"]), accuracy=acc)
+    # bracket edges round OUTWARD via the module-level _floor4/_ceil4 —
+    # a half-even round could nudge an edge past an exact value sitting
+    # within 5e-5 of it and silently void the containment guarantee
     return (med.join(F.broadcast(mad), "l_returnflag")
                .select("l_returnflag",
                        F.round("med", 4).alias("median_price_approx"),

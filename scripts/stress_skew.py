@@ -76,9 +76,15 @@ def main() -> None:
                 rows = make_df().collect()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
-            chk = sum(r["n"] for r in rows)
+            # the consistency check compares the FULL per-segment
+            # result (segment, n, revenue rounded to cents), not just
+            # a global row-count sum — a bug that duplicated one
+            # segment while dropping another could keep the total
+            # identical (code-review r07)
+            chk = tuple(sorted((r["c_mktsegment"], r["n"],
+                                round(r["rev"], 2)) for r in rows))
             print(f"{tag:10s} {best:7.2f} s   (rows={len(rows)}, "
-                  f"n_total={chk})")
+                  f"n_total={sum(r['n'] for r in rows)})")
             return chk
         finally:
             for k, v in saved.items():
@@ -108,8 +114,8 @@ def main() -> None:
         salted_join(orders, cust, "o_custkey", n_salts=8)),
         **NOBC,
         **{"spark.sql.adaptive.skewJoin.enabled": "false"}))
-    assert len(checks) == 1, f"variants disagree on row totals: {checks}"
-    print("all variants agree on the aggregate totals")
+    assert len(checks) == 1, f"variants disagree on segment values: {checks}"
+    print("all variants agree on the full per-segment values")
 
 
 if __name__ == "__main__":

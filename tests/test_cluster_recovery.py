@@ -99,7 +99,14 @@ def _is_descendant(pid: int) -> bool:
     return False
 
 
-out = subprocess.run(["pgrep", "-f", pat], capture_output=True, text=True)
+try:
+    out = subprocess.run(["pgrep", "-f", pat],
+                         capture_output=True, text=True)
+except FileNotFoundError:
+    # a slim host without procps is an environment limitation, not a
+    # recovery failure — take the documented skip path
+    print("CLUSTER_UNAVAILABLE pgrep not installed")
+    sys.exit(0)
 pids = []
 for p in out.stdout.split():
     p = int(p)

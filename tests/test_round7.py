@@ -180,3 +180,35 @@ def test_hll_union_contract_holds(spark, sf):
     for r in rows:
         assert r["hll_within_5pct"] is True, r["source"]
         assert r["n_distinct_exact"] > 0, r["source"]
+
+
+def test_twin_probes_clamp_on_tiny_groups(spark, tmp_path):
+    """Regression (in-round review): with the small-n probe floor,
+    eps = 3/n exceeds 0.5 on groups under 6 non-null values — the
+    probe fractions must CLAMP to [0, 1] (percentile_approx aborts on
+    an out-of-range percentage), and brackets still contain the exact
+    quantile (they collapse to group min/max)."""
+    import pandas as pd
+    d = str(tmp_path)
+    pd.DataFrame({
+        "l_orderkey": [1, 2, 3, 4, 5],
+        "l_linenumber": [1] * 5,
+        "l_quantity": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "l_extendedprice": [10.0, 20.0, 30.0, 40.0, 50.0],
+        "l_discount": [0.0] * 5,
+        "l_tax": [0.0] * 5,
+        "l_returnflag": ["A", "A", "A", "R", "R"],
+        "l_linestatus": ["F"] * 5,
+        "l_shipdate": pd.to_datetime(["2024-01-02"] * 5).date,
+        "l_partkey": [1, 2, 3, 4, 5],
+        "l_suppkey": [1] * 5,
+    }).to_parquet(d + "/lineitem.parquet", index=False)
+    mad = {r["l_returnflag"]: r
+           for r in Q.mad_approx_price_by_flag(spark, d).collect()}
+    assert set(mad) == {"A", "R"}
+    # A's exact median is 20; brackets collapse to [min, max]
+    assert mad["A"]["med_lo"] <= 20.0 <= mad["A"]["med_hi"]
+    assert mad["R"]["med_lo"] <= 45.0 <= mad["R"]["med_hi"]
+    tm = {r["l_returnflag"]: r
+          for r in Q.trimmed_mean_approx_price(spark, d).collect()}
+    assert tm["A"]["c10_lo"] <= 10.0 and tm["A"]["c90_hi"] >= 30.0
