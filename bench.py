@@ -449,6 +449,51 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # Calibration APPLIED (VERDICT r07 #3): normalize this wall by the
+    # fixed-work probes against the previous committed record, so a
+    # host-slowdown episode is self-diagnosing in the bench output
+    # instead of needing a manual same-tree A/B (the r06/r07 episode).
+    # speed_ratio > 1 means THIS host-moment is slower than the
+    # reference run; normalized_wall = wall * probe_ref/probe_now
+    # expresses this round's work in reference-machine seconds.
+    normalized = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
+            prev = json.load(f)
+        pc = prev.get("calibration") or {}
+        if calibration and pc.get("spark_hash_agg_sec") \
+                and pc.get("numpy_gemm_sec"):
+            ratios = [calibration["spark_hash_agg_sec"]
+                      / pc["spark_hash_agg_sec"],
+                      calibration["numpy_gemm_sec"]
+                      / pc["numpy_gemm_sec"]]
+            speed_ratio = sum(ratios) / len(ratios)
+            shared = [q for q in timings if q in prev.get("queries", {})]
+            shared_now = sum(timings[q] for q in shared)
+            shared_ref = sum(prev["queries"][q] for q in shared)
+            normalized = {
+                "speed_ratio_vs_ref": round(speed_ratio, 3),
+                "normalized_wall": round(total / speed_ratio, 3),
+                "ref_wall": prev.get("value"),
+                "ref_n_queries": len(prev.get("queries", {})),
+                "shared_n": len(shared),
+                "shared_wall_now": round(shared_now, 3),
+                "shared_wall_ref": round(shared_ref, 3),
+                "shared_wall_now_normalized":
+                    round(shared_now / speed_ratio, 3),
+            }
+            print(f"# calibration: probes {speed_ratio:.3f}x the "
+                  f"reference run's speed-context; normalized wall "
+                  f"{normalized['normalized_wall']}s vs ref "
+                  f"{prev.get('value')}s ({len(shared)} shared queries: "
+                  f"{normalized['shared_wall_now_normalized']}s "
+                  f"normalized vs {normalized['shared_wall_ref']}s)",
+                  file=sys.stderr)
+    except (OSError, json.JSONDecodeError, ZeroDivisionError, KeyError):
+        pass
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full per-query detail goes to stderr and a sidecar file; the ONE
@@ -467,6 +512,8 @@ def main() -> None:
         detail["contended"] = foreign
     if calibration:
         detail["calibration"] = calibration
+    if normalized:
+        detail["normalized"] = normalized
     print(json.dumps(detail), file=sys.stderr)
     # sidecar detail is the committed record of the driver's default
     # tier — only overwrite it for SOLO sf0.1 runs, so neither a smoke
@@ -491,6 +538,8 @@ def main() -> None:
         compact["contended"] = True
     if calibration:
         compact["calibration"] = calibration
+    if normalized:
+        compact["normalized"] = normalized
     print(json.dumps(compact, separators=(",", ":")))
 
 

@@ -64,6 +64,15 @@ def noise_floor(val: Column, scale: Column, eps: float = 1e-12) -> Column:
     the DuckDB oracles mirror the same CASE expression — away from the
     measure-zero threshold boundary the predicate agrees, so rounded
     outputs stay bit-identical on non-degenerate data (gate-verified).
+
+    KNOWN TRADEOFF (ADVICE r07): a genuinely low-relative-variance
+    response (CV ≤ 1e-6 — e.g. a large-offset measurement with small
+    real spread) also lands below the floor and comes back NULL even
+    though its R²/skewness is finite and computable. No current input
+    has that shape; if one ever does, CENTER the column (subtract a
+    per-group mean before the moment pass, turning CV back into O(1))
+    or switch to a variance-of-deltas form instead of widening eps —
+    both remove the cancellation rather than the guard.
     """
     return F.when(val > scale * F.lit(eps), val)
 

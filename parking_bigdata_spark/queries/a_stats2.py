@@ -430,17 +430,56 @@ def catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _catalog_profile_rows(spark, sf_dir, F.countDistinct)
 
 
-def catalog_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def catalog_profile_approx_detail(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
     """HLL variant (rsd 0.05): identical output shape with
     ``n_distinct`` replaced by the approx_count_distinct estimate.
-    No oracle SQL — DuckDB's approx_count_distinct is a different HLL
-    implementation, so estimates differ engine-to-engine by design;
-    the driver records rows-only and CI bound-checks every estimate
-    against the exact profile at sf0.01 (test_catalog_profile_approx).
-    At 100 TB this is the catalog default: one pass, mergeable HLL
-    state, no value-sized shuffle at all."""
+    Engine-specific estimates (DuckDB's approx HLL differs), so this
+    detail form is the 100 TB product shape while the registered
+    ``catalog_profile_approx`` below carries the driver-checkable
+    bound-as-oracle contract. At 100 TB this is the catalog default:
+    one pass, mergeable HLL state, no value-sized shuffle at all."""
     return (_catalog_profile_rows(spark, sf_dir, F.approx_count_distinct)
             .withColumnRenamed("n_distinct", "n_distinct_approx"))
+
+
+def _profile_one_column_audit(df: DataFrame, table: str,
+                              col: str) -> tuple:
+    """One (table, column) audit job: count(*) + count(col) + exact
+    countDistinct + the rsd-0.01 HLL estimate in ONE aggregate (the
+    single countDistinct rewrite keeps the plan Expand-free; the HLL
+    is an ordinary declarative aggregate). The in-band boolean is
+    evaluated on the two results of the SAME job."""
+    r = df.agg(F.count(F.lit(1)).alias("nr"),
+               F.count(col).alias("c"),
+               F.countDistinct(col).alias("d"),
+               F.approx_count_distinct(col, 0.01).alias("a")).collect()[0]
+    within = bool(abs(r["a"] - r["d"]) <= 0.05 * r["d"]) or r["d"] == 0
+    return (table, col, r["nr"], r["nr"] - r["c"], r["d"], within)
+
+
+def catalog_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A104b bound-as-oracle form (VERDICT r07 #1, the B31
+    sketch_hll_union pattern): raw HLL estimates are engine-specific
+    (DuckDB's approx_count_distinct is a different implementation), so
+    the registered query no longer emits them — it emits the EXACT
+    distinct count as an audit column plus the in-band boolean
+    |est − exact| ≤ 5%·exact. At rsd 0.01 the band is 5σ, so an
+    in-spec sketch can essentially never fail it while a broken one
+    always does; DuckDB recomputes the exact side and asserts the
+    boolean as TRUE. At 100 TB the exact audit is dropped and
+    ``catalog_profile_approx_detail`` above is the product."""
+    from concurrent.futures import ThreadPoolExecutor
+    dfs = {t: load_table(spark, sf_dir, t) for t in _CATALOG_COLUMNS}
+    jobs = [(t, c) for t, cols in _CATALOG_COLUMNS.items() for c in cols]
+    with ThreadPoolExecutor(max_workers=min(16, len(jobs))) as pool:
+        rows = list(pool.map(
+            lambda tc: _profile_one_column_audit(dfs[tc[0]], tc[0], tc[1]),
+            jobs))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, n_rows long, "
+              "n_nulls long, n_distinct_exact long, "
+              "hll_within_5pct boolean")
 
 _CATALOG_SELECTS = []
 for _t, _cols in _CATALOG_COLUMNS.items():
@@ -452,6 +491,22 @@ for _t, _cols in _CATALOG_COLUMNS.items():
             f"       (SELECT count(DISTINCT {_c}) FROM {_t}) AS n_distinct")
 CATALOG_PROFILE_SQL = "\nUNION ALL\n".join(_CATALOG_SELECTS)
 del _CATALOG_SELECTS, _t, _cols, _c
+
+# the bound-as-oracle twin's SQL is GENERATED from the same column
+# dictionary (exact distinct audit + the TRUE in-band literal), so the
+# Spark and DuckDB sides cannot drift
+_CATALOG_APPROX_SELECTS = []
+for _t, _cols in _CATALOG_COLUMNS.items():
+    for _c in _cols:
+        _CATALOG_APPROX_SELECTS.append(
+            f"SELECT '{_t}' AS table_name, '{_c}' AS column_name,\n"
+            f"       (SELECT count(*) FROM {_t}) AS n_rows,\n"
+            f"       (SELECT count(*) - count({_c}) FROM {_t}) AS n_nulls,\n"
+            f"       (SELECT count(DISTINCT {_c}) FROM {_t})"
+            f" AS n_distinct_exact,\n"
+            f"       TRUE AS hll_within_5pct")
+CATALOG_PROFILE_APPROX_SQL = "\nUNION ALL\n".join(_CATALOG_APPROX_SELECTS)
+del _CATALOG_APPROX_SELECTS, _t, _cols, _c
 
 
 # --------------------------------------------------------------------------

@@ -1817,8 +1817,8 @@ FROM ks
 # `catalog_profile_approx` rows-only pattern.
 # --------------------------------------------------------------------------
 
-def median_ci_approx_order_value(spark: SparkSession,
-                                 sf_dir: str) -> DataFrame:
+def median_ci_approx_order_value_detail(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
     import math
     acc = 10000
     o = load_table(spark, sf_dir, "orders")
@@ -1842,6 +1842,71 @@ def median_ci_approx_order_value(spark: SparkSession,
     return spark.createDataFrame(
         [(int(n), round(row[1], 4), int(lo), int(hi),
           round(row[0], 4), round(row[2], 4), acc)], schema)
+
+
+def median_ci_approx_order_value(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """A159b bound-as-oracle form (VERDICT r07 #1, the B31 pattern):
+    the GK estimates themselves are engine-specific (DuckDB uses a
+    t-digest) so they are no longer EMITTED; instead the query emits
+    the exact A159 audit columns (DuckDB-recomputable) plus the two
+    in-query booleans tests/test_round4.py has asserted at every SF:
+    the GK median must land inside the exact order-statistic CI, and
+    the GK CI must contain the exact median (GK rank slack n/accuracy
+    sits far inside the ~z*sqrt(n)/2 half-width for n < ~1e8 — the
+    driver/bench regime; at 100 TB the audit columns are dropped and
+    the `_detail` form above is the product). A sketch drifting out of
+    either band now FAILS the driver's value hash."""
+    ap = median_ci_approx_order_value_detail(spark, sf_dir).collect()[0]
+    ex = median_ci_order_value(spark, sf_dir).collect()[0]
+    schema = ("n long, rank_lo long, rank_hi long, median_exact double, "
+              "ci_lo_exact double, ci_hi_exact double, "
+              "approx_median_in_ci boolean, "
+              "approx_ci_brackets_median boolean, accuracy long")
+    if not ex["n"]:
+        return spark.createDataFrame(
+            [(0, None, None, None, None, None, None, None,
+              ap["accuracy"])], schema)
+    in_ci = bool(ex["ci_lo"] <= ap["median_approx"] <= ex["ci_hi"])
+    brackets = bool(ap["ci_lo_approx"] <= ex["median"]
+                    <= ap["ci_hi_approx"])
+    return spark.createDataFrame(
+        [(int(ex["n"]), int(ex["rank_lo"]), int(ex["rank_hi"]),
+          float(ex["median"]), float(ex["ci_lo"]), float(ex["ci_hi"]),
+          in_ci, brackets, int(ap["accuracy"]))], schema)
+
+
+MEDIAN_CI_APPROX_SQL = """
+WITH vals AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v, count(*) AS t
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT v, t, sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS cum_t
+  FROM vals
+), nn AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM vals),
+ks AS (
+  SELECT n,
+         greatest(CAST(floor(n / 2.0 - 1.959964 * sqrt(n) / 2.0)
+                       AS BIGINT), 1) AS lo,
+         CAST(least(CAST(ceil(1 + n / 2.0 + 1.959964 * sqrt(n) / 2.0)
+                         AS BIGINT), n) AS BIGINT) AS hi,
+         (n + 1) // 2 AS k1, (n + 2) // 2 AS k2
+  FROM nn
+)
+SELECT CAST(n AS BIGINT) AS n, lo AS rank_lo, hi AS rank_hi,
+       round(((SELECT min(v) FROM cum WHERE cum_t >= k1)
+              + (SELECT min(v) FROM cum WHERE cum_t >= k2)) / 2.0, 4)
+         AS median_exact,
+       round((SELECT min(v) FROM cum WHERE cum_t >= lo), 4)
+         AS ci_lo_exact,
+       round((SELECT min(v) FROM cum WHERE cum_t >= hi), 4)
+         AS ci_hi_exact,
+       TRUE AS approx_median_in_ci,
+       TRUE AS approx_ci_brackets_median,
+       10000 AS accuracy
+FROM ks
+"""
 
 
 # --------------------------------------------------------------------------

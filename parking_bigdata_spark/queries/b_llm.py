@@ -389,6 +389,7 @@ _DE_TABLES = "\n  UNION ALL\n".join(
 DEDUP_EMBEDDING_SQL = f"""
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), b AS (
 {_DE_TABLES}
 ), cand AS (

@@ -53,10 +53,12 @@ EXPECTED_ORACLE_QUERIES = [
     "pca_projection",
     "multimodal_features",
     "sketch_distinct_parts",
-    # sketch_hll_union excluded: the DataSketches union estimate is
-    # partition-order sensitive (checked by scripts/check_expected.py —
-    # the "__all__" row moved 496→498 under a different geometry), so
-    # it stays rows-only.
+    # sketch_hll_union excluded — but no longer rows-only: since r07
+    # the query emits the exact countDistinct audit + the in-band
+    # boolean instead of the partition-order-sensitive raw estimate
+    # (which moved 496→498 under a different geometry when it WAS
+    # emitted), so it is value-hash-checked by SKETCH_HLL_UNION_SQL in
+    # the REGISTRY and needs no expected-parquet oracle here.
     "logreg_returnflag",
     # same IRLS closed-loop algebra as logreg_returnflag, over the
     # text quality features (B56)

@@ -77,12 +77,15 @@ def main() -> None:
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             # the consistency check compares the FULL per-segment
-            # result (segment, n, revenue rounded to cents), not just
-            # a global row-count sum — a bug that duplicated one
-            # segment while dropping another could keep the total
-            # identical (code-review r07)
-            chk = tuple(sorted((r["c_mktsegment"], r["n"],
-                                round(r["rev"], 2)) for r in rows))
+            # result (segment, n, revenue), not just a global
+            # row-count sum — a bug that duplicated one segment while
+            # dropping another could keep the total identical
+            # (code-review r07). Revenue is kept as the raw double for
+            # a RELATIVE-tolerance compare in main() (ADVICE r07:
+            # cents-rounded bit-equality across four summation orders
+            # can flip spuriously once per-segment sums reach ~1e12)
+            chk = tuple(sorted((r["c_mktsegment"], r["n"], r["rev"])
+                               for r in rows))
             print(f"{tag:10s} {best:7.2f} s   (rows={len(rows)}, "
                   f"n_total={sum(r['n'] for r in rows)})")
             return chk
@@ -114,9 +117,109 @@ def main() -> None:
         salted_join(orders, cust, "o_custkey", n_salts=8)),
         **NOBC,
         **{"spark.sql.adaptive.skewJoin.enabled": "false"}))
-    assert len(checks) == 1, f"variants disagree on segment values: {checks}"
-    print("all variants agree on the full per-segment values")
+    _assert_agree(checks)
+
+
+def _assert_agree(checks: set) -> None:
+    """(segment, n) must be EXACTLY equal across variants; revenue
+    within 1e-9 relative (different summation orders accumulate fp
+    drift that can exceed half a cent on ~1e12-magnitude sums)."""
+    base, *rest = list(checks)
+    for other in rest:
+        assert len(other) == len(base), (base, other)
+        for (s1, n1, r1), (s2, n2, r2) in zip(base, other):
+            assert s1 == s2 and n1 == n2, (s1, n1, s2, n2)
+            assert abs(r1 - r2) <= 1e-9 * max(abs(r1), 1.0), (s1, r1, r2)
+    print("all variants agree on the full per-segment values "
+          "(n exact, revenue within 1e-9 relative)")
+
+
+def agg_study() -> None:
+    """Measured AGGREGATION-skew study (VERDICT r07 #4): where does
+    A32-style salting actually pay on a skewed groupBy, given that AQE
+    cannot split a skewed aggregation?
+
+    Two aggregate classes on the Zipf corpus (hottest custkey ~15% of
+    the fact):
+
+    * ALGEBRAIC (count+sum) over a composite high-cardinality key
+      (o_custkey × week): partial (map-side) aggregation combines each
+      mapper's hot-key rows to ONE row before the shuffle, so the hot
+      reducer receives #mappers rows like everyone else — the
+      hypothesis is that salting (a second shuffle + merge pass) is
+      pure overhead here, i.e. "map-side combine already absorbs it".
+      variants: sum_plain, sum_salted (two-phase: groupBy(key, salt)
+      partial → groupBy(key) merge; algebraically exact).
+    * HOLISTIC (exact median) per custkey: F.median buffers every
+      value of a group in ONE aggregation buffer THROUGH the shuffle —
+      partial state is the value list, so the hot key ships ~15% of
+      the corpus to one reducer and sorts it in one task. Salting by a
+      VALUE hash cannot split a median (not mergeable); the engine's
+      documented remedy is the rank/range-partitioned form
+      (stats.grouped_median, what every registered median rides).
+      variants: med_plain (F.median), med_rangecum (grouped_median).
+
+    Usage: python scripts/stress_skew.py <stress_dir> [min_of] agg
+    Record the numbers in SCALE.md (r08 table).
+    """
+    stress = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stress_zipf"
+    min_of = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    spark = get_spark("stress-skew-agg")
+    from parking_bigdata_spark.operators import stats  # noqa: E402
+    orders = load_table(spark, stress, "orders").select(
+        "o_custkey", "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("v"))
+    tot = orders.count()
+    top = (orders.groupBy("o_custkey").count()
+                 .orderBy(F.desc("count")).limit(1).collect()[0])
+    print(f"orders={tot}, hottest custkey carries "
+          f"{100.0 * top['count'] / tot:.1f}%")
+    key = [F.col("o_custkey"), F.weekofyear("o_orderdate").alias("wk")]
+
+    def timed(tag, fn):
+        best, out = None, None
+        for _ in range(min_of):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        print(f"{tag:14s} {best:7.2f} s   (rows={len(out)})")
+        return out
+
+    plain = timed("sum_plain", lambda: (
+        orders.groupBy(*key)
+              .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+              .collect()))
+    salt = F.pmod(F.xxhash64("o_orderdate", F.lit(42)), F.lit(16))
+    salted = timed("sum_salted", lambda: (
+        orders.groupBy(*key, salt.alias("__salt"))
+              .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+              .groupBy("o_custkey", "wk")
+              .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+              .collect()))
+    a = {(r["o_custkey"], r["wk"]): (r["n"], r["s"]) for r in plain}
+    b = {(r["o_custkey"], r["wk"]): (r["n"], r["s"]) for r in salted}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == b[k][0], k
+        assert abs(a[k][1] - b[k][1]) <= 1e-9 * max(abs(a[k][1]), 1.0), k
+    print("sum variants agree (n exact, sums within 1e-9 relative)")
+
+    mp = timed("med_plain", lambda: (
+        orders.groupBy("o_custkey")
+              .agg(F.median("v").alias("med")).collect()))
+    mr = timed("med_rangecum", lambda: (
+        stats.grouped_median(orders, "o_custkey", "v").collect()))
+    m1 = {r["o_custkey"]: r["med"] for r in mp}
+    m2 = {r["o_custkey"]: r["med"] for r in mr}
+    assert set(m1) == set(m2)
+    for k in m1:
+        assert abs(m1[k] - m2[k]) <= 1e-9 * max(abs(m1[k]), 1.0), k
+    print("median variants agree (within 1e-9 relative)")
 
 
 if __name__ == "__main__":
-    main()
+    if "agg" in sys.argv[3:] or (len(sys.argv) > 3 and sys.argv[3] == "agg"):
+        agg_study()
+    else:
+        main()

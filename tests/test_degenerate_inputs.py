@@ -479,35 +479,70 @@ def test_quantile_twins_all_tied(spark, degen_dir):
     holds), and nothing aborts. Also exercises the small-n probe
     floor (_probe_eps) — 3/n here is 60x the 4/accuracy cushion."""
     tm = {r["l_returnflag"]: r
-          for r in Q.queries()["trimmed_mean_approx_price"](
+          for r in Q.trimmed_mean_approx_price_detail(
               spark, degen_dir).collect()}
     for flag, r in tm.items():
         assert r["trimmed_mean_approx"] == 100.0, flag
         assert r["c10_lo"] <= 100.0 <= r["c90_hi"], flag
         assert r["n_kept"] == r["n"], flag  # nothing outside the cuts
-    ws = Q.queries()["winsorized_approx_price_stats"](
+    ws = Q.winsorized_approx_price_stats_detail(
         spark, degen_dir).collect()
     for r in ws:
         assert r["winsorized_mean_approx"] == 100.0
         assert r["n_clamped"] == 0
         assert r["winsorized_sd_approx"] == 0.0
-    of = Q.queries()["outlier_fences_approx"](spark, degen_dir).collect()
+    of = Q.outlier_fences_approx_detail(spark, degen_dir).collect()
     for r in of:
         assert r["n_outliers"] == 0
         assert r["fence_lo_approx"] <= 500.0 <= r["fence_hi_approx"]
-    qs = Q.queries()["quantile_summary_approx"](spark, degen_dir).collect()
+    qs = Q.quantile_summary_approx_detail(spark, degen_dir).collect()
     for r in qs:
         assert r["lo"] == r["hi"] == 1000.0
         for p in ("p25", "p50", "p75", "p95"):
             assert r[f"{p}_approx"] == 1000.0, p
     rb = {r["metric"]: r
-          for r in Q.queries()["rfm_bounds_approx"](
+          for r in Q.rfm_bounds_approx_detail(
               spark, degen_dir).collect()}
     # mon is constant (1000.0/customer); rec constant (one date)
     assert rb["mon"]["q2_approx"] == 1000.0
     assert rb["rec"]["q2_approx"] == 0.0
     _assert_no_nan(tm.values())
     _assert_no_nan(ws)
+
+
+def test_quantile_twin_contracts_all_tied(spark, degen_dir):
+    """The r08 REGISTERED forms (bound-as-oracle): on all-constant
+    inputs the exact audits equal the constant and every containment
+    boolean still comes back TRUE (brackets collapse onto the value)."""
+    reg = Q.queries()
+    tm = {r["l_returnflag"]: r
+          for r in reg["trimmed_mean_approx_price"](
+              spark, degen_dir).collect()}
+    for flag, r in tm.items():
+        assert r["trimmed_mean_exact"] == 100.0, flag
+        assert r["c10_in_bracket"] and r["c90_in_bracket"], flag
+    mad = {r["l_returnflag"]: r
+           for r in reg["mad_approx_price_by_flag"](
+               spark, degen_dir).collect()}
+    for flag, r in mad.items():
+        assert r["median_price_exact"] == 100.0 and r["mad_exact"] == 0.0
+        assert r["med_in_bracket"] and r["mad_in_bracket"], flag
+    for r in reg["winsorized_approx_price_stats"](
+            spark, degen_dir).collect():
+        assert r["winsorized_mean_exact"] == 100.0
+        assert r["n_clamped_exact"] == 0
+        assert r["p01_in_bracket"] and r["p99_in_bracket"]
+    for r in reg["outlier_fences_approx"](spark, degen_dir).collect():
+        assert r["n_outliers_exact"] == 0
+        assert r["q1_in_bracket"] and r["q3_in_bracket"]
+    for r in reg["quantile_summary_approx"](spark, degen_dir).collect():
+        assert r["lo"] == r["hi"] == 1000.0
+        for p in ("p25", "p50", "p75", "p95"):
+            assert r[f"{p}_exact"] == 1000.0 and r[f"{p}_in_bracket"], p
+    rb = {r["metric"]: r
+          for r in reg["rfm_bounds_approx"](spark, degen_dir).collect()}
+    assert rb["mon"]["q2_exact"] == 1000.0 and rb["mon"]["q2_in_bracket"]
+    assert rb["rec"]["q2_exact"] == 0.0 and rb["rec"]["q2_in_bracket"]
 
 
 def test_hll_contract_identical_docs(spark, degen_docs_dir):

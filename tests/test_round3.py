@@ -34,7 +34,7 @@ def test_catalog_profile_no_expand(spark, sf_dir):
 def test_catalog_profile_approx_within_hll_bounds(spark, sf_dir):
     exact = (Q.catalog_profile(spark, sf_dir).toPandas()
              .set_index(["table_name", "column_name"]))
-    approx = (Q.catalog_profile_approx(spark, sf_dir).toPandas()
+    approx = (Q.catalog_profile_approx_detail(spark, sf_dir).toPandas()
               .set_index(["table_name", "column_name"]))
     assert len(approx) == len(exact) == 49
     j = exact.join(approx, rsuffix="_a")

@@ -53,7 +53,7 @@ def test_median_ci_approx_within_exact_interval(spark, sf):
     land inside the exact CI and the approx CI must contain the exact
     median; the rank targets themselves are identical."""
     exact = Q.median_ci_order_value(spark, sf).collect()[0]
-    ap = Q.median_ci_approx_order_value(spark, sf).collect()[0]
+    ap = Q.median_ci_approx_order_value_detail(spark, sf).collect()[0]
     assert ap["n"] == exact["n"]
     assert ap["rank_lo"] == exact["rank_lo"]
     assert ap["rank_hi"] == exact["rank_hi"]

@@ -87,7 +87,7 @@ def test_mad_approx_close_to_exact(spark, sf):
     exact = {r["l_returnflag"]: r
              for r in Q.mad_price_by_flag(spark, sf).collect()}
     ap = {r["l_returnflag"]: r
-          for r in Q.mad_approx_price_by_flag(spark, sf).collect()}
+          for r in Q.mad_approx_price_by_flag_detail(spark, sf).collect()}
     assert set(ap) == set(exact)
     for flag, row in ap.items():
         e = exact[flag]

@@ -34,7 +34,7 @@ def test_trimmed_mean_approx_brackets_and_drift(spark, sf):
     exact = {r["l_returnflag"]: r
              for r in Q.trimmed_mean_price(spark, sf).collect()}
     ap = {r["l_returnflag"]: r
-          for r in Q.trimmed_mean_approx_price(spark, sf).collect()}
+          for r in Q.trimmed_mean_approx_price_detail(spark, sf).collect()}
     assert set(ap) == set(exact)
     li = load_table(spark, sf, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").cast("double").alias("v"))
@@ -59,7 +59,7 @@ def test_winsorized_approx_brackets_and_drift(spark, sf):
     exact = {r["l_returnflag"]: r
              for r in Q.winsorized_price_stats(spark, sf).collect()}
     ap = {r["l_returnflag"]: r
-          for r in Q.winsorized_approx_price_stats(spark, sf).collect()}
+          for r in Q.winsorized_approx_price_stats_detail(spark, sf).collect()}
     assert set(ap) == set(exact)
     for flag, row in ap.items():
         e = exact[flag]
@@ -81,7 +81,7 @@ def test_outlier_fences_approx_brackets_and_drift(spark, sf):
     exact = {r["c_mktsegment"]: r
              for r in Q.outlier_fences(spark, sf).collect()}
     ap = {r["c_mktsegment"]: r
-          for r in Q.outlier_fences_approx(spark, sf).collect()}
+          for r in Q.outlier_fences_approx_detail(spark, sf).collect()}
     assert set(ap) == set(exact)
     cust = load_table(spark, sf, "customer").select(
         "c_mktsegment", F.col("c_acctbal").cast("double").alias("v"))
@@ -111,7 +111,7 @@ def test_quantile_summary_approx_brackets(spark, sf):
     exact = {r["o_orderpriority"]: r
              for r in Q.quantile_summary(spark, sf).collect()}
     ap = {r["o_orderpriority"]: r
-          for r in Q.quantile_summary_approx(spark, sf).collect()}
+          for r in Q.quantile_summary_approx_detail(spark, sf).collect()}
     assert set(ap) == set(exact)
     for pri, row in ap.items():
         e = exact[pri]
@@ -148,7 +148,8 @@ def test_rfm_bounds_approx_brackets(spark, sf):
              for r in stats.grouped_quantiles(
                  melted, "metric", "__v", [0.25, 0.5, 0.75],
                  ["q1", "q2", "q3"]).collect()}
-    ap = {r["metric"]: r for r in Q.rfm_bounds_approx(spark, sf).collect()}
+    ap = {r["metric"]: r
+          for r in Q.rfm_bounds_approx_detail(spark, sf).collect()}
     assert set(ap) == {"rec", "freq", "mon"} == set(exact)
     for m, row in ap.items():
         for q in ("q1", "q2", "q3"):
@@ -158,7 +159,7 @@ def test_rfm_bounds_approx_brackets(spark, sf):
 @pytest.mark.parametrize("sf", SFS)
 def test_funnel_latency_approx_brackets(spark, sf):
     e = _one(Q.funnel_latency_quantiles(spark, sf))
-    a = _one(Q.funnel_latency_approx_quantiles(spark, sf))
+    a = _one(Q.funnel_latency_approx_quantiles_detail(spark, sf))
     assert a["n_converted"] == e["n_converted"]
     assert a["p50_lo"] <= e["p50_s"] <= a["p50_hi"]
     assert a["p90_lo"] <= e["p90_s"] <= a["p90_hi"]
@@ -204,11 +205,11 @@ def test_twin_probes_clamp_on_tiny_groups(spark, tmp_path):
         "l_suppkey": [1] * 5,
     }).to_parquet(d + "/lineitem.parquet", index=False)
     mad = {r["l_returnflag"]: r
-           for r in Q.mad_approx_price_by_flag(spark, d).collect()}
+           for r in Q.mad_approx_price_by_flag_detail(spark, d).collect()}
     assert set(mad) == {"A", "R"}
     # A's exact median is 20; brackets collapse to [min, max]
     assert mad["A"]["med_lo"] <= 20.0 <= mad["A"]["med_hi"]
     assert mad["R"]["med_lo"] <= 45.0 <= mad["R"]["med_hi"]
     tm = {r["l_returnflag"]: r
-          for r in Q.trimmed_mean_approx_price(spark, d).collect()}
+          for r in Q.trimmed_mean_approx_price_detail(spark, d).collect()}
     assert tm["A"]["c10_lo"] <= 10.0 and tm["A"]["c90_hi"] >= 30.0
