@@ -475,6 +475,12 @@ def main() -> None:
             shared_ref = sum(prev["queries"][q] for q in shared)
             normalized = {
                 "speed_ratio_vs_ref": round(speed_ratio, 3),
+                # per-probe ratios: when these DISAGREE (e.g. numpy
+                # slowed but the Spark probe did not — observed in the
+                # r08 solo run) the mean ratio is a weak corrector and
+                # the raw wall deserves a closer look
+                "speed_ratio_spark_probe": round(ratios[0], 3),
+                "speed_ratio_numpy_probe": round(ratios[1], 3),
                 "normalized_wall": round(total / speed_ratio, 3),
                 "ref_wall": prev.get("value"),
                 "ref_n_queries": len(prev.get("queries", {})),

@@ -176,27 +176,29 @@ def agg_study() -> None:
           f"{100.0 * top['count'] / tot:.1f}%")
     key = [F.col("o_custkey"), F.weekofyear("o_orderdate").alias("wk")]
 
-    def timed(tag, fn):
-        best, out = None, None
+    def timed(tag, make_df):
+        # noop sink for the TIMED runs (a 7M-row collect would
+        # otherwise dominate the wall and hide the shuffle cost being
+        # measured); one untimed collect feeds the equality check
+        best = None
         for _ in range(min_of):
             t0 = time.time()
-            out = fn()
+            make_df().write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+        out = make_df().collect()
         print(f"{tag:14s} {best:7.2f} s   (rows={len(out)})")
         return out
 
     plain = timed("sum_plain", lambda: (
         orders.groupBy(*key)
-              .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
-              .collect()))
+              .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))))
     salt = F.pmod(F.xxhash64("o_orderdate", F.lit(42)), F.lit(16))
     salted = timed("sum_salted", lambda: (
         orders.groupBy(*key, salt.alias("__salt"))
               .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
               .groupBy("o_custkey", "wk")
-              .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
-              .collect()))
+              .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))))
     a = {(r["o_custkey"], r["wk"]): (r["n"], r["s"]) for r in plain}
     b = {(r["o_custkey"], r["wk"]): (r["n"], r["s"]) for r in salted}
     assert set(a) == set(b)
@@ -206,16 +208,38 @@ def agg_study() -> None:
     print("sum variants agree (n exact, sums within 1e-9 relative)")
 
     mp = timed("med_plain", lambda: (
-        orders.groupBy("o_custkey")
-              .agg(F.median("v").alias("med")).collect()))
+        orders.groupBy("o_custkey").agg(F.median("v").alias("med"))))
     mr = timed("med_rangecum", lambda: (
-        stats.grouped_median(orders, "o_custkey", "v").collect()))
+        stats.grouped_median(orders, "o_custkey", "v")
+             .withColumnRenamed("med", "med")))
     m1 = {r["o_custkey"]: r["med"] for r in mp}
     m2 = {r["o_custkey"]: r["med"] for r in mr}
     assert set(m1) == set(m2)
     for k in m1:
         assert abs(m1[k] - m2[k]) <= 1e-9 * max(abs(m1[k]), 1.0), k
     print("median variants agree (within 1e-9 relative)")
+
+    # EXTREME hot-group holistic agg: one group owns half of 50M rows.
+    # F.median buffers those 25M doubles in ONE aggregation task
+    # (partial state = the value list, so partial aggregation cannot
+    # shrink it) and single-task-sorts them; grouped_median's
+    # range-partitioned distinct-value machinery keeps every task
+    # bounded. This is the wall-clock crossover probe for the regime
+    # the exact operators' docstrings claim.
+    hot = (spark.range(0, 50_000_000, 1, 64)
+           .select(F.when(F.col("id") % 2 == 0, F.lit(0))
+                    .otherwise(F.pmod(F.col("id"), F.lit(63)) + 1)
+                    .alias("g"),
+                   F.pmod(F.col("id") * 2654435761, F.lit(1_000_003))
+                    .cast("double").alias("v")))
+    hp = timed("hotmed_plain", lambda: (
+        hot.groupBy("g").agg(F.median("v").alias("med"))))
+    hr = timed("hotmed_rangecum", lambda: (
+        stats.grouped_median(hot, "g", "v")))
+    h1 = {r["g"]: r["med"] for r in hp}
+    h2 = {r["g"]: r["med"] for r in hr}
+    assert h1 == h2, "hot-median variants disagree"
+    print("hot-median variants agree exactly")
 
 
 if __name__ == "__main__":
