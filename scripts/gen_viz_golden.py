@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Generate the committed GOLDEN SVGs for the three plot families
+(VERDICT r07 #7 stretch): one distribution panel (hist+box), one LOESS
+scatter+curve, one correlation heatmap, all at sf0.001. The companion
+test (tests/test_viz.py golden tests) byte-compares fresh renders
+against these files so any rendering regression is visible in CI.
+
+Inclusion rule (same as gen_expected.py): the rendered geometry must
+be partition-INDEPENDENT — distribution stats ride the exact
+grouped-quantiles machinery + integer histogram counts, the LOESS
+curve is a fused conditional-sum aggregate over integer-backed columns
+rounded before formatting, the heatmap annotates 2-dp correlations,
+and the scatter sample is md5-thresholded (layout-free). Verified by
+rendering under two hostile session layouts before committing
+(the determinism_scan.py discipline).
+
+Usage: python scripts/gen_viz_golden.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parking_bigdata_spark import viz  # noqa: E402
+from parking_bigdata_spark.io import load_table  # noqa: E402
+from parking_bigdata_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def generate(sf_dir: str, out_dir: str, spark=None) -> list[str]:
+    spark = spark or get_spark("gen-viz-golden")
+    os.makedirs(out_dir, exist_ok=True)
+    li = load_table(spark, sf_dir, "lineitem")
+    paths = viz.save_distribution_plots(li, ["l_quantity"], out_dir,
+                                        n_buckets=12)
+    paths.append(viz.save_loess_plot(
+        li, "l_quantity", "l_extendedprice",
+        os.path.join(out_dir, "loess_qty_price.svg")))
+    paths.append(viz.save_corr_heatmap(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        os.path.join(out_dir, "corr_lineitem.svg")))
+    for p in paths:
+        print(p, os.path.getsize(p), "bytes", file=sys.stderr)
+    return paths
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = (sys.argv[2] if len(sys.argv) > 2
+           else os.path.join(REPO, "expected", "viz_sf0.001"))
+    generate(sf, out)

@@ -120,3 +120,34 @@ def test_corr_heatmap_cells_and_values(spark, tmp_path, sf_dir):
             if r["corr"] is not None}
     texts = {e.text for e in root.iter(f"{NS}text") if e.text}
     assert want <= texts, want - texts
+
+
+# --- golden-file rendering regression tests (VERDICT r07 #7) ---------
+
+
+def test_golden_svgs_byte_identical(spark):
+    """One committed golden SVG per plot family at sf0.001
+    (expected/viz_sf0.001/, regenerate with scripts/gen_viz_golden.py);
+    a fresh render must be BYTE-identical. Layout-independence was
+    verified at generation time by rendering under two hostile session
+    layouts (1-partition/128M splits vs 32-partition/1M splits) — the
+    geometry derives from exact quantiles, integer histogram counts,
+    rounded curve sums and an md5-thresholded scatter sample, so any
+    byte drift is a rendering change, not shuffle noise."""
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from scripts.gen_viz_golden import generate
+    golden_dir = os.path.join(repo, "expected", "viz_sf0.001")
+    import tempfile
+    with tempfile.TemporaryDirectory() as fresh_dir:
+        paths = generate("/root/testdata/sf0.001", fresh_dir, spark=spark)
+        assert len(paths) == 3
+        for p in paths:
+            name = os.path.basename(p)
+            gold = os.path.join(golden_dir, name)
+            assert os.path.exists(gold), f"missing golden {name}"
+            with open(p, "rb") as fa, open(gold, "rb") as fb:
+                assert fa.read() == fb.read(), (
+                    f"{name} drifted from its golden — if the change is "
+                    f"intended, regenerate with scripts/gen_viz_golden.py")
