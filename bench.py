@@ -459,11 +459,18 @@ def main() -> None:
     # expresses this round's work in reference-machine seconds.
     normalized = None
     here = os.path.dirname(os.path.abspath(__file__))
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    this_sf = float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag
     try:
         with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
             prev = json.load(f)
         pc = prev.get("calibration") or {}
-        if calibration and pc.get("spark_hash_agg_sec") \
+        # SAME-SF guard (code-review r08): the committed reference is
+        # the solo sf0.1 record — normalizing a smoke run at another
+        # SF against it would print an apples-to-oranges "normalized
+        # wall vs ref" in the exact output built to be trustworthy
+        if calibration and prev.get("sf") == this_sf \
+                and pc.get("spark_hash_agg_sec") \
                 and pc.get("numpy_gemm_sec"):
             ratios = [calibration["spark_hash_agg_sec"]
                       / pc["spark_hash_agg_sec"],
@@ -500,8 +507,7 @@ def main() -> None:
     except (OSError, json.JSONDecodeError, ZeroDivisionError, KeyError):
         pass
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    sf_val = this_sf
     # Full per-query detail goes to stderr and a sidecar file; the ONE
     # stdout JSON line stays compact (the driver captures a bounded tail
     # of stdout — an 83-entry dict pushed "value" out of the r01 capture

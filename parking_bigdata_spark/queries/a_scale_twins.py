@@ -1613,4 +1613,10 @@ SELECT CAST(count(*) AS BIGINT) AS n_converted,
        TRUE AS p50_in_bracket, TRUE AS p90_in_bracket,
        {_GK_ACC} AS accuracy
 FROM lat
+HAVING count(*) > 0
 """
+# HAVING count(*) > 0 (code-review r08): with ZERO conversions the
+# Spark side's single-group aggregation over an empty lat frame emits
+# 0 rows, while a bare global aggregate here would emit one — the
+# clause makes the oracle 0-row on that degenerate input too (the
+# exact FUNNEL_LATENCY_SQL carries the same fix).

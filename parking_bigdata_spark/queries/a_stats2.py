@@ -412,18 +412,31 @@ def _profile_one_column(df: DataFrame, table: str, col: str,
     return (table, col, r["nr"], r["nr"] - r["c"], r["d"])
 
 
-def _catalog_profile_rows(spark: SparkSession, sf_dir: str,
-                          distinct_agg) -> DataFrame:
+_CATALOG_BASE_SCHEMA = ("table_name string, column_name string, "
+                        "n_rows long, n_nulls long")
+
+
+def _catalog_pool_rows(spark: SparkSession, sf_dir: str, row_fn,
+                       schema: str) -> DataFrame:
+    """Shared scaffolding for every catalog-profile variant: one
+    row_fn(df, table, col) job per (table, column), all submitted
+    concurrently from a thread pool (Spark interleaves their
+    independent stages across executor slots)."""
     from concurrent.futures import ThreadPoolExecutor
     dfs = {t: load_table(spark, sf_dir, t) for t in _CATALOG_COLUMNS}
     jobs = [(t, c) for t, cols in _CATALOG_COLUMNS.items() for c in cols]
     with ThreadPoolExecutor(max_workers=min(16, len(jobs))) as pool:
         rows = list(pool.map(
-            lambda tc: _profile_one_column(dfs[tc[0]], tc[0], tc[1],
-                                           distinct_agg), jobs))
-    return spark.createDataFrame(
-        rows, "table_name string, column_name string, n_rows long, "
-              "n_nulls long, n_distinct long")
+            lambda tc: row_fn(dfs[tc[0]], tc[0], tc[1]), jobs))
+    return spark.createDataFrame(rows, schema)
+
+
+def _catalog_profile_rows(spark: SparkSession, sf_dir: str,
+                          distinct_agg) -> DataFrame:
+    return _catalog_pool_rows(
+        spark, sf_dir,
+        lambda df, t, c: _profile_one_column(df, t, c, distinct_agg),
+        _CATALOG_BASE_SCHEMA + ", n_distinct long")
 
 
 def catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,44 +482,32 @@ def catalog_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     always does; DuckDB recomputes the exact side and asserts the
     boolean as TRUE. At 100 TB the exact audit is dropped and
     ``catalog_profile_approx_detail`` above is the product."""
-    from concurrent.futures import ThreadPoolExecutor
-    dfs = {t: load_table(spark, sf_dir, t) for t in _CATALOG_COLUMNS}
-    jobs = [(t, c) for t, cols in _CATALOG_COLUMNS.items() for c in cols]
-    with ThreadPoolExecutor(max_workers=min(16, len(jobs))) as pool:
-        rows = list(pool.map(
-            lambda tc: _profile_one_column_audit(dfs[tc[0]], tc[0], tc[1]),
-            jobs))
-    return spark.createDataFrame(
-        rows, "table_name string, column_name string, n_rows long, "
-              "n_nulls long, n_distinct_exact long, "
-              "hll_within_5pct boolean")
+    return _catalog_pool_rows(
+        spark, sf_dir, _profile_one_column_audit,
+        _CATALOG_BASE_SCHEMA
+        + ", n_distinct_exact long, hll_within_5pct boolean")
 
-_CATALOG_SELECTS = []
-for _t, _cols in _CATALOG_COLUMNS.items():
-    for _c in _cols:
-        _CATALOG_SELECTS.append(
-            f"SELECT '{_t}' AS table_name, '{_c}' AS column_name,\n"
-            f"       (SELECT count(*) FROM {_t}) AS n_rows,\n"
-            f"       (SELECT count(*) - count({_c}) FROM {_t}) AS n_nulls,\n"
-            f"       (SELECT count(DISTINCT {_c}) FROM {_t}) AS n_distinct")
-CATALOG_PROFILE_SQL = "\nUNION ALL\n".join(_CATALOG_SELECTS)
-del _CATALOG_SELECTS, _t, _cols, _c
+def _catalog_sql(distinct_alias: str, extra: str = "") -> str:
+    """Both catalog oracles are GENERATED from the same column
+    dictionary (so the Spark and DuckDB sides cannot drift), differing
+    only in the distinct column's alias and the bound-as-oracle twin's
+    TRUE in-band literal."""
+    selects = []
+    for t, cols in _CATALOG_COLUMNS.items():
+        for c in cols:
+            selects.append(
+                f"SELECT '{t}' AS table_name, '{c}' AS column_name,\n"
+                f"       (SELECT count(*) FROM {t}) AS n_rows,\n"
+                f"       (SELECT count(*) - count({c}) FROM {t})"
+                f" AS n_nulls,\n"
+                f"       (SELECT count(DISTINCT {c}) FROM {t})"
+                f" AS {distinct_alias}" + extra)
+    return "\nUNION ALL\n".join(selects)
 
-# the bound-as-oracle twin's SQL is GENERATED from the same column
-# dictionary (exact distinct audit + the TRUE in-band literal), so the
-# Spark and DuckDB sides cannot drift
-_CATALOG_APPROX_SELECTS = []
-for _t, _cols in _CATALOG_COLUMNS.items():
-    for _c in _cols:
-        _CATALOG_APPROX_SELECTS.append(
-            f"SELECT '{_t}' AS table_name, '{_c}' AS column_name,\n"
-            f"       (SELECT count(*) FROM {_t}) AS n_rows,\n"
-            f"       (SELECT count(*) - count({_c}) FROM {_t}) AS n_nulls,\n"
-            f"       (SELECT count(DISTINCT {_c}) FROM {_t})"
-            f" AS n_distinct_exact,\n"
-            f"       TRUE AS hll_within_5pct")
-CATALOG_PROFILE_APPROX_SQL = "\nUNION ALL\n".join(_CATALOG_APPROX_SELECTS)
-del _CATALOG_APPROX_SELECTS, _t, _cols, _c
+
+CATALOG_PROFILE_SQL = _catalog_sql("n_distinct")
+CATALOG_PROFILE_APPROX_SQL = _catalog_sql(
+    "n_distinct_exact", ",\n       TRUE AS hll_within_5pct")
 
 
 # --------------------------------------------------------------------------

@@ -1858,15 +1858,18 @@ def median_ci_approx_order_value(spark: SparkSession,
     the `_detail` form above is the product). A sketch drifting out of
     either band now FAILS the driver's value hash."""
     ap = median_ci_approx_order_value_detail(spark, sf_dir).collect()[0]
-    ex = median_ci_order_value(spark, sf_dir).collect()[0]
     schema = ("n long, rank_lo long, rank_hi long, median_exact double, "
               "ci_lo_exact double, ci_hi_exact double, "
               "approx_median_in_ci boolean, "
               "approx_ci_brackets_median boolean, accuracy long")
-    if not ex["n"]:
+    # empty-input guard BEFORE the exact call (code-review r08): the
+    # exact median_ci_order_value raises on n=0 (math.floor(None/2)),
+    # so gate on the detail's hardened n — same NULL-row contract
+    if not ap["n"]:
         return spark.createDataFrame(
             [(0, None, None, None, None, None, None, None,
               ap["accuracy"])], schema)
+    ex = median_ci_order_value(spark, sf_dir).collect()[0]
     in_ci = bool(ex["ci_lo"] <= ap["median_approx"] <= ex["ci_hi"])
     brackets = bool(ap["ci_lo_approx"] <= ex["median"]
                     <= ap["ci_hi_approx"])

@@ -1486,7 +1486,12 @@ SELECT CAST(count(*) AS BIGINT) AS n_converted,
        round(quantile_cont(latency_s, 0.5), 4) AS p50_s,
        round(quantile_cont(latency_s, 0.9), 4) AS p90_s
 FROM lat
+HAVING count(*) > 0
 """
+# HAVING count(*) > 0: the Spark side's groupBy("g") over an empty
+# latency frame emits 0 rows (no conversions); a bare global
+# aggregate here would emit one — match the 0-row behavior
+# (code-review r08, found while attaching the approx twin's oracle).
 
 
 # --------------------------------------------------------------------------

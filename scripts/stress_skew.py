@@ -163,7 +163,8 @@ def agg_study() -> None:
     Record the numbers in SCALE.md (r08 table).
     """
     stress = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stress_zipf"
-    min_of = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    min_of = int(sys.argv[2]) if len(sys.argv) > 2 \
+        and sys.argv[2] != "agg" else 2
     spark = get_spark("stress-skew-agg")
     from parking_bigdata_spark.operators import stats  # noqa: E402
     orders = load_table(spark, stress, "orders").select(
@@ -243,7 +244,10 @@ def agg_study() -> None:
 
 
 if __name__ == "__main__":
-    if "agg" in sys.argv[3:] or (len(sys.argv) > 3 and sys.argv[3] == "agg"):
+    # min_of is optional per agg_study's usage line, so accept "agg"
+    # anywhere after the dir (code-review r08: `<dir> agg` previously
+    # fell through to main() and crashed on int("agg"))
+    if "agg" in sys.argv[2:]:
         agg_study()
     else:
         main()

@@ -170,3 +170,51 @@ def test_registered_mad_contract_tiny_groups(spark, tmp_path):
     assert rows["R"]["median_price_exact"] == 45.0
     for flag, r in rows.items():
         assert r["med_in_bracket"] and r["mad_in_bracket"], flag
+
+
+def test_funnel_zero_conversions_both_engines_empty(spark, tmp_path):
+    """Code-review r08: with zero completed funnels the Spark side
+    emits 0 rows (empty single-group aggregation); the oracles must
+    too (HAVING count(*) > 0) — exact AND approx."""
+    import duckdb
+    import pandas as pd
+    d = str(tmp_path)
+    pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00",
+                              "2024-01-02 10:00", "2024-01-02 11:00"]),
+        "user_id": [1, 1, 2, 2],
+        "event_type": ["view", "click", "view", "view"],  # no purchase
+        "value": [1.0, 2.0, 3.0, 4.0],
+    }).to_parquet(d + "/events.parquet", index=False)
+    assert Q.funnel_latency_quantiles(spark, d).count() == 0
+    assert Q.queries()["funnel_latency_approx_quantiles"](
+        spark, d).count() == 0
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{d}/events.parquet'")
+    osql = Q.oracle_sql()
+    assert len(con.execute(osql["funnel_latency_quantiles"]).df()) == 0
+    assert len(con.execute(
+        osql["funnel_latency_approx_quantiles"]).df()) == 0
+
+
+def test_median_ci_contract_empty_orders(spark, tmp_path):
+    """Code-review r08: the registered bound-as-oracle form must take
+    the hardened NULL-row path on empty input BEFORE calling the
+    exact A159 (which raises on n=0)."""
+    import pandas as pd
+    d = str(tmp_path)
+    pd.DataFrame({
+        "o_orderkey": pd.Series([], dtype="int64"),
+        "o_custkey": pd.Series([], dtype="int64"),
+        "o_orderstatus": pd.Series([], dtype="object"),
+        "o_orderpriority": pd.Series([], dtype="object"),
+        "o_totalprice": pd.Series([], dtype="float64"),
+        "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+    }).to_parquet(d + "/orders.parquet", index=False)
+    row = Q.queries()["median_ci_approx_order_value"](
+        spark, d).collect()[0]
+    assert row["n"] == 0
+    assert row["median_exact"] is None
+    assert row["approx_median_in_ci"] is None
