@@ -880,6 +880,14 @@ FROM agg
 
 _GK_ACC = 10000
 
+#: audit passes (the r08 bound-as-oracle exact sides) run the exact
+#: machinery at this accuracy: a pure performance knob — exactness
+#: never depends on it (grouped_quantiles' bracket always contains the
+#: true quantile and the below-count pass pins the exact rank; values
+#: verified identical at 10000/2000/500 on sf0.1, GK insert cost ~17%
+#: lower per pass). One constant so retuning cannot miss a site.
+_AUDIT_ACC = 2000
+
 
 def _floor4(c):
     return F.floor(F.col(c) * 1e4) / 1e4
@@ -1251,18 +1259,14 @@ def mad_approx_price_by_flag(spark: SparkSession,
           .where(F.col("l_extendedprice").isNotNull())
           .select("l_returnflag",
                   F.col("l_extendedprice").cast("double").alias("v")))
-    # audit passes run the exact machinery at accuracy 2000: a pure
-    # performance knob (grouped_quantiles' exactness NEVER depends on
-    # it — values verified identical at 10000/2000/500 on sf0.1), and
-    # GK insert cost drops ~17% per pass (1.93 -> 1.61 s measured)
     med_e = (stats.grouped_median(li, "l_returnflag", "v", alias="med_e",
-                                  accuracy=2000)
+                                  accuracy=_AUDIT_ACC)
              .localCheckpoint(eager=True))
     dev = (li.join(F.broadcast(med_e), "l_returnflag")
              .select("l_returnflag",
                      F.abs(F.col("v") - F.col("med_e")).alias("adev")))
     mad_e = stats.grouped_median(dev, "l_returnflag", "adev",
-                                 alias="mad_e", accuracy=2000)
+                                 alias="mad_e", accuracy=_AUDIT_ACC)
     n = li.groupBy("l_returnflag").agg(F.count("v").alias("n"))
     w = F.col("med_hi") - F.col("med_lo")
     return (det.join(F.broadcast(med_e), "l_returnflag")
@@ -1311,9 +1315,8 @@ def trimmed_mean_approx_price(spark: SparkSession,
           .where(F.col("l_extendedprice").isNotNull())
           .select("l_returnflag",
                   F.col("l_extendedprice").cast("double").alias("v")))
-    # audit-pass accuracy 2000: pure perf knob, exactness unaffected
     cuts = (stats.grouped_quantiles(li, "l_returnflag", "v", [0.1, 0.9],
-                                    ["c10_e", "c90_e"], accuracy=2000)
+                                    ["c10_e", "c90_e"], accuracy=_AUDIT_ACC)
             .localCheckpoint(eager=True))
     j = li.join(F.broadcast(cuts), "l_returnflag")
     inside = (F.col("v") >= F.col("c10_e")) & (F.col("v") <= F.col("c90_e"))
@@ -1367,9 +1370,8 @@ def winsorized_approx_price_stats(spark: SparkSession,
           .where(F.col("l_extendedprice").isNotNull())
           .select("l_returnflag",
                   F.col("l_extendedprice").cast("double").alias("v")))
-    # audit-pass accuracy 2000: pure perf knob, exactness unaffected
     q = (stats.grouped_quantiles(li, "l_returnflag", "v", [0.01, 0.99],
-                                 ["p01_e", "p99_e"], accuracy=2000)
+                                 ["p01_e", "p99_e"], accuracy=_AUDIT_ACC)
          .localCheckpoint(eager=True))
     w = li.join(F.broadcast(q), "l_returnflag")
     v = F.col("v")
@@ -1431,9 +1433,8 @@ def outlier_fences_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     det = outlier_fences_approx_detail(spark, sf_dir)
     proj = load_table(spark, sf_dir, "customer").select(
         "c_mktsegment", F.col("c_acctbal").cast("double").alias("v"))
-    # audit-pass accuracy 2000: pure perf knob, exactness unaffected
     q = (stats.grouped_quantiles(proj, "c_mktsegment", "v", [0.25, 0.75],
-                                 ["q1_e", "q3_e"], accuracy=2000)
+                                 ["q1_e", "q3_e"], accuracy=_AUDIT_ACC)
          .localCheckpoint(eager=True))
     fe = q.select(
         "c_mktsegment", "q1_e", "q3_e",
@@ -1495,11 +1496,10 @@ def quantile_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     det = quantile_summary_approx_detail(spark, sf_dir)
     proj = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority", F.col("o_totalprice").cast("double").alias("v"))
-    # audit-pass accuracy 2000: pure perf knob, exactness unaffected
     ex = stats.grouped_quantiles(proj, "o_orderpriority", "v",
                                  [0.25, 0.5, 0.75, 0.95],
                                  ["p25_e", "p50_e", "p75_e", "p95_e"],
-                                 accuracy=2000)
+                                 accuracy=_AUDIT_ACC)
     sel = ["o_orderpriority"]
     for a in ("p25", "p50", "p75", "p95"):
         sel += [F.round(f"{a}_e", 4).alias(f"{a}_exact"),
@@ -1535,7 +1535,7 @@ def rfm_bounds_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     det = rfm_bounds_approx_detail(spark, sf_dir, melted=melted)
     ex = stats.grouped_quantiles(melted, "metric", "__v",
                                  [0.25, 0.5, 0.75],
-                                 ["q1_e", "q2_e", "q3_e"], accuracy=2000)
+                                 ["q1_e", "q2_e", "q3_e"], accuracy=_AUDIT_ACC)
     sel = ["metric"]
     for a in ("q1", "q2", "q3"):
         sel += [F.round(f"{a}_e", 4).alias(f"{a}_exact"),
@@ -1581,7 +1581,7 @@ def funnel_latency_approx_quantiles(spark: SparkSession,
     lat = _funnel_latency_frame(spark, sf_dir)
     det = funnel_latency_approx_quantiles_detail(spark, sf_dir, lat=lat)
     ex = stats.grouped_quantiles(lat, "g", "latency_s", [0.5, 0.9],
-                                 ["p50_e", "p90_e"], accuracy=2000)
+                                 ["p50_e", "p90_e"], accuracy=_AUDIT_ACC)
     return (det.crossJoin(F.broadcast(ex.drop("g")))
                .select(
                    "n_converted",

@@ -16,16 +16,27 @@ from __future__ import annotations
 
 import math
 import os
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 import pytest
 
 try:
-    from hypothesis import given, settings, strategies as st, HealthCheck
+    from hypothesis import (HealthCheck, example, given, settings,
+                            strategies as st)
 except ImportError:  # pragma: no cover — hypothesis is baked in here
     pytest.skip("hypothesis unavailable", allow_module_level=True)
 
 from parking_bigdata_spark import queries as Q
+
+
+def _r4(x: float) -> float:
+    """HALF_UP 4-dp round matching Spark's F.round (BigDecimal.valueOf
+    on the double's shortest repr, setScale HALF_UP) — Python's built-in
+    round() is banker's and disagrees on exact half-ticks (e.g.
+    21.15625 -> 21.1562 vs Spark's 21.1563; code-review r08)."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"),
+                                           rounding=ROUND_HALF_UP))
 
 
 def _percentile_cont(values: list[float], p: float) -> float:
@@ -48,6 +59,10 @@ _GROUP = st.lists(_VALS, min_size=1, max_size=24)
 @settings(max_examples=12, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(a=_GROUP, r=_GROUP)
+# pinned adversarial cases (code-review r08): an EMPTY trimmed band
+# (2 distinct values) and a trimmed mean landing exactly on a
+# 4-dp half-tick (21.15625 — HALF_UP vs banker's rounding)
+@example(a=[20.0, 10.0], r=[10.0] * 7 + [99.25, 1000.0])
 def test_registered_twin_theorems_random_tiny_groups(spark, tmp_path_factory,
                                                      a, r):
     d = str(tmp_path_factory.mktemp("prop"))
@@ -77,8 +92,8 @@ def test_registered_twin_theorems_random_tiny_groups(spark, tmp_path_factory,
         row = mad[flag]
         med = _percentile_cont(vs, 0.5)
         dev_med = _percentile_cont([abs(x - med) for x in vs], 0.5)
-        assert row["median_price_exact"] == round(med, 4), (flag, vs)
-        assert row["mad_exact"] == round(dev_med, 4), (flag, vs)
+        assert row["median_price_exact"] == _r4(med), (flag, vs)
+        assert row["mad_exact"] == _r4(dev_med), (flag, vs)
         assert row["med_in_bracket"] is True, (flag, vs)
         assert row["mad_in_bracket"] is True, (flag, vs)
 
@@ -91,9 +106,13 @@ def test_registered_twin_theorems_random_tiny_groups(spark, tmp_path_factory,
         c90 = _percentile_cont(vs, 0.9)
         inside = [x for x in vs if c10 <= x <= c90]
         assert row["n"] == len(vs), (flag, vs)
-        assert row["c10_exact"] == round(c10, 4), (flag, vs)
-        assert row["c90_exact"] == round(c90, 4), (flag, vs)
-        assert row["trimmed_mean_exact"] == round(
-            sum(inside) / len(inside), 4), (flag, vs)
+        assert row["c10_exact"] == _r4(c10), (flag, vs)
+        assert row["c90_exact"] == _r4(c90), (flag, vs)
+        # a 2-distinct-value group can have an EMPTY trimmed band
+        # (c10 > min, c90 < max) — Spark's avg over zero WHEN-matches
+        # is NULL, and the pure-Python side must expect exactly that
+        # instead of dividing by zero (code-review r08)
+        exp_tm = _r4(sum(inside) / len(inside)) if inside else None
+        assert row["trimmed_mean_exact"] == exp_tm, (flag, vs)
         assert row["c10_in_bracket"] is True, (flag, vs)
         assert row["c90_in_bracket"] is True, (flag, vs)
