@@ -1108,7 +1108,7 @@ def quantile_summary_approx_detail(spark: SparkSession,
 # rows-state stage): the exact A80 melts the customer metric table and
 # runs grouped_quantiles over (metric, value); everything downstream
 # (scoring, segment rollup) is already bounded. This twin emits that
-# quantile stage — the three R/F/M tertile cut points with proof
+# quantile stage — the three R/F/M quartile cut points with proof
 # brackets — from ONE GK pass over the same melted frame. Scoring
 # consumes these bounds unchanged, so bracket containment here is the
 # scale proof for the whole segmentation.
@@ -1245,8 +1245,8 @@ def funnel_latency_approx_quantiles_detail(
 # ==========================================================================
 
 
-def mad_approx_price_by_flag(spark: SparkSession,
-                             sf_dir: str) -> DataFrame:
+def mad_approx_price_by_flag(spark: SparkSession, sf_dir: str, *,
+                             audit: bool = True) -> DataFrame:
     """A63b bound-as-oracle form. `mad_in_bracket` uses the TRIANGLE-
     INEQUALITY widening: [mad_lo, mad_hi] brackets the deviation median
     around the EMITTED GK center a, while the audit MAD is the
@@ -1255,6 +1255,8 @@ def mad_approx_price_by_flag(spark: SparkSession,
     GK monotonicity in the fraction and the containment proof), so the
     exact MAD provably lies in [mad_lo − w, mad_hi + w]."""
     det = mad_approx_price_by_flag_detail(spark, sf_dir)
+    if not audit:
+        return det
     li = (load_table(spark, sf_dir, "lineitem")
           .where(F.col("l_extendedprice").isNotNull())
           .select("l_returnflag",
@@ -1303,14 +1305,16 @@ GROUP BY 1
 """
 
 
-def trimmed_mean_approx_price(spark: SparkSession,
-                              sf_dir: str) -> DataFrame:
+def trimmed_mean_approx_price(spark: SparkSession, sf_dir: str, *,
+                              audit: bool = True) -> DataFrame:
     """A64b bound-as-oracle form: exact percentile_cont(0.1/0.9)
     cutoffs as audit columns + GK-bracket containment booleans, plus
     the exact QUANTILE-trimmed mean between those exact cutoffs (the
     statistic the GK twin estimates — DuckDB-recomputable, unlike the
     GK point estimate)."""
     det = trimmed_mean_approx_price_detail(spark, sf_dir)
+    if not audit:
+        return det
     li = (load_table(spark, sf_dir, "lineitem")
           .where(F.col("l_extendedprice").isNotNull())
           .select("l_returnflag",
@@ -1360,12 +1364,14 @@ GROUP BY 1
 """
 
 
-def winsorized_approx_price_stats(spark: SparkSession,
-                                  sf_dir: str) -> DataFrame:
+def winsorized_approx_price_stats(spark: SparkSession, sf_dir: str, *,
+                                  audit: bool = True) -> DataFrame:
     """A92b bound-as-oracle form: exact p01/p99 audits + containment
     booleans, plus the exact winsorized moments (the A92 statistics —
     DuckDB-recomputable via WINSORIZED_SQL's shape)."""
     det = winsorized_approx_price_stats_detail(spark, sf_dir)
+    if not audit:
+        return det
     li = (load_table(spark, sf_dir, "lineitem")
           .where(F.col("l_extendedprice").isNotNull())
           .select("l_returnflag",
@@ -1426,11 +1432,14 @@ FROM w GROUP BY 1
 """
 
 
-def outlier_fences_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def outlier_fences_approx(spark: SparkSession, sf_dir: str, *,
+                          audit: bool = True) -> DataFrame:
     """A44b bound-as-oracle form: exact q1/q3 audits + containment
     booleans, plus the exact fences and outlier count (A44's output —
     DuckDB-recomputable via OUTLIER_FENCES_SQL's shape)."""
     det = outlier_fences_approx_detail(spark, sf_dir)
+    if not audit:
+        return det
     proj = load_table(spark, sf_dir, "customer").select(
         "c_mktsegment", F.col("c_acctbal").cast("double").alias("v"))
     q = (stats.grouped_quantiles(proj, "c_mktsegment", "v", [0.25, 0.75],
@@ -1490,10 +1499,13 @@ GROUP BY 1
 """
 
 
-def quantile_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quantile_summary_approx(spark: SparkSession, sf_dir: str, *,
+                            audit: bool = True) -> DataFrame:
     """C2b bound-as-oracle form: exact p25/p50/p75/p95 audits +
     containment booleans; min/max stay the exact codegen aggregate."""
     det = quantile_summary_approx_detail(spark, sf_dir)
+    if not audit:
+        return det
     proj = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority", F.col("o_totalprice").cast("double").alias("v"))
     ex = stats.grouped_quantiles(proj, "o_orderpriority", "v",
@@ -1527,12 +1539,15 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
-def rfm_bounds_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A80b bound-as-oracle form: exact R/F/M tertile cut points as
+def rfm_bounds_approx(spark: SparkSession, sf_dir: str, *,
+                      audit: bool = True) -> DataFrame:
+    """A80b bound-as-oracle form: exact R/F/M quartile cut points as
     audit columns + GK-bracket containment booleans, over the SAME
     pinned melted frame (one orders scan+shuffle total)."""
     melted = _rfm_melted(spark, sf_dir)
     det = rfm_bounds_approx_detail(spark, sf_dir, melted=melted)
+    if not audit:
+        return det
     ex = stats.grouped_quantiles(melted, "metric", "__v",
                                  [0.25, 0.5, 0.75],
                                  ["q1_e", "q2_e", "q3_e"], accuracy=_AUDIT_ACC)
@@ -1573,13 +1588,15 @@ FROM melted GROUP BY 1 ORDER BY 1
 """
 
 
-def funnel_latency_approx_quantiles(spark: SparkSession,
-                                    sf_dir: str) -> DataFrame:
+def funnel_latency_approx_quantiles(spark: SparkSession, sf_dir: str, *,
+                                    audit: bool = True) -> DataFrame:
     """C38b bound-as-oracle form: exact p50/p90 latency audits +
     containment booleans, over the SAME pinned latency frame (the
     window stage runs once)."""
     lat = _funnel_latency_frame(spark, sf_dir)
     det = funnel_latency_approx_quantiles_detail(spark, sf_dir, lat=lat)
+    if not audit:
+        return det
     ex = stats.grouped_quantiles(lat, "g", "latency_s", [0.5, 0.9],
                                  ["p50_e", "p90_e"], accuracy=_AUDIT_ACC)
     return (det.crossJoin(F.broadcast(ex.drop("g")))

@@ -471,7 +471,8 @@ def _profile_one_column_audit(df: DataFrame, table: str,
     return (table, col, r["nr"], r["nr"] - r["c"], r["d"], within)
 
 
-def catalog_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def catalog_profile_approx(spark: SparkSession, sf_dir: str, *,
+                           audit: bool = True) -> DataFrame:
     """A104b bound-as-oracle form (VERDICT r07 #1, the B31
     sketch_hll_union pattern): raw HLL estimates are engine-specific
     (DuckDB's approx_count_distinct is a different implementation), so
@@ -481,7 +482,12 @@ def catalog_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-spec sketch can essentially never fail it while a broken one
     always does; DuckDB recomputes the exact side and asserts the
     boolean as TRUE. At 100 TB the exact audit is dropped and
-    ``catalog_profile_approx_detail`` above is the product."""
+    ``audit=False`` (== ``catalog_profile_approx_detail``) is the
+    product — both paths share the `_catalog_pool_rows` scaffolding
+    and `_CATALOG_COLUMNS` dictionary, so the column inventory cannot
+    drift between tiers."""
+    if not audit:
+        return catalog_profile_approx_detail(spark, sf_dir)
     return _catalog_pool_rows(
         spark, sf_dir, _profile_one_column_audit,
         _CATALOG_BASE_SCHEMA

@@ -1844,8 +1844,8 @@ def median_ci_approx_order_value_detail(spark: SparkSession,
           round(row[0], 4), round(row[2], 4), acc)], schema)
 
 
-def median_ci_approx_order_value(spark: SparkSession,
-                                 sf_dir: str) -> DataFrame:
+def median_ci_approx_order_value(spark: SparkSession, sf_dir: str, *,
+                                 audit: bool = True) -> DataFrame:
     """A159b bound-as-oracle form (VERDICT r07 #1, the B31 pattern):
     the GK estimates themselves are engine-specific (DuckDB uses a
     t-digest) so they are no longer EMITTED; instead the query emits
@@ -1857,6 +1857,8 @@ def median_ci_approx_order_value(spark: SparkSession,
     driver/bench regime; at 100 TB the audit columns are dropped and
     the `_detail` form above is the product). A sketch drifting out of
     either band now FAILS the driver's value hash."""
+    if not audit:
+        return median_ci_approx_order_value_detail(spark, sf_dir)
     ap = median_ci_approx_order_value_detail(spark, sf_dir).collect()[0]
     schema = ("n long, rank_lo long, rank_hi long, median_exact double, "
               "ci_lo_exact double, ci_hi_exact double, "
@@ -1897,7 +1899,9 @@ ks AS (
          (n + 1) // 2 AS k1, (n + 2) // 2 AS k2
   FROM nn
 )
-SELECT CAST(n AS BIGINT) AS n, lo AS rank_lo, hi AS rank_hi,
+SELECT CAST(coalesce(n, 0) AS BIGINT) AS n,
+       CASE WHEN n IS NULL THEN NULL ELSE lo END AS rank_lo,
+       CASE WHEN n IS NULL THEN NULL ELSE hi END AS rank_hi,
        round(((SELECT min(v) FROM cum WHERE cum_t >= k1)
               + (SELECT min(v) FROM cum WHERE cum_t >= k2)) / 2.0, 4)
          AS median_exact,
@@ -1905,8 +1909,10 @@ SELECT CAST(n AS BIGINT) AS n, lo AS rank_lo, hi AS rank_hi,
          AS ci_lo_exact,
        round((SELECT min(v) FROM cum WHERE cum_t >= hi), 4)
          AS ci_hi_exact,
-       TRUE AS approx_median_in_ci,
-       TRUE AS approx_ci_brackets_median,
+       CASE WHEN n IS NULL THEN NULL ELSE TRUE END
+         AS approx_median_in_ci,
+       CASE WHEN n IS NULL THEN NULL ELSE TRUE END
+         AS approx_ci_brackets_median,
        10000 AS accuracy
 FROM ks
 """

@@ -218,3 +218,20 @@ def test_median_ci_contract_empty_orders(spark, tmp_path):
     assert row["n"] == 0
     assert row["median_exact"] is None
     assert row["approx_median_in_ci"] is None
+    # ADVICE r08: the DuckDB oracle must mirror the same NULL-row
+    # contract (n=0, NULL stats, NULL booleans) on the degenerate
+    # empty table — not n=NULL with constant-TRUE booleans
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{d}/orders.parquet'")
+    odf = con.execute(
+        Q.oracle_sql()["median_ci_approx_order_value"]).df()
+    assert len(odf) == 1
+    orow = odf.iloc[0]
+    assert orow["n"] == 0
+    assert pd.isna(orow["rank_lo"]) and pd.isna(orow["rank_hi"])
+    assert pd.isna(orow["median_exact"])
+    assert pd.isna(orow["approx_median_in_ci"])
+    assert pd.isna(orow["approx_ci_brackets_median"])
+    assert orow["accuracy"] == 10000
