@@ -14,6 +14,8 @@ in the wrapped operator docstrings under ``operators/``.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 import pandas as pd  # noqa: F401 — resolves pandas-UDF type hints under
@@ -1433,17 +1435,309 @@ _CHANGED_IN_ROUND.update({name: 8 for name in [
 ]})
 
 
-def _driver_verified() -> set[str]:
-    """Names hash-verified (or rows-only-run with no oracle then AND
-    now) by any previous driver round, read from CORRECTNESS_r*.json."""
+# --------------------------------------------------------------------------
+# Diff-derived row invalidation (VERDICT r08 #1). The per-round hand
+# lists above are FROZEN HISTORY as of round 8 (they record output /
+# oracle-kind changes of earlier rounds and cannot rot). From round 9
+# on, staleness is COMPUTED: a driver row for key K recorded in round
+# N is stale when `git diff` between the commit that recorded
+# CORRECTNESS_rN.json and the CURRENT WORKING TREE touches any module
+# in K's dependency set — the file defining K's builder plus the
+# transitive closure of its package imports (operators/*, functions/*,
+# io.py, session.py, ...). Module granularity deliberately
+# OVER-approximates (touching operators/stats.py re-fronts every key
+# whose query module imports it): a helper-only change can never leave
+# a dependent's old driver row standing as false assurance. The
+# queries package __init__ (this file) is excluded from dependency
+# sets — it is registry wiring and rotation bookkeeping, not builder
+# behavior, and is edited every round by the rotation machinery
+# itself. Fail-safe: without git (or for rounds whose CORRECTNESS
+# file was never committed) the diff term degrades to "not stale",
+# leaving exactly the pre-round-9 legacy behavior.
+# --------------------------------------------------------------------------
+
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(_PKG_DIR)
+
+
+def _pkg_module_files() -> list[str]:
+    """All .py files under parking_bigdata_spark/, repo-relative."""
+    import glob as _glob
+    out = []
+    for path in _glob.glob(os.path.join(_PKG_DIR, "**", "*.py"),
+                           recursive=True):
+        out.append(os.path.relpath(path, _REPO_DIR))
+    return sorted(out)
+
+
+_MODULE_IMPORTS_CACHE: dict[str, set] = {}
+
+
+def _module_imports(relpath: str) -> set[str]:
+    """Repo-relative package modules imported by ``relpath`` (one
+    hop), resolved from the AST — handles ``from ..operators import
+    stats``, ``from .a_core import x``, and absolute package forms."""
+    if relpath in _MODULE_IMPORTS_CACHE:
+        return _MODULE_IMPORTS_CACHE[relpath]
+    import ast as _ast
+    full = os.path.join(_REPO_DIR, relpath)
+    try:
+        tree = _ast.parse(open(full, encoding="utf-8").read())
+    except (OSError, SyntaxError):
+        return set()
+    pkg_name = os.path.basename(_PKG_DIR)
+    # package-relative directory parts of the module, e.g.
+    # parking_bigdata_spark/queries/a_core.py -> ("queries",)
+    rel_parts = relpath.split(os.sep)[1:]  # drop the package dir
+    base_parts = tuple(rel_parts[:-1])
+
+    def resolve(parts: tuple) -> str | None:
+        p = os.path.join(_PKG_DIR, *parts)
+        if os.path.isfile(p + ".py"):
+            return os.path.relpath(p + ".py", _REPO_DIR)
+        if os.path.isfile(os.path.join(p, "__init__.py")):
+            return os.path.relpath(os.path.join(p, "__init__.py"),
+                                   _REPO_DIR)
+        return None
+
+    deps: set[str] = set()
+
+    def add(parts: tuple, names=()):
+        r = resolve(parts)
+        if r:
+            deps.add(r)
+        for n in names:
+            r = resolve(parts + (n,))
+            if r:
+                deps.add(r)
+
+    for node in _ast.walk(tree):
+        if isinstance(node, _ast.Import):
+            for alias in node.names:
+                bits = alias.name.split(".")
+                if bits[0] == pkg_name:
+                    add(tuple(bits[1:]))
+        elif isinstance(node, _ast.ImportFrom):
+            names = tuple(a.name for a in node.names if a.name != "*")
+            if node.level == 0:
+                bits = (node.module or "").split(".")
+                if bits and bits[0] == pkg_name:
+                    add(tuple(bits[1:]), names)
+            else:
+                # level 1 = containing package, 2 = its parent, ...
+                if node.level - 1 <= len(base_parts):
+                    base = (base_parts[:len(base_parts) - (node.level - 1)]
+                            if node.level > 1 else base_parts)
+                    mod_bits = ((node.module or "").split(".")
+                                if node.module else [])
+                    add(base + tuple(b for b in mod_bits if b), names)
+    _MODULE_IMPORTS_CACHE[relpath] = deps
+    return deps
+
+
+_IMPORT_CLOSURE_CACHE: dict[str, frozenset] = {}
+
+
+def _import_closure(relpath: str) -> frozenset:
+    """Transitive package-import closure of a module (includes
+    itself), with the queries-package __init__ excluded (wiring)."""
+    if relpath in _IMPORT_CLOSURE_CACHE:
+        return _IMPORT_CLOSURE_CACHE[relpath]
+    self_file = os.path.relpath(os.path.abspath(__file__), _REPO_DIR)
+    seen: set[str] = set()
+    todo = [relpath]
+    while todo:
+        cur = todo.pop()
+        if cur in seen or cur == self_file:
+            continue
+        seen.add(cur)
+        todo.extend(_module_imports(cur) - seen)
+    out = frozenset(seen)
+    _IMPORT_CLOSURE_CACHE[relpath] = out
+    return out
+
+
+def _module_import_bindings(relpath: str) -> dict[str, str]:
+    """Name -> providing repo-relative file, for every binding the
+    module imports from inside the package (``from ..io import
+    load_table`` -> {"load_table": ".../io.py"}; ``from ..operators
+    import stats`` -> {"stats": ".../operators/stats.py"}). Lets the
+    function-level walk attribute a referenced NAME (function, class,
+    or plain constant) to the module that defines it."""
+    import ast as _ast
+    full = os.path.join(_REPO_DIR, relpath)
+    try:
+        tree = _ast.parse(open(full, encoding="utf-8").read())
+    except (OSError, SyntaxError):
+        return {}
+    pkg_name = os.path.basename(_PKG_DIR)
+    base_parts = tuple(relpath.split(os.sep)[1:-1])
+
+    def resolve(parts: tuple) -> str | None:
+        pth = os.path.join(_PKG_DIR, *parts)
+        if os.path.isfile(pth + ".py"):
+            return os.path.relpath(pth + ".py", _REPO_DIR)
+        if os.path.isfile(os.path.join(pth, "__init__.py")):
+            return os.path.relpath(os.path.join(pth, "__init__.py"),
+                                   _REPO_DIR)
+        return None
+
+    out: dict[str, str] = {}
+    for node in _ast.walk(tree):
+        if isinstance(node, _ast.Import):
+            for alias in node.names:
+                bits = alias.name.split(".")
+                if bits[0] == pkg_name:
+                    r = resolve(tuple(bits[1:]))
+                    if r:
+                        out[alias.asname or bits[-1]] = r
+        elif isinstance(node, _ast.ImportFrom):
+            if node.level == 0:
+                bits = (node.module or "").split(".")
+                if not bits or bits[0] != pkg_name:
+                    continue
+                target = tuple(bits[1:])
+            elif node.level - 1 <= len(base_parts):
+                base = (base_parts[:len(base_parts) - (node.level - 1)]
+                        if node.level > 1 else base_parts)
+                target = base + tuple(
+                    b for b in (node.module or "").split(".") if b)
+            else:
+                continue
+            parent = resolve(target)
+            for alias in node.names:
+                if alias.name == "*":
+                    continue
+                sub = resolve(target + (alias.name,))
+                src = sub or parent
+                if src:
+                    out[alias.asname or alias.name] = src
+    return out
+
+
+def _code_names(code) -> set[str]:
+    """Global names referenced by a code object, including nested
+    functions / lambdas / comprehensions."""
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if hasattr(const, "co_names"):
+            names |= _code_names(const)
+    return names
+
+
+_KEY_DEPS_CACHE: dict[str, frozenset] | None = None
+
+
+def _key_deps() -> dict[str, frozenset]:
+    """Registry key -> repo-relative dependency file set: the file
+    DEFINING the builder (any edit to it invalidates the key — the
+    "queries module" term), plus the import closure of every package
+    module whose bindings the builder transitively references —
+    following same-module helper calls, so ``mad_price_by_flag`` ->
+    ``stats.grouped_median`` -> operators/stats.py even though the
+    reference sits two helpers deep. Function-level first hop keeps a
+    stats.py edit from invalidating keys that never touch stats, while
+    still re-fronting every actual dependent."""
+    global _KEY_DEPS_CACHE
+    if _KEY_DEPS_CACHE is not None:
+        return _KEY_DEPS_CACHE
+    import sys as _sys
+    import types as _types
+    bindings_cache: dict[str, dict[str, str]] = {}
+    deps: dict[str, frozenset] = {}
+    for name, (fn, _sql) in REGISTRY.items():
+        code = getattr(fn, "__code__", None)
+        f = getattr(code, "co_filename", None)
+        if not (f and os.path.isabs(f) and f.startswith(_REPO_DIR)):
+            # unknown provenance: depend on everything (always stale
+            # when anything changed) — fail safe, never fail silent
+            deps[name] = frozenset(_pkg_module_files())
+            continue
+        own_file = os.path.relpath(f, _REPO_DIR)
+        if own_file not in bindings_cache:
+            bindings_cache[own_file] = _module_import_bindings(own_file)
+        bindings = bindings_cache[own_file]
+        mod = _sys.modules.get(fn.__module__)
+        out: set[str] = {own_file}
+        seen_fns: set = set()
+        todo = [fn]
+        while todo:
+            cur = todo.pop()
+            if cur in seen_fns or not hasattr(cur, "__code__"):
+                continue
+            seen_fns.add(cur)
+            for ref in _code_names(cur.__code__):
+                if ref in bindings:
+                    out |= _import_closure(bindings[ref])
+                val = getattr(mod, ref, None) if mod else None
+                if (isinstance(val, _types.FunctionType)
+                        and val.__module__ == fn.__module__):
+                    todo.append(val)
+        deps[name] = frozenset(out)
+    _KEY_DEPS_CACHE = deps
+    return deps
+
+
+def _git(args: list[str]) -> str | None:
+    import subprocess
+    try:
+        r = subprocess.run(["git", "-C", _REPO_DIR] + args,
+                           capture_output=True, text=True, timeout=30)
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    return r.stdout if r.returncode == 0 else None
+
+
+_CHANGED_SINCE_CACHE: dict[int, frozenset] | None = None
+
+
+def _changed_since_round() -> dict[int, frozenset]:
+    """Round N -> package files touched between the commit that
+    recorded CORRECTNESS_rN.json and the current WORKING TREE
+    (uncommitted edits count). Missing git / uncommitted round file ->
+    round absent from the map (degrades to legacy behavior)."""
+    global _CHANGED_SINCE_CACHE
+    if _CHANGED_SINCE_CACHE is not None:
+        return _CHANGED_SINCE_CACHE
+    import glob as _glob
+    import re as _re
+    out: dict[int, frozenset] = {}
+    for path in _glob.glob(os.path.join(_REPO_DIR,
+                                        "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        n = int(m.group(1))
+        commit = _git(["log", "-n1", "--format=%H", "--diff-filter=A",
+                       "--", os.path.basename(path)])
+        if not commit or not commit.strip():
+            continue
+        diff = _git(["diff", "--name-only", commit.strip(), "--",
+                     os.path.basename(_PKG_DIR)])
+        if diff is None:
+            continue
+        out[n] = frozenset(line for line in diff.splitlines() if line)
+    _CHANGED_SINCE_CACHE = out
+    return out
+
+
+def _verification_status(changed_since: dict[int, frozenset]
+                         | None = None):
+    """(valid, stale, never): keys with a currently-valid green driver
+    row; keys whose green rows ALL predate an invalidating change
+    (legacy hand-list or diff-derived); keys with no green row at all.
+    ``changed_since`` is injectable for tests."""
     import glob
     import json
-    import os
     import re
-    root = os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))))
-    seen: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    if changed_since is None:
+        changed_since = _changed_since_round()
+    deps = _key_deps()
+    root = _REPO_DIR
+    valid: set[str] = set()
+    had_row: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root,
+                                              "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
         file_round = int(m.group(1)) if m else 0
         try:
@@ -1454,29 +1748,59 @@ def _driver_verified() -> set[str]:
         for name, row in rec.items():
             if not isinstance(row, dict) or name not in REGISTRY:
                 continue
-            if file_round < _CHANGED_IN_ROUND.get(name, 0):
-                continue  # row predates the change — stale
             has_oracle_now = REGISTRY[name][1] is not None
-            if row.get("hash_match") is True:
-                seen.add(name)
-            elif row.get("err") == "no_oracle" and not has_oracle_now:
-                seen.add(name)
-    return seen
+            green = (row.get("hash_match") is True
+                     or (row.get("err") == "no_oracle"
+                         and not has_oracle_now))
+            if not green:
+                continue
+            had_row.add(name)
+            if file_round < _CHANGED_IN_ROUND.get(name, 0):
+                continue  # legacy: row predates a recorded change
+            touched = changed_since.get(file_round)
+            if touched is not None and (deps[name] & touched):
+                continue  # diff-derived: a dependency changed since
+            valid.add(name)
+    stale = had_row - valid
+    never = set(REGISTRY) - had_row
+    return valid, stale, never
 
 
-def _rotated(reg):
-    verified = _driver_verified()
-    # newest changes first (stable within a round): a query changed or
-    # added THIS round gets a driver row before older still-unverified
-    # backlog — everything in `changed`+`fresh` is never-verified, so
-    # the bounded sample always drains never-checked queries either way
-    changed = sorted((n for n in _CHANGED_IN_ROUND
-                      if n in reg and n not in verified),
-                     key=lambda n: -_CHANGED_IN_ROUND[n])
-    fresh = [n for n in reg
-             if n not in verified and n not in set(changed)]
-    back = [n for n in reg if n in verified]
-    return {n: reg[n] for n in changed + fresh + back}
+def _current_round() -> int:
+    """1 + the highest recorded CORRECTNESS round (the round whose
+    driver gate will consume this rotation)."""
+    import glob
+    import re
+    rounds = [0]
+    for path in glob.glob(os.path.join(_REPO_DIR,
+                                       "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+def _rotated(reg, changed_since=None):
+    """Rotation priority (VERDICT r08 #1 + #5):
+
+    1. STALE keys — had a green driver row, now invalidated (legacy
+       hand-list or diff-derived dependency change): re-verify first.
+    2. NEVER-verified keys (new registrations) in registry order.
+    3. The verified backlog, permuted by sha256(f"r{round}:{name}") —
+       a deterministic per-round seeded sample so every round keeps
+       producing fresh driver evidence across the whole registry
+       instead of re-checking the same front.
+    """
+    import hashlib
+    valid, stale, never = _verification_status(changed_since)
+    front = sorted((n for n in reg if n in stale),
+                   key=lambda n: (-_CHANGED_IN_ROUND.get(n, 0), n))
+    fresh = [n for n in reg if n in never]
+    seed = f"r{_current_round()}"
+    back = sorted((n for n in reg if n in valid),
+                  key=lambda n: hashlib.sha256(
+                      f"{seed}:{n}".encode()).hexdigest())
+    return {n: reg[n] for n in front + fresh + back}
 
 
 REGISTRY = _rotated(REGISTRY)

