@@ -1648,7 +1648,8 @@ def _key_deps() -> dict[str, frozenset]:
     for name, (fn, _sql) in REGISTRY.items():
         code = getattr(fn, "__code__", None)
         f = getattr(code, "co_filename", None)
-        if not (f and os.path.isabs(f) and f.startswith(_REPO_DIR)):
+        if not (f and os.path.isabs(f)
+                and f.startswith(_REPO_DIR + os.sep)):
             # unknown provenance: depend on everything (always stale
             # when anything changed) — fail safe, never fail silent
             deps[name] = frozenset(_pkg_module_files())
@@ -1712,8 +1713,18 @@ def _changed_since_round() -> dict[int, frozenset]:
                        "--", os.path.basename(path)])
         if not commit or not commit.strip():
             continue
-        diff = _git(["diff", "--name-only", commit.strip(), "--",
+        # diff from the PARENT of the record commit (code-review r09):
+        # the driver measured on the tree BEFORE that commit, so any
+        # source edit committed together with the record must count as
+        # changed-since. The record commit itself only adds record
+        # JSONs, so the parent baseline over-approximates at most by
+        # files genuinely changed in it. Root commit -> fall back.
+        base = commit.strip() + "^"
+        diff = _git(["diff", "--name-only", base, "--",
                      os.path.basename(_PKG_DIR)])
+        if diff is None:
+            diff = _git(["diff", "--name-only", commit.strip(), "--",
+                         os.path.basename(_PKG_DIR)])
         if diff is None:
             continue
         out[n] = frozenset(line for line in diff.splitlines() if line)
@@ -1734,7 +1745,8 @@ def _verification_status(changed_since: dict[int, frozenset]
         changed_since = _changed_since_round()
     deps = _key_deps()
     root = _REPO_DIR
-    valid: set[str] = set()
+    green_rounds: dict[str, list[int]] = {}
+    red_rounds: dict[str, int] = {}
     had_row: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root,
                                               "CORRECTNESS_r*.json"))):
@@ -1752,15 +1764,30 @@ def _verification_status(changed_since: dict[int, frozenset]
             green = (row.get("hash_match") is True
                      or (row.get("err") == "no_oracle"
                          and not has_oracle_now))
-            if not green:
-                continue
-            had_row.add(name)
+            if green:
+                had_row.add(name)
+                green_rounds.setdefault(name, []).append(file_round)
+            elif (row.get("hash_match") is False
+                  or row.get("err") not in (None, "no_oracle")):
+                # a RECORDED FAILURE is the strongest invalidation
+                # signal (code-review r09): any green row from an
+                # EARLIER round cannot outvote it — if no dependency
+                # changed in between, the disagreement itself
+                # (nondeterminism, oracle drift) demands a re-front
+                red_rounds[name] = max(red_rounds.get(name, 0),
+                                       file_round)
+    valid: set[str] = set()
+    for name, rounds in green_rounds.items():
+        for file_round in rounds:
             if file_round < _CHANGED_IN_ROUND.get(name, 0):
                 continue  # legacy: row predates a recorded change
+            if file_round < red_rounds.get(name, 0):
+                continue  # a later round recorded a failure
             touched = changed_since.get(file_round)
             if touched is not None and (deps[name] & touched):
                 continue  # diff-derived: a dependency changed since
             valid.add(name)
+            break
     stale = had_row - valid
     never = set(REGISTRY) - had_row
     return valid, stale, never
@@ -1803,12 +1830,26 @@ def _rotated(reg, changed_since=None):
     return {n: reg[n] for n in front + fresh + back}
 
 
-REGISTRY = _rotated(REGISTRY)
+#: Rotation is LAZY (code-review r09): computing it costs ~1 s of git
+#: + AST work that only the driver-facing entry points need — paying
+#: it at import time would tax every pytest session and every executor
+#: Python worker that happens to import a queries submodule (package
+#: __init__ runs on any submodule import). REGISTRY itself stays the
+#: raw registration-order dict.
+_ROTATED_CACHE: dict | None = None
+
+
+def _registry_rotated() -> dict:
+    global _ROTATED_CACHE
+    if _ROTATED_CACHE is None:
+        _ROTATED_CACHE = _rotated(REGISTRY)
+    return _ROTATED_CACHE
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: fn for name, (fn, _) in _registry_rotated().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+    return {name: sql for name, (_, sql) in _registry_rotated().items()
+            if sql is not None}

@@ -885,8 +885,14 @@ _GK_ACC = 10000
 #: never depends on it (grouped_quantiles' bracket always contains the
 #: true quantile and the below-count pass pins the exact rank; values
 #: verified identical at 10000/2000/500 on sf0.1, GK insert cost ~17%
-#: lower per pass). One constant so retuning cannot miss a site.
-_AUDIT_ACC = 2000
+#: lower per pass). Since round 9 this IS stats.EXACT_QUANTILE_ACC —
+#: one constant (env-overridable there) governs the exact machinery's
+#: accuracy everywhere, so retuning cannot miss a site (code-review
+#: r09: two independent 2000s each claiming to be the single site).
+#: NEVER emitted in query output: the twins' `accuracy` columns carry
+#: the detail forms' SKETCH accuracy (_GK_ACC, or rfm's local 2000),
+#: which is result-affecting and stays pinned.
+_AUDIT_ACC = stats.EXACT_QUANTILE_ACC
 
 
 def _floor4(c):

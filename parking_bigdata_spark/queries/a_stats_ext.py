@@ -1746,10 +1746,21 @@ FROM g ORDER BY o_orderpriority
 def median_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
     o = load_table(spark, sf_dir, "orders")
-    vals = (o.groupBy(F.col("o_totalprice").cast("double").alias("v"))
+    # NULL values carry no rank: without this filter a NULL group
+    # would inflate n and shift every order statistic (code-review
+    # r09 — the oracle CTE filters identically)
+    vals = (o.where(F.col("o_totalprice").isNotNull())
+             .groupBy(F.col("o_totalprice").cast("double").alias("v"))
              .agg(F.count(F.lit(1)).alias("t")))
     cum = stats.range_cumsum(vals, "v", ["t"]).localCheckpoint(eager=True)
     n = cum.agg(F.sum("t")).collect()[0][0]
+    if not n:
+        # empty / all-NULL input: the hardened NULL-row contract the
+        # approx twin already follows (n=0, NULL statistics)
+        return spark.createDataFrame(
+            [(0, None, None, None, None, None)],
+            "n long, median double, rank_lo long, rank_hi long, "
+            "ci_lo double, ci_hi double")
     z = 1.959964
     lo = int(math.floor(n / 2.0 - z * math.sqrt(n) / 2.0))
     hi = int(math.ceil(1 + n / 2.0 + z * math.sqrt(n) / 2.0))
@@ -1774,7 +1785,7 @@ def median_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 MEDIAN_CI_SQL = """
 WITH vals AS (
   SELECT CAST(o_totalprice AS DOUBLE) AS v, count(*) AS t
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
 ), cum AS (
   SELECT v, t, sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
                             PRECEDING AND CURRENT ROW) AS cum_t
@@ -1789,11 +1800,12 @@ ks AS (
          (n + 1) // 2 AS k1, (n + 2) // 2 AS k2
   FROM nn
 )
-SELECT CAST(n AS BIGINT) AS n,
+SELECT CAST(coalesce(n, 0) AS BIGINT) AS n,
        round(((SELECT min(v) FROM cum WHERE cum_t >= k1)
               + (SELECT min(v) FROM cum WHERE cum_t >= k2)) / 2.0, 4)
          AS median,
-       lo AS rank_lo, hi AS rank_hi,
+       CASE WHEN n IS NULL THEN NULL ELSE lo END AS rank_lo,
+       CASE WHEN n IS NULL THEN NULL ELSE hi END AS rank_hi,
        round((SELECT min(v) FROM cum WHERE cum_t >= lo), 4) AS ci_lo,
        round((SELECT min(v) FROM cum WHERE cum_t >= hi), 4) AS ci_hi
 FROM ks
@@ -1884,7 +1896,7 @@ def median_ci_approx_order_value(spark: SparkSession, sf_dir: str, *,
 MEDIAN_CI_APPROX_SQL = """
 WITH vals AS (
   SELECT CAST(o_totalprice AS DOUBLE) AS v, count(*) AS t
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
 ), cum AS (
   SELECT v, t, sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
                             PRECEDING AND CURRENT ROW) AS cum_t

@@ -60,12 +60,20 @@ DIST_SWEEP: dict[str, list[str]] = {
 def generate(sf_dir: str, out_dir: str, spark=None) -> list[str]:
     spark = spark or get_spark("gen-viz-golden")
     os.makedirs(out_dir, exist_ok=True)
+    # the sweep writes to a flat training_<col>.svg namespace — a
+    # cross-table column-name collision would silently clobber an
+    # earlier golden and leave one panel untested (code-review r09)
+    sweep_cols = [c for cols in DIST_SWEEP.values() for c in cols]
+    assert len(sweep_cols) == len(set(sweep_cols)), \
+        "DIST_SWEEP column names must be unique across tables"
     paths = []
+    li = None
     for table, cols in DIST_SWEEP.items():
         df = load_table(spark, sf_dir, table)
+        if table == "lineitem":
+            li = df
         paths += viz.save_distribution_plots(df, cols, out_dir,
                                              n_buckets=12)
-    li = load_table(spark, sf_dir, "lineitem")
     paths.append(viz.save_loess_plot(
         li, "l_quantity", "l_extendedprice",
         os.path.join(out_dir, "loess_qty_price.svg")))

@@ -242,3 +242,120 @@ def test_seeded_backlog_rotation_is_deterministic_per_round():
     other = sorted(back, key=lambda n: hashlib.sha256(
         f"r999:{n}".encode()).hexdigest())
     assert back != other  # a different round reorders the sample
+
+
+# ---------------------------------------------------------------------------
+# Code-review r09 findings — regression pins.
+# ---------------------------------------------------------------------------
+
+def _null_orders_frame(d: str, prices):
+    import pandas as pd
+    n = len(prices)
+    pd.DataFrame({
+        "o_orderkey": range(1, n + 1),
+        "o_custkey": [1] * n,
+        "o_orderstatus": ["F"] * n,
+        "o_orderpriority": ["1-URGENT"] * n,
+        "o_totalprice": pd.array(prices, dtype="float64"),
+        "o_orderdate": pd.to_datetime(["2024-01-01"] * n),
+    }).to_parquet(d + "/orders.parquet", index=False)
+
+
+def test_median_ci_all_null_prices_both_engines(spark, tmp_path):
+    """Code-review r09: an orders table whose rows ALL have NULL
+    o_totalprice must take the hardened n=0 NULL-row path in BOTH
+    engines for the exact key AND the twin — the SQL previously
+    grouped the NULL values (n=k, constant-TRUE booleans)."""
+    import duckdb
+    import pandas as pd
+    from parking_bigdata_spark import queries as Q
+    d = str(tmp_path)
+    _null_orders_frame(d, [None, None, None])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{d}/orders.parquet'")
+    osql = Q.oracle_sql()
+    ex = Q.queries()["median_ci_order_value"](spark, d).collect()[0]
+    assert ex["n"] == 0 and ex["median"] is None
+    assert ex["rank_lo"] is None
+    oex = con.execute(osql["median_ci_order_value"]).df().iloc[0]
+    assert oex["n"] == 0 and pd.isna(oex["median"])
+    assert pd.isna(oex["rank_lo"])
+    tw = Q.queries()["median_ci_approx_order_value"](
+        spark, d).collect()[0]
+    assert tw["n"] == 0 and tw["approx_median_in_ci"] is None
+    otw = con.execute(osql["median_ci_approx_order_value"]).df().iloc[0]
+    assert otw["n"] == 0 and pd.isna(otw["approx_median_in_ci"])
+
+
+def test_median_ci_partial_null_prices_both_engines(spark, tmp_path):
+    """NULL values carry no rank: n and every order statistic must
+    come from the non-NULL values only, identically in both engines."""
+    import duckdb
+    from parking_bigdata_spark import queries as Q
+    d = str(tmp_path)
+    _null_orders_frame(d, [100.0, None, 300.0, 200.0, None])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{d}/orders.parquet'")
+    ex = Q.queries()["median_ci_order_value"](spark, d).collect()[0]
+    assert ex["n"] == 3 and ex["median"] == 200.0
+    oex = con.execute(
+        Q.oracle_sql()["median_ci_order_value"]).df().iloc[0]
+    assert oex["n"] == 3 and oex["median"] == 200.0
+    assert (ex["rank_lo"], ex["rank_hi"]) == \
+        (int(oex["rank_lo"]), int(oex["rank_hi"]))
+    assert (ex["ci_lo"], ex["ci_hi"]) == \
+        (oex["ci_lo"], oex["ci_hi"])
+    tw = Q.queries()["median_ci_approx_order_value"](
+        spark, d).collect()[0]
+    assert tw["n"] == 3 and tw["median_exact"] == 200.0
+    assert tw["approx_median_in_ci"] is True
+
+
+def test_recorded_failure_outvotes_older_green_row(tmp_path,
+                                                   monkeypatch):
+    """Code-review r09: a key with a green r05 row and a RED r08 row
+    (hash_match false) must be stale even with no dependency change —
+    the recorded failure is the strongest invalidation signal."""
+    import json
+    from parking_bigdata_spark import queries as Q2
+    key = "distinct_order_status"
+    d = str(tmp_path)
+    with open(f"{d}/CORRECTNESS_r05.json", "w") as f:
+        json.dump({key: {"hash_match": True}}, f)
+    with open(f"{d}/CORRECTNESS_r08.json", "w") as f:
+        json.dump({key: {"hash_match": False}}, f)
+    monkeypatch.setattr(Q2, "_REPO_DIR", d)
+    # deps computed under the fake repo dir are junk — let monkeypatch
+    # restore the real cache on teardown so later tests never see them
+    monkeypatch.setattr(Q2, "_KEY_DEPS_CACHE", None)
+    injected = {n: frozenset() for n in range(1, 20)}
+    valid, stale, never = Q2._verification_status(injected)
+    assert key in stale
+    # and a green row RECORDED AFTER the failure re-validates
+    with open(f"{d}/CORRECTNESS_r09.json", "w") as f:
+        json.dump({key: {"hash_match": True}}, f)
+    valid, stale, never = Q2._verification_status(injected)
+    assert key in valid
+
+
+def test_rotation_is_lazy_and_memoized():
+    """Code-review r09: REGISTRY stays the raw registration dict at
+    import; rotation (git + AST cost) runs on first queries() /
+    oracle_sql() call and is cached."""
+    from parking_bigdata_spark import queries as Q2
+    assert Q2._ROTATED_CACHE is not None  # this suite already called
+    assert Q2.queries().keys() == Q2._registry_rotated().keys()
+    assert list(Q2.queries()) == list(Q2.oracle_sql())  # same order
+
+
+def test_audit_acc_is_the_stats_constant():
+    """Code-review r09: one constant governs the exact machinery's
+    accuracy — the audit alias must BE stats.EXACT_QUANTILE_ACC, and
+    it must never leak into emitted accuracy columns (those carry the
+    detail forms' pinned sketch accuracy)."""
+    from parking_bigdata_spark.operators import stats as S
+    from parking_bigdata_spark.queries import a_scale_twins as T
+    assert T._AUDIT_ACC is S.EXACT_QUANTILE_ACC
+    assert T._GK_ACC == 10000  # sketch accuracy stays pinned
