@@ -343,18 +343,30 @@ def _normalize(calibration: dict, prev: dict, timings: dict,
     # SAME-SF guard (code-review r08): the committed reference is
     # the solo sf0.1 record — normalizing a smoke run at another
     # SF against it would print an apples-to-oranges "normalized
-    # wall vs ref" in the exact output built to be trustworthy
+    # wall vs ref" in the exact output built to be trustworthy.
+    # Only the SPARK probe is REQUIRED on both sides (second review
+    # pass r09): it is the sole normalizer, so a run whose numpy GEMM
+    # failed must not silently lose the whole normalized block — the
+    # numpy ratio is an optional guard on either side.
     if not (calibration.get("spark_hash_agg_sec")
             and prev.get("sf") == this_sf
-            and pc.get("spark_hash_agg_sec")
-            and pc.get("numpy_gemm_sec")):
+            and pc.get("spark_hash_agg_sec")):
         return None
     r_spark = calibration["spark_hash_agg_sec"] / pc["spark_hash_agg_sec"]
     r_numpy = (calibration["numpy_gemm_sec"] / pc["numpy_gemm_sec"]
-               if calibration.get("numpy_gemm_sec") else None)
+               if calibration.get("numpy_gemm_sec")
+               and pc.get("numpy_gemm_sec") else None)
     speed_ratio = r_spark  # spark walls ← spark probe only
     divergent = bool(
         r_numpy and max(r_spark, r_numpy) / min(r_spark, r_numpy) > 1.5)
+    # intra-probe spread (second review pass r09): the code's own
+    # comment says a large spread means host speed CHANGED during the
+    # bench — so a correction built on the probe MIN (the single
+    # least-contended moment) is suspect even when the two probes
+    # agree. Consult the published spread on BOTH sides.
+    spread_high = bool(
+        calibration.get("spark_probe_spread", 1.0) > 1.5
+        or pc.get("spark_probe_spread", 1.0) > 1.5)
     shared = [q for q in timings if q in prev.get("queries", {})]
     shared_now = sum(timings[q] for q in shared)
     shared_ref = sum(prev["queries"][q] for q in shared)
@@ -364,6 +376,7 @@ def _normalize(calibration: dict, prev: dict, timings: dict,
         "speed_ratio_spark_probe": round(r_spark, 3),
         "speed_ratio_numpy_probe": round(r_numpy, 3) if r_numpy else None,
         "probes_divergent": divergent,
+        "probe_spread_high": spread_high,
         "normalized_wall": round(total / speed_ratio, 3),
         "ref_wall": prev.get("value"),
         "ref_n_queries": len(prev.get("queries", {})),
@@ -372,7 +385,7 @@ def _normalize(calibration: dict, prev: dict, timings: dict,
         "shared_wall_ref": round(shared_ref, 3),
         "shared_wall_now_normalized": round(shared_now / speed_ratio, 3),
     }
-    if divergent:
+    if divergent or spread_high:
         normalized["normalized_wall_unreliable"] = True
     return normalized
 
@@ -562,9 +575,16 @@ def main() -> None:
         if normalized:
             r_spark = normalized["speed_ratio_spark_probe"]
             r_numpy = normalized["speed_ratio_numpy_probe"]
-            flag = (" [UNRELIABLE: probes diverge "
-                    f"{r_spark:.2f}x vs {r_numpy:.2f}x — read raw wall]"
-                    if normalized["probes_divergent"] else "")
+            if normalized["probes_divergent"]:
+                flag = (" [UNRELIABLE: probes diverge "
+                        f"{r_spark:.2f}x vs {r_numpy:.2f}x — "
+                        "read raw wall]")
+            elif normalized.get("probe_spread_high"):
+                flag = (" [UNRELIABLE: probe spread >1.5x within a "
+                        "run — host speed changed mid-bench, read "
+                        "raw wall]")
+            else:
+                flag = ""
             print(f"# calibration: spark probe "
                   f"{normalized['speed_ratio_vs_ref']:.3f}x the "
                   f"reference run's speed-context; normalized wall "

@@ -39,8 +39,27 @@ from pyspark.sql import functions as F
 #: Env-overridable for future retuning; the APPROX forms keep their
 #: own explicit accuracy because there the knob changes RESULTS, not
 #: just cost.
-EXACT_QUANTILE_ACC = int(os.environ.get(
-    "SPARK_GRAFT_EXACT_QUANTILE_ACC", "2000"))
+def _parse_acc(raw: str | None, default: int = 2000) -> int:
+    """Parse the accuracy knob defensively (second code-review pass
+    r09): a typo'd or non-positive value must degrade to the default
+    with a stderr note, not crash every import of the package (or
+    divide by zero in eps = 4/accuracy later)."""
+    try:
+        v = int(raw) if raw is not None else default
+    except (TypeError, ValueError):
+        v = -1
+    if v < 1:
+        if raw is not None:
+            import sys
+            print(f"# SPARK_GRAFT_EXACT_QUANTILE_ACC={raw!r} invalid "
+                  f"(need a positive int); using {default}",
+                  file=sys.stderr)
+        return default
+    return v
+
+
+EXACT_QUANTILE_ACC = _parse_acc(
+    os.environ.get("SPARK_GRAFT_EXACT_QUANTILE_ACC"))
 
 
 def pin(df: DataFrame) -> DataFrame:

@@ -1470,13 +1470,22 @@ def _pkg_module_files() -> list[str]:
     return sorted(out)
 
 
-_MODULE_IMPORTS_CACHE: dict[str, set] = {}
+_MODULE_IMPORTS_CACHE: dict[str, tuple] = {}
 
 
-def _module_imports(relpath: str) -> set[str]:
-    """Repo-relative package modules imported by ``relpath`` (one
-    hop), resolved from the AST — handles ``from ..operators import
-    stats``, ``from .a_core import x``, and absolute package forms."""
+def _module_ast_walk(relpath: str) -> tuple[set, dict]:
+    """ONE AST walk per module (second code-review pass r09 — the
+    previous twin walkers duplicated the relative-import level
+    arithmetic and could desynchronize): returns
+
+    * deps — repo-relative package files imported by ``relpath``
+      (both the parent module of a ``from ..operators import stats``
+      and the named submodule), and
+    * bindings — imported NAME -> providing repo-relative file
+      (``{"load_table": ".../io.py", "stats": ".../operators/stats.py"}``)
+      so the function-level walk can attribute referenced names
+      (functions, classes, plain constants) to their defining module.
+    """
     if relpath in _MODULE_IMPORTS_CACHE:
         return _MODULE_IMPORTS_CACHE[relpath]
     import ast as _ast
@@ -1484,55 +1493,71 @@ def _module_imports(relpath: str) -> set[str]:
     try:
         tree = _ast.parse(open(full, encoding="utf-8").read())
     except (OSError, SyntaxError):
-        return set()
+        _MODULE_IMPORTS_CACHE[relpath] = (set(), {})
+        return _MODULE_IMPORTS_CACHE[relpath]
     pkg_name = os.path.basename(_PKG_DIR)
-    # package-relative directory parts of the module, e.g.
-    # parking_bigdata_spark/queries/a_core.py -> ("queries",)
-    rel_parts = relpath.split(os.sep)[1:]  # drop the package dir
-    base_parts = tuple(rel_parts[:-1])
+    base_parts = tuple(relpath.split(os.sep)[1:-1])
 
     def resolve(parts: tuple) -> str | None:
-        p = os.path.join(_PKG_DIR, *parts)
-        if os.path.isfile(p + ".py"):
-            return os.path.relpath(p + ".py", _REPO_DIR)
-        if os.path.isfile(os.path.join(p, "__init__.py")):
-            return os.path.relpath(os.path.join(p, "__init__.py"),
+        pth = os.path.join(_PKG_DIR, *parts)
+        if os.path.isfile(pth + ".py"):
+            return os.path.relpath(pth + ".py", _REPO_DIR)
+        if os.path.isfile(os.path.join(pth, "__init__.py")):
+            return os.path.relpath(os.path.join(pth, "__init__.py"),
                                    _REPO_DIR)
         return None
 
     deps: set[str] = set()
-
-    def add(parts: tuple, names=()):
-        r = resolve(parts)
-        if r:
-            deps.add(r)
-        for n in names:
-            r = resolve(parts + (n,))
-            if r:
-                deps.add(r)
-
+    bindings: dict[str, str] = {}
     for node in _ast.walk(tree):
         if isinstance(node, _ast.Import):
             for alias in node.names:
                 bits = alias.name.split(".")
                 if bits[0] == pkg_name:
-                    add(tuple(bits[1:]))
+                    r = resolve(tuple(bits[1:]))
+                    if r:
+                        deps.add(r)
+                        bindings[alias.asname or bits[-1]] = r
         elif isinstance(node, _ast.ImportFrom):
-            names = tuple(a.name for a in node.names if a.name != "*")
             if node.level == 0:
                 bits = (node.module or "").split(".")
-                if bits and bits[0] == pkg_name:
-                    add(tuple(bits[1:]), names)
-            else:
+                if not bits or bits[0] != pkg_name:
+                    continue
+                target = tuple(bits[1:])
+            elif node.level - 1 <= len(base_parts):
                 # level 1 = containing package, 2 = its parent, ...
-                if node.level - 1 <= len(base_parts):
-                    base = (base_parts[:len(base_parts) - (node.level - 1)]
-                            if node.level > 1 else base_parts)
-                    mod_bits = ((node.module or "").split(".")
-                                if node.module else [])
-                    add(base + tuple(b for b in mod_bits if b), names)
-    _MODULE_IMPORTS_CACHE[relpath] = deps
-    return deps
+                base = (base_parts[:len(base_parts) - (node.level - 1)]
+                        if node.level > 1 else base_parts)
+                target = base + tuple(
+                    b for b in (node.module or "").split(".") if b)
+            else:
+                continue
+            parent = resolve(target)
+            if parent:
+                deps.add(parent)
+            for alias in node.names:
+                if alias.name == "*":
+                    continue
+                sub = resolve(target + (alias.name,))
+                if sub:
+                    deps.add(sub)
+                src = sub or parent
+                if src:
+                    bindings[alias.asname or alias.name] = src
+    _MODULE_IMPORTS_CACHE[relpath] = (deps, bindings)
+    return _MODULE_IMPORTS_CACHE[relpath]
+
+
+def _module_imports(relpath: str) -> set[str]:
+    """Repo-relative package modules imported by ``relpath`` (one
+    hop) — the deps half of :func:`_module_ast_walk`."""
+    return _module_ast_walk(relpath)[0]
+
+
+def _module_import_bindings(relpath: str) -> dict[str, str]:
+    """Imported name -> providing file — the bindings half of
+    :func:`_module_ast_walk`."""
+    return _module_ast_walk(relpath)[1]
 
 
 _IMPORT_CLOSURE_CACHE: dict[str, frozenset] = {}
@@ -1554,64 +1579,6 @@ def _import_closure(relpath: str) -> frozenset:
         todo.extend(_module_imports(cur) - seen)
     out = frozenset(seen)
     _IMPORT_CLOSURE_CACHE[relpath] = out
-    return out
-
-
-def _module_import_bindings(relpath: str) -> dict[str, str]:
-    """Name -> providing repo-relative file, for every binding the
-    module imports from inside the package (``from ..io import
-    load_table`` -> {"load_table": ".../io.py"}; ``from ..operators
-    import stats`` -> {"stats": ".../operators/stats.py"}). Lets the
-    function-level walk attribute a referenced NAME (function, class,
-    or plain constant) to the module that defines it."""
-    import ast as _ast
-    full = os.path.join(_REPO_DIR, relpath)
-    try:
-        tree = _ast.parse(open(full, encoding="utf-8").read())
-    except (OSError, SyntaxError):
-        return {}
-    pkg_name = os.path.basename(_PKG_DIR)
-    base_parts = tuple(relpath.split(os.sep)[1:-1])
-
-    def resolve(parts: tuple) -> str | None:
-        pth = os.path.join(_PKG_DIR, *parts)
-        if os.path.isfile(pth + ".py"):
-            return os.path.relpath(pth + ".py", _REPO_DIR)
-        if os.path.isfile(os.path.join(pth, "__init__.py")):
-            return os.path.relpath(os.path.join(pth, "__init__.py"),
-                                   _REPO_DIR)
-        return None
-
-    out: dict[str, str] = {}
-    for node in _ast.walk(tree):
-        if isinstance(node, _ast.Import):
-            for alias in node.names:
-                bits = alias.name.split(".")
-                if bits[0] == pkg_name:
-                    r = resolve(tuple(bits[1:]))
-                    if r:
-                        out[alias.asname or bits[-1]] = r
-        elif isinstance(node, _ast.ImportFrom):
-            if node.level == 0:
-                bits = (node.module or "").split(".")
-                if not bits or bits[0] != pkg_name:
-                    continue
-                target = tuple(bits[1:])
-            elif node.level - 1 <= len(base_parts):
-                base = (base_parts[:len(base_parts) - (node.level - 1)]
-                        if node.level > 1 else base_parts)
-                target = base + tuple(
-                    b for b in (node.module or "").split(".") if b)
-            else:
-                continue
-            parent = resolve(target)
-            for alias in node.names:
-                if alias.name == "*":
-                    continue
-                sub = resolve(target + (alias.name,))
-                src = sub or parent
-                if src:
-                    out[alias.asname or alias.name] = src
     return out
 
 
@@ -1719,6 +1686,15 @@ def _changed_since_round() -> dict[int, frozenset]:
         # changed-since. The record commit itself only adds record
         # JSONs, so the parent baseline over-approximates at most by
         # files genuinely changed in it. Root commit -> fall back.
+        # ASSUMPTION (documented, second review pass r09): the driver
+        # measures and immediately commits the record, so the record
+        # commit's parent IS the measured tree (true of every round in
+        # this history: e.g. b28f77f's parent e72ce5e is round 8's
+        # final builder commit). If an out-of-band flow ever slips a
+        # source commit between measurement and record, those edits
+        # would be missed here for that round only — and the per-round
+        # seeded backlog rotation still re-verifies every key over
+        # subsequent rounds, bounding the exposure.
         base = commit.strip() + "^"
         diff = _git(["diff", "--name-only", base, "--",
                      os.path.basename(_PKG_DIR)])
@@ -1773,7 +1749,12 @@ def _verification_status(changed_since: dict[int, frozenset]
                 # signal (code-review r09): any green row from an
                 # EARLIER round cannot outvote it — if no dependency
                 # changed in between, the disagreement itself
-                # (nondeterminism, oracle drift) demands a re-front
+                # (nondeterminism, oracle drift) demands a re-front.
+                # A red row also counts as "had a row": a key whose
+                # only rows are failures must surface as STALE (top
+                # re-front priority), never as merely-new (second
+                # code-review pass r09)
+                had_row.add(name)
                 red_rounds[name] = max(red_rounds.get(name, 0),
                                        file_round)
     valid: set[str] = set()

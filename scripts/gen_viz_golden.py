@@ -67,13 +67,16 @@ def generate(sf_dir: str, out_dir: str, spark=None) -> list[str]:
     assert len(sweep_cols) == len(set(sweep_cols)), \
         "DIST_SWEEP column names must be unique across tables"
     paths = []
-    li = None
+    loaded = {}
     for table, cols in DIST_SWEEP.items():
-        df = load_table(spark, sf_dir, table)
-        if table == "lineitem":
-            li = df
-        paths += viz.save_distribution_plots(df, cols, out_dir,
-                                             n_buckets=12)
+        loaded[table] = load_table(spark, sf_dir, table)
+        paths += viz.save_distribution_plots(loaded[table], cols,
+                                             out_dir, n_buckets=12)
+    # the loess/corr panels are lineitem-based regardless of what the
+    # sweep dict contains (second code-review pass r09: dropping
+    # lineitem from DIST_SWEEP must not crash them)
+    li = (loaded["lineitem"] if "lineitem" in loaded
+          else load_table(spark, sf_dir, "lineitem"))
     paths.append(viz.save_loess_plot(
         li, "l_quantity", "l_extendedprice",
         os.path.join(out_dir, "loess_qty_price.svg")))

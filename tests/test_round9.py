@@ -345,7 +345,8 @@ def test_rotation_is_lazy_and_memoized():
     import; rotation (git + AST cost) runs on first queries() /
     oracle_sql() call and is cached."""
     from parking_bigdata_spark import queries as Q2
-    assert Q2._ROTATED_CACHE is not None  # this suite already called
+    Q2.queries()  # force the first (possibly only) rotation
+    assert Q2._ROTATED_CACHE is not None
     assert Q2.queries().keys() == Q2._registry_rotated().keys()
     assert list(Q2.queries()) == list(Q2.oracle_sql())  # same order
 
@@ -359,3 +360,73 @@ def test_audit_acc_is_the_stats_constant():
     from parking_bigdata_spark.queries import a_scale_twins as T
     assert T._AUDIT_ACC is S.EXACT_QUANTILE_ACC
     assert T._GK_ACC == 10000  # sketch accuracy stays pinned
+
+
+# ---------------------------------------------------------------------------
+# Second code-review pass r09 — regression pins.
+# ---------------------------------------------------------------------------
+
+def test_red_only_key_is_stale_not_never(tmp_path, monkeypatch):
+    """A key whose ONLY driver row is a recorded failure must surface
+    as STALE (top re-front priority), not as merely-new."""
+    import json
+    from parking_bigdata_spark import queries as Q2
+    key = "distinct_order_status"
+    d = str(tmp_path)
+    with open(f"{d}/CORRECTNESS_r08.json", "w") as f:
+        json.dump({key: {"hash_match": False}}, f)
+    monkeypatch.setattr(Q2, "_REPO_DIR", d)
+    monkeypatch.setattr(Q2, "_KEY_DEPS_CACHE", None)
+    injected = {n: frozenset() for n in range(1, 20)}
+    valid, stale, never = Q2._verification_status(injected)
+    assert key in stale and key not in never
+
+
+def test_bench_normalize_without_numpy_probe():
+    """The spark probe is the sole normalizer: a run (or reference)
+    missing the numpy GEMM must still produce the normalized block,
+    with the numpy ratio absent and no divergence verdict."""
+    m = _benchmod()
+    cal = {"spark_hash_agg_sec": 1.2}
+    n = m._normalize(cal, _PREV, {"a": 1.0}, 10.0, 0.1)
+    assert n is not None and n["speed_ratio_vs_ref"] == 1.2
+    assert n["speed_ratio_numpy_probe"] is None
+    assert n["probes_divergent"] is False
+    prev_nonp = dict(_PREV, calibration={"spark_hash_agg_sec": 1.0})
+    n2 = m._normalize({"spark_hash_agg_sec": 1.2, "numpy_gemm_sec": 9.0},
+                      prev_nonp, {"a": 1.0}, 10.0, 0.1)
+    assert n2 is not None and n2["speed_ratio_numpy_probe"] is None
+
+
+def test_bench_normalize_flags_high_probe_spread():
+    """A >1.5x intra-run probe spread (host speed changed MID-bench)
+    marks the normalized wall unreliable even when the two probes
+    agree — the min is a single least-contended moment."""
+    m = _benchmod()
+    cal = {"spark_hash_agg_sec": 1.0, "numpy_gemm_sec": 2.0,
+           "spark_probe_spread": 2.9}
+    n = m._normalize(cal, _PREV, {"a": 1.0}, 10.0, 0.1)
+    assert n["probe_spread_high"] is True
+    assert n["normalized_wall_unreliable"] is True
+    assert n["probes_divergent"] is False
+    # the reference's spread counts too
+    prev_sp = dict(_PREV, calibration=dict(_PREV["calibration"],
+                                           spark_probe_spread=2.0))
+    n2 = m._normalize({"spark_hash_agg_sec": 1.0,
+                       "numpy_gemm_sec": 2.0,
+                       "spark_probe_spread": 1.1},
+                      prev_sp, {"a": 1.0}, 10.0, 0.1)
+    assert n2["probe_spread_high"] is True
+
+
+def test_exact_quantile_acc_knob_is_defensive():
+    """A malformed or non-positive SPARK_GRAFT_EXACT_QUANTILE_ACC must
+    degrade to the default, never crash the package import or later
+    divide by zero."""
+    from parking_bigdata_spark.operators.stats import _parse_acc
+    assert _parse_acc(None) == 2000
+    assert _parse_acc("500") == 500
+    assert _parse_acc("2e3") == 2000
+    assert _parse_acc("0") == 2000
+    assert _parse_acc("-5") == 2000
+    assert _parse_acc("garbage") == 2000
