@@ -20,25 +20,6 @@ from itertools import combinations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: Default GK accuracy for the EXACT bracket-refine machinery
-#: (grouped_quantiles / grouped_median / grouped_trimmed_mean). A pure
-#: performance knob — exactness NEVER depends on it (the 4x-cushioned
-#: bracket always contains the true quantile and the below-count pass
-#: pins the exact rank; outputs verified identical at 10000/2000/500,
-#: tests/test_round8.py + the r09 A/B). It trades GK insert cost
-#: (~linear in accuracy) against in-bracket candidate volume
-#: (~8n/accuracy distinct runs). The r09 sf0.1 A/B across the 10
-#: registered exact quantile-family keys (VERDICT r08 #6, min of 2
-#: reps per setting, SCALE.md r09 has the per-key table) measured a
-#: WASH: 17.13 s at 2000 vs 17.27 s at 10000 (0.99x), per-key swings
-#: ±12% inside the ~9% rep-to-rep noise — at driver SFs both cost
-#: terms are small against the fixed scan+shuffle floor. 2000 is kept
-#: as the default for the marginal win, the r08-measured ~17% lower
-#: GK insert cost per pass (which grows with rows, i.e. with scale),
-#: and consistency with the audit passes' `_AUDIT_ACC`.
-#: Env-overridable for future retuning; the APPROX forms keep their
-#: own explicit accuracy because there the knob changes RESULTS, not
-#: just cost.
 def _parse_acc(raw: str | None, default: int = 2000) -> int:
     """Parse the accuracy knob defensively (second code-review pass
     r09): a typo'd or non-positive value must degrade to the default
@@ -58,6 +39,28 @@ def _parse_acc(raw: str | None, default: int = 2000) -> int:
     return v
 
 
+#: Default GK accuracy for the EXACT bracket-refine machinery
+#: (grouped_quantiles / grouped_median / grouped_trimmed_mean). A pure
+#: performance knob — exactness NEVER depends on it (the 4x-cushioned
+#: bracket always contains the true quantile and the below-count pass
+#: pins the exact rank; outputs verified identical at 10000/2000/500,
+#: tests/test_round8.py + the r09 A/B). It trades GK insert cost
+#: (~linear in accuracy) against in-bracket candidate volume
+#: (~8n/accuracy distinct runs). The r09 sf0.1 A/B across the 10
+#: registered exact quantile-family keys (VERDICT r08 #6, min of 2
+#: reps per setting, SCALE.md r09 has the per-key table) measured a
+#: WASH: 17.13 s at 2000 vs 17.27 s at 10000 (0.99x), per-key swings
+#: ±12% inside the ~9% rep-to-rep noise — at driver SFs both cost
+#: terms are small against the fixed scan+shuffle floor. 2000 is kept
+#: as the default for the marginal win, the r08-measured ~17% lower
+#: GK insert cost per pass (which grows with rows, i.e. with scale),
+#: and consistency with the audit passes' `_AUDIT_ACC`. The scale
+#: claim was then MEASURED: at 100x (600M-row lineitem stress set)
+#: 2000 wins 0.92x overall — up to 0.74x on the GK-bound keys, the
+#: one loss being the small-dimension-table key (SCALE.md r09).
+#: Env-overridable for future retuning; the APPROX forms keep their
+#: own explicit accuracy because there the knob changes RESULTS, not
+#: just cost.
 EXACT_QUANTILE_ACC = _parse_acc(
     os.environ.get("SPARK_GRAFT_EXACT_QUANTILE_ACC"))
 

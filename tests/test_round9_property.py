@@ -66,7 +66,7 @@ def _write_lineitem(d: str, vals, flags) -> None:
     }).to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
 
 
-@settings(max_examples=6, deadline=None, derandomize=True,
+@settings(max_examples=5, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(a=_GROUP, r=_GROUP)
 # n=1 group: stddev_samp undefined -> NULL; and an all-tied group
@@ -103,7 +103,7 @@ def test_winsorized_twin_random_tiny_groups(spark, tmp_path_factory,
         assert row["p99_in_bracket"] is True, (flag, vs)
 
 
-@settings(max_examples=6, deadline=None, derandomize=True,
+@settings(max_examples=5, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(b=_GROUP, m=_GROUP)
 # one-customer segment + an all-tied segment (IQR = 0: fences collapse
@@ -148,7 +148,7 @@ _ORDER = st.tuples(st.integers(1, 3),              # custkey
 _ORDERS = st.lists(_ORDER, min_size=1, max_size=16)
 
 
-@settings(max_examples=5, deadline=None, derandomize=True,
+@settings(max_examples=4, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(orders=_ORDERS)
 # single order: n=1 ranks clamp to [1, 1]; one customer, one metric
@@ -250,7 +250,7 @@ def _funnel_expected(events):
     return lats
 
 
-@settings(max_examples=6, deadline=None, derandomize=True,
+@settings(max_examples=5, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(events=_EVENTS)
 # zero conversions (no purchase after a click) -> 0 rows; and a
