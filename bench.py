@@ -357,8 +357,16 @@ def _normalize(calibration: dict, prev: dict, timings: dict,
                if calibration.get("numpy_gemm_sec")
                and pc.get("numpy_gemm_sec") else None)
     speed_ratio = r_spark  # spark walls ← spark probe only
+    # the numpy probe's own intra-run spread (either side) gates its
+    # use in the divergence verdict (third review pass r09): a
+    # one-off least-contended numpy min would otherwise poison the
+    # cross-probe comparison in either direction
+    numpy_unstable = bool(
+        calibration.get("numpy_probe_spread", 1.0) > 1.5
+        or pc.get("numpy_probe_spread", 1.0) > 1.5)
     divergent = bool(
-        r_numpy and max(r_spark, r_numpy) / min(r_spark, r_numpy) > 1.5)
+        r_numpy and not numpy_unstable
+        and max(r_spark, r_numpy) / min(r_spark, r_numpy) > 1.5)
     # intra-probe spread (second review pass r09): the code's own
     # comment says a large spread means host speed CHANGED during the
     # bench — so a correction built on the probe MIN (the single
@@ -376,6 +384,7 @@ def _normalize(calibration: dict, prev: dict, timings: dict,
         "speed_ratio_spark_probe": round(r_spark, 3),
         "speed_ratio_numpy_probe": round(r_numpy, 3) if r_numpy else None,
         "probes_divergent": divergent,
+        "numpy_probe_unstable": numpy_unstable,
         "probe_spread_high": spread_high,
         "normalized_wall": round(total / speed_ratio, 3),
         "ref_wall": prev.get("value"),

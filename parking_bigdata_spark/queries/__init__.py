@@ -1493,8 +1493,11 @@ def _module_ast_walk(relpath: str) -> tuple[set, dict]:
     try:
         tree = _ast.parse(open(full, encoding="utf-8").read())
     except (OSError, SyntaxError):
-        _MODULE_IMPORTS_CACHE[relpath] = (set(), {})
-        return _MODULE_IMPORTS_CACHE[relpath]
+        # do NOT cache the failure (third review pass r09): pinning an
+        # empty dependency set for the process lifetime on a transient
+        # read error would silently disable staleness detection for
+        # every key that reaches this module — fail safe, never silent
+        return (set(), {})
     pkg_name = os.path.basename(_PKG_DIR)
     base_parts = tuple(relpath.split(os.sep)[1:-1])
 
@@ -1610,7 +1613,6 @@ def _key_deps() -> dict[str, frozenset]:
         return _KEY_DEPS_CACHE
     import sys as _sys
     import types as _types
-    bindings_cache: dict[str, dict[str, str]] = {}
     deps: dict[str, frozenset] = {}
     for name, (fn, _sql) in REGISTRY.items():
         code = getattr(fn, "__code__", None)
@@ -1622,9 +1624,8 @@ def _key_deps() -> dict[str, frozenset]:
             deps[name] = frozenset(_pkg_module_files())
             continue
         own_file = os.path.relpath(f, _REPO_DIR)
-        if own_file not in bindings_cache:
-            bindings_cache[own_file] = _module_import_bindings(own_file)
-        bindings = bindings_cache[own_file]
+        # per-module memoization lives in _MODULE_IMPORTS_CACHE
+        bindings = _module_import_bindings(own_file)
         mod = _sys.modules.get(fn.__module__)
         out: set[str] = {own_file}
         seen_fns: set = set()

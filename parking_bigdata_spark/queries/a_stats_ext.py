@@ -1754,13 +1754,13 @@ def median_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("t")))
     cum = stats.range_cumsum(vals, "v", ["t"]).localCheckpoint(eager=True)
     n = cum.agg(F.sum("t")).collect()[0][0]
+    schema = ("n long, median double, rank_lo long, rank_hi long, "
+              "ci_lo double, ci_hi double")
     if not n:
         # empty / all-NULL input: the hardened NULL-row contract the
         # approx twin already follows (n=0, NULL statistics)
         return spark.createDataFrame(
-            [(0, None, None, None, None, None)],
-            "n long, median double, rank_lo long, rank_hi long, "
-            "ci_lo double, ci_hi double")
+            [(0, None, None, None, None, None)], schema)
     z = 1.959964
     lo = int(math.floor(n / 2.0 - z * math.sqrt(n) / 2.0))
     hi = int(math.ceil(1 + n / 2.0 + z * math.sqrt(n) / 2.0))
@@ -1775,12 +1775,9 @@ def median_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_hi = kth(hi).collect()[0]["v"]
     m1 = kth(med_k1).collect()[0]["v"]
     m2 = kth(med_k2).collect()[0]["v"]
-    spark_ = spark
-    return spark_.createDataFrame(
+    return spark.createDataFrame(
         [(int(n), round((m1 + m2) / 2.0, 4), int(lo), int(hi),
-          round(row_lo, 4), round(row_hi, 4))],
-        "n long, median double, rank_lo long, rank_hi long, "
-        "ci_lo double, ci_hi double")
+          round(row_lo, 4), round(row_hi, 4))], schema)
 
 MEDIAN_CI_SQL = """
 WITH vals AS (

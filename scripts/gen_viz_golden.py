@@ -64,8 +64,12 @@ def generate(sf_dir: str, out_dir: str, spark=None) -> list[str]:
     # cross-table column-name collision would silently clobber an
     # earlier golden and leave one panel untested (code-review r09)
     sweep_cols = [c for cols in DIST_SWEEP.values() for c in cols]
-    assert len(sweep_cols) == len(set(sweep_cols)), \
-        "DIST_SWEEP column names must be unique across tables"
+    if len(sweep_cols) != len(set(sweep_cols)):
+        # a real exception, not assert: python -O would compile the
+        # guard out and bring back the silent golden clobber
+        dupes = sorted({c for c in sweep_cols if sweep_cols.count(c) > 1})
+        raise ValueError(f"DIST_SWEEP column names collide across "
+                         f"tables: {dupes}")
     paths = []
     loaded = {}
     for table, cols in DIST_SWEEP.items():
