@@ -501,40 +501,13 @@ def range_cumsum(df: DataFrame, order_col: str,
                     *[f"__off_{c}" for c in sum_cols])
 
 
-#: Driver-side collect bound for per-group bracket tables: below this
-#: the one-row-per-group frame collects and re-parallelizes (cheapest
-#: single materialization); above it the frame stays distributed via
-#: localCheckpoint so an unboundedly-high-cardinality group column can
-#: never OOM the driver (ADVICE r03).
-_BRACKET_COLLECT_MAX = 100_000
-
-
-def _materialize_groups(br: DataFrame):
-    """Materialize a one-row-per-group helper frame exactly once for
-    its multiple consumers, bounded driver-side (see
-    _BRACKET_COLLECT_MAX). Returns ``(frame, hint)`` where ``hint`` is
-    ``F.broadcast`` while the group table is provably small and the
-    identity above the bound — broadcast relations are driver-built,
-    so a forced broadcast of an unbounded group table is the same OOM
-    in different clothes; past the bound AQE picks the join strategy."""
-    # Checkpoint FIRST so the expensive per-group sketch aggregate runs
-    # exactly once on both paths — the size probe then reads the
-    # checkpointed blocks instead of re-running the scan (ADVICE r04).
-    cp = pin(br)
-    head = cp.limit(_BRACKET_COLLECT_MAX + 1).collect()
-    if len(head) <= _BRACKET_COLLECT_MAX:
-        # the collected rows replace cp on this path — free its
-        # executor blocks NOW instead of waiting for driver GC +
-        # ContextCleaner (repeated bracket calls would otherwise
-        # accumulate orphaned checkpoint blocks between GCs, ADVICE
-        # r05). Best-effort: the blocks are reclaimed on GC anyway.
-        try:
-            cp._jdf.queryExecution().logical().rdd().unpersist(False)
-        except Exception:
-            pass
-        return (br.sparkSession.createDataFrame(head, schema=br.schema),
-                F.broadcast)
-    return cp, (lambda df: df)
+# NOTE (optimization round 10): the `_materialize_groups` bracket-table
+# checkpoint+collect helper (ADVICE r03/r04/r05 lineage) is GONE — the
+# fused bracket-refine rewrite below leaves the bracket table exactly
+# one consumer, so it needs no materialization at all and the
+# unbounded-group-cardinality driver-OOM concern it bounded no longer
+# has a surface (nothing about the bracket table ever reaches the
+# driver now; AQE picks the join strategy from its runtime size).
 
 
 def grouped_median(df: DataFrame, group_col: str, value_col: str,
@@ -583,22 +556,28 @@ def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
     per-group sort buffers — ``grouped_median`` generalized.
 
     One ``percentile_approx`` pass brackets every fraction (rank error
-    4x-cushioned); one fused pass counts rows below each bracket; the
-    in-bracket candidates are RLE-COMPRESSED by a distributed
-    groupBy(group, fraction, value) count before any window — ties
-    make the raw candidate set unbounded (a bracket endpoint's full
-    tie run joins it: millions of rows for a low-cardinality column at
-    corpus scale), but the DISTINCT values inside a bracket stay
-    ~8n/accuracy regardless of ties. A tiny per-(group, fraction)
-    window then cumulates run counts, locates the runs covering the
-    floor/ceil candidate ranks, and interpolates
+    4x-cushioned); ONE further fused pass (optimization round 10 —
+    below-counts and candidates used to be two separate scans+shuffles)
+    classifies every row against its fraction's bracket: rows BELOW
+    the bracket collapse into a single NULL-valued "pseudo-run" per
+    (group, fraction) carrying the exact below-count, in-bracket
+    candidates are RLE-COMPRESSED by a distributed
+    groupBy(group, fraction, value) count, and above-bracket rows are
+    dropped — ties make the raw candidate set unbounded (a bracket
+    endpoint's full tie run joins it: millions of rows for a
+    low-cardinality column at corpus scale), but the DISTINCT values
+    inside a bracket stay ~8n/accuracy regardless of ties. A tiny
+    per-(group, fraction) window (ascending, nulls first, so the
+    pseudo-run's count seeds the cumulation and ranks are GLOBAL)
+    locates the runs covering the floor/ceil ranks and interpolates
     ``lo + (hi-lo)*frac`` — the percentile_cont formula. Returns one
-    row per group, one column per alias.
+    row per group, one column per alias. Total: two passes over the
+    fact, one candidate-bounded shuffle, nothing driver-side.
 
     ``accuracy`` is a pure performance knob — EXACTNESS NEVER DEPENDS
     ON IT (the bracket always contains the true quantile thanks to the
-    4x rank-error cushion, and the below-count pass pins the exact
-    rank). It trades sketch cost against candidate volume: GK insert
+    4x rank-error cushion, and the fused pass pins the exact rank).
+    It trades sketch cost against candidate volume: GK insert
     cost grows ~linearly with accuracy, while the distinct-value runs
     per (group, fraction) are ~8n/accuracy rows sorted in ONE window
     task. Lower it (e.g. 2000) when groups are modest; raise it when
@@ -616,58 +595,63 @@ def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
             .agg(F.percentile_approx(value_col, probes, accuracy)
                   .alias("__q"),
                  F.count(value_col).alias("__n")))
-    # materialize the bracket table (one row per group) ONCE: it feeds
-    # two joins (below-counts and candidates), and the sketch aggregate
-    # under a broadcast exchange is NOT reuse-merged across them — left
-    # lazy, the expensive percentile_approx scan runs per consumer.
-    # The driver-side collect is BOUNDED (see _materialize_groups): a
-    # high-cardinality group column cannot OOM the driver.
-    br, hint = _materialize_groups(br)
-    # NULL filter before candidacy — same rationale as grouped_median
+    # NULL filter before candidacy — same rationale as grouped_median.
+    # `br` has exactly ONE consumer (this join), so it needs no
+    # materialization; AQE sees its runtime size and picks the join
+    # strategy (broadcast while the group table is small, shuffle when
+    # an unboundedly-high-cardinality group column makes it big).
     j = (df.select(group_col, value_col)
            .where(F.col(value_col).isNotNull())
-           .join(hint(br), group_col))
+           .join(br, group_col))
     # sub-row cushion guard: small groups take every row as candidate
     # (bounded by `accuracy` rows) with a zero below-count
     small = F.col("__n") <= accuracy
-    below = (j.groupBy(group_col)
-              .agg(*[F.sum((~small
-                            & (F.col(value_col)
-                               < F.element_at("__q", 2 * i + 1)))
-                           .cast("long"))
-                      .alias(f"__b{i}") for i in range(k)]))
-    cand = (j.select(group_col, value_col, "__n", "__q",
-                     F.explode(F.array(*[F.lit(i) for i in range(k)]))
-                      .alias("__i"))
-             .where(small
-                    | ((F.col(value_col)
-                        >= F.element_at("__q", F.col("__i") * 2 + 1))
-                       & (F.col(value_col)
-                          <= F.element_at("__q", F.col("__i") * 2 + 2)))))
+    # FUSED below-count + candidate pass (optimization round 10 — one
+    # scan and one shuffle where two of each ran before): every row is
+    # below its fraction's bracket, inside it, or above it. Above-rows
+    # are dropped; in-bracket rows keep their value; below-rows map to
+    # a NULL value, so the RLE aggregate collapses them into ONE
+    # "pseudo-run" per (group, fraction) whose count IS the old
+    # below-count. Ascending nulls-first ordering puts that pseudo-run
+    # first in the rank window, so the cumulative count `__hi` becomes
+    # the GLOBAL rank directly — no separate below-count aggregate, no
+    # offset join, no bracket-table checkpoint+collect.
+    i_col = (F.lit(0) if k == 1 else
+             F.explode(F.array(*[F.lit(i) for i in range(k)])))
+    v = F.col(value_col)
+    lo_i = F.element_at("__q", F.col("__i") * 2 + 1)
+    hi_i = F.element_at("__q", F.col("__i") * 2 + 2)
+    is_cand = small | ((v >= lo_i) & (v <= hi_i))
+    is_below = ~small & (v < lo_i)
     # RLE compression: one distributed aggregate collapses tie runs, so
     # the window below ranks value RUNS, never raw rows
-    runs = (cand.groupBy(group_col, "__i", "__n", value_col)
-                .agg(F.count(F.lit(1)).alias("__c")))
-    w = Window.partitionBy(group_col, "__i").orderBy(value_col)
-    ranked = (runs.withColumn("__hi", F.sum("__c").over(w))
-                  .join(hint(below), group_col))
-    nb = F.element_at(F.array(*[F.col(f"__b{i}") for i in range(k)]),
-                      F.col("__i") + 1)
+    runs = (j.select(group_col, value_col, "__n", "__q",
+                     i_col.alias("__i"))
+             .where(is_cand | is_below)
+             .groupBy(group_col, "__i", "__n",
+                      F.when(is_cand, v).alias("__v"))
+             .agg(F.count(F.lit(1)).alias("__c")))
+    w = (Window.partitionBy(group_col, "__i")
+               .orderBy(F.asc_nulls_first("__v")))
+    ranked = runs.withColumn("__hi", F.sum("__c").over(w))
     p_i = F.element_at(F.array(*[F.lit(float(p)) for p in fractions]),
                        F.col("__i") + 1)
     pos = F.lit(1.0) + p_i * (F.col("__n") - 1)
     fl = F.floor(pos)
     frac = pos - fl
-    local = fl - nb
-    # this run occupies local candidate ranks (__hi-__c, __hi]; it
-    # contributes the floor weight if it covers rank `local`, plus the
-    # ceil weight if it covers rank `local`+1 (a single run covering
-    # both sums to exactly value — identical to two tied rows)
-    lo_hit = (local > F.col("__hi") - F.col("__c")) & (local <= F.col("__hi"))
-    hi_hit = ((frac > 0) & (local + 1 > F.col("__hi") - F.col("__c"))
-              & (local + 1 <= F.col("__hi")))
-    contrib = (F.when(lo_hit, (1 - frac) * F.col(value_col)).otherwise(F.lit(0.0))
-               + F.when(hi_hit, frac * F.col(value_col)).otherwise(F.lit(0.0)))
+    vv = F.col("__v")
+    # this run occupies global ranks (__hi-__c, __hi]; it contributes
+    # the floor weight if it covers rank `fl`, plus the ceil weight if
+    # it covers rank `fl`+1 (a single run covering both sums to exactly
+    # value — identical to two tied rows). The NULL pseudo-run can
+    # never hit (the 4x rank cushion keeps both target ranks past the
+    # below-count); the isNotNull guard makes that explicit.
+    lo_hit = ((fl > F.col("__hi") - F.col("__c")) & (fl <= F.col("__hi"))
+              & vv.isNotNull())
+    hi_hit = ((frac > 0) & (fl + 1 > F.col("__hi") - F.col("__c"))
+              & (fl + 1 <= F.col("__hi")) & vv.isNotNull())
+    contrib = (F.when(lo_hit, (1 - frac) * vv).otherwise(F.lit(0.0))
+               + F.when(hi_hit, frac * vv).otherwise(F.lit(0.0)))
     piv = (ranked.where(lo_hit | hi_hit)
                  .groupBy(group_col)
                  .pivot("__i", list(range(k)))
@@ -691,18 +675,23 @@ def grouped_trimmed_mean(df: DataFrame, group_col: str, value_col: str,
        k-th largest values (k = floor(trim·n), rank-cushion argument as
        in grouped_median — valid for n > accuracy; smaller groups take
        the all-candidates path);
-    2. a fused pass counts/sums rows outside the brackets and keeps the
-       ~8n/accuracy in-bracket candidates;
-    3. candidates RLE-compress by value (tie-proof — see
-       :func:`grouped_quantiles`) and tiny per-group run windows select
+    2. ONE fused pass (optimization round 10 — the side-count scan and
+       the two candidate scans used to run separately) classifies each
+       row against both brackets: outside-rows collapse into a
+       NULL-valued pseudo-run per (group, side) carrying the exact
+       outside-count, the ~8n/accuracy in-bracket candidates
+       RLE-compress by value (tie-proof — see
+       :func:`grouped_quantiles`);
+    3. tiny per-(group, side) run windows (nulls first, so the
+       pseudo-run seeds the cumulation and ranks are GLOBAL) select
        L = k-th smallest and H = k-th largest;
     4. one conditional aggregation assembles
        trimmed_sum = Σv − [Σ(v<L) + (k−c(v<L))·L] − [Σ(v>H) + (k−c(v>H))·H]
        which handles tie blocks spanning a cutoff exactly (the
        interchangeability of equal values makes rank-trim order-free).
 
-    Returns (group_col, alias, n). Five parallel scans, zero data-sized
-    windows, zero Python.
+    Returns (group_col, alias, n). Three parallel scans (down from
+    five), zero data-sized windows, zero Python.
     """
     if accuracy is None:
         accuracy = EXACT_QUANTILE_ACC
@@ -714,49 +703,59 @@ def grouped_trimmed_mean(df: DataFrame, group_col: str, value_col: str,
             .agg(F.percentile_approx(value_col, probes, accuracy)
                   .alias("__q"),
                  F.count(value_col).alias("__n")))
-    # materialize the per-group bracket row ONCE — it feeds four
-    # consumers (side counts, two candidate filters, the final cuts
-    # join) and the sketch aggregate is not reuse-merged across them;
-    # driver transfer bounded by _materialize_groups
-    br, hint = _materialize_groups(br)
+    # `br` has exactly ONE consumer (this join) — no materialization;
+    # AQE picks the join strategy from its runtime size (see
+    # grouped_quantiles).
     j = (df.select(group_col, value_col)
            .where(v.isNotNull())
-           .join(hint(br), group_col))
+           .join(br, group_col))
     small = F.col("__n") <= accuracy
     k = F.floor(F.col("__n") * trim)
-    sides = (j.groupBy(group_col)
-              .agg(F.sum((~small & (v < F.element_at("__q", 1)))
-                         .cast("long")).alias("__clo"),
-                   F.sum((~small & (v > F.element_at("__q", 4)))
-                         .cast("long")).alias("__chi")))
-    lo_cand = j.where(small | ((v >= F.element_at("__q", 1))
-                               & (v <= F.element_at("__q", 2))))
-    hi_cand = j.where(small | ((v >= F.element_at("__q", 3))
-                               & (v <= F.element_at("__q", 4))))
+    # FUSED side-count + candidate pass (optimization round 10; the
+    # grouped_quantiles null-pseudo-run construction, one per SIDE):
+    # each row lands on side 0 (low cut) and/or side 1 (high cut) —
+    # outside-rows map to a NULL value so the RLE aggregate collapses
+    # them into one pseudo-run per (group, side) whose count is the
+    # old __clo/__chi; in-bracket rows keep their value; rows beyond
+    # either bracket's far edge are dropped. One scan and one shuffle
+    # replace the three scans (sides, lo_cand, hi_cand) and their
+    # shuffles, and the bracket table no longer checkpoint+collects.
+    s_col = F.explode(F.array(F.lit(0), F.lit(1)))
+    lo_s = F.when(F.col("__s") == 0, F.element_at("__q", 1)) \
+            .otherwise(F.element_at("__q", 3))
+    hi_s = F.when(F.col("__s") == 0, F.element_at("__q", 2)) \
+            .otherwise(F.element_at("__q", 4))
+    is_cand = small | ((v >= lo_s) & (v <= hi_s))
+    is_out = ~small & F.when(F.col("__s") == 0, v < lo_s) \
+                       .otherwise(v > hi_s)
     # RLE-compress candidates before ranking (ties would otherwise pull
     # unbounded tie runs through a single-task window — see
-    # grouped_quantiles): cum counts over value RUNS locate the run
-    # covering the needed order statistic
-    w_lo = Window.partitionBy(group_col).orderBy(v)
-    w_hi = Window.partitionBy(group_col).orderBy(v.desc())
-    lo_runs = (lo_cand.groupBy(group_col, value_col, "__n")
-                      .agg(F.count(F.lit(1)).alias("__c"))
-                      .withColumn("__hi", F.sum("__c").over(w_lo)))
-    hi_runs = (hi_cand.groupBy(group_col, value_col, "__n")
-                      .agg(F.count(F.lit(1)).alias("__c"))
-                      .withColumn("__hi", F.sum("__c").over(w_hi)))
-    need_lo = k - F.col("__clo")
-    need_hi = k - F.col("__chi")
-    L = (lo_runs.join(hint(sides), group_col)
-                .where((need_lo > F.col("__hi") - F.col("__c"))
-                       & (need_lo <= F.col("__hi")))
-                .select(group_col, v.alias("__L")))
-    H = (hi_runs.join(hint(sides), group_col)
-                .where((need_hi > F.col("__hi") - F.col("__c"))
-                       & (need_hi <= F.col("__hi")))
-                .select(group_col, v.alias("__H")))
-    cuts = (br.select(group_col, "__n")
-              .join(L, group_col, "left").join(H, group_col, "left"))
+    # grouped_quantiles); `pin` the tiny run table once for its four
+    # consumers (two rank windows, the n-frame, via cuts)
+    runs = pin(j.select(group_col, value_col, "__n", "__q",
+                        s_col.alias("__s"))
+                .where(is_cand | is_out)
+                .groupBy(group_col, "__s", "__n",
+                         F.when(is_cand, v).alias("__v"))
+                .agg(F.count(F.lit(1)).alias("__c")))
+    vv = F.col("__v")
+    # ascending nulls-first / descending nulls-first put each side's
+    # pseudo-run FIRST in its window, so the cumulative count is the
+    # side's GLOBAL trim rank directly (below-count absorbed)
+    w_lo = Window.partitionBy(group_col).orderBy(F.asc_nulls_first("__v"))
+    w_hi = Window.partitionBy(group_col).orderBy(F.desc_nulls_first("__v"))
+    lo_runs = (runs.where(F.col("__s") == 0)
+                   .withColumn("__hi", F.sum("__c").over(w_lo)))
+    hi_runs = (runs.where(F.col("__s") == 1)
+                   .withColumn("__hi", F.sum("__c").over(w_hi)))
+    L = (lo_runs.where((k > F.col("__hi") - F.col("__c"))
+                       & (k <= F.col("__hi")) & vv.isNotNull())
+                .select(group_col, vv.alias("__L")))
+    H = (hi_runs.where((k > F.col("__hi") - F.col("__c"))
+                       & (k <= F.col("__hi")) & vv.isNotNull())
+                .select(group_col, vv.alias("__H")))
+    cuts = (runs.groupBy(group_col).agg(F.max("__n").alias("__n"))
+                .join(L, group_col, "left").join(H, group_col, "left"))
     fin = (df.select(group_col, value_col)
              .where(v.isNotNull())
              .join(F.broadcast(cuts), group_col)

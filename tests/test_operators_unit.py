@@ -490,13 +490,15 @@ def test_range_cumsum_matches_naive_window(spark):
     assert set(got.columns) == {"v", "a", "b", "cum_a", "cum_b"}
 
 
-def test_grouped_quantiles_high_cardinality_fallback(spark, monkeypatch):
-    """ADVICE r03: above _BRACKET_COLLECT_MAX groups the bracket table
-    must stay distributed (no unbounded driver collect) AND still
-    produce exact quantiles. Force the fallback by shrinking the bound."""
+def test_grouped_quantiles_many_groups(spark):
+    """ADVICE r03 lineage: a high-cardinality group column must never
+    reach the driver. Since the round-10 fused rewrite NOTHING about
+    the bracket table is driver-side by construction (no collect, no
+    checkpoint — one consumer, AQE-picked join), so this now just
+    asserts exactness across many groups and multiple fractions on the
+    single remaining code path."""
     from parking_bigdata_spark.operators import stats
 
-    monkeypatch.setattr(stats, "_BRACKET_COLLECT_MAX", 3)
     rows = [(f"g{g}", float(v)) for g in range(10) for v in range(1, 20)]
     df = spark.createDataFrame(rows, "g string, v double").repartition(5)
     got = {r["g"]: (r["p25"], r["p50"], r["p75"])
@@ -511,6 +513,44 @@ def test_grouped_quantiles_high_cardinality_fallback(spark, monkeypatch):
           for r in stats.grouped_trimmed_mean(df, "g", "v").collect()}
     # trim=0.1: floor(19*0.1)=1 row off each end -> mean(2..18) = 10
     assert all(abs(v - 10.0) < 1e-9 for v in tm.values())
+
+
+def test_grouped_quantiles_pseudo_run_below_counts(spark):
+    """Round-10 fused rewrite: below-bracket rows travel as ONE
+    NULL-valued pseudo-run whose count seeds the rank cumulation. Use
+    a low accuracy (narrow candidate window around each fraction, so
+    below-counts are large and the pseudo-run path is load-bearing),
+    heavy ties AT a bracket edge, negative values, and n >> accuracy
+    (the non-small path), against a numpy percentile_cont reference."""
+    import numpy as np
+
+    from parking_bigdata_spark.operators import stats
+
+    rng = np.random.default_rng(42)
+    vals = {
+        "x": np.round(rng.normal(0.0, 50.0, 4000), 1),   # negatives, ties
+        "y": np.repeat(np.arange(40.0), 100),            # massive ties
+    }
+    rows = [(g, float(v)) for g, a in vals.items() for v in a]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(7)
+    fracs = [0.1, 0.5, 0.9]
+    got = {r["g"]: [r["q0"], r["q1"], r["q2"]]
+           for r in stats.grouped_quantiles(
+               df, "g", "v", fracs, ["q0", "q1", "q2"],
+               accuracy=200).collect()}
+    for g, a in vals.items():
+        want = [float(np.percentile(a, 100 * p, method="linear"))
+                for p in fracs]
+        assert np.allclose(got[g], want, rtol=0, atol=1e-9), (g, got[g], want)
+    # trimmed mean through the same fused machinery (out-count
+    # pseudo-runs on BOTH sides)
+    tm = {r["g"]: (r["trimmed_mean"], r["n"])
+          for r in stats.grouped_trimmed_mean(
+              df, "g", "v", trim=0.1, accuracy=200).collect()}
+    for g, a in vals.items():
+        k = int(np.floor(len(a) * 0.1))
+        want = float(np.sort(a)[k:len(a) - k].mean())
+        assert abs(tm[g][0] - want) < 1e-9 and tm[g][1] == len(a)
 
 
 def test_operators_handle_empty_input(spark):
