@@ -546,9 +546,14 @@ def mad_approx_price_by_flag_detail(spark: SparkSession, sf_dir: str,
                                     li: DataFrame | None = None) -> DataFrame:
     acc = 10000
     if li is None:
-        li = load_table(spark, sf_dir, "lineitem").select(
-            "l_returnflag",
-            F.col("l_extendedprice").cast("double").alias("v"))
+        # isNotNull matches the audit tier's pinned projection (ADVICE
+        # r09): without it the standalone/audit=False detail could see
+        # different _probe_eps group counts than the audit path on a
+        # null-containing price column (no effect on TPC-H data)
+        li = (load_table(spark, sf_dir, "lineitem")
+              .where(F.col("l_extendedprice").isNotNull())
+              .select("l_returnflag",
+                      F.col("l_extendedprice").cast("double").alias("v")))
     # r07: the fixed ±4/acc offset is SUB-RANK at small group n, where
     # both probes can collapse onto the same order statistic below the
     # interpolated percentile_cont target — _probe_eps floors the

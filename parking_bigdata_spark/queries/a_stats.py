@@ -1361,17 +1361,25 @@ FROM km WHERE d > 0
 def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import money
     orders = load_table(spark, sf_dir, "orders")
-    p = money("o_totalprice")
+    # exact INTEGER cents, not decimal (optimization round 10): the 32
+    # replicate sums promote decimal(18,2) to decimal(28,2), whose
+    # aggregation buffer is BigDecimal-backed — measured 1.68 s vs
+    # 1.29 s for the same fused aggregate on long cents at sf0.1. The
+    # cent total is the same exact rational, so sum_cents/100.0 is the
+    # bit-identical double the decimal sum's cast produced (verified
+    # bitwise over all 32 replicates). int64 headroom: ~6e17 cents for
+    # a half-replicate at 100 TB orders, ~15x under overflow.
+    p = (money("o_totalprice") * 100).cast("long")
     h = F.md5(F.col("o_orderkey").cast("string"))
     aggs = []
     for b in range(1, 33):
         keep = F.substring(h, b, 1) < "8"
         aggs.append(F.sum(F.when(keep, p)).alias(f"s{b}"))
         aggs.append(F.sum(keep.cast("long")).alias(f"c{b}"))
-    aggs.append(F.round(F.sum(p).cast("double") / F.count(F.lit(1)), 4)
+    aggs.append(F.round(F.sum(p) / 100.0 / F.count(F.lit(1)), 4)
                  .alias("full_mean"))
     one = orders.agg(*aggs)
-    means = F.array(*[F.col(f"s{b}").cast("double") / F.col(f"c{b}")
+    means = F.array(*[F.col(f"s{b}") / 100.0 / F.col(f"c{b}")
                       for b in range(1, 33)])
     rep = one.select(F.explode(means).alias("rep_mean"), "full_mean")
     # count("rep_mean") not count(*): an EMPTY replicate (possible only

@@ -486,11 +486,16 @@ def ad_ksample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
               .localCheckpoint(eager=True))
     sizes = cells.groupBy("g").agg(F.sum("f").alias("ni"))
     vals = cells.groupBy("v").agg(F.sum("f").alias("l"))
-    bcum = stats.range_cumsum(vals, "v", ["l"])
-    grid = (bcum.crossJoin(F.broadcast(sizes))
+    # ONE grouped cumulative pass carries BOTH running sums
+    # (optimization round 10): the grid replicates every distinct value
+    # into every group, so the per-group cumsum of `l` over v IS the
+    # global cumsum — the separate range_cumsum(vals) pass (its own
+    # range shuffle, window, pin and offset join) is redundant.
+    # Integer counts, so the fused sum is exact.
+    grid = (vals.crossJoin(F.broadcast(sizes))
                 .join(cells, ["g", "v"], "left")
                 .withColumn("f", F.coalesce("f", F.lit(0))))
-    mcum = stats.range_cumsum_by_group(grid, "g", "v", ["f"])
+    mcum = stats.range_cumsum_by_group(grid, "g", "v", ["f", "l"])
     tot = sizes.agg(F.sum("ni").alias("N"),
                     F.count(F.lit(1)).alias("k"))
     j = mcum.crossJoin(F.broadcast(tot))
@@ -1765,16 +1770,19 @@ def median_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = int(math.floor(n / 2.0 - z * math.sqrt(n) / 2.0))
     hi = int(math.ceil(1 + n / 2.0 + z * math.sqrt(n) / 2.0))
     lo, hi = max(lo, 1), min(hi, n)
-
-    def kth(k):
-        return (cum.where(F.col("cum_t") >= k)
-                   .agg(F.min("v").alias("v")))
     med_k1 = (n + 1) // 2
     med_k2 = (n + 2) // 2
-    row_lo = kth(lo).collect()[0]["v"]
-    row_hi = kth(hi).collect()[0]["v"]
-    m1 = kth(med_k1).collect()[0]["v"]
-    m2 = kth(med_k2).collect()[0]["v"]
+    # ONE conditional aggregate reads all four order statistics off
+    # the checkpointed cumulative table (optimization round 10 — this
+    # was four separate kth() collect jobs; min-ignores-NULL makes
+    # min(when(cum_t >= k, v)) identical to the filtered min)
+    r4 = cum.agg(
+        F.min(F.when(F.col("cum_t") >= lo, F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("cum_t") >= hi, F.col("v"))).alias("hi"),
+        F.min(F.when(F.col("cum_t") >= med_k1, F.col("v"))).alias("m1"),
+        F.min(F.when(F.col("cum_t") >= med_k2, F.col("v"))).alias("m2"),
+    ).collect()[0]
+    row_lo, row_hi, m1, m2 = r4["lo"], r4["hi"], r4["m1"], r4["m2"]
     return spark.createDataFrame(
         [(int(n), round((m1 + m2) / 2.0, 4), int(lo), int(hi),
           round(row_lo, 4), round(row_hi, 4))], schema)
