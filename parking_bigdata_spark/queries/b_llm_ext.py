@@ -460,26 +460,45 @@ def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("qid", "vec_id", "e", "qe",
                         F.explode(F.array(F.lit(8), F.lit(16), F.lit(32),
                                           F.lit(64))).alias("dim")))
-    def cos(dim_col):
-        a = F.slice("e", F.lit(1), dim_col)
-        b = F.slice("qe", F.lit(1), dim_col)
-        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                          F.lit(0.0), lambda acc, v: acc + v)
-        na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                                F.lit(0.0), lambda acc, v: acc + v))
-        nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
-                                F.lit(0.0), lambda acc, v: acc + v))
-        # nullif: a zero-norm (truncated) vector has undefined cosine
-        # — NULL scores sort last, never an ANSI job abort. This is
-        # the one cosine site that KEEPS NULL-score rows rather than
-        # excluding them (similarity._unit_nonzero): here zero norms
-        # arise from PREFIX truncation of nonzero vectors, the metric
-        # is recall of the full-dim ranking, and both engines rank
-        # NULLs last identically — excluding would silently shrink
-        # the recall denominator
-        return F.round(dot / F.nullif(na * nb, F.lit(0.0)), 6)
+    # Vectorized prefix-cosine scorer (optimization round 10, guide
+    # §4.2): the higher-order aggregate()/zip_with() form evaluated
+    # ~3·dim interpreted ops per (pair, dim) row; one einsum per
+    # (batch, distinct dim) replaces them. NULL-score contract kept: a
+    # zero-norm (truncated) vector has undefined cosine — NULL scores
+    # sort last, never an ANSI job abort. This is the one cosine site
+    # that KEEPS NULL-score rows rather than excluding them
+    # (similarity._unit_nonzero): here zero norms arise from PREFIX
+    # truncation of nonzero vectors, the metric is recall of the
+    # full-dim ranking, and both engines rank NULLs last identically —
+    # excluding would silently shrink the recall denominator.
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def prefix_cos(e, qe, dim):
+        import numpy as np
+        if not len(e):
+            return pd.Series([], dtype="Float64")
+        E = np.stack(e.to_numpy())
+        Qe = np.stack(qe.to_numpy())
+        d = dim.to_numpy()
+        s = np.empty(len(d))
+        zero = np.zeros(len(d), dtype=bool)
+        for dd in np.unique(d):
+            m = d == dd
+            A, B = E[m, :dd], Qe[m, :dd]
+            dot = np.einsum("ij,ij->i", A, B)
+            den = (np.sqrt(np.einsum("ij,ij->i", A, A))
+                   * np.sqrt(np.einsum("ij,ij->i", B, B)))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s[m] = np.round(dot / den, 6)
+            zero[m] = den == 0.0
+        out = pd.array(s, dtype="Float64")
+        out[zero] = pd.NA
+        return pd.Series(out)
+
     scored = pairs.select("qid", "vec_id", "dim",
-                          cos(F.col("dim")).alias("score"))
+                          prefix_cos(F.col("e"), F.col("qe"),
+                                     F.col("dim")).alias("score"))
     # two-phase exact top-5 (the cosine_topk discipline): a per-task
     # local prune bounds every (dim, qid) group to ≤5·#tasks rows
     # BEFORE the global rank window — without it, each (dim, qid)
