@@ -79,7 +79,18 @@ def pagerank(edges: DataFrame, n_iter: int = 3,
     # be a wasted full-edge-list exchange.
     trans = edges.join(F.broadcast(out_w), "src").select(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
-    if not broadcast_state:
+    if broadcast_state:
+        # pre-partition the persisted transition table by DST
+        # (optimization round 10, guide §2.4): under broadcast state
+        # the per-round rank join imposes no distribution, so the only
+        # per-round exchange is contrib's groupBy(dst) — hash-
+        # partitioning the cache on dst makes that aggregation
+        # exchange-free EVERY round. One up-front shuffle of the edge
+        # list replaces n_iter edge-sized shuffles (measured at sf0.1:
+        # pagerank after edge build 4.28 -> 2.83 s best-of-3; at scale
+        # the saving is n_iter-1 full edge-list shuffles).
+        trans = trans.repartition("dst")
+    else:
         trans = trans.repartition("src")
     trans = trans.persist()
     trans.count()  # materializes out_w + trans
