@@ -33,22 +33,80 @@ def _cosine_score_udf(round_to: int):
     masked Float64 → Arrow null), the `_unit_nonzero` contract the
     expression form's ``nullif`` implemented. Rounded HERE so callers
     rank identical values to the old expression (same rational inputs,
-    one IEEE divide — batch order cannot change a rowwise result)."""
+    one IEEE divide — batch order cannot change a rowwise result).
+
+    DEGENERATE-ROW CONTRACT (restored round 11, ADVICE r10 #3): a NULL
+    vector or a length-mismatched pair scores NULL — the relational
+    outcome the replaced ``zip_with``/``aggregate`` expression produced
+    (null-padding made the whole fold NULL) — instead of aborting the
+    job in ``np.stack``. Rows are grouped by vector length so the
+    einsum still runs on dense float64 blocks; real data has one
+    length, so the normal path is unchanged.
+
+    ROUNDING CONTRACT (pinned round 11, ADVICE r10 #1): ``np.round``
+    rounds half-to-EVEN on the scaled binary double, where the
+    replaced ``F.round`` rounds half-up on the shortest-decimal
+    representation and DuckDB's ``round`` rounds half-away-from-zero
+    on the scaled binary. The three agree except when the cosine's
+    scaled value lands exactly on (or prints as) a representable
+    decimal half at ``round_to`` digits — a measure-zero tie class
+    requiring a dyadic-rational cosine, absent from every gated
+    dataset (oracle hash green at all three SFs) and pinned by
+    tests/test_round11.py. Half-even is the documented contract of
+    every numpy scorer in this module (see also b_llm_ext.prefix_cos);
+    emulating decimal-string half-up would force a per-row Python
+    round — the row-at-a-time cost this UDF exists to remove."""
     import pandas as pd
 
     @F.pandas_udf("double")
     def score(qv, cv):
-        if not len(qv):
+        n = len(qv)
+        if not n:
             return pd.Series([], dtype="Float64")
-        Q = np.stack(qv.to_numpy())
-        C = np.stack(cv.to_numpy())
-        dot = np.einsum("ij,ij->i", Q, C)
-        den = (np.sqrt(np.einsum("ij,ij->i", Q, Q))
-               * np.sqrt(np.einsum("ij,ij->i", C, C)))
-        with np.errstate(invalid="ignore", divide="ignore"):
-            s = np.round(dot / den, round_to)
-        out = pd.array(s, dtype="Float64")
-        out[den == 0.0] = pd.NA
+        q_arr = qv.to_numpy()
+        c_arr = cv.to_numpy()
+        qlen = np.fromiter(
+            (len(v) if v is not None else -1 for v in q_arr),
+            dtype=np.int64, count=n)
+        clen = np.fromiter(
+            (len(v) if v is not None else -1 for v in c_arr),
+            dtype=np.int64, count=n)
+        valid = (qlen >= 0) & (qlen == clen)
+        out = pd.array([pd.NA] * n, dtype="Float64")
+        for length in np.unique(qlen[valid]):
+            m = np.nonzero(valid & (qlen == length))[0]
+            try:
+                Q = np.stack(q_arr[m]).astype(np.float64)
+                C = np.stack(c_arr[m]).astype(np.float64)
+            except (TypeError, ValueError):
+                # NULL elements inside a vector (object-dtype stack):
+                # score exactly the affected rows NULL, like the old
+                # expression, via a per-row slow path — only ever taken
+                # on corrupt data, never by real embedding batches
+                for i in m:
+                    try:
+                        q1 = np.asarray(q_arr[i], dtype=np.float64)
+                        c1 = np.asarray(c_arr[i], dtype=np.float64)
+                    except (TypeError, ValueError):
+                        continue
+                    # single-row einsum: the same per-row reduction the
+                    # fast path runs, so a row's score cannot depend on
+                    # which batch/group it landed in
+                    q2, c2 = q1[None, :], c1[None, :]
+                    d1 = float(np.sqrt(np.einsum("ij,ij->i", q2, q2))
+                               * np.sqrt(np.einsum("ij,ij->i", c2, c2)))
+                    if d1 != 0.0:
+                        dot1 = float(np.einsum("ij,ij->i", q2, c2)[0])
+                        out[i] = float(np.round(dot1 / d1, round_to))
+                continue
+            dot = np.einsum("ij,ij->i", Q, C)
+            den = (np.sqrt(np.einsum("ij,ij->i", Q, Q))
+                   * np.sqrt(np.einsum("ij,ij->i", C, C)))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = np.round(dot / den, round_to)
+            vals = pd.array(s, dtype="Float64")
+            vals[den == 0.0] = pd.NA
+            out[m] = vals
         return pd.Series(out)
 
     return score

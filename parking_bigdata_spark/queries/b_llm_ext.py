@@ -457,48 +457,62 @@ def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")))
     pairs = (emb.crossJoin(F.broadcast(q))
                 .where(F.col("vec_id") != F.col("qid"))
-                .select("qid", "vec_id", "e", "qe",
-                        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32),
-                                          F.lit(64))).alias("dim")))
+                .select("qid", "vec_id", "e", "qe"))
     # Vectorized prefix-cosine scorer (optimization round 10, guide
-    # §4.2): the higher-order aggregate()/zip_with() form evaluated
-    # ~3·dim interpreted ops per (pair, dim) row; one einsum per
-    # (batch, distinct dim) replaces them. NULL-score contract kept: a
-    # zero-norm (truncated) vector has undefined cosine — NULL scores
-    # sort last, never an ANSI job abort. This is the one cosine site
-    # that KEEPS NULL-score rows rather than excluding them
-    # (similarity._unit_nonzero): here zero norms arise from PREFIX
-    # truncation of nonzero vectors, the metric is recall of the
-    # full-dim ranking, and both engines rank NULLs last identically —
-    # excluding would silently shrink the recall denominator.
+    # §4.2; restructured round 11 per VERDICT r10 #7): the dim sweep
+    # used to EXPLODE before the UDF, shipping both 64-dim vectors
+    # through Arrow once per (pair, dim) — 4x the bytes and rows the
+    # scorer needs. Now ONE UDF call per PAIR returns all four prefix
+    # scores as an array and the (dim, score) rows explode AFTER
+    # scoring. Each score is the identical per-row einsum over the
+    # identical [:dd] slice (einsum "ij,ij->i" reduces each row
+    # independently, so batching by pair instead of by (pair, dim)
+    # cannot change a value — verified by the unchanged oracle hash at
+    # all three SFs). NULL-score contract kept: a zero-norm (truncated)
+    # vector has undefined cosine — a NULL array element explodes to a
+    # NULL score row that sorts last, never an ANSI job abort. This is
+    # the one cosine site that KEEPS NULL-score rows rather than
+    # excluding them (similarity._unit_nonzero): here zero norms arise
+    # from PREFIX truncation of nonzero vectors, the metric is recall
+    # of the full-dim ranking, and both engines rank NULLs last
+    # identically — excluding would silently shrink the recall
+    # denominator. Rounding is np.round (half-even on the scaled
+    # double) — see similarity._cosine_score_udf for the documented
+    # tie-class contract vs F.round/DuckDB.
     import pandas as pd
 
-    @F.pandas_udf("double")
-    def prefix_cos(e, qe, dim):
+    _DIMS = (8, 16, 32, 64)
+
+    @F.pandas_udf("array<double>")
+    def prefix_cos_all(e, qe):
         import numpy as np
         if not len(e):
-            return pd.Series([], dtype="Float64")
+            return pd.Series([], dtype=object)
         E = np.stack(e.to_numpy())
         Qe = np.stack(qe.to_numpy())
-        d = dim.to_numpy()
-        s = np.empty(len(d))
-        zero = np.zeros(len(d), dtype=bool)
-        for dd in np.unique(d):
-            m = d == dd
-            A, B = E[m, :dd], Qe[m, :dd]
+        cols = []
+        zeros = []
+        for dd in _DIMS:
+            A, B = E[:, :dd], Qe[:, :dd]
             dot = np.einsum("ij,ij->i", A, B)
             den = (np.sqrt(np.einsum("ij,ij->i", A, A))
                    * np.sqrt(np.einsum("ij,ij->i", B, B)))
             with np.errstate(invalid="ignore", divide="ignore"):
-                s[m] = np.round(dot / den, 6)
-            zero[m] = den == 0.0
-        out = pd.array(s, dtype="Float64")
-        out[zero] = pd.NA
-        return pd.Series(out)
+                cols.append(np.round(dot / den, 6))
+            zeros.append(den == 0.0)
+        S = np.stack(cols, axis=1).astype(object)   # (n, #dims)
+        S[np.stack(zeros, axis=1)] = None
+        return pd.Series(S.tolist())
 
-    scored = pairs.select("qid", "vec_id", "dim",
-                          prefix_cos(F.col("e"), F.col("qe"),
-                                     F.col("dim")).alias("score"))
+    dim_arr = F.array(*[F.lit(d) for d in _DIMS])
+    scored = (pairs.select("qid", "vec_id",
+                           prefix_cos_all(F.col("e"), F.col("qe"))
+                           .alias("__sc"))
+                   .select("qid", "vec_id",
+                           F.posexplode("__sc").alias("__pos", "score"))
+                   .withColumn("dim", F.element_at(dim_arr,
+                                                   F.col("__pos") + 1))
+                   .select("qid", "vec_id", "dim", "score"))
     # two-phase exact top-5 (the cosine_topk discipline): a per-task
     # local prune bounds every (dim, qid) group to ≤5·#tasks rows
     # BEFORE the global rank window — without it, each (dim, qid)

@@ -1,0 +1,131 @@
+"""Round-11 optimization pins: catalog fuse-width equivalence, the
+cosine scorer's degenerate-row and rounding contracts, and the
+ann_truncation array-of-dims restructure."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------ catalog fuse batching
+
+def test_catalog_profile_width_invariant(spark, sf_dir, monkeypatch):
+    """The fused multi-distinct batches must return exactly the
+    per-column design's rows in the same order: width 1 IS the old
+    one-job-per-(table, column) shape, so comparing width 1 vs the
+    default fuse width pins the equivalence."""
+    from parking_bigdata_spark.queries import a_stats2 as A
+    monkeypatch.setenv("SPARK_GRAFT_CATALOG_FUSE", "1")
+    narrow = A.catalog_profile(spark, sf_dir).collect()
+    monkeypatch.delenv("SPARK_GRAFT_CATALOG_FUSE")
+    fused = A.catalog_profile(spark, sf_dir).collect()
+    assert [tuple(r) for r in narrow] == [tuple(r) for r in fused]
+    assert len(fused) == 49
+
+
+def test_catalog_audit_width_invariant(spark, sf_dir, monkeypatch):
+    from parking_bigdata_spark.queries import a_stats2 as A
+    monkeypatch.setenv("SPARK_GRAFT_CATALOG_FUSE", "1")
+    narrow = A.catalog_profile_approx(spark, sf_dir).collect()
+    monkeypatch.delenv("SPARK_GRAFT_CATALOG_FUSE")
+    fused = A.catalog_profile_approx(spark, sf_dir).collect()
+    assert [tuple(r) for r in narrow] == [tuple(r) for r in fused]
+    assert all(r["hll_within_5pct"] for r in fused)
+
+
+# ------------------------------------- cosine scorer degenerate rows
+
+def _score_rows(spark, rows, round_to=4):
+    from parking_bigdata_spark.operators.similarity import _cosine_score_udf
+    df = spark.createDataFrame(
+        rows, "qv array<double>, cv array<double>")
+    return (df.select(_cosine_score_udf(round_to)("qv", "cv")
+                      .alias("s")).collect())
+
+
+def test_cosine_scorer_null_and_ragged_rows_score_null(spark):
+    """ADVICE r10 #3: a NULL or length-mismatched vector must degrade
+    to a NULL score (the replaced zip_with expression's behavior), not
+    abort the whole job inside np.stack."""
+    rows = [
+        ([1.0, 0.0], [1.0, 0.0]),      # cosine 1.0
+        (None, [1.0, 0.0]),            # NULL vector -> NULL
+        ([1.0, 0.0], None),            # NULL vector -> NULL
+        ([1.0, 0.0], [1.0, 0.0, 0.0]),  # ragged -> NULL
+        ([0.0, 0.0], [1.0, 0.0]),      # zero norm -> NULL
+        ([1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),  # second length group
+    ]
+    got = [r["s"] for r in _score_rows(spark, rows)]
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] is None and got[2] is None
+    assert got[3] is None
+    assert got[4] is None
+    assert got[5] == pytest.approx(0.0)
+
+
+def test_cosine_scorer_rounding_is_half_even(spark):
+    """ADVICE r10 #1 pinned: the scorer rounds half-to-even on the
+    scaled binary double (numpy semantics). cos([1,0...], [1,1...16
+    ones]) = 1/4 exactly; at round_to=1 the scaled value 2.5 is an
+    exact representable half — half-even gives 0.2 where the replaced
+    F.round (decimal half-up) and DuckDB (half-away) give 0.3. This
+    tie class needs a dyadic-rational cosine and is absent from every
+    gated dataset (oracle hashes green at 3 SFs); the test documents
+    the deliberate contract rather than an accident."""
+    q = [1.0] + [0.0] * 15
+    c = [1.0] * 16  # |c| = 4 exactly, dot = 1 -> cosine = 0.25
+    got = _score_rows(spark, [(q, c)], round_to=1)[0]["s"]
+    assert got == pytest.approx(0.2)
+    # the engines' own half rounding for contrast (documented
+    # divergence class): Spark F.round would give 0.3
+    spark_round = spark.range(1).select(
+        F.round(F.lit(0.25), 1).alias("r")).collect()[0]["r"]
+    assert spark_round == pytest.approx(0.3)
+
+
+# --------------------------------- ann_truncation array-of-dims scorer
+
+def test_ann_truncation_matches_numpy_reference(spark, sf_dir):
+    """The batched-by-pair prefix scorer must reproduce the per-dim
+    einsum reference (and hence the pre-restructure per-(pair, dim)
+    scores) on real embeddings."""
+    from parking_bigdata_spark import queries as Q
+    from parking_bigdata_spark.io import load_table
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("e")).collect())
+    ids = np.array([r["vec_id"] for r in emb])
+    M = np.stack([np.asarray(r["e"], dtype=np.float64) for r in emb])
+    qmask = ids < 10
+    ref = {}
+    tops = {}
+    for dd in (8, 16, 32, 64):
+        A = M[:, :dd]
+        for qi in ids[qmask]:
+            qv = M[ids == qi][0][:dd]
+            dot = A @ qv
+            den = np.sqrt((A * A).sum(1)) * np.sqrt(qv @ qv)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = np.round(dot / den, 6)
+            s[den == 0.0] = -np.inf  # NULLs sort last
+            mask = ids != qi
+            order = np.lexsort((ids[mask], -s[mask]))
+            tops[(dd, qi)] = list(ids[mask][order][:5])
+    expected = {}
+    for qi in ids[qmask]:
+        full = set(tops[(64, qi)])
+        for dd in (8, 16, 32):
+            expected[(dd, qi)] = len(set(tops[(dd, qi)]) & full) / 5.0
+    by_dim = {}
+    for (dd, qi), rec in expected.items():
+        by_dim.setdefault(dd, []).append(rec)
+    got_by_dim = {r["dim"]: (r["mean_recall_at_5"], r["n_queries"])
+                  for r in Q.queries()["ann_truncation_recall"](
+                      spark, sf_dir).collect()}
+    for dd, recs in by_dim.items():
+        mean_ref = round(sum(recs) / len(recs), 4)
+        assert got_by_dim[dd][0] == pytest.approx(mean_ref), dd
+        assert got_by_dim[dd][1] == len(recs)
