@@ -85,6 +85,26 @@ def test_cosine_scorer_rounding_is_half_even(spark):
     assert spark_round == pytest.approx(0.3)
 
 
+# ------------------------------ connected components: explode layout
+
+def test_connected_components_deep_chain(spark):
+    """The round-11 explode-symmetrize + pre-partitioned edge layout
+    must still converge over multi-round (diameter >= 3) graphs: a
+    depth-6 chain needs real label propagation, not just the seed."""
+    from parking_bigdata_spark.operators.dedup import connected_components
+    rows = []
+    for c in range(50):
+        base = c * 10
+        rows += [(base + i, base + i + 1) for i in range(6)]
+    edges = spark.createDataFrame(rows, "a long, b long")
+    got = {r["node"]: r["lbl"]
+           for r in connected_components(edges, "a", "b").collect()}
+    assert len(got) == 50 * 7
+    for c in range(50):
+        base = c * 10
+        assert all(got[base + i] == base for i in range(7)), c
+
+
 # --------------------------------- ann_truncation array-of-dims scorer
 
 def test_ann_truncation_matches_numpy_reference(spark, sf_dir):
