@@ -1642,6 +1642,34 @@ def _key_deps() -> dict[str, frozenset]:
                 if (isinstance(val, _types.FunctionType)
                         and val.__module__ == fn.__module__):
                     todo.append(val)
+                elif (mod is not None and ref not in bindings
+                      and ref in vars(mod)):
+                    # module-level value that is neither an import
+                    # binding nor a same-module function (ADVICE r09
+                    # #1): a constant aliasing another module's symbol
+                    # (`_X = stats.Y`), a cross-module function alias,
+                    # or a dict/list of functions. Its provenance is
+                    # invisible to the name walk, so over-approximate:
+                    # a function/module value resolves to its defining
+                    # module's closure; anything else falls back to
+                    # the WHOLE defining module's import closure —
+                    # wider staleness, never a silently-stale green
+                    # row.
+                    if isinstance(val, _types.FunctionType):
+                        src = _sys.modules.get(val.__module__)
+                        f2 = getattr(src, "__file__", None)
+                        if (f2 and os.path.isabs(f2)
+                                and f2.startswith(_REPO_DIR + os.sep)):
+                            out |= _import_closure(
+                                os.path.relpath(f2, _REPO_DIR))
+                    elif isinstance(val, _types.ModuleType):
+                        f2 = getattr(val, "__file__", None)
+                        if (f2 and os.path.isabs(f2)
+                                and f2.startswith(_REPO_DIR + os.sep)):
+                            out |= _import_closure(
+                                os.path.relpath(f2, _REPO_DIR))
+                    else:
+                        out |= _import_closure(own_file)
         deps[name] = frozenset(out)
     _KEY_DEPS_CACHE = deps
     return deps
@@ -1680,6 +1708,15 @@ def _changed_since_round() -> dict[int, frozenset]:
         commit = _git(["log", "-n1", "--format=%H", "--diff-filter=A",
                        "--", os.path.basename(path)])
         if not commit or not commit.strip():
+            # ADVICE r09 #3: an on-disk record with no recording
+            # commit is EXEMPT from diff-derived invalidation (its
+            # round has no diff baseline) — surface that loudly so a
+            # round-close never forgets to commit the record
+            import sys as _s
+            print(f"# WARNING {os.path.basename(path)} exists on disk "
+                  "but has no recording commit — its green rows are "
+                  "exempt from diff-derived staleness until it is "
+                  "committed", file=_s.stderr)
             continue
         # diff from the PARENT of the record commit (code-review r09):
         # the driver measured on the tree BEFORE that commit, so any

@@ -85,6 +85,24 @@ def test_cosine_scorer_rounding_is_half_even(spark):
     assert spark_round == pytest.approx(0.3)
 
 
+# ------------------------- dependency walker: constant-alias fallback
+
+def test_key_deps_follow_module_constant_aliases():
+    """ADVICE r09 #1 closed: a builder that reaches another package
+    module only through a module-level constant alias (the
+    `_AUDIT_ACC = stats.EXACT_QUANTILE_ACC` pattern in a_scale_twins)
+    must still carry that module as a dependency — the walker now
+    falls back to the defining module's full import closure for
+    non-function module-level values. Sharpness is preserved: a key
+    that references no such constant keeps its narrow dep set."""
+    from parking_bigdata_spark import queries as Q
+    deps = Q._key_deps()
+    assert "parking_bigdata_spark/operators/stats.py" in \
+        deps["mad_approx_price_by_flag"]
+    assert "parking_bigdata_spark/operators/stats.py" not in \
+        deps["distinct_order_status"]
+
+
 # ------------------------------ connected components: explode layout
 
 def test_connected_components_deep_chain(spark):
