@@ -541,9 +541,18 @@ def main() -> None:
     # the rf forest memo — without that reset a second rep would time
     # scoring only).
     SLOW_REP_SEC = 2.0
+    seed_raw = os.environ.get("SPARK_GRAFT_BENCH_SEED")
     try:
-        order_seed = int(os.environ["SPARK_GRAFT_BENCH_SEED"])
-    except (KeyError, ValueError):
+        order_seed = int(seed_raw) if seed_raw is not None else None
+    except ValueError:
+        # never silently substitute a different order for a run the
+        # user meant to reproduce (repo env-knob convention)
+        print(f"# SPARK_GRAFT_BENCH_SEED={seed_raw!r} invalid (need an "
+              "int); using a wall-clock seed instead — this run's "
+              "order will NOT match the one you meant to reproduce",
+              file=sys.stderr)
+        order_seed = None
+    if order_seed is None:
         order_seed = int(time.time()) % 1_000_000
     import random as _random
     order = list(HEADLINE)
@@ -652,11 +661,15 @@ def main() -> None:
     # of stdout — an 83-entry dict pushed "value" out of the r01 capture
     # window and left "parsed": null). The compact line keeps the
     # contract keys and the 5 slowest queries.
+    # record dicts in fixed HEADLINE order regardless of the shuffled
+    # execution order, so round-over-round BENCH_DETAIL diffs show
+    # value changes, not a fresh 232-key permutation; order_seed is
+    # the provenance of the actual execution order
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: timings[k] for k in HEADLINE},
         "sf": sf_val,
         "order_seed": order_seed,
     }
@@ -664,7 +677,8 @@ def main() -> None:
         # single-rep walls of the re-run (>SLOW_REP_SEC) queries — the
         # pre-round-11 methodology's numbers, kept alongside the
         # published min-of-2
-        detail["first_rep_sec"] = first_rep
+        detail["first_rep_sec"] = {k: first_rep[k] for k in HEADLINE
+                                   if k in first_rep}
     if foreign:
         detail["contended"] = foreign
     if calibration:

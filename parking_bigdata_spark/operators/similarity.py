@@ -58,6 +58,16 @@ def _cosine_score_udf(round_to: int):
     round — the row-at-a-time cost this UDF exists to remove."""
     import pandas as pd
 
+    def _dense_scores(Q, C):
+        dot = np.einsum("ij,ij->i", Q, C)
+        den = (np.sqrt(np.einsum("ij,ij->i", Q, Q))
+               * np.sqrt(np.einsum("ij,ij->i", C, C)))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.round(dot / den, round_to)
+        vals = pd.array(s, dtype="Float64")  # NaN coerces to NA here
+        vals[den == 0.0] = pd.NA
+        return vals
+
     @F.pandas_udf("double")
     def score(qv, cv):
         n = len(qv)
@@ -65,6 +75,23 @@ def _cosine_score_udf(round_to: int):
             return pd.Series([], dtype="Float64")
         q_arr = qv.to_numpy()
         c_arr = cv.to_numpy()
+        # FAST PATH — the r10 vectorized shape, zero per-row Python:
+        # np.stack + astype raise exactly on the degenerate inputs
+        # (None vectors -> ragged ValueError; NULL elements -> object
+        # dtype whose astype(float64) TypeErrors), so clean batches
+        # never pay for the guard below
+        try:
+            Q = np.stack(q_arr)
+            C = np.stack(c_arr)
+            if Q.dtype != np.float64:
+                Q = Q.astype(np.float64)
+            if C.dtype != np.float64:
+                C = C.astype(np.float64)
+            if Q.shape == C.shape:
+                return pd.Series(_dense_scores(Q, C))
+        except (TypeError, ValueError):
+            pass
+        # SLOW PATH — degenerate rows present (ADVICE r10 #3 contract)
         qlen = np.fromiter(
             (len(v) if v is not None else -1 for v in q_arr),
             dtype=np.int64, count=n)
@@ -99,14 +126,7 @@ def _cosine_score_udf(round_to: int):
                         dot1 = float(np.einsum("ij,ij->i", q2, c2)[0])
                         out[i] = float(np.round(dot1 / d1, round_to))
                 continue
-            dot = np.einsum("ij,ij->i", Q, C)
-            den = (np.sqrt(np.einsum("ij,ij->i", Q, Q))
-                   * np.sqrt(np.einsum("ij,ij->i", C, C)))
-            with np.errstate(invalid="ignore", divide="ignore"):
-                s = np.round(dot / den, round_to)
-            vals = pd.array(s, dtype="Float64")
-            vals[den == 0.0] = pd.NA
-            out[m] = vals
+            out[m] = _dense_scores(Q, C)
         return pd.Series(out)
 
     return score

@@ -20,11 +20,13 @@ from itertools import combinations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-def _parse_acc(raw: str | None, default: int = 2000) -> int:
-    """Parse the accuracy knob defensively (second code-review pass
-    r09): a typo'd or non-positive value must degrade to the default
-    with a stderr note, not crash every import of the package (or
-    divide by zero in eps = 4/accuracy later)."""
+def _parse_acc(raw: str | None, default: int = 2000,
+               name: str = "SPARK_GRAFT_EXACT_QUANTILE_ACC") -> int:
+    """Parse a positive-int env knob defensively (second code-review
+    pass r09): a typo'd or non-positive value must degrade to the
+    default with a stderr note, not crash every import of the package
+    (or divide by zero in eps = 4/accuracy later). Shared by every
+    positive-int env knob (``name`` labels the warning)."""
     try:
         v = int(raw) if raw is not None else default
     except (TypeError, ValueError):
@@ -32,7 +34,7 @@ def _parse_acc(raw: str | None, default: int = 2000) -> int:
     if v < 1:
         if raw is not None:
             import sys
-            print(f"# SPARK_GRAFT_EXACT_QUANTILE_ACC={raw!r} invalid "
+            print(f"# {name}={raw!r} invalid "
                   f"(need a positive int); using {default}",
                   file=sys.stderr)
         return default

@@ -426,20 +426,11 @@ _CATALOG_COLUMNS: dict[str, list[str]] = {
 
 def _catalog_fuse_width() -> int:
     """Columns fused per per-table profile job (see the A104 plan-shape
-    note). Defensive parse like stats._parse_acc: a typo'd value
-    degrades to the default, never crashes an import."""
-    raw = os.environ.get("SPARK_GRAFT_CATALOG_FUSE")
-    try:
-        v = int(raw) if raw is not None else 4
-    except (TypeError, ValueError):
-        v = -1
-    if v < 1:
-        if raw is not None:
-            import sys
-            print(f"# SPARK_GRAFT_CATALOG_FUSE={raw!r} invalid "
-                  "(need a positive int); using 4", file=sys.stderr)
-        return 4
-    return v
+    note); stats._parse_acc supplies the shared defensive env-int
+    parse (a typo'd value degrades to the default, never crashes an
+    import)."""
+    return stats._parse_acc(os.environ.get("SPARK_GRAFT_CATALOG_FUSE"),
+                            default=4, name="SPARK_GRAFT_CATALOG_FUSE")
 
 
 def _profile_columns(df: DataFrame, table: str, cols: list[str],
@@ -561,7 +552,15 @@ def catalog_profile_approx(spark: SparkSession, sf_dir: str, *,
     fused multi-distinct batches as `catalog_profile`; the in-band
     boolean joins the two driver-side. Each HLL estimate and exact
     count is bit-identical to its old solo job's (fusing regular
-    aggregates never changes per-aggregate inputs)."""
+    aggregates never changes per-aggregate inputs).
+
+    SNAPSHOT SEMANTICS: the sketch and exact sides of each boolean now
+    run in SEPARATE jobs at construction time — on a table mutated
+    between the two passes the band compares different data versions
+    (the old fused job was per-column snapshot-consistent; note that
+    even it read different snapshots across columns). Profile static
+    data, or a snapshot-isolated table format, when the band must be
+    audit-grade."""
     if not audit:
         return catalog_profile_approx_detail(spark, sf_dir)
     hll = _catalog_hll_estimates(spark, sf_dir)

@@ -491,17 +491,22 @@ def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         E = np.stack(e.to_numpy())
         Qe = np.stack(qe.to_numpy())
         cols = []
-        zeros = []
+        nulls = []
         for dd in _DIMS:
             A, B = E[:, :dd], Qe[:, :dd]
             dot = np.einsum("ij,ij->i", A, B)
             den = (np.sqrt(np.einsum("ij,ij->i", A, A))
                    * np.sqrt(np.einsum("ij,ij->i", B, B)))
             with np.errstate(invalid="ignore", divide="ignore"):
-                cols.append(np.round(dot / den, 6))
-            zeros.append(den == 0.0)
+                s = np.round(dot / den, 6)
+            # NULL exactly where the old per-(pair, dim) form's masked
+            # Float64 produced NA: zero norms AND NaN scores (a NaN
+            # element in a vector) — a raw NaN in the array<double>
+            # would sort FIRST under desc ordering, not last
+            nulls.append((den == 0.0) | np.isnan(s))
+            cols.append(s)
         S = np.stack(cols, axis=1).astype(object)   # (n, #dims)
-        S[np.stack(zeros, axis=1)] = None
+        S[np.stack(nulls, axis=1)] = None
         return pd.Series(S.tolist())
 
     dim_arr = F.array(*[F.lit(d) for d in _DIMS])
